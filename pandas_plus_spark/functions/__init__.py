@@ -1,0 +1,18 @@
+from .binning import pretty_cut
+from .encoding import bools_to_categorical, linear_combination
+from .text import (
+    poly_hash,
+    simple_tokens,
+    token_count,
+    word_ngrams,
+)
+
+__all__ = [
+    "pretty_cut",
+    "bools_to_categorical",
+    "linear_combination",
+    "simple_tokens",
+    "token_count",
+    "word_ngrams",
+    "poly_hash",
+]

@@ -1,0 +1,156 @@
+"""Text-analysis column builders for large-scale corpus pipelines.
+
+These go beyond the reference (pandas-plus has no string function library,
+SURVEY §2.11); they are the text half of the training-data-pipeline surface:
+tokenization, n-grams, deterministic document hashing, language-ID heuristic,
+quality scoring, token counting, fingerprinting.
+
+Every function returns a pure Column expression (whole-stage codegen, no
+Python in the hot path). The hash used for oracle-checked operators is a
+simple deterministic polynomial over code points — reproducible in ANSI SQL.
+Scale note: for production near-dup at 100 TB, ``xxhash64``-based variants in
+``operators/dedup.py`` are the fast path; the polynomial hash exists so
+correctness can be verified bit-for-bit against an independent SQL engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+POLY_MOD = 1_000_000_007
+POLY_MUL = 31
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def simple_tokens(col) -> Column:
+    """Whitespace tokenization → array<string>, empties removed."""
+    return F.filter(F.split(_c(col), " +"), lambda t: t != "")
+
+
+def token_count(col) -> Column:
+    return F.size(simple_tokens(col))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Sub-word-ish token count: runs of letters, runs of digits, and single
+    punctuation marks each count as one token (a cheap stand-in for a BPE
+    tokenizer's token count)."""
+    return F.regexp_count(_c(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Contiguous word n-grams (space-joined) from a token array; empty array
+    when the document is shorter than ``n``."""
+    count = F.size(tokens) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def poly_hash(col) -> Column:
+    """Deterministic rolling hash over code points:
+    ``acc = (acc*31 + codepoint) mod 1_000_000_007``.
+
+    ANSI-SQL-reproducible (see sql_poly_hash below) so hash-based operators
+    can be verified against an independent engine. Stays within long range.
+    """
+    c = _c(col)
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(c)),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * POLY_MUL + F.ascii(c.substr(i, F.lit(1)))) % POLY_MOD,
+    )
+
+
+def sql_poly_hash(expr: str) -> str:
+    """DuckDB SQL equivalent of ``poly_hash`` for oracle checks."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({expr})+1), "
+        f"i -> CAST(ascii(substr({expr}, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(acc, x) -> (acc*{POLY_MUL} + x) % {POLY_MOD})"
+    )
+
+
+# --------------------------------------------------------------------- #
+# language ID heuristic
+# --------------------------------------------------------------------- #
+
+# Tiny marker lexicons; a real pipeline would use fastText/CLD3 — the point
+# here is the distributed shape: pure column expressions, no UDF.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that", "it", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "con", "por"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr": ("le", "la", "les", "de", "et", "est", "un", "une", "dans", "pour"),
+}
+
+
+def lang_scores(tokens: Column) -> dict[str, Column]:
+    """Marker-hit count per language."""
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        out[lang] = F.size(F.filter(tokens, lambda t: t.isin(*words)))
+    return out
+
+
+def lang_id(tokens: Column, default: str = "und") -> Column:
+    """argmax language by marker hits; ties resolve in LANG_MARKERS order;
+    zero hits → ``default``. Chained CASE → identical semantics in any SQL
+    engine (used by the oracle)."""
+    scores = lang_scores(tokens)
+    langs = list(scores)
+    expr = F.when(sum(scores.values(), F.lit(0)) == 0, F.lit(default))
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1:]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else cond & c
+        for prev in langs[:i]:
+            c = scores[lang] > scores[prev]
+            cond = c if cond is None else cond & c
+        expr = expr.when(cond if cond is not None else F.lit(True), F.lit(lang))
+    return expr
+
+
+# --------------------------------------------------------------------- #
+# quality scoring
+# --------------------------------------------------------------------- #
+
+def quality_features(col) -> dict[str, Column]:
+    """Cheap quality signals: doc length, token stats, punctuation/digit
+    ratios, stopword ratio. All codegen-able expressions."""
+    c = _c(col)
+    toks = simple_tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    stop = LANG_MARKERS["en"]
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).cast("double") / n_tokens,
+        "punct_ratio": F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]")).cast("double") / n_chars,
+        "digit_ratio": F.regexp_count(c, F.lit(r"[0-9]")).cast("double") / n_chars,
+        "stopword_ratio": F.size(F.filter(toks, lambda t: t.isin(*stop))).cast("double") / n_tokens,
+    }
+
+
+def quality_score(col) -> Column:
+    """Composite score in [0,1]: rewards mid-length docs and prose-like
+    stopword density, penalizes punctuation/digit noise."""
+    f = quality_features(col)
+    length_term = F.least(f["n_tokens"].cast("double") / F.lit(64.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(f["punct_ratio"] * 10, F.lit(1.0))),
+        6,
+    )

@@ -1,0 +1,71 @@
+"""pandas-style facade + DataFrame monkey-patch.
+
+Reference: groupby/api.py (SeriesGroupBy/DataFrameGroupBy, by= resolution)
+and monkey_patch.py (df.groupby_fast). Spark-side the facade is thin: a
+``DataFrameGroupBy`` wraps (df, keys) and shares one GroupBy engine object —
+the reference's shared-grouper / factorization-reuse (api.py:813-833) maps to
+sharing the persisted keyed DataFrame.
+
+``install_groupby_plus()`` patches ``DataFrame.groupby_plus`` onto the
+pyspark DataFrame class, mirroring ``install_groupby_fast``
+(reference monkey_patch.py:97-126).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .core import GroupBy
+
+_FORWARDED = (
+    "sum", "mean", "min", "max", "count", "size", "var", "std", "median",
+    "sum_squares", "first", "last", "nunique", "agg", "ratio", "subset_ratio",
+    "density", "value_counts", "key_count", "head", "tail", "nth",
+    "cumsum", "cummin", "cummax", "cumcount",
+    "rolling_sum", "rolling_mean", "rolling_min", "rolling_max",
+    "shift", "diff", "group_nearby_members", "persist", "unpersist",
+)
+
+
+class DataFrameGroupBy:
+    """``df.groupby_plus('k')`` facade. Column selection via ``gb['col']``
+    narrows the value set while SHARING the same engine object (and thus any
+    persisted keyed layout) — reference api.py:813-833."""
+
+    def __init__(self, df: DataFrame, by, order_by=None, sort: bool = True,
+                 dropna: bool = True, _engine: GroupBy | None = None,
+                 _selection=None):
+        self._engine = _engine or GroupBy(df, by, order_by=order_by, sort=sort, dropna=dropna)
+        self._selection = _selection
+
+    def __getitem__(self, cols) -> "DataFrameGroupBy":
+        if isinstance(cols, str):
+            cols = [cols]
+        return DataFrameGroupBy(None, None, _engine=self._engine, _selection=list(cols))
+
+    def __getattr__(self, name):
+        if name not in _FORWARDED:
+            raise AttributeError(name)
+        target = getattr(self._engine, name)
+        if self._selection is None or name in ("size", "cumcount", "value_counts",
+                                               "key_count", "persist", "unpersist",
+                                               "group_nearby_members"):
+            return target
+
+        def bound(*args, **kwargs):
+            if "values" not in kwargs and not args:
+                kwargs["values"] = self._selection
+            return target(*args, **kwargs)
+
+        return bound
+
+
+def groupby_plus(self: DataFrame, by, order_by=None, sort: bool = True,
+                 dropna: bool = True) -> DataFrameGroupBy:
+    return DataFrameGroupBy(self, by, order_by=order_by, sort=sort, dropna=dropna)
+
+
+def install_groupby_plus() -> None:
+    """Attach ``groupby_plus`` to pyspark's DataFrame (reference
+    monkey_patch.py:97-126 installs ``groupby_fast`` on pandas)."""
+    DataFrame.groupby_plus = groupby_plus

@@ -1,0 +1,598 @@
+"""GroupBy engine — the Spark-native equivalent of the reference's core.
+
+The reference (pandas-plus) centers on a ``GroupBy`` object that caches key
+factorization so many aggregations reuse it (reference groupby/core.py:146-213,
+README.md:16). In Spark, factorization is the hash shuffle: Catalyst plans
+``groupBy().agg()`` as partial HashAggregate → Exchange → final HashAggregate,
+so there is nothing to hand-cache for a single query. What *is* worth
+preserving across queries is the shuffled layout — ``GroupBy.persist()`` below
+repartitions by the keys once and caches, so repeated aggregations against the
+same keys skip the exchange (Catalyst sees the child partitioning satisfies
+the distribution requirement).
+
+Semantics carried over from the reference:
+
+- ``mask=`` on every aggregation (reference core.py:812-848): filtered
+  aggregation *inside* the agg, i.e. ``sum(CASE WHEN mask THEN x END)`` —
+  one pass over the data, no pre-materialized filter (reference README.md:15-19).
+- Null group keys are dropped from results (reference numba.py:441-443);
+  ``dropna=False`` keeps them (Spark's native behavior).
+- ``transform=True`` broadcasts the group aggregate back to row shape
+  (reference core.py:694-702) — a window function, one pass, no join.
+- ``margins=True`` appends "All" total rows (reference core.py:1994-2051) —
+  ``rollup`` + ``grouping()``, computed by Catalyst in a single pass via
+  grouping sets (the reference re-aggregates recursively; Spark does not
+  need to).
+- Ordered operators (cumulative / rolling / shift / head / nth / first / last)
+  take an explicit ``order_by``; the reference relies on implicit array order
+  (reference numba.py:438-457) which does not exist on a distributed table.
+
+Everything compiles to DataFrame/Column expressions — no RDDs, no collect in
+the compute path, no row-at-a-time Python UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["GroupBy", "NUMERIC_KINDS"]
+
+# Value types the reference's numeric kernels accept (reference
+# util.py:504-514 silently drops non-numeric columns before aggregation).
+NUMERIC_KINDS = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+    T.BooleanType,
+    T.TimestampType,
+    T.TimestampNTZType,
+    T.DateType,
+    T.DayTimeIntervalType,
+)
+
+_ALL_LABEL = "All"  # margin label, matching the reference's add_row_margin
+
+
+def _as_list(x) -> list:
+    if x is None:
+        return []
+    if isinstance(x, (str, Column)):
+        return [x]
+    return list(x)
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+class GroupBy:
+    """Grouped view over a DataFrame: ``GroupBy(df, keys).sum(values, mask=...)``.
+
+    Parameters
+    ----------
+    df : DataFrame
+    keys : str | Column | list — grouping key column(s).
+    order_by : str | list | None — column(s) defining row order for the
+        ordered operators (cumsum/rolling/shift/head/nth/first/last). Required
+        by those operators; ignored by plain aggregations.
+    sort : bool — sort the result by key columns (reference core.py:164).
+    dropna : bool — drop null-key groups (reference default; numba.py:441-443).
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        keys,
+        order_by=None,
+        sort: bool = True,
+        dropna: bool = True,
+    ):
+        self._df = df
+        self._keys: list[str] = [k if isinstance(k, str) else str(k) for k in _as_list(keys)]
+        if not self._keys:
+            raise ValueError("GroupBy requires at least one key column")
+        self._order_by: list[str] = _as_list(order_by)
+        self._sort = sort
+        self._dropna = dropna
+        self._persisted = False
+
+    # ------------------------------------------------------------------ #
+    # plumbing
+    # ------------------------------------------------------------------ #
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    @property
+    def keys(self) -> list[str]:
+        return list(self._keys)
+
+    def persist(self) -> "GroupBy":
+        """Reuse the shuffle across many aggregations (the reference's
+        factorization-reuse, README.md:16): repartition by keys once, cache.
+        Subsequent groupBy(keys) aggregations see the required hash
+        distribution already satisfied and skip the Exchange."""
+        if not self._persisted:
+            self._df = self._df.repartition(*[F.col(k) for k in self._keys]).cache()
+            self._persisted = True
+        return self
+
+    def unpersist(self) -> "GroupBy":
+        if self._persisted:
+            self._df.unpersist()
+            self._persisted = False
+        return self
+
+    def _base(self) -> DataFrame:
+        df = self._df
+        if self._dropna:
+            cond = None
+            for k in self._keys:
+                c = F.col(k).isNotNull()
+                cond = c if cond is None else cond & c
+            df = df.filter(cond)
+        return df
+
+    def _numeric_values(self, values) -> list[str]:
+        """Resolve a values argument; None = all numeric non-key columns
+        (the reference's silent numeric filter, util.py:504-514)."""
+        if values is None:
+            return [
+                f.name
+                for f in self._df.schema.fields
+                if f.name not in self._keys and isinstance(f.dataType, NUMERIC_KINDS)
+            ]
+        vals = _as_list(values)
+        return [v if isinstance(v, str) else str(v) for v in vals]
+
+    def _masked(self, col, mask) -> Column:
+        c = _col(col)
+        if mask is None:
+            return c
+        return F.when(_col(mask), c)
+
+    def _finish(self, out: DataFrame, sort: bool | None = None) -> DataFrame:
+        if self._sort if sort is None else sort:
+            out = out.orderBy(*self._keys)
+        return out
+
+    # ------------------------------------------------------------------ #
+    # expression builders
+    # ------------------------------------------------------------------ #
+
+    def _agg_expr(self, func: str, col: str, mask, ddof: int = 1) -> Column:
+        """One aggregate expression with inline-mask semantics."""
+        v = self._masked(col, mask)
+        if func == "sum":
+            return F.sum(v)
+        if func == "mean":
+            return F.avg(v)
+        if func == "min":
+            return F.min(v)
+        if func == "max":
+            return F.max(v)
+        if func == "count":
+            return F.count(v)
+        if func == "size":
+            # rows per group incl. nulls (reference core.py:749-764); with a
+            # mask, rows where the mask holds.
+            return F.count(F.when(_col(mask), F.lit(1)) if mask is not None else F.lit(1))
+        if func == "sum_squares":
+            return F.sum(v * v)
+        if func == "median":
+            return F.median(v)
+        if func == "approx_median":
+            return F.percentile_approx(self._masked(col, mask), 0.5)
+        if func in ("var", "std"):
+            if ddof == 1:
+                return F.var_samp(v) if func == "var" else F.stddev_samp(v)
+            if ddof == 0:
+                return F.var_pop(v) if func == "var" else F.stddev_pop(v)
+            # general ddof: (Σx² − (Σx)²/n)/(n−ddof)  (reference core.py:1052-1058)
+            n = F.count(v)
+            var = (F.sum(v * v) - F.sum(v) * F.sum(v) / n) / (n - F.lit(ddof))
+            return var if func == "var" else F.sqrt(var)
+        if func == "nunique":
+            return F.count_distinct(v)
+        raise ValueError(f"unknown aggregation {func!r}")
+
+    def _ordered_first_last(self, func: str, col: str, mask) -> Column:
+        """first/last **non-null** in row order (reference core.py:1096-1174,
+        ScalarFuncs.first/last numba.py:372-386). Spark's first/last are
+        order-nondeterministic, so: min/max over struct(order, value) with
+        null values excluded — struct min/max orders by the leading field."""
+        if not self._order_by:
+            raise ValueError("first/last require order_by (the reference relies on "
+                             "implicit array order, which a distributed table lacks)")
+        v = self._masked(col, mask)
+        ord_cols = [F.col(o) for o in self._order_by]
+        pair = F.when(v.isNotNull(), F.struct(*ord_cols, v.alias("__v")))
+        agg = F.min(pair) if func == "first" else F.max(pair)
+        return agg["__v"]
+
+    # ------------------------------------------------------------------ #
+    # core aggregation driver
+    # ------------------------------------------------------------------ #
+
+    def _apply(
+        self,
+        func: str,
+        values=None,
+        mask=None,
+        transform: bool = False,
+        margins: bool = False,
+        ddof: int = 1,
+        alias: Mapping[str, str] | None = None,
+    ) -> DataFrame:
+        cols = self._numeric_values(values)
+        if not cols and func != "size":
+            raise ValueError("no numeric value columns to aggregate")
+
+        def expr_for(c: str) -> Column:
+            if func in ("first", "last"):
+                return self._ordered_first_last(func, c, mask)
+            return self._agg_expr(func, c, mask, ddof=ddof)
+
+        if func == "size":
+            exprs = [self._agg_expr("size", "", mask).alias("size")]
+        else:
+            exprs = [expr_for(c).alias((alias or {}).get(c, c)) for c in cols]
+
+        if transform:
+            # Broadcast the group aggregate back to row shape
+            # (reference core.py:694-702): window over the keys, one pass.
+            w = Window.partitionBy(*self._keys)
+            out = self._base()
+            if func == "size":
+                out = out.withColumn("size", F.count(
+                    F.when(_col(mask), F.lit(1)) if mask is not None else F.lit(1)).over(w))
+            else:
+                for c in cols:
+                    name = (alias or {}).get(c, f"{c}_{func}")
+                    out = out.withColumn(name, self._agg_expr(func, c, mask, ddof=ddof).over(w))
+            return out
+
+        base = self._base()
+        if margins:
+            return self._finish(self._with_margins(base, exprs))
+        out = base.groupBy(*self._keys).agg(*exprs)
+        return self._finish(out)
+
+    def _with_margins(self, base: DataFrame, exprs: Sequence[Column]) -> DataFrame:
+        """rollup + grouping() → "All" rows per key level (reference
+        add_row_margin core.py:1994-2051). Catalyst evaluates all grouping
+        sets in one pass — no recursive re-aggregation."""
+        gcols = [F.grouping(k).alias(f"__g_{k}") for k in self._keys]
+        rolled = base.rollup(*self._keys).agg(*exprs, *gcols)
+        sel = []
+        for k in self._keys:
+            sel.append(
+                F.when(F.col(f"__g_{k}") == 1, F.lit(_ALL_LABEL))
+                .otherwise(F.col(k).cast("string"))
+                .alias(k)
+            )
+        agg_names = [c for c in rolled.columns if c not in self._keys and not c.startswith("__g_")]
+        sel += [F.col(c) for c in agg_names]
+        return rolled.select(*sel)
+
+    # ------------------------------------------------------------------ #
+    # public aggregations (reference §2.2)
+    # ------------------------------------------------------------------ #
+
+    def sum(self, values=None, **kw) -> DataFrame:
+        return self._apply("sum", values, **kw)
+
+    def mean(self, values=None, **kw) -> DataFrame:
+        return self._apply("mean", values, **kw)
+
+    def min(self, values=None, **kw) -> DataFrame:
+        return self._apply("min", values, **kw)
+
+    def max(self, values=None, **kw) -> DataFrame:
+        return self._apply("max", values, **kw)
+
+    def count(self, values=None, **kw) -> DataFrame:
+        return self._apply("count", values, **kw)
+
+    def size(self, mask=None, **kw) -> DataFrame:
+        return self._apply("size", None, mask=mask, **kw)
+
+    def var(self, values=None, ddof: int = 1, **kw) -> DataFrame:
+        return self._apply("var", values, ddof=ddof, **kw)
+
+    def std(self, values=None, ddof: int = 1, **kw) -> DataFrame:
+        return self._apply("std", values, ddof=ddof, **kw)
+
+    def median(self, values=None, approx: bool = False, **kw) -> DataFrame:
+        # exact by default (reference core.py:968-1016); approx=True switches
+        # to percentile_approx for 100 TB runs where exact median would sort.
+        return self._apply("approx_median" if approx else "median", values, **kw)
+
+    def sum_squares(self, values=None, **kw) -> DataFrame:
+        return self._apply("sum_squares", values, **kw)
+
+    def first(self, values=None, **kw) -> DataFrame:
+        return self._apply("first", values, **kw)
+
+    def last(self, values=None, **kw) -> DataFrame:
+        return self._apply("last", values, **kw)
+
+    def nunique(self, values=None, **kw) -> DataFrame:
+        return self._apply("nunique", values, **kw)
+
+    def agg(self, spec, mask=None, margins: bool = False) -> DataFrame:
+        """Multiple aggregations in ONE pass (the reference fans funcs out
+        across a thread pool, core.py:1216-1242; Catalyst computes them in a
+        single HashAggregate).
+
+        spec: {out_name: (func, col)} or [(func, col), ...] or
+        {col: func_or_list}.
+        """
+        exprs: list[Column] = []
+
+        def add(func: str, col: str, name: str):
+            if func in ("first", "last"):
+                e = self._ordered_first_last(func, col, mask)
+            else:
+                e = self._agg_expr(func, col, mask)
+            exprs.append(e.alias(name))
+
+        if isinstance(spec, Mapping):
+            for k, v in spec.items():
+                if isinstance(v, tuple):  # {out_name: (func, col)}
+                    add(v[0], v[1], k)
+                elif isinstance(v, str):  # {col: func}
+                    add(v, k, f"{k}_{v}")
+                else:  # {col: [funcs]}
+                    for fn in v:
+                        add(fn, k, f"{k}_{fn}")
+        else:
+            for fn, col in spec:
+                add(fn, col, f"{col}_{fn}")
+        if margins:
+            return self._finish(self._with_margins(self._base(), exprs))
+        return self._finish(self._base().groupBy(*self._keys).agg(*exprs))
+
+    # ---- derived ratio-style aggregations (reference core.py:1248-1381) --- #
+
+    def ratio(self, numerator: str, denominator: str, agg: str = "sum",
+              mask=None, alias: str = "ratio") -> DataFrame:
+        """agg(v1)/agg(v2) in one pass (reference core.py:1248-1294)."""
+        num = self._agg_expr(agg, numerator, mask)
+        den = self._agg_expr(agg, denominator, mask)
+        out = self._base().groupBy(*self._keys).agg((num / den).alias(alias))
+        return self._finish(out)
+
+    def subset_ratio(self, values: str, subset_mask, mask=None,
+                     agg: str = "sum", alias: str = "subset_ratio") -> DataFrame:
+        """agg(v where subset)/agg(v) — one pass (reference core.py:1296-1330)."""
+        sub = _col(subset_mask) if mask is None else (_col(subset_mask) & _col(mask))
+        num = self._agg_expr(agg, values, sub)
+        den = self._agg_expr(agg, values, mask)
+        out = self._base().groupBy(*self._keys).agg((num / den).alias(alias))
+        return self._finish(out)
+
+    def density(self, values: str, mask=None, alias: str = "density") -> DataFrame:
+        """100·group_total/overall_total; for multi-level keys the denominator
+        is the level-0 slice total (reference core.py:1332-1381). Aggregate
+        first, then a window over the (tiny) result — no second data pass."""
+        agg = self._base().groupBy(*self._keys).agg(
+            self._agg_expr("sum", values, mask).alias("__total"))
+        if len(self._keys) > 1:
+            w = Window.partitionBy(self._keys[0])
+        else:
+            w = Window.partitionBy()
+        out = agg.select(
+            *self._keys,
+            (F.lit(100.0) * F.col("__total") / F.sum("__total").over(w)).alias(alias),
+        )
+        return self._finish(out)
+
+    def value_counts(self, normalize: bool = False) -> DataFrame:
+        """size per key, optionally normalized (reference core.py:2054-2059)."""
+        out = self._base().groupBy(*self._keys).agg(F.count(F.lit(1)).alias("count"))
+        if normalize:
+            w = Window.partitionBy()
+            out = out.select(
+                *self._keys,
+                (F.col("count") / F.sum("count").over(w)).alias("proportion"),
+            )
+        return out.orderBy(F.col("proportion" if normalize else "count").desc(), *self._keys)
+
+    def key_count(self) -> DataFrame:
+        """distinct key combinations (reference core.py:766-776)."""
+        return self._base().select(*self._keys).distinct()
+
+    # ------------------------------------------------------------------ #
+    # row selection within groups (reference §2.3)
+    # ------------------------------------------------------------------ #
+
+    def _rank_window(self, descending: bool = False) -> Window:
+        if not self._order_by:
+            raise ValueError("head/tail/nth require order_by")
+        cols = [F.col(o).desc() if descending else F.col(o) for o in self._order_by]
+        return Window.partitionBy(*self._keys).orderBy(*cols)
+
+    def head(self, n: int = 5, values=None) -> DataFrame:
+        """first n rows per group (reference core.py:1428-1459)."""
+        cols = self._numeric_values(values) if values is not None else None
+        df = self._base().withColumn("__rn", F.row_number().over(self._rank_window()))
+        out = df.filter(F.col("__rn") <= n).drop("__rn")
+        if cols is not None:
+            out = out.select(*self._keys, *self._order_by, *cols)
+        return out
+
+    def tail(self, n: int = 5, values=None) -> DataFrame:
+        cols = self._numeric_values(values) if values is not None else None
+        df = self._base().withColumn("__rn", F.row_number().over(self._rank_window(descending=True)))
+        out = df.filter(F.col("__rn") <= n).drop("__rn")
+        if cols is not None:
+            out = out.select(*self._keys, *self._order_by, *cols)
+        return out
+
+    def nth(self, n: int, values=None) -> DataFrame:
+        """n-th row per group; negative = from the end; out-of-bounds rows
+        drop out (reference core.py:1493-1518)."""
+        cols = self._numeric_values(values) if values is not None else None
+        if n >= 0:
+            df = self._base().withColumn("__rn", F.row_number().over(self._rank_window()))
+            out = df.filter(F.col("__rn") == n + 1).drop("__rn")
+        else:
+            df = self._base().withColumn("__rn", F.row_number().over(self._rank_window(descending=True)))
+            out = df.filter(F.col("__rn") == -n).drop("__rn")
+        if cols is not None:
+            out = out.select(*self._keys, *self._order_by, *cols)
+        return out
+
+    # ------------------------------------------------------------------ #
+    # cumulative operators (reference §2.4)
+    # ------------------------------------------------------------------ #
+
+    def _cum_window(self):
+        if not self._order_by:
+            raise ValueError("cumulative operators require order_by")
+        return (
+            Window.partitionBy(*self._keys)
+            .orderBy(*self._order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    def _cum(self, func: str, values, mask, skip_na: bool, alias_suffix: str) -> DataFrame:
+        cols = self._numeric_values(values)
+        w = self._cum_window()
+        out = self._base()
+        for c in cols:
+            v = self._masked(c, mask)
+            if func == "cumsum":
+                e = F.sum(v).over(w)
+            elif func == "cummin":
+                e = F.min(v).over(w)
+            elif func == "cummax":
+                e = F.max(v).over(w)
+            else:
+                raise ValueError(func)
+            if not skip_na:
+                # propagate null once seen (reference ScalarFuncs non-nan
+                # variants, numba.py:290-296): null out from the first null on.
+                seen_null = F.max(_col(c).isNull().cast("int")).over(w)
+                e = F.when(seen_null == 1, F.lit(None)).otherwise(e)
+            out = out.withColumn(f"{c}_{alias_suffix}", e)
+        return out
+
+    def cumsum(self, values=None, mask=None, skip_na: bool = True) -> DataFrame:
+        """masked rows pass through the accumulator (emit the running value,
+        don't contribute) — reference numba.py:1663-1667 semantics, which
+        ``sum(CASE WHEN mask THEN x END) OVER cumframe`` reproduces exactly."""
+        return self._cum("cumsum", values, mask, skip_na, "cumsum")
+
+    def cummin(self, values=None, mask=None, skip_na: bool = True) -> DataFrame:
+        return self._cum("cummin", values, mask, skip_na, "cummin")
+
+    def cummax(self, values=None, mask=None, skip_na: bool = True) -> DataFrame:
+        return self._cum("cummax", values, mask, skip_na, "cummax")
+
+    def cumcount(self, mask=None) -> DataFrame:
+        """0-based running count per group (reference core.py:1711-1731)."""
+        w = self._cum_window()
+        e = F.count(F.when(_col(mask), F.lit(1)) if mask is not None else F.lit(1)).over(w) - 1
+        return self._base().withColumn("cumcount", e)
+
+    # ------------------------------------------------------------------ #
+    # rolling-window operators (reference §2.5)
+    # ------------------------------------------------------------------ #
+
+    def _rolling(self, func: str, values, window: int, mask, min_periods: int | None,
+                 alias_suffix: str) -> DataFrame:
+        """Fixed row-count trailing window per group. min_periods counts
+        NON-NULL values in the window (reference numba.py:1240-1244); default
+        min_periods = window."""
+        if not self._order_by:
+            raise ValueError("rolling operators require order_by")
+        if min_periods is None:
+            min_periods = window
+        w = (
+            Window.partitionBy(*self._keys)
+            .orderBy(*self._order_by)
+            .rowsBetween(-(window - 1), Window.currentRow)
+        )
+        cols = self._numeric_values(values)
+        out = self._base()
+        for c in cols:
+            v = self._masked(c, mask)
+            if func == "sum":
+                e = F.sum(v).over(w)
+            elif func == "mean":
+                e = F.avg(v).over(w)
+            elif func == "min":
+                e = F.min(v).over(w)
+            elif func == "max":
+                e = F.max(v).over(w)
+            else:
+                raise ValueError(func)
+            guard = F.count(v).over(w) >= min_periods
+            out = out.withColumn(f"{c}_{alias_suffix}", F.when(guard, e))
+        return out
+
+    def rolling_sum(self, values=None, window: int = 2, mask=None,
+                    min_periods: int | None = None) -> DataFrame:
+        return self._rolling("sum", values, window, mask, min_periods, "rolling_sum")
+
+    def rolling_mean(self, values=None, window: int = 2, mask=None,
+                     min_periods: int | None = None) -> DataFrame:
+        return self._rolling("mean", values, window, mask, min_periods, "rolling_mean")
+
+    def rolling_min(self, values=None, window: int = 2, mask=None,
+                    min_periods: int | None = None) -> DataFrame:
+        return self._rolling("min", values, window, mask, min_periods, "rolling_min")
+
+    def rolling_max(self, values=None, window: int = 2, mask=None,
+                    min_periods: int | None = None) -> DataFrame:
+        return self._rolling("max", values, window, mask, min_periods, "rolling_max")
+
+    def shift(self, values=None, window: int = 1) -> DataFrame:
+        """lag by `window` rows within group (reference core.py:1789-1838)."""
+        if not self._order_by:
+            raise ValueError("shift requires order_by")
+        w = Window.partitionBy(*self._keys).orderBy(*self._order_by)
+        out = self._base()
+        for c in self._numeric_values(values):
+            out = out.withColumn(f"{c}_shift", F.lag(c, window).over(w))
+        return out
+
+    def diff(self, values=None, window: int = 1) -> DataFrame:
+        """x − lag(x, window) within group (reference core.py:1840-1889)."""
+        if not self._order_by:
+            raise ValueError("diff requires order_by")
+        w = Window.partitionBy(*self._keys).orderBy(*self._order_by)
+        out = self._base()
+        for c in self._numeric_values(values):
+            out = out.withColumn(f"{c}_diff", F.col(c) - F.lag(c, window).over(w))
+        return out
+
+    # ------------------------------------------------------------------ #
+    # sessionization (reference §2.6)
+    # ------------------------------------------------------------------ #
+
+    def group_nearby_members(self, values: str, max_diff, session_col: str = "session_id") -> DataFrame:
+        """Sub-group rows of a group when the gap between consecutive values
+        exceeds ``max_diff`` (reference core.py:1891-1910). Classic session
+        pattern: flag gap > max_diff, running sum of flags = session index.
+        The session identity is (keys..., session_col) — we deliberately do
+        NOT assign a globally-sequential int id, which would need a global
+        sort; downstream grouping on the composite is shuffle-equivalent."""
+        w = Window.partitionBy(*self._keys).orderBy(values)
+        gap = F.col(values) - F.lag(values).over(w)
+        flagged = self._base().withColumn(
+            "__new_session", F.when(gap > max_diff, F.lit(1)).otherwise(F.lit(0)))
+        cum = Window.partitionBy(*self._keys).orderBy(values).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        return flagged.withColumn(session_col, F.sum("__new_session").over(cum)).drop("__new_session")

@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults are chosen for the local[32] test harness but the same knobs are
+what we'd set on a real cluster: AQE on (runtime re-planning, skew-join
+handling, partition coalescing), Arrow for any Python exchange, and a
+shuffle-partition count sized to the parallelism rather than Spark's
+legacy default of 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pandas-plus-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults.
+
+    On a real cluster the master/memory settings come from the deploy
+    environment; everything else here is cluster-appropriate as-is.
+    """
+    cpus = int(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = int(shuffle_partitions or max(2 * cpus, 32))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime coalescing of small shuffle partitions, skew-join
+        # splitting, and dynamic join-strategy switching. Essential at scale.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        # Arrow for pandas UDFs / toPandas — the only sanctioned Python path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp behavior regardless of host timezone.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

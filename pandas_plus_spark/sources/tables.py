@@ -1,0 +1,72 @@
+"""Parquet table loaders for the TPC-H-ish test corpus.
+
+The reference engine (pandas-plus) has no I/O layer of its own — columns
+arrive as in-memory arrays (reference util.py:633-686 normalizes any
+columnar container). In Spark the natural equivalent is `spark.read.parquet`
+with schema-on-read; filters and projections are pushed into the scan by
+Catalyst, which is the behavior we rely on at 100 TB.
+
+Row-order contract: the reference's ordered operators (cumulative, rolling,
+shift, head/nth) depend on implicit array order (reference numba.py:438-457).
+Spark DataFrames are unordered, so ordered operators in this engine take an
+explicit ``order_by`` column. ``with_row_id`` materializes a deterministic
+row id for data that has no natural order column — at ingest, never later
+(``monotonically_increasing_id`` is only stable for a single read plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables: always broadcast-join these against fact tables.
+DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one parquet table. Column pruning + predicate pushdown apply to
+    whatever the caller selects/filters afterwards — do not cache here.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    rejects outright by default; we read nanos as long and convert to a
+    microsecond timestamp (the values are µs-granular, so this is lossless).
+    Set here, not in the session factory, because the driver's harness hands
+    us an already-built session.
+    """
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def with_row_id(df: DataFrame, col: str = "_row_id") -> DataFrame:
+    """Attach a deterministic-within-this-plan row id.
+
+    NOTE: ids are stable only for the lifetime of this exact plan; persist
+    (or write out) the result if the id must survive re-computation. Ordered
+    operators should prefer a natural key (timestamp, sequence column).
+    """
+    return df.withColumn(col, F.monotonically_increasing_id())
