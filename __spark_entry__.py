@@ -1,38 +1,784 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` exercises an operator of pandas_plus_spark (the
+engine surface mapped from eoincondron/pandas-plus in SURVEY.md §2, plus the
+training-data-pipeline operators). ``oracle_sql()`` carries the DuckDB
+equivalent; keys missing there are non-SQL-expressible (hash-seeded LSH)
+and get the driver's rows-only check.
+
+Column names are aliased identically on both sides; float-valued results rely
+on the driver's tolerance/rounding protocol (BASELINE.md).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from pandas_plus_spark import GroupBy, crosstab, nanops
+from pandas_plus_spark.functions.binning import pretty_cut
+from pandas_plus_spark.functions.encoding import bools_to_categorical, linear_combination
+from pandas_plus_spark.functions import text as tx
+from pandas_plus_spark.operators import dedup, multimodal, similarity
+from pandas_plus_spark.plotting import binned_scatter_stats
+from pandas_plus_spark.sources import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+# DuckDB-side shared SQL fragments ------------------------------------- #
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+def _sql_trigrams(toks: str) -> str:
+    return (
+        f"CASE WHEN len({toks}) >= 3 THEN "
+        f"list_transform(range(1, len({toks}) - 1), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]) "
+        f"ELSE [] END"
+    )
+
+
+def _sql_lang_scores() -> tuple[str, str]:
+    """(CTE column defs, CASE expression) replicating functions.text.lang_id."""
+    defs = []
+    for lang, words in tx.LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        defs.append(f"len(list_filter(toks, t -> t IN ({lst}))) AS s_{lang}")
+    langs = list(tx.LANG_MARKERS)
+    total = " + ".join(f"s_{l}" for l in langs)
+    branches = [f"WHEN {total} = 0 THEN 'und'"]
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{o}" for o in langs[i + 1:]]
+        conds += [f"s_{lang} > s_{p}" for p in langs[:i]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    return ", ".join(defs), "CASE " + " ".join(branches) + " END"
+
+
+# ---------------------------------------------------------------------- #
+# entry — flagship smoke query
+# ---------------------------------------------------------------------- #
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """TPC-H-Q1-style pricing summary through the GroupBy engine at sf0.001."""
+    return _q_q1_pricing_summary(spark, SF0001)
 
+
+# ---------------------------------------------------------------------- #
+# query implementations (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------- #
+
+def _q_q1_pricing_summary(spark, sf):
+    li = load_table(spark, sf, "lineitem").withColumn(
+        "disc_price", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return GroupBy(li, ["l_returnflag", "l_linestatus"]).agg({
+        "sum_qty": ("sum", "l_quantity"),
+        "sum_base_price": ("sum", "l_extendedprice"),
+        "sum_disc_price": ("sum", "disc_price"),
+        "avg_qty": ("mean", "l_quantity"),
+        "avg_price": ("mean", "l_extendedprice"),
+        "avg_disc": ("mean", "l_discount"),
+        "count_order": ("size", ""),
+    })
+
+
+def _q_masked_sum(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return GroupBy(li, "l_returnflag").agg(
+        {"sum_qty_hidisc": ("sum", "l_quantity"), "n_hidisc": ("count", "l_quantity")},
+        mask=F.col("l_discount") > 0.05,
+    )
+
+
+def _q_size(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return GroupBy(li, ["l_returnflag", "l_linestatus"]).size()
+
+
+def _q_minmax(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return GroupBy(li, "l_returnflag").agg({
+        "min_qty": ("min", "l_quantity"),
+        "max_qty": ("max", "l_quantity"),
+        "min_price": ("min", "l_extendedprice"),
+        "max_price": ("max", "l_extendedprice"),
+    })
+
+
+def _q_var_std(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return GroupBy(li, "l_returnflag").agg({
+        "var1_qty": ("var", "l_quantity"),
+        "std1_qty": ("std", "l_quantity"),
+        "var0_qty": ("var", "l_quantity", {"ddof": 0}),
+        "var2_qty": ("var", "l_quantity", {"ddof": 2}),
+        "ss_qty": ("sum_squares", "l_quantity"),
+    })
+
+
+def _q_median(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return GroupBy(li, "l_returnflag").agg({
+        "med_qty": ("median", "l_quantity"),
+        "med_disc": ("median", "l_discount"),
+    })
+
+
+def _q_first_last(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return GroupBy(li, "l_returnflag",
+                   order_by=["l_orderkey", "l_linenumber"]).agg({
+        "first_qty": ("first", "l_quantity"),
+        "last_price": ("last", "l_extendedprice"),
+    })
+
+
+def _q_ratio(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return GroupBy(li, "l_returnflag").ratio(
+        "l_extendedprice", "l_quantity", alias="price_per_qty")
+
+
+def _q_subset_ratio(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return GroupBy(li, "l_returnflag").subset_ratio(
+        "l_quantity", F.col("l_discount") > 0.05, alias="hidisc_qty_share")
+
+
+def _q_density(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return GroupBy(li, ["l_returnflag", "l_linestatus"]).density("l_quantity")
+
+
+def _q_value_counts(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    return GroupBy(orders, "o_orderpriority").value_counts()
+
+
+def _q_value_counts_norm(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    return GroupBy(orders, "o_orderpriority").value_counts(normalize=True)
+
+
+def _q_nunique(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return GroupBy(li, "l_returnflag").agg({
+        "n_parts": ("nunique", "l_partkey"),
+        "n_supps": ("nunique", "l_suppkey"),
+    })
+
+
+def _q_margins_sum(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return GroupBy(li, ["l_returnflag", "l_linestatus"]).agg(
+        {"sum_qty": ("sum", "l_quantity")}, margins=True)
+
+
+def _q_crosstab(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return crosstab(li, "l_returnflag", "l_linestatus", "l_quantity", "sum",
+                    margins=True, column_values=["F", "O"])
+
+
+def _q_transform_sum(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    out = GroupBy(li, "l_returnflag").sum(
+        "l_quantity", transform=True, alias={"l_quantity": "qty_group_sum"})
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag",
+                      "l_quantity", "qty_group_sum")
+
+
+def _q_head(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    g = GroupBy(li, "l_returnflag", order_by=["l_orderkey", "l_linenumber"])
+    return g.head(2, values=["l_quantity"])
+
+
+def _q_nth_last(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    g = GroupBy(li, "l_returnflag", order_by=["l_orderkey", "l_linenumber"])
+    return g.nth(-1, values=["l_quantity"])
+
+
+def _q_cumsum(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    g = GroupBy(orders, "o_custkey", order_by=["o_orderdate", "o_orderkey"])
+    return g.cumsum("o_totalprice").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_totalprice_cumsum")
+
+
+def _q_cummax(spark, sf):
+    ev = load_table(spark, sf, "events")
+    g = GroupBy(ev, "user_id", order_by=["ts", "event_id"])
+    return g.cummax("value").select("event_id", "user_id", "value", "value_cummax")
+
+
+def _q_cumcount(spark, sf):
+    ev = load_table(spark, sf, "events")
+    g = GroupBy(ev, "user_id", order_by=["ts", "event_id"])
+    return g.cumcount().select("event_id", "user_id", "cumcount")
+
+
+def _q_shift(spark, sf):
+    ev = load_table(spark, sf, "events")
+    g = GroupBy(ev, "user_id", order_by=["ts", "event_id"])
+    return g.shift("value").select("event_id", "user_id", "value", "value_shift")
+
+
+def _q_diff(spark, sf):
+    ev = load_table(spark, sf, "events")
+    g = GroupBy(ev, "user_id", order_by=["ts", "event_id"])
+    return g.diff("value").select("event_id", "user_id", "value", "value_diff")
+
+
+def _q_rolling_sum(spark, sf):
+    ev = load_table(spark, sf, "events")
+    g = GroupBy(ev, "user_id", order_by=["ts", "event_id"])
+    return g.rolling_sum("value", window=3).select(
+        "event_id", "user_id", "value", "value_rolling_sum")
+
+
+def _q_rolling_mean(spark, sf):
+    ev = load_table(spark, sf, "events")
+    g = GroupBy(ev, "user_id", order_by=["ts", "event_id"])
+    return g.rolling_mean("value", window=3, min_periods=1).select(
+        "event_id", "user_id", "value", "value_rolling_mean")
+
+
+def _q_rolling_minmax(spark, sf):
+    ev = load_table(spark, sf, "events")
+    g = GroupBy(ev, "user_id", order_by=["ts", "event_id"])
+    out = g.rolling_min("value", window=5, min_periods=2)
+    out = GroupBy(out, "user_id", order_by=["ts", "event_id"]).rolling_max(
+        "value", window=5, min_periods=2)
+    return out.select("event_id", "user_id", "value_rolling_min", "value_rolling_max")
+
+
+def _q_sessionize(spark, sf):
+    ev = load_table(spark, sf, "events").withColumn("ts_us", F.unix_micros("ts"))
+    g = GroupBy(ev, "user_id")
+    out = g.group_nearby_members("ts_us", max_diff=1_800_000_000)
+    return out.select("event_id", "user_id", "session_id")
+
+
+def _q_nanops_global(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return nanops.reduce_frame(li, {
+        "l_quantity": ["sum", "mean", "std", "count"],
+        "l_extendedprice": ["min", "max"],
+        "l_discount": ["mean", "var"],
+    })
+
+
+def _q_pretty_cut(spark, sf):
+    li = load_table(spark, sf, "lineitem").withColumn(
+        "qty_bin", pretty_cut("l_quantity", [10, 25, 40]))
+    return GroupBy(li, "qty_bin").agg({
+        "n": ("size", ""), "sum_qty": ("sum", "l_quantity")})
+
+
+def _q_bools_labels(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    li = li.withColumn("A", F.col("l_discount") > 0.05) \
+           .withColumn("B", F.col("l_tax") > 0.04) \
+           .withColumn("flag_label", bools_to_categorical(["A", "B"]))
+    return GroupBy(li, "flag_label").size()
+
+
+def _q_lincomb(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(F.sum(
+        linear_combination({"l_quantity": 2.0, "l_discount": -1.0})
+    ).alias("lincomb_sum"))
+
+
+def _q_scatter_bins(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return binned_scatter_stats(li, "l_extendedprice", "l_quantity", n_bins=20,
+                                tiebreak=["l_orderkey", "l_linenumber"])
+
+
+# ---- documents / embeddings (training-data pipeline operators) -------- #
+
+def _q_dedup_exact(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+def _q_token_stats(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        tx.poly_hash("text").alias("fingerprint"),
+    )
+
+
+def _q_lang_pred(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    pred = docs.select(
+        "lang", tx.lang_id(tx.simple_tokens(F.col("text"))).alias("pred_lang"))
+    return GroupBy(pred, ["lang", "pred_lang"]).size()
+
+
+def _q_quality(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    q = docs.select("source", tx.quality_score("text").alias("q"))
+    return GroupBy(q, "source").agg({
+        "avg_quality": ("mean", "q"), "n_docs": ("size", "")})
+
+
+def _q_trigram_jaccard(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3)
+
+
+def _q_minhash_dedup(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return dedup.minhash_dedup(docs, "text", "doc_id", threshold=0.3,
+                               num_hashes=16, bands=8)
+
+
+def _q_simhash_candidates(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    sigs = dedup.simhash(docs, "text", "doc_id")
+    return dedup.simhash_candidates(sigs)
+
+
+def _cast_double_embeddings(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+
+
+def _q_knn(spark, sf):
+    emb = _cast_double_embeddings(spark, sf)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return similarity.brute_force_knn(emb, queries_df, k=3)
+
+
+def _q_cosine_neardup(spark, sf):
+    emb = _cast_double_embeddings(spark, sf)
+    return similarity.cosine_neardup_pairs(emb, threshold=0.30)
+
+
+def _q_lsh_buckets(spark, sf):
+    emb = _cast_double_embeddings(spark, sf)
+    return similarity.hyperplane_lsh_buckets(emb, n_planes=12)
+
+
+def _q_multimodal_meta(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return multimodal.extract_image_features(blobs, "blob", "doc_id")
+
+
+# ---------------------------------------------------------------------- #
+# registries
+# ---------------------------------------------------------------------- #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "masked_sum": _q_masked_sum,
+        "group_size": _q_size,
+        "group_minmax": _q_minmax,
+        "group_var_std": _q_var_std,
+        "group_median": _q_median,
+        "group_first_last": _q_first_last,
+        "ratio": _q_ratio,
+        "subset_ratio": _q_subset_ratio,
+        "density": _q_density,
+        "value_counts": _q_value_counts,
+        "value_counts_norm": _q_value_counts_norm,
+        "group_nunique": _q_nunique,
+        "margins_sum": _q_margins_sum,
+        "crosstab_pivot": _q_crosstab,
+        "transform_sum": _q_transform_sum,
+        "head_per_group": _q_head,
+        "nth_last_per_group": _q_nth_last,
+        "cumsum": _q_cumsum,
+        "cummax": _q_cummax,
+        "cumcount": _q_cumcount,
+        "shift": _q_shift,
+        "diff": _q_diff,
+        "rolling_sum": _q_rolling_sum,
+        "rolling_mean": _q_rolling_mean,
+        "rolling_minmax": _q_rolling_minmax,
+        "sessionize": _q_sessionize,
+        "nanops_global": _q_nanops_global,
+        "pretty_cut_bins": _q_pretty_cut,
+        "bools_to_categorical": _q_bools_labels,
+        "linear_combination": _q_lincomb,
+        "scatter_bins": _q_scatter_bins,
+        "dedup_exact": _q_dedup_exact,
+        "doc_token_stats": _q_token_stats,
+        "lang_id_pred": _q_lang_pred,
+        "quality_score": _q_quality,
+        "trigram_jaccard_pairs": _q_trigram_jaccard,
+        "minhash_neardup": _q_minhash_dedup,
+        "simhash_candidates": _q_simhash_candidates,
+        "knn_cosine": _q_knn,
+        "cosine_neardup": _q_cosine_neardup,
+        "hyperplane_lsh_buckets": _q_lsh_buckets,
+        "multimodal_image_meta": _q_multimodal_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_defs, lang_case = _sql_lang_scores()
+    trigrams = _sql_trigrams("toks")
+    fp = tx.sql_poly_hash("text")
+    stop_list = ", ".join(f"'{w}'" for w in tx.LANG_MARKERS["en"])
+
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   avg(l_quantity) AS avg_qty,
+                   avg(l_extendedprice) AS avg_price,
+                   avg(l_discount) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "masked_sum": """
+            SELECT l_returnflag,
+                   sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS sum_qty_hidisc,
+                   count(l_quantity) FILTER (WHERE l_discount > 0.05) AS n_hidisc
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "group_size": """
+            SELECT l_returnflag, l_linestatus, count(*) AS size
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "group_minmax": """
+            SELECT l_returnflag,
+                   min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+                   min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "group_var_std": """
+            SELECT l_returnflag,
+                   var_samp(l_quantity) AS var1_qty,
+                   stddev_samp(l_quantity) AS std1_qty,
+                   var_pop(l_quantity) AS var0_qty,
+                   (sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity)/count(l_quantity))
+                     / (count(l_quantity) - 2) AS var2_qty,
+                   sum(l_quantity*l_quantity) AS ss_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "group_median": """
+            SELECT l_returnflag,
+                   median(l_quantity) AS med_qty,
+                   median(l_discount) AS med_disc
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "group_first_last": """
+            -- DuckDB 1.0's first()/last() ignore aggregate ORDER BY; use
+            -- explicit unbounded window frames instead (data has no NULL
+            -- values, so first == first-non-null here).
+            SELECT DISTINCT l_returnflag,
+                   first_value(l_quantity) OVER w AS first_qty,
+                   last_value(l_extendedprice) OVER w AS last_price
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag
+                         ORDER BY l_orderkey, l_linenumber
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+        "ratio": """
+            SELECT l_returnflag, sum(l_extendedprice) / sum(l_quantity) AS price_per_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "subset_ratio": """
+            SELECT l_returnflag,
+                   sum(l_quantity) FILTER (WHERE l_discount > 0.05) / sum(l_quantity)
+                     AS hidisc_qty_share
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "density": """
+            SELECT l_returnflag, l_linestatus,
+                   100.0 * sum(l_quantity)
+                     / sum(sum(l_quantity)) OVER (PARTITION BY l_returnflag) AS density
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "value_counts": """
+            SELECT o_orderpriority, count(*) AS count FROM orders GROUP BY o_orderpriority
+        """,
+        "value_counts_norm": """
+            SELECT o_orderpriority,
+                   count(*) / sum(count(*)) OVER () AS proportion
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "group_nunique": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "margins_sum": """
+            SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'All' ELSE l_returnflag END
+                     AS l_returnflag,
+                   CASE WHEN GROUPING(l_linestatus) = 1 THEN 'All' ELSE l_linestatus END
+                     AS l_linestatus,
+                   sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "crosstab_pivot": """
+            SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'All' ELSE l_returnflag END
+                     AS l_returnflag,
+                   sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS "F",
+                   sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS "O",
+                   sum(l_quantity) AS "All"
+            FROM lineitem GROUP BY ROLLUP(l_returnflag)
+        """,
+        "transform_sum": """
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                   sum(l_quantity) OVER (PARTITION BY l_returnflag) AS qty_group_sum
+            FROM lineitem
+        """,
+        "head_per_group": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_orderkey, l_linenumber) <= 2
+        """,
+        "nth_last_per_group": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_orderkey DESC, l_linenumber DESC) = 1
+        """,
+        "cumsum": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   sum(o_totalprice) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS o_totalprice_cumsum
+            FROM orders
+        """,
+        "cummax": """
+            SELECT event_id, user_id, value,
+                   max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_cummax
+            FROM events
+        """,
+        "cumcount": """
+            SELECT event_id, user_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+                     AS cumcount
+            FROM events
+        """,
+        "shift": """
+            SELECT event_id, user_id, value,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS value_shift
+            FROM events
+        """,
+        "diff": """
+            SELECT event_id, user_id, value,
+                   value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS value_diff
+            FROM events
+        """,
+        "rolling_sum": """
+            SELECT event_id, user_id, value,
+                   CASE WHEN count(value) OVER w >= 3 THEN sum(value) OVER w END
+                     AS value_rolling_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_mean": """
+            SELECT event_id, user_id, value,
+                   CASE WHEN count(value) OVER w >= 1 THEN avg(value) OVER w END
+                     AS value_rolling_mean
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_minmax": """
+            SELECT event_id, user_id,
+                   CASE WHEN count(value) OVER w >= 2 THEN min(value) OVER w END
+                     AS value_rolling_min,
+                   CASE WHEN count(value) OVER w >= 2 THEN max(value) OVER w END
+                     AS value_rolling_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "sessionize": """
+            WITH e AS (
+                SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                FROM events
+            ), flagged AS (
+                SELECT event_id, user_id, ts_us,
+                       CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                                 > 1800000000 THEN 1 ELSE 0 END AS new_session
+                FROM e
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                     AS session_id
+            FROM flagged
+        """,
+        "nanops_global": """
+            SELECT sum(l_quantity) AS l_quantity_sum,
+                   avg(l_quantity) AS l_quantity_mean,
+                   stddev_samp(l_quantity) AS l_quantity_std,
+                   count(l_quantity) AS l_quantity_count,
+                   min(l_extendedprice) AS l_extendedprice_min,
+                   max(l_extendedprice) AS l_extendedprice_max,
+                   avg(l_discount) AS l_discount_mean,
+                   var_samp(l_discount) AS l_discount_var
+            FROM lineitem
+        """,
+        "pretty_cut_bins": """
+            SELECT CASE WHEN l_quantity <= 10 THEN ' <= 10'
+                        WHEN l_quantity <= 25 THEN '11 - 25'
+                        WHEN l_quantity <= 40 THEN '26 - 40'
+                        ELSE ' > 40' END AS qty_bin,
+                   count(*) AS n, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY 1
+        """,
+        "bools_to_categorical": """
+            SELECT COALESCE(NULLIF(concat_ws(' & ',
+                       CASE WHEN l_discount > 0.05 THEN 'A' END,
+                       CASE WHEN l_tax > 0.04 THEN 'B' END), ''), 'none') AS flag_label,
+                   count(*) AS size
+            FROM lineitem GROUP BY 1
+        """,
+        "linear_combination": """
+            SELECT sum(l_quantity * 2.0 + l_discount * (-1.0)) AS lincomb_sum
+            FROM lineitem
+        """,
+        "scatter_bins": """
+            WITH b AS (
+                SELECT CAST(ntile(20) OVER (ORDER BY l_extendedprice, l_orderkey,
+                                            l_linenumber) AS INTEGER) AS bin,
+                       l_extendedprice, l_quantity
+                FROM lineitem
+            )
+            SELECT bin, avg(l_extendedprice) AS x_mean, avg(l_quantity) AS y_mean,
+                   count(*) AS n
+            FROM b GROUP BY bin
+        """,
+        "dedup_exact": """
+            SELECT sha256(text) AS content_hash,
+                   min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "doc_token_stats": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                     AS n_bpe_tokens,
+                   {fp} AS fingerprint
+            FROM t
+        """,
+        "lang_id_pred": f"""
+            WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
+            s AS (SELECT lang, {lang_defs} FROM t)
+            SELECT lang, {lang_case} AS pred_lang, count(*) AS size
+            FROM s GROUP BY lang, pred_lang
+        """,
+        "quality_score": f"""
+            WITH t AS (
+                SELECT source, text, {_TOKS} AS toks, length(text) AS n_chars
+                FROM documents
+            ), f AS (
+                SELECT source,
+                       len(toks) AS n_tokens,
+                       len(list_filter(toks, t -> t IN ({stop_list})))::DOUBLE / len(toks)
+                         AS stopword_ratio,
+                       len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / n_chars
+                         AS punct_ratio
+                FROM t
+            ), q AS (
+                SELECT source,
+                       round(0.4 * least(n_tokens / 64.0, 1.0)
+                           + 0.3 * least(stopword_ratio * 4, 1.0)
+                           + 0.3 * (1.0 - least(punct_ratio * 10, 1.0)), 6) AS q
+                FROM f
+            )
+            SELECT source, avg(q) AS avg_quality, count(*) AS n_docs
+            FROM q GROUP BY source
+        """,
+        "trigram_jaccard_pairs": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (SELECT doc_id, list_distinct({trigrams}) AS grams FROM t)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.grams, b.grams))::DOUBLE
+                     / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                     AS jaccard
+            FROM g a, g b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.grams, b.grams))::DOUBLE
+                    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                    >= 0.3
+        """,
+        "knn_cosine": """
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), n AS (
+                SELECT vec_id, v,
+                       sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+                FROM e
+            ), sims AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_reduce(list_prepend(0.0,
+                            list_transform(range(1, len(q.v) + 1),
+                                           i -> q.v[i] * c.v[i])), (a, x) -> a + x)
+                         / (q.nrm * c.nrm) AS cos_sim
+                FROM n q, n c
+                WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+            )
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM sims
+            QUALIFY rank <= 3
+        """,
+        "cosine_neardup": """
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), n AS (
+                SELECT vec_id, v,
+                       sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+                FROM e
+            )
+            SELECT * FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_reduce(list_prepend(0.0,
+                            list_transform(range(1, len(a.v) + 1),
+                                           i -> a.v[i] * b.v[i])), (a2, x) -> a2 + x)
+                         / (a.nrm * b.nrm) AS cos_sim
+                FROM n a, n b
+                WHERE a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.30
+        """,
+        "multimodal_image_meta": """
+            SELECT doc_id,
+                   CAST(length(text) % 640 + 1 AS INTEGER) AS width,
+                   CAST((length(text) * 7) % 480 + 1 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS n_channels,
+                   list_reduce(list_prepend(0,
+                        list_transform(range(1, least(length(text), 64) + 1),
+                                       i -> ascii(substr(text, CAST(i AS INT), 1)))),
+                        (a, x) -> a + x)::DOUBLE / least(length(text), 64) AS mean_byte
+            FROM documents
+        """,
+        # minhash_neardup, simhash_candidates, hyperplane_lsh_buckets: xxhash64-
+        # seeded — not reproducible in ANSI SQL; driver records rows-only checks.
+    }

@@ -1,6 +1,7 @@
 from .binning import pretty_cut
 from .encoding import bools_to_categorical, linear_combination
 from .text import (
+    let,
     poly_hash,
     simple_tokens,
     token_count,
@@ -15,4 +16,5 @@ __all__ = [
     "token_count",
     "word_ngrams",
     "poly_hash",
+    "let",
 ]

@@ -42,15 +42,33 @@ def bpe_ish_token_count(col) -> Column:
     return F.regexp_count(_c(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
 
 
+def let(value: Column, body) -> Column:
+    """Bind ``value`` to a lambda variable and evaluate ``body`` against it.
+
+    Spark's higher-order lambdas are interpreted, and an expression closed
+    over by a lambda is RE-EVALUATED at every reference — referencing an
+    expensive expression k times inside a per-element lambda multiplies its
+    cost by k·len. ``F.transform`` over a one-element array turns the value
+    into a bound lambda variable (evaluated once, O(1) to read)."""
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def word_ngrams(tokens: Column, n: int) -> Column:
     """Contiguous word n-grams (space-joined) from a token array; empty array
-    when the document is shorter than ``n``."""
-    count = F.size(tokens) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.array_join(F.slice(tokens, i, n), " "),
-    )
-    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+    when the document is shorter than ``n``.
+
+    O(1) positional ``get`` per gram element over a let-bound token array —
+    without the binding, an expression-valued ``tokens`` would be recomputed
+    per reference per element (quadratic blowup at corpus scale)."""
+    def grams_of(tk: Column) -> Column:
+        count = F.size(tk) - F.lit(n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.concat_ws(" ", *[F.get(tk, i + k) for k in range(n)]),
+        )
+        return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+    return let(tokens, grams_of)
 
 
 def poly_hash(col) -> Column:

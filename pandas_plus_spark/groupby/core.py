@@ -169,8 +169,20 @@ class GroupBy:
     # expression builders
     # ------------------------------------------------------------------ #
 
+    _ARITHMETIC_FUNCS = frozenset(
+        {"sum", "mean", "sum_squares", "median", "approx_median", "var", "std"})
+
     def _agg_expr(self, func: str, col: str, mask, ddof: int = 1) -> Column:
         """One aggregate expression with inline-mask semantics."""
+        # booleans are numeric to the reference's kernels (util.py:81-86,
+        # sums promote to int64, numba.py:36-40); Spark requires the cast.
+        if (
+            func in self._ARITHMETIC_FUNCS
+            and isinstance(col, str)
+            and col in dict(self._df.dtypes)
+            and dict(self._df.dtypes)[col] == "boolean"
+        ):
+            col = F.col(col).cast("long")
         v = self._masked(col, mask)
         if func == "sum":
             return F.sum(v)
@@ -334,21 +346,23 @@ class GroupBy:
         across a thread pool, core.py:1216-1242; Catalyst computes them in a
         single HashAggregate).
 
-        spec: {out_name: (func, col)} or [(func, col), ...] or
-        {col: func_or_list}.
+        spec: {out_name: (func, col)} or {out_name: (func, col, kwargs)}
+        or [(func, col), ...] or {col: func_or_list}.
         """
         exprs: list[Column] = []
 
-        def add(func: str, col: str, name: str):
+        def add(func: str, col: str, name: str, **kw):
             if func in ("first", "last"):
                 e = self._ordered_first_last(func, col, mask)
             else:
-                e = self._agg_expr(func, col, mask)
+                e = self._agg_expr(func, col, mask, **kw)
             exprs.append(e.alias(name))
 
         if isinstance(spec, Mapping):
             for k, v in spec.items():
-                if isinstance(v, tuple):  # {out_name: (func, col)}
+                if isinstance(v, tuple) and len(v) == 3:  # (func, col, kwargs)
+                    add(v[0], v[1], k, **v[2])
+                elif isinstance(v, tuple):  # {out_name: (func, col)}
                     add(v[0], v[1], k)
                 elif isinstance(v, str):  # {col: func}
                     add(v, k, f"{k}_{v}")

@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Beyond the reference's surface (pandas-plus has no dedup; closest is
+``value_counts``/``size``) — these are the training-data-pipeline operators
+the engine adds, designed shuffle-first:
+
+- exact_dedup: hash-groupBy on content. One shuffle on the content key;
+  at 100 TB group on a 128-bit content hash, never the raw text, so shuffle
+  rows are ~50 B not ~document-sized.
+- MinHash + LSH: shingle → k minhashes → band → bucket-join. The candidate
+  join is a self-equi-join on (band, band_hash) — Spark shuffles both sides
+  by the bucket key; no all-pairs blowup. Banding parameters (k, bands) trade
+  recall vs candidate count in the standard S-curve.
+- SimHash: 64-bit signature; near-dup candidates share a signature in at
+  least one of four 16-bit quadrants (Hamming ≤ 3 heuristic).
+- n-gram Jaccard: the exact verifier run on candidate pairs (and usable as a
+  brute-force all-pairs check at test scale).
+
+All signature math is pure Column expressions over ``xxhash64`` (JVM,
+codegen) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import simple_tokens, word_ngrams
+from ..util import ensure_parallelism
+
+
+# --------------------------------------------------------------------- #
+# exact
+# --------------------------------------------------------------------- #
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """One row per distinct content: the minimum id is kept, plus the copy
+    count. Groups on sha2-256 of the content so the shuffle carries a fixed
+    32-byte key instead of the document body."""
+    return (
+        df.select(F.sha2(F.col(content_col).cast("string"), 256).alias("content_hash"),
+                  F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------- #
+# MinHash + LSH
+# --------------------------------------------------------------------- #
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) — one-hash minhash: xxhash64 per shingle once,
+    then k affine families a_i·h + b_i (mod 2^31−1) over the base hash. All
+    JVM expression work, no Python."""
+    df = ensure_parallelism(df)
+    toks = simple_tokens(F.col(text_col))
+    shingles = F.array_distinct(word_ngrams(toks, shingle_size))
+
+    # Hash every shingle string ONCE (xxhash64), then derive the k families
+    # as affine transforms a_i·h + b_i over the base hash — the classic
+    # one-hash minhash construction. Staged projections keep the interpreted
+    # higher-order lambdas from being recomputed per family (CollapseProject
+    # leaves multi-referenced non-trivial aliases alone).
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles, lambda s: F.xxhash64(s)).alias("__h"),
+    )
+
+    # affine families over the prime field 2^31−1: values stay well inside
+    # long range (Spark 4 runs ANSI mode — silent overflow would throw).
+    P = 2_147_483_647
+
+    def family(i: int):
+        a, b = 2 * i + 1, 0x9E3779B9 * (i + 1) % P
+        return lambda h: (F.pmod(h, F.lit(P)) * F.lit(a) + F.lit(b)) % F.lit(P)
+
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("__h"), family(i)))
+        for i in range(num_hashes)
+    ])
+    return staged.select("id", sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    bands: int = 8,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing at least one LSH band.
+
+    Explode each signature into ``bands`` (band_idx, band_hash) rows, then
+    self-join on the bucket key. The join is a plain shuffled equi-join —
+    AQE handles skewed buckets; a stop-word-like mega-bucket should be
+    length-capped upstream (we de-dup pairs with a distinct).
+
+    Pass ``num_hashes`` to avoid an extra job just to read the signature
+    width. The bucket-entry frame is persisted: both sides of the self-join
+    read it, and it is tiny (id + band + 8-byte hash per row)."""
+    n = num_hashes if num_hashes is not None else sigs.select(F.size("sig")).first()[0]
+    rows_per_band = n // bands
+    bucket_entries = sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
+                                 for r in range(rows_per_band)]).alias("bhash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bucket"),
+    ).select("id", "bucket.band", "bucket.bhash").persist()
+    a = bucket_entries.alias("a")
+    b = bucket_entries.alias("b")
+    return (
+        a.join(b, on=["band", "bhash"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_size: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard between document pairs.
+
+    With ``candidates`` (id_a, id_b) this verifies only those pairs — the
+    scale path after LSH. Without, it brute-forces all pairs (test scale
+    only; the join is a cross product)."""
+    df = ensure_parallelism(df)
+    toks = simple_tokens(F.col(text_col))
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(toks, shingle_size)).alias("grams"),
+    )
+    if candidates is not None:
+        # both join sides read the gram sets → compute the shingling once
+        grams = grams.persist()
+        pairs = (
+            candidates
+            .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
+            .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+        )
+    else:
+        ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+        gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+        pairs = ga.join(gb, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        pairs.select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: minhash → LSH candidates → exact Jaccard
+    verify. Returns (id_a, id_b, jaccard) for confirmed near-duplicates."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    cands = minhash_lsh_candidates(sigs, bands, num_hashes=num_hashes)
+    return ngram_jaccard_pairs(df, text_col, id_col, threshold, shingle_size, candidates=cands)
+
+
+# --------------------------------------------------------------------- #
+# SimHash
+# --------------------------------------------------------------------- #
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """(id, simhash) — classic bit-vote simhash over whitespace tokens.
+
+    bit_j of the signature is 1 iff the majority of token hashes have bit_j
+    set. Computed as: for each bit, sum of ±1 votes via shiftright/mask —
+    all integer Column arithmetic, single projection, no shuffle."""
+    df = ensure_parallelism(df)
+    toks = simple_tokens(F.col(text_col))
+    hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+    # stage the token-hash array: all `bits` vote expressions read it
+    staged = df.select(F.col(id_col).alias("id"), hashes.alias("__th"))
+
+    def vote_fn(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    bit_exprs = []
+    for j in range(bits):
+        votes = F.aggregate(F.col("__th"), F.lit(0).cast("long"), vote_fn(j))
+        bit_exprs.append(F.when(votes > 0, F.lit(1).cast("long") * (2 ** j if j < 63 else -(2 ** 63)))
+                         .otherwise(F.lit(0).cast("long")))
+    sig = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        sig = sig + e
+    return staged.select("id", sig.alias("simhash"))
+
+
+def simhash_candidates(sig_df: DataFrame, quadrant_bits: int = 16) -> DataFrame:
+    """Near-dup candidates: pairs sharing at least one 16-bit quadrant of the
+    simhash (catches Hamming distance ≤ 3 for 64-bit signatures). Same
+    bucket-join shape as MinHash LSH."""
+    n_quadrants = 64 // quadrant_bits
+    mask = (1 << quadrant_bits) - 1
+    entries = sig_df.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(q).alias("quadrant"),
+                F.shiftrightunsigned("simhash", q * quadrant_bits)
+                 .bitwiseAND(F.lit(mask)).alias("qval"),
+            )
+            for q in range(n_quadrants)
+        ])).alias("b"),
+    ).select("id", "b.quadrant", "b.qval")
+    a, b = entries.alias("a"), entries.alias("b")
+    return (
+        a.join(b, on=["quadrant", "qval"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring how ANN is actually deployed on Spark:
+
+- brute_force_knn: exact cosine top-k. The query side is broadcast (it is
+  small by construction); the corpus side streams — so the "cross join" is
+  a broadcast nested loop over corpus partitions, never a shuffle. This is
+  the correctness baseline and perfectly adequate when |queries| is small.
+- hyperplane_lsh_buckets: random-hyperplane signatures (sign of dot with a
+  deterministic pseudo-random plane) → bucket id. Candidates co-bucket; the
+  join is a shuffled equi-join on the signature. The planes are derived from
+  xxhash64(plane, dim) so the operator is fully deterministic and needs no
+  side channel for the plane matrix.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM higher-order
+functions, no Python. For very wide vectors a pandas_udf BLAS path would
+win; at 64-dim the expression path benches faster than Arrow round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..util import ensure_parallelism
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Returns (query_id, neighbor_id, cos_sim, rank). Self-matches excluded.
+    The query side is broadcast; ranking is a window partitioned by query id
+    (bounded memory: k rows kept per partition after the filter).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
+    )
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")))
+            .alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: (id_a < id_b, cos_sim ≥ threshold).
+
+    With ``candidates`` (from LSH buckets) verifies only those; without,
+    brute-force all pairs (test scale)."""
+    vecs = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"))
+    if candidates is not None:
+        pairs = (
+            candidates
+            .join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+                              F.col("nrm").alias("nrm_a")), "id_a")
+            .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+                              F.col("nrm").alias("nrm_b")), "id_b")
+        )
+    else:
+        a = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+                        F.col("nrm").alias("nrm_a"))
+        b = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+                        F.col("nrm").alias("nrm_b"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return pairs.select("id_a", "id_b", sim.alias("cos_sim")).where(F.col("cos_sim") >= threshold)
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) — sign-of-projection LSH. Plane p's d-th coefficient is a
+    deterministic pseudo-uniform value in [-1, 1) derived from
+    xxhash64(p, d); similar vectors land in the same bucket with probability
+    1 − θ/π per plane. Bucket = the n-bit sign pattern packed into a long."""
+    df = ensure_parallelism(df)
+    vec = F.col(vec_col)
+    dim = F.size(vec)
+
+    def proj(p: int) -> Column:
+        coeffs = F.transform(
+            F.sequence(F.lit(0), dim - 1),
+            lambda d: (F.pmod(F.xxhash64(F.lit(p), d), F.lit(2_000_001)).cast("double")
+                       / F.lit(1_000_000.0)) - F.lit(1.0),
+        )
+        return F.aggregate(F.zip_with(vec, coeffs, lambda x, c: x * c),
+                           F.lit(0.0), lambda acc, v: acc + v)
+
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(proj(p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2 ** p).cast("long")
+        bucket = term if bucket is None else bucket + term
+    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))

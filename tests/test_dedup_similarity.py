@@ -1,0 +1,111 @@
+"""Dedup and similarity operators, with planted duplicates/near-duplicates."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pandas_plus_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the green forest near the old river bank every day")
+    near = base.replace("green", "dark")  # one token differs → high jaccard
+    other = "completely different text about spark shuffles and parquet files here"
+    rows = [(0, base), (1, base), (2, near), (3, other)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_groups(self, planted_docs):
+        out = dedup.exact_dedup(planted_docs, "text", "doc_id").collect()
+        by_keep = {r["keep_id"]: r["n_copies"] for r in out}
+        assert by_keep[0] == 2  # docs 0 and 1 identical
+        assert by_keep[2] == 1 and by_keep[3] == 1
+
+
+class TestMinhash:
+    def test_finds_planted_neardup(self, planted_docs):
+        pairs = dedup.minhash_dedup(planted_docs, "text", "doc_id",
+                                    threshold=0.5, num_hashes=32, bands=16)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (0, 1) in got          # exact dup
+        assert (0, 2) in got or (1, 2) in got  # near dup
+        assert not any(3 in p for p in got)    # unrelated doc untouched
+
+    def test_signature_shape(self, planted_docs):
+        sigs = dedup.minhash_signatures(planted_docs, "text", "doc_id", num_hashes=8)
+        row = sigs.first()
+        assert len(row["sig"]) == 8
+        # identical docs → identical signatures
+        d = {r["id"]: tuple(r["sig"]) for r in sigs.collect()}
+        assert d[0] == d[1]
+
+
+class TestJaccard:
+    def test_exact_value(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b c d"), (1, "a b c e")], "doc_id long, text string")
+        # trigrams: {abc,bcd} vs {abc,bce} → intersection 1, union 3
+        out = dedup.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.0).collect()
+        assert len(out) == 1
+        assert out[0]["jaccard"] == pytest.approx(1 / 3)
+
+
+class TestSimhash:
+    def test_identical_docs_same_sig(self, planted_docs):
+        sigs = dedup.simhash(planted_docs, "text", "doc_id")
+        d = {r["id"]: r["simhash"] for r in sigs.collect()}
+        assert d[0] == d[1]
+        cands = dedup.simhash_candidates(sigs)
+        got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+        assert (0, 1) in got
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # close to 0
+            (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+            (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_knn_ranking(self, vecs):
+        out = similarity.brute_force_knn(vecs, vecs.where("vec_id = 0"), k=3)
+        ranked = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+        assert ranked == [1, 2, 3]
+
+    def test_neardup_threshold(self, vecs):
+        pairs = similarity.cosine_neardup_pairs(vecs, threshold=0.9)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert got == {(0, 1)}
+
+    def test_lsh_buckets_deterministic(self, vecs):
+        b1 = {r["id"]: r["bucket"] for r in
+              similarity.hyperplane_lsh_buckets(vecs, n_planes=8).collect()}
+        b2 = {r["id"]: r["bucket"] for r in
+              similarity.hyperplane_lsh_buckets(vecs, n_planes=8).collect()}
+        assert b1 == b2
+        # opposite vectors land in complementary buckets, never the same
+        assert b1[0] != b1[3]
+
+
+class TestMultimodal:
+    def test_feature_extraction(self, spark):
+        from pandas_plus_spark.operators import multimodal
+        df = spark.createDataFrame([(0, "hello world"), (1, "x" * 100)],
+                                   "doc_id long, text string")
+        blobs = df.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+        out = {r["doc_id"]: r for r in
+               multimodal.extract_image_features(blobs, "blob", "doc_id").collect()}
+        assert out[0]["width"] == 11 % 640 + 1
+        assert out[1]["height"] == (100 * 7) % 480 + 1
+        assert out[0]["n_channels"] == 3
+
+    def test_stub_raises_on_empty(self):
+        from pandas_plus_spark.operators.multimodal import decode_image_stub
+        with pytest.raises(NotImplementedError):
+            decode_image_stub(b"")

@@ -1,0 +1,78 @@
+"""Column-function utilities: pretty_cut, bools_to_categorical, text ops."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pandas_plus_spark.functions.binning import pretty_cut, pretty_cut_labels
+from pandas_plus_spark.functions.encoding import bools_to_categorical, linear_combination
+from pandas_plus_spark.functions import text as tx
+
+
+class TestPrettyCut:
+    def test_labels(self):
+        # reference util.py:722-730 label style
+        assert pretty_cut_labels([5, 10, 15]) == [" <= 5", "6 - 10", "11 - 15", " > 15"]
+
+    def test_binning(self, spark):
+        df = spark.createDataFrame([(1.0,), (5.0,), (10.0,), (15.0,), (20.0,), (None,)],
+                                   "x double")
+        out = df.select(pretty_cut("x", [5, 10, 15]).alias("b")).collect()
+        assert [r["b"] for r in out] == [" <= 5", " <= 5", "6 - 10", "11 - 15", " > 15", None]
+
+
+class TestEncoding:
+    def test_bools_to_categorical(self, spark):
+        df = spark.createDataFrame(
+            [(True, False, True), (False, False, False), (False, True, True)],
+            "A boolean, B boolean, C boolean")
+        out = [r["lab"] for r in df.select(
+            bools_to_categorical(["A", "B", "C"]).alias("lab")).collect()]
+        assert out == ["A & C", "none", "B & C"]
+
+    def test_linear_combination(self, spark):
+        df = spark.createDataFrame([(1.0, 10.0), (2.0, 20.0)], "x double, y double")
+        out = df.select(linear_combination({"x": 2.0, "y": 0.5}).alias("lc")).collect()
+        assert [r["lc"] for r in out] == [7.0, 14.0]
+
+
+class TestText:
+    def test_poly_hash_matches_python(self, spark):
+        def py_poly(s):
+            acc = 0
+            for ch in s:
+                acc = (acc * tx.POLY_MUL + ord(ch)) % tx.POLY_MOD
+            return acc
+
+        samples = ["hello world", "a", "", "the quick brown fox"]
+        df = spark.createDataFrame([(s,) for s in samples], "s string")
+        out = [r["h"] for r in df.select(tx.poly_hash("s").alias("h")).collect()]
+        assert out == [py_poly(s) for s in samples]
+
+    def test_word_ngrams_short_doc(self, spark):
+        df = spark.createDataFrame([("a b",), ("a b c d",)], "s string")
+        out = [r["g"] for r in df.select(
+            tx.word_ngrams(tx.simple_tokens(F.col("s")), 3).alias("g")).collect()]
+        assert out[0] == []
+        assert out[1] == ["a b c", "b c d"]
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([("one two  three",), ("a-b c2c!",)], "s string")
+        rows = df.select(
+            tx.token_count("s").alias("n"),
+            tx.bpe_ish_token_count("s").alias("b")).collect()
+        assert rows[0]["n"] == 3
+        # 'a-b c2c!' → a, -, b, c, 2, c, ! = 7 bpe-ish tokens
+        assert rows[1]["b"] == 7
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [("the cat and the dog of it",), ("el que de la y un",), ("zzz qqq",)],
+            "s string")
+        out = [r["l"] for r in df.select(
+            tx.lang_id(tx.simple_tokens(F.col("s"))).alias("l")).collect()]
+        assert out == ["en", "es", "und"]
+
+    def test_quality_score_range(self, tables):
+        rows = tables["documents"].select(
+            tx.quality_score("text").alias("q")).collect()
+        assert all(0.0 <= r["q"] <= 1.0 for r in rows)

@@ -1,0 +1,137 @@
+"""GroupBy engine semantics, modeled on the reference test strategy
+(SURVEY.md §5): oracle comparisons, null semantics, mask matrix, margins."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pandas_plus_spark import GroupBy
+
+
+def rows_dict(df, key, val):
+    return {r[key]: r[val] for r in df.collect()}
+
+
+class TestBasicAggs:
+    def test_sum_drops_null_keys(self, nullable_df):
+        out = GroupBy(nullable_df, "key").sum("val")
+        d = rows_dict(out, "key", "val")
+        # null key (rid 6) excluded, reference numba.py:441-443 semantics
+        assert None not in d
+        assert d == {1: 3, 2: 4, 3: 6, 6: 12}
+
+    def test_dropna_false_keeps_null_key(self, nullable_df):
+        out = GroupBy(nullable_df, "key", dropna=False).sum("val")
+        d = rows_dict(out, "key", "val")
+        assert d[None] == 3
+
+    def test_sum_skips_null_values(self, nullable_df):
+        d = rows_dict(GroupBy(nullable_df, "key").sum("fval"), "key", "fval")
+        assert d[1] == pytest.approx(0.1 + 3.0)  # two NULL fvals skipped
+
+    def test_count_vs_size(self, nullable_df):
+        cnt = rows_dict(GroupBy(nullable_df, "key").count("val"), "key", "val")
+        size = rows_dict(GroupBy(nullable_df, "key").size(), "key", "size")
+        assert cnt[3] == 1 and size[3] == 2  # null val not counted; size counts rows
+
+    def test_mask_equals_prefilter(self, nullable_df):
+        masked = rows_dict(
+            GroupBy(nullable_df, "key").sum("val", mask=F.col("mask")), "key", "val")
+        filtered = rows_dict(
+            GroupBy(nullable_df.filter("mask"), "key").sum("val"), "key", "val")
+        for k, v in filtered.items():
+            assert masked[k] == v
+        # groups with all rows masked out still appear with NULL sum
+        assert masked[1] is None
+
+    def test_mean_min_max(self, nullable_df):
+        g = GroupBy(nullable_df, "key")
+        mean = rows_dict(g.mean("val"), "key", "val")
+        assert mean[1] == pytest.approx((-1 + 0 + 3 + 1) / 4)
+        assert rows_dict(g.min("val"), "key", "val")[1] == -1
+        assert rows_dict(g.max("val"), "key", "val")[1] == 3
+
+    def test_var_ddof(self, nullable_df):
+        g = GroupBy(nullable_df, "key")
+        import statistics
+        vals = [-1, 0, 3, 1]
+        assert rows_dict(g.var("val"), "key", "val")[1] == pytest.approx(
+            statistics.variance(vals))
+        assert rows_dict(g.var("val", ddof=0), "key", "val")[1] == pytest.approx(
+            statistics.pvariance(vals))
+        n, m = len(vals), sum(vals) / len(vals)
+        manual2 = sum((v - m) ** 2 for v in vals) / (n - 2)
+        assert rows_dict(g.var("val", ddof=2), "key", "val")[1] == pytest.approx(manual2)
+
+    def test_first_last_non_null_ordered(self, nullable_df):
+        g = GroupBy(nullable_df, "key", order_by="rid")
+        first = rows_dict(g.first("fval"), "key", "fval")
+        last = rows_dict(g.last("fval"), "key", "fval")
+        # key 1 rows in rid order: 0.1, NULL, 3.0, NULL → first 0.1, last 3.0
+        assert first[1] == pytest.approx(0.1)
+        assert last[1] == pytest.approx(3.0)
+
+    def test_first_requires_order(self, nullable_df):
+        with pytest.raises(ValueError, match="order_by"):
+            GroupBy(nullable_df, "key").first("val")
+
+    def test_agg_multi_single_pass(self, nullable_df):
+        out = GroupBy(nullable_df, "key").agg({
+            "s": ("sum", "val"),
+            "m": ("mean", "fval"),
+            "n": ("size", ""),
+        })
+        assert set(out.columns) == {"key", "s", "m", "n"}
+        assert out.count() == 4
+
+    def test_values_none_selects_numeric(self, nullable_df):
+        out = GroupBy(nullable_df, "key").sum()
+        # rid/val/fval numeric + mask boolean; key excluded
+        assert set(out.columns) == {"key", "rid", "val", "fval", "mask"}
+
+
+class TestDerivedAggs:
+    def test_ratio(self, nullable_df):
+        d = rows_dict(GroupBy(nullable_df, "key").ratio("val", "rid"), "key", "ratio")
+        assert d[6] == pytest.approx(12 / 8)
+
+    def test_density_sums_to_100(self, nullable_df):
+        rows = GroupBy(nullable_df, "key").density("fval").collect()
+        assert sum(r["density"] for r in rows) == pytest.approx(100.0)
+
+    def test_value_counts_normalize(self, nullable_df):
+        rows = GroupBy(nullable_df, "key").value_counts(normalize=True).collect()
+        assert sum(r["proportion"] for r in rows) == pytest.approx(1.0)
+
+    def test_transform_shape(self, nullable_df):
+        out = GroupBy(nullable_df, "key").sum("val", transform=True)
+        assert out.count() == 8  # null-key row dropped
+        d = {r["rid"]: r["val_sum"] for r in out.collect()}
+        assert d[0] == 3 and d[3] == 3  # both key-1 rows see group total
+
+    def test_margins(self, nullable_df):
+        out = GroupBy(nullable_df, "key").agg({"s": ("sum", "val")}, margins=True)
+        d = rows_dict(out, "key", "s")
+        assert d["All"] == 3 + 4 + 6 + 12
+        assert d["1"] == 3
+
+
+class TestRowSelection:
+    def test_head_tail_nth(self, spark):
+        import pandas as pd
+        pdf = pd.DataFrame({
+            "key": list("AAABBCCCC"),
+            "val": range(1, 10),
+            "rid": range(9),
+        })
+        df = spark.createDataFrame(pdf)
+        g = GroupBy(df, "key", order_by="rid")
+        heads = {(r["key"], r["val"]) for r in g.head(2).collect()}
+        assert heads == {("A", 1), ("A", 2), ("B", 4), ("B", 5), ("C", 6), ("C", 7)}
+        tails = {(r["key"], r["val"]) for r in g.tail(1).collect()}
+        assert tails == {("A", 3), ("B", 5), ("C", 9)}
+        nth1 = {(r["key"], r["val"]) for r in g.nth(1).collect()}
+        assert nth1 == {("A", 2), ("B", 5), ("C", 7)}
+        # out-of-bounds dropped (reference core.py:1493-1518)
+        assert {(r["key"], r["val"]) for r in g.nth(3).collect()} == {("C", 9)}
+        nth_neg = {(r["key"], r["val"]) for r in g.nth(-2).collect()}
+        assert nth_neg == {("A", 2), ("B", 4), ("C", 8)}

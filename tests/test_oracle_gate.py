@@ -1,0 +1,48 @@
+"""Driver-contract parity: run a representative subset of
+__spark_entry__.queries() against their DuckDB oracles at sf0.001.
+(The full 43-query gate runs at sf0.01 via scripts/run_gate.py / the driver.)
+"""
+
+import pytest
+
+import oracle_harness
+
+SUBSET = [
+    "q1_pricing_summary",
+    "masked_sum",
+    "group_first_last",
+    "margins_sum",
+    "crosstab_pivot",
+    "cumsum",
+    "rolling_sum",
+    "sessionize",
+    "pretty_cut_bins",
+    "dedup_exact",
+    "doc_token_stats",
+    "knn_cosine",
+    "multimodal_image_meta",
+]
+
+
+@pytest.fixture(scope="module")
+def gate_results(spark):
+    return oracle_harness.run_gate(spark, "/root/testdata/sf0.001", only=SUBSET)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_oracle_parity(gate_results, name):
+    assert gate_results[name].startswith("OK"), gate_results[name]
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__
+    df = __spark_entry__.entry(spark)
+    assert df.count() > 0
+
+
+def test_every_query_has_callable(spark):
+    import __spark_entry__
+    qs = __spark_entry__.queries()
+    sqls = __spark_entry__.oracle_sql()
+    assert len(qs) >= 40
+    assert set(sqls) <= set(qs)

@@ -1,0 +1,120 @@
+"""Ordered operators: cumulative, rolling, shift/diff, sessionization.
+Small deterministic fixtures mirroring the reference kernel tests
+(reference test_numba.py:649-823 shapes)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pandas_plus_spark import GroupBy
+
+
+@pytest.fixture(scope="module")
+def ordered_df(spark):
+    rows = [
+        # (rid, key, val)
+        (0, 0, 1.0),
+        (1, 0, 2.0),
+        (2, 0, 3.0),
+        (3, 1, 4.0),
+        (4, 1, 5.0),
+        (5, 1, 6.0),
+    ]
+    return spark.createDataFrame(rows, "rid long, key long, val double")
+
+
+@pytest.fixture(scope="module")
+def null_ordered_df(spark):
+    rows = [
+        (0, 0, 1.0),
+        (1, 0, None),
+        (2, 0, 3.0),
+        (3, 0, 4.0),
+    ]
+    return spark.createDataFrame(rows, "rid long, key long, val double")
+
+
+def col_by_rid(df, col):
+    return {r["rid"]: r[col] for r in df.collect()}
+
+
+class TestCumulative:
+    def test_cumsum(self, ordered_df):
+        d = col_by_rid(GroupBy(ordered_df, "key", order_by="rid").cumsum("val"),
+                       "val_cumsum")
+        assert [d[i] for i in range(6)] == [1, 3, 6, 4, 9, 15]
+
+    def test_cumsum_skipna(self, null_ordered_df):
+        g = GroupBy(null_ordered_df, "key", order_by="rid")
+        d = col_by_rid(g.cumsum("val"), "val_cumsum")
+        assert [d[i] for i in range(4)] == [1, 1, 4, 8]  # null passes through
+
+    def test_cumsum_no_skipna_propagates(self, null_ordered_df):
+        g = GroupBy(null_ordered_df, "key", order_by="rid")
+        d = col_by_rid(g.cumsum("val", skip_na=False), "val_cumsum")
+        assert d[0] == 1 and d[1] is None and d[2] is None and d[3] is None
+
+    def test_cummin_cummax(self, ordered_df):
+        g = GroupBy(ordered_df, "key", order_by="rid")
+        dmin = col_by_rid(g.cummin("val"), "val_cummin")
+        dmax = col_by_rid(g.cummax("val"), "val_cummax")
+        assert [dmin[i] for i in range(3)] == [1, 1, 1]
+        assert [dmax[i] for i in range(3)] == [1, 2, 3]
+
+    def test_cumcount(self, ordered_df):
+        d = col_by_rid(GroupBy(ordered_df, "key", order_by="rid").cumcount(),
+                       "cumcount")
+        assert [d[i] for i in range(6)] == [0, 1, 2, 0, 1, 2]
+
+    def test_cumsum_mask_passthrough(self, ordered_df):
+        g = GroupBy(ordered_df, "key", order_by="rid")
+        d = col_by_rid(g.cumsum("val", mask=F.col("rid") != 1), "val_cumsum")
+        # masked row emits running value but doesn't contribute
+        assert [d[i] for i in range(3)] == [1, 1, 4]
+
+
+class TestRolling:
+    def test_rolling_sum_window2(self, ordered_df):
+        g = GroupBy(ordered_df, "key", order_by="rid")
+        d = col_by_rid(g.rolling_sum("val", window=2), "val_rolling_sum")
+        assert d[0] is None  # min_periods defaults to window
+        assert [d[i] for i in (1, 2, 4, 5)] == [3, 5, 9, 11]
+
+    def test_rolling_min_periods(self, ordered_df):
+        g = GroupBy(ordered_df, "key", order_by="rid")
+        d = col_by_rid(g.rolling_sum("val", window=2, min_periods=1),
+                       "val_rolling_sum")
+        assert [d[i] for i in range(3)] == [1, 3, 5]
+
+    def test_rolling_mean_counts_non_null(self, null_ordered_df):
+        g = GroupBy(null_ordered_df, "key", order_by="rid")
+        d = col_by_rid(g.rolling_mean("val", window=2, min_periods=2),
+                       "val_rolling_mean")
+        # window (1.0, NULL) has 1 non-null < min_periods → NULL
+        assert d[1] is None
+        assert d[3] == pytest.approx(3.5)
+
+    def test_rolling_window_larger_than_group(self, ordered_df):
+        g = GroupBy(ordered_df, "key", order_by="rid")
+        d = col_by_rid(g.rolling_max("val", window=10, min_periods=1),
+                       "val_rolling_max")
+        assert [d[i] for i in range(3)] == [1, 2, 3]
+
+    def test_shift_diff(self, ordered_df):
+        g = GroupBy(ordered_df, "key", order_by="rid")
+        ds = col_by_rid(g.shift("val"), "val_shift")
+        assert ds[0] is None and ds[1] == 1 and ds[3] is None and ds[4] == 4
+        dd = col_by_rid(g.diff("val"), "val_diff")
+        assert dd[0] is None and dd[1] == 1 and dd[5] == 1
+
+
+class TestSessionize:
+    def test_group_nearby_members(self, spark):
+        # reference F7 fixture shape: gaps ≤ and > max_diff interleaved keys
+        rows = [(0, 0.0), (0, 1.0), (1, 10.0), (1, 11.0), (0, 2.0), (1, 30.0), (0, 50.0)]
+        df = spark.createDataFrame(rows, "key long, t double")
+        out = GroupBy(df, "key").group_nearby_members("t", max_diff=5)
+        sess = {(r["key"], r["t"]): r["session_id"] for r in out.collect()}
+        assert sess[(0, 0.0)] == sess[(0, 1.0)] == sess[(0, 2.0)]
+        assert sess[(0, 50.0)] != sess[(0, 0.0)]
+        assert sess[(1, 10.0)] == sess[(1, 11.0)]
+        assert sess[(1, 30.0)] != sess[(1, 10.0)]

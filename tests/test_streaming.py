@@ -1,0 +1,63 @@
+"""Structured Streaming operators: session windows + watermarked aggs,
+driven end-to-end with a file source and an in-memory sink."""
+
+import time
+
+import pytest
+
+from pandas_plus_spark.streaming import sessionized_stream, windowed_agg_stream
+
+
+def _run_to_memory(sdf, name):
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return q
+
+
+def _events_stream_df(spark):
+    # file-source stream over the parquet fixture; the source needs a
+    # directory, so symlink the single file into a temp dir. ts arrives as
+    # ns-long and is converted exactly as the batch loader does.
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink("/root/testdata/sf0.001/events.parquet", link)
+    static = spark.read.parquet(link)
+    sdf = spark.readStream.schema(static.schema).parquet(d)
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return sdf
+
+
+def test_windowed_agg_stream(spark):
+    sdf = _events_stream_df(spark)
+    out = windowed_agg_stream(sdf, window="6 hours")
+    q = _run_to_memory(out, "win_agg")
+    try:
+        rows = spark.sql("SELECT * FROM win_agg").collect()
+        assert len(rows) > 0
+        assert {"event_type", "window_start", "n_events", "avg_value"} <= set(rows[0].asDict())
+        total = sum(r["n_events"] for r in rows)
+        assert total == spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    finally:
+        q.stop()
+
+
+def test_sessionized_stream(spark):
+    sdf = _events_stream_df(spark)
+    out = sessionized_stream(sdf, gap="30 minutes")
+    q = _run_to_memory(out, "sess_agg")
+    try:
+        rows = spark.sql("SELECT * FROM sess_agg").collect()
+        assert len(rows) > 0
+        # sessions never overlap per user and each holds ≥1 event
+        assert all(r["n_events"] >= 1 for r in rows)
+    finally:
+        q.stop()
