@@ -21,7 +21,7 @@ from pandas_plus_spark import GroupBy, crosstab, nanops
 from pandas_plus_spark.functions.binning import pretty_cut
 from pandas_plus_spark.functions.encoding import bools_to_categorical, linear_combination
 from pandas_plus_spark.functions import text as tx
-from pandas_plus_spark.operators import dedup, multimodal, similarity
+from pandas_plus_spark.operators import dedup, joins, multimodal, similarity
 from pandas_plus_spark.plotting import binned_scatter_stats
 from pandas_plus_spark.sources import load_table
 
@@ -192,15 +192,20 @@ def _q_transform_sum(spark, sf):
 
 
 def _q_head(spark, sf):
+    # NB: (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    # l_quantity completes a total order over the output columns so the
+    # selected multiset is deterministic.
     li = load_table(spark, sf, "lineitem")
-    g = GroupBy(li, "l_returnflag", order_by=["l_orderkey", "l_linenumber"])
-    return g.head(2, values=["l_quantity"])
+    g = GroupBy(li, "l_returnflag",
+                order_by=["l_orderkey", "l_linenumber", "l_quantity"])
+    return g.head(2, values=[])
 
 
 def _q_nth_last(spark, sf):
     li = load_table(spark, sf, "lineitem")
-    g = GroupBy(li, "l_returnflag", order_by=["l_orderkey", "l_linenumber"])
-    return g.nth(-1, values=["l_quantity"])
+    g = GroupBy(li, "l_returnflag",
+                order_by=["l_orderkey", "l_linenumber", "l_quantity"])
+    return g.nth(-1, values=[])
 
 
 def _q_cumsum(spark, sf):
@@ -299,6 +304,85 @@ def _q_scatter_bins(spark, sf):
     li = load_table(spark, sf, "lineitem")
     return binned_scatter_stats(li, "l_extendedprice", "l_quantity", n_bins=20,
                                 tiebreak=["l_orderkey", "l_linenumber"])
+
+
+def _q_rolling_sum_masked(spark, sf):
+    """Masked rolling: window spans the last w UNMASKED observations
+    (reference circular-buffer semantics, numba.py:1196-1246)."""
+    ev = load_table(spark, sf, "events")
+    g = GroupBy(ev, "user_id", order_by=["ts", "event_id"])
+    out = g.rolling_sum("value", window=3, mask=F.col("event_type") != "error",
+                        min_periods=1)
+    return out.select("event_id", "user_id", "value_rolling_sum")
+
+
+def _q_observed_only_false(spark, sf):
+    cust = load_table(spark, sf, "customer")
+    return GroupBy(cust, ["c_mktsegment", "c_nationkey"]).agg(
+        {"n": ("size", ""), "total_acctbal": ("sum", "c_acctbal")},
+        observed_only=False)
+
+
+def _q_segment_revenue(spark, sf):
+    """Star-schema join + agg: lineitem ⋈ orders ⋈ customer (dims broadcast),
+    revenue per market segment — the reference has no joins (SURVEY §2.11);
+    this is the Spark-native pass-through at 100 TB shape."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    joined = joins.broadcast_dim_join(
+        li.withColumn("revenue", F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+        orders.select("o_orderkey", "o_custkey"),
+        on=[F.col("l_orderkey") == F.col("o_orderkey")],
+    )
+    joined = joins.broadcast_dim_join(joined, cust,
+                                      on=[F.col("o_custkey") == F.col("c_custkey")])
+    return GroupBy(joined, "c_mktsegment").agg({
+        "revenue": ("sum", "revenue"),
+        "n_orders": ("nunique", "o_orderkey"),
+        "n_lineitems": ("size", ""),
+    })
+
+
+def _q_nation_revenue(spark, sf):
+    """Multi-hop broadcast: lineitem ⋈ supplier ⋈ nation ⋈ region."""
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    dims = (supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .select("s_suppkey", "n_name", "r_name"))
+    joined = joins.broadcast_dim_join(
+        li.withColumn("revenue", F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+        dims, on=[F.col("l_suppkey") == F.col("s_suppkey")])
+    return GroupBy(joined, ["r_name", "n_name"]).agg({"revenue": ("sum", "revenue")})
+
+
+def _q_asof_join(spark, sf):
+    """As-of join: for every event, the most recent purchase by the same
+    user at or before it."""
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = joins.asof_join(ev, purchases, on="ts", by="user_id",
+                          right_cols=["purchase_event_id", "purchase_value"],
+                          suffix="")
+    return out.select("event_id", "user_id", "purchase_event_id", "purchase_value")
+
+
+def _q_winnow(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    fps = tx.winnow_fingerprints(tx.simple_tokens(F.col("text")), window=4)
+    return docs.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.get(fps, 0).alias("min_fp"),
+        F.get(fps, F.size(fps) - 1).alias("max_fp"),
+    )
 
 
 # ---- documents / embeddings (training-data pipeline operators) -------- #
@@ -409,6 +493,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_sum": _q_rolling_sum,
         "rolling_mean": _q_rolling_mean,
         "rolling_minmax": _q_rolling_minmax,
+        "rolling_sum_masked": _q_rolling_sum_masked,
+        "observed_only_false": _q_observed_only_false,
+        "segment_revenue": _q_segment_revenue,
+        "nation_revenue": _q_nation_revenue,
+        "asof_join": _q_asof_join,
+        "winnow_fingerprints": _q_winnow,
         "sessionize": _q_sessionize,
         "nanops_global": _q_nanops_global,
         "pretty_cut_bins": _q_pretty_cut,
@@ -482,14 +572,20 @@ def oracle_sql() -> dict[str, str]:
         "group_first_last": """
             -- DuckDB 1.0's first()/last() ignore aggregate ORDER BY; use
             -- explicit unbounded window frames instead (data has no NULL
-            -- values, so first == first-non-null here).
+            -- values, so first == first-non-null here). (l_orderkey,
+            -- l_linenumber) has duplicates in the synthetic data, so each
+            -- window adds its value column as the final tie-break — matching
+            -- the engine's struct-ordered min/max.
             SELECT DISTINCT l_returnflag,
-                   first_value(l_quantity) OVER w AS first_qty,
-                   last_value(l_extendedprice) OVER w AS last_price
+                   first_value(l_quantity) OVER wq AS first_qty,
+                   last_value(l_extendedprice) OVER wp AS last_price
             FROM lineitem
-            WINDOW w AS (PARTITION BY l_returnflag
-                         ORDER BY l_orderkey, l_linenumber
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            WINDOW wq AS (PARTITION BY l_returnflag
+                          ORDER BY l_orderkey, l_linenumber, l_quantity
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                   wp AS (PARTITION BY l_returnflag
+                          ORDER BY l_orderkey, l_linenumber, l_extendedprice
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         """,
         "ratio": """
             SELECT l_returnflag, sum(l_extendedprice) / sum(l_quantity) AS price_per_qty
@@ -546,13 +642,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
             FROM lineitem
             QUALIFY row_number() OVER (PARTITION BY l_returnflag
-                                       ORDER BY l_orderkey, l_linenumber) <= 2
+                                       ORDER BY l_orderkey, l_linenumber,
+                                                l_quantity) <= 2
         """,
         "nth_last_per_group": """
             SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
             FROM lineitem
             QUALIFY row_number() OVER (PARTITION BY l_returnflag
-                                       ORDER BY l_orderkey DESC, l_linenumber DESC) = 1
+                                       ORDER BY l_orderkey DESC, l_linenumber DESC,
+                                                l_quantity DESC) = 1
         """,
         "cumsum": """
             SELECT o_custkey, o_orderkey, o_totalprice,
@@ -611,6 +709,75 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_sum_masked": """
+            WITH base AS (
+                SELECT event_id, user_id, value, ts,
+                       (event_type != 'error') AS m,
+                       sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS obs_idx
+                FROM events
+            ), obs AS (
+                SELECT user_id, obs_idx,
+                       CASE WHEN count(value) OVER w >= 1
+                            THEN sum(value) OVER w END AS roll
+                FROM base WHERE m
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            )
+            SELECT b.event_id, b.user_id, o.roll AS value_rolling_sum
+            FROM base b LEFT JOIN obs o
+              ON b.user_id = o.user_id AND b.obs_idx = o.obs_idx
+        """,
+        "observed_only_false": """
+            WITH seg AS (SELECT DISTINCT c_mktsegment FROM customer),
+            nat AS (SELECT DISTINCT c_nationkey FROM customer),
+            agg AS (
+                SELECT c_mktsegment, c_nationkey, count(*) AS n,
+                       sum(c_acctbal) AS total_acctbal
+                FROM customer GROUP BY 1, 2
+            )
+            SELECT seg.c_mktsegment, nat.c_nationkey, agg.n, agg.total_acctbal
+            FROM seg CROSS JOIN nat
+            LEFT JOIN agg USING (c_mktsegment, c_nationkey)
+        """,
+        "segment_revenue": """
+            SELECT c_mktsegment,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "nation_revenue": """
+            SELECT r_name, n_name,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "asof_join": """
+            SELECT e.event_id, e.user_id, p.purchase_event_id, p.purchase_value
+            FROM events e ASOF LEFT JOIN (
+                SELECT user_id, ts, event_id AS purchase_event_id,
+                       value AS purchase_value
+                FROM events WHERE event_type = 'purchase') p
+            ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "winnow_fingerprints": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            f AS (SELECT doc_id, {tx.sql_winnow_fingerprints('toks', 4)} AS fps FROM t)
+            SELECT doc_id,
+                   CAST(len(fps) AS BIGINT) AS n_fingerprints,
+                   fps[1] AS min_fp,
+                   fps[len(fps)] AS max_fp
+            FROM f
         """,
         "sessionize": """
             WITH e AS (

@@ -31,10 +31,14 @@ HEADLINE = [
     "cumsum",
     "rolling_sum",
     "sessionize",
+    "segment_revenue",
+    "nation_revenue",
+    "asof_join",
     "dedup_exact",
     "doc_token_stats",
     "minhash_neardup",
     "knn_cosine",
+    "winnow_fingerprints",
 ]
 
 

@@ -172,3 +172,49 @@ def quality_score(col) -> Column:
         + F.lit(0.3) * (F.lit(1.0) - F.least(f["punct_ratio"] * 10, F.lit(1.0))),
         6,
     )
+
+
+def winnow_fingerprints(tokens: Column, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al.): per-token rolling
+    hashes, minimum of each sliding window, distinct mins = the fingerprint
+    set. Robust to local edits — standard for plagiarism/near-dup detection.
+
+    Pure column expressions over a let-bound hash array; ANSI-SQL
+    reproducible (poly-hash per token + windowed list mins)."""
+    def fp(tk: Column) -> Column:
+        hashes = F.transform(tk, _token_poly_hash)
+        return let(hashes, lambda h: F.array_sort(F.array_distinct(
+            F.when(
+                F.size(h) >= window,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(h) - window),
+                    lambda i: F.array_min(F.slice(h, i + 1, window)),
+                ),
+            ).otherwise(F.when(F.size(h) > 0, F.array(F.array_min(h)))
+                        .otherwise(F.array().cast("array<long>"))),
+        )))
+
+    return let(tokens, fp)
+
+
+def _token_poly_hash(t: Column) -> Column:
+    """poly_hash inlined for a lambda-bound token (same constants)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * POLY_MUL + F.ascii(t.substr(i, F.lit(1)))) % POLY_MOD,
+    )
+
+
+def sql_winnow_fingerprints(toks_expr: str, window: int = 4) -> str:
+    """DuckDB SQL twin of winnow_fingerprints for oracle checks."""
+    th = (f"list_transform({toks_expr}, t -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+          f"list_transform(range(1, length(t)+1), "
+          f"i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))), "
+          f"(acc, x) -> (acc*{POLY_MUL} + x) % {POLY_MOD}))")
+    return (
+        f"list_sort(list_distinct(CASE WHEN len({th}) >= {window} THEN "
+        f"list_transform(range(1, len({th}) - {window} + 2), "
+        f"i -> list_min(({th})[CAST(i AS BIGINT):CAST(i + {window} - 1 AS BIGINT)])) "
+        f"WHEN len({th}) > 0 THEN [list_min({th})] ELSE [] END))"
+    )

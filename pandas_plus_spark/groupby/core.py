@@ -235,6 +235,19 @@ class GroupBy:
     # core aggregation driver
     # ------------------------------------------------------------------ #
 
+    def _complete_keys(self, out: DataFrame) -> DataFrame:
+        """observed_only=False: re-index the result on the cartesian product
+        of each key's observed values (reference factorize_2d's full
+        MultiIndex, util.py:1212-1215). Missing combos get NULL aggregates.
+        HAZARD at scale: the product explodes for high-cardinality multi-keys
+        — this is computed lazily and only on request, never by default."""
+        base = self._base()
+        combos = None
+        for k in self._keys:
+            d = base.select(k).distinct()
+            combos = d if combos is None else combos.crossJoin(d)
+        return combos.join(out, on=self._keys, how="left")
+
     def _apply(
         self,
         func: str,
@@ -244,6 +257,7 @@ class GroupBy:
         margins: bool = False,
         ddof: int = 1,
         alias: Mapping[str, str] | None = None,
+        observed_only: bool = True,
     ) -> DataFrame:
         cols = self._numeric_values(values)
         if not cols and func != "size":
@@ -276,7 +290,18 @@ class GroupBy:
         base = self._base()
         if margins:
             return self._finish(self._with_margins(base, exprs))
+        # observed_only=True drops groups whose rows are ALL masked out
+        # (reference core.py:704-717) — co-compute the masked size in the
+        # same pass, filter, drop the helper column. Without a mask every
+        # group trivially has rows, so nothing to do.
+        drop_unobserved = observed_only and mask is not None
+        if drop_unobserved:
+            exprs = list(exprs) + [self._agg_expr("size", "", mask).alias("__obs")]
         out = base.groupBy(*self._keys).agg(*exprs)
+        if drop_unobserved:
+            out = out.filter(F.col("__obs") > 0).drop("__obs")
+        if not observed_only:
+            out = self._complete_keys(out)
         return self._finish(out)
 
     def _with_margins(self, base: DataFrame, exprs: Sequence[Column]) -> DataFrame:
@@ -341,7 +366,8 @@ class GroupBy:
     def nunique(self, values=None, **kw) -> DataFrame:
         return self._apply("nunique", values, **kw)
 
-    def agg(self, spec, mask=None, margins: bool = False) -> DataFrame:
+    def agg(self, spec, mask=None, margins: bool = False,
+            observed_only: bool = True) -> DataFrame:
         """Multiple aggregations in ONE pass (the reference fans funcs out
         across a thread pool, core.py:1216-1242; Catalyst computes them in a
         single HashAggregate).
@@ -374,7 +400,15 @@ class GroupBy:
                 add(fn, col, f"{col}_{fn}")
         if margins:
             return self._finish(self._with_margins(self._base(), exprs))
-        return self._finish(self._base().groupBy(*self._keys).agg(*exprs))
+        drop_unobserved = observed_only and mask is not None
+        if drop_unobserved:
+            exprs.append(self._agg_expr("size", "", mask).alias("__obs"))
+        out = self._base().groupBy(*self._keys).agg(*exprs)
+        if drop_unobserved:
+            out = out.filter(F.col("__obs") > 0).drop("__obs")
+        if not observed_only:
+            out = self._complete_keys(out)
+        return self._finish(out)
 
     # ---- derived ratio-style aggregations (reference core.py:1248-1381) --- #
 
@@ -524,37 +558,80 @@ class GroupBy:
     # rolling-window operators (reference §2.5)
     # ------------------------------------------------------------------ #
 
+    _ROLLING_AGGS = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max}
+
     def _rolling(self, func: str, values, window: int, mask, min_periods: int | None,
                  alias_suffix: str) -> DataFrame:
         """Fixed row-count trailing window per group. min_periods counts
         NON-NULL values in the window (reference numba.py:1240-1244); default
-        min_periods = window."""
+        min_periods = window.
+
+        Mask semantics follow the reference's circular-buffer kernel
+        (numba.py:1196-1246): masked-out rows are EXCLUDED from the window —
+        the frame spans the last ``window`` unmasked observations — while
+        every row still emits output (the rolling value as of the most recent
+        observation at or before it)."""
         if not self._order_by:
             raise ValueError("rolling operators require order_by")
         if min_periods is None:
             min_periods = window
-        w = (
+        cols = self._numeric_values(values)
+        agg = self._ROLLING_AGGS.get(func)
+        if agg is None:
+            raise ValueError(func)
+
+        if mask is None:
+            w = (
+                Window.partitionBy(*self._keys)
+                .orderBy(*self._order_by)
+                .rowsBetween(-(window - 1), Window.currentRow)
+            )
+            out = self._base()
+            for c in cols:
+                v = F.col(c)
+                guard = F.count(v).over(w) >= min_periods
+                out = out.withColumn(f"{c}_{alias_suffix}", F.when(guard, agg(v).over(w)))
+            return out
+        return self._rolling_masked(agg, cols, window, mask, min_periods, alias_suffix)
+
+    def _rolling_masked(self, agg, cols, window: int, mask, min_periods: int,
+                        alias_suffix: str) -> DataFrame:
+        """Window over unmasked observations only, joined back to all rows.
+
+        Scale shape: (1) standard bounded window over the FILTERED rows —
+        shuffle by keys, sort by order; (2) equi-join back on
+        (keys, observation index) — same hash distribution, so with AQE the
+        exchange is reused. No per-row Python, no cartesian work."""
+        base = self._base()
+        mask_col = _col(mask)
+        cum = (
+            Window.partitionBy(*self._keys)
+            .orderBy(*self._order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # index of the most recent unmasked observation at or before each row
+        with_idx = base.withColumn(
+            "__obs_idx", F.count(F.when(mask_col, F.lit(1))).over(cum))
+
+        obs = with_idx.filter(mask_col)
+        ow = (
             Window.partitionBy(*self._keys)
             .orderBy(*self._order_by)
             .rowsBetween(-(window - 1), Window.currentRow)
         )
-        cols = self._numeric_values(values)
-        out = self._base()
+        obs_aggs = obs.select(
+            *self._keys,
+            F.col("__obs_idx"),
+            *[
+                F.when(F.count(F.col(c)).over(ow) >= min_periods,
+                       agg(F.col(c)).over(ow)).alias(f"__roll_{c}")
+                for c in cols
+            ],
+        )
+        joined = with_idx.join(obs_aggs, on=[*self._keys, "__obs_idx"], how="left")
         for c in cols:
-            v = self._masked(c, mask)
-            if func == "sum":
-                e = F.sum(v).over(w)
-            elif func == "mean":
-                e = F.avg(v).over(w)
-            elif func == "min":
-                e = F.min(v).over(w)
-            elif func == "max":
-                e = F.max(v).over(w)
-            else:
-                raise ValueError(func)
-            guard = F.count(v).over(w) >= min_periods
-            out = out.withColumn(f"{c}_{alias_suffix}", F.when(guard, e))
-        return out
+            joined = joined.withColumn(f"{c}_{alias_suffix}", F.col(f"__roll_{c}"))
+        return joined.drop("__obs_idx", *[f"__roll_{c}" for c in cols])
 
     def rolling_sum(self, values=None, window: int = 2, mask=None,
                     min_periods: int | None = None) -> DataFrame:
@@ -610,3 +687,13 @@ class GroupBy:
         cum = Window.partitionBy(*self._keys).orderBy(values).rowsBetween(
             Window.unboundedPreceding, Window.currentRow)
         return flagged.withColumn(session_col, F.sum("__new_session").over(cum)).drop("__new_session")
+
+    def groups(self, row_id: str) -> DataFrame:
+        """key(s) → sorted array of row ids (reference ``groups`` dict,
+        core.py:323-339). ANTI-PATTERN at scale: a group's id list must fit
+        in one task; provided for parity, prefer keyed joins."""
+        return (
+            self._base()
+            .groupBy(*self._keys)
+            .agg(F.array_sort(F.collect_list(row_id)).alias("row_ids"))
+        )

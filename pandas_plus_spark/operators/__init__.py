@@ -7,8 +7,9 @@ from .dedup import (
     simhash,
     simhash_candidates,
 )
-from .similarity import brute_force_knn, cosine_neardup_pairs, hyperplane_lsh_buckets
+from .similarity import brute_force_knn, cosine_neardup_pairs, hyperplane_lsh_buckets, lsh_neardup_pairs
 from .multimodal import attach_blob_metadata, decode_image_stub, extract_image_features
+from .joins import asof_join, broadcast_dim_join
 
 __all__ = [
     "exact_dedup",
@@ -21,6 +22,9 @@ __all__ = [
     "brute_force_knn",
     "cosine_neardup_pairs",
     "hyperplane_lsh_buckets",
+    "lsh_neardup_pairs",
+    "asof_join",
+    "broadcast_dim_join",
     "attach_blob_metadata",
     "decode_image_stub",
     "extract_image_features",

@@ -1,0 +1,88 @@
+"""Join operators beyond Spark's built-ins.
+
+The reference implements no joins at all (SURVEY §2.11) — plain equi-joins
+pass straight through to Spark. What the engine adds are the shapes Spark
+lacks as primitives:
+
+- asof_join: for each left row, the most recent right row at-or-before its
+  timestamp per key (direction='backward'; 'forward' mirrors). Implemented as
+  the one-shuffle union-merge: tag both sides, union, one window sorted by
+  (key, ts, side) carrying the right payload forward with
+  last_value(ignoreNulls). No range explosion, no per-key driver loop;
+  state per window partition is O(1). This is how production as-of joins are
+  done on Spark at market-data scale.
+- broadcast_dim_join: explicit broadcast of a small dimension table — the
+  join every star-schema query at 100 TB should be doing instead of a
+  shuffle join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | str,
+    right_cols: list[str],
+    direction: str = "backward",
+    tolerance=None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: attach, to every left row, ``right_cols`` from the
+    right row with the greatest ``on`` ≤ left.``on`` (backward) or smallest
+    ``on`` ≥ left.``on`` (forward), within the same ``by`` key.
+
+    tolerance: optional max |left.on − right.on| (same units as ``on``);
+    matches farther away are nulled, mirroring pandas ``merge_asof``.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    payload = F.struct(F.col(on).alias("__r_on"),
+                       *[F.col(c) for c in right_cols]).alias("__r")
+    l_tag = left.withColumn("__is_left", F.lit(1)).withColumn("__r", F.lit(None).cast(
+        right.select(payload).schema["__r"].dataType))
+    r_tag = (right.select(*by, F.col(on), payload)
+             .withColumn("__is_left", F.lit(0)))
+    # align columns for the union: left keeps its full schema; right rows
+    # carry nulls for left-only columns.
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
+
+    # At equal timestamps the right row must be visible to the left row →
+    # right (0) sorts before left (1) for backward; after, for forward.
+    if direction == "backward":
+        w = (Window.partitionBy(*by)
+             .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    else:
+        w = (Window.partitionBy(*by)
+             .orderBy(F.col(on).desc(), F.col("__is_left").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    matched = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__is_left") == 1).drop("__is_left", "__r")
+
+    match_ok: Column = F.col("__match").isNotNull()
+    if tolerance is not None:
+        dist = (F.col(on) - F.col("__match.__r_on") if direction == "backward"
+                else F.col("__match.__r_on") - F.col(on))
+        match_ok = match_ok & (dist <= tolerance)
+    for c in right_cols:
+        out = out.withColumn(f"{c}{suffix}",
+                             F.when(match_ok, F.col(f"__match.{c}")))
+    return out.drop("__match")
+
+
+def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Equi-join with the dimension side explicitly broadcast. At 100 TB the
+    fact side never moves; each executor streams its partitions against the
+    in-memory dim hash map."""
+    return fact.join(F.broadcast(dim), on=on, how=how)

@@ -140,3 +140,26 @@ def hyperplane_lsh_buckets(
         term = bit * F.lit(2 ** p).cast("long")
         bucket = term if bucket is None else bucket + term
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: hyperplane-LSH bucket join to
+    generate candidates, exact cosine to verify. Recall is governed by
+    n_planes (fewer planes → bigger buckets → higher recall, more
+    verification work); run with several plane sets and union for
+    high-recall production sweeps."""
+    buckets = hyperplane_lsh_buckets(df, n_planes, id_col, vec_col).persist()
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(b, on="bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return cosine_neardup_pairs(df, threshold, id_col, vec_col, candidates=cands)

@@ -1,3 +1,4 @@
 from .sessions import sessionized_stream, windowed_agg_stream
+from .stateful import stateful_running_total
 
-__all__ = ["sessionized_stream", "windowed_agg_stream"]
+__all__ = ["sessionized_stream", "windowed_agg_stream", "stateful_running_total"]

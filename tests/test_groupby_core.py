@@ -40,8 +40,20 @@ class TestBasicAggs:
             GroupBy(nullable_df.filter("mask"), "key").sum("val"), "key", "val")
         for k, v in filtered.items():
             assert masked[k] == v
-        # groups with all rows masked out still appear with NULL sum
-        assert masked[1] is None
+        # fully-masked groups are DROPPED by default (reference core.py:704-717)
+        assert 1 not in masked
+        kept = rows_dict(
+            GroupBy(nullable_df, "key").sum("val", mask=F.col("mask"),
+                                            observed_only=False), "key", "val")
+        assert 1 in kept and kept[1] is None
+
+    def test_observed_only_false_completes_combos(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 3.0)], "k1 string, k2 long, v double")
+        out = GroupBy(df, ["k1", "k2"]).sum("v", observed_only=False)
+        d = {(r["k1"], r["k2"]): r["v"] for r in out.collect()}
+        assert d[("b", 2)] is None  # unobserved combo materialized
+        assert len(d) == 4
 
     def test_mean_min_max(self, nullable_df):
         g = GroupBy(nullable_df, "key")

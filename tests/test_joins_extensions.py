@@ -1,0 +1,145 @@
+"""asof_join, broadcast joins, extensions sugar, stateful streaming, and
+physical-plan shape assertions (the 100 TB design checks)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pandas_plus_spark.operators import joins
+from pandas_plus_spark import GroupBy
+
+
+class TestAsofJoin:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 1, 10.0), (2, 1, 5.0), (3, 1, 25.0), (4, 2, 3.0), (5, 2, 1.0)],
+            "lid long, key long, t double")
+        right = spark.createDataFrame(
+            [(100, 1, 4.0), (101, 1, 20.0), (102, 2, 9.0)],
+            "rid long, key long, t double")
+        return left, right
+
+    def test_backward(self, frames):
+        left, right = frames
+        out = joins.asof_join(left, right.select("key", "t", "rid"), on="t",
+                              by="key", right_cols=["rid"])
+        d = {r["lid"]: r["rid_right"] for r in out.collect()}
+        # key 1: t=10 → rid@4; t=5 → rid@4; t=25 → rid@20. key 2: t=3,1 → none
+        assert d == {1: 100, 2: 100, 3: 101, 4: None, 5: None}
+
+    def test_backward_equal_ts_matches(self, spark):
+        left = spark.createDataFrame([(1, 1, 4.0)], "lid long, key long, t double")
+        right = spark.createDataFrame([(100, 1, 4.0)], "rid long, key long, t double")
+        out = joins.asof_join(left, right.select("key", "t", "rid"), on="t",
+                              by="key", right_cols=["rid"])
+        assert out.first()["rid_right"] == 100
+
+    def test_forward(self, frames):
+        left, right = frames
+        out = joins.asof_join(left, right.select("key", "t", "rid"), on="t",
+                              by="key", right_cols=["rid"], direction="forward")
+        d = {r["lid"]: r["rid_right"] for r in out.collect()}
+        assert d == {1: 101, 2: 101, 3: None, 4: 102, 5: 102}
+
+    def test_tolerance(self, frames):
+        left, right = frames
+        out = joins.asof_join(left, right.select("key", "t", "rid"), on="t",
+                              by="key", right_cols=["rid"], tolerance=2.0)
+        d = {r["lid"]: r["rid_right"] for r in out.collect()}
+        # t=10 is 6 away from 4 → nulled; t=5 is 1 away → kept; t=25 is 5 away → nulled
+        assert d == {1: None, 2: 100, 3: None, 4: None, 5: None}
+
+    def test_row_count_preserved(self, frames):
+        left, right = frames
+        out = joins.asof_join(left, right.select("key", "t", "rid"), on="t",
+                              by="key", right_cols=["rid"])
+        assert out.count() == left.count()
+
+
+class TestPlanShape:
+    """Assert the physical plans the engine promises at scale."""
+
+    def test_dim_join_is_broadcast(self, tables):
+        li = tables["lineitem"]
+        supp = tables["supplier"].select("s_suppkey", "s_nationkey")
+        out = joins.broadcast_dim_join(li, supp, on=[li.l_suppkey == supp.s_suppkey])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_filter_pushdown_reaches_scan(self, spark):
+        df = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+              .filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:120]
+        # column pruning: scan schema carries only the two referenced columns
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "l_extendedprice" not in read_schema
+
+    def test_groupby_agg_is_partial_final(self, tables):
+        out = GroupBy(tables["lineitem"], "l_returnflag").sum("l_quantity")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # two HashAggregates around one exchange = map-side partial aggregation
+        assert plan.count("HashAggregate") >= 2
+        assert "partial_sum" in plan
+
+    def test_persist_skips_second_exchange(self, tables):
+        g = GroupBy(tables["lineitem"], "l_returnflag").persist()
+        try:
+            g.sum("l_quantity").collect()  # materialize cache
+            plan = g.mean("l_quantity")._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan
+        finally:
+            g.unpersist()
+
+
+class TestExtensions:
+    def test_install_and_use(self, tables):
+        from pandas_plus_spark.extensions import install_extensions
+        install_extensions()
+        li = tables["lineitem"]
+        vc = li.vc("l_returnflag").collect()
+        assert sum(r["count"] for r in vc) == li.count()
+        assert set(li.select_numeric().columns) <= set(li.columns)
+        assert "l_returnflag" not in li.select_numeric().columns
+        assert li.filter_cols("^l_q").columns == ["l_quantity"]
+        assert "l_quantity" not in li.drop_cols("^l_q").columns
+
+
+class TestGroups:
+    def test_groups_arrays(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "a"), (3, "b")], "rid long, k string")
+        out = {r["k"]: r["row_ids"] for r in GroupBy(df, "k").groups("rid").collect()}
+        assert out == {"a": [0, 2], "b": [1, 3]}
+
+
+class TestStatefulStreaming:
+    def test_running_total_stream(self, spark):
+        import os
+        import tempfile
+        from pandas_plus_spark.streaming import stateful_running_total
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        d = tempfile.mkdtemp(prefix="events_state_")
+        os.symlink("/root/testdata/sf0.001/events.parquet",
+                   os.path.join(d, "events.parquet"))
+        static = spark.read.parquet(os.path.join(d, "events.parquet"))
+        sdf = (spark.readStream.schema(static.schema).parquet(d)
+               .select("user_id", "event_id", "value"))
+        out = stateful_running_total(sdf)
+        q = (out.writeStream.format("memory").queryName("running")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        try:
+            rows = spark.sql(
+                "SELECT * FROM running ORDER BY user_id, event_id").collect()
+            assert len(rows) == static.count()
+            # per-user totals are cumulative and end at the batch sum
+            by_user = {}
+            for r in rows:
+                prev = by_user.get(r["user_id"], 0.0)
+                assert r["running_total"] == pytest.approx(prev + r["value"])
+                by_user[r["user_id"]] = r["running_total"]
+        finally:
+            q.stop()

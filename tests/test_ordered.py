@@ -65,6 +65,17 @@ class TestCumulative:
                        "cumcount")
         assert [d[i] for i in range(6)] == [0, 1, 2, 0, 1, 2]
 
+    def test_cumcount_mask_reference_fixture(self, spark):
+        # exact fixture from reference test_numba.py:885-896:
+        # keys [0,0,0,1,1,1], mask [T,F,T,T,T,F] → [0,0,1,0,1,1]
+        rows = [(i, k, m) for i, (k, m) in enumerate(
+            zip([0, 0, 0, 1, 1, 1], [True, False, True, True, True, False]))]
+        df = spark.createDataFrame(rows, "rid long, key long, m boolean")
+        import pyspark.sql.functions as F
+        d = col_by_rid(GroupBy(df, "key", order_by="rid").cumcount(mask=F.col("m")),
+                       "cumcount")
+        assert [d[i] for i in range(6)] == [0, 0, 1, 0, 1, 1]
+
     def test_cumsum_mask_passthrough(self, ordered_df):
         g = GroupBy(ordered_df, "key", order_by="rid")
         d = col_by_rid(g.cumsum("val", mask=F.col("rid") != 1), "val_cumsum")
@@ -98,6 +109,32 @@ class TestRolling:
         d = col_by_rid(g.rolling_max("val", window=10, min_periods=1),
                        "val_rolling_max")
         assert [d[i] for i in range(3)] == [1, 2, 3]
+
+    def test_rolling_mask_excludes_from_buffer(self, spark):
+        # reference circular-buffer semantics (numba.py:1196-1246): masked
+        # rows don't enter the window; every row emits the rolling value as
+        # of the latest observation at or before it.
+        rows = [(0, 0, 1.0, True), (1, 0, 100.0, False), (2, 0, 2.0, True),
+                (3, 0, 3.0, True), (4, 0, 200.0, False)]
+        df = spark.createDataFrame(rows, "rid long, key long, val double, m boolean")
+        g = GroupBy(df, "key", order_by="rid")
+        d = col_by_rid(
+            g.rolling_sum("val", window=2, mask=F.col("m"), min_periods=1),
+            "val_rolling_sum")
+        # obs sequence: 1, 2, 3 → rolling2: [1], [1+2], [2+3]
+        assert d[0] == 1.0
+        assert d[1] == 1.0    # masked row emits value as of last obs
+        assert d[2] == 3.0
+        assert d[3] == 5.0
+        assert d[4] == 5.0
+        # row before any observation → null
+        rows2 = [(0, 0, 9.0, False), (1, 0, 1.0, True)]
+        df2 = spark.createDataFrame(rows2, "rid long, key long, val double, m boolean")
+        d2 = col_by_rid(
+            GroupBy(df2, "key", order_by="rid").rolling_sum(
+                "val", window=2, mask=F.col("m"), min_periods=1),
+            "val_rolling_sum")
+        assert d2[0] is None and d2[1] == 1.0
 
     def test_shift_diff(self, ordered_df):
         g = GroupBy(ordered_df, "key", order_by="rid")
