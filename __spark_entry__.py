@@ -279,8 +279,10 @@ def _q_nanops_global(spark, sf):
 
 
 def _q_pretty_cut(spark, sf):
+    # l_quantity is DOUBLE → reference uses float-style labels
+    # ("10 - 25", no left+1; util.py:747-750)
     li = load_table(spark, sf, "lineitem").withColumn(
-        "qty_bin", pretty_cut("l_quantity", [10, 25, 40]))
+        "qty_bin", pretty_cut("l_quantity", [10, 25, 40], integer_data=False))
     return GroupBy(li, "qty_bin").agg({
         "n": ("size", ""), "sum_qty": ("sum", "l_quantity")})
 
@@ -372,6 +374,22 @@ def _q_asof_join(spark, sf):
                           right_cols=["purchase_event_id", "purchase_value"],
                           suffix="")
     return out.select("event_id", "user_id", "purchase_event_id", "purchase_value")
+
+
+def _q_apply_zscore(spark, sf):
+    """Per-group pandas UDF (applyInPandas) — z-score within group. The
+    escape hatch the reference exposes as GroupBy.apply (api.py:358-403)."""
+    li = load_table(spark, sf, "lineitem")
+
+    def zscore(pdf):
+        out = pdf[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
+        v = pdf["l_quantity"]
+        out["qty_z"] = (v - v.mean()) / v.std(ddof=1)
+        return out
+
+    return GroupBy(li, "l_returnflag").apply(
+        zscore,
+        "l_orderkey long, l_linenumber int, l_returnflag string, qty_z double")
 
 
 def _q_winnow(spark, sf):
@@ -498,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
         "asof_join": _q_asof_join,
+        "apply_zscore": _q_apply_zscore,
         "winnow_fingerprints": _q_winnow,
         "sessionize": _q_sessionize,
         "nanops_global": _q_nanops_global,
@@ -770,6 +789,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_type = 'purchase') p
             ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
+        "apply_zscore": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   (l_quantity - avg(l_quantity) OVER w)
+                     / stddev_samp(l_quantity) OVER w AS qty_z
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag)
+        """,
         "winnow_fingerprints": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
             f AS (SELECT doc_id, {tx.sql_winnow_fingerprints('toks', 4)} AS fps FROM t)
@@ -808,8 +834,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pretty_cut_bins": """
             SELECT CASE WHEN l_quantity <= 10 THEN ' <= 10'
-                        WHEN l_quantity <= 25 THEN '11 - 25'
-                        WHEN l_quantity <= 40 THEN '26 - 40'
+                        WHEN l_quantity <= 25 THEN '10 - 25'
+                        WHEN l_quantity <= 40 THEN '25 - 40'
                         ELSE ' > 40' END AS qty_bin,
                    count(*) AS n, sum(l_quantity) AS sum_qty
             FROM lineitem GROUP BY 1

@@ -688,6 +688,30 @@ class GroupBy:
             Window.unboundedPreceding, Window.currentRow)
         return flagged.withColumn(session_col, F.sum("__new_session").over(cum)).drop("__new_session")
 
+    def apply(self, func, schema) -> DataFrame:
+        """Per-group pandas function via Arrow-batched ``applyInPandas``
+        (GROUPED_MAP) — the engine's escape hatch for semantics the built-in
+        operators can't express (reference ``GroupBy.apply`` surface,
+        api.py:358-403). ``func(pdf) -> pdf`` sees one group as a pandas
+        DataFrame, sorted by ``order_by`` when the GroupBy has one (the
+        reference's implicit row order, made explicit).
+
+        Scale notes: one group must fit in one executor's memory; prefer the
+        declarative operators wherever possible."""
+        order_cols = list(self._order_by)
+
+        def wrapped(pdf):
+            if order_cols:
+                pdf = pdf.sort_values(order_cols)
+            return func(pdf)
+
+        return self._base().groupBy(*self._keys).applyInPandas(wrapped, schema)
+
+    def rolling(self, window: int, min_periods: int | None = None) -> "GroupByRolling":
+        """pandas-style rolling facade: ``gb.rolling(3).sum('x', mask=...)``
+        (reference api.py:527-662)."""
+        return GroupByRolling(self, window, min_periods)
+
     def groups(self, row_id: str) -> DataFrame:
         """key(s) → sorted array of row ids (reference ``groups`` dict,
         core.py:323-339). ANTI-PATTERN at scale: a group's id list must fit
@@ -697,3 +721,33 @@ class GroupBy:
             .groupBy(*self._keys)
             .agg(F.array_sort(F.collect_list(row_id)).alias("row_ids"))
         )
+
+
+class GroupByRolling:
+    """Bound rolling context (reference BaseGroupByRolling, api.py:527-662):
+    every method forwards to the engine's rolling_* with the stored window."""
+
+    def __init__(self, gb: GroupBy, window: int, min_periods: int | None = None):
+        self._gb = gb
+        self._window = window
+        self._min_periods = min_periods
+
+    def _call(self, name: str, values=None, mask=None):
+        fn = getattr(self._gb, f"rolling_{name}")
+        return fn(values, window=self._window, mask=mask,
+                  min_periods=self._min_periods)
+
+    def sum(self, values=None, mask=None) -> DataFrame:
+        return self._call("sum", values, mask)
+
+    def mean(self, values=None, mask=None) -> DataFrame:
+        return self._call("mean", values, mask)
+
+    def min(self, values=None, mask=None) -> DataFrame:
+        return self._call("min", values, mask)
+
+    def max(self, values=None, mask=None) -> DataFrame:
+        return self._call("max", values, mask)
+
+    def agg(self, func: str, values=None, mask=None) -> DataFrame:
+        return self._call(func, values, mask)

@@ -13,11 +13,23 @@ class TestPrettyCut:
         # reference util.py:722-730 label style
         assert pretty_cut_labels([5, 10, 15]) == [" <= 5", "6 - 10", "11 - 15", " > 15"]
 
+    def test_float_labels(self):
+        # float data: no left+1, precision from bin decimals (util.py:747-750)
+        assert pretty_cut_labels([0.5, 1.25], integer_data=False) == \
+            [" <= 0.5", "0.50 - 1.25", " > 1.25"]
+        assert pretty_cut_labels([5, 10], integer_data=False) == \
+            [" <= 5", "5 - 10", " > 10"]
+
     def test_binning(self, spark):
         df = spark.createDataFrame([(1.0,), (5.0,), (10.0,), (15.0,), (20.0,), (None,)],
                                    "x double")
         out = df.select(pretty_cut("x", [5, 10, 15]).alias("b")).collect()
         assert [r["b"] for r in out] == [" <= 5", " <= 5", "6 - 10", "11 - 15", " > 15", None]
+
+    def test_binning_float_style(self, spark):
+        df = spark.createDataFrame([(7.0,), (30.0,)], "x double")
+        out = df.select(pretty_cut("x", [10, 25, 40], integer_data=False).alias("b")).collect()
+        assert [r["b"] for r in out] == [" <= 10", "25 - 40"]
 
 
 class TestEncoding:

@@ -127,6 +127,42 @@ class TestDerivedAggs:
         assert d["1"] == 3
 
 
+class TestApplyAndRollingFacade:
+    def test_apply_grouped_map(self, spark):
+        import pandas as pd
+        df = spark.createDataFrame(
+            [(0, "a", 1.0), (1, "a", 3.0), (2, "b", 10.0)], "rid long, k string, v double")
+
+        def demean(pdf):
+            out = pdf[["rid", "k"]].copy()
+            out["v_dm"] = pdf["v"] - pdf["v"].mean()
+            return out
+
+        got = {r["rid"]: r["v_dm"] for r in GroupBy(df, "k").apply(
+            demean, "rid long, k string, v_dm double").collect()}
+        assert got == {0: -1.0, 1: 1.0, 2: 0.0}
+
+    def test_apply_sorts_by_order(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 5.0), (0, "a", 1.0)], "rid long, k string, v double")
+
+        def first_val(pdf):
+            return pdf.iloc[:1][["k", "v"]]
+
+        out = GroupBy(df, "k", order_by="rid").apply(
+            first_val, "k string, v double").collect()
+        assert out[0]["v"] == 1.0  # rid order, not arrival order
+
+    def test_rolling_facade(self, spark):
+        df = spark.createDataFrame(
+            [(0, 0, 1.0), (1, 0, 2.0), (2, 0, 3.0)], "rid long, k long, v double")
+        r = GroupBy(df, "k", order_by="rid").rolling(2, min_periods=1)
+        d = {x["rid"]: x["v_rolling_sum"] for x in r.sum("v").collect()}
+        assert [d[i] for i in range(3)] == [1.0, 3.0, 5.0]
+        d = {x["rid"]: x["v_rolling_mean"] for x in r.agg("mean", "v").collect()}
+        assert d[2] == 2.5
+
+
 class TestRowSelection:
     def test_head_tail_nth(self, spark):
         import pandas as pd
