@@ -263,7 +263,10 @@ def _q_rolling_minmax(spark, sf):
 
 
 def _q_sessionize(spark, sf):
-    ev = load_table(spark, sf, "events").withColumn("ts_us", F.unix_micros("ts"))
+    # cast handles TIMESTAMP_NTZ sources (e.g. DuckDB-written parquet);
+    # gap-based sessions are invariant under the constant tz shift.
+    ev = load_table(spark, sf, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
     g = GroupBy(ev, "user_id")
     out = g.group_nearby_members("ts_us", max_diff=1_800_000_000)
     return out.select("event_id", "user_id", "session_id")

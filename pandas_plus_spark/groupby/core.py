@@ -246,7 +246,9 @@ class GroupBy:
         for k in self._keys:
             d = base.select(k).distinct()
             combos = d if combos is None else combos.crossJoin(d)
-        return combos.join(out, on=self._keys, how="left")
+        # the aggregated side is group-cardinality-sized — broadcast it so
+        # the completion join never shuffles the combo frame
+        return combos.join(F.broadcast(out), on=self._keys, how="left")
 
     def _apply(
         self,

@@ -2,13 +2,18 @@
 
 Reference: core.py:1913-1991 (crosstab) + add_row_margin core.py:1994-2051.
 The reference groups by index+column keys, aggregates, then unstacks and
-recursively re-aggregates for margins. Spark-first shape: one
-``groupBy(index).pivot(col, values).agg(...)`` — a single shuffle — and
-margins from a ``rollup`` union, all computed by Catalyst via grouping sets.
+recursively re-aggregates for margins. Spark-first shape:
 
-Always pass ``column_values`` when known: it saves Spark a distinct-scan job
-to discover pivot values, and at 100 TB that discovery pass is a full shuffle
-of its own.
+- no margins: one ``groupBy(index).pivot(col).agg`` — a single shuffle.
+- with margins: one ``cube(index..., col)`` pass — Catalyst evaluates every
+  grouping set in a single scan+shuffle — then the tiny aggregated frame is
+  labeled ("All") and pivoted. ONE pass over the data regardless of which
+  margins are requested (the old formulation re-scanned the fact table per
+  margin axis).
+
+Always pass ``column_values`` when known: it saves the distinct-scan job
+Spark otherwise runs to discover pivot values — at 100 TB that discovery is
+a full extra pass.
 """
 
 from __future__ import annotations
@@ -51,33 +56,54 @@ def crosstab(
     base = GroupBy(df, index + [columns], dropna=dropna)._base()
     if mask is not None:
         base = base.filter(mask if not isinstance(mask, str) else F.col(mask))
-
     expr = _agg_expr(aggfunc, values)
-    grouped = base.groupBy(*index)
-    pivoted = (grouped.pivot(columns, column_values) if column_values is not None
-               else grouped.pivot(columns)).agg(expr)
 
-    want_row = margins in (True, "row")
-    want_col = margins in (True, "column")
+    if not margins:
+        grouped = base.groupBy(*index)
+        pivoted = (grouped.pivot(columns, column_values) if column_values is not None
+                   else grouped.pivot(columns)).agg(expr)
+        return pivoted.orderBy(*index)
 
+    want_row = margins in (True, "row")      # an "All" index row
+    want_col = margins in (True, "column")   # an "All" total column
+
+    # One cube pass computes every grouping set; filter to the requested
+    # margin combinations, label collapsed keys "All", then pivot the tiny
+    # aggregated frame.
+    # -1 marks partially-collapsed multi-index combos (cube emits them; the
+    # reference's margins are all-or-nothing per row) — filtered out below.
+    g_sum = sum([F.grouping(k) for k in index[1:]], F.grouping(index[0]))
+    g_index = (F.when(g_sum == 0, F.lit(0))
+               .when(g_sum == len(index), F.lit(1))
+               .otherwise(F.lit(-1)))
+    cubed = base.cube(*index, columns).agg(
+        expr.alias("__cell"),
+        g_index.alias("__g_idx"),
+        F.grouping(columns).alias("__g_col"),
+    )
+    keep = (F.col("__g_idx") == 0) & (F.col("__g_col") == 0)
     if want_col:
-        # column margin: total across all pivot columns = plain groupBy(index)
-        totals = base.groupBy(*index).agg(expr.alias(_ALL_LABEL))
-        pivoted = pivoted.join(totals, on=index, how="left")
+        keep = keep | ((F.col("__g_idx") == 0) & (F.col("__g_col") == 1))
     if want_row:
-        # row margin: aggregate with index collapsed; label index as "All".
-        row_grouped = base.groupBy()
-        row_piv = (row_grouped.pivot(columns, column_values) if column_values is not None
-                   else row_grouped.pivot(columns)).agg(expr)
-        if want_col:
-            row_piv = row_piv.join(base.groupBy().agg(expr.alias(_ALL_LABEL)))
-        sel = [F.lit(_ALL_LABEL).alias(k) for k in index] + [
-            F.col(c) for c in row_piv.columns]
-        row_piv = row_piv.select(*sel)
-        # align string-typed index columns for the union
-        pivoted = pivoted.select(
-            *[F.col(k).cast("string").alias(k) for k in index],
-            *[F.col(c) for c in pivoted.columns if c not in index],
-        )
-        pivoted = pivoted.unionByName(row_piv)
+        keep = keep | ((F.col("__g_idx") == 1) & (F.col("__g_col") == 0))
+    if want_row and want_col:
+        keep = keep | ((F.col("__g_idx") == 1) & (F.col("__g_col") == 1))
+    cubed = cubed.filter(keep)
+
+    labeled = cubed.select(
+        *[
+            F.when(F.col("__g_idx") == 1, F.lit(_ALL_LABEL))
+            .otherwise(F.col(k).cast("string")).alias(k)
+            for k in index
+        ],
+        F.when(F.col("__g_col") == 1, F.lit(_ALL_LABEL))
+        .otherwise(F.col(columns).cast("string")).alias(columns),
+        F.col("__cell"),
+    )
+    pivot_vals = None
+    if column_values is not None:
+        pivot_vals = [str(v) for v in column_values] + ([_ALL_LABEL] if want_col else [])
+    grouped = labeled.groupBy(*index)
+    pivoted = (grouped.pivot(columns, pivot_vals) if pivot_vals is not None
+               else grouped.pivot(columns)).agg(F.first("__cell"))
     return pivoted.orderBy(*index)

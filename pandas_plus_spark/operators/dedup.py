@@ -176,9 +176,19 @@ def minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_size: int = 3,
+    pre_dedup_exact: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: minhash → LSH candidates → exact Jaccard
-    verify. Returns (id_a, id_b, jaccard) for confirmed near-duplicates."""
+    verify. Returns (id_a, id_b, jaccard) for confirmed near-duplicates.
+
+    pre_dedup_exact (default): collapse exact-duplicate content to one
+    representative (minimum id) before the LSH stage. Exact duplicates make
+    LSH candidate counts quadratic in the duplication depth — a corpus with
+    d copies per document costs d²/2 candidate verifications for zero
+    information. Near-dup pairs are reported between representatives; pair
+    with ``exact_dedup`` for the full duplicate graph."""
+    if pre_dedup_exact:
+        df = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
     cands = minhash_lsh_candidates(sigs, bands, num_hashes=num_hashes)
     return ngram_jaccard_pairs(df, text_col, id_col, threshold, shingle_size, candidates=cands)

@@ -26,12 +26,21 @@ class TestExactDedup:
 
 class TestMinhash:
     def test_finds_planted_neardup(self, planted_docs):
+        # default: exact duplicates collapse to a representative first
         pairs = dedup.minhash_dedup(planted_docs, "text", "doc_id",
                                     threshold=0.5, num_hashes=32, bands=16)
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
-        assert (0, 1) in got          # exact dup
-        assert (0, 2) in got or (1, 2) in got  # near dup
+        assert (0, 2) in got          # near dup between representatives
+        assert not any(p[0] == 1 or p[1] == 1 for p in got)  # dup collapsed
         assert not any(3 in p for p in got)    # unrelated doc untouched
+
+    def test_finds_planted_neardup_no_prededup(self, planted_docs):
+        pairs = dedup.minhash_dedup(planted_docs, "text", "doc_id",
+                                    threshold=0.5, num_hashes=32, bands=16,
+                                    pre_dedup_exact=False)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (0, 1) in got          # exact dup reported in raw mode
+        assert (0, 2) in got or (1, 2) in got
 
     def test_signature_shape(self, planted_docs):
         sigs = dedup.minhash_signatures(planted_docs, "text", "doc_id", num_hashes=8)
