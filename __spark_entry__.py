@@ -476,6 +476,15 @@ def _q_lsh_buckets(spark, sf):
     return similarity.hyperplane_lsh_buckets(emb, n_planes=12)
 
 
+def _q_ivf_knn(spark, sf):
+    """IVF approximate nearest neighbors: k-means coarse quantizer, probe 4
+    of 16 lists per query. Iterative (k-means) → no SQL oracle; the driver
+    records the rows-only check."""
+    emb = _cast_double_embeddings(spark, sf)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_knn(emb, queries_df, k=3, n_lists=16, n_probes=4)
+
+
 def _q_multimodal_meta(spark, sf):
     docs = load_table(spark, sf, "documents")
     blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
@@ -537,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _q_knn,
         "cosine_neardup": _q_cosine_neardup,
         "hyperplane_lsh_buckets": _q_lsh_buckets,
+        "ivf_knn": _q_ivf_knn,
         "multimodal_image_meta": _q_multimodal_meta,
     }
 

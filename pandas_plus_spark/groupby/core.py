@@ -151,8 +151,14 @@ class GroupBy:
                 for f in self._df.schema.fields
                 if f.name not in self._keys and isinstance(f.dataType, NUMERIC_KINDS)
             ]
-        vals = _as_list(values)
-        return [v if isinstance(v, str) else str(v) for v in vals]
+        vals = [v if isinstance(v, str) else str(v) for v in _as_list(values)]
+        known = set(self._df.columns)
+        missing = [v for v in vals if v not in known]
+        if missing:
+            raise ValueError(
+                f"value column(s) {missing} not in DataFrame; available: "
+                f"{sorted(known)}")
+        return vals
 
     def _masked(self, col, mask) -> Column:
         c = _col(col)
@@ -215,6 +221,8 @@ class GroupBy:
             return var if func == "var" else F.sqrt(var)
         if func == "nunique":
             return F.count_distinct(v)
+        if func == "approx_nunique":
+            return F.approx_count_distinct(v)
         raise ValueError(f"unknown aggregation {func!r}")
 
     def _ordered_first_last(self, func: str, col: str, mask) -> Column:
@@ -365,8 +373,11 @@ class GroupBy:
     def last(self, values=None, **kw) -> DataFrame:
         return self._apply("last", values, **kw)
 
-    def nunique(self, values=None, **kw) -> DataFrame:
-        return self._apply("nunique", values, **kw)
+    def nunique(self, values=None, approx: bool = False, **kw) -> DataFrame:
+        # approx=True → HyperLogLog++ (approx_count_distinct): at 100 TB an
+        # exact distinct per group is an extra shuffle of the value column;
+        # the sketch is one pass, mergeable map-side.
+        return self._apply("approx_nunique" if approx else "nunique", values, **kw)
 
     def agg(self, spec, mask=None, margins: bool = False,
             observed_only: bool = True) -> DataFrame:
@@ -472,19 +483,42 @@ class GroupBy:
         cols = [F.col(o).desc() if descending else F.col(o) for o in self._order_by]
         return Window.partitionBy(*self._keys).orderBy(*cols)
 
-    def head(self, n: int = 5, values=None) -> DataFrame:
-        """first n rows per group (reference core.py:1428-1459)."""
+    def _salted_topn(self, n: int, salt: int, descending: bool) -> DataFrame:
+        """Two-stage top-n for skewed keys: local top-n within (key, salt)
+        buckets — the hot key's sort fans out over ``salt`` tasks — then the
+        exact top-n among the surviving ≤ n·salt rows per key. The global
+        top-n is always contained in the union of salted top-ns."""
+        salt_col = F.pmod(F.xxhash64(*[F.col(o) for o in self._order_by]), F.lit(salt))
+        cols = [F.col(o).desc() if descending else F.col(o) for o in self._order_by]
+        local = (self._base().withColumn("__rn", F.row_number().over(
+            Window.partitionBy(*self._keys, salt_col).orderBy(*cols)))
+            .filter(F.col("__rn") <= n).drop("__rn"))
+        return (local.withColumn("__rn", F.row_number().over(
+            Window.partitionBy(*self._keys).orderBy(*cols)))
+            .filter(F.col("__rn") <= n).drop("__rn"))
+
+    def head(self, n: int = 5, values=None, salt: int | None = None) -> DataFrame:
+        """first n rows per group (reference core.py:1428-1459).
+
+        salt: for heavily skewed keys, pre-reduce within (key, salt-bucket)
+        before the per-key ranking so no single task sorts a whole hot key."""
         cols = self._numeric_values(values) if values is not None else None
-        df = self._base().withColumn("__rn", F.row_number().over(self._rank_window()))
-        out = df.filter(F.col("__rn") <= n).drop("__rn")
+        if salt:
+            out = self._salted_topn(n, salt, descending=False)
+        else:
+            df = self._base().withColumn("__rn", F.row_number().over(self._rank_window()))
+            out = df.filter(F.col("__rn") <= n).drop("__rn")
         if cols is not None:
             out = out.select(*self._keys, *self._order_by, *cols)
         return out
 
-    def tail(self, n: int = 5, values=None) -> DataFrame:
+    def tail(self, n: int = 5, values=None, salt: int | None = None) -> DataFrame:
         cols = self._numeric_values(values) if values is not None else None
-        df = self._base().withColumn("__rn", F.row_number().over(self._rank_window(descending=True)))
-        out = df.filter(F.col("__rn") <= n).drop("__rn")
+        if salt:
+            out = self._salted_topn(n, salt, descending=True)
+        else:
+            df = self._base().withColumn("__rn", F.row_number().over(self._rank_window(descending=True)))
+            out = df.filter(F.col("__rn") <= n).drop("__rn")
         if cols is not None:
             out = out.select(*self._keys, *self._order_by, *cols)
         return out

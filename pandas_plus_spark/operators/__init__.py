@@ -7,7 +7,8 @@ from .dedup import (
     simhash,
     simhash_candidates,
 )
-from .similarity import brute_force_knn, cosine_neardup_pairs, hyperplane_lsh_buckets, lsh_neardup_pairs
+from .similarity import (brute_force_knn, cosine_neardup_pairs, hyperplane_lsh_buckets,
+                         lsh_neardup_pairs, ivf_build, ivf_knn)
 from .multimodal import attach_blob_metadata, decode_image_stub, extract_image_features
 from .joins import asof_join, broadcast_dim_join
 
@@ -23,6 +24,8 @@ __all__ = [
     "cosine_neardup_pairs",
     "hyperplane_lsh_buckets",
     "lsh_neardup_pairs",
+    "ivf_build",
+    "ivf_knn",
     "asof_join",
     "broadcast_dim_join",
     "attach_blob_metadata",

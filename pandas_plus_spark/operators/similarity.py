@@ -163,3 +163,99 @@ def lsh_neardup_pairs(
         .distinct()
     )
     return cosine_neardup_pairs(df, threshold, id_col, vec_col, candidates=cands)
+
+
+# --------------------------------------------------------------------- #
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# --------------------------------------------------------------------- #
+
+def ivf_build(
+    df: DataFrame,
+    n_lists: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: k-means coarse quantizer + per-vector list
+    assignment. Returns (assignments(id, list_id), centroids(list_id, centroid)).
+
+    Deterministic: initial centroids are the ``n_lists`` lowest-id vectors;
+    each Lloyd iteration is one broadcast-join assignment pass + one
+    aggregation (zip_with elementwise mean) — no driver-side vectors except
+    the (tiny, k-row) centroid frame that is broadcast anyway.
+    """
+    vecs = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).persist()
+    w = Window.orderBy("id")
+    centroids = (vecs.withColumn("__rn", F.row_number().over(w))
+                 .where(F.col("__rn") <= n_lists)
+                 .select((F.col("__rn") - 1).alias("list_id"),
+                         F.col("vec").alias("centroid")))
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            "id", "vec", "list_id",
+            _dot(F.col("vec"), F.col("centroid")).alias("__dot"),
+            _norm(F.col("centroid")).alias("__cn"),
+            _norm(F.col("vec")).alias("__vn"),
+        )
+        rw = Window.partitionBy("id").orderBy(
+            (F.col("__dot") / (F.col("__vn") * F.col("__cn"))).desc(), F.col("list_id"))
+        return (scored.withColumn("__r", F.row_number().over(rw))
+                .where(F.col("__r") == 1).select("id", "vec", "list_id"))
+
+    for _ in range(n_iters):
+        centroids = _centroid_update(assign(centroids))
+    assignments = assign(centroids).select("id", "list_id")
+    return assignments, centroids
+
+
+def _centroid_update(assigned: DataFrame) -> DataFrame:
+    """Elementwise mean of vectors per cluster via posexplode + re-collect —
+    shuffle rows are (list_id, dim_idx, value): fully distributed, no
+    whole-vector collect_list memory spike."""
+    exploded = assigned.select("list_id", F.posexplode("vec").alias("dim", "val"))
+    means = exploded.groupBy("list_id", "dim").agg(F.avg("val").alias("m"))
+    return (means.groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("list_id",
+                    F.transform("dm", lambda s: s["m"]).alias("centroid")))
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_lists: int = 16,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe the ``n_probes`` nearest inverted lists per
+    query instead of the whole corpus — the candidate set shrinks by
+    ~n_probes/n_lists. Same output schema as brute_force_knn."""
+    assignments, centroids = ivf_build(corpus, n_lists, 2, id_col, vec_col)
+    corpus_lists = corpus.join(
+        assignments.withColumnRenamed("id", id_col), id_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+                       _norm(F.col(vec_col)).alias("qnorm"))
+    # probe selection: rank centroids per query (tiny cross join)
+    probed = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "qvec", "qnorm", "list_id",
+        (_dot(F.col("qvec"), F.col("centroid"))
+         / (F.col("qnorm") * _norm(F.col("centroid")))).alias("__sim"))
+    pw = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("list_id"))
+    probes = (probed.withColumn("__r", F.row_number().over(pw))
+              .where(F.col("__r") <= n_probes).select("query_id", "qvec", "qnorm", "list_id"))
+
+    cands = probes.join(corpus_lists, on="list_id").where(
+        F.col(id_col) != F.col("query_id"))
+    sims = cands.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (_dot(F.col("qvec"), F.col(vec_col))
+         / (F.col("qnorm") * _norm(F.col(vec_col)))).alias("cos_sim"),
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(rw)).where(F.col("rank") <= k)

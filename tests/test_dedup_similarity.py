@@ -92,6 +92,17 @@ class TestSimilarity:
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         assert got == {(0, 1)}
 
+    def test_ivf_knn_recovers_neighbor(self, spark):
+        import math
+        # 24 vectors on a circle: neighbors are adjacent angles
+        rows = [(i, [math.cos(i / 24 * 2 * math.pi), math.sin(i / 24 * 2 * math.pi)])
+                for i in range(24)]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = similarity.ivf_knn(vecs, vecs.where("vec_id = 5"), k=2,
+                                 n_lists=4, n_probes=2)
+        got = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+        assert set(got) == {4, 6}  # adjacent on the circle
+
     def test_lsh_buckets_deterministic(self, vecs):
         b1 = {r["id"]: r["bucket"] for r in
               similarity.hyperplane_lsh_buckets(vecs, n_planes=8).collect()}

@@ -164,6 +164,32 @@ class TestApplyAndRollingFacade:
 
 
 class TestRowSelection:
+    def test_salted_head_matches_plain(self, spark):
+        import random
+        random.seed(42)
+        rows = [(i, random.randint(0, 3), random.random()) for i in range(500)]
+        df = spark.createDataFrame(rows, "rid long, k long, v double")
+        g = GroupBy(df, "k", order_by="rid")
+        plain = {(r["k"], r["rid"]) for r in g.head(5).collect()}
+        salted = {(r["k"], r["rid"]) for r in g.head(5, salt=8).collect()}
+        assert plain == salted
+        t_plain = {(r["k"], r["rid"]) for r in g.tail(3).collect()}
+        t_salted = {(r["k"], r["rid"]) for r in g.tail(3, salt=8).collect()}
+        assert t_plain == t_salted
+
+    def test_approx_nunique(self, tables):
+        li = tables["lineitem"]
+        exact = {r["l_returnflag"]: r["l_partkey"]
+                 for r in GroupBy(li, "l_returnflag").nunique("l_partkey").collect()}
+        approx = {r["l_returnflag"]: r["l_partkey"]
+                  for r in GroupBy(li, "l_returnflag").nunique("l_partkey", approx=True).collect()}
+        for k in exact:
+            assert abs(approx[k] - exact[k]) / exact[k] < 0.1
+
+    def test_unknown_value_column_friendly_error(self, tables):
+        with pytest.raises(ValueError, match="not in DataFrame"):
+            GroupBy(tables["lineitem"], "l_returnflag").sum("no_such_col")
+
     def test_head_tail_nth(self, spark):
         import pandas as pd
         pdf = pd.DataFrame({
