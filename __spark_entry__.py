@@ -311,6 +311,19 @@ def _q_scatter_bins(spark, sf):
                                 tiebreak=["l_orderkey", "l_linenumber"])
 
 
+def _q_linear_fit(spark, sf):
+    """GroupScatter's regression line from distributed moments
+    (cov/var closed form — one aggregation pass)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        (F.avg("l_extendedprice") - (F.covar_samp("l_quantity", "l_extendedprice")
+                                     / F.var_samp("l_quantity")) * F.avg("l_quantity")
+         ).alias("intercept"),
+        (F.covar_samp("l_quantity", "l_extendedprice")
+         / F.var_samp("l_quantity")).alias("slope"),
+    )
+
+
 def _q_rolling_sum_masked(spark, sf):
     """Masked rolling: window spans the last w UNMASKED observations
     (reference circular-buffer semantics, numba.py:1196-1246)."""
@@ -536,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bools_to_categorical": _q_bools_labels,
         "linear_combination": _q_lincomb,
         "scatter_bins": _q_scatter_bins,
+        "linear_fit": _q_linear_fit,
         "dedup_exact": _q_dedup_exact,
         "doc_token_stats": _q_token_stats,
         "lang_id_pred": _q_lang_pred,
@@ -874,6 +888,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, avg(l_extendedprice) AS x_mean, avg(l_quantity) AS y_mean,
                    count(*) AS n
             FROM b GROUP BY bin
+        """,
+        "linear_fit": """
+            SELECT regr_intercept(l_extendedprice, l_quantity) AS intercept,
+                   regr_slope(l_extendedprice, l_quantity) AS slope
+            FROM lineitem
         """,
         "dedup_exact": """
             SELECT sha256(text) AS content_hash,

@@ -1,0 +1,86 @@
+"""Rolling/cumulative parameter sweep vs pandas oracle — the reference's F6
+fixture pattern (FIXTURES.md: 1000-group random data, window ∈ {1,2,5,50},
+min_periods ∈ {1, w//2, w}, seeded)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pandas_plus_spark import GroupBy
+
+
+@pytest.fixture(scope="module")
+def rolling_pdf():
+    rng = np.random.default_rng(42)
+    n = 4000
+    pdf = pd.DataFrame({
+        "rid": np.arange(n),
+        "key": rng.integers(0, 50, n),
+        "val": rng.standard_normal(n),
+    })
+    # intersperse NULLs (reference test_numba.py:703-718)
+    pdf.loc[pdf.index % 11 == 0, "val"] = np.nan
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def rolling_sdf(spark, rolling_pdf):
+    return spark.createDataFrame(rolling_pdf).persist()
+
+
+@pytest.mark.parametrize("window,min_periods", [(1, 1), (2, 1), (5, 2), (5, 5), (50, 25)])
+@pytest.mark.parametrize("func", ["sum", "mean", "min", "max"])
+def test_rolling_matches_pandas(rolling_sdf, rolling_pdf, func, window, min_periods):
+    got_df = getattr(GroupBy(rolling_sdf, "key", order_by="rid"),
+                     f"rolling_{func}")("val", window=window, min_periods=min_periods)
+    got = {r["rid"]: r[f"val_rolling_{func}"] for r in got_df.collect()}
+
+    srt = rolling_pdf.sort_values("rid")
+    exp = getattr(
+        srt.groupby("key")["val"].rolling(window, min_periods=min_periods), func)()
+    exp.index = exp.index.get_level_values(1)
+    for rid in srt["rid"]:
+        e = exp.loc[rid]
+        g = got[rid]
+        if np.isnan(e):
+            assert g is None, (rid, g, e)
+        else:
+            assert g == pytest.approx(e, rel=1e-9), (rid, g, e)
+
+
+@pytest.mark.parametrize("func", ["cumsum", "cummax", "cummin"])
+def test_cumulative_matches_reference_semantics(rolling_sdf, rolling_pdf, func):
+    """NB: not the pandas semantics — the reference emits the RUNNING value
+    at NaN rows with skip_na=True (reference test_numba.py:839-848 expects
+    [1, 1, 4, ...] for values [1, nan, 3, ...]), pandas emits NaN there."""
+    got_df = getattr(GroupBy(rolling_sdf, "key", order_by="rid"), func)("val")
+    got = {r["rid"]: r[f"val_{func}"] for r in got_df.collect()}
+
+    op = {"cumsum": lambda a, v: a + v,
+          "cummax": max, "cummin": min}[func]
+    acc: dict = {}
+    srt = rolling_pdf.sort_values("rid")
+    for rid, key, v in zip(srt["rid"], srt["key"], srt["val"]):
+        if not np.isnan(v):
+            acc[key] = op(acc[key], v) if key in acc else v
+        e = acc.get(key)  # running value (None before first non-null)
+        g = got[rid]
+        if e is None:
+            assert g is None, (rid, g)
+        else:
+            assert g == pytest.approx(e, rel=1e-9), (rid, g, e)
+
+
+def test_shift_diff_match_pandas(rolling_sdf, rolling_pdf):
+    g = GroupBy(rolling_sdf, "key", order_by="rid")
+    got_s = {r["rid"]: r["val_shift"] for r in g.shift("val").collect()}
+    got_d = {r["rid"]: r["val_diff"] for r in g.diff("val").collect()}
+    srt = rolling_pdf.sort_values("rid")
+    exp_s = srt.groupby("key")["val"].shift(1)
+    exp_d = srt.groupby("key")["val"].diff(1)
+    for rid, es, ed in zip(srt["rid"], exp_s, exp_d):
+        assert (got_s[rid] is None) == bool(np.isnan(es))
+        if not np.isnan(es):
+            assert got_s[rid] == pytest.approx(es)
+        if not np.isnan(ed):
+            assert got_d[rid] == pytest.approx(ed)
