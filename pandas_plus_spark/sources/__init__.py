@@ -1,3 +1,5 @@
 from .tables import TABLES, load_table, load_tables, with_row_id
+from .sinks import write_partitioned, write_bucketed
 
-__all__ = ["TABLES", "load_table", "load_tables", "with_row_id"]
+__all__ = ["TABLES", "load_table", "load_tables", "with_row_id",
+           "write_partitioned", "write_bucketed"]
