@@ -95,8 +95,21 @@ class GroupBy:
         sort: bool = True,
         dropna: bool = True,
     ):
+        # Column-expression keys (reference accepts arbitrary key arrays,
+        # api.py:704-805): materialize each expression as a generated column
+        # so downstream groupBy/window logic sees plain names.
+        key_names: list[str] = []
+        for i, k in enumerate(_as_list(keys)):
+            if isinstance(k, str):
+                key_names.append(k)
+            elif isinstance(k, Column):
+                name = f"_key_{i}"
+                df = df.withColumn(name, k)
+                key_names.append(name)
+            else:
+                raise TypeError(f"key must be str or Column, got {type(k).__name__}")
         self._df = df
-        self._keys: list[str] = [k if isinstance(k, str) else str(k) for k in _as_list(keys)]
+        self._keys = key_names
         if not self._keys:
             raise ValueError("GroupBy requires at least one key column")
         self._order_by: list[str] = _as_list(order_by)
@@ -299,7 +312,7 @@ class GroupBy:
 
         base = self._base()
         if margins:
-            return self._finish(self._with_margins(base, exprs))
+            return self._finish(self._with_margins(base, exprs, margins))
         # observed_only=True drops groups whose rows are ALL masked out
         # (reference core.py:704-717) — co-compute the masked size in the
         # same pass, filter, drop the helper column. Without a mask every
@@ -314,12 +327,36 @@ class GroupBy:
             out = self._complete_keys(out)
         return self._finish(out)
 
-    def _with_margins(self, base: DataFrame, exprs: Sequence[Column]) -> DataFrame:
-        """rollup + grouping() → "All" rows per key level (reference
-        add_row_margin core.py:1994-2051). Catalyst evaluates all grouping
-        sets in one pass — no recursive re-aggregation."""
+    def _with_margins(self, base: DataFrame, exprs: Sequence[Column],
+                      margins=True) -> DataFrame:
+        """grouping sets → "All" rows (reference add_row_margin
+        core.py:1994-2051). Catalyst evaluates every requested grouping set
+        in ONE pass — no recursive re-aggregation.
+
+        margins=True → rollup (hierarchical totals). margins=[key names] →
+        cube filtered to combos collapsing only subsets of the given levels
+        (the reference's per-level margin selection, core.py:427-444)."""
+        if margins is True:
+            grouped = base.rollup(*self._keys)
+            allowed = None
+        else:
+            levels = [margins] if isinstance(margins, str) else list(margins)
+            bad = [l for l in levels if l not in self._keys]
+            if bad:
+                raise ValueError(f"margin level(s) {bad} not in keys {self._keys}")
+            grouped = base.cube(*self._keys)
+            allowed = set(levels)
         gcols = [F.grouping(k).alias(f"__g_{k}") for k in self._keys]
-        rolled = base.rollup(*self._keys).agg(*exprs, *gcols)
+        rolled = grouped.agg(*exprs, *gcols)
+        if allowed is not None:
+            # keep only combos whose collapsed keys ⊆ the requested levels
+            cond = None
+            for k in self._keys:
+                if k not in allowed:
+                    c = F.col(f"__g_{k}") == 0
+                    cond = c if cond is None else cond & c
+            if cond is not None:
+                rolled = rolled.filter(cond)
         sel = []
         for k in self._keys:
             sel.append(
@@ -412,7 +449,7 @@ class GroupBy:
             for fn, col in spec:
                 add(fn, col, f"{col}_{fn}")
         if margins:
-            return self._finish(self._with_margins(self._base(), exprs))
+            return self._finish(self._with_margins(self._base(), exprs, margins))
         drop_unobserved = observed_only and mask is not None
         if drop_unobserved:
             exprs.append(self._agg_expr("size", "", mask).alias("__obs"))

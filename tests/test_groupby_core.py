@@ -126,6 +126,33 @@ class TestDerivedAggs:
         assert d["All"] == 3 + 4 + 6 + 12
         assert d["1"] == 3
 
+    def test_margins_per_level(self, spark):
+        # reference F9-style 2-key margin frame: margins on ONE level only
+        df = spark.createDataFrame(
+            [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)],
+            "k1 string, k2 string, v double")
+        out = GroupBy(df, ["k1", "k2"]).agg({"s": ("sum", "v")}, margins=["k2"])
+        d = {(r["k1"], r["k2"]): r["s"] for r in out.collect()}
+        # cells + per-k1 "All" rows; NO (All, *) rows since k1 not in levels
+        assert d[("a", "All")] == 3.0 and d[("b", "All")] == 4.0
+        assert ("All", "All") not in d and ("All", "x") not in d
+        assert len(d) == 5
+
+        both = GroupBy(df, ["k1", "k2"]).agg({"s": ("sum", "v")}, margins=["k1", "k2"])
+        db = {(r["k1"], r["k2"]): r["s"] for r in both.collect()}
+        assert db[("All", "All")] == 7.0 and db[("All", "x")] == 5.0
+
+    def test_column_expression_key(self, nullable_df):
+        out = GroupBy(nullable_df, F.col("key") % 2).sum("val")
+        d = rows_dict(out, "_key_0", "val")
+        # keys 1,3 odd → -1+0+3+1+6=9... vals: key1 rows sum 3, key3 sum 6 → 9
+        assert d[1] == 9 and d[0] == 4 + 12
+
+    def test_empty_input(self, spark):
+        df = spark.createDataFrame([], "k string, v double")
+        assert GroupBy(df, "k").sum("v").count() == 0
+        assert GroupBy(df, "k", order_by="v").cumsum("v").count() == 0
+
 
 class TestApplyAndRollingFacade:
     def test_apply_grouped_map(self, spark):
