@@ -392,6 +392,25 @@ def _q_asof_join(spark, sf):
     return out.select("event_id", "user_id", "purchase_event_id", "purchase_value")
 
 
+def _q_interval_join(spark, sf):
+    """Bucketed point-in-interval join: session intervals (from the session
+    operator) joined back to events by containment — every event must land
+    in exactly one of its user's sessions."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    sessions = (GroupBy(ev, "user_id")
+                .group_nearby_members("ts_us", max_diff=1_800_000_000)
+                .groupBy("user_id", "session_id")
+                .agg(F.min("ts_us").alias("s_start"), F.max("ts_us").alias("s_end")))
+    out = joins.interval_join(
+        ev.select("event_id", "user_id", "ts_us"), sessions,
+        point_col="ts_us", start_col="s_start", end_col="s_end",
+        by="user_id", bucket_width=3_600_000_000,
+        right_cols=["session_id"],
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
 def _q_apply_zscore(spark, sf):
     """Per-group pandas UDF (applyInPandas) — z-score within group. The
     escape hatch the reference exposes as GroupBy.apply (api.py:358-403)."""
@@ -428,10 +447,12 @@ def _q_dedup_exact(spark, sf):
 
 def _q_token_stats(spark, sf):
     docs = load_table(spark, sf, "documents")
+    # long casts: DuckDB's len()/regexp counts are BIGINT; keep schemas
+    # identical for strict schema comparison
     return docs.select(
         "doc_id",
-        tx.token_count("text").alias("n_tokens"),
-        tx.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        tx.token_count("text").cast("long").alias("n_tokens"),
+        tx.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
         tx.poly_hash("text").alias("fingerprint"),
     )
 
@@ -541,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
         "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
         "apply_zscore": _q_apply_zscore,
         "winnow_fingerprints": _q_winnow,
         "sessionize": _q_sessionize,
@@ -816,6 +838,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_type = 'purchase') p
             ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
+        "interval_join": """
+            WITH e AS (
+                SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                FROM events
+            ), flagged AS (
+                SELECT event_id, user_id, ts_us,
+                       CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                                 > 1800000000 THEN 1 ELSE 0 END AS new_session
+                FROM e
+            ), sess_events AS (
+                SELECT event_id, user_id, ts_us,
+                       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                         AS session_id
+                FROM flagged
+            ), sessions AS (
+                SELECT user_id, session_id,
+                       min(ts_us) AS s_start, max(ts_us) AS s_end
+                FROM sess_events GROUP BY user_id, session_id
+            )
+            SELECT e.event_id, e.user_id, s.session_id
+            FROM e JOIN sessions s
+              ON e.user_id = s.user_id
+             AND e.ts_us >= s.s_start AND e.ts_us <= s.s_end
+        """,
         "apply_zscore": """
             SELECT l_orderkey, l_linenumber, l_returnflag,
                    (l_quantity - avg(l_quantity) OVER w)
@@ -968,8 +1015,9 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
             )
             SELECT query_id, neighbor_id, cos_sim,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS INTEGER)
+                     AS rank
             FROM sims
             QUALIFY rank <= 3
         """,

@@ -10,7 +10,7 @@ from .dedup import (
 from .similarity import (brute_force_knn, cosine_neardup_pairs, hyperplane_lsh_buckets,
                          lsh_neardup_pairs, ivf_build, ivf_knn)
 from .multimodal import attach_blob_metadata, decode_image_stub, extract_image_features
-from .joins import asof_join, broadcast_dim_join
+from .joins import asof_join, broadcast_dim_join, interval_join
 
 __all__ = [
     "exact_dedup",
@@ -28,6 +28,7 @@ __all__ = [
     "ivf_knn",
     "asof_join",
     "broadcast_dim_join",
+    "interval_join",
     "attach_blob_metadata",
     "decode_image_stub",
     "extract_image_features",

@@ -86,3 +86,48 @@ def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") 
     fact side never moves; each executor streams its partitions against the
     in-memory dim hash map."""
     return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: list[str] | str | None = None,
+    bucket_width: int | None = None,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-interval join: attach to each left row the right rows whose
+    [start, end] contains its ``point_col`` (inclusive), optionally keyed.
+
+    Naively this is a non-equi join → BroadcastNestedLoop / cartesian. With
+    ``bucket_width`` both sides map to integer buckets (intervals explode to
+    every bucket they overlap) and the join becomes a shuffled EQUI-join on
+    (keys..., bucket) + an exact containment filter — the standard interval-
+    bucketing trick; bucket_width should be on the order of typical interval
+    length. Without it, falls back to the non-equi join (small right side
+    only).
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    rcols = right_cols if right_cols is not None else [
+        c for c in right.columns if c not in by]
+    cond = [left[point_col] >= right[start_col], left[point_col] <= right[end_col]]
+    if bucket_width is None:
+        joined = left.join(F.broadcast(right),
+                           [*[left[k] == right[k] for k in by], *cond], "left")
+        return joined.select(left["*"], *[right[c] for c in rcols])
+
+    # bucketed path is INNER-join semantics (a left row can match a bucket
+    # yet fail containment; resurrecting it as unmatched would need a second
+    # anti-join — callers needing left semantics use the non-bucketed path).
+    lb = left.withColumn("__bucket", F.floor(F.col(point_col) / bucket_width))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.floor(F.col(start_col) / bucket_width),
+                             F.floor(F.col(end_col) / bucket_width))),
+    )
+    joined = lb.join(rb, [*by, "__bucket"]).where(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("__bucket")

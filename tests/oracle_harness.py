@@ -108,5 +108,17 @@ def run_gate(spark, sf_dir: str, only: list[str] | None = None,
             results[name] = f"ORACLE FAIL: {type(e).__name__}: {str(e)[:200]}"
             continue
         problems = compare(spdf, opdf, rtol=rtol)
-        results[name] = "OK" if not problems else "MISMATCH: " + "; ".join(problems[:3])
+        if problems:
+            results[name] = "MISMATCH: " + "; ".join(problems[:3])
+            continue
+        # exact-width dtype check: values match after normalization, but a
+        # strict driver-side schema comparison could still flag e.g.
+        # int32-vs-int64 — surface as a warning, not a failure.
+        width_diffs = [
+            f"{c}: {spdf[c].dtype} vs {opdf[c].dtype}"
+            for c in spdf.columns
+            if c in opdf.columns and str(spdf[c].dtype) != str(opdf[c].dtype)
+        ]
+        results[name] = ("OK" if not width_diffs
+                         else "OK (dtype-width: " + "; ".join(width_diffs[:3]) + ")")
     return results

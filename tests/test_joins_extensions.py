@@ -56,6 +56,39 @@ class TestAsofJoin:
         assert out.count() == left.count()
 
 
+class TestIntervalJoin:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 1, 5), (2, 1, 15), (3, 1, 99), (4, 2, 5)],
+            "lid long, key long, t long")
+        right = spark.createDataFrame(
+            [(10, 1, 0, 10), (11, 1, 12, 20), (12, 2, 0, 3)],
+            "iid long, key long, s long, e long")
+        return left, right
+
+    def test_bucketed_matches_broadcast(self, frames):
+        left, right = frames
+        bucketed = joins.interval_join(left, right, "t", "s", "e", by="key",
+                                       bucket_width=7, right_cols=["iid"])
+        d = {r["lid"]: r["iid"] for r in bucketed.collect()}
+        assert d == {1: 10, 2: 11}  # t=99 and key-2 t=5 match nothing
+
+    def test_non_bucketed_left_semantics(self, frames):
+        left, right = frames
+        out = joins.interval_join(left, right, "t", "s", "e", by="key",
+                                  right_cols=["iid"])
+        d = {r["lid"]: r["iid"] for r in out.collect()}
+        assert d == {1: 10, 2: 11, 3: None, 4: None}
+
+    def test_interval_spanning_many_buckets(self, spark):
+        left = spark.createDataFrame([(1, 50)], "lid long, t long")
+        right = spark.createDataFrame([(9, 0, 100)], "iid long, s long, e long")
+        out = joins.interval_join(left, right, "t", "s", "e",
+                                  bucket_width=3, right_cols=["iid"])
+        assert out.first()["iid"] == 9
+
+
 class TestPlanShape:
     """Assert the physical plans the engine promises at scale."""
 
