@@ -34,6 +34,8 @@ HEADLINE = [
     "segment_revenue",
     "nation_revenue",
     "asof_join",
+    "interval_join",
+    "apply_zscore",
     "dedup_exact",
     "doc_token_stats",
     "minhash_neardup",
