@@ -41,6 +41,73 @@ def _sql_trigrams(toks: str) -> str:
     )
 
 
+def _sql_minhash_poly(num_hashes: int = 8, bands: int = 4,
+                      threshold: float = 0.3) -> str:
+    """DuckDB twin of minhash_dedup(hash_fn="poly"): same shingles, same
+    poly base hash, same affine families mod 2^31−1, same band fold, same
+    candidate join and Jaccard verify — a full value-level check of the LSH
+    pipeline (the xxhash64 production variant stays rows-only)."""
+    P = 2_147_483_647
+    M, MUL = tx.POLY_MOD, tx.POLY_MUL
+    poly_s = tx.sql_poly_hash("s")
+    sig_exprs = []
+    for i in range(num_hashes):
+        a, b = 2 * i + 1, (0x9E3779B9 * (i + 1)) % P
+        sig_exprs.append(
+            f"list_min(list_transform(h, x0 -> ((x0 % {P}) * {a} + {b}) % {P}))")
+    rpb = num_hashes // bands
+    entries = []
+    for bd in range(bands):
+        acc = "CAST(0 AS BIGINT)"
+        for r in range(rpb):
+            acc = f"(({acc}) * {MUL} + sig[{bd * rpb + r + 1}]) % {M}"
+        entries.append(f"SELECT id, {bd} AS band, {acc} AS bhash FROM sigs")
+    entries_sql = " UNION ALL ".join(entries)
+    return f"""
+        WITH reps AS (SELECT min(doc_id) AS id, text FROM documents GROUP BY text),
+        tk AS (SELECT id, {_TOKS} AS toks FROM reps),
+        grams AS (SELECT id, list_distinct({_sql_trigrams('toks')}) AS g FROM tk),
+        hs AS (SELECT id, g, list_transform(g, s -> {poly_s}) AS h FROM grams),
+        sigs AS (SELECT id, g, [{', '.join(sig_exprs)}] AS sig FROM hs),
+        entries AS ({entries_sql}),
+        cands AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM entries a JOIN entries b USING (band, bhash)
+            WHERE a.id < b.id
+        )
+        SELECT id_a, id_b, jaccard FROM (
+            SELECT id_a, id_b,
+                   CASE WHEN len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) > 0
+                        THEN CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                             / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))
+                        ELSE 0.0 END AS jaccard
+            FROM cands
+            JOIN grams ga ON ga.id = cands.id_a
+            JOIN grams gb ON gb.id = cands.id_b
+        ) WHERE jaccard >= {threshold}
+    """
+
+
+def _sql_simhash_poly(bits: int = 24) -> str:
+    """DuckDB twin of simhash(hash_fn="poly", bits<=30)."""
+    poly_t = tx.sql_poly_hash("t")
+    bit_terms = []
+    for j in range(bits):
+        votes = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(th, h -> CASE WHEN ((h >> {j}) & 1) = 1 "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), "
+            f"(a, x) -> a + x)")
+        bit_terms.append(
+            f"CASE WHEN {votes} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    total = " + ".join(bit_terms)
+    return f"""
+        WITH tk AS (SELECT doc_id AS id, list_distinct({_TOKS}) AS tkl FROM documents),
+        hs AS (SELECT id, list_transform(tkl, t -> {poly_t}) AS th FROM tk)
+        SELECT id, CAST({total} AS BIGINT) AS simhash FROM hs
+    """
+
+
 def _sql_lang_scores() -> tuple[str, str]:
     """(CTE column defs, CASE expression) replicating functions.text.lang_id."""
     defs = []
@@ -76,8 +143,11 @@ def _q_q1_pricing_summary(spark, sf):
         "disc_price", F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return GroupBy(li, ["l_returnflag", "l_linestatus"]).agg({
         "sum_qty": ("sum", "l_quantity"),
-        "sum_base_price": ("sum", "l_extendedprice"),
-        "sum_disc_price": ("sum", "disc_price"),
+        # dsum: order-independent decimal accumulation — these sums hit ~1e9
+        # at sf0.1+ where float addition order flips the last rounded digit
+        # across partition schedules (hash-stability, VERDICT r1 §wrong.1)
+        "sum_base_price": ("dsum", "l_extendedprice"),
+        "sum_disc_price": ("dsum", "disc_price"),
         "avg_qty": ("mean", "l_quantity"),
         "avg_price": ("mean", "l_extendedprice"),
         "avg_disc": ("mean", "l_discount"),
@@ -356,7 +426,7 @@ def _q_segment_revenue(spark, sf):
     joined = joins.broadcast_dim_join(joined, cust,
                                       on=[F.col("o_custkey") == F.col("c_custkey")])
     return GroupBy(joined, "c_mktsegment").agg({
-        "revenue": ("sum", "revenue"),
+        "revenue": ("dsum", "revenue"),  # order-independent (hash-stable) sum
         "n_orders": ("nunique", "o_orderkey"),
         "n_lineitems": ("size", ""),
     })
@@ -374,7 +444,7 @@ def _q_nation_revenue(spark, sf):
     joined = joins.broadcast_dim_join(
         li.withColumn("revenue", F.col("l_extendedprice") * (1 - F.col("l_discount"))),
         dims, on=[F.col("l_suppkey") == F.col("s_suppkey")])
-    return GroupBy(joined, ["r_name", "n_name"]).agg({"revenue": ("sum", "revenue")})
+    return GroupBy(joined, ["r_name", "n_name"]).agg({"revenue": ("dsum", "revenue")})
 
 
 def _q_asof_join(spark, sf):
@@ -482,6 +552,19 @@ def _q_minhash_dedup(spark, sf):
                                num_hashes=16, bands=8)
 
 
+def _q_minhash_poly(spark, sf):
+    """Oracle-checkable LSH: identical pipeline to minhash_neardup but every
+    hash is the ANSI poly hash, so DuckDB reproduces the exact values."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.minhash_dedup(docs, "text", "doc_id", threshold=0.3,
+                               num_hashes=8, bands=4, hash_fn="poly")
+
+
+def _q_simhash_poly(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return dedup.simhash(docs, "text", "doc_id", bits=24, hash_fn="poly")
+
+
 def _q_simhash_candidates(spark, sf):
     docs = load_table(spark, sf, "documents")
     sigs = dedup.simhash(docs, "text", "doc_id")
@@ -521,6 +604,11 @@ def _q_ivf_knn(spark, sf):
 
 def _q_multimodal_meta(spark, sf):
     docs = load_table(spark, sf, "documents")
+    # The stub decoder works on UTF-8 BYTES while the SQL oracle can only
+    # address CHARACTERS (ascii()/length()); restrict to ASCII docs — where
+    # the two coincide — so the parity dependency is explicit, not an
+    # accident of the corpus (ADVICE r1 #5). ASCII ⇔ char len == byte len.
+    docs = docs.filter(F.length("text") == F.octet_length("text"))
     blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
     return multimodal.extract_image_features(blobs, "blob", "doc_id")
 
@@ -578,7 +666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "trigram_jaccard_pairs": _q_trigram_jaccard,
         "minhash_neardup": _q_minhash_dedup,
+        "minhash_neardup_poly": _q_minhash_poly,
         "simhash_candidates": _q_simhash_candidates,
+        "simhash_poly": _q_simhash_poly,
         "knn_cosine": _q_knn,
         "cosine_neardup": _q_cosine_neardup,
         "hyperplane_lsh_buckets": _q_lsh_buckets,
@@ -597,8 +687,10 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                     AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+                     AS sum_disc_price,
                    avg(l_quantity) AS avg_qty,
                    avg(l_extendedprice) AS avg_price,
                    avg(l_discount) AS avg_disc,
@@ -691,7 +783,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN GROUPING(l_linestatus) = 1 THEN 'All' ELSE l_linestatus END
                      AS l_linestatus,
                    sum(l_quantity) AS sum_qty
-            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "crosstab_pivot": """
             SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'All' ELSE l_returnflag END
@@ -813,7 +905,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "segment_revenue": """
             SELECT c_mktsegment,
-                   sum(l_extendedprice * (1 - l_discount)) AS revenue,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+                     AS revenue,
                    count(DISTINCT o_orderkey) AS n_orders,
                    count(*) AS n_lineitems
             FROM lineitem
@@ -823,7 +916,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nation_revenue": """
             SELECT r_name, n_name,
-                   sum(l_extendedprice * (1 - l_discount)) AS revenue
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+                     AS revenue
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
@@ -1051,7 +1145,13 @@ def oracle_sql() -> dict[str, str]:
                                        i -> ascii(substr(text, CAST(i AS INT), 1)))),
                         (a, x) -> a + x)::DOUBLE / least(length(text), 64) AS mean_byte
             FROM documents
+            WHERE length(text) = octet_length(encode(text))
         """,
         # minhash_neardup, simhash_candidates, hyperplane_lsh_buckets: xxhash64-
-        # seeded — not reproducible in ANSI SQL; driver records rows-only checks.
+        # seeded — not reproducible in ANSI SQL; driver records rows-only
+        # checks. The *_poly variants below run the SAME pipelines on the
+        # ANSI poly hash and are value-checked end-to-end.
+        "minhash_neardup_poly": _sql_minhash_poly(num_hashes=8, bands=4,
+                                                  threshold=0.3),
+        "simhash_poly": _sql_simhash_poly(bits=24),
     }

@@ -3,10 +3,12 @@
 on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is materialized with a cheap count-style action (the driver
-collects separately for correctness); timings exclude session startup and
-include one warm-up run of a trivial action so JVM/codegen startup cost is
-not attributed to the first query.
+Each query is materialized with a noop-datasource write: every output column
+is fully computed and serialized, but nothing lands on disk. A bare
+``df.count()`` would let Catalyst prune unused projections and window columns
+— map-only queries would time little more than the parquet scan (ADVICE r1
+#2). Timings exclude session startup and include one warm-up run so
+JVM/codegen startup cost is not attributed to the first query.
 """
 
 from __future__ import annotations
@@ -63,9 +65,10 @@ def main() -> None:
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # noop sink: forces evaluation of EVERY output column (no projection
+        # pruning under count), writes nothing.
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

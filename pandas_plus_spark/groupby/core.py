@@ -189,7 +189,7 @@ class GroupBy:
     # ------------------------------------------------------------------ #
 
     _ARITHMETIC_FUNCS = frozenset(
-        {"sum", "mean", "sum_squares", "median", "approx_median", "var", "std"})
+        {"sum", "dsum", "mean", "sum_squares", "median", "approx_median", "var", "std"})
 
     def _agg_expr(self, func: str, col: str, mask, ddof: int = 1) -> Column:
         """One aggregate expression with inline-mask semantics."""
@@ -205,6 +205,14 @@ class GroupBy:
         v = self._masked(col, mask)
         if func == "sum":
             return F.sum(v)
+        if func == "dsum":
+            # order-independent sum: per-row cast to exact decimal, integer
+            # accumulation, cast back. Float sums at ~1e9 magnitude differ in
+            # the last ulps across partition orders (IEEE addition is not
+            # associative); at 1000 executors the order is nondeterministic,
+            # so any hash/equality check on a big float sum flaps. The
+            # decimal path costs one widening per row and is bit-stable.
+            return F.sum(v.cast("decimal(27,6)")).cast("double")
         if func == "mean":
             return F.avg(v)
         if func == "min":
@@ -316,8 +324,10 @@ class GroupBy:
         # observed_only=True drops groups whose rows are ALL masked out
         # (reference core.py:704-717) — co-compute the masked size in the
         # same pass, filter, drop the helper column. Without a mask every
-        # group trivially has rows, so nothing to do.
-        drop_unobserved = observed_only and mask is not None
+        # group trivially has rows, so nothing to do. The reference exempts
+        # size(): fully-masked groups report size 0, not dropped
+        # (core.py:704-717 gates on func_name != "size").
+        drop_unobserved = observed_only and mask is not None and func != "size"
         if drop_unobserved:
             exprs = list(exprs) + [self._agg_expr("size", "", mask).alias("__obs")]
         out = base.groupBy(*self._keys).agg(*exprs)
@@ -333,19 +343,19 @@ class GroupBy:
         core.py:1994-2051). Catalyst evaluates every requested grouping set
         in ONE pass — no recursive re-aggregation.
 
-        margins=True → rollup (hierarchical totals). margins=[key names] →
-        cube filtered to combos collapsing only subsets of the given levels
-        (the reference's per-level margin selection, core.py:427-444)."""
+        margins=True → full cube: an "All" row for EVERY level and their
+        combinations (reference add_row_margin with levels=None recurses over
+        all index levels, core.py:1994-2051 — NOT a hierarchical rollup).
+        margins=[key names] → cube filtered to combos collapsing only subsets
+        of the given levels (the per-level selection, core.py:427-444)."""
         if margins is True:
-            grouped = base.rollup(*self._keys)
-            allowed = None
-        else:
-            levels = [margins] if isinstance(margins, str) else list(margins)
-            bad = [l for l in levels if l not in self._keys]
-            if bad:
-                raise ValueError(f"margin level(s) {bad} not in keys {self._keys}")
-            grouped = base.cube(*self._keys)
-            allowed = set(levels)
+            margins = list(self._keys)
+        levels = [margins] if isinstance(margins, str) else list(margins)
+        bad = [l for l in levels if l not in self._keys]
+        if bad:
+            raise ValueError(f"margin level(s) {bad} not in keys {self._keys}")
+        grouped = base.cube(*self._keys)
+        allowed = set(levels)
         gcols = [F.grouping(k).alias(f"__g_{k}") for k in self._keys]
         rolled = grouped.agg(*exprs, *gcols)
         if allowed is not None:
@@ -416,6 +426,35 @@ class GroupBy:
         # the sketch is one pass, mergeable map-side.
         return self._apply("approx_nunique" if approx else "nunique", values, **kw)
 
+    # callable → builtin name, exactly the reference's `__name__` dispatch
+    # (core.py:1210-1213). `np.mean.__name__ == "mean"` etc.; aliases cover
+    # the common numpy/builtin spellings whose __name__ differs from ours.
+    _FUNC_ALIASES = {
+        "amin": "min", "amax": "max", "nanmin": "min", "nanmax": "max",
+        "nansum": "sum", "nanmean": "mean", "nanmedian": "median",
+        "nanvar": "var", "nanstd": "std", "average": "mean", "avg": "mean",
+        "len": "size",
+    }
+
+    _KNOWN_FUNCS = frozenset(
+        {"sum", "dsum", "mean", "min", "max", "count", "size", "sum_squares",
+         "median", "approx_median", "var", "std", "nunique", "approx_nunique",
+         "first", "last"})
+
+    @classmethod
+    def _resolve_func(cls, func) -> str:
+        if callable(func) and not isinstance(func, str):
+            func = getattr(func, "__name__", None)
+            if func is None:
+                raise TypeError(
+                    "callable aggregation must have a __name__ resolving to a "
+                    "built-in (the engine never executes arbitrary Python "
+                    "per group — use GroupBy.apply for that)")
+        func = cls._FUNC_ALIASES.get(func, func)
+        if func not in cls._KNOWN_FUNCS:
+            raise ValueError(f"unknown aggregation {func!r}")
+        return func
+
     def agg(self, spec, mask=None, margins: bool = False,
             observed_only: bool = True) -> DataFrame:
         """Multiple aggregations in ONE pass (the reference fans funcs out
@@ -424,10 +463,16 @@ class GroupBy:
 
         spec: {out_name: (func, col)} or {out_name: (func, col, kwargs)}
         or [(func, col), ...] or {col: func_or_list}.
+
+        Any `func` may also be a callable: it is resolved by its `__name__`
+        to the built-in of that name (reference core.py:1210-1213 — the
+        reference does `agg_func.__name__` then `getattr(self, name)`, so
+        `gb.agg(np.sum)` runs the native sum kernel, not the callable).
         """
         exprs: list[Column] = []
 
-        def add(func: str, col: str, name: str, **kw):
+        def add(func, col: str, name: str, **kw):
+            func = self._resolve_func(func)
             if func in ("first", "last"):
                 e = self._ordered_first_last(func, col, mask)
             else:
@@ -440,13 +485,16 @@ class GroupBy:
                     add(v[0], v[1], k, **v[2])
                 elif isinstance(v, tuple):  # {out_name: (func, col)}
                     add(v[0], v[1], k)
-                elif isinstance(v, str):  # {col: func}
-                    add(v, k, f"{k}_{v}")
+                elif isinstance(v, str) or callable(v):  # {col: func}
+                    fn = self._resolve_func(v)
+                    add(fn, k, f"{k}_{fn}")
                 else:  # {col: [funcs]}
                     for fn in v:
+                        fn = self._resolve_func(fn)
                         add(fn, k, f"{k}_{fn}")
         else:
             for fn, col in spec:
+                fn = self._resolve_func(fn)
                 add(fn, col, f"{col}_{fn}")
         if margins:
             return self._finish(self._with_margins(self._base(), exprs, margins))

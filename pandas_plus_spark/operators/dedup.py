@@ -25,8 +25,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import simple_tokens, word_ngrams
-from ..util import ensure_parallelism
+from ..functions.text import simple_tokens, word_ngrams, _token_poly_hash
+from ..util import attach_cached, ensure_parallelism
+
+# Production hashing is xxhash64 (JVM, codegen, 64-bit). ``hash_fn="poly"``
+# switches every hash in the pipeline to the ANSI-reproducible polynomial
+# rolling hash (functions/text.py poly_hash) so the whole operator can be
+# verified value-for-value against an independent SQL engine — the oracle
+# gate runs the poly variant, production keeps xxhash64.
+_HASH_FNS = ("xxhash64", "poly")
+
+
+def _base_hash(hash_fn: str):
+    if hash_fn == "xxhash64":
+        return F.xxhash64
+    if hash_fn == "poly":
+        return _token_poly_hash
+    raise ValueError(f"hash_fn must be one of {_HASH_FNS}, got {hash_fn!r}")
 
 
 # --------------------------------------------------------------------- #
@@ -55,22 +70,24 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 32,
     shingle_size: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig: array<long>) — one-hash minhash: xxhash64 per shingle once,
+    """(id, sig: array<long>) — one-hash minhash: one base hash per shingle,
     then k affine families a_i·h + b_i (mod 2^31−1) over the base hash. All
     JVM expression work, no Python."""
+    h = _base_hash(hash_fn)
     df = ensure_parallelism(df)
     toks = simple_tokens(F.col(text_col))
     shingles = F.array_distinct(word_ngrams(toks, shingle_size))
 
-    # Hash every shingle string ONCE (xxhash64), then derive the k families
-    # as affine transforms a_i·h + b_i over the base hash — the classic
-    # one-hash minhash construction. Staged projections keep the interpreted
+    # Hash every shingle string ONCE, then derive the k families as affine
+    # transforms a_i·h + b_i over the base hash — the classic one-hash
+    # minhash construction. Staged projections keep the interpreted
     # higher-order lambdas from being recomputed per family (CollapseProject
     # leaves multi-referenced non-trivial aliases alone).
     staged = df.select(
         F.col(id_col).alias("id"),
-        F.transform(shingles, lambda s: F.xxhash64(s)).alias("__h"),
+        F.transform(shingles, lambda s: h(s)).alias("__h"),
     )
 
     # affine families over the prime field 2^31−1: values stay well inside
@@ -92,6 +109,7 @@ def minhash_lsh_candidates(
     sigs: DataFrame,
     bands: int = 8,
     num_hashes: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing at least one LSH band.
 
@@ -103,29 +121,40 @@ def minhash_lsh_candidates(
     Pass ``num_hashes`` to avoid an extra job just to read the signature
     width. The bucket-entry frame is persisted: both sides of the self-join
     read it, and it is tiny (id + band + 8-byte hash per row)."""
+    if hash_fn not in _HASH_FNS:
+        raise ValueError(f"hash_fn must be one of {_HASH_FNS}, got {hash_fn!r}")
     n = num_hashes if num_hashes is not None else sigs.select(F.size("sig")).first()[0]
     rows_per_band = n // bands
+
+    def band_hash(b: int):
+        vals = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*vals)
+        # ANSI twin: polynomial fold of the band's signature values
+        acc = F.lit(0).cast("long")
+        for v in vals:
+            acc = (acc * F.lit(31) + v) % F.lit(1_000_000_007)
+        return acc
+
     bucket_entries = sigs.select(
         "id",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                                 for r in range(rows_per_band)]).alias("bhash"),
-                )
+                F.struct(F.lit(b).alias("band"), band_hash(b).alias("bhash"))
                 for b in range(bands)
             ])
         ).alias("bucket"),
     ).select("id", "bucket.band", "bucket.bhash").persist()
     a = bucket_entries.alias("a")
     b = bucket_entries.alias("b")
-    return (
+    out = (
         a.join(b, on=["band", "bhash"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # caller frees the bucket cache via util.release_cached once materialized
+    return attach_cached(out, bucket_entries)
 
 
 def ngram_jaccard_pairs(
@@ -162,10 +191,13 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     union = F.size("grams_a") + F.size("grams_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    return (
+    out = (
         pairs.select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    if candidates is not None:
+        out = attach_cached(out, grams, *getattr(candidates, "_pps_cached", ()))
+    return out
 
 
 def minhash_dedup(
@@ -177,6 +209,7 @@ def minhash_dedup(
     bands: int = 8,
     shingle_size: int = 3,
     pre_dedup_exact: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup pipeline: minhash → LSH candidates → exact Jaccard
     verify. Returns (id_a, id_b, jaccard) for confirmed near-duplicates.
@@ -189,8 +222,10 @@ def minhash_dedup(
     with ``exact_dedup`` for the full duplicate graph."""
     if pre_dedup_exact:
         df = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
-    cands = minhash_lsh_candidates(sigs, bands, num_hashes=num_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size,
+                              hash_fn=hash_fn)
+    cands = minhash_lsh_candidates(sigs, bands, num_hashes=num_hashes,
+                                   hash_fn=hash_fn)
     return ngram_jaccard_pairs(df, text_col, id_col, threshold, shingle_size, candidates=cands)
 
 
@@ -198,15 +233,22 @@ def minhash_dedup(
 # SimHash
 # --------------------------------------------------------------------- #
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64,
+            hash_fn: str = "xxhash64") -> DataFrame:
     """(id, simhash) — classic bit-vote simhash over whitespace tokens.
 
     bit_j of the signature is 1 iff the majority of token hashes have bit_j
     set. Computed as: for each bit, sum of ±1 votes via shiftright/mask —
-    all integer Column arithmetic, single projection, no shuffle."""
+    all integer Column arithmetic, single projection, no shuffle.
+
+    hash_fn="poly" gives the ANSI-reproducible oracle variant; the poly hash
+    carries only ~30 meaningful bits (mod 1e9+7), so pass bits<=30 with it."""
+    h = _base_hash(hash_fn)
+    if hash_fn == "poly" and bits > 30:
+        raise ValueError("poly hash has ~30 usable bits; pass bits<=30")
     df = ensure_parallelism(df)
     toks = simple_tokens(F.col(text_col))
-    hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+    hashes = F.transform(F.array_distinct(toks), lambda t: h(t))
     # stage the token-hash array: all `bits` vote expressions read it
     staged = df.select(F.col(id_col).alias("id"), hashes.alias("__th"))
 

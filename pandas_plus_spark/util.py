@@ -17,3 +17,28 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def attach_cached(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Record the persisted intermediates an operator's result depends on.
+
+    Operators persist frames that both sides of a self-join read (bucket
+    entries, gram sets). ``DataFrame.persist`` pins executor storage until an
+    explicit ``unpersist`` — Spark's CacheManager is keyed by logical plan and
+    never GC-driven — so a long-lived session calling such operators in a loop
+    would leak storage memory. The handles ride on the result; call
+    :func:`release_cached` once the result is materialized (or no longer
+    needed) to free them deterministically."""
+    existing = list(getattr(out, "_pps_cached", ()))
+    out._pps_cached = existing + list(cached)
+    return out
+
+
+def release_cached(df: DataFrame) -> None:
+    """Unpersist every intermediate recorded by :func:`attach_cached`."""
+    for f in getattr(df, "_pps_cached", ()):
+        try:
+            f.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+    df._pps_cached = []

@@ -236,3 +236,53 @@ class TestRowSelection:
         assert {(r["key"], r["val"]) for r in g.nth(3).collect()} == {("C", 9)}
         nth_neg = {(r["key"], r["val"]) for r in g.nth(-2).collect()}
         assert nth_neg == {("A", 2), ("B", 4), ("C", 8)}
+
+
+class TestReferenceParityRound2:
+    """Semantics pinned in round 2: callable agg dispatch, full-cube margins,
+    size() on fully-masked groups, order-independent dsum."""
+
+    def test_agg_callable_resolution(self, nullable_df):
+        # reference resolves callables by __name__ (core.py:1210-1213):
+        # gb.agg(np.sum) runs the native sum kernel.
+        import numpy as np
+        d = rows_dict(GroupBy(nullable_df, "key").agg({"s": (np.sum, "val")}),
+                      "key", "s")
+        assert d == {1: 3, 2: 4, 3: 6, 6: 12}
+        out2 = GroupBy(nullable_df, "key").agg({"val": np.mean})
+        assert "val_mean" in out2.columns
+        out3 = GroupBy(nullable_df, "key").agg({"val": [np.nansum, "max"]})
+        assert {"val_sum", "val_max"} <= set(out3.columns)
+
+    def test_agg_unknown_callable_raises(self, nullable_df):
+        with pytest.raises(ValueError, match="unknown aggregation"):
+            GroupBy(nullable_df, "key").agg({"s": ((lambda x: x), "val")})
+
+    def test_margins_true_is_full_cube(self, spark):
+        # reference add_row_margin(levels=None) emits 'All' rows for EVERY
+        # level and their combinations (core.py:1994-2051) — not a rollup.
+        df = spark.createDataFrame(
+            [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)],
+            "k1 string, k2 string, v double")
+        out = GroupBy(df, ["k1", "k2"]).agg({"s": ("sum", "v")}, margins=True)
+        d = {(r["k1"], r["k2"]): r["s"] for r in out.collect()}
+        assert d[("All", "x")] == 5.0  # the row a rollup omits
+        assert d[("a", "All")] == 3.0
+        assert d[("All", "All")] == 7.0
+        assert len(d) == 3 + 2 + 2 + 1  # cells + k1-All + k2-All + grand
+
+    def test_size_keeps_fully_masked_groups(self, nullable_df):
+        # reference core.py:704-717 exempts size() from observed_only drops:
+        # a fully-masked group reports 0.
+        d = rows_dict(GroupBy(nullable_df, "key").size(mask=F.col("mask")),
+                      "key", "size")
+        assert d[1] == 0
+        assert d[2] == 1
+
+    def test_dsum_matches_sum(self, nullable_df):
+        g = GroupBy(nullable_df, "key")
+        d = rows_dict(g.agg({"s": ("dsum", "fval")}), "key", "s")
+        e = rows_dict(g.agg({"s": ("sum", "fval")}), "key", "s")
+        assert set(d) == set(e)
+        for k, v in e.items():
+            assert d[k] == pytest.approx(v)
