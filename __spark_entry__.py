@@ -381,6 +381,15 @@ def _q_scatter_bins(spark, sf):
                                 tiebreak=["l_orderkey", "l_linenumber"])
 
 
+def _q_scatter_bins_approx(spark, sf):
+    """Scale path for GroupScatter binning: exact quantile cutpoints
+    (approxQuantile, relative_error=0) + map-side bucketing — no global
+    sort. Ties bucket together (documented divergence from ntile)."""
+    li = load_table(spark, sf, "lineitem")
+    return binned_scatter_stats(li, "l_extendedprice", "l_quantity", n_bins=20,
+                                method="cutpoints")
+
+
 def _q_linear_fit(spark, sf):
     """GroupScatter's regression line from distributed moments
     (cov/var closed form — one aggregation pass)."""
@@ -402,6 +411,17 @@ def _q_rolling_sum_masked(spark, sf):
     out = g.rolling_sum("value", window=3, mask=F.col("event_type") != "error",
                         min_periods=1)
     return out.select("event_id", "user_id", "value_rolling_sum")
+
+
+def _q_shift_masked(spark, sf):
+    """Masked shift/diff: lag over UNMASKED observations only, NULL at
+    masked rows (reference numba.py:1534-1583 circular-buffer kernel)."""
+    ev = load_table(spark, sf, "events")
+    g = GroupBy(ev, "user_id", order_by=["ts", "event_id"])
+    m = F.col("event_type") != "error"
+    sh = g.shift("value", mask=m).select("event_id", "user_id", "value_shift")
+    d = g.diff("value", mask=m).select("event_id", "value_diff")
+    return sh.join(d, "event_id")
 
 
 def _q_observed_only_false(spark, sf):
@@ -602,6 +622,30 @@ def _q_ivf_knn(spark, sf):
     return similarity.ivf_knn(emb, queries_df, k=3, n_lists=16, n_probes=4)
 
 
+_SKEW_ORDER = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+
+
+def _q_skew_topn_salted(spark, sf):
+    """Top-n per key where ~97% of rows share ONE key — the skew stress.
+    head(salt=32) fans the hot key's sort over 32 tasks (local top-n per
+    (key, salt-bucket), exact top-n over the ≤ n·32 survivors)."""
+    li = load_table(spark, sf, "lineitem").withColumn(
+        "skew_key",
+        F.when(F.col("l_orderkey") % 100 < 97, F.lit(0).cast("long"))
+         .otherwise(F.lit(1) + F.pmod(F.col("l_orderkey"), F.lit(97))))
+    g = GroupBy(li, "skew_key", order_by=_SKEW_ORDER)
+    return g.head(3, salt=32).select("skew_key", *_SKEW_ORDER)
+
+
+def _q_skew_topn_uniform(spark, sf):
+    """The unskewed comparator for skew_topn_salted: same data volume,
+    uniform key, plain per-key ranking."""
+    li = load_table(spark, sf, "lineitem").withColumn(
+        "skew_key", F.pmod(F.col("l_orderkey"), F.lit(97)))
+    g = GroupBy(li, "skew_key", order_by=_SKEW_ORDER)
+    return g.head(3).select("skew_key", *_SKEW_ORDER)
+
+
 def _q_multimodal_meta(spark, sf):
     docs = load_table(spark, sf, "documents")
     # The stub decoder works on UTF-8 BYTES while the SQL oracle can only
@@ -646,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_mean": _q_rolling_mean,
         "rolling_minmax": _q_rolling_minmax,
         "rolling_sum_masked": _q_rolling_sum_masked,
+        "shift_masked": _q_shift_masked,
         "observed_only_false": _q_observed_only_false,
         "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
@@ -659,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bools_to_categorical": _q_bools_labels,
         "linear_combination": _q_lincomb,
         "scatter_bins": _q_scatter_bins,
+        "scatter_bins_approx": _q_scatter_bins_approx,
         "linear_fit": _q_linear_fit,
         "dedup_exact": _q_dedup_exact,
         "doc_token_stats": _q_token_stats,
@@ -671,6 +717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_poly": _q_simhash_poly,
         "knn_cosine": _q_knn,
         "cosine_neardup": _q_cosine_neardup,
+        "skew_topn_salted": _q_skew_topn_salted,
+        "skew_topn_uniform": _q_skew_topn_uniform,
         "hyperplane_lsh_buckets": _q_lsh_buckets,
         "ivf_knn": _q_ivf_knn,
         "multimodal_image_meta": _q_multimodal_meta,
@@ -891,6 +939,27 @@ def oracle_sql() -> dict[str, str]:
             FROM base b LEFT JOIN obs o
               ON b.user_id = o.user_id AND b.obs_idx = o.obs_idx
         """,
+        "shift_masked": """
+            WITH base AS (
+                SELECT event_id, user_id, value, ts,
+                       (event_type != 'error') AS m,
+                       sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS obs_idx
+                FROM events
+            ), obs AS (
+                SELECT user_id, obs_idx,
+                       lag(value, 1) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS sh
+                FROM base WHERE m
+            )
+            SELECT b.event_id, b.user_id,
+                   CASE WHEN b.m THEN o.sh END AS value_shift,
+                   CASE WHEN b.m THEN b.value - o.sh END AS value_diff
+            FROM base b LEFT JOIN obs o
+              ON b.user_id = o.user_id AND b.obs_idx = o.obs_idx
+        """,
         "observed_only_false": """
             WITH seg AS (SELECT DISTINCT c_mktsegment FROM customer),
             nat AS (SELECT DISTINCT c_nationkey FROM customer),
@@ -1030,6 +1099,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM b GROUP BY bin
         """,
+        "scatter_bins_approx": f"""
+            WITH cl AS (
+                SELECT quantile_disc(l_extendedprice,
+                    [{', '.join(str(i / 20) for i in range(1, 20))}]) AS cuts
+                FROM lineitem
+            ), b AS (
+                SELECT CAST(1 + len(list_filter(cl.cuts,
+                                c -> li.l_extendedprice > c)) AS INTEGER) AS bin,
+                       li.l_extendedprice, li.l_quantity
+                FROM lineitem li CROSS JOIN cl
+            )
+            SELECT bin, avg(l_extendedprice) AS x_mean, avg(l_quantity) AS y_mean,
+                   count(*) AS n
+            FROM b GROUP BY bin
+        """,
         "linear_fit": """
             SELECT regr_intercept(l_extendedprice, l_quantity) AS intercept,
                    regr_slope(l_extendedprice, l_quantity) AS slope
@@ -1134,6 +1218,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM n a, n b
                 WHERE a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.30
+        """,
+        "skew_topn_salted": """
+            WITH t AS (
+                SELECT CASE WHEN l_orderkey % 100 < 97 THEN 0
+                            ELSE 1 + (l_orderkey % 97) END AS skew_key,
+                       l_orderkey, l_linenumber, l_quantity, l_extendedprice
+                FROM lineitem
+            )
+            SELECT skew_key, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM t
+            QUALIFY row_number() OVER (
+                PARTITION BY skew_key
+                ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) <= 3
+        """,
+        "skew_topn_uniform": """
+            WITH t AS (
+                SELECT l_orderkey % 97 AS skew_key,
+                       l_orderkey, l_linenumber, l_quantity, l_extendedprice
+                FROM lineitem
+            )
+            SELECT skew_key, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM t
+            QUALIFY row_number() OVER (
+                PARTITION BY skew_key
+                ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) <= 3
         """,
         "multimodal_image_meta": """
             SELECT doc_id,

@@ -43,6 +43,10 @@ HEADLINE = [
     "minhash_neardup",
     "knn_cosine",
     "winnow_fingerprints",
+    # skew pair: salted top-n on a 97%-hot key should stay within ~2x of the
+    # uniform-key equivalent (proves the salted path + AQE handle skew)
+    "skew_topn_salted",
+    "skew_topn_uniform",
 ]
 
 
@@ -55,10 +59,13 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
-    # warm-up: touch every table once (JIT/codegen/FS caches)
+    # warm-up: touch every table once (JIT/codegen/FS caches) and run one
+    # noop write so datasource/committer init isn't billed to the first query
     from pandas_plus_spark.sources import load_tables
     for df in load_tables(spark, sf_dir).values():
         df.count()
+    spark.range(1000).selectExpr("sum(id) as s").write.format("noop").mode(
+        "overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -770,25 +770,65 @@ class GroupBy:
                     min_periods: int | None = None) -> DataFrame:
         return self._rolling("max", values, window, mask, min_periods, "rolling_max")
 
-    def shift(self, values=None, window: int = 1) -> DataFrame:
-        """lag by `window` rows within group (reference core.py:1789-1838)."""
+    def shift(self, values=None, window: int = 1, mask=None) -> DataFrame:
+        """lag by `window` rows within group (reference core.py:1789-1838).
+
+        With ``mask``: the lag runs over UNMASKED observations only, and
+        masked rows emit NULL (reference _rolling_shift_or_diff_1d,
+        numba.py:1534-1583 — masked rows `continue` before any output write
+        and never enter the circular buffer)."""
         if not self._order_by:
             raise ValueError("shift requires order_by")
+        cols = self._numeric_values(values)
+        if mask is not None:
+            return self._shift_masked(cols, window, mask, diff=False)
         w = Window.partitionBy(*self._keys).orderBy(*self._order_by)
         out = self._base()
-        for c in self._numeric_values(values):
+        for c in cols:
             out = out.withColumn(f"{c}_shift", F.lag(c, window).over(w))
         return out
 
-    def diff(self, values=None, window: int = 1) -> DataFrame:
-        """x − lag(x, window) within group (reference core.py:1840-1889)."""
+    def diff(self, values=None, window: int = 1, mask=None) -> DataFrame:
+        """x − lag(x, window) within group (reference core.py:1840-1889).
+        ``mask`` follows the same observation-only semantics as shift."""
         if not self._order_by:
             raise ValueError("diff requires order_by")
+        cols = self._numeric_values(values)
+        if mask is not None:
+            return self._shift_masked(cols, window, mask, diff=True)
         w = Window.partitionBy(*self._keys).orderBy(*self._order_by)
         out = self._base()
-        for c in self._numeric_values(values):
+        for c in cols:
             out = out.withColumn(f"{c}_diff", F.col(c) - F.lag(c, window).over(w))
         return out
+
+    def _shift_masked(self, cols, window: int, mask, diff: bool) -> DataFrame:
+        """Masked shift/diff via the same obs-index machinery as
+        ``_rolling_masked``: lag over the FILTERED (unmasked) rows, equi-join
+        back on (keys, observation index), NULL at masked rows. Both sides
+        hash-distribute on the keys, so AQE reuses the exchange."""
+        suffix = "diff" if diff else "shift"
+        base = self._base()
+        mask_col = _col(mask)
+        cum = (
+            Window.partitionBy(*self._keys)
+            .orderBy(*self._order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        with_idx = base.withColumn("__m", mask_col).withColumn(
+            "__obs_idx", F.count(F.when(F.col("__m"), F.lit(1))).over(cum))
+        w = Window.partitionBy(*self._keys).orderBy(*self._order_by)
+        obs_sh = with_idx.filter(F.col("__m")).select(
+            *self._keys,
+            F.col("__obs_idx"),
+            *[F.lag(c, window).over(w).alias(f"__sh_{c}") for c in cols],
+        )
+        joined = with_idx.join(obs_sh, on=[*self._keys, "__obs_idx"], how="left")
+        for c in cols:
+            lagged = F.col(f"__sh_{c}")
+            val = (F.col(c) - lagged) if diff else lagged
+            joined = joined.withColumn(f"{c}_{suffix}", F.when(F.col("__m"), val))
+        return joined.drop("__obs_idx", "__m", *[f"__sh_{c}" for c in cols])
 
     # ------------------------------------------------------------------ #
     # sessionization (reference §2.6)
@@ -872,3 +912,10 @@ class GroupByRolling:
 
     def agg(self, func: str, values=None, mask=None) -> DataFrame:
         return self._call(func, values, mask)
+
+    def shift(self, values=None, mask=None) -> DataFrame:
+        # reference rolling_shift = shift (core.py:1838): window = lag depth
+        return self._gb.shift(values, window=self._window, mask=mask)
+
+    def diff(self, values=None, mask=None) -> DataFrame:
+        return self._gb.diff(values, window=self._window, mask=mask)

@@ -23,7 +23,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..util import ensure_parallelism
+from ..util import attach_cached, ensure_parallelism
+
+
+def _topk_per_query(sims: DataFrame, k: int,
+                    query_col: str = "query_id",
+                    order_col: str = "cos_sim",
+                    tiebreak_col: str = "neighbor_id") -> DataFrame:
+    """Two-stage top-k: local top-k within (query, input-partition), then the
+    global rank over the pruned set.
+
+    A single window partitioned by query alone funnels EVERY corpus row's
+    similarity for a query through ONE task — |corpus| rows per task at
+    scale. Stage 1 partitions by (query, spark_partition_id): parallelism is
+    queries × partitions and each task holds one partition's rows; it keeps
+    at most k rows per (query, partition). Stage 2's per-query window then
+    sees ≤ k·P rows, not |corpus|. Same result: a global top-k is contained
+    in the union of per-partition top-ks."""
+    ordering = (F.col(order_col).desc(), F.col(tiebreak_col))
+    local = Window.partitionBy(query_col, "__pid").orderBy(*ordering)
+    pruned = (
+        sims.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(local))
+        .where(F.col("__lr") <= k)
+        .drop("__pid", "__lr")
+    )
+    w = Window.partitionBy(query_col).orderBy(*ordering)
+    return pruned.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -49,8 +75,9 @@ def brute_force_knn(
     """Exact top-k by cosine for each query vector.
 
     Returns (query_id, neighbor_id, cos_sim, rank). Self-matches excluded.
-    The query side is broadcast; ranking is a window partitioned by query id
-    (bounded memory: k rows kept per partition after the filter).
+    The query side is broadcast; ranking is the two-stage top-k
+    (per-partition local top-k, then merge) so no task ever holds a whole
+    corpus's similarities for one query.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -72,11 +99,7 @@ def brute_force_knn(
             .alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _topk_per_query(sims, k)
 
 
 def cosine_neardup_pairs(
@@ -162,7 +185,8 @@ def lsh_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return cosine_neardup_pairs(df, threshold, id_col, vec_col, candidates=cands)
+    out = cosine_neardup_pairs(df, threshold, id_col, vec_col, candidates=cands)
+    return attach_cached(out, buckets)
 
 
 # --------------------------------------------------------------------- #
@@ -186,9 +210,14 @@ def ivf_build(
     """
     vecs = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).persist()
+    # n_lists lowest-id vectors via orderBy+limit — planned as
+    # TakeOrderedAndProject (per-partition top-n, merged on the driver),
+    # never a global single-task sort. The row_number window that assigns
+    # list ids runs on the already-LIMITed n_lists-row frame, so its lack of
+    # a partition key is harmless at any corpus size.
+    seed = vecs.orderBy("id").limit(n_lists)
     w = Window.orderBy("id")
-    centroids = (vecs.withColumn("__rn", F.row_number().over(w))
-                 .where(F.col("__rn") <= n_lists)
+    centroids = (seed.withColumn("__rn", F.row_number().over(w))
                  .select((F.col("__rn") - 1).alias("list_id"),
                          F.col("vec").alias("centroid")))
 
@@ -206,7 +235,7 @@ def ivf_build(
 
     for _ in range(n_iters):
         centroids = _centroid_update(assign(centroids))
-    assignments = assign(centroids).select("id", "list_id")
+    assignments = attach_cached(assign(centroids).select("id", "list_id"), vecs)
     return assignments, centroids
 
 
@@ -257,5 +286,7 @@ def ivf_knn(
         (_dot(F.col("qvec"), F.col(vec_col))
          / (F.col("qnorm") * _norm(F.col(vec_col)))).alias("cos_sim"),
     )
-    rw = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return sims.withColumn("rank", F.row_number().over(rw)).where(F.col("rank") <= k)
+    # probed candidate set is ~|corpus|·n_probes/n_lists per query — still
+    # corpus-proportional, so the same two-stage top-k applies.
+    return attach_cached(_topk_per_query(sims, k),
+                         *getattr(assignments, "_pps_cached", ()))

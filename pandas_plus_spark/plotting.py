@@ -20,16 +20,36 @@ def binned_scatter_stats(
     y: str,
     n_bins: int = 20,
     tiebreak: list[str] | None = None,
+    method: str = "ntile",
+    relative_error: float = 0.0,
 ) -> DataFrame:
     """(bin, x_mean, y_mean, n) with equal-count bins over x.
 
-    ``tiebreak`` columns make the ntile assignment deterministic when x has
-    duplicates. NB: a global ntile is a total sort — fine for plot prep; at
-    100 TB prefer approxQuantile cutpoints + a bucketing join.
-    """
-    order = [F.col(x)] + [F.col(c) for c in (tiebreak or [])]
-    w = Window.orderBy(*order)
-    binned = df.withColumn("bin", F.ntile(n_bins).over(w))
+    method="ntile": exact equal-count bins via a GLOBAL ordered window — a
+    total sort through one task. Exact, deterministic (``tiebreak`` columns
+    break x duplicates), but single-task: test/plot-prep scale only.
+
+    method="cutpoints": the 100 TB path. Quantile cutpoints via
+    ``approxQuantile`` (relative_error=0.0 → exact order statistics; raise it
+    for one-pass sketching at extreme scale), then a map-side bucket
+    assignment — no global sort, no single-task window; the only shuffle is
+    the n_bins-group aggregate. Ties all land in one bucket (unlike ntile,
+    which splits equal values to even out counts), so bin counts can be
+    uneven under heavy ties and trailing duplicate cutpoints leave empty
+    bins."""
+    if method == "cutpoints":
+        probs = [i / n_bins for i in range(1, n_bins)]
+        cuts = df.stat.approxQuantile(x, probs, relative_error)
+        bin_expr = F.lit(1)
+        for c in cuts:
+            bin_expr = bin_expr + (F.col(x) > F.lit(c)).cast("int")
+        binned = df.withColumn("bin", bin_expr)
+    elif method == "ntile":
+        order = [F.col(x)] + [F.col(c) for c in (tiebreak or [])]
+        w = Window.orderBy(*order)
+        binned = df.withColumn("bin", F.ntile(n_bins).over(w))
+    else:
+        raise ValueError(f"method must be 'ntile' or 'cutpoints', got {method!r}")
     return (
         binned.groupBy("bin")
         .agg(

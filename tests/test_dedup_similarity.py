@@ -129,3 +129,65 @@ class TestMultimodal:
         from pandas_plus_spark.operators.multimodal import decode_image_stub
         with pytest.raises(NotImplementedError):
             decode_image_stub(b"")
+
+
+class TestScaleShapes:
+    """Plan-level guarantees from the round-1 verdict: no corpus-sized
+    single-task funnels in the ANN paths."""
+
+    @pytest.fixture(scope="class")
+    def big_vecs(self, spark):
+        import random
+        random.seed(7)
+        rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(400)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>").repartition(8).persist()
+
+    def test_two_stage_topk_matches_single_window(self, big_vecs):
+        from pyspark.sql import Window
+        q = big_vecs.where("vec_id < 5")
+        got = similarity.brute_force_knn(big_vecs, q, k=7)
+        # naive single-window reference on the same similarity relation
+        sims = got.sparkSession.createDataFrame(
+            similarity.brute_force_knn(big_vecs, q, k=10**6)
+            .select("query_id", "neighbor_id", "cos_sim").toPandas())
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id"))
+        exp = (sims.withColumn("rank", F.row_number().over(w))
+               .where(F.col("rank") <= 7))
+        g = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+        e = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in exp.collect()}
+        assert g == e
+
+    def test_knn_windows_all_partitioned_by_query(self, big_vecs):
+        import re
+        out = similarity.brute_force_knn(big_vecs, big_vecs.where("vec_id < 3"), k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, "expected window specs in the kNN plan"
+        for s in specs:
+            assert "query_id" in s, f"global (unpartitioned) window found: {s}"
+
+    def test_ivf_seed_is_take_ordered_not_global_window(self, big_vecs):
+        assignments, centroids = similarity.ivf_build(big_vecs, n_lists=4, n_iters=1)
+        plan = centroids._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        # the only window in the centroid seed runs on the LIMITed k-row frame
+        n = assignments.count()
+        assert n == 400
+        from pandas_plus_spark.util import release_cached
+        release_cached(assignments)
+
+    def test_ivf_knn_windows_partitioned(self, big_vecs):
+        out = similarity.ivf_knn(big_vecs, big_vecs.where("vec_id < 3"), k=4,
+                                 n_lists=4, n_probes=2)
+        import re
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # final ranking stages: every window over the candidate relation
+        # carries the query partition key
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        bad = [s for s in specs
+               if "query_id" not in s and "list_id" not in s and "id#" not in s]
+        assert not bad, f"unpartitioned windows: {bad}"
+        from pandas_plus_spark.util import release_cached
+        release_cached(out)

@@ -84,3 +84,37 @@ def test_shift_diff_match_pandas(rolling_sdf, rolling_pdf):
             assert got_s[rid] == pytest.approx(es)
         if not np.isnan(ed):
             assert got_d[rid] == pytest.approx(ed)
+
+
+@pytest.mark.parametrize("window", [1, 2, 5])
+def test_shift_diff_masked_matches_reference_kernel(rolling_sdf, rolling_pdf, window):
+    """Reference numba.py:1534-1583: masked rows emit null and never enter
+    the circular buffer; unmasked rows lag over unmasked observations only."""
+    import pyspark.sql.functions as F
+
+    mask_expr = F.col("rid") % 3 != 0
+    g = GroupBy(rolling_sdf, "key", order_by="rid")
+    got_s = {r["rid"]: r["val_shift"]
+             for r in g.shift("val", window=window, mask=mask_expr).collect()}
+    got_d = {r["rid"]: r["val_diff"]
+             for r in g.diff("val", window=window, mask=mask_expr).collect()}
+
+    def check(rid, g_val, e_val):
+        if e_val is None or (isinstance(e_val, float) and np.isnan(e_val)):
+            assert g_val is None, (rid, g_val, e_val)
+        else:
+            assert g_val == pytest.approx(e_val, rel=1e-9), (rid, g_val, e_val)
+
+    buf: dict = {}
+    srt = rolling_pdf.sort_values("rid")
+    for rid, key, v in zip(srt["rid"], srt["key"], srt["val"]):
+        if rid % 3 == 0:  # masked: null out, value never buffered
+            e_s = e_d = None
+        else:
+            hist = buf.setdefault(key, [])
+            lagged = hist[-window] if len(hist) >= window else np.nan
+            e_s = lagged
+            e_d = v - lagged
+            hist.append(v)
+        check(rid, got_s[rid], e_s)
+        check(rid, got_d[rid], e_d)
