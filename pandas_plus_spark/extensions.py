@@ -30,6 +30,24 @@ def sv(self: DataFrame, *cols, ascending: bool = True) -> DataFrame:
     return self.orderBy(*exprs)
 
 
+def svd(self: DataFrame, *cols) -> DataFrame:
+    """sort values descending (reference ``svd`` =
+    sort_values(ascending=False), extensions.py:15)."""
+    return sv(self, *cols, ascending=False)
+
+
+def tf(self: DataFrame, *names) -> DataFrame:
+    """rename-all sugar (reference ``tf`` = to_frame; frames are already
+    frames here, so ``tf`` maps to toDF column renaming)."""
+    return self.toDF(*names) if names else self
+
+
+def dd(self: DataFrame, *cols) -> DataFrame:
+    """drop duplicates (reference ``dd`` = drop_duplicates,
+    extensions.py:17)."""
+    return self.dropDuplicates(list(cols) or None)
+
+
 def normalize(self: DataFrame, col: str, out: str | None = None) -> DataFrame:
     """col / global sum(col) (reference ``normalize``) — one window pass."""
     from pyspark.sql import Window
@@ -44,6 +62,47 @@ def pc(self: DataFrame, col: str, order_by: str, out: str | None = None) -> Data
     from pyspark.sql import Window
     prev = F.lag(col).over(Window.orderBy(order_by))
     return self.withColumn(out or f"{col}_pc", (F.col(col) - prev) / prev)
+
+
+def categorize_objects(self: DataFrame, columns=None, exclude=()) -> DataFrame:
+    """Dictionary-encode string columns to integer codes (reference
+    ``categorize_objects`` converts object→category, extensions.py:63-74).
+
+    Codes match pandas category codes for object dtype: position in the
+    SORTED distinct values, NULL → -1. Each column's dictionary is a
+    distinct-aggregate (cardinality-sized) joined back broadcast; the
+    row_number window runs over that tiny distinct frame only."""
+    from pyspark.sql import Window
+    if columns is None:
+        columns = [f.name for f in self.schema.fields
+                   if isinstance(f.dataType, T.StringType)]
+    columns = [c for c in columns if c not in set(exclude)]
+    out = self
+    for c in columns:
+        code_col = f"__code_{c}"
+        cats = out.select(c).where(F.col(c).isNotNull()).distinct()
+        codes = cats.withColumn(
+            code_col, F.row_number().over(Window.orderBy(c)) - 1)
+        out = (
+            out.join(F.broadcast(codes), on=c, how="left")
+            .withColumn(c, F.coalesce(F.col(code_col), F.lit(-1)))
+            .drop(code_col)
+        )
+    return out
+
+
+def heat_map(self: DataFrame, index, columns: str, values: str | None = None,
+             aggfunc: str = "size", precision: int = 1, **kw) -> DataFrame:
+    """The data side of the reference's ``heat_map`` (a styled crosstab,
+    extensions.py:86-91): pivoted crosstab with cells rounded to
+    ``precision``. Gradient rendering is a client/display concern — collect
+    the (tiny) pivot and style it there."""
+    from .groupby.pivot import crosstab
+    out = crosstab(self, index, columns, values=values, aggfunc=aggfunc, **kw)
+    for f in out.schema.fields:
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            out = out.withColumn(f.name, F.round(F.col(f.name), precision))
+    return out
 
 
 def select_numeric(self: DataFrame) -> DataFrame:
@@ -65,9 +124,12 @@ def drop_cols(self: DataFrame, pattern: str) -> DataFrame:
 
 
 _METHODS = {
-    "vc": vc, "sv": sv, "normalize_col": normalize, "pc": pc,
+    "vc": vc, "sv": sv, "svd": svd, "tf": tf, "dd": dd,
+    "normalize_col": normalize, "pc": pc,
     "select_numeric": select_numeric, "filter_cols": filter_cols,
-    "drop_cols": drop_cols, "groupby_plus": groupby_plus,
+    "drop_cols": drop_cols, "groupby_plus": groupby_plus, "gb": groupby_plus,
+    "categorize_objects": categorize_objects,
+    "heat_map": heat_map, "hm": heat_map,
 }
 
 

@@ -21,6 +21,7 @@ _FORWARDED = (
     "sum", "mean", "min", "max", "count", "size", "var", "std", "median",
     "sum_squares", "first", "last", "nunique", "agg", "ratio", "subset_ratio",
     "density", "value_counts", "key_count", "head", "tail", "nth",
+    "find_first_n", "find_last_n",
     "cumsum", "cummin", "cummax", "cumcount",
     "rolling_sum", "rolling_mean", "rolling_min", "rolling_max",
     "shift", "diff", "group_nearby_members", "persist", "unpersist",
@@ -43,13 +44,23 @@ class DataFrameGroupBy:
             cols = [cols]
         return DataFrameGroupBy(None, None, _engine=self._engine, _selection=list(cols))
 
+    def __iter__(self):
+        # (key, group-frame) pairs — reference api.py:207-210; see the
+        # engine docstring for the scale warning.
+        return iter(self._engine)
+
+    @property
+    def ngroups(self) -> int:
+        return self._engine.ngroups()
+
     def __getattr__(self, name):
         if name not in _FORWARDED:
             raise AttributeError(name)
         target = getattr(self._engine, name)
         if self._selection is None or name in ("size", "cumcount", "value_counts",
                                                "key_count", "persist", "unpersist",
-                                               "group_nearby_members"):
+                                               "group_nearby_members",
+                                               "find_first_n", "find_last_n"):
             return target
 
         def bound(*args, **kwargs):

@@ -15,6 +15,13 @@ Semantics carried over from the reference:
 - ``mask=`` on every aggregation (reference core.py:812-848): filtered
   aggregation *inside* the agg, i.e. ``sum(CASE WHEN mask THEN x END)`` —
   one pass over the data, no pre-materialized filter (reference README.md:15-19).
+  Masks are boolean Columns. The reference additionally accepts positional
+  mask forms — slices and integer fancy indexers with zero-copy semantics
+  (numba.py:779-783, tests/test_mask_indexing.py) — which have no positional
+  analog on a distributed table: express them as predicates over an explicit
+  row-id column instead (slice ``a:b`` → ``F.col("rid").between(a, b-1)``,
+  indexer ``[i, j]`` → ``F.col("rid").isin(i, j)``); the boolean-Column path
+  then applies unchanged (pinned by tests/test_mask_matrix.py).
 - Null group keys are dropped from results (reference numba.py:441-443);
   ``dropna=False`` keeps them (Spark's native behavior).
 - ``transform=True`` broadcasts the group aggregate back to row shape
@@ -33,6 +40,9 @@ the compute path, no row-at-a-time Python UDFs.
 
 from __future__ import annotations
 
+import functools
+import types
+import warnings
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -73,6 +83,56 @@ def _col(c) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _zip_array_key(df: DataFrame, arr, name: str) -> DataFrame:
+    """Positionally-aligned array key (reference api.py:765-772: raw arrays
+    zip against the frame by position; length mismatch raises).
+
+    The array lives on the driver, so this path is inherently
+    driver-bounded: the key ships as ONE broadcast join against a
+    row-number over the physical row order. Deterministic for a given
+    source layout; at scale pass a real key column instead. The length
+    check costs one count() job — the reference's eager len() check."""
+    import pandas as pd
+
+    vals = list(arr)
+    n = df.count()
+    if len(vals) != n:
+        raise ValueError(
+            f"Length of grouper ({len(vals)}) != length of DataFrame ({n})")
+    keys_df = df.sparkSession.createDataFrame(
+        pd.DataFrame({"__zip_rid": range(len(vals)), name: vals}))
+    w = Window.orderBy(F.monotonically_increasing_id())
+    with_rid = df.withColumn("__zip_rid", F.row_number().over(w) - 1)
+    return with_rid.join(F.broadcast(keys_df), "__zip_rid", "left").drop("__zip_rid")
+
+
+class _groupby_method:
+    """Descriptor making an aggregation callable BOTH as an instance method
+    and as a class-level static form:
+
+        GroupBy.sum(df, keys, values)  ==  GroupBy(df, keys).sum(values)
+
+    (reference ``groupby_method`` decorator, core.py:107-143 — it constructs
+    the GroupBy on the fly whenever ``self`` isn't already one). Ordered
+    aggregations (first/last) accept ``order_by=`` in the static form."""
+
+    def __init__(self, fn):
+        self._fn = fn
+        functools.update_wrapper(self, fn)
+
+    def __get__(self, obj, cls):
+        if obj is not None:
+            return types.MethodType(self._fn, obj)
+        fn = self._fn
+
+        @functools.wraps(fn)
+        def static_form(df, keys, *args, **kwargs):
+            order_by = kwargs.pop("order_by", None)
+            return fn(cls(df, keys, order_by=order_by), *args, **kwargs)
+
+        return static_form
+
+
 class GroupBy:
     """Grouped view over a DataFrame: ``GroupBy(df, keys).sum(values, mask=...)``.
 
@@ -95,19 +155,41 @@ class GroupBy:
         sort: bool = True,
         dropna: bool = True,
     ):
-        # Column-expression keys (reference accepts arbitrary key arrays,
-        # api.py:704-805): materialize each expression as a generated column
-        # so downstream groupBy/window logic sees plain names.
+        # Key resolution mirrors the reference's _resolve_by_keys
+        # (api.py:739-805): a top-level list/tuple is a collection of keys;
+        # each key may be a column name, a Column expression, a callable
+        # (applied to the DataFrame → derived Column — the Spark analog of
+        # the reference's callable-on-index), or an array-like
+        # (numpy/pandas), zipped positionally as a generated key column.
+        raw_keys = list(keys) if isinstance(keys, (list, tuple)) else [keys]
         key_names: list[str] = []
-        for i, k in enumerate(_as_list(keys)):
+        for i, k in enumerate(raw_keys):
             if isinstance(k, str):
                 key_names.append(k)
-            elif isinstance(k, Column):
+                continue
+            if callable(k) and not isinstance(k, Column):
+                k = k(df)
+                if isinstance(k, str):
+                    key_names.append(k)
+                    continue
+                if not isinstance(k, Column):
+                    raise TypeError(
+                        "callable key must return a column name or Column "
+                        f"(got {type(k).__name__}); the reference applies "
+                        "callables to the index (api.py:774-776) — the Spark "
+                        "analog derives a key from the row")
+            if isinstance(k, Column):
                 name = f"_key_{i}"
                 df = df.withColumn(name, k)
                 key_names.append(name)
+            elif hasattr(k, "__iter__"):
+                name = f"_key_{i}"
+                df = _zip_array_key(df, k, name)
+                key_names.append(name)
             else:
-                raise TypeError(f"key must be str or Column, got {type(k).__name__}")
+                raise TypeError(
+                    f"key must be str, Column, callable or array-like, got "
+                    f"{type(k).__name__}")
         self._df = df
         self._keys = key_names
         if not self._keys:
@@ -382,44 +464,57 @@ class GroupBy:
     # public aggregations (reference §2.2)
     # ------------------------------------------------------------------ #
 
+    @_groupby_method
     def sum(self, values=None, **kw) -> DataFrame:
         return self._apply("sum", values, **kw)
 
+    @_groupby_method
     def mean(self, values=None, **kw) -> DataFrame:
         return self._apply("mean", values, **kw)
 
+    @_groupby_method
     def min(self, values=None, **kw) -> DataFrame:
         return self._apply("min", values, **kw)
 
+    @_groupby_method
     def max(self, values=None, **kw) -> DataFrame:
         return self._apply("max", values, **kw)
 
+    @_groupby_method
     def count(self, values=None, **kw) -> DataFrame:
         return self._apply("count", values, **kw)
 
+    @_groupby_method
     def size(self, mask=None, **kw) -> DataFrame:
         return self._apply("size", None, mask=mask, **kw)
 
+    @_groupby_method
     def var(self, values=None, ddof: int = 1, **kw) -> DataFrame:
         return self._apply("var", values, ddof=ddof, **kw)
 
+    @_groupby_method
     def std(self, values=None, ddof: int = 1, **kw) -> DataFrame:
         return self._apply("std", values, ddof=ddof, **kw)
 
+    @_groupby_method
     def median(self, values=None, approx: bool = False, **kw) -> DataFrame:
         # exact by default (reference core.py:968-1016); approx=True switches
         # to percentile_approx for 100 TB runs where exact median would sort.
         return self._apply("approx_median" if approx else "median", values, **kw)
 
+    @_groupby_method
     def sum_squares(self, values=None, **kw) -> DataFrame:
         return self._apply("sum_squares", values, **kw)
 
+    @_groupby_method
     def first(self, values=None, **kw) -> DataFrame:
         return self._apply("first", values, **kw)
 
+    @_groupby_method
     def last(self, values=None, **kw) -> DataFrame:
         return self._apply("last", values, **kw)
 
+    @_groupby_method
     def nunique(self, values=None, approx: bool = False, **kw) -> DataFrame:
         # approx=True → HyperLogLog++ (approx_count_distinct): at 100 TB an
         # exact distinct per group is an extra shuffle of the value column;
@@ -455,6 +550,7 @@ class GroupBy:
             raise ValueError(f"unknown aggregation {func!r}")
         return func
 
+    @_groupby_method
     def agg(self, spec, mask=None, margins: bool = False,
             observed_only: bool = True) -> DataFrame:
         """Multiple aggregations in ONE pass (the reference fans funcs out
@@ -607,6 +703,35 @@ class GroupBy:
         if cols is not None:
             out = out.select(*self._keys, *self._order_by, *cols)
         return out
+
+    def find_first_n(self, row_id: str, n: int, mask=None) -> DataFrame:
+        """(keys..., row_ids: array) — ids of the first ``n`` rows per group
+        in ``order_by`` order, after ``mask`` filtering (reference
+        find_first_n, numba.py:229-254, returns an (ngroups, n) positional
+        index matrix; the distributed analog keys the matrix rows and
+        carries an explicit row-id column instead of positions)."""
+        return self._find_n(row_id, n, mask, descending=False)
+
+    def find_last_n(self, row_id: str, n: int, mask=None) -> DataFrame:
+        """Last ``n`` row ids per group, emitted in ascending row order
+        (reference find_last_n, numba.py:257-282)."""
+        return self._find_n(row_id, n, mask, descending=True)
+
+    def _find_n(self, row_id: str, n: int, mask, descending: bool) -> DataFrame:
+        base = self._base()
+        if mask is not None:
+            base = base.filter(_col(mask))
+        ranked = base.withColumn(
+            "__rn", F.row_number().over(self._rank_window(descending=descending)))
+        picked = ranked.filter(F.col("__rn") <= n)
+        ids = F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("__rn"), F.col(row_id).alias("__id")))),
+            lambda s: s["__id"],
+        )
+        if descending:  # last-n selected in reverse rank; emit ascending
+            ids = F.reverse(ids)
+        return self._finish(picked.groupBy(*self._keys).agg(ids.alias("row_ids")))
 
     def nth(self, n: int, values=None) -> DataFrame:
         """n-th row per group; negative = from the end; out-of-bounds rows
@@ -882,6 +1007,36 @@ class GroupBy:
             .groupBy(*self._keys)
             .agg(F.array_sort(F.collect_list(row_id)).alias("row_ids"))
         )
+
+    def ngroups(self) -> int:
+        """Number of distinct key combinations (reference api.py:199-202).
+        One distinct-count job."""
+        return self.key_count().count()
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}(keys={self._keys})"
+
+    def __iter__(self):
+        """Iterate ``(key, group-DataFrame)`` pairs (reference
+        api.py:207-210 yields ``(key, subframe)``).
+
+        ANTI-PATTERN at scale — part of the facade contract only: collects
+        the distinct key set to the driver and plans one filtered scan per
+        group. Bounded by the number of GROUPS, not rows, but each yielded
+        frame re-reads the source. Use aggregations, ``transform``, or
+        ``apply`` for real work."""
+        warnings.warn(
+            "GroupBy iteration collects the key set and issues one filtered "
+            "query per group — parity shim, not a scale path",
+            RuntimeWarning, stacklevel=2)
+        key_rows = self._base().select(*self._keys).distinct().orderBy(*self._keys).collect()
+        for r in key_rows:
+            vals = tuple(r[k] for k in self._keys)
+            cond = None
+            for k, v in zip(self._keys, vals):
+                c = F.col(k) == F.lit(v)
+                cond = c if cond is None else cond & c
+            yield (vals[0] if len(vals) == 1 else vals), self._base().filter(cond)
 
 
 class GroupByRolling:

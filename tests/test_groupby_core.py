@@ -286,3 +286,90 @@ class TestReferenceParityRound2:
         assert set(d) == set(e)
         for k, v in e.items():
             assert d[k] == pytest.approx(v)
+
+
+class TestByResolutionAndStatics:
+    """Reference api.py:739-805 by= forms with a Spark analog, the
+    groupby_method static call form (core.py:107-143), and group iteration
+    (api.py:207-210)."""
+
+    def test_callable_key(self, nullable_df):
+        # callable → derived Column (the reference applies callables to the
+        # index; the Spark analog derives the key from the row)
+        out = GroupBy(nullable_df, lambda df: F.col("key") % 2).sum("val")
+        d = rows_dict(out, "_key_0", "val")
+        assert d[1] == 9 and d[0] == 16
+
+    def test_array_key_zips_positionally(self, spark):
+        import numpy as np
+        df = spark.createDataFrame(
+            [(0, 1.0), (1, 2.0), (2, 4.0), (3, 8.0)], "rid long, v double")
+        arr = np.array(["a", "a", "b", "b"])
+        d = rows_dict(GroupBy(df, arr).sum("v"), "_key_0", "v")
+        assert d == {"a": 3.0, "b": 12.0}
+
+    def test_array_key_length_mismatch_raises(self, spark):
+        import numpy as np
+        df = spark.createDataFrame([(0, 1.0), (1, 2.0)], "rid long, v double")
+        with pytest.raises(ValueError, match="Length of grouper"):
+            GroupBy(df, np.array([1, 2, 3])).sum("v")
+
+    def test_mixed_keys(self, nullable_df):
+        out = GroupBy(nullable_df, ["key", lambda df: F.col("rid") % 2]).size()
+        assert out.count() > 0
+
+    def test_static_call_form(self, nullable_df):
+        # GroupBy.sum(df, keys, values) == GroupBy(df, keys).sum(values)
+        got = rows_dict(GroupBy.sum(nullable_df, "key", "val"), "key", "val")
+        exp = rows_dict(GroupBy(nullable_df, "key").sum("val"), "key", "val")
+        assert got == exp
+        got_m = rows_dict(
+            GroupBy.mean(nullable_df, "key", "val", mask=F.col("mask")),
+            "key", "val")
+        exp_m = rows_dict(
+            GroupBy(nullable_df, "key").mean("val", mask=F.col("mask")),
+            "key", "val")
+        assert got_m == exp_m
+        # ordered statics take order_by=
+        f = GroupBy.first(nullable_df, "key", "val", order_by="rid")
+        assert rows_dict(f, "key", "val")[1] == -1
+
+    def test_static_agg(self, nullable_df):
+        out = GroupBy.agg(nullable_df, "key", {"s": ("sum", "val")})
+        assert rows_dict(out, "key", "s")[6] == 12
+
+    def test_iteration_yields_key_and_frame(self, nullable_df):
+        with pytest.warns(RuntimeWarning, match="parity shim"):
+            groups = dict(iter(GroupBy(nullable_df, "key")))
+        assert set(groups) == {1, 2, 3, 6}
+        assert groups[3].count() == 2
+
+    def test_ngroups(self, nullable_df):
+        assert GroupBy(nullable_df, "key").ngroups() == 4
+
+    def test_facade_iteration_and_ngroups(self, nullable_df):
+        from pandas_plus_spark.groupby.api import DataFrameGroupBy
+        gb = DataFrameGroupBy(nullable_df, "key")
+        assert gb.ngroups == 4
+        with pytest.warns(RuntimeWarning):
+            keys = [k for k, _ in gb]
+        assert keys == [1, 2, 3, 6]
+
+
+class TestFindFirstLastN:
+    def test_find_first_last_n(self, spark):
+        df = spark.createDataFrame(
+            [(10, "a", 1), (11, "a", 2), (12, "a", 3), (13, "b", 1), (14, "b", 2)],
+            "rid long, k string, o long")
+        g = GroupBy(df, "k", order_by="o")
+        first = {r["k"]: r["row_ids"] for r in g.find_first_n("rid", 2).collect()}
+        assert first == {"a": [10, 11], "b": [13, 14]}
+        last = {r["k"]: r["row_ids"] for r in g.find_last_n("rid", 2).collect()}
+        assert last == {"a": [11, 12], "b": [13, 14]}  # ascending row order
+
+    def test_find_first_n_masked(self, spark):
+        df = spark.createDataFrame(
+            [(10, "a", 1), (11, "a", 2), (12, "a", 3)], "rid long, k string, o long")
+        out = GroupBy(df, "k", order_by="o").find_first_n(
+            "rid", 2, mask=F.col("o") > 1)
+        assert out.collect()[0]["row_ids"] == [11, 12]

@@ -138,6 +138,54 @@ class TestExtensions:
         assert li.filter_cols("^l_q").columns == ["l_quantity"]
         assert "l_quantity" not in li.drop_cols("^l_q").columns
 
+    def test_full_alias_surface(self, spark):
+        """reference extensions.py:11-91 alias list: tf/vc/sv/svd/gb/dd +
+        categorize_objects + heat_map/hm."""
+        from pandas_plus_spark.extensions import install_extensions
+        install_extensions()
+        df = spark.createDataFrame(
+            [("b", "x", 2.0), ("a", "y", 1.0), ("a", "y", 1.0)],
+            "k string, c string, v double")
+        assert [r["k"] for r in df.sv("k", "v").collect()] == ["a", "a", "b"]
+        assert [r["k"] for r in df.svd("k").collect()] == ["b", "a", "a"]
+        assert df.dd().count() == 2
+        assert df.dd("k").count() == 2
+        assert df.tf("a", "b", "c").columns == ["a", "b", "c"]
+        assert df.gb("k").size().count() == 2
+
+    def test_categorize_objects_matches_pandas_codes(self, spark):
+        df = spark.createDataFrame(
+            [(0, "beta", 1.0), (1, "alpha", 2.0), (2, None, 3.0), (3, "beta", 4.0)],
+            "rid long, s string, v double")
+        out = {r["rid"]: r["s"] for r in df.categorize_objects().collect()}
+        # pandas category codes = position in sorted uniques, NaN -> -1
+        assert out == {0: 1, 1: 0, 2: -1, 3: 1}
+        # numeric columns untouched, excluded columns untouched
+        kept = df.categorize_objects(exclude=["s"]).collect()
+        assert {r["s"] for r in kept} == {"beta", "alpha", None}
+
+    def test_heat_map_rounded_crosstab(self, tables):
+        li = tables["lineitem"]
+        out = li.hm("l_returnflag", "l_linestatus", "l_quantity",
+                    aggfunc="mean", precision=1)
+        row = out.collect()[0]
+        for c in out.columns[1:]:
+            if row[c] is not None:
+                assert round(row[c], 1) == row[c]
+
+    def test_bools_allow_duplicates_false_raises(self, spark):
+        from pandas_plus_spark.functions.encoding import bools_to_categorical
+        import pytest as _pt
+        df = spark.createDataFrame(
+            [(True, False), (True, True)], "a boolean, b boolean")
+        ok = df.select(bools_to_categorical(["a", "b"]).alias("lab"))
+        assert {r["lab"] for r in ok.collect()} == {"a", "a & b"}
+        with _pt.raises(Exception, match="allow_duplicates"):
+            df.select(bools_to_categorical(
+                ["a", "b"], allow_duplicates=False).alias("lab")).collect()
+        with _pt.raises(ValueError, match="collides"):
+            bools_to_categorical(["a", "b"], na_rep="a")
+
 
 class TestGroups:
     def test_groups_arrays(self, spark):
