@@ -41,12 +41,12 @@ def _sql_trigrams(toks: str) -> str:
     )
 
 
-def _sql_minhash_poly(num_hashes: int = 8, bands: int = 4,
-                      threshold: float = 0.3) -> str:
-    """DuckDB twin of minhash_dedup(hash_fn="poly"): same shingles, same
-    poly base hash, same affine families mod 2^31−1, same band fold, same
-    candidate join and Jaccard verify — a full value-level check of the LSH
-    pipeline (the xxhash64 production variant stays rows-only)."""
+def _sql_minhash_poly_ctes(num_hashes: int = 8, bands: int = 4,
+                           threshold: float = 0.3) -> str:
+    """Shared CTE chain replicating minhash_dedup(hash_fn="poly") in DuckDB:
+    same shingles, same poly base hash, same affine families mod 2^31−1,
+    same band fold, same candidate join and Jaccard verify. Ends with ``vp``
+    = the confirmed near-dup pairs among exact-collapse representatives."""
     P = 2_147_483_647
     M, MUL = tx.POLY_MOD, tx.POLY_MUL
     poly_s = tx.sql_poly_hash("s")
@@ -64,7 +64,7 @@ def _sql_minhash_poly(num_hashes: int = 8, bands: int = 4,
         entries.append(f"SELECT id, {bd} AS band, {acc} AS bhash FROM sigs")
     entries_sql = " UNION ALL ".join(entries)
     return f"""
-        WITH reps AS (SELECT min(doc_id) AS id, text FROM documents GROUP BY text),
+        reps AS (SELECT min(doc_id) AS id, text FROM documents GROUP BY text),
         tk AS (SELECT id, {_TOKS} AS toks FROM reps),
         grams AS (SELECT id, list_distinct({_sql_trigrams('toks')}) AS g FROM tk),
         hs AS (SELECT id, g, list_transform(g, s -> {poly_s}) AS h FROM grams),
@@ -74,17 +74,80 @@ def _sql_minhash_poly(num_hashes: int = 8, bands: int = 4,
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM entries a JOIN entries b USING (band, bhash)
             WHERE a.id < b.id
+        ),
+        vp AS (
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT id_a, id_b,
+                       CASE WHEN len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) > 0
+                            THEN CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                                 / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))
+                            ELSE 0.0 END AS jaccard
+                FROM cands
+                JOIN grams ga ON ga.id = cands.id_a
+                JOIN grams gb ON gb.id = cands.id_b
+            ) WHERE jaccard >= {threshold}
+        )"""
+
+
+def _sql_minhash_poly(num_hashes: int = 8, bands: int = 4,
+                      threshold: float = 0.3) -> str:
+    """Full value-level check of the LSH pipeline (the xxhash64 production
+    variant stays rows-only)."""
+    return (f"WITH {_sql_minhash_poly_ctes(num_hashes, bands, threshold)}\n"
+            f"SELECT id_a, id_b, jaccard FROM vp")
+
+
+def _sql_keep_list_poly(num_hashes: int = 8, bands: int = 4,
+                        threshold: float = 0.3) -> str:
+    """DuckDB twin of dedup_keep_list(hash_fn="poly"): the minhash pair CTEs
+    plus a recursive transitive closure — cluster id = min reachable id —
+    and keep = representative ∧ (singleton ∨ cluster minimum)."""
+    return f"""
+        WITH RECURSIVE {_sql_minhash_poly_ctes(num_hashes, bands, threshold)},
+        e AS (
+            SELECT id_a AS src, id_b AS dst FROM vp
+            UNION SELECT id_b AS src, id_a AS dst FROM vp
+        ),
+        reach(src, dst) AS (
+            SELECT src, src FROM e
+            UNION
+            SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+        ),
+        cl AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+        rk AS (
+            SELECT reps.id,
+                   COALESCE(cl.cluster_id = reps.id, TRUE) AS keep
+            FROM reps LEFT JOIN cl ON cl.id = reps.id
         )
-        SELECT id_a, id_b, jaccard FROM (
-            SELECT id_a, id_b,
-                   CASE WHEN len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) > 0
-                        THEN CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
-                             / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)))
-                        ELSE 0.0 END AS jaccard
-            FROM cands
-            JOIN grams ga ON ga.id = cands.id_a
-            JOIN grams gb ON gb.id = cands.id_b
-        ) WHERE jaccard >= {threshold}
+        SELECT d.doc_id AS id, COALESCE(rk.keep, FALSE) AS keep
+        FROM documents d LEFT JOIN rk ON rk.id = d.doc_id
+    """
+
+
+def _sql_dup_clusters(threshold: float = 0.2) -> str:
+    """Recursive-CTE connected components over the exact trigram-Jaccard
+    graph (no hashing involved — pins dup_clusters' label propagation)."""
+    return f"""
+        WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id, list_distinct({_sql_trigrams('toks')}) AS grams FROM t),
+        p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM g a, g b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.grams, b.grams))::DOUBLE
+                    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                    >= {threshold}
+        ),
+        e AS (
+            SELECT id_a AS src, id_b AS dst FROM p
+            UNION SELECT id_b AS src, id_a AS dst FROM p
+        ),
+        reach(src, dst) AS (
+            SELECT src, src FROM e
+            UNION
+            SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+        )
+        SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src
     """
 
 
@@ -585,6 +648,23 @@ def _q_simhash_poly(spark, sf):
     return dedup.simhash(docs, "text", "doc_id", bits=24, hash_fn="poly")
 
 
+def _q_dup_clusters(spark, sf):
+    """Connected components (min-label propagation) over the exact
+    trigram-Jaccard near-dup graph — checked against a recursive-CTE
+    transitive closure."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2)
+    return dedup.dup_clusters(pairs)
+
+
+def _q_dedup_keep_list(spark, sf):
+    """End-to-end corpus dedup keep-list: exact collapse → poly-hash MinHash
+    LSH → Jaccard verify → connected components → keep cluster minima."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.dedup_keep_list(docs, "text", "doc_id", threshold=0.3,
+                                 num_hashes=8, bands=4, hash_fn="poly")
+
+
 def _q_simhash_candidates(spark, sf):
     docs = load_table(spark, sf, "documents")
     sigs = dedup.simhash(docs, "text", "doc_id")
@@ -713,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_jaccard_pairs": _q_trigram_jaccard,
         "minhash_neardup": _q_minhash_dedup,
         "minhash_neardup_poly": _q_minhash_poly,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_keep_list": _q_dedup_keep_list,
         "simhash_candidates": _q_simhash_candidates,
         "simhash_poly": _q_simhash_poly,
         "knn_cosine": _q_knn,
@@ -1263,4 +1345,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup_poly": _sql_minhash_poly(num_hashes=8, bands=4,
                                                   threshold=0.3),
         "simhash_poly": _sql_simhash_poly(bits=24),
+        "dup_clusters": _sql_dup_clusters(threshold=0.2),
+        "dedup_keep_list": _sql_keep_list_poly(num_hashes=8, bands=4,
+                                               threshold=0.3),
     }

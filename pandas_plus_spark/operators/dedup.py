@@ -291,3 +291,93 @@ def simhash_candidates(sig_df: DataFrame, quadrant_bits: int = 16) -> DataFrame:
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+# --------------------------------------------------------------------- #
+# clustering the near-dup graph + keep-list selection
+# --------------------------------------------------------------------- #
+
+def dup_clusters(pairs: DataFrame, n_iters: int = 8,
+                 id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """(id, cluster_id) — connected components of the near-dup pair graph;
+    cluster_id = the minimum member id.
+
+    Each round does two keyed steps, both shuffled on vertex/label ids:
+      1. hop — every vertex adopts the minimum label among itself and its
+         neighbors (join + min-agg);
+      2. pointer jump — label(v) ← label(label(v)), the path-halving trick
+         that turns O(diameter) convergence into O(log diameter) (the same
+         idea as the large-star/small-star MapReduce-CC algorithm).
+    The default 8 rounds therefore covers component diameters up to ~2^8.
+    ``localCheckpoint`` between rounds truncates lineage — without it the
+    plan doubles per iteration and the optimizer chokes long before the
+    data does.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(n_iters):
+        neigh = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src").agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("src", "id")
+        )
+        hopped = (
+            labels.join(neigh, "id", "left")
+            .select("id", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+        )
+        parents = hopped.select(F.col("id").alias("label"),
+                                F.col("label").alias("plabel"))
+        labels = (
+            hopped.join(parents, "label", "left")
+            .select("id", F.coalesce("plabel", "label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.withColumnRenamed("label", "cluster_id")
+
+
+def dedup_keep_list(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    cluster_iters: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """End-to-end corpus dedup: (doc_id, keep) for EVERY input document.
+
+    The canonical training-data pipeline:
+      1. exact collapse — content groups keep their minimum id;
+      2. MinHash LSH + exact Jaccard verify over the representatives;
+      3. connected components over the confirmed near-dup pairs;
+      4. keep = the minimum id of each cluster (singletons keep themselves);
+         non-representative exact copies are dropped by step 1.
+
+    Everything stays keyed on ids after the signature stage — the document
+    bodies never shuffle past step 1/2's shingling. ``keep`` is boolean so
+    the output joins back to the corpus as a filter column.
+    """
+    reps = df.groupBy(text_col).agg(F.min(id_col).alias("rid"))
+    rep_docs = reps.select(F.col("rid").alias(id_col), F.col(text_col))
+    pairs = minhash_dedup(rep_docs, text_col, id_col, threshold=threshold,
+                          num_hashes=num_hashes, bands=bands,
+                          shingle_size=shingle_size, pre_dedup_exact=False,
+                          hash_fn=hash_fn)
+    clusters = dup_clusters(pairs, n_iters=cluster_iters)
+    rep_keep = (
+        rep_docs.select(F.col(id_col).alias("id"))
+        .join(clusters, "id", "left")
+        .select("id", (F.col("cluster_id").isNull()
+                       | (F.col("cluster_id") == F.col("id"))).alias("keep"))
+    )
+    all_ids = df.select(F.col(id_col).alias("id"))
+    out = (
+        all_ids.join(rep_keep.withColumnRenamed("keep", "__rk"), "id", "left")
+        .select("id", F.coalesce("__rk", F.lit(False)).alias("keep"))
+    )
+    return attach_cached(out, *getattr(pairs, "_pps_cached", ()))

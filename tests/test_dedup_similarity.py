@@ -191,3 +191,30 @@ class TestScaleShapes:
         assert not bad, f"unpartitioned windows: {bad}"
         from pandas_plus_spark.util import release_cached
         release_cached(out)
+
+
+class TestClustersAndKeepList:
+    def test_dup_clusters_components(self, spark):
+        # two components: {1,2,3} via chain edges, {7,9} — plus 5 isolated
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
+        got = {r["id"]: r["cluster_id"]
+               for r in dedup.dup_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    def test_dup_clusters_chain_converges(self, spark):
+        # a path graph stresses propagation depth: 0-1-2-...-9
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], "id_a long, id_b long")
+        got = {r["id"]: r["cluster_id"]
+               for r in dedup.dup_clusters(pairs, n_iters=8).collect()}
+        assert set(got.values()) == {0}
+
+    def test_keep_list_planted(self, planted_docs):
+        # docs 0,1 identical; 2 near-dup of 0; 3 unrelated
+        out = {r["id"]: r["keep"] for r in dedup.dedup_keep_list(
+            planted_docs, "text", "doc_id", threshold=0.5,
+            num_hashes=32, bands=16).collect()}
+        assert out == {0: True, 1: False, 2: False, 3: True}
+        # all input ids present exactly once
+        assert len(out) == 4
