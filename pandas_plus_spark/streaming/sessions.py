@@ -63,3 +63,26 @@ def windowed_agg_stream(
             "avg_value",
         )
     )
+
+
+def deduped_stream(
+    events: DataFrame,
+    id_cols: list[str] | str,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose identity columns repeat within
+    the watermark horizon — the streaming analog of ``dedup.exact_dedup``.
+
+    Uses ``dropDuplicatesWithinWatermark``: state holds one entry per
+    distinct identity seen inside the watermark and is evicted as the
+    watermark advances, so memory is bounded by (arrival rate × horizon),
+    never by stream length. For content dedup pass a content hash as the
+    identity (hash the body up front; the state store then keys on ~32 bytes,
+    not documents)."""
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(ids)
+    )
+

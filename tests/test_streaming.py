@@ -61,3 +61,25 @@ def test_sessionized_stream(spark):
         assert all(r["n_events"] >= 1 for r in rows)
     finally:
         q.stop()
+
+
+def test_deduped_stream(spark):
+    """dropDuplicatesWithinWatermark drops repeated identities; content-hash
+    identity mirrors batch exact_dedup."""
+    import pyspark.sql.functions as F
+    from pandas_plus_spark.streaming import deduped_stream
+
+    sdf = _events_stream_df(spark)
+    # duplicate every event by unioning the stream with itself via a 2x
+    # explode, then dedup on event_id
+    doubled = sdf.withColumn("__dup", F.explode(F.array(F.lit(0), F.lit(1)))).drop("__dup")
+    out = deduped_stream(doubled, "event_id", watermark="10 days")
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    try:
+        n = spark.sql("SELECT count(*) AS n FROM dedup_stream").collect()[0]["n"]
+        n_src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+        assert n == n_src  # every duplicate dropped, every original kept
+    finally:
+        q.stop()
