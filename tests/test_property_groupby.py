@@ -1,0 +1,104 @@
+"""Property-based aggregation parity vs pandas (hypothesis).
+
+The reference's own test strategy compares kernels against pandas on random
+frames (SURVEY §5); hypothesis drives the same comparison here with
+adversarial shapes: empty frames, all-null groups, single-row groups,
+duplicate values. Null semantics pinned: an all-null group aggregates to
+NULL (pandas needs min_count=1 to agree on sum), counts are 0.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pandas_plus_spark import GroupBy
+
+KEYS = st.integers(min_value=0, max_value=4)
+VALS = st.one_of(
+    st.none(),
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False),
+    st.just(0.0),
+    st.just(-1.5),
+)
+ROWS = st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=25)
+
+
+def _approx_eq(a, b):
+    if a is None and (b is None or (isinstance(b, float) and math.isnan(b))):
+        return True
+    if a is None or b is None:
+        return False
+    if isinstance(b, float) and math.isnan(b):
+        return a is None
+    return a == pytest.approx(b, rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=ROWS)
+def test_agg_surface_matches_pandas(spark, rows):
+    sdf = spark.createDataFrame(rows, "k long, v double")
+    out = GroupBy(sdf, "k").agg({
+        "s": ("sum", "v"), "m": ("mean", "v"),
+        "mn": ("min", "v"), "mx": ("max", "v"),
+        "c": ("count", "v"), "n": ("nunique", "v"),
+        "v1": ("var", "v"),
+    })
+    got = {r["k"]: r for r in out.collect()}
+
+    pdf = pd.DataFrame(rows, columns=["k", "v"], dtype=object)
+    pdf["v"] = pdf["v"].astype(float)
+    grouped = pdf.groupby("k")["v"]
+    exp = pd.DataFrame({
+        "s": grouped.apply(lambda s: s.sum(min_count=1)),
+        "m": grouped.mean(),
+        "mn": grouped.min(),
+        "mx": grouped.max(),
+        "c": grouped.count(),
+        "n": grouped.nunique(),
+        "v1": grouped.var(ddof=1),
+    })
+    assert set(got) == set(exp.index)
+    for k, row in exp.iterrows():
+        for col in ("s", "m", "mn", "mx", "v1"):
+            assert _approx_eq(got[k][col], row[col]), (k, col, got[k][col], row[col])
+        assert got[k]["c"] == int(row["c"]), (k, "count")
+        assert got[k]["n"] == int(row["n"]), (k, "nunique")
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=ROWS)
+def test_margins_grand_total_is_global_agg(spark, rows):
+    sdf = spark.createDataFrame(rows, "k long, v double")
+    out = GroupBy(sdf, "k").agg({"s": ("sum", "v")}, margins=True)
+    got = {r["k"]: r["s"] for r in out.collect()}
+    vals = [v for _, v in rows if v is not None]
+    if not rows:
+        assert got == {}
+        return
+    assert "All" in got
+    if vals:
+        assert got["All"] == pytest.approx(sum(vals), rel=1e-9, abs=1e-9)
+    else:
+        assert got["All"] is None
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=ROWS, mask_mod=st.integers(min_value=2, max_value=3))
+def test_mask_equals_prefilter_property(spark, rows, mask_mod):
+    import pyspark.sql.functions as F
+    rows = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    sdf = spark.createDataFrame(rows, "rid long, k long, v double")
+    m = F.col("rid") % mask_mod == 0
+    got = {r["k"]: r["v"] for r in GroupBy(sdf, "k").sum("v", mask=m).collect()}
+    exp = {r["k"]: r["v"] for r in GroupBy(sdf.filter(m), "k").sum("v").collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert _approx_eq(got[k], exp[k]), k
