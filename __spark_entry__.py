@@ -21,7 +21,8 @@ from pandas_plus_spark import GroupBy, crosstab, nanops
 from pandas_plus_spark.functions.binning import pretty_cut
 from pandas_plus_spark.functions.encoding import bools_to_categorical, linear_combination
 from pandas_plus_spark.functions import text as tx
-from pandas_plus_spark.operators import dedup, joins, multimodal, similarity
+from pandas_plus_spark.operators import (corpus, dedup, joins, multimodal,
+                                         packing, sampling, similarity)
 from pandas_plus_spark.plotting import binned_scatter_stats
 from pandas_plus_spark.sources import load_table
 
@@ -737,6 +738,88 @@ def _q_multimodal_meta(spark, sf):
     return multimodal.extract_image_features(blobs, "blob", "doc_id")
 
 
+def _q_stratified_sample(spark, sf):
+    """Deterministic per-stratum downsampling (operators/sampling.py):
+    membership is a pure affine-hash function of doc_id, so a pushed-down
+    filter with no shuffle selects IDENTICAL rows on any cluster size —
+    unlike ``DataFrame.sampleBy``, which is stable only per partition
+    layout. Oracle recomputes the hash in ANSI SQL."""
+    docs = load_table(spark, sf, "documents")
+    kept = sampling.stratified_sample(
+        docs, "lang", {"en": 0.5, "es": 0.25}, "doc_id", seed=7)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def _q_split_assign(spark, sf):
+    """Deterministic train/valid/test assignment (split_assign): a pure
+    projection — disjoint, exhaustive, repartition-stable."""
+    docs = load_table(spark, sf, "documents")
+    lbl = sampling.split_assign(
+        "doc_id", {"train": 8.0, "valid": 1.0, "test": 1.0}, seed=3)
+    return docs.select(lbl.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+def _q_sample_per_group(spark, sf):
+    """Exact-n-per-stratum sample: rank by affine hash inside each group,
+    keep first 5 — row-level check (every selected doc_id must match)."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.sample_per_group(
+        docs, "lang", 5, "doc_id", seed=11).select("lang", "doc_id")
+
+
+def _q_pack_chunks(spark, sf):
+    """Concat-and-chunk sequence packing (operators/packing.py): shard by
+    hash, window cumsum inside the shard, chunk ids by integer division.
+    Row-level check of every document's packed position."""
+    docs = load_table(spark, sf, "documents")
+    withn = docs.select(
+        "doc_id", tx.token_count("text").cast("long").alias("n_tok"))
+    out = packing.concat_chunk_pack(
+        withn, "doc_id", "n_tok", budget=256, shards=4, seed=5,
+        string_key=False)
+    return out.select(
+        "doc_id", "shard", "chunk_first", "chunk_last", "offset_in_chunk")
+
+
+def _with_injected_repetition(docs):
+    """The synthetic corpus is single-line, near-repetition-free text; the
+    repetition-signal queries inject duplication DETERMINISTICALLY (every
+    5th doc doubled with a newline) so the signals are non-trivial. The
+    oracle applies the identical injection."""
+    doubled = F.concat(F.col("text"), F.lit("\n"), F.col("text"))
+    return docs.select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") % 5 == 0, doubled).otherwise(
+            F.col("text")).alias("text"))
+
+
+def _q_repetition_signals(spark, sf):
+    """Gopher-style per-document repetition signals: line-duplication
+    fractions (pure map-side HOFs) + top-2-gram token share (explode →
+    two-level hash agg keyed by doc)."""
+    docs = _with_injected_repetition(load_table(spark, sf, "documents"))
+    ls = corpus.line_stats("text")
+    line_part = docs.select(
+        "doc_id",
+        ls["n_lines"].alias("n_lines"),
+        F.round(ls["dup_line_frac"], 6).alias("dup_line_frac"),
+        F.round(ls["dup_line_char_frac"], 6).alias("dup_line_char_frac"),
+    )
+    shares = corpus.top_ngram_share(docs, "doc_id", "text", 2).select(
+        "doc_id", "n_tokens", "top_ngram", "top_ngram_count",
+        F.round("top_ngram_token_frac", 6).alias("top2gram_frac"))
+    return line_part.join(shares, "doc_id")
+
+
+def _q_repetition_filter(spark, sf):
+    """End-to-end Gopher repetition gate over the injected corpus: which
+    documents survive the dup-line/top-2-gram thresholds."""
+    docs = _with_injected_repetition(load_table(spark, sf, "documents"))
+    return corpus.repetition_filter(docs, "doc_id", "text").select(
+        "doc_id", "lang")
+
+
 # ---------------------------------------------------------------------- #
 # registries
 # ---------------------------------------------------------------------- #
@@ -804,6 +887,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperplane_lsh_buckets": _q_lsh_buckets,
         "ivf_knn": _q_ivf_knn,
         "multimodal_image_meta": _q_multimodal_meta,
+        "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
+        "sample_per_group": _q_sample_per_group,
+        "pack_chunks": _q_pack_chunks,
+        "repetition_signals": _q_repetition_signals,
+        "repetition_filter": _q_repetition_filter,
     }
 
 
@@ -812,6 +901,53 @@ def oracle_sql() -> dict[str, str]:
     trigrams = _sql_trigrams("toks")
     fp = tx.sql_poly_hash("text")
     stop_list = ", ".join(f"'{w}'" for w in tx.LANG_MARKERS["en"])
+    u7 = sampling.sql_affine_uniform("doc_id", seed=7)
+    u11 = sampling.sql_affine_uniform("doc_id", seed=11)
+    u5 = sampling.sql_affine_uniform("doc_id", seed=5)
+    split_case = sampling.sql_split_assign(
+        "doc_id", {"train": 8.0, "valid": 1.0, "test": 1.0}, seed=3)
+    # shared CTE chain for the repetition queries: inject determinstic
+    # duplication (every 5th doc doubled), line stats + top-2-gram counts
+    _rep_ctes = f"""
+        d AS (
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || text
+                        ELSE text END AS text
+            FROM documents
+        ), lx AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, chr(10)), l -> l <> '') AS ls
+            FROM d
+        ), lstats AS (
+            SELECT doc_id,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CASE WHEN len(ls) > 0
+                        THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)
+                        ELSE 0.0 END AS dup_line_frac,
+                   CASE WHEN list_sum(list_transform(ls, l -> CAST(length(l) AS BIGINT))) > 0
+                        THEN 1.0 - list_sum(list_transform(list_distinct(ls), l -> CAST(length(l) AS BIGINT)))::DOUBLE
+                             / list_sum(list_transform(ls, l -> CAST(length(l) AS BIGINT)))
+                        ELSE 0.0 END AS dup_line_char_frac
+            FROM lx
+        ), tk AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   {_TOKS} AS toks
+            FROM d
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS gram
+            FROM tk
+        ), cnts AS (
+            SELECT doc_id, gram, count(*) AS cnt
+            FROM grams GROUP BY doc_id, gram
+        ), top AS (
+            SELECT doc_id, gram, cnt FROM (
+                SELECT doc_id, gram, cnt,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, gram DESC) AS rn
+                FROM cnts) WHERE rn = 1
+        )"""
 
     return {
         "q1_pricing_summary": """
@@ -1348,4 +1484,75 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _sql_dup_clusters(threshold=0.2),
         "dedup_keep_list": _sql_keep_list_poly(num_hashes=8, bands=4,
                                                threshold=0.3),
+        "stratified_sample": f"""
+            SELECT lang, count(*) AS n_kept
+            FROM documents
+            WHERE {u7} < CASE WHEN lang = 'en' THEN 0.5
+                              WHEN lang = 'es' THEN 0.25
+                              ELSE 0.0 END
+            GROUP BY lang
+        """,
+        "split_assign": f"""
+            SELECT {split_case} AS split, count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "sample_per_group": f"""
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY {u11}, doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 5
+        """,
+        "pack_chunks": f"""
+            WITH t AS (
+                SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+                       {u5} AS u
+                FROM documents
+            ), s AS (
+                SELECT doc_id, n_tok, u,
+                       CAST(FLOOR(u * 1073741824.0) AS BIGINT) % 4 AS shard
+                FROM t
+            ), c AS (
+                SELECT doc_id, shard, n_tok,
+                       CAST(sum(n_tok) OVER (PARTITION BY shard
+                            ORDER BY u, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cum
+                FROM s
+            )
+            SELECT doc_id, shard,
+                   CAST(FLOOR((cum - n_tok) / 256.0) AS BIGINT) AS chunk_first,
+                   CASE WHEN n_tok > 0
+                        THEN CAST(FLOOR((cum - 1) / 256.0) AS BIGINT)
+                        ELSE CAST(FLOOR((cum - n_tok) / 256.0) AS BIGINT)
+                   END AS chunk_last,
+                   (cum - n_tok) % 256 AS offset_in_chunk
+            FROM c
+        """,
+        "repetition_signals": f"""
+            WITH {_rep_ctes}
+            SELECT l.doc_id, l.n_lines,
+                   round(l.dup_line_frac, 6) AS dup_line_frac,
+                   round(l.dup_line_char_frac, 6) AS dup_line_char_frac,
+                   tk.n_tokens,
+                   top.gram AS top_ngram,
+                   CAST(COALESCE(top.cnt, 0) AS BIGINT) AS top_ngram_count,
+                   round(COALESCE(top.cnt * 2.0 / tk.n_tokens, 0.0), 6)
+                     AS top2gram_frac
+            FROM lstats l
+            JOIN tk USING (doc_id)
+            LEFT JOIN top USING (doc_id)
+        """,
+        "repetition_filter": f"""
+            WITH {_rep_ctes}
+            SELECT d.doc_id, d.lang
+            FROM d
+            JOIN lstats USING (doc_id)
+            JOIN tk USING (doc_id)
+            LEFT JOIN top USING (doc_id)
+            WHERE lstats.dup_line_frac <= 0.30
+              AND lstats.dup_line_char_frac <= 0.20
+              AND COALESCE(top.cnt * 2.0 / tk.n_tokens, 0.0) <= 0.20
+        """,
     }

@@ -47,6 +47,9 @@ HEADLINE = [
     # uniform-key equivalent (proves the salted path + AQE handle skew)
     "skew_topn_salted",
     "skew_topn_uniform",
+    # round-2 continuation: sampling/packing/repetition pipeline ops
+    "pack_chunks",
+    "repetition_filter",
 ]
 
 

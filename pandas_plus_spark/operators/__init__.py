@@ -11,6 +11,10 @@ from .similarity import (brute_force_knn, cosine_neardup_pairs, hyperplane_lsh_b
                          lsh_neardup_pairs, ivf_build, ivf_knn)
 from .multimodal import attach_blob_metadata, decode_image_stub, extract_image_features
 from .joins import asof_join, broadcast_dim_join, interval_join
+from .sampling import (affine_uniform, sample_per_group, split_assign,
+                       stratified_sample)
+from .packing import concat_chunk_pack
+from .corpus import line_stats, repetition_filter, top_ngram_share
 
 __all__ = [
     "exact_dedup",
@@ -32,4 +36,12 @@ __all__ = [
     "attach_blob_metadata",
     "decode_image_stub",
     "extract_image_features",
+    "affine_uniform",
+    "stratified_sample",
+    "split_assign",
+    "sample_per_group",
+    "concat_chunk_pack",
+    "line_stats",
+    "top_ngram_share",
+    "repetition_filter",
 ]

@@ -1,0 +1,144 @@
+"""Corpus-level repetition signals and quality filtering (Gopher-style).
+
+Beyond the reference (SURVEY §2.11): the standard pretraining-data quality
+pass (Rae et al., "Scaling Language Models: ... Gopher", appendix A1)
+removes documents dominated by repetition — duplicated lines and
+over-represented n-grams. Two distributed shapes are used:
+
+- line-level signals are pure column expressions (split + array_distinct +
+  HOF length sums): map-side only, whole-stage codegen, no shuffle;
+- the top-n-gram share needs a per-(doc, gram) count — the scalable shape
+  is explode → two-level hash aggregate keyed by (doc, gram) then doc, NOT
+  a per-doc HOF frequency table (which is O(grams²) per document).
+
+Everything is ANSI-expressible and oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import let, simple_tokens, word_ngrams
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def line_stats(col) -> dict[str, Column]:
+    """Per-document line-duplication signals as pure columns.
+
+    ``dup_line_frac``      — 1 − distinct/total lines (share of repeats).
+    ``dup_line_char_frac`` — 1 − chars(distinct lines)/chars(all lines):
+    the share of characters contributed by repeated copies beyond the
+    first occurrence. Empty lines are ignored (blank separators are not
+    "repetition").
+    """
+    lines = F.filter(F.split(_c(col), "\n"), lambda l: l != "")
+
+    def stats(ls: Column) -> dict[str, Column]:
+        chars = F.aggregate(ls, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
+        dls = F.array_distinct(ls)
+        dchars = F.aggregate(dls, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
+        n, dn = F.size(ls), F.size(dls)
+        return {
+            "n_lines": n.cast("long"),
+            "dup_line_frac": F.when(
+                n > 0, F.lit(1.0) - dn.cast("double") / n).otherwise(F.lit(0.0)),
+            "dup_line_char_frac": F.when(
+                chars > 0, F.lit(1.0) - dchars.cast("double") / chars
+            ).otherwise(F.lit(0.0)),
+        }
+
+    # let-binds the line array once; each stat reads the bound variable
+    # instead of re-splitting the document per reference. Single-arg lambda
+    # factory: a 2-arg lambda (even via defaults) would make F.transform
+    # pass the array INDEX as the second argument.
+    def bound(name):
+        return let(lines, lambda ls: stats(ls)[name])
+
+    return {name: bound(name)
+            for name in ("n_lines", "dup_line_frac", "dup_line_char_frac")}
+
+
+def top_ngram_share(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Per document: the most frequent word n-gram and the fraction of the
+    document's tokens it covers (``count × n / n_tokens``).
+
+    Explode → count by (doc, gram) → max by doc. Both aggregations hash-
+    partition on keys that include the doc id, so hot *grams* never
+    concentrate on one task; partial aggregation collapses the (doc, gram)
+    pairs map-side before the shuffle.
+
+    Output: ``id_col, n_tokens, top_ngram, top_ngram_count,
+    top_ngram_token_frac`` (docs shorter than ``n`` tokens get count 0,
+    share 0.0, NULL gram).
+    """
+    toks = simple_tokens(_c(text_col))
+    base = df.select(
+        _c(id_col).alias(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        word_ngrams(toks, n).alias("__grams"),
+    )
+    counts = (
+        base.select(id_col, "n_tokens", F.explode("__grams").alias("gram"))
+        .groupBy(id_col, "n_tokens", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # argmax gram via struct-max: (count, gram) ordered lexicographically;
+    # gram DESCENDING on ties is emulated by max over (cnt, gram) — ties on
+    # cnt resolve to the lexicographically LARGEST gram, pinned in the oracle.
+    top = counts.groupBy(id_col, "n_tokens").agg(
+        F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("__top")
+    )
+    scored = top.select(
+        id_col,
+        "n_tokens",
+        F.col("__top.gram").alias("top_ngram"),
+        F.col("__top.cnt").alias("top_ngram_count"),
+        (F.col("__top.cnt") * n / F.col("n_tokens")).alias("top_ngram_token_frac"),
+    )
+    # left join keeps too-short docs (no grams) with zeroed signals
+    return (
+        base.select(id_col, "n_tokens")
+        .join(scored.drop("n_tokens"), on=id_col, how="left")
+        .select(
+            id_col,
+            "n_tokens",
+            "top_ngram",
+            F.coalesce("top_ngram_count", F.lit(0)).alias("top_ngram_count"),
+            F.coalesce("top_ngram_token_frac", F.lit(0.0)).alias(
+                "top_ngram_token_frac"),
+        )
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2gram_frac: float = 0.20,
+) -> DataFrame:
+    """Gopher-style repetition gate: keep documents under every threshold.
+
+    The line signals are a pushed-down map-side projection; only the
+    2-gram share costs a shuffle. Returns the surviving rows of ``df``.
+    """
+    ls = line_stats(_c(text_col))
+    shares = top_ngram_share(df, id_col, text_col, n=2).select(
+        id_col, "top_ngram_token_frac")
+    return (
+        df.join(shares, on=id_col, how="inner")
+        .filter(
+            (ls["dup_line_frac"] <= max_dup_line_frac)
+            & (ls["dup_line_char_frac"] <= max_dup_line_char_frac)
+            & (F.col("top_ngram_token_frac") <= max_top2gram_frac)
+        )
+        .drop("top_ngram_token_frac")
+    )

@@ -1,0 +1,78 @@
+"""Sequence packing: concat-and-chunk token budgeting for LLM pretraining.
+
+Beyond the reference (SURVEY §2.11): the standard way training pipelines
+turn a deduplicated corpus into fixed-length examples is to concatenate
+documents in a deterministic order and slice the stream into
+``budget``-token chunks (documents may straddle a boundary). The
+sequential recurrence looks anti-distributed, but becomes embarrassingly
+parallel once the corpus is sharded: chunk ids are a pure function of the
+running token total inside a shard, i.e. one window cumsum per shard —
+no Python, no iteration, and shards scale out linearly. Boundary waste is
+zero by construction (chunking, not bin packing); greedy
+no-straddle packing would need per-row state and is deliberately not the
+scale path.
+
+Fully ANSI-expressible (window sum + integer division), so oracle-checked
+end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .sampling import affine_uniform
+
+
+def concat_chunk_pack(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    *,
+    shards: int = 1,
+    seed: int = 0,
+    string_key: bool = True,
+) -> DataFrame:
+    """Assign every document a position in the packed token stream.
+
+    Documents are sharded by a deterministic hash of ``id_col`` (so layout
+    is reproducible on any cluster), ordered within the shard by the same
+    hash, and the running token total maps each document to:
+
+    - ``shard``            — which independent packed stream it lands in
+    - ``chunk_first/last`` — the budget-sized chunks it occupies
+      (``chunk_first < chunk_last`` means it straddles boundaries)
+    - ``offset_in_chunk``  — token offset where it starts inside chunk_first
+
+    One shuffle (the per-shard window). Chunk ids never coordinate across
+    shards, so 1000 executors pack 1000 shards independently; pick
+    ``shards`` ≈ cluster parallelism × a few.
+    """
+    u = affine_uniform(id_col, seed, string_key=string_key)
+    # floor, not cast: double→long CAST truncates in Spark but ROUNDS in
+    # DuckDB — floor is the one spelling both engines agree on (u ≥ 0).
+    shard = F.pmod(F.floor(u * F.lit(float(1 << 30))), F.lit(shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__u").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.col(n_tokens_col).cast("long")
+    out = (
+        df.withColumn("__u", u)
+        .withColumn("shard", shard)
+        .withColumn("__cum", F.sum(n).over(w))
+    )
+    start = F.col("__cum") - n
+    return (
+        out.withColumn("chunk_first", F.floor(start / budget))
+        .withColumn(
+            "chunk_last",
+            F.when(n > 0, F.floor((F.col("__cum") - 1) / budget))
+            .otherwise(F.floor(start / budget)),
+        )
+        .withColumn("offset_in_chunk", start % budget)
+        .drop("__u", "__cum")
+    )

@@ -1,0 +1,167 @@
+"""Deterministic sampling and dataset splitting for training-data pipelines.
+
+Beyond the reference (pandas-plus has no sampling surface, SURVEY §2.11):
+a 100 TB corpus pipeline needs reproducible subsetting — stratified
+downsampling by source/language, train/validation/test splits, and exact-n
+per-group samples — where "reproducible" means the SAME rows are selected
+on any cluster size, any partition layout, any run. Random-number samplers
+(``df.sample``) are seed-stable only per partition *layout*; these operators
+instead derive selection from a deterministic affine hash of a row key, so
+membership is a pure function of the data. That also makes every operator
+here oracle-checkable in ANSI SQL (see the ``sql_*`` twins).
+
+All hot paths are pure Column expressions: a stratified sample is a
+pushed-down filter (no shuffle at all); a split assignment is a projection;
+exact-n per-group is one window over the group key (the same shape as
+GroupBy.head, reuse ``salt=`` there for pathological key skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import poly_hash, sql_poly_hash
+
+# Affine family over the Mersenne prime 2^31-1: u = ((k mod P)·a + b) mod P,
+# with (a, b) both derived from the seed so distinct seeds give genuinely
+# different permutations (a seed only in the offset would shift u by seed/P
+# ≈ 1e-9 — nearly the same selection). a stays < P, so (P-1)·a < 2^62 is
+# inside ANSI long range (Spark 4 throws on overflow); the identical
+# arithmetic runs in DuckDB BIGINTs for the oracle.
+UNIFORM_MOD = 2_147_483_647
+UNIFORM_MUL = 1_103_515_245
+_GOLDEN = 0x9E3779B9
+
+
+def _seed_family(seed: int) -> tuple[int, int]:
+    a = (UNIFORM_MUL * (2 * seed + 1)) % UNIFORM_MOD
+    b = (_GOLDEN * (seed + 1)) % UNIFORM_MOD
+    return a, b
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def affine_uniform(key, seed: int = 0, *, string_key: bool = False) -> Column:
+    """Deterministic uniform-ish double in [0, 1) from a row key.
+
+    ``key`` is a long column (or any string column with ``string_key=True``,
+    hashed by the ANSI-reproducible poly_hash first). Distinct seeds give
+    (pairwise) independent selections — the same construction as the MinHash
+    affine families in operators/dedup.py.
+    """
+    a, b = _seed_family(seed)
+    k = poly_hash(key) if string_key else _c(key).cast("long")
+    u = (F.pmod(k, F.lit(UNIFORM_MOD)) * F.lit(a) + F.lit(b)) % UNIFORM_MOD
+    return u.cast("double") / F.lit(float(UNIFORM_MOD))
+
+
+def sql_affine_uniform(expr: str, seed: int = 0, *, string_key: bool = False) -> str:
+    """DuckDB twin of :func:`affine_uniform` for oracle checks."""
+    a, b = _seed_family(seed)
+    k = sql_poly_hash(expr) if string_key else f"CAST({expr} AS BIGINT)"
+    return (
+        f"CAST(((({k} % {UNIFORM_MOD} + {UNIFORM_MOD}) % {UNIFORM_MOD})"
+        f" * {a} + {b}) % {UNIFORM_MOD} AS DOUBLE)"
+        f" / {float(UNIFORM_MOD)}"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col,
+    fractions: dict | float,
+    key,
+    seed: int = 0,
+    *,
+    string_key: bool = False,
+) -> DataFrame:
+    """Keep a deterministic fraction of rows, per stratum.
+
+    ``fractions`` is either one float for every stratum or a dict
+    ``{stratum_value: fraction}`` (strata absent from the dict are dropped,
+    mirroring ``DataFrame.sampleBy``). Selection is ``affine_uniform(key)
+    < fraction`` — a plain filter Catalyst pushes into the scan: sampling
+    100 TB costs one pass with NO shuffle, and re-running on different
+    cluster sizes selects the identical rows (unlike ``sampleBy``, which is
+    only seed-stable per partition layout).
+    """
+    u = affine_uniform(key, seed, string_key=string_key)
+    if isinstance(fractions, dict):
+        s = _c(strata_col)
+        thr = F.lit(0.0)
+        for value, frac in fractions.items():
+            thr = F.when(s == F.lit(value), F.lit(float(frac))).otherwise(thr)
+    else:
+        thr = F.lit(float(fractions))
+    return df.filter(u < thr)
+
+
+def split_assign(
+    key,
+    weights: dict[str, float],
+    seed: int = 0,
+    *,
+    string_key: bool = False,
+) -> Column:
+    """Label column assigning each row to a named split (train/valid/test…).
+
+    ``weights`` need not sum to 1 — they are normalized. Assignment is by
+    cumulative-threshold lookup on the affine hash, so splits are disjoint,
+    exhaustive, and stable under any repartitioning; a projection, never a
+    shuffle. Deterministic twin of ``DataFrame.randomSplit``.
+    """
+    total = float(sum(weights.values()))
+    u = affine_uniform(key, seed, string_key=string_key)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        expr = (F.when(u < acc, F.lit(name)) if expr is None
+                else expr.when(u < acc, F.lit(name)))
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def sql_split_assign(expr: str, weights: dict[str, float], seed: int = 0, *,
+                     string_key: bool = False) -> str:
+    """DuckDB twin of :func:`split_assign`."""
+    total = float(sum(weights.values()))
+    u = sql_affine_uniform(expr, seed, string_key=string_key)
+    names = list(weights)
+    acc, parts = 0.0, []
+    for name in names[:-1]:
+        acc += weights[name] / total
+        parts.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+def sample_per_group(
+    df: DataFrame,
+    keys,
+    n: int,
+    key,
+    seed: int = 0,
+    *,
+    string_key: bool = False,
+) -> DataFrame:
+    """Exactly ``min(n, group size)`` deterministic rows per group.
+
+    Uniform-without-replacement per group: rank rows inside each group by
+    their affine hash (ties broken by the key itself for full determinism)
+    and keep the first ``n``. One hash-partitioned window — the same
+    physical shape as ``GroupBy.head``; for a pathologically hot group use
+    ``GroupBy.head(salt=...)``'s two-stage pattern instead.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    u = affine_uniform(key, seed, string_key=string_key)
+    w = Window.partitionBy(*[_c(k) for k in keys]).orderBy(u.asc(), _c(key).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

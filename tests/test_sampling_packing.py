@@ -1,0 +1,174 @@
+"""Sampling / splitting / packing / repetition operators.
+
+The oracle gate pins values vs DuckDB; these tests pin the *contracts*:
+selection is invariant under repartitioning, splits are exhaustive and
+weight-proportional, packed positions are contiguous within a shard, and
+repetition signals behave on genuinely multi-line documents.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pandas_plus_spark.operators import (
+    concat_chunk_pack,
+    line_stats,
+    repetition_filter,
+    sample_per_group,
+    split_assign,
+    stratified_sample,
+    top_ngram_share,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+class TestStratifiedSample:
+    def test_partition_layout_invariance(self, docs):
+        kept = stratified_sample(docs, "lang", 0.4, "doc_id", seed=1)
+        ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+        kept2 = stratified_sample(
+            docs.repartition(7, "lang"), "lang", 0.4, "doc_id", seed=1)
+        assert sorted(r.doc_id for r in kept2.select("doc_id").collect()) == ids
+
+    def test_dict_drops_unlisted_strata(self, docs):
+        kept = stratified_sample(docs, "lang", {"en": 1.0}, "doc_id", seed=1)
+        assert kept.select("lang").distinct().collect() == [("en",)]
+        n_en = docs.filter(F.col("lang") == "en").count()
+        assert kept.count() == n_en  # fraction 1.0 keeps every row
+
+    def test_seed_changes_selection(self, docs):
+        a = {r.doc_id for r in
+             stratified_sample(docs, "lang", 0.4, "doc_id", seed=1).collect()}
+        b = {r.doc_id for r in
+             stratified_sample(docs, "lang", 0.4, "doc_id", seed=2).collect()}
+        assert a != b
+
+    def test_fraction_roughly_respected(self, docs):
+        n = docs.count()
+        kept = stratified_sample(docs, "lang", 0.5, "doc_id", seed=3).count()
+        assert 0.3 * n < kept < 0.7 * n
+
+
+class TestSplitAssign:
+    def test_exhaustive_and_disjoint(self, docs):
+        out = docs.withColumn(
+            "split", split_assign("doc_id", {"train": 3, "test": 1}, seed=9))
+        counts = dict(out.groupBy("split").count().collect())
+        assert set(counts) <= {"train", "test"}
+        assert sum(counts.values()) == docs.count()
+
+    def test_weights_proportional(self, docs):
+        out = docs.withColumn(
+            "split", split_assign("doc_id", {"train": 9, "test": 1}, seed=4))
+        counts = dict(out.groupBy("split").count().collect())
+        assert counts["train"] > 5 * counts.get("test", 0)
+
+    def test_single_split_is_constant(self, docs):
+        out = docs.withColumn("split", split_assign("doc_id", {"all": 1.0}))
+        assert out.select("split").distinct().collect() == [("all",)]
+
+
+class TestSamplePerGroup:
+    def test_exact_n_and_determinism(self, docs):
+        out = sample_per_group(docs, "lang", 4, "doc_id", seed=2)
+        sizes = dict(out.groupBy("lang").count().collect())
+        truth = dict(docs.groupBy("lang").count().collect())
+        for lang, n in truth.items():
+            assert sizes[lang] == min(4, n)
+        again = sample_per_group(
+            docs.repartition(5), "lang", 4, "doc_id", seed=2)
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, again.collect()))
+
+    def test_n_larger_than_group(self, docs):
+        out = sample_per_group(docs, "lang", 10**6, "doc_id", seed=2)
+        assert out.count() == docs.count()
+
+
+class TestConcatChunkPack:
+    def _packed(self, docs, budget=128, shards=3):
+        withn = docs.select(
+            "doc_id", F.size(F.split("text", " +")).cast("long").alias("n"))
+        return concat_chunk_pack(
+            withn, "doc_id", "n", budget=budget, shards=shards,
+            string_key=False)
+
+    def test_stream_is_contiguous_per_shard(self, docs):
+        """Reconstructed per-shard streams must tile exactly: each doc starts
+        where the previous one ended (chunk_first*budget + offset is the
+        running cumsum)."""
+        budget = 128
+        rows = self._packed(docs, budget).orderBy(
+            "shard", "chunk_first", "offset_in_chunk", "doc_id").collect()
+        pos = {}
+        for r in rows:
+            start = r.chunk_first * budget + r.offset_in_chunk
+            assert start == pos.get(r.shard, 0), r
+            pos[r.shard] = start + r.n
+            if r.n > 0:
+                assert r.chunk_last == (start + r.n - 1) // budget
+            else:
+                assert r.chunk_last == r.chunk_first
+
+    def test_offsets_within_budget(self, docs):
+        bad = self._packed(docs, 64).filter(
+            (F.col("offset_in_chunk") < 0) | (F.col("offset_in_chunk") >= 64)
+            | (F.col("chunk_last") < F.col("chunk_first"))
+        )
+        assert bad.count() == 0
+
+    def test_every_doc_packed_once(self, docs):
+        out = self._packed(docs)
+        assert out.count() == docs.count()
+        assert out.select("doc_id").distinct().count() == docs.count()
+
+
+class TestRepetition:
+    @pytest.fixture(scope="class")
+    def rep_docs(self, spark):
+        rows = [
+            (0, "alpha beta\nalpha beta\ngamma"),          # 1 dup line
+            # no dups, long enough that any single 2-gram is under the
+            # top-2-gram threshold (tiny docs always trip it: 2/n_tokens)
+            (1, " ".join(f"w{i}" for i in range(40)) + "\n"
+                + " ".join(f"v{i}" for i in range(40))),
+            (2, "x\nx\nx\nx"),                             # 3 dup lines
+            (3, "a b a b a b a b"),                        # repeated 2-gram
+            (4, ""),                                       # empty doc
+            (5, "solo"),                                   # 1 token, no grams
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_line_stats_values(self, rep_docs):
+        ls = line_stats("text")
+        got = {r.doc_id: r for r in rep_docs.select(
+            "doc_id", ls["n_lines"].alias("n_lines"),
+            ls["dup_line_frac"].alias("dlf"),
+            ls["dup_line_char_frac"].alias("dlcf")).collect()}
+        assert got[0].n_lines == 3
+        assert got[0].dlf == pytest.approx(1 / 3)
+        # 25 chars total (10+10+5), 15 distinct → 10/25 repeated
+        assert got[0].dlcf == pytest.approx(10 / 25)
+        assert got[1].dlf == 0.0
+        assert got[2].dlf == pytest.approx(3 / 4)
+        assert got[4].n_lines == 0 and got[4].dlf == 0.0
+
+    def test_top_ngram_share_values(self, rep_docs):
+        got = {r.doc_id: r for r in
+               top_ngram_share(rep_docs, "doc_id", "text", 2).collect()}
+        assert got[3].top_ngram in ("a b", "b a")
+        assert got[3].top_ngram_count == 4  # "a b" appears 4×
+        assert got[3].top_ngram_token_frac == pytest.approx(8 / 8)
+        assert got[5].top_ngram_count == 0
+        assert got[5].top_ngram_token_frac == 0.0
+        assert got[4].n_tokens == 0
+
+    def test_repetition_filter_drops_repetitive(self, rep_docs):
+        kept = {r.doc_id for r in
+                repetition_filter(rep_docs, "doc_id", "text").collect()}
+        assert 1 in kept and 5 in kept
+        assert 2 not in kept      # dup lines way over threshold
+        assert 3 not in kept      # top 2-gram covers the whole doc
