@@ -1,5 +1,7 @@
 from .tables import TABLES, load_table, load_tables, with_row_id
 from .sinks import write_partitioned, write_bucketed
+from .formats import read_any, register_views
 
 __all__ = ["TABLES", "load_table", "load_tables", "with_row_id",
-           "write_partitioned", "write_bucketed"]
+           "write_partitioned", "write_bucketed", "read_any",
+           "register_views"]

@@ -1,0 +1,78 @@
+"""Round-trip + contract tests for the format-generic readers."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pandas_plus_spark.sources import read_any, register_views
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, "c,quoted", -2.0)],
+        "id long, s string, v double")
+
+
+class TestReadAny:
+    def test_csv_round_trip_with_schema(self, spark, sample, tmp_path):
+        p = str(tmp_path / "csv")
+        sample.write.option("header", True).csv(p)
+        back = read_any(spark, p, "csv", "id long, s string, v double")
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, sample.collect()))
+
+    def test_json_round_trip_with_schema(self, spark, sample, tmp_path):
+        p = str(tmp_path / "json")
+        sample.write.json(p)
+        back = read_any(spark, p, "json", "id long, s string, v double")
+        assert sorted(map(tuple, back.select("id", "s", "v").collect())) == \
+            sorted(map(tuple, sample.collect()))
+
+    def test_schemaless_requires_opt_in(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="explicit schema"):
+            read_any(spark, str(tmp_path), "csv")
+        with pytest.raises(ValueError, match="explicit schema"):
+            read_any(spark, str(tmp_path), "json")
+
+    def test_infer_opt_in_works(self, spark, sample, tmp_path):
+        p = str(tmp_path / "csv2")
+        sample.write.option("header", True).csv(p)
+        back = read_any(spark, p, "csv", infer=True)
+        assert back.count() == 3
+        assert dict(back.dtypes)["id"] in ("int", "bigint")
+
+    def test_corrupt_json_rows_are_observable(self, spark, tmp_path):
+        p = tmp_path / "bad"
+        p.mkdir()
+        (p / "part-0.json").write_text(
+            '{"id": 1, "s": "ok"}\n{not json at all}\n{"id": 2, "s": "ok"}\n')
+        back = read_any(
+            spark, str(p), "json",
+            "id long, s string, _corrupt_record string")
+        rows = back.collect()
+        assert len(rows) == 3
+        corrupt = [r for r in rows if r._corrupt_record is not None]
+        assert len(corrupt) == 1  # the broken line survives, flagged
+
+    def test_orc_round_trip(self, spark, sample, tmp_path):
+        p = str(tmp_path / "orc")
+        sample.write.orc(p)
+        back = read_any(spark, p, "orc")
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, sample.collect()))
+
+    def test_bad_format_rejected(self, spark):
+        with pytest.raises(ValueError, match="fmt must be one of"):
+            read_any(spark, "/nope", "avro")
+
+
+class TestRegisterViews:
+    def test_sql_over_registered_views(self, spark):
+        register_views(spark, "/root/testdata/sf0.001")
+        out = spark.sql("""
+            SELECT r_name, count(*) AS n
+            FROM region JOIN nation ON r_regionkey = n_regionkey
+            GROUP BY r_name
+        """)
+        assert out.count() == 5
+        assert dict(out.collect())["ASIA"] == 5
