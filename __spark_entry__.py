@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pandas_plus_spark import GroupBy, crosstab, nanops
 from pandas_plus_spark.functions.binning import pretty_cut
 from pandas_plus_spark.functions.encoding import bools_to_categorical, linear_combination
+from pandas_plus_spark.functions import ordered
 from pandas_plus_spark.functions import text as tx
 from pandas_plus_spark.operators import (corpus, dedup, joins, multimodal,
                                          packing, sampling, similarity)
@@ -782,6 +783,30 @@ def _q_pack_chunks(spark, sf):
         "doc_id", "shard", "chunk_first", "chunk_last", "offset_in_chunk")
 
 
+def _q_global_cumsum(spark, sf):
+    """Distributed GLOBAL running total (functions.ordered.global_cumsum):
+    range partition → per-partition running sum → broadcast prefix offsets.
+    Replaces the one-task `WindowExec: No Partition Defined` shape. DECIMAL
+    accumulation keeps the total bit-identical under ANY partition count —
+    with doubles, float association across partition boundaries would flip
+    the driver's rounded hash (the segment_revenue lesson)."""
+    ev = load_table(spark, sf, "events")
+    dec = ev.select(
+        "event_id", "ts", F.col("value").cast("decimal(27,6)").alias("v"))
+    out = ordered.global_cumsum(dec, ["ts", "event_id"], "v",
+                                out="running_total")
+    return out.select(
+        "event_id", F.col("running_total").cast("double").alias("running_total"))
+
+
+def _q_global_shift(spark, sf):
+    """Distributed global lag: global row numbers + self-equi-join on
+    rn−1 — robust for any shift distance, no boundary special-cases."""
+    ev = load_table(spark, sf, "events").select("event_id", "ts", "value")
+    out = ordered.global_shift(ev, ["ts", "event_id"], "value", n=1)
+    return out.select("event_id", "value", "value_shift")
+
+
 def _with_injected_repetition(docs):
     """The synthetic corpus is single-line, near-repetition-free text; the
     repetition-signal queries inject duplication DETERMINISTICALLY (every
@@ -893,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": _q_pack_chunks,
         "repetition_signals": _q_repetition_signals,
         "repetition_filter": _q_repetition_filter,
+        "global_cumsum": _q_global_cumsum,
+        "global_shift": _q_global_shift,
     }
 
 
@@ -1554,5 +1581,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE lstats.dup_line_frac <= 0.30
               AND lstats.dup_line_char_frac <= 0.20
               AND COALESCE(top.cnt * 2.0 / tk.n_tokens, 0.0) <= 0.20
+        """,
+        "global_cumsum": """
+            SELECT event_id,
+                   CAST(sum(CAST(value AS DECIMAL(27,6)))
+                        OVER (ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS running_total
+            FROM events
+        """,
+        "global_shift": """
+            SELECT event_id, value,
+                   lag(value) OVER (ORDER BY ts, event_id) AS value_shift
+            FROM events
         """,
     }

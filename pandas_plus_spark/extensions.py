@@ -49,19 +49,24 @@ def dd(self: DataFrame, *cols) -> DataFrame:
 
 
 def normalize(self: DataFrame, col: str, out: str | None = None) -> DataFrame:
-    """col / global sum(col) (reference ``normalize``) — one window pass."""
-    from pyspark.sql import Window
-    total = F.sum(col).over(Window.partitionBy())
-    return self.withColumn(out or f"{col}_norm", F.col(col) / total)
+    """col / global sum(col) (reference ``normalize``) — the scalar total is
+    one aggregate broadcast back (a partition-less window would drag the
+    whole frame through one task)."""
+    total = self.agg(F.sum(col).alias("__total"))
+    return (self.crossJoin(F.broadcast(total))
+            .withColumn(out or f"{col}_norm", F.col(col) / F.col("__total"))
+            .drop("__total"))
 
 
 def pc(self: DataFrame, col: str, order_by: str, out: str | None = None) -> DataFrame:
-    """percent change vs previous row in ``order_by`` order (reference ``pc``).
-    NB: a global lag is a single-partition window — fine on small frames,
-    use a keyed GroupBy().diff at scale."""
-    from pyspark.sql import Window
-    prev = F.lag(col).over(Window.orderBy(order_by))
-    return self.withColumn(out or f"{col}_pc", (F.col(col) - prev) / prev)
+    """percent change vs previous row in ``order_by`` order (reference ``pc``)
+    via the distributed global lag (functions.ordered.global_shift) — no
+    single-partition window at any frame size."""
+    from .functions.ordered import global_shift
+    shifted = global_shift(self, order_by, col, n=1, suffix="__prev")
+    prev = F.col(f"{col}__prev")
+    return (shifted.withColumn(out or f"{col}_pc", (F.col(col) - prev) / prev)
+            .drop(f"{col}__prev"))
 
 
 def categorize_objects(self: DataFrame, columns=None, exclude=()) -> DataFrame:

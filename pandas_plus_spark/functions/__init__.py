@@ -1,5 +1,7 @@
 from .binning import pretty_cut
 from .encoding import bools_to_categorical, linear_combination
+from .ordered import (global_cumsum, global_ntile, global_row_number,
+                      global_shift)
 from .text import (
     let,
     poly_hash,
@@ -17,4 +19,8 @@ __all__ = [
     "word_ngrams",
     "poly_hash",
     "let",
+    "global_row_number",
+    "global_cumsum",
+    "global_shift",
+    "global_ntile",
 ]

@@ -1,0 +1,174 @@
+"""Distributed GLOBAL ordered operators — no partition key, no bottleneck.
+
+A window with ORDER BY but no PARTITION BY funnels every row through one
+task (`WindowExec: No Partition Defined`) — the classic Spark scale-killer
+for globally-ordered computations (running totals, global row numbers,
+exact quantile tiles). These operators decompose the global order into the
+two-phase pattern:
+
+1. ``repartitionByRange`` on the order keys — partition i holds a
+   contiguous key range, all ranges ordered end-to-end;
+2. the ordered computation runs per partition (parallel), plus a
+   prefix-offset correction computed from ONE tiny row-per-partition frame
+   (its unpartitioned window is over ≤ num_partitions rows, harmless at
+   any data size) broadcast back.
+
+Semantics match the single-window equivalent exactly when the order keys
+are a total order; under ties, per-row outputs are tie-order-dependent in
+both formulations (pass tiebreak columns).
+
+The reference's ordered kernels (cumsum/shift/rank over implicit array
+order, reference numba.py:438-555) get their order from array position;
+here order is explicit columns, per SURVEY §7.4 R12.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..util import attach_cached
+
+
+def _order_cols(order_by) -> list[Column]:
+    if isinstance(order_by, (list, tuple)):
+        return [F.col(c) if isinstance(c, str) else c for c in order_by]
+    return [F.col(order_by) if isinstance(order_by, str) else order_by]
+
+
+def _ranged(df: DataFrame, order_by, num_partitions: int | None):
+    cols = _order_cols(order_by)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    rp = df.repartitionByRange(n, *cols)
+    return rp.withColumn("__pid", F.spark_partition_id()), cols
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by,
+    out: str = "row_number",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based global row number in ``order_by`` order, fully distributed.
+
+    Within-partition ``row_number`` + the cumulative count of earlier
+    partitions (a broadcast of one row per partition)."""
+    rp, cols = _ranged(df, order_by, num_partitions)
+    # PINNED: repartitionByRange samples its boundaries per execution, and
+    # this frame feeds TWO plan branches (the rows and the per-partition
+    # counts). Unpinned, each branch can re-execute the exchange with
+    # different sampled boundaries — __pid then disagrees between branches
+    # and the offsets corrupt the numbering. persist() makes both branches
+    # read one materialization (the same hazard class as dedup's bucket
+    # self-joins; released via util.release_cached).
+    local = rp.withColumn(
+        "__lrn", F.row_number().over(Window.partitionBy("__pid").orderBy(*cols))
+    ).persist()
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"))
+    out_df = (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(out, (F.col("__lrn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )
+    return attach_cached(out_df, local)
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by,
+    value,
+    out: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running total of ``value`` in ``order_by`` order.
+
+    Within-partition running sum + the prefix sum of whole-partition
+    totals. One data shuffle (the range partitioning); the offset frame is
+    one row per partition."""
+    rp, cols = _ranged(df, order_by, num_partitions)
+    v = F.col(value) if isinstance(value, str) else value
+    w_local = (Window.partitionBy("__pid").orderBy(*cols)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # pinned for the same two-branch boundary-divergence hazard as
+    # global_row_number (totals must see the SAME __pid as the rows)
+    local = rp.withColumn("__lcum", F.sum(v).over(w_local)).persist()
+    totals = local.groupBy("__pid").agg(F.sum(v).alias("__tot"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "__pid", F.sum("__tot").over(w_off).alias("__off"))
+    # window-sum null semantics: NULL iff the whole global prefix is null
+    # (local prefix null AND every earlier partition total null); otherwise
+    # nulls are skipped — coalesce each side to 0 before adding.
+    cum = F.when(
+        F.col("__lcum").isNull() & F.col("__off").isNull(), F.lit(None)
+    ).otherwise(
+        F.coalesce(F.col("__lcum"), F.lit(0)) + F.coalesce(F.col("__off"), F.lit(0))
+    )
+    out_df = (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(out, cum)
+        .drop("__pid", "__lcum", "__off")
+    )
+    return attach_cached(out_df, local)
+
+
+def global_shift(
+    df: DataFrame,
+    order_by,
+    cols: list[str] | str,
+    n: int = 1,
+    suffix: str = "_shift",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global lag (n > 0) / lead (n < 0) of ``cols`` in ``order_by`` order.
+
+    Robust for any |n| (even when a range partition holds fewer than n
+    rows): assign global row numbers, then self-equi-join on
+    ``rn = rn − n`` — a hash join on a unique key, no boundary-row
+    special-casing. Two shuffles; prefer a keyed ``GroupBy.shift`` when a
+    partition key exists."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    base = global_row_number(df, order_by, out="__grn",
+                             num_partitions=num_partitions)
+    shifted = base.select(
+        (F.col("__grn") + F.lit(n)).alias("__grn"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in cols])
+    return base.join(shifted, "__grn", "left").drop("__grn")
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by,
+    n_tiles: int,
+    out: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n_tiles)`` semantics without the single-task sort.
+
+    SQL ntile: with N rows, q = N div k, r = N mod k, the first r tiles
+    get q+1 rows. Computed from the global row number + the total count
+    (one broadcast scalar) by closed form — bit-identical to the window
+    function's assignment for any total order."""
+    base = global_row_number(df, order_by, out="__grn",
+                             num_partitions=num_partitions)
+    cnt = base.agg(F.count(F.lit(1)).alias("__n"))
+    k = F.lit(n_tiles).cast("long")
+    q = (F.col("__n") / k).cast("long")          # floor: both nonneg
+    r = F.col("__n") % k
+    big = (q + 1) * r                            # rows covered by q+1 tiles
+    rn = F.col("__grn")
+    # integer ceil(a/b) = (a + b - 1) div b, all nonneg longs
+    tile = F.when(
+        rn <= big, ((rn + q) / (q + 1)).cast("long")
+    ).otherwise(
+        r + F.when(q > 0, ((rn - big + q - 1) / q).cast("long")).otherwise(F.lit(0))
+    )
+    return (
+        base.crossJoin(F.broadcast(cnt))
+        .withColumn(out, tile.cast("int"))
+        .drop("__grn", "__n")
+    )

@@ -25,9 +25,10 @@ def binned_scatter_stats(
 ) -> DataFrame:
     """(bin, x_mean, y_mean, n) with equal-count bins over x.
 
-    method="ntile": exact equal-count bins via a GLOBAL ordered window — a
-    total sort through one task. Exact, deterministic (``tiebreak`` columns
-    break x duplicates), but single-task: test/plot-prep scale only.
+    method="ntile": exact equal-count bins with ntile semantics, computed
+    by ``functions.ordered.global_ntile`` — range partitioning + prefix
+    offsets, NOT a single-task global window, so the exact path is also
+    distributed. ``tiebreak`` columns break x duplicates for determinism.
 
     method="cutpoints": the 100 TB path. Quantile cutpoints via
     ``approxQuantile`` (relative_error=0.0 → exact order statistics; raise it
@@ -45,9 +46,9 @@ def binned_scatter_stats(
             bin_expr = bin_expr + (F.col(x) > F.lit(c)).cast("int")
         binned = df.withColumn("bin", bin_expr)
     elif method == "ntile":
+        from .functions.ordered import global_ntile
         order = [F.col(x)] + [F.col(c) for c in (tiebreak or [])]
-        w = Window.orderBy(*order)
-        binned = df.withColumn("bin", F.ntile(n_bins).over(w))
+        binned = global_ntile(df, order, n_bins, out="bin")
     else:
         raise ValueError(f"method must be 'ntile' or 'cutpoints', got {method!r}")
     return (

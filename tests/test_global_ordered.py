@@ -1,0 +1,118 @@
+"""Global ordered operators vs the single-window reference formulation.
+
+The whole point of functions/ordered.py is that range-partition + prefix
+offsets equals the unpartitioned window bit-for-bit (given a total order);
+these tests pin that across partition counts, including partition counts
+that force empty / tiny range partitions.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.window import Window
+
+from pandas_plus_spark.functions.ordered import (
+    global_cumsum,
+    global_ntile,
+    global_row_number,
+    global_shift,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    # non-contiguous keys, negative values, a duplicate-free total order
+    rows = [(i * 7 % 1000, float((-1) ** i * i)) for i in range(1000)]
+    return spark.createDataFrame(rows, "k long, v double")
+
+
+PARTS = [1, 3, 8, 64]  # 64 > distinct-range granularity → empty partitions
+
+
+class TestGlobalRowNumber:
+    @pytest.mark.parametrize("n", PARTS)
+    def test_matches_window(self, frame, n):
+        got = dict(
+            global_row_number(frame, "k", num_partitions=n)
+            .select("k", "row_number").collect())
+        exp = dict(
+            frame.select(
+                "k", F.row_number().over(Window.orderBy("k")).alias("rn"))
+            .collect())
+        assert got == exp
+
+
+class TestGlobalCumsum:
+    @pytest.mark.parametrize("n", PARTS)
+    def test_matches_window(self, frame, n):
+        got = dict(
+            global_cumsum(frame, "k", "v", num_partitions=n)
+            .select("k", "cumsum").collect())
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)
+        exp = dict(frame.select("k", F.sum("v").over(w).alias("c")).collect())
+        assert set(got) == set(exp)
+        for k in exp:
+            assert got[k] == pytest.approx(exp[k], rel=1e-12, abs=1e-9), k
+
+    def test_null_values_skipped_like_sum(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, None), (3, 2.0)], "k long, v double")
+        got = dict(global_cumsum(df, "k", "v").select("k", "cumsum").collect())
+        assert got == {1: 1.0, 2: 1.0, 3: 3.0}
+
+
+class TestGlobalShift:
+    @pytest.mark.parametrize("n_shift", [1, 3, -2])
+    def test_matches_lag(self, frame, n_shift):
+        got = dict(
+            global_shift(frame, "k", "v", n=n_shift, num_partitions=5)
+            .select("k", "v_shift").collect())
+        exp = dict(
+            frame.select(
+                "k", F.lag("v", n_shift).over(Window.orderBy("k")).alias("s"))
+            .collect())
+        assert got == exp
+
+    def test_shift_larger_than_partition(self, spark):
+        """|n| exceeding a range partition's row count must still resolve
+        (the join formulation has no boundary assumption)."""
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, v double")
+        got = dict(global_shift(df, "k", "v", n=7, num_partitions=8)
+                   .select("k", "v_shift").collect())
+        exp = {i: (float(i - 7) if i >= 7 else None) for i in range(10)}
+        assert got == exp
+
+
+class TestGlobalNtile:
+    @pytest.mark.parametrize("n", PARTS)
+    @pytest.mark.parametrize("k", [1, 3, 7, 20, 1500])
+    def test_matches_ntile(self, frame, n, k):
+        got = dict(
+            global_ntile(frame, "k", k, num_partitions=n)
+            .select("k", "tile").collect())
+        exp = dict(
+            frame.select(
+                "k", F.ntile(k).over(Window.orderBy("k")).alias("t"))
+            .collect())
+        assert got == exp
+
+
+class TestRewiredCallers:
+    def test_extensions_pc_matches_global_lag(self, spark):
+        from pandas_plus_spark import extensions  # installs sugar  # noqa
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, 12.0), (3, 9.0)], "t long, v double")
+        got = {r.t: r.v_pc for r in extensions.pc(df, "v", "t").collect()}
+        assert got[1] is None
+        assert got[2] == pytest.approx(0.2)
+        assert got[3] == pytest.approx(-0.25)
+
+    def test_normalize_no_window(self, spark):
+        from pandas_plus_spark import extensions
+        df = spark.createDataFrame([(1.0,), (3.0,)], "v double")
+        got = sorted(r.v_norm for r in extensions.normalize(df, "v").collect())
+        assert got == [pytest.approx(0.25), pytest.approx(0.75)]
+        plan = extensions.normalize(df, "v")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Window" not in plan  # scalar agg + broadcast, not a window
