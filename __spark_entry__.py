@@ -254,6 +254,20 @@ def _q_var_std(spark, sf):
     })
 
 
+def _q_agg_callable(spark, sf):
+    """Reference `agg(callable)` dispatch (core.py:1210-1213): callables are
+    resolved by `__name__` to the native kernel — `np.sum`/`np.mean` here run
+    the same single-pass HashAggregate as the string forms, never the Python
+    callable itself."""
+    import numpy as np
+    li = load_table(spark, sf, "lineitem")
+    return GroupBy(li, "l_returnflag").agg({
+        "sum_qty": (np.sum, "l_quantity"),
+        "mean_disc": (np.mean, "l_discount"),
+        "max_price": (max, "l_extendedprice"),
+    })
+
+
 def _q_median(spark, sf):
     li = load_table(spark, sf, "lineitem")
     return GroupBy(li, "l_returnflag").agg({
@@ -856,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_size": _q_size,
         "group_minmax": _q_minmax,
         "group_var_std": _q_var_std,
+        "agg_callable": _q_agg_callable,
         "group_median": _q_median,
         "group_first_last": _q_first_last,
         "ratio": _q_ratio,
@@ -1015,6 +1030,14 @@ def oracle_sql() -> dict[str, str]:
                      / (count(l_quantity) - 2) AS var2_qty,
                    sum(l_quantity*l_quantity) AS ss_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "agg_callable": """
+            SELECT l_returnflag,
+                   sum(l_quantity) AS sum_qty,
+                   avg(l_discount) AS mean_disc,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "group_median": """
             SELECT l_returnflag,
