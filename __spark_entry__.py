@@ -22,8 +22,9 @@ from pandas_plus_spark.functions.binning import pretty_cut
 from pandas_plus_spark.functions.encoding import bools_to_categorical, linear_combination
 from pandas_plus_spark.functions import ordered
 from pandas_plus_spark.functions import text as tx
-from pandas_plus_spark.operators import (corpus, dedup, joins, multimodal,
-                                         packing, sampling, similarity)
+from pandas_plus_spark.operators import (cleaning, corpus, dedup, joins,
+                                         multimodal, packing, sampling,
+                                         similarity)
 from pandas_plus_spark.plotting import binned_scatter_stats
 from pandas_plus_spark.sources import load_table
 
@@ -41,6 +42,15 @@ def _sql_trigrams(toks: str) -> str:
         f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]) "
         f"ELSE [] END"
     )
+
+
+def _sql_ngrams(toks: str, n: int) -> str:
+    """Space-joined word n-grams over a DuckDB token list (the SQL twin of
+    functions/text.word_ngrams)."""
+    parts = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(n))
+    return (f"CASE WHEN len({toks}) >= {n} THEN "
+            f"list_transform(range(1, len({toks}) - {n - 2}), i -> {parts}) "
+            f"ELSE [] END")
 
 
 def _sql_minhash_poly_ctes(num_hashes: int = 8, bands: int = 4,
@@ -859,6 +869,82 @@ def _q_repetition_filter(spark, sf):
         "doc_id", "lang")
 
 
+def _with_injected_pii(docs):
+    """Deterministic PII injection — the synthetic corpus is PII-free word
+    soup, so the scan/redact queries append known PII shapes to fixed
+    doc_id residue classes (same arithmetic in the SQL oracle)."""
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 7 == 0,
+               F.concat(t, F.lit(" contact bob.smith+x@example.co.uk now"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 11 == 3,
+               F.concat(t, F.lit(" host 192.168.0.1 up"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 13 == 5,
+               F.concat(t, F.lit(" ssn 123-45-6789 end"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 17 == 2,
+               F.concat(t, F.lit(" call +1 (555) 123-4567 today"))).otherwise(t)
+    return docs.withColumn("text", t)
+
+
+def _q_pii_scan(spark, sf):
+    """PII scan + redact over the injected corpus, rolled up per source:
+    category match counts and how many docs redaction changed. All rules
+    are map-side regexp expressions; the only shuffle is the tiny final
+    agg."""
+    docs = _with_injected_pii(load_table(spark, sf, "documents"))
+    counts = cleaning.pii_counts("text")
+    per_doc = docs.select(
+        "source",
+        *[c.alias(f"n_{cat}") for cat, c in counts.items()],
+        (cleaning.redact_pii("text") != F.col("text")).cast("long").alias("red"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+        F.sum("n_ssn").alias("n_ssn"),
+        F.sum("n_phone").alias("n_phone"),
+        F.sum("red").alias("n_redacted"),
+    )
+
+
+def _c4_shaped(docs):
+    """Derive punctuation + line structure deterministically: ' value ' →
+    sentence break, ' table ' → newline (plain substring replace — identical
+    non-overlapping leftmost semantics in Spark and DuckDB)."""
+    t = F.col("text")
+    t = F.replace(t, F.lit(" value "), F.lit(". "))
+    t = F.replace(t, F.lit(" table "), F.lit("\n"))
+    return docs.withColumn("text", t)
+
+
+def _q_c4_filter(spark, sf):
+    """C4 line/page heuristics (Raffel et al. 2020 §2.2) per document over
+    the punctuation-shaped corpus: line keep counts, sentence count, and
+    the composite page-keep flag. Integer/boolean output — exact parity."""
+    docs = _c4_shaped(load_table(spark, sf, "documents"))
+    stats = cleaning.c4_line_stats("text", min_words=5)
+    return docs.select(
+        "doc_id",
+        stats["n_lines"].alias("n_lines"),
+        stats["n_kept_lines"].alias("n_kept_lines"),
+        stats["n_sentences"].alias("n_sentences"),
+        cleaning.c4_keep("text", min_words=5, min_sentences=3).alias("keep"),
+    )
+
+
+def _q_contamination(spark, sf):
+    """Benchmark decontamination: every 97th doc is the held-out benchmark;
+    flag corpus docs sharing any word 8-gram. Benchmark grams broadcast;
+    corpus never shuffles until the final per-doc agg."""
+    docs = load_table(spark, sf, "documents")
+    corpus_side = docs.filter(F.col("doc_id") % 97 != 0)
+    bench_side = docs.filter(F.col("doc_id") % 97 == 0)
+    out = cleaning.ngram_contamination(corpus_side, bench_side, n=8)
+    return out.select("doc_id", "n_grams", "n_contaminated",
+                      F.round("contamination_frac", 6).alias("contamination_frac"),
+                      "contaminated")
+
+
 # ---------------------------------------------------------------------- #
 # registries
 # ---------------------------------------------------------------------- #
@@ -935,6 +1021,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": _q_repetition_filter,
         "global_cumsum": _q_global_cumsum,
         "global_shift": _q_global_shift,
+        "pii_scan": _q_pii_scan,
+        "c4_filter": _q_c4_filter,
+        "contamination": _q_contamination,
     }
 
 
@@ -1617,5 +1706,93 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value,
                    lag(value) OVER (ORDER BY ts, event_id) AS value_shift
             FROM events
+        """,
+        "pii_scan": f"""
+            WITH inj AS (
+                SELECT source,
+                       text
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' contact bob.smith+x@example.co.uk now' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 3
+                               THEN ' host 192.168.0.1 up' ELSE '' END
+                       || CASE WHEN doc_id % 13 = 5
+                               THEN ' ssn 123-45-6789 end' ELSE '' END
+                       || CASE WHEN doc_id % 17 = 2
+                               THEN ' call +1 (555) 123-4567 today' ELSE '' END
+                       AS text
+                FROM documents
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum({cleaning.sql_pii_count('text', 'email')}) AS BIGINT) AS n_email,
+                   CAST(sum({cleaning.sql_pii_count('text', 'ipv4')}) AS BIGINT) AS n_ipv4,
+                   CAST(sum({cleaning.sql_pii_count('text', 'ssn')}) AS BIGINT) AS n_ssn,
+                   CAST(sum({cleaning.sql_pii_count('text', 'phone')}) AS BIGINT) AS n_phone,
+                   CAST(sum(CASE WHEN {cleaning.sql_redact_pii('text')} <> text
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted
+            FROM inj
+            GROUP BY source
+        """,
+        "c4_filter": f"""
+            WITH shaped AS (
+                SELECT doc_id,
+                       replace(replace(text, ' value ', '. '), ' table ', chr(10)) AS text
+                FROM documents
+            ),
+            lined AS (
+                SELECT doc_id, text,
+                       list_filter(string_split(text, chr(10)),
+                                   l -> trim(l) <> '') AS lines
+                FROM shaped
+            ),
+            counted AS (
+                SELECT doc_id, text,
+                       len(lines) AS n_lines,
+                       len(list_filter(lines, l ->
+                            right(trim(l), 1) IN ('.', '!', '?', '"', '''')
+                            AND len(list_filter(string_split(trim(l), ' '),
+                                                w -> w <> '')) >= 5)) AS n_kept_lines,
+                       len(regexp_extract_all(text, '[.!?]')) AS n_sentences
+                FROM lined
+            )
+            SELECT doc_id,
+                   CAST(n_lines AS INTEGER) AS n_lines,
+                   CAST(n_kept_lines AS INTEGER) AS n_kept_lines,
+                   CAST(n_sentences AS INTEGER) AS n_sentences,
+                   (n_sentences >= 3
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{{')
+                    AND COALESCE(CASE WHEN n_lines > 0
+                                      THEN CAST(n_kept_lines AS DOUBLE) / n_lines END,
+                                 0.0) >= 0.0) AS keep
+            FROM counted
+        """,
+        "contamination": f"""
+            WITH corpus AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 97 <> 0
+            ),
+            bencht AS (
+                SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 97 = 0
+            ),
+            cg AS (SELECT doc_id, list_distinct({_sql_ngrams('toks', 8)}) AS g
+                   FROM corpus),
+            bg AS (SELECT DISTINCT unnest({_sql_ngrams('toks', 8)}) AS s FROM bencht),
+            ex AS (SELECT doc_id, unnest(g) AS s FROM cg),
+            hits AS (
+                SELECT ex.doc_id, CASE WHEN bg.s IS NOT NULL THEN 1 ELSE 0 END AS hit
+                FROM ex LEFT JOIN bg USING (s)
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_grams, CAST(sum(hit) AS BIGINT) AS n_cont
+                FROM hits GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   COALESCE(agg.n_grams, 0) AS n_grams,
+                   COALESCE(agg.n_cont, 0) AS n_contaminated,
+                   round(CASE WHEN COALESCE(agg.n_grams, 0) > 0
+                              THEN CAST(agg.n_cont AS DOUBLE) / agg.n_grams
+                              ELSE 0.0 END, 6) AS contamination_frac,
+                   COALESCE(agg.n_cont, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM corpus) c LEFT JOIN agg USING (doc_id)
         """,
     }

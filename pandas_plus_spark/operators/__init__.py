@@ -15,6 +15,8 @@ from .sampling import (affine_uniform, sample_per_group, split_assign,
                        stratified_sample)
 from .packing import concat_chunk_pack
 from .corpus import line_stats, repetition_filter, top_ngram_share
+from .cleaning import (c4_flags, c4_keep, c4_line_stats, ngram_contamination,
+                       pii_counts, redact_pii)
 
 __all__ = [
     "exact_dedup",
@@ -44,4 +46,10 @@ __all__ = [
     "line_stats",
     "top_ngram_share",
     "repetition_filter",
+    "pii_counts",
+    "redact_pii",
+    "c4_line_stats",
+    "c4_flags",
+    "c4_keep",
+    "ngram_contamination",
 ]

@@ -1,0 +1,246 @@
+"""Corpus-cleaning operators for training-data pipelines: PII detection /
+redaction, C4-style heuristic filters, and benchmark-contamination flagging.
+
+Beyond the reference (pandas-plus has no corpus tooling, SURVEY §2.11) but
+first-class for the 100 TB training-data use case. Design rules:
+
+- PII and C4 rules are pure Column expressions (regexp_count / regexp_replace
+  / array HOFs) — map-side, whole-stage codegen, zero shuffles, so they run
+  at scan speed on any cluster size.
+- Regexes are written in the common Java-regex ∩ RE2 dialect (no lookaround,
+  no backreferences) so the DuckDB oracle evaluates the IDENTICAL pattern.
+- Contamination is the one operator that needs a join; the benchmark side is
+  collapsed to a distinct-hash set (tiny — benchmarks are MBs, corpora TBs)
+  and broadcast, so the corpus NEVER shuffles: explode n-grams map-side,
+  broadcast-hash-join, re-aggregate by doc id (partial agg collapses hits
+  before the only shuffle, which carries doc ids + counts, not text).
+
+C4 rules follow the public description in Raffel et al. 2020 (JMLR 21(140),
+"Colossal Clean Crawled Corpus", §2.2); Gopher-style repetition rules live in
+``functions/text.py`` + ``operators/corpus.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from ..util import ensure_parallelism
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --------------------------------------------------------------------- #
+# PII
+# --------------------------------------------------------------------- #
+
+# Java-regex ∩ RE2 patterns (tested verbatim under DuckDB's RE2):
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — the standard permissive scan pattern
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # dotted-quad; \b is an ASCII word boundary in both dialects
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    # US-SSN shape
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    # international-ish phone: leading +/digit, 7-16 digits-or-separators,
+    # digit end — wide enough for "+1 (555) 123-4567" in one match
+    "phone": r"\+?[0-9][0-9()\- ]{7,16}[0-9]\b",
+}
+
+PII_REPLACEMENTS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "ipv4": "<IP>",
+    "ssn": "<SSN>",
+    "phone": "<PHONE>",
+}
+
+# Redaction must apply in a fixed order with the narrow-shape patterns first:
+# ssn before phone (an SSN parses as a phone otherwise), email before ipv4
+# (domains can look dotted-quad-ish once mangled).
+PII_ORDER = ("email", "ssn", "ipv4", "phone")
+
+
+def pii_counts(col, categories=PII_ORDER) -> dict[str, Column]:
+    """Per-category PII match counts — one ``regexp_count`` per category,
+    all map-side."""
+    return {cat: F.regexp_count(_c(col), F.lit(PII_PATTERNS[cat]))
+            for cat in categories}
+
+
+def redact_pii(col, categories=PII_ORDER) -> Column:
+    """Replace every PII match with its ``<CATEGORY>`` token, applied in
+    ``PII_ORDER``-stable order so overlapping shapes resolve
+    deterministically."""
+    out = _c(col)
+    for cat in PII_ORDER:
+        if cat in categories:
+            out = F.regexp_replace(out, PII_PATTERNS[cat],
+                                   PII_REPLACEMENTS[cat])
+    return out
+
+
+def sql_pii_count(expr: str, cat: str) -> str:
+    """DuckDB twin of one ``pii_counts`` entry."""
+    pat = PII_PATTERNS[cat].replace("'", "''")
+    return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+
+def sql_redact_pii(expr: str, categories=PII_ORDER) -> str:
+    """DuckDB twin of :func:`redact_pii` (same order, 'g' flag)."""
+    out = expr
+    for cat in PII_ORDER:
+        if cat in categories:
+            pat = PII_PATTERNS[cat].replace("'", "''")
+            out = (f"regexp_replace({out}, '{pat}', "
+                   f"'{PII_REPLACEMENTS[cat]}', 'g')")
+    return out
+
+
+# --------------------------------------------------------------------- #
+# C4-style heuristic filters (Raffel et al. 2020 §2.2)
+# --------------------------------------------------------------------- #
+
+_TERMINAL = (".", "!", "?", '"', "'")
+
+
+def c4_line_stats(col, min_words: int = 5) -> dict[str, Column]:
+    """Line-level C4 statistics as pure Columns.
+
+    A line is *kept* when it ends in terminal punctuation AND has at least
+    ``min_words`` whitespace words (C4 §2.2 rules 1-2). Exposed:
+
+    - ``n_lines``, ``n_kept_lines``
+    - ``kept_line_frac`` (NULL on empty docs)
+    - ``n_sentences`` — terminal-punctuation runs, the "at least 3
+      sentences" page rule's counter
+    """
+    lines = tx.let(
+        F.filter(F.split(_c(col), "\n"), lambda l: F.trim(l) != ""),
+        lambda lines: F.struct(
+            F.size(lines).alias("n_lines"),
+            F.size(F.filter(lines, _line_kept(min_words))).alias("n_kept"),
+        ),
+    )
+    n_lines = lines["n_lines"]
+    n_kept = lines["n_kept"]
+    return {
+        "n_lines": n_lines,
+        "n_kept_lines": n_kept,
+        "kept_line_frac": F.when(
+            n_lines > 0, n_kept.cast("double") / n_lines),
+        "n_sentences": F.regexp_count(_c(col), F.lit(r"[.!?]")),
+    }
+
+
+def _line_kept(min_words: int):
+    def kept(line: Column) -> Column:
+        t = F.trim(line)
+        ends = F.substring(t, -1, 1).isin(*_TERMINAL)
+        enough = F.size(F.filter(F.split(t, " +"), lambda w: w != "")) >= min_words
+        return ends & enough
+    return kept
+
+
+def c4_flags(col) -> dict[str, Column]:
+    """Doc-level C4 drop flags: lorem-ipsum, curly brace (code), and the
+    "dirty word" stand-in (C4 uses a public blocklist; the engine takes the
+    policy list as data — see ``blocklist=`` on :func:`c4_keep`)."""
+    low = F.lower(_c(col))
+    return {
+        "has_lorem_ipsum": low.contains("lorem ipsum"),
+        "has_curly_brace": _c(col).contains("{"),
+        "has_javascript": low.contains("javascript"),
+    }
+
+
+def c4_keep(col, min_words: int = 5, min_sentences: int = 3,
+            min_kept_line_frac: float = 0.0, blocklist=()) -> Column:
+    """The composite C4 page-keep predicate (all rules ANDed); feed to
+    ``df.filter``. ``blocklist`` is an iterable of lowercase phrases whose
+    presence drops the page."""
+    stats = c4_line_stats(col, min_words=min_words)
+    flags = c4_flags(col)
+    keep = (
+        (stats["n_sentences"] >= min_sentences)
+        & ~flags["has_lorem_ipsum"]
+        & ~flags["has_curly_brace"]
+        & (F.coalesce(stats["kept_line_frac"], F.lit(0.0))
+           >= F.lit(min_kept_line_frac))
+    )
+    low = F.lower(_c(col))
+    for phrase in blocklist:
+        keep = keep & ~low.contains(phrase.lower())
+    return keep
+
+
+# --------------------------------------------------------------------- #
+# Benchmark contamination
+# --------------------------------------------------------------------- #
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    hash_fn: str | None = None,
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``n``-gram with a benchmark
+    set (the standard train/test-decontamination check, e.g. GPT-3 App. C /
+    PaLM-style 8-gram overlap — both public methods).
+
+    Returns one row per document:
+    ``(id_col, n_grams, n_contaminated, contamination_frac, contaminated)``
+    where ``n_grams`` counts the doc's DISTINCT n-grams and
+    ``n_contaminated`` how many of those appear anywhere in the benchmark.
+
+    100 TB shape: the benchmark's distinct grams (small by definition) are
+    broadcast; the corpus explodes its grams map-side and broadcast-joins —
+    the only shuffle is the final re-aggregation keyed by doc id. By default
+    gram identity is the RAW GRAM STRING: exact (no collisions), directly
+    SQL-oracle-checkable, and the broadcast side stays benchmark-sized.
+    ``hash_fn="xxhash64"`` swaps in 64-bit hashed grams — constant-width
+    join keys and a smaller broadcast for very gram-dense benchmarks, at
+    ~2⁻⁶⁴-per-pair collision odds (rows-only checkable). A 1e9-space hash
+    (e.g. the poly hash) would be WRONG here: ~millions of corpus grams
+    birthday-collide into benchmark grams and inflate the counts.
+    """
+    bench_text = bench_text_col or text_col
+
+    def grams_of(df, text_c):
+        toks = tx.simple_tokens(text_c)
+        grams = tx.word_ngrams(toks, n)
+        if hash_fn == "xxhash64":
+            grams = F.transform(grams, lambda g: F.xxhash64(g))
+        elif hash_fn is not None:
+            raise ValueError(f"hash_fn must be None or 'xxhash64', got {hash_fn!r}")
+        return F.array_distinct(grams)
+
+    bench_grams = (
+        ensure_parallelism(benchmark)
+        .select(F.explode(grams_of(benchmark, bench_text)).alias("__g"))
+        .distinct()
+    )
+    doc_grams = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.explode_outer(grams_of(docs, text_col)).alias("__g"))
+    )
+    hits = doc_grams.join(
+        F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "__g", "left")
+    out = hits.groupBy(id_col).agg(
+        F.count("__g").alias("n_grams"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+    )
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_contaminated",
+        F.when(F.col("n_grams") > 0,
+               F.col("n_contaminated").cast("double") / F.col("n_grams"))
+        .otherwise(F.lit(0.0)).alias("contamination_frac"),
+        (F.col("n_contaminated") > 0).alias("contaminated"),
+    )
