@@ -23,8 +23,8 @@ from pandas_plus_spark.functions.encoding import bools_to_categorical, linear_co
 from pandas_plus_spark.functions import ordered
 from pandas_plus_spark.functions import text as tx
 from pandas_plus_spark.operators import (cleaning, corpus, dedup, joins,
-                                         multimodal, packing, sampling,
-                                         similarity)
+                                         multimodal, packing, ranking,
+                                         sampling, similarity)
 from pandas_plus_spark.plotting import binned_scatter_stats
 from pandas_plus_spark.sources import load_table
 
@@ -869,6 +869,27 @@ def _q_repetition_filter(spark, sf):
         "doc_id", "lang")
 
 
+def _q_tfidf_top_terms(spark, sf):
+    """Top-3 TF-IDF terms per doc (operators/ranking.py): one corpus shuffle
+    keyed (doc, term); df + N join back as broadcasts; per-doc ranking window
+    is bounded by doc length."""
+    docs = load_table(spark, sf, "documents")
+    out = ranking.top_terms(docs, k=3)
+    return out.select("doc_id", "term", "tf", "df",
+                      F.round("tfidf", 6).alias("tfidf"), "rank")
+
+
+_BM25_QUERY = ["table", "spark", "query", "window"]
+
+
+def _q_bm25_rank(spark, sf):
+    """Okapi BM25 of every doc vs a fixed query bag: postings filtered to
+    the query terms BEFORE the shuffle; df/avgdl/N broadcast scalars."""
+    docs = load_table(spark, sf, "documents")
+    out = ranking.bm25_scores(docs, _BM25_QUERY)
+    return out.select("doc_id", "n_terms", F.round("bm25", 6).alias("bm25"))
+
+
 def _with_injected_pii(docs):
     """Deterministic PII injection — the synthetic corpus is PII-free word
     soup, so the scan/redact queries append known PII shapes to fixed
@@ -1024,6 +1045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "c4_filter": _q_c4_filter,
         "contamination": _q_contamination,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_rank": _q_bm25_rank,
     }
 
 
@@ -1794,5 +1817,50 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS contamination_frac,
                    COALESCE(agg.n_cont, 0) > 0 AS contaminated
             FROM (SELECT doc_id FROM corpus) c LEFT JOIN agg USING (doc_id)
+        """,
+        "tfidf_top_terms": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+            p AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+            d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+            s AS (
+                SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                       CAST(df AS BIGINT) AS df,
+                       tf * (ln((nd + 1) / (df + 1)) + 1) AS tfidf
+                FROM p JOIN d USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+                FROM s
+            ) WHERE rank <= 3
+        """,
+        "bm25_rank": f"""
+            WITH L AS (SELECT doc_id,
+                              len({_TOKS}) AS n_terms,
+                              {_TOKS} AS toks
+                       FROM documents),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                             avg(n_terms) AS avgdl FROM L),
+            t AS (SELECT doc_id, n_terms, unnest(toks) AS term FROM L),
+            p AS (SELECT doc_id, n_terms, term, count(*) AS tf
+                  FROM t
+                  WHERE term IN ({', '.join("'" + q + "'" for q in sorted(set(_BM25_QUERY)))})
+                  GROUP BY doc_id, n_terms, term),
+            d AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+            s AS (
+                SELECT doc_id, n_terms,
+                       sum(ln(1 + (nd - df + 0.5) / (df + 0.5))
+                           * tf * (1.2 + 1.0)
+                           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * n_terms / avgdl)))
+                       AS bm25
+                FROM p JOIN d USING (term) CROSS JOIN stats
+                GROUP BY doc_id, n_terms
+            )
+            SELECT L.doc_id, CAST(L.n_terms AS INTEGER) AS n_terms,
+                   round(COALESCE(s.bm25, 0.0), 6) AS bm25
+            FROM L LEFT JOIN s USING (doc_id, n_terms)
         """,
     }

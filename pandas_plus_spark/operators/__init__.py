@@ -17,6 +17,7 @@ from .packing import concat_chunk_pack
 from .corpus import line_stats, repetition_filter, top_ngram_share
 from .cleaning import (c4_flags, c4_keep, c4_line_stats, ngram_contamination,
                        pii_counts, redact_pii)
+from .ranking import bm25_scores, doc_term_freqs, tfidf_scores, top_terms
 
 __all__ = [
     "exact_dedup",
@@ -52,4 +53,8 @@ __all__ = [
     "c4_flags",
     "c4_keep",
     "ngram_contamination",
+    "doc_term_freqs",
+    "tfidf_scores",
+    "top_terms",
+    "bm25_scores",
 ]

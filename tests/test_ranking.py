@@ -1,0 +1,98 @@
+"""TF-IDF / BM25 semantics on crafted corpora (oracle gate: tfidf_top_terms,
+bm25_rank prove DuckDB parity end-to-end at sf0.01)."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from pandas_plus_spark.operators import ranking
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    rows = [
+        (0, "cat dog cat"),
+        (1, "dog fish"),
+        (2, "cat cat cat bird"),
+        (3, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestTfIdf:
+    def test_postings(self, corpus_df):
+        p = {(r["doc_id"], r["term"]): r["tf"]
+             for r in ranking.doc_term_freqs(corpus_df).collect()}
+        assert p[(0, "cat")] == 2 and p[(0, "dog")] == 1
+        assert p[(2, "cat")] == 3 and p[(2, "bird")] == 1
+        assert not any(d == 3 for d, _ in p)  # empty doc → no postings
+
+    def test_scores_formula(self, corpus_df):
+        s = {(r["doc_id"], r["term"]): r
+             for r in ranking.tfidf_scores(corpus_df).collect()}
+        n = 4  # N counts ALL docs, including the empty one
+        r = s[(0, "cat")]
+        assert r["df"] == 2
+        assert r["tfidf"] == pytest.approx(2 * (math.log((n + 1) / (2 + 1)) + 1))
+        r = s[(2, "bird")]
+        assert r["df"] == 1
+        assert r["tfidf"] == pytest.approx(1 * (math.log((n + 1) / (1 + 1)) + 1))
+
+    def test_min_df_drops_rare_terms(self, corpus_df):
+        terms = {r["term"] for r in
+                 ranking.tfidf_scores(corpus_df, min_df=2).collect()}
+        assert terms == {"cat", "dog"}
+
+    def test_top_terms_rank_and_tiebreak(self, corpus_df):
+        top = [(r["term"], r["rank"]) for r in
+               ranking.top_terms(corpus_df, k=2)
+               .filter(F.col("doc_id") == 2).orderBy("rank").collect()]
+        # cat: tf=3 rare-ish; bird: tf=1 df=1 — cat scores higher
+        assert top[0] == ("cat", 1) and top[1] == ("bird", 2)
+
+
+class TestBM25:
+    def test_formula_single_term(self, corpus_df):
+        out = {r["doc_id"]: r["bm25"]
+               for r in ranking.bm25_scores(corpus_df, ["cat"]).collect()}
+        n, df = 4, 2
+        avgdl = (3 + 2 + 4 + 0) / 4
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        k1, b = 1.2, 0.75
+
+        def score(tf, dl):
+            return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        assert out[0] == pytest.approx(score(2, 3))
+        assert out[2] == pytest.approx(score(3, 4))
+        assert out[1] == 0.0 and out[3] == 0.0
+
+    def test_multi_term_adds(self, corpus_df):
+        single = {r["doc_id"]: r["bm25"]
+                  for r in ranking.bm25_scores(corpus_df, ["cat"]).collect()}
+        single2 = {r["doc_id"]: r["bm25"]
+                   for r in ranking.bm25_scores(corpus_df, ["dog"]).collect()}
+        both = {r["doc_id"]: r["bm25"]
+                for r in ranking.bm25_scores(corpus_df, ["cat", "dog"]).collect()}
+        for d in (0, 1, 2, 3):
+            assert both[d] == pytest.approx(single[d] + single2[d])
+
+    def test_duplicate_query_terms_count_once(self, corpus_df):
+        a = {r["doc_id"]: r["bm25"]
+             for r in ranking.bm25_scores(corpus_df, ["cat"]).collect()}
+        bbb = {r["doc_id"]: r["bm25"]
+               for r in ranking.bm25_scores(corpus_df, ["cat", "cat"]).collect()}
+        assert a == bbb
+
+    def test_empty_query_raises(self, corpus_df):
+        with pytest.raises(ValueError):
+            ranking.bm25_scores(corpus_df, [])
+
+
+class TestPlans:
+    def test_df_and_stats_are_broadcast(self, corpus_df):
+        out = ranking.tfidf_scores(corpus_df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
