@@ -273,7 +273,8 @@ class GroupBy:
     _ARITHMETIC_FUNCS = frozenset(
         {"sum", "dsum", "mean", "sum_squares", "median", "approx_median", "var", "std"})
 
-    def _agg_expr(self, func: str, col: str, mask, ddof: int = 1) -> Column:
+    def _agg_expr(self, func: str, col: str, mask, ddof: int = 1,
+                  keep_decimal: bool = False) -> Column:
         """One aggregate expression with inline-mask semantics."""
         # booleans are numeric to the reference's kernels (util.py:81-86,
         # sums promote to int64, numba.py:36-40); Spark requires the cast.
@@ -294,7 +295,11 @@ class GroupBy:
             # associative); at 1000 executors the order is nondeterministic,
             # so any hash/equality check on a big float sum flaps. The
             # decimal path costs one widening per row and is bit-stable.
-            return F.sum(v.cast("decimal(27,6)")).cast("double")
+            # keep_decimal=True skips the final double cast so a second
+            # aggregation level can keep accumulating exactly (two-level
+            # distinct-avoidance composition, e.g. segment_revenue).
+            e = F.sum(v.cast("decimal(27,6)"))
+            return e if keep_decimal else e.cast("double")
         if func == "mean":
             return F.avg(v)
         if func == "min":

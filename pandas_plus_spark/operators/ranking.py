@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
-from ..util import ensure_parallelism
+from ..util import attach_cached, ensure_parallelism
 
 
 def doc_term_freqs(docs: DataFrame, id_col: str = "doc_id",
@@ -47,8 +47,14 @@ def tfidf_scores(
 
     Terms with document frequency < ``min_df`` are dropped. Returns
     ``(id_col, term, tf, df, tfidf)``.
+
+    The postings frame feeds two plan branches (document frequencies and
+    the score join); Catalyst does not reliably reuse the exchange across
+    them (verified: 9 exchanges, no ReusedExchange), so postings are
+    persisted — one explode+shuffle instead of two. Release with
+    ``util.release_cached`` after materializing.
     """
-    postings = doc_term_freqs(docs, id_col, text_col)
+    postings = doc_term_freqs(docs, id_col, text_col).persist()
     n_docs = docs.select(
         F.count(F.lit(1)).cast("double").alias("__n"))
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -62,7 +68,8 @@ def tfidf_scores(
             F.col("tf") * (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0))
         .drop("__n")
     )
-    return out.select(id_col, "term", "tf", "df", "tfidf")
+    return attach_cached(out.select(id_col, "term", "tf", "df", "tfidf"),
+                         postings)
 
 
 def top_terms(docs: DataFrame, k: int, id_col: str = "doc_id",
@@ -74,8 +81,9 @@ def top_terms(docs: DataFrame, k: int, id_col: str = "doc_id",
     from pyspark.sql.window import Window
     scored = tfidf_scores(docs, id_col, text_col, min_df=min_df)
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k))
+    return attach_cached(out, *getattr(scored, "_pps_cached", ()))
 
 
 def bm25_scores(
