@@ -888,6 +888,26 @@ def _q_tfidf_top_terms(spark, sf):
                       F.round("tfidf", 6).alias("tfidf"), "rank")
 
 
+def _q_vocab_top(spark, sf):
+    """Frequency vocabulary with coverage curve: vocabulary-sized counts
+    ranked by the DISTRIBUTED ordered ops (range partition + prefix
+    offsets) — no single-task global window at any vocabulary size."""
+    docs = load_table(spark, sf, "documents")
+    out = ranking.build_vocab(docs, max_size=50)
+    return out.select("term", "count", "rank",
+                      F.round("cum_frac", 6).alias("cum_frac"))
+
+
+def _q_oov_rate(spark, sf):
+    """Per-doc OOV rate vs the top-20 vocab: vocab broadcast, corpus
+    explodes map-side, one per-doc agg shuffle."""
+    docs = load_table(spark, sf, "documents")
+    vocab = ranking.build_vocab(docs, max_size=20)
+    out = ranking.oov_rate(docs, vocab)
+    return out.select("doc_id", "n_tokens", "n_oov",
+                      F.round("oov_frac", 6).alias("oov_frac"))
+
+
 _BM25_QUERY = ["table", "spark", "query", "window"]
 
 
@@ -1056,6 +1076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bm25_rank": _q_bm25_rank,
+        "vocab_top": _q_vocab_top,
+        "oov_rate": _q_oov_rate,
     }
 
 
@@ -1871,5 +1893,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT L.doc_id, CAST(L.n_terms AS INTEGER) AS n_terms,
                    round(COALESCE(s.bm25, 0.0), 6) AS bm25
             FROM L LEFT JOIN s USING (doc_id, n_terms)
+        """,
+        "vocab_top": f"""
+            WITH t AS (SELECT unnest({_TOKS}) AS term FROM documents),
+            c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+            r AS (
+                SELECT term, CAST(cnt AS BIGINT) AS count,
+                       row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank,
+                       CAST(sum(cnt) OVER (
+                            ORDER BY cnt DESC, term ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS DOUBLE) AS cum
+                FROM c
+            )
+            SELECT term, count, CAST(rank AS BIGINT) AS rank,
+                   round(cum / total, 6) AS cum_frac
+            FROM r CROSS JOIN tot WHERE rank <= 50
+        """,
+        "oov_rate": f"""
+            WITH t AS (SELECT unnest({_TOKS}) AS term FROM documents),
+            c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+            v AS (
+                SELECT term FROM (
+                    SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+                    FROM c
+                ) WHERE rank <= 20
+            ),
+            e AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+            a AS (
+                SELECT e.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_oov
+                FROM e LEFT JOIN v USING (term)
+                GROUP BY e.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.n_oov, 0) AS n_oov,
+                   round(CASE WHEN COALESCE(a.n_tokens, 0) > 0
+                              THEN CAST(a.n_oov AS DOUBLE) / a.n_tokens
+                              ELSE 0.0 END, 6) AS oov_frac
+            FROM (SELECT doc_id FROM documents) d LEFT JOIN a USING (doc_id)
         """,
     }

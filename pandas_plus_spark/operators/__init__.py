@@ -17,7 +17,8 @@ from .packing import concat_chunk_pack
 from .corpus import line_stats, repetition_filter, top_ngram_share
 from .cleaning import (c4_flags, c4_keep, c4_line_stats, ngram_contamination,
                        pii_counts, redact_pii)
-from .ranking import bm25_scores, doc_term_freqs, tfidf_scores, top_terms
+from .ranking import (bm25_scores, build_vocab, doc_term_freqs, oov_rate,
+                      tfidf_scores, top_terms)
 
 __all__ = [
     "exact_dedup",
@@ -57,4 +58,6 @@ __all__ = [
     "tfidf_scores",
     "top_terms",
     "bm25_scores",
+    "build_vocab",
+    "oov_rate",
 ]

@@ -86,6 +86,87 @@ def top_terms(docs: DataFrame, k: int, id_col: str = "doc_id",
     return attach_cached(out, *getattr(scored, "_pps_cached", ()))
 
 
+def build_vocab(
+    docs: DataFrame,
+    max_size: int | None = None,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency vocabulary: ``(term, count, rank, cum_frac)`` ordered by
+    count desc (term asc tiebreak — total order).
+
+    ``rank`` is the dense 1-based frequency rank; ``cum_frac`` the fraction
+    of ALL corpus tokens covered by terms up to and including this rank —
+    the curve a tokenizer-budget decision reads. ``max_size`` keeps the top
+    ranks; ``min_count`` drops the long tail first.
+
+    Scale shape: term counts are a vocabulary-sized frame (≪ corpus); the
+    global ordering runs on the DISTRIBUTED ordered operators
+    (``functions/ordered``: range partition + broadcast prefix offsets), so
+    even a billion-term vocabulary never funnels through one task.
+    """
+    from ..functions.ordered import global_cumsum, global_row_number
+
+    toks = (
+        ensure_parallelism(docs)
+        .select(F.explode(tx.simple_tokens(text_col)).alias("term"))
+    )
+    # persisted: the vocabulary-sized counts feed BOTH the total-token
+    # scalar and the ranking — without the pin the corpus explode+agg runs
+    # twice (same no-ReusedExchange behavior as the tfidf postings)
+    counts_all = (toks.groupBy("term")
+                  .agg(F.count(F.lit(1)).alias("count")).persist())
+    total = counts_all.select(
+        F.sum("count").cast("double").alias("__total"))
+    counts = counts_all
+    if min_count > 1:
+        counts = counts_all.filter(F.col("count") >= min_count)
+
+    order = [F.desc("count"), F.asc("term")]
+    ranked = global_row_number(counts, order, out="rank")
+    ranked = global_cumsum(ranked, order, "count", out="__cum")
+    out = (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("cum_frac", F.col("__cum") / F.col("__total"))
+        .drop("__cum", "__total")
+    )
+    if max_size is not None:
+        out = out.filter(F.col("rank") <= max_size)
+    return attach_cached(out.select("term", "count", "rank", "cum_frac"),
+                         counts_all, *getattr(ranked, "_pps_cached", ()))
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocab frame (any frame
+    with a ``term`` column — typically :func:`build_vocab` output).
+
+    Returns ``(id_col, n_tokens, n_oov, oov_frac)`` for every document
+    (``oov_frac`` 0.0 for empty docs). Vocab is broadcast; the corpus
+    explodes map-side and never shuffles except the final per-doc agg."""
+    vocab_terms = vocab.select("term").distinct().withColumn("__in", F.lit(1))
+    exploded = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.explode_outer(tx.simple_tokens(text_col)).alias("term"))
+    )
+    joined = exploded.join(F.broadcast(vocab_terms), "term", "left")
+    out = joined.groupBy(id_col).agg(
+        F.count("term").alias("n_tokens"),
+        (F.count("term") - F.coalesce(F.sum("__in"), F.lit(0))).cast("long").alias("n_oov"),
+    )
+    return out.select(
+        id_col, "n_tokens", "n_oov",
+        F.when(F.col("n_tokens") > 0,
+               F.col("n_oov").cast("double") / F.col("n_tokens"))
+        .otherwise(F.lit(0.0)).alias("oov_frac"),
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],

@@ -96,3 +96,33 @@ class TestPlans:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestVocab:
+    def test_rank_and_coverage(self, corpus_df):
+        v = {r["term"]: r for r in
+             ranking.build_vocab(corpus_df).collect()}
+        # counts: cat 5 (docs 0,2), dog 2, bird 1, fish 1 — total 9
+        assert v["cat"]["rank"] == 1 and v["cat"]["count"] == 5
+        assert v["dog"]["rank"] == 2
+        # tiebreak count=1: bird before fish
+        assert v["bird"]["rank"] == 3 and v["fish"]["rank"] == 4
+        assert v["cat"]["cum_frac"] == pytest.approx(5 / 9)
+        assert v["fish"]["cum_frac"] == pytest.approx(1.0)
+
+    def test_max_size_and_min_count(self, corpus_df):
+        top = ranking.build_vocab(corpus_df, max_size=2).collect()
+        assert {r["term"] for r in top} == {"cat", "dog"}
+        filt = ranking.build_vocab(corpus_df, min_count=2).collect()
+        assert {r["term"] for r in filt} == {"cat", "dog"}
+        # cum_frac still covers ALL tokens, so the kept head is < 1.0
+        assert max(r["cum_frac"] for r in filt) == pytest.approx(7 / 9)
+
+    def test_oov_rate(self, corpus_df):
+        vocab = ranking.build_vocab(corpus_df, max_size=1)  # {cat}
+        o = {r["doc_id"]: r for r in
+             ranking.oov_rate(corpus_df, vocab).collect()}
+        assert o[0]["n_tokens"] == 3 and o[0]["n_oov"] == 1
+        assert o[0]["oov_frac"] == pytest.approx(1 / 3)
+        assert o[1]["n_oov"] == 2 and o[1]["oov_frac"] == 1.0
+        assert o[3]["n_tokens"] == 0 and o[3]["oov_frac"] == 0.0
