@@ -1,7 +1,7 @@
 from .binning import pretty_cut
 from .encoding import bools_to_categorical, linear_combination
-from .ordered import (global_cumsum, global_ntile, global_row_number,
-                      global_shift)
+from .ordered import (global_cumsum, global_ntile, global_rank_cumsum,
+                      global_row_number, global_shift)
 from .text import (
     let,
     poly_hash,
@@ -23,4 +23,5 @@ __all__ = [
     "global_cumsum",
     "global_shift",
     "global_ntile",
+    "global_rank_cumsum",
 ]

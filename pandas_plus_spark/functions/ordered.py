@@ -116,6 +116,49 @@ def global_cumsum(
     return attach_cached(out_df, local)
 
 
+def global_rank_cumsum(
+    df: DataFrame,
+    order_by,
+    value,
+    rank_out: str = "rank",
+    cum_out: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global row number AND running total of ``value`` in ONE range
+    partitioning pass (chaining :func:`global_row_number` then
+    :func:`global_cumsum` costs two range shuffles over the same order —
+    fused, both per-partition computations and both prefix offsets come
+    from a single partitioning and a single one-row-per-partition frame).
+    """
+    rp, cols = _ranged(df, order_by, num_partitions)
+    v = F.col(value) if isinstance(value, str) else value
+    w_row = Window.partitionBy("__pid").orderBy(*cols)
+    w_cum = w_row.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # pinned: same two-branch boundary-divergence hazard as global_row_number
+    local = (rp.withColumn("__lrn", F.row_number().over(w_row))
+             .withColumn("__lcum", F.sum(v).over(w_cum)).persist())
+    per_pid = local.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.sum(v).alias("__tot"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per_pid.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__rnoff"),
+        F.sum("__tot").over(w_off).alias("__cumoff"))
+    cum = F.when(
+        F.col("__lcum").isNull() & F.col("__cumoff").isNull(), F.lit(None)
+    ).otherwise(
+        F.coalesce(F.col("__lcum"), F.lit(0))
+        + F.coalesce(F.col("__cumoff"), F.lit(0))
+    )
+    out = (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(rank_out, (F.col("__lrn") + F.col("__rnoff")).cast("long"))
+        .withColumn(cum_out, cum)
+        .drop("__pid", "__lrn", "__lcum", "__rnoff", "__cumoff")
+    )
+    return attach_cached(out, local)
+
+
 def global_shift(
     df: DataFrame,
     order_by,

@@ -106,7 +106,7 @@ def build_vocab(
     (``functions/ordered``: range partition + broadcast prefix offsets), so
     even a billion-term vocabulary never funnels through one task.
     """
-    from ..functions.ordered import global_cumsum, global_row_number
+    from ..functions.ordered import global_rank_cumsum
 
     toks = (
         ensure_parallelism(docs)
@@ -124,8 +124,8 @@ def build_vocab(
         counts = counts_all.filter(F.col("count") >= min_count)
 
     order = [F.desc("count"), F.asc("term")]
-    ranked = global_row_number(counts, order, out="rank")
-    ranked = global_cumsum(ranked, order, "count", out="__cum")
+    ranked = global_rank_cumsum(counts, order, "count",
+                                rank_out="rank", cum_out="__cum")
     out = (
         ranked.crossJoin(F.broadcast(total))
         .withColumn("cum_frac", F.col("__cum") / F.col("__total"))

@@ -116,3 +116,28 @@ class TestRewiredCallers:
         plan = extensions.normalize(df, "v")._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Window" not in plan  # scalar agg + broadcast, not a window
+
+
+class TestGlobalRankCumsum:
+    @pytest.mark.parametrize("n", PARTS)
+    def test_fused_equals_chained(self, frame, n):
+        from pandas_plus_spark.functions.ordered import global_rank_cumsum
+        fused = {r["k"]: (r["rank"], r["c"]) for r in
+                 global_rank_cumsum(frame, "k", "v", cum_out="c",
+                                    num_partitions=n).collect()}
+        rn = global_row_number(frame, "k", num_partitions=n)
+        chained = global_cumsum(rn, "k", "v", num_partitions=n)
+        exp = {r["k"]: (r["row_number"], r["cumsum"]) for r in chained.collect()}
+        assert set(fused) == set(exp)
+        for k in exp:
+            assert fused[k][0] == exp[k][0], k
+            assert fused[k][1] == pytest.approx(exp[k][1], rel=1e-12), k
+
+    def test_desc_order_with_nulls_in_value(self, spark):
+        from pandas_plus_spark.functions.ordered import global_rank_cumsum
+        df = spark.createDataFrame(
+            [(1, 2.0), (2, None), (3, 1.0)], "k long, v double")
+        got = {r["k"]: (r["rank"], r["cumsum"]) for r in
+               global_rank_cumsum(df, F.col("k").desc(), "v",
+                                  num_partitions=2).collect()}
+        assert got == {3: (1, 1.0), 2: (2, 1.0), 1: (3, 3.0)}
