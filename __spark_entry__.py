@@ -286,6 +286,33 @@ def _q_median(spark, sf):
     })
 
 
+def _q_group_quantiles(spark, sf):
+    """Exact per-group quantiles (percentile_cont semantics; beyond the
+    reference's median). approx=True is the documented 100 TB path."""
+    li = load_table(spark, sf, "lineitem")
+    out = GroupBy(li, "l_returnflag").quantile(
+        ["l_quantity", "l_extendedprice"], q=[0.25, 0.5, 0.75])
+    sel = [F.col("l_returnflag")] + [
+        F.round(c, 6).alias(c) for c in out.columns if c != "l_returnflag"]
+    return out.select(*sel)
+
+
+def _q_group_corr_cov(spark, sf):
+    """Per-group Pearson correlation + sample/population covariance of
+    quantity vs price — two-column aggregates with pairwise null/mask
+    semantics."""
+    li = load_table(spark, sf, "lineitem")
+    g = GroupBy(li, "l_returnflag")
+    return g.agg({
+        "corr_qp": ("corr", ("l_quantity", "l_extendedprice")),
+        "cov_qp": ("cov", ("l_quantity", "l_extendedprice")),
+        "covp_qp": ("cov_pop", ("l_quantity", "l_extendedprice")),
+    }).select("l_returnflag",
+              F.round("corr_qp", 6).alias("corr_qp"),
+              F.round("cov_qp", 4).alias("cov_qp"),
+              F.round("covp_qp", 4).alias("covp_qp"))
+
+
 def _q_first_last(spark, sf):
     li = load_table(spark, sf, "lineitem")
     return GroupBy(li, "l_returnflag",
@@ -1008,6 +1035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_var_std": _q_var_std,
         "agg_callable": _q_agg_callable,
         "group_median": _q_median,
+        "group_quantiles": _q_group_quantiles,
+        "group_corr_cov": _q_group_corr_cov,
         "group_first_last": _q_first_last,
         "ratio": _q_ratio,
         "subset_ratio": _q_subset_ratio,
@@ -1172,6 +1201,23 @@ def oracle_sql() -> dict[str, str]:
                    (sum(l_quantity*l_quantity) - sum(l_quantity)*sum(l_quantity)/count(l_quantity))
                      / (count(l_quantity) - 2) AS var2_qty,
                    sum(l_quantity*l_quantity) AS ss_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "group_quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.25), 6) AS l_quantity_q0_25,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS l_quantity_q0_5,
+                   round(quantile_cont(l_quantity, 0.75), 6) AS l_quantity_q0_75,
+                   round(quantile_cont(l_extendedprice, 0.25), 6) AS l_extendedprice_q0_25,
+                   round(quantile_cont(l_extendedprice, 0.5), 6) AS l_extendedprice_q0_5,
+                   round(quantile_cont(l_extendedprice, 0.75), 6) AS l_extendedprice_q0_75
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "group_corr_cov": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+                   round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
+                   round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qp
             FROM lineitem GROUP BY l_returnflag
         """,
         "agg_callable": """

@@ -274,8 +274,19 @@ class GroupBy:
         {"sum", "dsum", "mean", "sum_squares", "median", "approx_median", "var", "std"})
 
     def _agg_expr(self, func: str, col: str, mask, ddof: int = 1,
-                  keep_decimal: bool = False) -> Column:
+                  keep_decimal: bool = False, q: float | None = None) -> Column:
         """One aggregate expression with inline-mask semantics."""
+        if func in ("corr", "cov", "cov_pop"):
+            # two-column aggregates: col is a (x, y) pair; the mask nulls
+            # BOTH sides so masked rows drop out pairwise (Spark and DuckDB
+            # both skip pairs with any null)
+            if not (isinstance(col, (tuple, list)) and len(col) == 2):
+                raise ValueError(f"{func} requires a (x, y) column pair")
+            vx = self._masked(col[0], mask)
+            vy = self._masked(col[1], mask)
+            if func == "corr":
+                return F.corr(vx, vy)
+            return F.covar_samp(vx, vy) if func == "cov" else F.covar_pop(vx, vy)
         # booleans are numeric to the reference's kernels (util.py:81-86,
         # sums promote to int64, numba.py:36-40); Spark requires the cast.
         if (
@@ -331,6 +342,15 @@ class GroupBy:
             return F.count_distinct(v)
         if func == "approx_nunique":
             return F.approx_count_distinct(v)
+        if func in ("quantile", "approx_quantile"):
+            # exact linear-interpolation percentile (SQL percentile_cont
+            # semantics — matches DuckDB quantile_cont); approx_quantile is
+            # the sketch-based scale path (t-digest-style, bounded memory)
+            if q is None:
+                raise ValueError("quantile requires q= (float in [0, 1])")
+            if func == "quantile":
+                return F.percentile(v, F.lit(q))
+            return F.percentile_approx(v, F.lit(q))
         raise ValueError(f"unknown aggregation {func!r}")
 
     def _ordered_first_last(self, func: str, col: str, mask) -> Column:
@@ -526,6 +546,44 @@ class GroupBy:
         # the sketch is one pass, mergeable map-side.
         return self._apply("approx_nunique" if approx else "nunique", values, **kw)
 
+    @_groupby_method
+    def quantile(self, values=None, q: float | Sequence[float] = 0.5,
+                 approx: bool = False, mask=None) -> DataFrame:
+        """Per-group quantiles with SQL percentile_cont (linear
+        interpolation) semantics — exact by default; ``approx=True`` uses
+        the bounded-memory sketch for 100 TB runs. ``q`` may be a single
+        fraction or a list; each (column, q) pair becomes a column named
+        ``{col}_q{q}`` (dots → underscores, e.g. ``val_q0_25``).
+
+        Beyond the reference (it stops at ``median``, core.py:968) — the
+        natural extension of the same kernel family."""
+        cols = self._numeric_values(values)
+        qs = list(q) if isinstance(q, (list, tuple)) else [q]
+        fn = "approx_quantile" if approx else "quantile"
+        exprs = []
+        for c in cols:
+            for qq in qs:
+                name = f"{c}_q{qq}".replace(".", "_")
+                exprs.append(self._agg_expr(fn, c, mask, q=qq).alias(name))
+        return self._finish(self._base().groupBy(*self._keys).agg(*exprs))
+
+    @_groupby_method
+    def corr(self, x: str, y: str, mask=None, alias: str = "corr") -> DataFrame:
+        """Per-group Pearson correlation of two columns (pairwise null /
+        mask handling: a masked row drops out of both sides)."""
+        e = self._agg_expr("corr", (x, y), mask).alias(alias)
+        return self._finish(self._base().groupBy(*self._keys).agg(e))
+
+    @_groupby_method
+    def cov(self, x: str, y: str, mask=None, ddof: int = 1,
+            alias: str = "cov") -> DataFrame:
+        """Per-group covariance (``ddof`` 1 = sample, 0 = population)."""
+        if ddof not in (0, 1):
+            raise ValueError("cov supports ddof 0 or 1")
+        e = self._agg_expr("cov" if ddof == 1 else "cov_pop",
+                           (x, y), mask).alias(alias)
+        return self._finish(self._base().groupBy(*self._keys).agg(e))
+
     # callable → builtin name, exactly the reference's `__name__` dispatch
     # (core.py:1210-1213). `np.mean.__name__ == "mean"` etc.; aliases cover
     # the common numpy/builtin spellings whose __name__ differs from ours.
@@ -539,7 +597,8 @@ class GroupBy:
     _KNOWN_FUNCS = frozenset(
         {"sum", "dsum", "mean", "min", "max", "count", "size", "sum_squares",
          "median", "approx_median", "var", "std", "nunique", "approx_nunique",
-         "first", "last"})
+         "first", "last", "quantile", "approx_quantile", "corr", "cov",
+         "cov_pop"})
 
     @classmethod
     def _resolve_func(cls, func) -> str:

@@ -373,3 +373,66 @@ class TestFindFirstLastN:
         out = GroupBy(df, "k", order_by="o").find_first_n(
             "rid", 2, mask=F.col("o") > 1)
         assert out.collect()[0]["row_ids"] == [11, 12]
+
+
+class TestQuantileCorrCov:
+    @pytest.fixture(scope="class")
+    def qdf(self, spark):
+        rows = [
+            ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 5.0), ("a", 4.0, 9.0),
+            ("b", 10.0, -10.0), ("b", 20.0, -20.0),
+            ("c", 7.0, None),
+        ]
+        return spark.createDataFrame(rows, "k string, x double, y double")
+
+    def test_quantile_interpolation(self, qdf):
+        out = {r["k"]: r for r in
+               GroupBy(qdf, "k").quantile("x", q=[0.25, 0.5]).collect()}
+        # percentile_cont on [1,2,3,4]: q0.25 = 1.75, median 2.5
+        assert out["a"]["x_q0_25"] == pytest.approx(1.75)
+        assert out["a"]["x_q0_5"] == pytest.approx(2.5)
+        assert out["b"]["x_q0_5"] == pytest.approx(15.0)
+
+    def test_quantile_mask(self, qdf):
+        out = {r["k"]: r for r in
+               GroupBy(qdf, "k").quantile("x", q=0.5,
+                                          mask=F.col("x") > 1.5).collect()}
+        assert out["a"]["x_q0_5"] == pytest.approx(3.0)  # over [2,3,4]
+
+    def test_quantile_requires_q_in_spec(self, qdf):
+        with pytest.raises(ValueError, match="requires q="):
+            GroupBy(qdf, "k").agg({"p": ("quantile", "x")}).collect()
+
+    def test_corr_and_cov(self, qdf):
+        import numpy as np
+        c = {r["k"]: r["corr"] for r in GroupBy(qdf, "k").corr("x", "y").collect()}
+        xs, ys = [1, 2, 3, 4], [2, 4, 5, 9]
+        assert c["a"] == pytest.approx(np.corrcoef(xs, ys)[0, 1])
+        assert c["b"] == pytest.approx(-1.0)
+        assert c["c"] is None  # no complete pair
+        v = {r["k"]: r["cov"] for r in GroupBy(qdf, "k").cov("x", "y").collect()}
+        assert v["a"] == pytest.approx(np.cov(xs, ys, ddof=1)[0, 1])
+        vp = {r["k"]: r["cov"] for r in
+              GroupBy(qdf, "k").cov("x", "y", ddof=0).collect()}
+        assert vp["a"] == pytest.approx(np.cov(xs, ys, ddof=0)[0, 1])
+
+    def test_corr_mask_drops_pairwise(self, qdf):
+        c = {r["k"]: r["corr"] for r in
+             GroupBy(qdf, "k").corr("x", "y", mask=F.col("x") < 4).collect()}
+        import numpy as np
+        assert c["a"] == pytest.approx(np.corrcoef([1, 2, 3], [2, 4, 5])[0, 1])
+
+    def test_agg_spec_forms(self, qdf):
+        out = {r["k"]: r for r in GroupBy(qdf, "k").agg({
+            "p50": ("quantile", "x", {"q": 0.5}),
+            "r": ("corr", ("x", "y")),
+        }).collect()}
+        assert out["a"]["p50"] == pytest.approx(2.5)
+        assert out["b"]["r"] == pytest.approx(-1.0)
+
+    def test_quantile_via_agg_in_one_pass_with_others(self, qdf):
+        out = {r["k"]: r for r in GroupBy(qdf, "k").agg({
+            "s": ("sum", "x"),
+            "p25": ("quantile", "x", {"q": 0.25}),
+        }).collect()}
+        assert out["a"]["s"] == 10.0 and out["a"]["p25"] == pytest.approx(1.75)
