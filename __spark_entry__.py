@@ -905,6 +905,20 @@ def _q_repetition_filter(spark, sf):
         "doc_id", "lang")
 
 
+def _q_label_cohesion(spark, sf):
+    """Embedding hygiene: cosine of every vector to its own label centroid
+    (operators/similarity.group_centroids / centroid_similarity). Shuffle
+    rows are (label, dim, value) scalars; the centroid frame broadcasts.
+    Vectors cast to double up front: mixed float/double products would
+    differ from the all-double oracle by ~1e-7 — above the 1e-6 rounding
+    grain."""
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding"))
+    out = similarity.centroid_similarity(emb, "label")
+    return out.select("vec_id", "label",
+                      F.round("cos_centroid", 6).alias("cos_centroid"))
+
+
 def _q_tfidf_top_terms(spark, sf):
     """Top-3 TF-IDF terms per doc (operators/ranking.py): one corpus shuffle
     keyed (doc, term); df + N join back as broadcasts; per-doc ranking window
@@ -1107,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": _q_bm25_rank,
         "vocab_top": _q_vocab_top,
         "oov_rate": _q_oov_rate,
+        "label_cohesion": _q_label_cohesion,
     }
 
 
@@ -1939,6 +1954,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT L.doc_id, CAST(L.n_terms AS INTEGER) AS n_terms,
                    round(COALESCE(s.bm25, 0.0), 6) AS bm25
             FROM L LEFT JOIN s USING (doc_id, n_terms)
+        """,
+        "label_cohesion": """
+            WITH ex AS (
+                SELECT label,
+                       CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            cent AS (SELECT label, i, avg(x) AS c FROM ex GROUP BY label, i),
+            exv AS (
+                SELECT vec_id, label,
+                       CAST(unnest(embedding) AS DOUBLE) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            j AS (
+                SELECT vec_id, exv.label,
+                       sum(x * c) AS dot,
+                       sum(x * x) AS ne2,
+                       sum(c * c) AS nc2
+                FROM exv JOIN cent ON cent.label = exv.label AND cent.i = exv.i
+                GROUP BY vec_id, exv.label
+            )
+            SELECT vec_id, label,
+                   round(dot / (sqrt(ne2) * sqrt(nc2)), 6) AS cos_centroid
+            FROM j
         """,
         "vocab_top": f"""
             WITH t AS (SELECT unnest({_TOKS}) AS term FROM documents),

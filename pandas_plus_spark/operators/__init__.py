@@ -7,7 +7,9 @@ from .dedup import (
     simhash,
     simhash_candidates,
 )
-from .similarity import (brute_force_knn, cosine_neardup_pairs, hyperplane_lsh_buckets,
+from .similarity import (brute_force_knn, centroid_similarity,
+                         cosine_neardup_pairs, group_centroids,
+                         hyperplane_lsh_buckets, l2_normalize,
                          lsh_neardup_pairs, ivf_build, ivf_knn)
 from .multimodal import attach_blob_metadata, decode_image_stub, extract_image_features
 from .joins import asof_join, broadcast_dim_join, interval_join
@@ -34,6 +36,9 @@ __all__ = [
     "lsh_neardup_pairs",
     "ivf_build",
     "ivf_knn",
+    "l2_normalize",
+    "group_centroids",
+    "centroid_similarity",
     "asof_join",
     "broadcast_dim_join",
     "interval_join",

@@ -239,6 +239,52 @@ def ivf_build(
     return assignments, centroids
 
 
+def l2_normalize(vec: Column) -> Column:
+    """Unit-normalize a vector column (NULL-safe: zero vectors stay NULL).
+
+    The norm is let-bound (functions/text.let) — referencing it free inside
+    the per-element lambda would re-evaluate the O(d) norm per element
+    (interpreted HOF re-evaluation, the minhash lesson)."""
+    from ..functions.text import let
+    return let(_norm(vec),
+               lambda n: F.when(n > 0, F.transform(vec, lambda x: x / n)))
+
+
+def group_centroids(df: DataFrame, key_col: str,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-group mean vector: ``(key_col, n_vecs, centroid)``.
+
+    posexplode → (key, dim) average → array rebuild: shuffle rows are
+    (key, dim, value) scalars, never whole vectors through collect_list of
+    a group's full membership — the same distributed shape as the IVF
+    centroid update (similarity.py:_centroid_update)."""
+    base = ensure_parallelism(df)
+    exploded = base.select(F.col(key_col), F.posexplode(vec_col).alias("dim", "val"))
+    means = exploded.groupBy(key_col, "dim").agg(
+        F.avg("val").alias("m"), F.count(F.lit(1)).alias("n"))
+    return (means.groupBy(key_col)
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"),
+                 F.max("n").alias("n_vecs"))
+            .select(key_col, "n_vecs",
+                    F.transform("dm", lambda s: s["m"]).alias("centroid")))
+
+
+def centroid_similarity(df: DataFrame, key_col: str,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Cosine of every vector to its OWN group centroid —
+    ``(id_col, key_col, cos_centroid)``. The group-cardinality centroid
+    frame is broadcast; per-row math is pure HOF expressions. The standard
+    embedding-hygiene signal: low cohesion = outlier / mislabeled."""
+    cents = group_centroids(df, key_col, vec_col).select(key_col, "centroid")
+    return (
+        ensure_parallelism(df)
+        .join(F.broadcast(cents), key_col)
+        .select(F.col(id_col), F.col(key_col),
+                cosine(F.col(vec_col), F.col("centroid")).alias("cos_centroid"))
+    )
+
+
 def _centroid_update(assigned: DataFrame) -> DataFrame:
     """Elementwise mean of vectors per cluster via posexplode + re-collect —
     shuffle rows are (list_id, dim_idx, value): fully distributed, no

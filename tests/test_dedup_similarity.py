@@ -218,3 +218,48 @@ class TestClustersAndKeepList:
         assert out == {0: True, 1: False, 2: False, 3: True}
         # all input ids present exactly once
         assert len(out) == 4
+
+
+class TestVectorUtils:
+    def test_l2_normalize(self, spark):
+        from pandas_plus_spark.operators.similarity import l2_normalize
+        df = spark.createDataFrame([(0, [3.0, 4.0]), (1, [0.0, 0.0])],
+                                   "id long, v array<double>")
+        got = {r["id"]: r["n"] for r in
+               df.select("id", l2_normalize(F.col("v")).alias("n")).collect()}
+        assert got[0][0] == pytest.approx(0.6)
+        assert got[0][1] == pytest.approx(0.8)
+        assert got[1] is None  # zero vector → NULL, not NaN
+
+    def test_group_centroids(self, spark):
+        from pandas_plus_spark.operators.similarity import group_centroids
+        df = spark.createDataFrame(
+            [(0, "a", [1.0, 0.0]), (1, "a", [3.0, 2.0]), (2, "b", [5.0, 5.0])],
+            "vec_id long, label string, embedding array<double>")
+        got = {r["label"]: r for r in group_centroids(df, "label").collect()}
+        assert got["a"]["centroid"] == [2.0, 1.0]
+        assert got["a"]["n_vecs"] == 2
+        assert got["b"]["centroid"] == [5.0, 5.0] and got["b"]["n_vecs"] == 1
+
+    def test_centroid_similarity(self, spark):
+        from pandas_plus_spark.operators.similarity import centroid_similarity
+        df = spark.createDataFrame(
+            # centroid of "a" = (1, 1): both members at 45°, cos = 1/sqrt(2)... 
+            # no: (2,0) vs (1,1) → cos = 2/(2*sqrt(2)) = 1/sqrt(2)
+            [(0, "a", [2.0, 0.0]), (1, "a", [0.0, 2.0]), (2, "b", [1.0, 0.0])],
+            "vec_id long, label string, embedding array<double>")
+        got = {r["vec_id"]: r["cos_centroid"] for r in
+               centroid_similarity(df, "label").collect()}
+        import math
+        assert got[0] == pytest.approx(1 / math.sqrt(2))
+        assert got[1] == pytest.approx(1 / math.sqrt(2))
+        assert got[2] == pytest.approx(1.0)  # own centroid
+
+    def test_centroids_are_broadcast(self, spark, tables):
+        from pandas_plus_spark.operators.similarity import centroid_similarity
+        emb = tables["embeddings"].select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding"))
+        out = centroid_similarity(emb, "label")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
