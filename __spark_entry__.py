@@ -286,6 +286,14 @@ def _q_median(spark, sf):
     })
 
 
+def _q_group_mode(spark, sf):
+    """Deterministic per-group mode (ties → smallest value): count per
+    (keys, value) + min_by over the (-count, value) struct — no ranking
+    window, one extra vocabulary-sized agg."""
+    li = load_table(spark, sf, "lineitem")
+    return GroupBy(li, "l_returnflag").mode(["l_quantity", "l_linestatus"])
+
+
 def _q_group_quantiles(spark, sf):
     """Exact per-group quantiles (percentile_cont semantics; beyond the
     reference's median). approx=True is the documented 100 TB path."""
@@ -1049,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_var_std": _q_var_std,
         "agg_callable": _q_agg_callable,
         "group_median": _q_median,
+        "group_mode": _q_group_mode,
         "group_quantiles": _q_group_quantiles,
         "group_corr_cov": _q_group_corr_cov,
         "group_first_last": _q_first_last,
@@ -1217,6 +1226,26 @@ def oracle_sql() -> dict[str, str]:
                      / (count(l_quantity) - 2) AS var2_qty,
                    sum(l_quantity*l_quantity) AS ss_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "group_mode": """
+            WITH qm AS (
+                SELECT l_returnflag, l_quantity AS l_quantity_mode
+                FROM lineitem WHERE l_quantity IS NOT NULL
+                GROUP BY l_returnflag, l_quantity
+                QUALIFY row_number() OVER (
+                    PARTITION BY l_returnflag
+                    ORDER BY count(*) DESC, l_quantity ASC) = 1
+            ),
+            sm AS (
+                SELECT l_returnflag, l_linestatus AS l_linestatus_mode
+                FROM lineitem WHERE l_linestatus IS NOT NULL
+                GROUP BY l_returnflag, l_linestatus
+                QUALIFY row_number() OVER (
+                    PARTITION BY l_returnflag
+                    ORDER BY count(*) DESC, l_linestatus ASC) = 1
+            )
+            SELECT l_returnflag, qm.l_quantity_mode, sm.l_linestatus_mode
+            FROM qm FULL JOIN sm USING (l_returnflag)
         """,
         "group_quantiles": """
             SELECT l_returnflag,

@@ -584,6 +584,34 @@ class GroupBy:
                            (x, y), mask).alias(alias)
         return self._finish(self._base().groupBy(*self._keys).agg(e))
 
+    @_groupby_method
+    def mode(self, values, mask=None) -> DataFrame:
+        """Most frequent value per group — DETERMINISTIC: ties break to the
+        smallest value (Spark's native ``F.mode`` picks an arbitrary tie
+        winner, which can differ run-to-run and engine-to-engine). NULLs are
+        excluded, pandas-style.
+
+        Shape: count per (keys, value) — one shuffle with map-side partial
+        counts — then ``min_by`` over the (-count, value) struct: lexical
+        minimization gives max count, then min value, in the SAME
+        aggregation pass (no ranking window)."""
+        cols = [values] if isinstance(values, str) else list(values)
+        base = self._base()
+        if mask is not None:
+            base = base.filter(_col(mask))
+        out = None
+        for c in cols:
+            cnt = (base.filter(F.col(c).isNotNull())
+                   .groupBy(*self._keys, c)
+                   .agg(F.count(F.lit(1)).alias("__cnt")))
+            m = cnt.groupBy(*self._keys).agg(
+                F.min_by(
+                    F.col(c),
+                    F.struct((-F.col("__cnt")).alias("n"), F.col(c).alias("v")),
+                ).alias(f"{c}_mode"))
+            out = m if out is None else out.join(m, list(self._keys), "full")
+        return self._finish(out)
+
     # callable → builtin name, exactly the reference's `__name__` dispatch
     # (core.py:1210-1213). `np.mean.__name__ == "mean"` etc.; aliases cover
     # the common numpy/builtin spellings whose __name__ differs from ours.
@@ -868,7 +896,8 @@ class GroupBy:
     # rolling-window operators (reference §2.5)
     # ------------------------------------------------------------------ #
 
-    _ROLLING_AGGS = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max}
+    _ROLLING_AGGS = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+                     "var": F.var_samp, "std": F.stddev_samp}
 
     def _rolling(self, func: str, values, window: int, mask, min_periods: int | None,
                  alias_suffix: str) -> DataFrame:
@@ -954,6 +983,16 @@ class GroupBy:
     def rolling_min(self, values=None, window: int = 2, mask=None,
                     min_periods: int | None = None) -> DataFrame:
         return self._rolling("min", values, window, mask, min_periods, "rolling_min")
+
+    def rolling_var(self, values=None, window: int = 2, mask=None,
+                    min_periods: int | None = None) -> DataFrame:
+        """Trailing-window sample variance (ddof=1; beyond the reference's
+        sum/mean/min/max rolling kernels — same window/mask machinery)."""
+        return self._rolling("var", values, window, mask, min_periods, "rolling_var")
+
+    def rolling_std(self, values=None, window: int = 2, mask=None,
+                    min_periods: int | None = None) -> DataFrame:
+        return self._rolling("std", values, window, mask, min_periods, "rolling_std")
 
     def rolling_max(self, values=None, window: int = 2, mask=None,
                     min_periods: int | None = None) -> DataFrame:

@@ -436,3 +436,52 @@ class TestQuantileCorrCov:
             "p25": ("quantile", "x", {"q": 0.25}),
         }).collect()}
         assert out["a"]["s"] == 10.0 and out["a"]["p25"] == pytest.approx(1.75)
+
+
+class TestModeAndRollingVar:
+    def test_mode_deterministic_ties(self, spark):
+        rows = [("a", 1), ("a", 1), ("a", 2), ("a", 2), ("a", 3),
+                ("b", 9), ("b", None)]
+        df = spark.createDataFrame(rows, "k string, v long")
+        out = {r["k"]: r["v_mode"] for r in GroupBy(df, "k").mode("v").collect()}
+        # tie 1 vs 2 (both count 2) → smallest wins
+        assert out == {"a": 1, "b": 9}
+
+    def test_mode_string_and_mask(self, spark):
+        rows = [("a", "x"), ("a", "y"), ("a", "y"), ("a", "z")]
+        df = spark.createDataFrame(rows, "k string, s string")
+        out = GroupBy(df, "k").mode("s").collect()[0]
+        assert out["s_mode"] == "y"
+        masked = GroupBy(df, "k").mode("s", mask=F.col("s") != "y").collect()[0]
+        assert masked["s_mode"] == "x"  # tie x/z → smallest
+
+    def test_mode_multi_column(self, spark):
+        rows = [("a", 1, "p"), ("a", 1, "q"), ("a", 2, "q")]
+        df = spark.createDataFrame(rows, "k string, v long, s string")
+        out = GroupBy(df, "k").mode(["v", "s"]).collect()[0]
+        assert out["v_mode"] == 1 and out["s_mode"] == "q"
+
+    def test_rolling_var_std(self, spark):
+        df = spark.createDataFrame(
+            [(0, 0, 1.0), (1, 0, 2.0), (2, 0, 4.0), (3, 0, None)],
+            "rid long, k long, v double")
+        g = GroupBy(df, "k", order_by="rid")
+        var = {r["rid"]: r["v_rolling_var"]
+               for r in g.rolling_var("v", window=2).collect()}
+        assert var[0] is None
+        assert var[1] == pytest.approx(0.5)
+        assert var[2] == pytest.approx(2.0)
+        assert var[3] is None  # (4, NULL): 1 non-null < min_periods
+        std = {r["rid"]: r["v_rolling_std"]
+               for r in g.rolling_std("v", window=2, min_periods=2).collect()}
+        assert std[1] == pytest.approx(0.5 ** 0.5)
+
+    def test_rolling_var_mask_excludes_from_buffer(self, spark):
+        rows = [(0, 0, 1.0, True), (1, 0, 100.0, False), (2, 0, 3.0, True)]
+        df = spark.createDataFrame(rows, "rid long, k long, v double, m boolean")
+        out = {r["rid"]: r["v_rolling_var"] for r in
+               GroupBy(df, "k", order_by="rid")
+               .rolling_var("v", window=2, mask=F.col("m")).collect()}
+        # obs = [1, 3]; masked row emits value as of last obs
+        assert out[2] == pytest.approx(2.0)
+        assert out[1] is None  # only 1 obs so far
