@@ -1049,7 +1049,39 @@ def _q_contamination(spark, sf):
 # ---------------------------------------------------------------------- #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order matters: the driver's correctness gate samples the FIRST
+    # 50 entries. Entries with no driver CORRECTNESS row yet (r2 additions +
+    # this round's new queries) are listed first so every query accumulates a
+    # driver-verified row across rounds; long-green anchors follow.
     return {
+        # --- never driver-checked before round 3 ---
+        "minhash_neardup_poly": _q_minhash_poly,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_keep_list": _q_dedup_keep_list,
+        "simhash_poly": _q_simhash_poly,
+        "skew_topn_salted": _q_skew_topn_salted,
+        "skew_topn_uniform": _q_skew_topn_uniform,
+        "hyperplane_lsh_buckets": _q_lsh_buckets,
+        "ivf_knn": _q_ivf_knn,
+        "multimodal_image_meta": _q_multimodal_meta,
+        "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
+        "sample_per_group": _q_sample_per_group,
+        "pack_chunks": _q_pack_chunks,
+        "repetition_signals": _q_repetition_signals,
+        "repetition_filter": _q_repetition_filter,
+        "global_cumsum": _q_global_cumsum,
+        "global_shift": _q_global_shift,
+        "pii_scan": _q_pii_scan,
+        "c4_filter": _q_c4_filter,
+        "contamination": _q_contamination,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_rank": _q_bm25_rank,
+        "vocab_top": _q_vocab_top,
+        "oov_rate": _q_oov_rate,
+        "label_cohesion": _q_label_cohesion,
+        # --- new in round 3 ---
+        # --- driver-checked in r1/r2 (anchors) ---
         "q1_pricing_summary": _q_q1_pricing_summary,
         "masked_sum": _q_masked_sum,
         "group_size": _q_size,
@@ -1103,34 +1135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "trigram_jaccard_pairs": _q_trigram_jaccard,
         "minhash_neardup": _q_minhash_dedup,
-        "minhash_neardup_poly": _q_minhash_poly,
-        "dup_clusters": _q_dup_clusters,
-        "dedup_keep_list": _q_dedup_keep_list,
         "simhash_candidates": _q_simhash_candidates,
-        "simhash_poly": _q_simhash_poly,
         "knn_cosine": _q_knn,
         "cosine_neardup": _q_cosine_neardup,
-        "skew_topn_salted": _q_skew_topn_salted,
-        "skew_topn_uniform": _q_skew_topn_uniform,
-        "hyperplane_lsh_buckets": _q_lsh_buckets,
-        "ivf_knn": _q_ivf_knn,
-        "multimodal_image_meta": _q_multimodal_meta,
-        "stratified_sample": _q_stratified_sample,
-        "split_assign": _q_split_assign,
-        "sample_per_group": _q_sample_per_group,
-        "pack_chunks": _q_pack_chunks,
-        "repetition_signals": _q_repetition_signals,
-        "repetition_filter": _q_repetition_filter,
-        "global_cumsum": _q_global_cumsum,
-        "global_shift": _q_global_shift,
-        "pii_scan": _q_pii_scan,
-        "c4_filter": _q_c4_filter,
-        "contamination": _q_contamination,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "bm25_rank": _q_bm25_rank,
-        "vocab_top": _q_vocab_top,
-        "oov_rate": _q_oov_rate,
-        "label_cohesion": _q_label_cohesion,
     }
 
 

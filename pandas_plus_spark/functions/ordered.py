@@ -180,7 +180,11 @@ def global_shift(
     shifted = base.select(
         (F.col("__grn") + F.lit(n)).alias("__grn"),
         *[F.col(c).alias(f"{c}{suffix}") for c in cols])
-    return base.join(shifted, "__grn", "left").drop("__grn")
+    # the _pps_cached handle on `base` does not survive .join(); re-attach so
+    # release_cached on the result frees global_row_number's pinned persist
+    return attach_cached(
+        base.join(shifted, "__grn", "left").drop("__grn"),
+        *getattr(base, "_pps_cached", ()))
 
 
 def global_ntile(
@@ -210,8 +214,9 @@ def global_ntile(
     ).otherwise(
         r + F.when(q > 0, ((rn - big + q - 1) / q).cast("long")).otherwise(F.lit(0))
     )
-    return (
+    # re-attach the persist handle lost through .crossJoin (see global_shift)
+    return attach_cached(
         base.crossJoin(F.broadcast(cnt))
         .withColumn(out, tile.cast("int"))
-        .drop("__grn", "__n")
-    )
+        .drop("__grn", "__n"),
+        *getattr(base, "_pps_cached", ()))

@@ -21,9 +21,10 @@ _FORWARDED = (
     "sum", "mean", "min", "max", "count", "size", "var", "std", "median",
     "sum_squares", "first", "last", "nunique", "agg", "ratio", "subset_ratio",
     "density", "value_counts", "key_count", "head", "tail", "nth",
-    "find_first_n", "find_last_n",
+    "find_first_n", "find_last_n", "mode", "quantile", "corr", "cov",
     "cumsum", "cummin", "cummax", "cumcount",
     "rolling_sum", "rolling_mean", "rolling_min", "rolling_max",
+    "rolling_var", "rolling_std",
     "shift", "diff", "group_nearby_members", "persist", "unpersist",
 )
 
@@ -57,10 +58,13 @@ class DataFrameGroupBy:
         if name not in _FORWARDED:
             raise AttributeError(name)
         target = getattr(self._engine, name)
+        # corr/cov take explicit (x, y) column args — selection binding
+        # doesn't apply to two-column statistics
         if self._selection is None or name in ("size", "cumcount", "value_counts",
                                                "key_count", "persist", "unpersist",
                                                "group_nearby_members",
-                                               "find_first_n", "find_last_n"):
+                                               "find_first_n", "find_last_n",
+                                               "corr", "cov"):
             return target
 
         def bound(*args, **kwargs):

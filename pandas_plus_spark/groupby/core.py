@@ -309,6 +309,10 @@ class GroupBy:
             # keep_decimal=True skips the final double cast so a second
             # aggregation level can keep accumulating exactly (two-level
             # distinct-avoidance composition, e.g. segment_revenue).
+            # Magnitude envelope of decimal(27,6): values quantize at 1e-6
+            # (below ~5e-7 rounds to 0) and per-row values beyond ~1e21
+            # overflow (ANSI mode throws). Right for currency/quantity
+            # facts; for micro-scale floats pre-scale or use plain "sum".
             e = F.sum(v.cast("decimal(27,6)"))
             return e if keep_decimal else e.cast("double")
         if func == "mean":

@@ -96,7 +96,9 @@ def build_vocab(
     """Frequency vocabulary: ``(term, count, rank, cum_frac)`` ordered by
     count desc (term asc tiebreak — total order).
 
-    ``rank`` is the dense 1-based frequency rank; ``cum_frac`` the fraction
+    ``rank`` is the 1-based total-order row rank over (count desc, term
+    asc) — equal-count terms get DISTINCT consecutive ranks, ties broken by
+    term; ``cum_frac`` the fraction
     of ALL corpus tokens covered by terms up to and including this rank —
     the curve a tokenizer-budget decision reads. ``max_size`` keeps the top
     ranks; ``min_count`` drops the long tail first.

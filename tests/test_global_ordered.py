@@ -118,6 +118,33 @@ class TestRewiredCallers:
         assert "Window" not in plan  # scalar agg + broadcast, not a window
 
 
+class TestCacheHandlePropagation:
+    """join()/crossJoin() drop the _pps_cached attribute; every ordered
+    operator must re-attach it so release_cached frees the pinned persist
+    (a leaked handle pins whole-input storage until session end)."""
+
+    def test_shift_and_ntile_carry_handles(self, frame):
+        from pandas_plus_spark.util import release_cached
+        # one at a time, distinct num_partitions per op: Spark's CacheManager
+        # is keyed by logical plan, so plan-identical intermediates from two
+        # live operators would share one cache entry and the first release
+        # would evict both — a test artifact, not an operator bug.
+        makers = [
+            lambda: global_shift(frame, "k", "v", num_partitions=4),
+            lambda: global_ntile(frame, "k", 4, num_partitions=5),
+            lambda: global_row_number(frame, "k", num_partitions=6),
+            lambda: global_cumsum(frame, "k", "v", num_partitions=7),
+        ]
+        for make in makers:
+            out = make()
+            handles = getattr(out, "_pps_cached", ())
+            assert len(handles) >= 1
+            out.count()
+            assert any(h.storageLevel.useMemory for h in handles)
+            release_cached(out)
+            assert not any(h.storageLevel.useMemory for h in handles)
+
+
 class TestGlobalRankCumsum:
     @pytest.mark.parametrize("n", PARTS)
     def test_fused_equals_chained(self, frame, n):

@@ -355,6 +355,23 @@ class TestByResolutionAndStatics:
             keys = [k for k, _ in gb]
         assert keys == [1, 2, 3, 6]
 
+    def test_facade_forwards_newer_aggs(self, nullable_df):
+        # mode/quantile/corr/cov/rolling_var/std joined _FORWARDED after the
+        # engine grew them; the facade must not AttributeError on any of them
+        from pandas_plus_spark.groupby.api import DataFrameGroupBy
+        gb = DataFrameGroupBy(nullable_df, "key")
+        assert gb.mode("val").count() > 0
+        assert gb.quantile("val", q=0.5).count() > 0
+        assert gb.corr("val", "val").count() > 0
+        assert gb.cov("val", "val").count() > 0
+        # selection binding still applies to single-column aggs
+        assert gb["val"].quantile(q=0.5).count() > 0
+        # and corr/cov bypass it (explicit two-column signature)
+        assert gb["val"].corr("val", "val").count() > 0
+        ordered = DataFrameGroupBy(nullable_df, "key", order_by="rid")
+        assert ordered.rolling_var("val", window=2).count() > 0
+        assert ordered.rolling_std("val", window=2).count() > 0
+
 
 class TestFindFirstLastN:
     def test_find_first_last_n(self, spark):
