@@ -556,19 +556,27 @@ def _q_observed_only_false(spark, sf):
 
 
 def _q_segment_revenue(spark, sf):
-    """Star-schema join + agg: lineitem ⋈ orders ⋈ customer (dims broadcast),
-    revenue per market segment — the reference has no joins (SURVEY §2.11);
-    this is the Spark-native pass-through at 100 TB shape."""
+    """Star-schema join + agg: revenue per market segment — the reference has
+    no joins (SURVEY §2.11); this is the Spark-native pass-through at 100 TB
+    shape.
+
+    Join strategy: orders is FACT-proportional (lineitem/4 rows — billions at
+    100 TB), so lineitem ⋈ orders is a plain shuffled equi-join on the order
+    key and AQE picks SMJ/SHJ (or converts to broadcast at small SF where
+    orders fits — the runtime decision is exactly what we want; a forced
+    broadcast was the r2 plan's one scale-killer). customer ⋈ orders likewise
+    stays a plain join: customer also scales with SF, and AQE's
+    size-threshold broadcast conversion handles the small-SF case without
+    hard-coding an OOM at scale."""
     li = load_table(spark, sf, "lineitem")
     orders = load_table(spark, sf, "orders")
     cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
-    joined = joins.broadcast_dim_join(
-        li.withColumn("revenue", F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-        orders.select("o_orderkey", "o_custkey"),
-        on=[F.col("l_orderkey") == F.col("o_orderkey")],
+    joined = (
+        li.withColumn("revenue", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
-    joined = joins.broadcast_dim_join(joined, cust,
-                                      on=[F.col("o_custkey") == F.col("c_custkey")])
     # Two-level composition instead of count(DISTINCT): the Expand rewrite
     # doubles every fact row through the aggregate; pre-aggregating by
     # (segment, orderkey) makes n_orders a plain count and cuts the headline
