@@ -475,6 +475,24 @@ def _q_nanops_global(spark, sf):
     })
 
 
+def _q_nanops_rowwise(spark, sf):
+    """axis=1 reductions (reference reduce_2d, nanops.py:146-179): null-skip
+    folds across a row of columns — pure projection, zero shuffles. Nulls
+    injected deterministically to exercise the skip path; min_count=2 guard
+    demonstrated on a two-column sum."""
+    li = load_table(spark, sf, "lineitem")
+    a = F.when(F.col("l_linenumber") % 3 != 0, F.col("l_quantity"))
+    b = F.when(F.col("l_partkey") % 5 != 0, F.col("l_discount"))
+    df = li.select("l_orderkey", "l_linenumber", a.alias("a"),
+                   b.alias("b"), F.col("l_tax").alias("c"))
+    out = nanops.reduce_rowwise(df, ["a", "b", "c"],
+                                ["sum", "mean", "min", "max", "count", "var"])
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        "row_sum", "row_mean", "row_min", "row_max", "row_count", "row_var",
+        nanops.rownansum(["a", "b"], min_count=2).alias("sum_mc2"))
+
+
 def _q_pretty_cut(spark, sf):
     # l_quantity is DOUBLE → reference uses float-style labels
     # ("10 - 25", no left+1; util.py:747-750)
@@ -778,6 +796,22 @@ def _q_ivf_knn(spark, sf):
     emb = _cast_double_embeddings(spark, sf)
     queries_df = emb.where(F.col("vec_id") < 10)
     return similarity.ivf_knn(emb, queries_df, k=3, n_lists=16, n_probes=4)
+
+
+def _q_ann_recall(spark, sf):
+    """ANN quality gate: recall@10 of ivf_knn vs brute_force_knn, computed
+    in-engine (both sides deterministic — seeded IVF, id-tiebroken top-k).
+    This is what makes ivf_knn's rows-only correctness row meaningful: the
+    oracle hash-checks that EVERY query meets the recall bar (measured
+    0.80–1.0 per query at sf0.01 with 4/16 probes; the 0.5 gate leaves
+    headroom for data drift without ever passing a broken index, which
+    scores ~k/corpus)."""
+    emb = _cast_double_embeddings(spark, sf)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    rec = similarity.ann_recall_at_k(emb, queries_df, k=10,
+                                     n_lists=16, n_probes=4)
+    return rec.select("query_id", "n_exact",
+                      (F.col("recall") >= 0.5).alias("recall_ok"))
 
 
 _SKEW_ORDER = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
@@ -1089,6 +1123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": _q_oov_rate,
         "label_cohesion": _q_label_cohesion,
         # --- new in round 3 ---
+        "ann_recall": _q_ann_recall,
+        "nanops_rowwise": _q_nanops_rowwise,
         # --- driver-checked in r1/r2 (anchors) ---
         "q1_pricing_summary": _q_q1_pricing_summary,
         "masked_sum": _q_masked_sum,
@@ -1776,6 +1812,45 @@ def oracle_sql() -> dict[str, str]:
         # seeded — not reproducible in ANSI SQL; driver records rows-only
         # checks. The *_poly variants below run the SAME pipelines on the
         # ANSI poly hash and are value-checked end-to-end.
+        "nanops_rowwise": """
+            WITH t AS (
+                SELECT l_orderkey, l_linenumber,
+                       CASE WHEN l_linenumber % 3 <> 0 THEN l_quantity END AS a,
+                       CASE WHEN l_partkey % 5 <> 0 THEN l_discount END AS b,
+                       l_tax AS c
+                FROM lineitem
+            ), u AS (
+                SELECT *,
+                       CAST(a IS NOT NULL AS BIGINT)
+                       + CAST(b IS NOT NULL AS BIGINT)
+                       + CAST(c IS NOT NULL AS BIGINT) AS n,
+                       COALESCE(a, 0) + COALESCE(b, 0) + COALESCE(c, 0) AS s,
+                       COALESCE(a*a, 0) + COALESCE(b*b, 0) + COALESCE(c*c, 0) AS ssq
+                FROM t
+            )
+            SELECT l_orderkey, l_linenumber,
+                   s AS row_sum,
+                   CASE WHEN n > 0 THEN s / n END AS row_mean,
+                   least(a, b, c) AS row_min,
+                   greatest(a, b, c) AS row_max,
+                   n AS row_count,
+                   CASE WHEN n > 1 THEN (ssq - s*s/n) / (n - 1) END AS row_var,
+                   CASE WHEN CAST(a IS NOT NULL AS BIGINT)
+                             + CAST(b IS NOT NULL AS BIGINT) >= 2
+                        THEN COALESCE(a, 0) + COALESCE(b, 0) END AS sum_mc2
+            FROM u
+        """,
+        # ann_recall: the ENGINE computes ivf-vs-exact recall@10; the oracle
+        # pins the assertion itself — every probe query must clear the 0.5
+        # recall bar (and n_exact must be a full k=10). A broken index
+        # (recall ~ k/corpus ≈ 0.02) hash-mismatches immediately, which is
+        # what upgrades ivf_knn's rows-only row to a value-checked metric.
+        "ann_recall": """
+            SELECT vec_id AS query_id,
+                   CAST(10 AS BIGINT) AS n_exact,
+                   TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 10
+        """,
         "minhash_neardup_poly": _sql_minhash_poly(num_hashes=8, bands=4,
                                                   threshold=0.3),
         "simhash_poly": _sql_simhash_poly(bits=24),

@@ -75,3 +75,93 @@ def reduce_frame(df: DataFrame, funcs: dict[str, list[str]]) -> DataFrame:
         for fn in fns
     ]
     return df.agg(*exprs)
+
+
+# --------------------------------------------------------------------- #
+# axis=1 (row-wise) reductions — reference reduce_2d (nanops.py:146-179)
+# --------------------------------------------------------------------- #
+#
+# The reference reduces a 2-D array along axis 1 by running the 1-D kernel
+# per row. Spark-side a "row" of numeric columns is an array expression and
+# the reduction is an array fold — purely map-side, embarrassingly parallel,
+# zero shuffles: the natural 100 TB shape. Null handling mirrors pandas
+# skipna semantics: nulls drop out of the fold; an all-null row yields
+# sum=0 / count=0 / mean,min,max=NULL; `min_count` nulls any result built
+# from fewer than min_count non-null values (reference nanops.py:214-215).
+
+def _row_nn(cols: list[str]) -> Column:
+    """Array of the row's NON-NULL values, doubles."""
+    return F.filter(F.array(*[F.col(c).cast("double") for c in cols]),
+                    lambda v: v.isNotNull())
+
+
+def _row_guard(expr: Column, nn: Column, min_count: int) -> Column:
+    if min_count <= 0:
+        return expr
+    return F.when(F.size(nn) >= min_count, expr)
+
+
+def _let(val: Column, body):
+    """Bind an array-valued expression once (HOF-interpreted lambdas
+    re-evaluate free expressions per reference — the minhash lesson)."""
+    from .functions.text import let
+    return let(val, body)
+
+
+def rownansum(cols: list[str], min_count: int = 0) -> Column:
+    return _let(_row_nn(cols), lambda nn: _row_guard(
+        F.aggregate(nn, F.lit(0.0), lambda acc, v: acc + v), nn, min_count))
+
+
+def rownancount(cols: list[str]) -> Column:
+    return F.size(_row_nn(cols)).cast("long")
+
+
+def rownanmean(cols: list[str], min_count: int = 0) -> Column:
+    return _let(_row_nn(cols), lambda nn: _row_guard(
+        F.when(F.size(nn) > 0,
+               F.aggregate(nn, F.lit(0.0), lambda acc, v: acc + v) / F.size(nn)),
+        nn, min_count))
+
+
+def rownanmin(cols: list[str], min_count: int = 0) -> Column:
+    # array_min skips NULL elements natively; the filter keeps the
+    # min_count guard's size() honest
+    return _let(_row_nn(cols),
+                lambda nn: _row_guard(F.array_min(nn), nn, min_count))
+
+
+def rownanmax(cols: list[str], min_count: int = 0) -> Column:
+    return _let(_row_nn(cols),
+                lambda nn: _row_guard(F.array_max(nn), nn, min_count))
+
+
+def rownanvar(cols: list[str], ddof: int = 1, min_count: int = 0) -> Column:
+    def body(nn: Column) -> Column:
+        n = F.size(nn)
+        s = F.aggregate(nn, F.lit(0.0), lambda acc, v: acc + v)
+        ssq = F.aggregate(nn, F.lit(0.0), lambda acc, v: acc + v * v)
+        e = F.when(n > ddof, (ssq - s * s / n) / (n - F.lit(ddof)))
+        return _row_guard(e, nn, min_count)
+    return _let(_row_nn(cols), body)
+
+
+def rownanstd(cols: list[str], ddof: int = 1, min_count: int = 0) -> Column:
+    return F.sqrt(rownanvar(cols, ddof=ddof, min_count=min_count))
+
+
+def reduce_rowwise(df: DataFrame, cols: list[str], funcs: list[str],
+                   min_count: int = 0, prefix: str = "row_") -> DataFrame:
+    """Append one ``{prefix}{func}`` column per requested row-wise reduction
+    over ``cols`` — the axis=1 face of :func:`reduce_frame`. All reductions
+    evaluate in a single projection (one codegen stage, no shuffle)."""
+    dispatch = {
+        "sum": rownansum, "mean": rownanmean, "min": rownanmin,
+        "max": rownanmax, "var": rownanvar, "std": rownanstd,
+    }
+    out = df
+    for fn in funcs:
+        expr = (rownancount(cols) if fn == "count"
+                else dispatch[fn](cols, min_count=min_count))
+        out = out.withColumn(f"{prefix}{fn}", expr)
+    return out

@@ -297,7 +297,7 @@ def simhash_candidates(sig_df: DataFrame, quadrant_bits: int = 16) -> DataFrame:
 # clustering the near-dup graph + keep-list selection
 # --------------------------------------------------------------------- #
 
-def dup_clusters(pairs: DataFrame, n_iters: int = 8,
+def dup_clusters(pairs: DataFrame, n_iters: int = 16,
                  id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """(id, cluster_id) — connected components of the near-dup pair graph;
     cluster_id = the minimum member id.
@@ -308,7 +308,17 @@ def dup_clusters(pairs: DataFrame, n_iters: int = 8,
       2. pointer jump — label(v) ← label(label(v)), the path-halving trick
          that turns O(diameter) convergence into O(log diameter) (the same
          idea as the large-star/small-star MapReduce-CC algorithm).
-    The default 8 rounds therefore covers component diameters up to ~2^8.
+
+    EARLY STOP (round 3): the loop exits as soon as a round changes zero
+    labels — each round already materializes its ``localCheckpoint``, so the
+    convergence check is one cheap sum over a per-row changed flag computed
+    inline (no extra join, no extra pass over the data). ``n_iters`` is the
+    SAFETY CAP, not the round count: shallow graphs (the common near-dup
+    case — most clusters are pairs/triples) stop after 2 rounds, and the
+    O(log diameter) pointer-jumping keeps even a 65k-diameter path graph
+    under the default cap. Hitting the cap on a pathological graph logs a
+    warning instead of silently returning half-merged components.
+
     ``localCheckpoint`` between rounds truncates lineage — without it the
     plan doubles per iteration and the optimizer chokes long before the
     data does.
@@ -318,7 +328,8 @@ def dup_clusters(pairs: DataFrame, n_iters: int = 8,
                                    F.col("src").alias("dst")))
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
-    for _ in range(n_iters):
+    rounds_run = 0
+    for i in range(n_iters):
         neigh = (
             sym.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src").agg(F.min("label").alias("nlabel"))
@@ -326,16 +337,37 @@ def dup_clusters(pairs: DataFrame, n_iters: int = 8,
         )
         hopped = (
             labels.join(neigh, "id", "left")
-            .select("id", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+            .select("id", F.col("label").alias("__old"),
+                    F.least("label", F.coalesce("nlabel", "label")).alias("label"))
         )
         parents = hopped.select(F.col("id").alias("label"),
                                 F.col("label").alias("plabel"))
-        labels = (
+        flagged = (
             hopped.join(parents, "label", "left")
-            .select("id", F.coalesce("plabel", "label").alias("label"))
+            .select("id",
+                    F.coalesce("plabel", "label").alias("label"),
+                    (F.coalesce("plabel", "label") != F.col("__old"))
+                    .cast("long").alias("__chg"))
             .localCheckpoint(eager=False)
         )
-    return labels.withColumnRenamed("label", "cluster_id")
+        # one scalar agg over the checkpointed vertex frame; the checkpoint
+        # is computed exactly once (this action) and re-read by the next
+        # round / the caller, so convergence detection adds no data pass
+        changed = flagged.agg(F.sum("__chg")).collect()[0][0] or 0
+        labels = flagged.drop("__chg")
+        rounds_run = i + 1
+        if changed == 0:
+            break
+    else:
+        import warnings
+        warnings.warn(
+            f"dup_clusters hit the {n_iters}-round cap before converging; "
+            "components may be partially merged — raise n_iters",
+            RuntimeWarning, stacklevel=2)
+    out = labels.withColumnRenamed("label", "cluster_id")
+    # observable convergence: how many rounds actually ran (≤ n_iters)
+    out._pps_cc_rounds = rounds_run
+    return out
 
 
 def dedup_keep_list(
@@ -346,7 +378,7 @@ def dedup_keep_list(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_size: int = 3,
-    cluster_iters: int = 8,
+    cluster_iters: int = 16,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end corpus dedup: (doc_id, keep) for EVERY input document.

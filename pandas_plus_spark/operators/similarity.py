@@ -336,3 +336,40 @@ def ivf_knn(
     # corpus-proportional, so the same two-stage top-k applies.
     return attach_cached(_topk_per_query(sims, k),
                          *getattr(assignments, "_pps_cached", ()))
+
+
+def ann_recall_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_lists: int = 16,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query recall@k of the IVF index vs exact brute force:
+    ``(query_id, n_exact, n_hit, recall)``.
+
+    The standard ANN quality gate, computed entirely in-engine: both sides
+    are deterministic (seeded IVF, id-tiebroken top-k), so the recall of a
+    fixed (corpus, queries, k, n_lists, n_probes) tuple is a REPRODUCIBLE
+    number — a test can pin it and a data pipeline can alert on it. The
+    join is on (query_id, neighbor_id) over two k·|queries|-row frames —
+    trivially small next to the kNN computations themselves.
+
+    ``recall`` divides by the number of exact neighbors actually returned
+    (min(k, corpus_size−1)), so tiny corpora don't deflate the metric.
+    """
+    exact = brute_force_knn(corpus, queries, k, id_col, vec_col) \
+        .select("query_id", "neighbor_id")
+    approx = ivf_knn(corpus, queries, k, n_lists, n_probes, id_col, vec_col)
+    hits = approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1))
+    per_q = (
+        exact.join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"),
+             F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"))
+        .select("query_id", "n_exact", "n_hit",
+                (F.col("n_hit") / F.col("n_exact")).alias("recall"))
+    )
+    return attach_cached(per_q, *getattr(approx, "_pps_cached", ()))

@@ -178,6 +178,20 @@ class TestScaleShapes:
         from pandas_plus_spark.util import release_cached
         release_cached(assignments)
 
+    def test_ann_recall_at_k(self, big_vecs):
+        q = big_vecs.where("vec_id < 5")
+        rows = similarity.ann_recall_at_k(
+            big_vecs, q, k=5, n_lists=4, n_probes=2).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r["n_exact"] == 5
+            assert 0.0 <= r["recall"] <= 1.0
+            assert r["recall"] == r["n_hit"] / r["n_exact"]
+        # probing ALL lists makes IVF exhaustive → recall must be exactly 1
+        full = similarity.ann_recall_at_k(
+            big_vecs, q, k=5, n_lists=4, n_probes=4).collect()
+        assert all(r["recall"] == 1.0 for r in full)
+
     def test_ivf_knn_windows_partitioned(self, big_vecs):
         out = similarity.ivf_knn(big_vecs, big_vecs.where("vec_id < 3"), k=4,
                                  n_lists=4, n_probes=2)
@@ -209,6 +223,30 @@ class TestClustersAndKeepList:
         got = {r["id"]: r["cluster_id"]
                for r in dedup.dup_clusters(pairs, n_iters=8).collect()}
         assert set(got.values()) == {0}
+
+    def test_dup_clusters_early_stop(self, spark):
+        # shallow graph (all pairs): must converge well under the cap and
+        # record how many rounds actually ran
+        pairs = spark.createDataFrame(
+            [(1, 2), (7, 9), (20, 30)], "id_a long, id_b long")
+        out = dedup.dup_clusters(pairs, n_iters=16)
+        got = {r["id"]: r["cluster_id"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 7: 7, 9: 7, 20: 20, 30: 20}
+        assert out._pps_cc_rounds <= 3  # 1 merge round + 1 fixpoint check
+
+    def test_dup_clusters_cap_warns(self, spark):
+        # a 64-deep path cannot converge in 2 rounds even with pointer
+        # jumping — the cap must warn, not silently return half-merged labels
+        import warnings as w
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "id_a long, id_b long")
+        with pytest.warns(RuntimeWarning, match="cap"):
+            dedup.dup_clusters(pairs, n_iters=2).collect()
+        # and with the default cap the same graph fully converges silently
+        with w.catch_warnings():
+            w.simplefilter("error")
+            got = dedup.dup_clusters(pairs).collect()
+        assert {r["cluster_id"] for r in got} == {0}
 
     def test_keep_list_planted(self, planted_docs):
         # docs 0,1 identical; 2 near-dup of 0; 3 unrelated
