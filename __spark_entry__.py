@@ -466,6 +466,43 @@ def _q_sessionize(spark, sf):
     return out.select("event_id", "user_id", "session_id")
 
 
+def _q_streaming_sessions(spark, sf):
+    """Streaming oracle gate: replay the events table through the Structured
+    Streaming session operator (readStream → session_window → memory sink,
+    availableNow trigger) and return the BATCH result table. Complete output
+    mode emits the final session state for the whole replay, so the result
+    equals the batch gap-session oracle on the same events — this pins
+    streaming/sessions.py to a value-checked row instead of tests-only.
+    Timestamps surface as epoch-µs longs to keep the cross-engine compare
+    integer-exact."""
+    import tempfile
+    import uuid
+
+    from pandas_plus_spark import streaming as pps_streaming
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    # re-stage through a parquet DIR: a file-source stream needs a directory,
+    # and rewriting via Spark normalizes the raw table's ns timestamps
+    src = tempfile.mkdtemp(prefix="pps_stream_src_")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    sessions = pps_streaming.sessionized_stream(
+        stream, ts_col="ts", key_col="user_id",
+        gap="30 minutes", watermark="1 hour")
+    name = "pps_sessions_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="pps_stream_ckpt_")
+    q = (sessions.writeStream.format("memory").queryName(name)
+         .outputMode("complete").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events", "total_value")
+
+
 def _q_nanops_global(spark, sf):
     li = load_table(spark, sf, "lineitem")
     return nanops.reduce_frame(li, {
@@ -1125,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 3 ---
         "ann_recall": _q_ann_recall,
         "nanops_rowwise": _q_nanops_rowwise,
+        "streaming_sessions": _q_streaming_sessions,
         # --- driver-checked in r1/r2 (anchors) ---
         "q1_pricing_summary": _q_q1_pricing_summary,
         "masked_sum": _q_masked_sum,
@@ -1812,6 +1850,32 @@ def oracle_sql() -> dict[str, str]:
         # seeded — not reproducible in ANSI SQL; driver records rows-only
         # checks. The *_poly variants below run the SAME pipelines on the
         # ANSI poly hash and are value-checked end-to-end.
+        # streaming_sessions: the ENGINE side replays events through the
+        # Structured Streaming session_window operator; the oracle is the
+        # batch gap-session formulation (break when the in-user time delta
+        # >= the 30-min gap; session end = last event + gap). Session totals
+        # are tiny per-session FP sums — far inside the round-6 grain.
+        "streaming_sessions": """
+            WITH e AS (
+                SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+                FROM events
+            ), f AS (
+                SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
+                                    (PARTITION BY user_id ORDER BY ts_us)
+                               >= 1800000000 THEN 1 ELSE 0 END AS brk
+                FROM e
+            ), s AS (
+                SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM f
+            )
+            SELECT user_id,
+                   min(ts_us) AS start_us,
+                   max(ts_us) + 1800000000 AS end_us,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   sum(value) AS total_value
+            FROM s GROUP BY user_id, sid
+        """,
         "nanops_rowwise": """
             WITH t AS (
                 SELECT l_orderkey, l_linenumber,

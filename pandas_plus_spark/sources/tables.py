@@ -53,7 +53,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # `div`, NOT `/`: epoch-ns (~1.7e18) exceeds double's 2^53
+            # integer range, so float division is off by ±1 µs on a few
+            # rows; long integer division is exact
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
