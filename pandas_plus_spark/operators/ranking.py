@@ -183,32 +183,45 @@ def bm25_scores(
     with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``.
 
     Returns ``(id_col, n_terms, bm25)`` for every document (score 0.0 when
-    no query term occurs). df/avgdl/N are corpus statistics computed here;
-    persist the postings externally to amortize across many queries.
+    no query term occurs).
+
+    Two corpus-sized intermediates feed multiple plan branches, and Catalyst
+    does not reuse exchanges across branches (the tfidf lesson), so both are
+    persisted — but ONLY the slim shapes: ``doclens`` is (id, n_terms) — 16
+    bytes/doc, never the tokenized text — and ``q_postings`` is already
+    restricted to the query terms before its shuffle, so it holds ≤
+    |docs|·|query| rows. Unpersisted, the r2 plan tokenized the corpus FOUR
+    times (4 scans, 10 exchanges); this shape tokenizes twice (once for
+    lengths, once for the filtered explode) and shuffles the corpus zero
+    times. Release with ``util.release_cached`` after materializing.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     qset = sorted(set(query_terms))
 
-    lengths = ensure_parallelism(docs).select(
-        F.col(id_col), tx.token_count(text_col).alias("n_terms"),
-        tx.simple_tokens(text_col).alias("__toks"))
-    stats = lengths.select(
+    doclens = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), tx.token_count(text_col).alias("n_terms"))
+        .persist()
+    )
+    stats = doclens.select(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.avg("n_terms").alias("__avgdl"))
 
     # postings restricted to the query terms BEFORE the shuffle
     q_postings = (
-        lengths.select(F.col(id_col), F.col("n_terms"),
-                       F.explode("__toks").alias("term"))
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.explode(tx.simple_tokens(text_col)).alias("term"))
         .filter(F.col("term").isin(qset))
-        .groupBy(id_col, "n_terms", "term")
+        .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     dfreq = q_postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (
         q_postings.join(F.broadcast(dfreq), "term")
+        .join(doclens, id_col)
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "__idf",
@@ -221,8 +234,9 @@ def bm25_scores(
     )
     per_doc = scored.groupBy(id_col, "n_terms").agg(F.sum("__s").alias("bm25"))
     # docs with no query-term occurrence: left-join back, score 0
-    return (
-        lengths.select(id_col, "n_terms")
+    out = (
+        doclens
         .join(per_doc, [id_col, "n_terms"], "left")
         .withColumn("bm25", F.coalesce(F.col("bm25"), F.lit(0.0)))
     )
+    return attach_cached(out, doclens, q_postings)

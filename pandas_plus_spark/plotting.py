@@ -87,3 +87,69 @@ def linear_fit(df: DataFrame, x: str, y: str, deg: int = 1) -> list[float]:
     vec = VectorAssembler(inputCols=cols, outputCol="features").transform(feats)
     model = LinearRegression(featuresCol="features", labelCol="_y").fit(vec)
     return [float(model.intercept)] + [float(c) for c in model.coefficients]
+
+
+def r_squared(df: DataFrame, x: str, y: str, coefs: list[float]) -> float:
+    """R² of a polynomial fit, computed distributed: the prediction is a
+    closed-form column expression, so SS_res / SS_tot is ONE aggregation
+    pass over the data (reference group_scatter.py:87-93 calls
+    sklearn's ``fit.score``; same statistic)."""
+    pred = F.lit(float(coefs[0]))
+    for d, c in enumerate(coefs[1:], start=1):
+        pred = pred + F.lit(float(c)) * F.pow(F.col(x).cast("double"), d)
+    yv = F.col(y).cast("double")
+    row = df.agg(
+        F.sum((yv - pred) * (yv - pred)).alias("ss_res"),
+        (F.var_pop(yv) * F.count(yv)).alias("ss_tot"),
+    ).first()
+    return 1.0 - row.ss_res / row.ss_tot
+
+
+class GroupScatter:
+    """Facade mirroring the reference GroupScatter dataclass
+    (reference plotting/group_scatter.py:12-116): quantile-bin x, mean y
+    per bin, polynomial fit, R², and a matplotlib plot — with every
+    statistic computed distributed. Only the FINAL ≤ n_groups-row binned
+    frame and the fit coefficients ever reach the driver; ``plot()`` draws
+    from those, so rendering cost is O(n_groups) regardless of data size.
+
+    matplotlib is optional (not in every runtime): construction and all
+    statistics work without it; only ``plot()`` requires it.
+    """
+
+    def __init__(self, df: DataFrame, x: str, y: str, n_groups: int = 25,
+                 filter=None, deg: int = 1, method: str = "ntile"):
+        if filter is not None:
+            df = df.where(filter)
+        df = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+        self._df, self._x, self._y, self.deg = df, x, y, deg
+        self.stats = binned_scatter_stats(df, x, y, n_bins=n_groups,
+                                          method=method)
+        self.regression_coefs = linear_fit(df, x, y, deg=deg)
+
+    @property
+    def r_squared(self) -> float:
+        return r_squared(self._df, self._x, self._y, self.regression_coefs)
+
+    def to_pandas(self):
+        """The binned (bin, x_mean, y_mean, n) frame as pandas —
+        ≤ n_groups rows by construction."""
+        return self.stats.toPandas()
+
+    def plot(self, ax=None, **plot_kwargs):
+        """Scatter of per-bin mean points + the fitted regression curve.
+        Requires matplotlib (raises ImportError with guidance if absent)."""
+        try:
+            import matplotlib.pyplot as plt
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "GroupScatter.plot needs matplotlib; install it or use "
+                ".to_pandas() / .regression_coefs to render elsewhere") from e
+        pdf = self.to_pandas().sort_values("x_mean")
+        if ax is None:
+            _, ax = plt.subplots()
+        ax.plot(pdf["x_mean"], pdf["y_mean"], "o", **plot_kwargs)
+        xs = pdf["x_mean"].to_numpy()
+        ys = sum(c * xs ** d for d, c in enumerate(self.regression_coefs))
+        ax.plot(xs, ys, "-")
+        return ax
