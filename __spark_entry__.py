@@ -503,6 +503,77 @@ def _q_streaming_sessions(spark, sf):
         "n_events", "total_value")
 
 
+def _replay_stream(spark, stream_df, output_mode: str):
+    """Run a streaming DataFrame to completion (availableNow trigger) into a
+    memory sink and return the batch result table. Shared by the streaming
+    gate queries — the replay-vs-batch-oracle protocol from
+    _q_streaming_sessions."""
+    import tempfile
+    import uuid
+
+    name = "pps_replay_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="pps_stream_ckpt_")
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _stage_events_stream(spark, sf):
+    """Re-stage the events table through a parquet dir and open it as a
+    file-source stream (a file stream needs a directory; the rewrite also
+    normalizes raw ns timestamps)."""
+    import tempfile
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "value")
+    src = tempfile.mkdtemp(prefix="pps_stream_src_")
+    ev.write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(ev.schema).parquet(src)
+
+
+def _q_streaming_tumbling(spark, sf):
+    """Streaming tumbling-window gate: replay events through the
+    watermarked windowed aggregation (streaming/sessions.py
+    windowed_agg_stream) and emit the final per-(event_type, hour) counts
+    and means. Complete output mode over a full availableNow replay equals
+    the batch date_trunc-hour aggregation — pinning the watermark + window
+    operator to a value-checked row. State at scale is bounded by
+    (#keys x watermark/window) live windows, independent of stream length."""
+    from pandas_plus_spark import streaming as pps_streaming
+
+    stream = _stage_events_stream(spark, sf)
+    agg = pps_streaming.windowed_agg_stream(
+        stream, ts_col="ts", key_col="event_type",
+        window="1 hour", watermark="2 hours")
+    return _replay_stream(spark, agg, "complete").select(
+        "event_type",
+        F.unix_micros("window_start").alias("window_start_us"),
+        "n_events", "avg_value")
+
+
+def _q_streaming_dedup(spark, sf):
+    """Streaming exact-dedup gate: replay events through
+    dropDuplicatesWithinWatermark on (user_id, event_type). The watermark
+    horizon (3650 days) covers the whole replay, so exactly one row per
+    identity survives — the batch equivalent is SELECT DISTINCT. Only the
+    identity columns are emitted (which physical row survives is
+    arrival-order-dependent; the identity set is not). At scale, state
+    holds one ~16-byte entry per distinct identity inside the horizon and
+    is evicted as the watermark advances (streaming/sessions.py
+    deduped_stream)."""
+    from pandas_plus_spark import streaming as pps_streaming
+
+    stream = _stage_events_stream(spark, sf)
+    deduped = pps_streaming.deduped_stream(
+        stream, ["user_id", "event_type"], ts_col="ts",
+        watermark="87600 hours")
+    return _replay_stream(spark, deduped, "append").select(
+        "user_id", "event_type")
+
+
 def _q_nanops_global(spark, sf):
     li = load_table(spark, sf, "lineitem")
     return nanops.reduce_frame(li, {
@@ -1133,6 +1204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round's new queries) are listed first so every query accumulates a
     # driver-verified row across rounds; long-green anchors follow.
     return {
+        # --- new in round 4 ---
+        "streaming_tumbling": _q_streaming_tumbling,
+        "streaming_dedup": _q_streaming_dedup,
         # --- never driver-checked before round 3 ---
         "minhash_neardup_poly": _q_minhash_poly,
         "dup_clusters": _q_dup_clusters,
@@ -1855,6 +1929,22 @@ def oracle_sql() -> dict[str, str]:
         # batch gap-session formulation (break when the in-user time delta
         # >= the 30-min gap; session end = last event + gap). Session totals
         # are tiny per-session FP sums — far inside the round-6 grain.
+        # streaming_tumbling: complete-mode replay of the watermarked
+        # tumbling-window aggregation == batch hour-bucket aggregation.
+        "streaming_tumbling": """
+            SELECT event_type,
+                   epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                       AS window_start_us,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   avg(value) AS avg_value
+            FROM events
+            GROUP BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+        """,
+        # streaming_dedup: watermark horizon covers the whole replay, so
+        # dropDuplicatesWithinWatermark == global DISTINCT on the identity.
+        "streaming_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
         "streaming_sessions": """
             WITH e AS (
                 SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value

@@ -33,6 +33,11 @@ def _events_stream_df(spark):
     sdf = spark.readStream.schema(static.schema).parquet(d)
     if dict(sdf.dtypes).get("ts") == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    else:
+        # parquet µs timestamps surface as TIMESTAMP_NTZ, which watermarks
+        # reject — cast to TIMESTAMP exactly as the batch events loader does
+        # (gap sessions are invariant under the tz shift).
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
 
 
