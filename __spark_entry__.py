@@ -163,6 +163,76 @@ def _sql_dup_clusters(threshold: float = 0.2) -> str:
     """
 
 
+def _sql_incremental_dedup(num_hashes: int = 8, bands: int = 4,
+                           threshold: float = 0.3) -> str:
+    """DuckDB twin of incremental_dedup(hash_fn="poly") on the %5 new/ref
+    split: exact text-match first, then the poly minhash band join
+    restricted to new x ref, Jaccard verify, best match per new doc."""
+    P = 2_147_483_647
+    M, MUL = tx.POLY_MOD, tx.POLY_MUL
+    poly_s = tx.sql_poly_hash("s")
+    sig_exprs = []
+    for i in range(num_hashes):
+        a, b = 2 * i + 1, (0x9E3779B9 * (i + 1)) % P
+        sig_exprs.append(
+            f"list_min(list_transform(h, x0 -> ((x0 % {P}) * {a} + {b}) % {P}))")
+    rpb = num_hashes // bands
+    entries = []
+    for bd in range(bands):
+        acc = "CAST(0 AS BIGINT)"
+        for r in range(rpb):
+            acc = f"(({acc}) * {MUL} + sig[{bd * rpb + r + 1}]) % {M}"
+        entries.append(
+            f"SELECT id, is_new, {bd} AS band, {acc} AS bhash FROM sigs")
+    entries_sql = " UNION ALL ".join(entries)
+    jac = ("CASE WHEN len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) > 0 "
+           "THEN CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) "
+           "/ (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) "
+           "ELSE 0.0 END")
+    return f"""
+        WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        refd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        exact AS (
+            SELECT n.doc_id AS id, min(r.doc_id) AS ref_id
+            FROM newd n JOIN refd r ON n.text = r.text GROUP BY n.doc_id
+        ),
+        rem AS (SELECT * FROM newd WHERE doc_id NOT IN (SELECT id FROM exact)),
+        u AS (SELECT doc_id AS id, text, TRUE AS is_new FROM rem
+              UNION ALL SELECT doc_id AS id, text, FALSE AS is_new FROM refd),
+        tk AS (SELECT id, is_new, {_TOKS} AS toks FROM u),
+        grams AS (SELECT id, is_new,
+                         list_distinct({_sql_trigrams('toks')}) AS g FROM tk),
+        hs AS (SELECT id, is_new, g,
+                      list_transform(g, s -> {poly_s}) AS h FROM grams),
+        sigs AS (SELECT id, is_new, [{', '.join(sig_exprs)}] AS sig FROM hs),
+        entries AS ({entries_sql}),
+        cands AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM entries a JOIN entries b USING (band, bhash)
+            WHERE a.is_new AND NOT b.is_new
+        ),
+        vp AS (
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT id_a, id_b, {jac} AS jaccard
+                FROM cands
+                JOIN grams ga ON ga.id = cands.id_a
+                JOIN grams gb ON gb.id = cands.id_b
+            ) WHERE jaccard >= {threshold}
+        ),
+        best AS (
+            SELECT id_a AS id, id_b AS ref_id, jaccard,
+                   row_number() OVER (PARTITION BY id_a
+                                      ORDER BY jaccard DESC, id_b ASC) AS rn
+            FROM vp
+        )
+        SELECT id AS doc_id, 'exact' AS match_kind, ref_id, 1.0 AS jaccard
+        FROM exact
+        UNION ALL
+        SELECT id AS doc_id, 'near' AS match_kind, ref_id, jaccard
+        FROM best WHERE rn = 1
+    """
+
+
 def _sql_simhash_poly(bits: int = 24) -> str:
     """DuckDB twin of simhash(hash_fn="poly", bits<=30)."""
     poly_t = tx.sql_poly_hash("t")
@@ -572,6 +642,66 @@ def _q_streaming_dedup(spark, sf):
         watermark="87600 hours")
     return _replay_stream(spark, deduped, "append").select(
         "user_id", "event_type")
+
+
+def _q_doc_chunks(spark, sf):
+    """Sliding-window document chunking with overlap (operators/packing.py
+    chunk_documents): pure sequence+substring+posexplode projection — zero
+    shuffles, chunk-sized output rows."""
+    docs = load_table(spark, sf, "documents")
+    out = packing.chunk_documents(docs, "text", "doc_id",
+                                  chunk_size=200, overlap=50)
+    return out.select("doc_id", "chunk_idx",
+                      F.col("chunk_start").cast("long").alias("chunk_start"),
+                      "chunk_text", "chunk_len")
+
+
+def _q_embedding_quantize(spark, sf):
+    """Per-vector int8 scalar quantization diagnostics
+    (operators/similarity.py quantize_embeddings): map-side only; explicit
+    left-fold accumulation so results are partition-order independent."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.quantize_embeddings(emb, "embedding", "vec_id")
+
+
+def _q_unigram_ppl(spark, sf):
+    """Per-doc cross-entropy/perplexity under the corpus unigram LM
+    (operators/ranking.py unigram_lm_score)."""
+    docs = load_table(spark, sf, "documents")
+    out = ranking.unigram_lm_score(docs, "doc_id", "text")
+    return out.select("doc_id", "n_tokens", "xent", "ppl")
+
+
+def _q_incremental_dedup(spark, sf):
+    """Cross-corpus incremental dedup (operators/dedup.py
+    incremental_dedup): docs with doc_id % 5 = 0 are the "new batch", the
+    rest the existing corpus. Poly hash family so the whole pipeline —
+    exact sha match, LSH band join new x ref, Jaccard verify, best-match
+    pick — is value-checked against the SQL twin."""
+    docs = load_table(spark, sf, "documents")
+    new_df = docs.filter(F.col("doc_id") % 5 == 0)
+    ref_df = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.incremental_dedup(
+        new_df, ref_df, "text", "doc_id", threshold=0.3,
+        num_hashes=8, bands=4, shingle_size=3, hash_fn="poly")
+
+
+def _q_frame_sample(spark, sf):
+    """Video frame-sampling plumbing (operators/multimodal.py
+    sample_frames): evenly spaced byte offsets JVM-side, Arrow-batched
+    extraction stub in mapInPandas; byte-level on both engines so no ASCII
+    restriction is needed."""
+    docs = load_table(spark, sf, "documents")
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return multimodal.sample_frames(blobs, "blob", "doc_id",
+                                    n_frames=4, frame_bytes=8)
+
+
+def _q_source_health(spark, sf):
+    """Per-source corpus health rollup (operators/corpus.py source_health):
+    two-level distinct counting, no Expand."""
+    docs = load_table(spark, sf, "documents")
+    return corpus.source_health(docs, "source", "text")
 
 
 def _q_nanops_global(spark, sf):
@@ -1207,6 +1337,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 ---
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_dedup": _q_streaming_dedup,
+        "doc_chunks": _q_doc_chunks,
+        "embedding_quantize": _q_embedding_quantize,
+        "unigram_ppl": _q_unigram_ppl,
+        "incremental_dedup": _q_incremental_dedup,
+        "frame_sample": _q_frame_sample,
+        "source_health": _q_source_health,
         # --- never driver-checked before round 3 ---
         "minhash_neardup_poly": _q_minhash_poly,
         "dup_clusters": _q_dup_clusters,
@@ -1929,6 +2065,120 @@ def oracle_sql() -> dict[str, str]:
         # batch gap-session formulation (break when the in-user time delta
         # >= the 30-min gap; session end = last event + gap). Session totals
         # are tiny per-session FP sums — far inside the round-6 grain.
+        # doc_chunks: sliding-window chunking, stride 150 = 200 - 50.
+        "doc_chunks": """
+            WITH d AS (SELECT doc_id, text, length(text) AS ln FROM documents),
+            n AS (
+                SELECT doc_id, text,
+                       1 + greatest(0, CAST(ceil((ln - 200) / 150.0) AS BIGINT))
+                           AS nc
+                FROM d
+            ),
+            e AS (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM n)
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS chunk_idx,
+                   i * 150 AS chunk_start,
+                   substr(text, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk_text,
+                   CAST(length(substr(text, CAST(i * 150 + 1 AS INTEGER), 200))
+                        AS INTEGER) AS chunk_len
+            FROM e
+        """,
+        # embedding_quantize: same explicit left-fold accumulation order as
+        # the engine (list_reduce over a prepended init) -> bit-identical.
+        "embedding_quantize": """
+            WITH m AS (
+                SELECT vec_id, embedding AS v, len(embedding) AS dim,
+                       list_reduce(list_prepend(0.0,
+                           list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                           (a, x) -> greatest(a, x)) AS maxabs
+                FROM embeddings
+            ),
+            q AS (SELECT *, maxabs / 127.0 AS scale FROM m)
+            SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+                   CASE WHEN maxabs > 0 THEN maxabs END AS maxabs,
+                   CASE WHEN maxabs > 0 THEN scale END AS scale,
+                   CASE WHEN maxabs > 0 THEN
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(v, x -> CAST(floor(
+                               CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))),
+                           (a, x) -> a + x)
+                   END AS q_sum,
+                   CASE WHEN maxabs > 0 THEN
+                       list_reduce(list_prepend(0.0,
+                           list_transform(v, x -> pow(
+                               CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                                    AS BIGINT) * scale - CAST(x AS DOUBLE),
+                               2))),
+                           (a, x) -> a + x) / dim
+                   END AS mse
+            FROM q
+        """,
+        "unigram_ppl": f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+            c AS (SELECT term, count(*) AS cnt FROM ex GROUP BY term),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+            pd AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       avg(ln(CAST(cnt AS DOUBLE))) AS mln
+                FROM ex JOIN c USING (term) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CASE WHEN pd.n_tokens > 0 THEN ln(total) - mln END AS xent,
+                   CASE WHEN pd.n_tokens > 0 THEN exp(ln(total) - mln) END AS ppl
+            FROM documents d
+            LEFT JOIN pd ON d.doc_id = pd.doc_id
+            CROSS JOIN tot
+        """,
+        "incremental_dedup": _sql_incremental_dedup(),
+        # frame_sample: byte-level hex slicing on both sides (no char/byte
+        # ambiguity), offsets floor(i*span/3.0) identically.
+        "frame_sample": """
+            WITH d AS (SELECT doc_id, encode(text) AS blob FROM documents),
+            s AS (SELECT doc_id, blob,
+                         greatest(octet_length(blob) - 8, 0) AS span
+                  FROM d),
+            e AS (SELECT doc_id, blob, span, unnest(range(0, 4)) AS i FROM s),
+            o AS (SELECT doc_id, blob, CAST(i AS INTEGER) AS frame_idx,
+                         CAST(floor(i * span / 3.0) AS BIGINT) AS byte_offset
+                  FROM e)
+            SELECT doc_id, frame_idx, byte_offset,
+                   substr(upper(hex(blob)),
+                          CAST(byte_offset * 2 + 1 AS INTEGER), 16) AS frame_sig
+            FROM o
+        """,
+        "source_health": f"""
+            WITH t AS (
+                SELECT source, text, {_TOKS} AS toks, length(text) AS n_chars
+                FROM documents
+            ), f AS (
+                SELECT source, text, n_chars,
+                       len(toks) AS n_tokens,
+                       len(list_filter(toks, t -> t IN ({stop_list})))::DOUBLE
+                           / len(toks) AS stopword_ratio,
+                       len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+                           / n_chars AS punct_ratio
+                FROM t
+            ), q AS (
+                SELECT source, text, n_chars,
+                       round(0.4 * least(n_tokens / 64.0, 1.0)
+                           + 0.3 * least(stopword_ratio * 4, 1.0)
+                           + 0.3 * (1.0 - least(punct_ratio * 10, 1.0)), 6) AS q
+                FROM f
+            ), l1 AS (
+                SELECT source, text, count(*) AS n,
+                       sum(n_chars) AS sc, sum(q) AS sq
+                FROM q GROUP BY source, text
+            )
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   1.0 - count(*) / CAST(sum(n) AS DOUBLE) AS dup_frac,
+                   sum(sc) / CAST(sum(n) AS DOUBLE) AS avg_chars,
+                   sum(sq) / CAST(sum(n) AS DOUBLE) AS avg_quality
+            FROM l1 GROUP BY source
+        """,
         # streaming_tumbling: complete-mode replay of the watermarked
         # tumbling-window aggregation == batch hour-bucket aggregation.
         "streaming_tumbling": """

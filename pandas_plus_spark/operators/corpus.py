@@ -142,3 +142,50 @@ def repetition_filter(
         )
         .drop("top_ngram_token_frac")
     )
+
+
+def source_health(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus health rollup — the dashboard a data-curation team
+    reads before deciding which crawl sources to keep:
+    ``(source, n_docs, n_distinct, dup_frac, avg_chars, avg_quality)``.
+
+    Distinct-content counting uses a two-level aggregate keyed on
+    (source, sha2(text)) then source — never count(DISTINCT)'s Expand,
+    which doubles every corpus row through the aggregate (the
+    segment_revenue lesson). The shuffle carries 32-byte content hashes
+    plus per-group partial sums; document bodies never move.
+    """
+    from ..functions.text import quality_score
+
+    level1 = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.sha2(F.col(text_col).cast("string"), 256).alias("__h"),
+            F.length(text_col).cast("long").alias("__chars"),
+            quality_score(text_col).alias("__q"),
+        )
+        .groupBy("source", "__h")
+        .agg(F.count(F.lit(1)).alias("__n"),
+             F.sum("__chars").alias("__sc"),
+             F.sum("__q").alias("__sq"))
+    )
+    return (
+        level1.groupBy("source")
+        .agg(
+            F.sum("__n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("__sc").alias("__tc"),
+            F.sum("__sq").alias("__tq"),
+        )
+        .select(
+            "source", "n_docs", "n_distinct",
+            (F.lit(1.0) - F.col("n_distinct") / F.col("n_docs").cast("double"))
+            .alias("dup_frac"),
+            (F.col("__tc") / F.col("n_docs").cast("double")).alias("avg_chars"),
+            (F.col("__tq") / F.col("n_docs").cast("double")).alias("avg_quality"),
+        )
+    )

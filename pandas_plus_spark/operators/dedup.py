@@ -22,7 +22,7 @@ codegen) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import simple_tokens, word_ngrams, _token_poly_hash
@@ -105,6 +105,34 @@ def minhash_signatures(
     return staged.select("id", sig.alias("sig"))
 
 
+def _band_entries(sigs: DataFrame, bands: int, num_hashes: int,
+                  hash_fn: str) -> DataFrame:
+    """(id, band, bhash) LSH bucket entries: fold each signature band into
+    one bucket hash and explode — the shared primitive under self-join
+    (minhash_lsh_candidates) and cross-corpus (incremental_dedup) LSH."""
+    rows_per_band = num_hashes // bands
+
+    def band_hash(b: int):
+        vals = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*vals)
+        # ANSI twin: polynomial fold of the band's signature values
+        acc = F.lit(0).cast("long")
+        for v in vals:
+            acc = (acc * F.lit(31) + v) % F.lit(1_000_000_007)
+        return acc
+
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_hash(b).alias("bhash"))
+                for b in range(bands)
+            ])
+        ).alias("bucket"),
+    ).select("id", "bucket.band", "bucket.bhash")
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     bands: int = 8,
@@ -124,27 +152,7 @@ def minhash_lsh_candidates(
     if hash_fn not in _HASH_FNS:
         raise ValueError(f"hash_fn must be one of {_HASH_FNS}, got {hash_fn!r}")
     n = num_hashes if num_hashes is not None else sigs.select(F.size("sig")).first()[0]
-    rows_per_band = n // bands
-
-    def band_hash(b: int):
-        vals = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-        if hash_fn == "xxhash64":
-            return F.xxhash64(*vals)
-        # ANSI twin: polynomial fold of the band's signature values
-        acc = F.lit(0).cast("long")
-        for v in vals:
-            acc = (acc * F.lit(31) + v) % F.lit(1_000_000_007)
-        return acc
-
-    bucket_entries = sigs.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), band_hash(b).alias("bhash"))
-                for b in range(bands)
-            ])
-        ).alias("bucket"),
-    ).select("id", "bucket.band", "bucket.bhash").persist()
+    bucket_entries = _band_entries(sigs, bands, n, hash_fn).persist()
     a = bucket_entries.alias("a")
     b = bucket_entries.alias("b")
     out = (
@@ -227,6 +235,74 @@ def minhash_dedup(
     cands = minhash_lsh_candidates(sigs, bands, num_hashes=num_hashes,
                                    hash_fn=hash_fn)
     return ngram_jaccard_pairs(df, text_col, id_col, threshold, shingle_size, candidates=cands)
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus (incremental) dedup: flag documents of a NEW batch that
+    duplicate an EXISTING reference corpus — the shape every continuously
+    ingesting training pipeline runs (new crawl vs what's already in the
+    dataset). Ids must be globally unique across both frames.
+
+    Returns one row per matched new document:
+    ``(id_col, match_kind 'exact'|'near', ref_id, jaccard)`` — ``ref_id``
+    is the closest reference match (max Jaccard, min id tiebreak); exact
+    matches report jaccard 1.0 against the minimum matching reference id.
+    Unmatched new documents are absent (anti-join the result to keep them).
+
+    Scale shape: exact matches join on sha2-256 (32-byte shuffle keys, no
+    bodies). The near stage band-joins NEW bucket entries against REF bucket
+    entries — never ref × ref, so cost scales with the BATCH, not the
+    corpus; in production the reference side's signatures/buckets are
+    precomputed once and stored, making each increment's work proportional
+    to the new data only. Exact-matched docs are anti-joined out before the
+    LSH stage (they would only produce redundant candidates).
+    """
+    new_hashed = new_df.select(
+        F.col(id_col),
+        F.sha2(F.col(text_col).cast("string"), 256).alias("__h"))
+    ref_hashed = (
+        ref_df.select(F.sha2(F.col(text_col).cast("string"), 256).alias("__h"),
+                      F.col(id_col).alias("ref_id"))
+        .groupBy("__h").agg(F.min("ref_id").alias("ref_id"))
+    )
+    exact = new_hashed.join(ref_hashed, "__h").select(
+        F.col(id_col), F.lit("exact").alias("match_kind"),
+        F.col("ref_id"), F.lit(1.0).alias("jaccard"))
+
+    rem = new_df.join(exact.select(id_col), id_col, "left_anti")
+    sigs_new = minhash_signatures(rem, text_col, id_col, num_hashes,
+                                  shingle_size, hash_fn=hash_fn)
+    sigs_ref = minhash_signatures(ref_df, text_col, id_col, num_hashes,
+                                  shingle_size, hash_fn=hash_fn)
+    e_new = _band_entries(sigs_new, bands, num_hashes, hash_fn)
+    e_ref = _band_entries(sigs_ref, bands, num_hashes, hash_fn)
+    cands = (
+        e_new.alias("a").join(e_ref.alias("b"), on=["band", "bhash"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(
+        rem.select(id_col, text_col).unionByName(ref_df.select(id_col, text_col)),
+        text_col, id_col, threshold, shingle_size, candidates=cands)
+    w = Window.partitionBy("id_a").orderBy(F.desc("jaccard"), F.asc("id_b"))
+    near = (
+        verified.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("id_a").alias(id_col), F.lit("near").alias("match_kind"),
+                F.col("id_b").alias("ref_id"), F.col("jaccard"))
+    )
+    out = exact.unionByName(near)
+    return attach_cached(out, *getattr(verified, "_pps_cached", ()))
 
 
 # --------------------------------------------------------------------- #

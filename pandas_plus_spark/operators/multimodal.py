@@ -70,6 +70,64 @@ def decode_image_stub(blob: bytes) -> dict:
     }
 
 
+FRAME_SCHEMA = T.StructType([
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("byte_offset", T.LongType()),
+    T.StructField("frame_sig", T.StringType()),
+])
+
+
+def sample_frames(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    *,
+    n_frames: int = 4,
+    frame_bytes: int = 8,
+) -> DataFrame:
+    """Video frame-sampling plumbing: pick ``n_frames`` evenly spaced byte
+    offsets per blob and extract a fixed-width "frame" at each —
+    ``(id, frame_idx, byte_offset, frame_sig)``.
+
+    The offset schedule (the real decoder's seek table) is computed JVM-side:
+    ``offset_i = floor(i * max(n_bytes - frame_bytes, 0) / (n_frames - 1))``.
+    Extraction runs in Arrow-batched ``mapInPandas`` — the seam where a real
+    pipeline calls ffmpeg/pyav per batch (not installed here, so the "frame"
+    is the raw byte window, surfaced as its uppercase hex signature —
+    deterministic, so the whole pipeline is oracle-checkable).
+
+    Scale: pure map-side work, no shuffle; output rows carry ``frame_bytes``
+    hex chars, never the blob, so downstream frames are narrow. Partitions
+    stay blob-bounded — tune ``spark.sql.files.maxPartitionBytes`` for wide
+    binary rows as with all blob pipelines.
+    """
+    if n_frames < 1:
+        raise ValueError("n_frames must be >= 1")
+    span = F.greatest(F.octet_length(F.col(blob_col)).cast("long") - frame_bytes,
+                      F.lit(0))
+    denom = max(n_frames - 1, 1)
+    offsets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: F.floor(i.cast("long") * span / F.lit(denom)),
+    )
+    staged = df.select(F.col(id_col), F.col(blob_col), offsets.alias("__offs"))
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + list(FRAME_SCHEMA.fields))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob, offs in zip(pdf[id_col], pdf[blob_col], pdf["__offs"]):
+                for i, off in enumerate(offs):
+                    off = int(off)
+                    window = bytes(blob)[off:off + frame_bytes]
+                    rows.append((rid, i, off, window.hex().upper()))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "byte_offset", "frame_sig"])
+
+    return staged.mapInPandas(extract, schema=out_schema)
+
+
 def extract_image_features(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
     """(id, width, height, n_channels, mean_byte) via Arrow-batched
     mapInPandas. The UDF sees pandas DataFrames of whole record batches —

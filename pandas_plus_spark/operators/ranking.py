@@ -169,6 +169,55 @@ def oov_rate(
     )
 
 
+def unigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy and perplexity under the corpus's own MLE
+    unigram language model — the classic cheap "does this read like the
+    corpus?" quality signal (high perplexity = rare-token soup: boilerplate,
+    code dumps, gibberish).
+
+    ``H(D) = -(1/|D|) Σ_t ln p(t)`` with ``p(t) = count(t)/total``; since
+    the model is trained on the scored corpus itself every token has
+    count ≥ 1, so no smoothing term is needed (``ppl = exp(H)``).
+    Returns ``(id_col, n_tokens, xent, ppl)``; empty documents get NULLs.
+
+    Scale shape: token counts are a vocabulary-sized frame (persisted — it
+    feeds both the total-token scalar and the per-token join) broadcast
+    against the map-side token explode; the corpus shuffles once, on the
+    final per-doc agg keyed by ``id_col``. At web scale a multi-GB
+    vocabulary frame can outgrow broadcast — drop the hint and let AQE pick
+    the join; the per-doc shape is unchanged. Algebraically
+    ``H = ln(total) - mean(ln count(t))``, so the scalar joins once per
+    doc, not per token.
+    """
+    exploded = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), F.explode_outer(tx.simple_tokens(text_col)).alias("term"))
+    )
+    counts = (
+        exploded.filter(F.col("term").isNotNull())
+        .groupBy("term").agg(F.count(F.lit(1)).alias("count")).persist()
+    )
+    total = counts.select(F.sum("count").cast("double").alias("__total"))
+    per_doc = (
+        exploded.join(F.broadcast(counts), "term", "left")
+        .groupBy(id_col)
+        .agg(F.count("term").alias("n_tokens"),
+             F.avg(F.log(F.col("count").cast("double"))).alias("__mean_ln"))
+    )
+    out = (
+        per_doc.crossJoin(F.broadcast(total))
+        .withColumn("xent", F.when(F.col("n_tokens") > 0,
+                                   F.log("__total") - F.col("__mean_ln")))
+        .withColumn("ppl", F.exp("xent"))
+        .select(id_col, "n_tokens", "xent", "ppl")
+    )
+    return attach_cached(out, counts)
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],

@@ -250,6 +250,57 @@ def l2_normalize(vec: Column) -> Column:
                lambda n: F.when(n > 0, F.transform(vec, lambda x: x / n)))
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric scalar quantization — the int8 storage path for
+    embedding corpora (4x smaller than float32, the standard ANN-index
+    compression at corpus scale).
+
+    Per vector: ``scale = max|v| / qmax`` (qmax = 2^(bits-1) - 1), codes
+    ``q_i = floor(v_i/scale + 0.5)`` in [-qmax, qmax]. Output carries the
+    reconstruction diagnostics instead of the codes themselves:
+    ``(id, dim, maxabs, scale, q_sum, mse)`` where q_sum is the integer
+    code checksum and mse the per-vector reconstruction error.
+
+    Pure projection (zero shuffles). Math is done in double with explicit
+    left-fold accumulation order so results are bit-identical on any
+    partitioning — and to the SQL oracle. ``floor(x + 0.5)`` is used over
+    round() because the two engines disagree on tie behavior, floor never.
+    """
+    from ..functions.text import let
+
+    qmax = float((1 << (bits - 1)) - 1)
+    v = F.col(vec_col)
+    maxabs = F.aggregate(
+        v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x.cast("double"))))
+
+    def build(m):
+        scale = m / F.lit(qmax)
+        q = F.transform(v, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)))
+        q_sum = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x)
+        sq_err = F.aggregate(
+            F.zip_with(q, v,
+                       lambda qi, xi: F.pow(qi * scale - xi.cast("double"), F.lit(2.0))),
+            F.lit(0.0), lambda a, x: a + x)
+        return F.struct(
+            m.alias("maxabs"), scale.alias("scale"), q_sum.alias("q_sum"),
+            (sq_err / F.size(v)).alias("mse"))
+
+    packed = let(maxabs, lambda m: F.when(m > 0, build(m)))
+    return df.select(
+        F.col(id_col), F.size(v).alias("dim"),
+        packed.getField("maxabs").alias("maxabs"),
+        packed.getField("scale").alias("scale"),
+        packed.getField("q_sum").alias("q_sum"),
+        packed.getField("mse").alias("mse"),
+    )
+
+
 def group_centroids(df: DataFrame, key_col: str,
                     vec_col: str = "embedding") -> DataFrame:
     """Per-group mean vector: ``(key_col, n_vecs, centroid)``.

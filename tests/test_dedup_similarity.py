@@ -301,3 +301,97 @@ class TestVectorUtils:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestIncrementalDedup:
+    @pytest.fixture(scope="class")
+    def corpora(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        ref_rows = [
+            (100, base),
+            (101, "completely different reference material about spark engines"),
+            (102, "a third reference document with its own unique words"),
+        ]
+        new_rows = [
+            (1, base),                                    # exact dup of 100
+            (2, base.replace("today", "tomorrow")),       # near dup of 100
+            (3, "novel content sharing nothing with the reference corpus"),
+        ]
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+        return mk(new_rows), mk(ref_rows)
+
+    def test_matches(self, corpora):
+        from pandas_plus_spark.operators import incremental_dedup
+        new_df, ref_df = corpora
+        out = {r["doc_id"]: r for r in incremental_dedup(
+            new_df, ref_df, "text", "doc_id", threshold=0.3,
+            num_hashes=8, bands=4).collect()}
+        assert out[1]["match_kind"] == "exact" and out[1]["ref_id"] == 100
+        assert out[1]["jaccard"] == 1.0
+        assert out[2]["match_kind"] == "near" and out[2]["ref_id"] == 100
+        assert 0.3 <= out[2]["jaccard"] < 1.0
+        assert 3 not in out  # novel doc untouched
+
+    def test_never_ref_x_ref(self, corpora):
+        """Candidate generation must be new x ref only: a ref-side dup pair
+        must not surface."""
+        from pandas_plus_spark.operators import incremental_dedup
+        new_df, ref_df = corpora
+        ref_plus = ref_df.union(
+            ref_df.filter("doc_id = 100").selectExpr("999 as doc_id", "text"))
+        out = incremental_dedup(new_df, ref_plus, "text", "doc_id",
+                                threshold=0.3, num_hashes=8, bands=4)
+        ids = {r["doc_id"] for r in out.collect()}
+        assert 999 not in ids and 100 not in ids
+
+
+class TestQuantizeEmbeddings:
+    def test_reconstruction_bounds(self, spark):
+        from pandas_plus_spark.operators import quantize_embeddings
+        rows = [(0, [1.0, -0.5, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0]),
+                (2, [-2.0, 2.0, 1.0, -1.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+        assert out[0]["maxabs"] == 1.0
+        assert out[0]["scale"] == 1.0 / 127
+        # max quantization error is scale/2 per dim -> mse <= (scale/2)^2
+        assert out[0]["mse"] <= (out[0]["scale"] / 2) ** 2 + 1e-18
+        # floor(x+0.5) is half-toward-+inf: 1.0 -> 64 but -1.0 -> -63 at
+        # scale 2/127, so the symmetric vector sums to 1, not 0 (the price
+        # of a tie rule both engines agree on)
+        assert out[2]["q_sum"] == 1
+        # zero vector: diagnostics are NULL (nothing to quantize)
+        assert out[1]["maxabs"] is None and out[1]["q_sum"] is None
+
+    def test_no_shuffle(self, spark):
+        from pandas_plus_spark.operators import quantize_embeddings
+        df = spark.createDataFrame([(0, [1.0, 2.0])],
+                                   "vec_id long, embedding array<float>")
+        plan = quantize_embeddings(df)._jdf.queryExecution(
+            ).executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestSampleFrames:
+    def test_offsets_and_sigs(self, spark):
+        from pandas_plus_spark.operators import sample_frames
+        payload = bytes(range(40))  # 40 bytes, span = 32
+        df = spark.createDataFrame([(0, bytearray(payload))],
+                                   "doc_id long, blob binary")
+        rows = sorted(sample_frames(df, "blob", "doc_id",
+                                    n_frames=4, frame_bytes=8).collect(),
+                      key=lambda r: r["frame_idx"])
+        assert [r["byte_offset"] for r in rows] == [0, 10, 21, 32]
+        for r in rows:
+            off = r["byte_offset"]
+            assert r["frame_sig"] == payload[off:off + 8].hex().upper()
+
+    def test_short_blob(self, spark):
+        from pandas_plus_spark.operators import sample_frames
+        df = spark.createDataFrame([(0, bytearray(b"abc"))],
+                                   "doc_id long, blob binary")
+        rows = sample_frames(df, "blob", "doc_id",
+                             n_frames=3, frame_bytes=8).collect()
+        assert len(rows) == 3
+        assert all(r["byte_offset"] == 0 for r in rows)
+        assert all(r["frame_sig"] == b"abc".hex().upper() for r in rows)

@@ -126,3 +126,34 @@ class TestVocab:
         assert o[0]["oov_frac"] == pytest.approx(1 / 3)
         assert o[1]["n_oov"] == 2 and o[1]["oov_frac"] == 1.0
         assert o[3]["n_tokens"] == 0 and o[3]["oov_frac"] == 0.0
+
+
+class TestUnigramLM:
+    def test_values_match_manual(self, corpus_df):
+        out = {r["doc_id"]: r
+               for r in ranking.unigram_lm_score(corpus_df).collect()}
+        # corpus counts: cat 5 (2 in doc0 + 3 in doc2), dog 2, fish 1,
+        # bird 1 -> total 9
+        total = 9.0
+        counts = {"cat": 5, "dog": 2, "fish": 1, "bird": 1}
+        for doc_id, toks in [(0, ["cat", "dog", "cat"]),
+                             (1, ["dog", "fish"]),
+                             (2, ["cat", "cat", "cat", "bird"])]:
+            h = math.log(total) - sum(math.log(counts[t]) for t in toks) / len(toks)
+            assert abs(out[doc_id]["xent"] - h) < 1e-12
+            assert abs(out[doc_id]["ppl"] - math.exp(h)) < 1e-9
+            assert out[doc_id]["n_tokens"] == len(toks)
+
+    def test_empty_doc_nulls(self, corpus_df):
+        out = {r["doc_id"]: r
+               for r in ranking.unigram_lm_score(corpus_df).collect()}
+        assert out[3]["n_tokens"] == 0
+        assert out[3]["xent"] is None and out[3]["ppl"] is None
+
+    def test_rare_token_doc_scores_higher(self, spark):
+        rows = [(i, "the quick brown fox jumps the lazy dog the end") for i in range(5)]
+        rows.append((99, "zxqv wvut qqqz"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["ppl"]
+               for r in ranking.unigram_lm_score(df).collect()}
+        assert out[99] > out[0]

@@ -172,3 +172,87 @@ class TestRepetition:
         assert 1 in kept and 5 in kept
         assert 2 not in kept      # dup lines way over threshold
         assert 3 not in kept      # top 2-gram covers the whole doc
+
+
+class TestChunkDocuments:
+    @pytest.fixture(scope="class")
+    def chunked(self, spark):
+        from pandas_plus_spark.operators import chunk_documents
+        rows = [
+            (0, ""),                      # empty -> one empty chunk
+            (1, "a" * 100),               # shorter than chunk_size -> 1 chunk
+            (2, "b" * 200),               # exactly chunk_size -> 1 chunk
+            (3, "c" * 201),               # one char over -> 2 chunks
+            (4, "x" * 500),               # 1 + ceil(300/150) = 3 chunks
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = chunk_documents(df, "text", "doc_id", chunk_size=200, overlap=50)
+        return {r["doc_id"]: [] for r in out.collect()} | {
+            k: sorted(
+                [r for r in out.collect() if r["doc_id"] == k],
+                key=lambda r: r["chunk_idx"])
+            for k in (0, 1, 2, 3, 4)
+        }
+
+    def test_chunk_counts(self, chunked):
+        assert [len(chunked[k]) for k in (0, 1, 2, 3, 4)] == [1, 1, 1, 2, 3]
+
+    def test_starts_and_lengths(self, chunked):
+        assert [r["chunk_start"] for r in chunked[4]] == [0, 150, 300]
+        assert [r["chunk_len"] for r in chunked[4]] == [200, 200, 200]
+        assert [r["chunk_len"] for r in chunked[3]] == [200, 51]
+
+    def test_overlap_content(self, spark):
+        from pandas_plus_spark.operators import chunk_documents
+        text = "".join(chr(65 + (i % 26)) for i in range(400))
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, "text", "doc_id", chunk_size=200, overlap=50)
+            .collect(), key=lambda r: r["chunk_idx"])
+        # each chunk's first 50 chars == previous chunk's last 50
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["chunk_text"][:50] == prev["chunk_text"][-50:]
+        # full coverage: stitching chunks at stride reconstructs the doc
+        rebuilt = rows[0]["chunk_text"] + "".join(r["chunk_text"][50:] for r in rows[1:])
+        assert rebuilt == text
+
+    def test_no_shuffle(self, spark):
+        from pandas_plus_spark.operators import chunk_documents
+        df = spark.range(10).selectExpr("id as doc_id", "repeat('z', 300) as text")
+        plan = chunk_documents(df, "text", "doc_id",
+                               chunk_size=100, overlap=10)._jdf.queryExecution(
+            ).executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_overlap_ge_chunk_raises(self, spark):
+        from pandas_plus_spark.operators import chunk_documents
+        df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, "text", "doc_id", chunk_size=10, overlap=10)
+
+
+class TestSourceHealth:
+    def test_rollup_values(self, spark):
+        from pandas_plus_spark.operators import source_health
+        rows = [
+            (0, "alpha beta", "web"),
+            (1, "alpha beta", "web"),       # exact dup of 0
+            (2, "gamma delta", "web"),
+            (3, "unique text here", "books"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r["source"]: r for r in source_health(df).collect()}
+        assert out["web"]["n_docs"] == 3
+        assert out["web"]["n_distinct"] == 2
+        assert abs(out["web"]["dup_frac"] - (1 - 2 / 3)) < 1e-12
+        assert abs(out["web"]["avg_chars"] - (10 + 10 + 11) / 3) < 1e-12
+        assert out["books"]["n_docs"] == 1
+        assert out["books"]["dup_frac"] == 0.0
+        assert 0.0 <= out["books"]["avg_quality"] <= 1.0
+
+    def test_no_expand_in_plan(self, spark):
+        from pandas_plus_spark.operators import source_health
+        df = spark.createDataFrame(
+            [(0, "t", "s")], "doc_id long, text string, source string")
+        plan = source_health(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan
