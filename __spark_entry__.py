@@ -27,6 +27,7 @@ from pandas_plus_spark.operators import (cleaning, corpus, dedup, joins,
                                          sampling, similarity)
 from pandas_plus_spark.plotting import binned_scatter_stats
 from pandas_plus_spark.sources import load_table
+from pandas_plus_spark.util import ensure_parallelism
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -948,7 +949,10 @@ def _q_apply_zscore(spark, sf):
 
 
 def _q_winnow(spark, sf):
-    docs = load_table(spark, sf, "documents")
+    # heavy per-doc expressions: fan out first — single-row-group
+    # fixture files scan as ONE task, and a projection computed on
+    # the scan would run one-core (no-op on well-split input)
+    docs = ensure_parallelism(load_table(spark, sf, "documents"))
     fps = tx.winnow_fingerprints(tx.simple_tokens(F.col("text")), window=4)
     return docs.select(
         "doc_id",
@@ -966,7 +970,10 @@ def _q_dedup_exact(spark, sf):
 
 
 def _q_token_stats(spark, sf):
-    docs = load_table(spark, sf, "documents")
+    # heavy per-doc expressions: fan out first — single-row-group
+    # fixture files scan as ONE task, and a projection computed on
+    # the scan would run one-core (no-op on well-split input)
+    docs = ensure_parallelism(load_table(spark, sf, "documents"))
     # long casts: DuckDB's len()/regexp counts are BIGINT; keep schemas
     # identical for strict schema comparison
     return docs.select(
@@ -978,14 +985,20 @@ def _q_token_stats(spark, sf):
 
 
 def _q_lang_pred(spark, sf):
-    docs = load_table(spark, sf, "documents")
+    # heavy per-doc expressions: fan out first — single-row-group
+    # fixture files scan as ONE task, and a projection computed on
+    # the scan would run one-core (no-op on well-split input)
+    docs = ensure_parallelism(load_table(spark, sf, "documents"))
     pred = docs.select(
         "lang", tx.lang_id(tx.simple_tokens(F.col("text"))).alias("pred_lang"))
     return GroupBy(pred, ["lang", "pred_lang"]).size()
 
 
 def _q_quality(spark, sf):
-    docs = load_table(spark, sf, "documents")
+    # heavy per-doc expressions: fan out first — single-row-group
+    # fixture files scan as ONE task, and a projection computed on
+    # the scan would run one-core (no-op on well-split input)
+    docs = ensure_parallelism(load_table(spark, sf, "documents"))
     q = docs.select("source", tx.quality_score("text").alias("q"))
     return GroupBy(q, "source").agg({
         "avg_quality": ("mean", "q"), "n_docs": ("size", "")})
@@ -1302,7 +1315,7 @@ def _q_pii_scan(spark, sf):
     category match counts and how many docs redaction changed. All rules
     are map-side regexp expressions; the only shuffle is the tiny final
     agg."""
-    docs = _with_injected_pii(load_table(spark, sf, "documents"))
+    docs = _with_injected_pii(ensure_parallelism(load_table(spark, sf, "documents")))
     counts = cleaning.pii_counts("text")
     per_doc = docs.select(
         "source",
@@ -1333,7 +1346,7 @@ def _q_c4_filter(spark, sf):
     """C4 line/page heuristics (Raffel et al. 2020 §2.2) per document over
     the punctuation-shaped corpus: line keep counts, sentence count, and
     the composite page-keep flag. Integer/boolean output — exact parity."""
-    docs = _c4_shaped(load_table(spark, sf, "documents"))
+    docs = _c4_shaped(ensure_parallelism(load_table(spark, sf, "documents")))
     stats = cleaning.c4_line_stats("text", min_words=5)
     return docs.select(
         "doc_id",

@@ -77,43 +77,60 @@ def top_ngram_share(
     top_ngram_token_frac`` (docs shorter than ``n`` tokens get count 0,
     share 0.0, NULL gram).
     """
+    from ..util import ensure_parallelism
+
     toks = simple_tokens(_c(text_col))
-    base = df.select(
+    base = ensure_parallelism(df).select(
         _c(id_col).alias(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         word_ngrams(toks, n).alias("__grams"),
     )
-    counts = (
-        base.select(id_col, "n_tokens", F.explode("__grams").alias("gram"))
-        .groupBy(id_col, "n_tokens", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    folded = base.select(
+        id_col, "n_tokens",
+        let(_top_gram_run_max(F.col("__grams")),
+            lambda b: F.struct(b.getField("best_cnt").alias("cnt"),
+                               b.getField("best_gram").alias("gram"))
+            ).alias("__top"),
     )
-    # argmax gram via struct-max: (count, gram) ordered lexicographically;
-    # gram DESCENDING on ties is emulated by max over (cnt, gram) — ties on
-    # cnt resolve to the lexicographically LARGEST gram, pinned in the oracle.
-    top = counts.groupBy(id_col, "n_tokens").agg(
-        F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("__top")
-    )
-    scored = top.select(
+    return folded.select(
         id_col,
         "n_tokens",
         F.col("__top.gram").alias("top_ngram"),
         F.col("__top.cnt").alias("top_ngram_count"),
-        (F.col("__top.cnt") * n / F.col("n_tokens")).alias("top_ngram_token_frac"),
+        F.when(F.col("__top.cnt") > 0,
+               F.col("__top.cnt") * n / F.col("n_tokens"))
+        .otherwise(F.lit(0.0)).alias("top_ngram_token_frac"),
     )
-    # left join keeps too-short docs (no grams) with zeroed signals
-    return (
-        base.select(id_col, "n_tokens")
-        .join(scored.drop("n_tokens"), on=id_col, how="left")
-        .select(
-            id_col,
-            "n_tokens",
-            "top_ngram",
-            F.coalesce("top_ngram_count", F.lit(0)).alias("top_ngram_count"),
-            F.coalesce("top_ngram_token_frac", F.lit(0.0)).alias(
-                "top_ngram_token_frac"),
-        )
-    )
+
+
+def _top_gram_run_max(garr: Column) -> Column:
+    """Longest equal-run fold over the SORTED gram array — the per-doc
+    argmax gram count without any explode/shuffle (r4 rewrite: the previous
+    shape exploded every gram into a corpus-sized (doc, gram) aggregate;
+    the sort+fold computes the same result map-side, O(g log g) per doc,
+    memory bounded by the doc).
+
+    Tie rule: ``>=`` updates while scanning the ascending-sorted array, so
+    equal counts resolve to the lexicographically LARGEST gram — identical
+    to the struct-max (cnt, gram) rule the oracle pins. Empty arrays yield
+    (0, NULL)."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_cnt"),
+        F.lit(None).cast("string").alias("best_gram"))
+
+    def step(acc, x):
+        run2 = (F.when(x == acc.getField("prev"), acc.getField("run") + 1)
+                .otherwise(F.lit(1).cast("long")))
+        better = run2 >= acc.getField("best_cnt")
+        return F.struct(
+            x.alias("prev"), run2.alias("run"),
+            F.when(better, run2).otherwise(acc.getField("best_cnt"))
+            .alias("best_cnt"),
+            F.when(better, x).otherwise(acc.getField("best_gram"))
+            .alias("best_gram"))
+
+    return F.aggregate(F.array_sort(garr), init, step)
 
 
 def repetition_filter(
@@ -127,20 +144,29 @@ def repetition_filter(
 ) -> DataFrame:
     """Gopher-style repetition gate: keep documents under every threshold.
 
-    The line signals are a pushed-down map-side projection; only the
-    2-gram share costs a shuffle. Returns the surviving rows of ``df``.
+    Shuffle-free since r4: the line signals AND the top-2-gram share are
+    both map-side column expressions (the share via the sorted-run fold,
+    _top_gram_run_max), so the gate is a pure Scan → Filter — no explode,
+    no join, bytes-proportional at any corpus size. On under-split local
+    inputs ``parallel_filter`` fans the predicate out across cores; on a
+    real cluster it is a plain pushed-down filter. Returns the surviving
+    rows of ``df``.
     """
+    from ..util import parallel_filter
+
     ls = line_stats(_c(text_col))
-    shares = top_ngram_share(df, id_col, text_col, n=2).select(
-        id_col, "top_ngram_token_frac")
-    return (
-        df.join(shares, on=id_col, how="inner")
-        .filter(
-            (ls["dup_line_frac"] <= max_dup_line_frac)
-            & (ls["dup_line_char_frac"] <= max_dup_line_char_frac)
-            & (F.col("top_ngram_token_frac") <= max_top2gram_frac)
-        )
-        .drop("top_ngram_token_frac")
+    toks = simple_tokens(_c(text_col))
+    frac = let(
+        _top_gram_run_max(word_ngrams(toks, 2)),
+        lambda b: F.when(
+            b.getField("best_cnt") > 0,
+            b.getField("best_cnt") * 2 / F.size(toks))
+        .otherwise(F.lit(0.0)))
+    return parallel_filter(
+        df,
+        (ls["dup_line_frac"] <= max_dup_line_frac)
+        & (ls["dup_line_char_frac"] <= max_dup_line_char_frac)
+        & (frac <= max_top2gram_frac),
     )
 
 

@@ -37,6 +37,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         # Arrow for pandas UDFs / toPandas — the only sanctioned Python path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Local fixtures are SINGLE small parquet files: at the default
+        # 128 MB split size a 50 MB corpus scans as 2 tasks, and every
+        # scan-pushed expression (filters push through repartition, so
+        # ensure_parallelism cannot help them) runs on 2 of 32 cores. Small
+        # splits restore scan parallelism here; on a real cluster the input
+        # is thousands of files/row-groups, splits are naturally plentiful,
+        # and this knob should be left at (or returned to) its default.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         # Deterministic timestamp behavior regardless of host timezone.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

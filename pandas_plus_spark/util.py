@@ -19,6 +19,32 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def parallel_filter(df: DataFrame, cond, min_partitions: int | None = None) -> DataFrame:
+    """Filter with a CPU-heavy predicate, guaranteeing the predicate runs at
+    cluster parallelism.
+
+    ``ensure_parallelism`` alone cannot help a filter: Catalyst pushes
+    deterministic predicates through a round-robin repartition down to the
+    scan, and a scan over a single-row-group parquet file is one task — the
+    whole predicate then evaluates on one core. When (and only when) the
+    input has fewer partitions than the cluster has cores, this repartitions
+    and wraps the predicate behind a nondeterministic guard
+    (``monotonically_increasing_id() >= 0``, always true) so the optimizer
+    cannot move it below the exchange. With enough input splits — every real
+    cluster scan — the plain pushed-down filter IS the optimal plan (no
+    shuffle of to-be-dropped rows), so no repartition and no guard happens.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+        cond = (F.when(F.monotonically_increasing_id() >= 0, cond)
+                .otherwise(F.lit(False)))
+    return df.filter(cond)
+
+
 def attach_cached(out: DataFrame, *cached: DataFrame) -> DataFrame:
     """Record the persisted intermediates an operator's result depends on.
 

@@ -63,12 +63,23 @@ def main() -> None:
             if c in smap:
                 exprs.append(f"{c} + i * {unit[smap[c]]} AS {c}")
             elif t == "documents" and c == "text":
+                # suffix every non-final token with the replica number:
+                # token counts are unchanged, intra-replica near-dup
+                # structure is preserved, but shingle sets are DISJOINT
+                # across replicas — a replica-prefix variant left every doc
+                # a 10-deep NEAR-dup cluster, which benchmarks the dedup
+                # blowup path instead of a 10x corpus.
                 exprs.append("CASE WHEN i = 0 THEN text "
-                             "ELSE 'r' || i || ' ' || text END AS text")
+                             "ELSE replace(text, ' ', i::VARCHAR || ' ') "
+                             "END AS text")
             else:
                 exprs.append(c)
+        # small row groups so Spark scans SPLIT: the driver's fixtures are
+        # single-row-group files (one scan task no matter what); the scaled
+        # data should instead look like real multi-split input
+        rg = 4096 if t in ("documents", "embeddings") else 100_000
         q = (f"COPY (SELECT {', '.join(exprs)} FROM {t}, range({n}) r(i)) "
-             f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+             f"TO '{dst}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})")
         con.sql(q)
         rows = con.sql(f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
         print(t, "->", rows, "rows")

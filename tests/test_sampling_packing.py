@@ -256,3 +256,29 @@ class TestSourceHealth:
             [(0, "t", "s")], "doc_id long, text string, source string")
         plan = source_health(df)._jdf.queryExecution().executedPlan().toString()
         assert "Expand" not in plan
+
+
+class TestParallelFilter:
+    def test_same_rows_as_plain_filter(self, spark, docs):
+        from pandas_plus_spark.util import parallel_filter
+        cond = F.length("text") > 500
+        a = sorted(r["doc_id"] for r in parallel_filter(docs, cond).collect())
+        b = sorted(r["doc_id"] for r in docs.filter(cond).collect())
+        assert a == b and len(a) > 0
+
+    def test_repartitions_and_blocks_pushdown_when_undersplit(self, spark, docs):
+        from pandas_plus_spark.util import parallel_filter
+        out = parallel_filter(docs.coalesce(1), F.length("text") > 500)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # exchange present, and the filter sits ABOVE it (not pushed to scan)
+        assert "Exchange RoundRobinPartitioning" in plan
+        assert plan.index("Filter") < plan.index("Exchange RoundRobinPartitioning")
+
+    def test_noop_when_already_parallel(self, spark, docs):
+        from pandas_plus_spark.util import parallel_filter
+        wide = docs.repartition(64)
+        plan = parallel_filter(wide, F.length("text") > 500)._jdf.queryExecution(
+            ).executedPlan().toString()
+        # only the explicit repartition's exchange — no second one, no guard
+        assert plan.count("Exchange RoundRobinPartitioning") == 1
+        assert "monotonically_increasing_id" not in plan
