@@ -669,6 +669,41 @@ def _q_streaming_dedup(spark, sf):
         "user_id", "event_type")
 
 
+def _q_streaming_running(spark, sf):
+    """Custom stateful streaming gate: replay events through
+    applyInPandasWithState (streaming/stateful.py stateful_running_total —
+    the streaming analog of the reference's cumulative kernels,
+    numba.py:1613-1674). A single availableNow batch delivers each key's
+    rows sorted by event_id, so the running totals equal the batch window
+    cumsum — additions happen in the same order on both engines, making
+    even the accumulated doubles bit-comparable. State is two scalars per
+    key regardless of stream length."""
+    from pandas_plus_spark.streaming import stateful_running_total
+
+    stream = _stage_events_stream(spark, sf).select(
+        "user_id", "event_id", "value")
+    out = stateful_running_total(stream, "user_id")
+    return _replay_stream(spark, out, "append").select(
+        "user_id", "event_id", "value", "running_total", "running_count")
+
+
+def _q_chunk_dedup(spark, sf):
+    """Paragraph-level dedup signals (operators/dedup.py chunk_dedup_stats):
+    chunks hashed corpus-wide, per-doc duplicate-chunk fraction. Every 7th
+    doc is PREFIXED with a shared boilerplate block — prefixing keeps the
+    fixed-width chunk grid phase-aligned across documents, so the
+    boilerplate's leading chunks are exact duplicates corpus-wide (a suffix
+    would land at a different offset in every doc and produce none)."""
+    docs = load_table(spark, sf, "documents")
+    boiler = ("this site uses cookies accept our terms and privacy policy"
+              " subscribe to the newsletter for updates ") * 4
+    shaped = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit(boiler), "text"))
+        .otherwise(F.col("text")).alias("text"))
+    return dedup.chunk_dedup_stats(shaped, "text", "doc_id", chunk_size=200)
+
+
 def _q_doc_chunks(spark, sf):
     """Sliding-window document chunking with overlap (operators/packing.py
     chunk_documents): pure sequence+substring+posexplode projection — zero
@@ -1387,6 +1422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 4 ---
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_running": _q_streaming_running,
+        "chunk_dedup": _q_chunk_dedup,
         "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
         "unigram_ppl": _q_unigram_ppl,
@@ -2114,6 +2151,53 @@ def oracle_sql() -> dict[str, str]:
         # batch gap-session formulation (break when the in-user time delta
         # >= the 30-min gap; session end = last event + gap). Session totals
         # are tiny per-session FP sums — far inside the round-6 grain.
+        # streaming_running: one availableNow batch delivers each key's rows
+        # sorted by event_id -> identical addition order to the batch window
+        # cumsum on both engines.
+        "streaming_running": """
+            SELECT user_id, event_id, value,
+                   sum(value) OVER (PARTITION BY user_id ORDER BY event_id)
+                       AS running_total,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id) AS BIGINT)
+                       AS running_count
+            FROM events
+        """,
+        # chunk_dedup: non-overlapping 200-char chunk grid; dup = exact text
+        # occurring >1 time corpus-wide; empty chunks never count as dups.
+        "chunk_dedup": """
+            WITH shaped AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN
+                           repeat('this site uses cookies accept our terms '
+                                  || 'and privacy policy subscribe to the '
+                                  || 'newsletter for updates ', 4) || text
+                       ELSE text END AS text
+                FROM documents
+            ),
+            d AS (SELECT doc_id, text, length(text) AS ln FROM shaped),
+            n AS (SELECT doc_id, text,
+                         1 + greatest(0, CAST(ceil((ln - 200) / 200.0)
+                                              AS BIGINT)) AS nc
+                  FROM d),
+            e AS (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM n),
+            ch AS (SELECT doc_id,
+                          substr(text, CAST(i * 200 + 1 AS INTEGER), 200)
+                              AS chunk_text
+                   FROM e),
+            cnt AS (SELECT chunk_text, count(*) AS n FROM ch
+                    WHERE length(chunk_text) > 0 GROUP BY chunk_text)
+            SELECT ch.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN length(ch.chunk_text) > 0
+                                  AND cnt.n > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_chunks,
+                   sum(CASE WHEN length(ch.chunk_text) > 0 AND cnt.n > 1
+                            THEN 1 ELSE 0 END)::DOUBLE / count(*)
+                       AS dup_chunk_frac
+            FROM ch LEFT JOIN cnt ON ch.chunk_text = cnt.chunk_text
+            GROUP BY ch.doc_id
+        """,
         # doc_chunks: sliding-window chunking, stride 150 = 200 - 50.
         "doc_chunks": """
             WITH d AS (SELECT doc_id, text, length(text) AS ln FROM documents),

@@ -305,6 +305,59 @@ def incremental_dedup(
     return attach_cached(out, *getattr(verified, "_pps_cached", ()))
 
 
+def chunk_dedup_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_size: int = 200,
+) -> DataFrame:
+    """Sub-document (paragraph-level) dedup signals — the CCNet/Gopher-style
+    pass that catches boilerplate repeated ACROSS documents that
+    whole-document dedup misses (headers, navbars, license blocks).
+
+    Documents are cut into non-overlapping ``chunk_size``-char chunks
+    (packing.chunk_documents with overlap 0 — overlap would make every
+    chunk trivially duplicated); a chunk is a duplicate when its exact text
+    occurs more than once corpus-wide. Returns per document:
+    ``(id_col, n_chunks, n_dup_chunks, dup_chunk_frac)``.
+
+    Scale shape: chunk rows carry sha2-256 hashes (32 B) into the two
+    aggregations — bodies never shuffle; the corpus-wide count frame joins
+    back on the hash (plain equi-join, AQE decides strategy). Empty
+    documents have one empty chunk; empty chunks are EXCLUDED from the
+    duplicate counting (every empty doc would otherwise "duplicate" every
+    other) but still count toward ``n_chunks``.
+    """
+    from .packing import chunk_documents
+
+    chunks = chunk_documents(
+        ensure_parallelism(df), text_col, id_col,
+        chunk_size=chunk_size, overlap=0,
+    ).select(
+        F.col(id_col),
+        F.col("chunk_len"),
+        F.sha2(F.col("chunk_text"), 256).alias("__h"),
+    )
+    counts = (chunks.filter(F.col("chunk_len") > 0)
+              .groupBy("__h").agg(F.count(F.lit(1)).alias("__n")))
+    joined = chunks.join(counts, "__h", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when((F.col("chunk_len") > 0) & (F.col("__n") > 1), 1)
+                  .otherwise(0)).alias("n_dup_chunks"),
+        )
+        .select(
+            id_col, "n_chunks",
+            F.col("n_dup_chunks").cast("long").alias("n_dup_chunks"),
+            (F.col("n_dup_chunks").cast("double") / F.col("n_chunks"))
+            .alias("dup_chunk_frac"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # SimHash
 # --------------------------------------------------------------------- #

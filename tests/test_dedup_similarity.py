@@ -395,3 +395,29 @@ class TestSampleFrames:
         assert len(rows) == 3
         assert all(r["byte_offset"] == 0 for r in rows)
         assert all(r["frame_sig"] == b"abc".hex().upper() for r in rows)
+
+
+class TestChunkDedupStats:
+    def test_boilerplate_prefix_detected(self, spark):
+        rows = [(i, ("BOILER " * 40) + f"unique content {i} " * 30)
+                for i in range(4)]
+        rows += [(10, "completely unique document with no shared chunks at all")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from pandas_plus_spark.operators import chunk_dedup_stats
+        out = {r["doc_id"]: r for r in
+               chunk_dedup_stats(df, "text", "doc_id", chunk_size=100).collect()}
+        # the 280-char boiler prefix gives at least two phase-aligned
+        # duplicate 100-char chunks in each of the 4 docs
+        for i in range(4):
+            assert out[i]["n_dup_chunks"] >= 2
+            assert 0 < out[i]["dup_chunk_frac"] < 1
+        assert out[10]["n_dup_chunks"] == 0
+
+    def test_empty_chunks_never_dup(self, spark):
+        df = spark.createDataFrame([(0, ""), (1, ""), (2, "x")],
+                                   "doc_id long, text string")
+        from pandas_plus_spark.operators import chunk_dedup_stats
+        out = {r["doc_id"]: r for r in
+               chunk_dedup_stats(df, "text", "doc_id").collect()}
+        assert out[0]["n_chunks"] == 1 and out[0]["n_dup_chunks"] == 0
+        assert out[1]["n_dup_chunks"] == 0

@@ -502,3 +502,48 @@ class TestModeAndRollingVar:
         # obs = [1, 3]; masked row emits value as of last obs
         assert out[2] == pytest.approx(2.0)
         assert out[1] is None  # only 1 obs so far
+
+
+class TestHierarchicalExactSum:
+    """r4: dsum_scaled (fine level, scaled-long buffers) + dsum_unscale
+    (coarse level, exact decimal) must reproduce dsum exactly while keeping
+    the fact-sized aggregation in long arithmetic."""
+
+    @pytest.fixture(scope="class")
+    def money_df(self, spark):
+        import random
+        rng = random.Random(7)
+        rows = [(i % 40, i % 800,
+                 round(rng.uniform(-5e4, 9e4), 2) * (1 + 0.0001 * (i % 13)))
+                for i in range(20_000)]
+        return spark.createDataFrame(rows, "coarse long, fine long, v double")
+
+    def test_two_level_equals_dsum(self, money_df):
+        direct = rows_dict(
+            GroupBy(money_df, "coarse").agg({"s": ("dsum", "v")}), "coarse", "s")
+        per = GroupBy(money_df, ["coarse", "fine"]).agg(
+            {"sv": ("dsum_scaled", "v")})
+        two = rows_dict(
+            GroupBy(per, "coarse").agg({"s": ("dsum_unscale", "sv")}),
+            "coarse", "s")
+        assert set(direct) == set(two)
+        for k in direct:
+            # both are exact sums of the same 1e-6-grain quantized values
+            assert two[k] == pytest.approx(direct[k], abs=2e-6)
+
+    def test_partition_order_invariance(self, money_df):
+        def run(df):
+            per = GroupBy(df, ["coarse", "fine"]).agg({"sv": ("dsum_scaled", "v")})
+            return rows_dict(
+                GroupBy(per, "coarse").agg({"s": ("dsum_unscale", "sv")}),
+                "coarse", "s")
+        a = run(money_df.repartition(3))
+        b = run(money_df.repartition(37, "fine"))
+        assert a == b  # bit-identical, not approx
+
+    def test_scaled_long_is_long_buffer(self, money_df):
+        per = GroupBy(money_df, ["coarse", "fine"]).agg(
+            {"sv": ("dsum_scaled", "v")})
+        assert dict(per.dtypes)["sv"] == "bigint"
+        plan = per._jdf.queryExecution().executedPlan().toString()
+        assert "decimal" not in plan.lower()
