@@ -687,6 +687,49 @@ def _q_streaming_running(spark, sf):
         "user_id", "event_id", "value", "running_total", "running_count")
 
 
+def _q_curation_pipeline(spark, sf):
+    """End-to-end curation disposition — the composed pipeline a real
+    training-data team runs, in ONE engine pass per document: exact-dup
+    canonicalization, quality gate, Gopher repetition gate, language ID,
+    and deterministic split assignment. Everything map-side except the
+    32-byte-key canonical join; `keep` is the conjunction of the gates
+    (three-valued logic on empty docs matches ANSI — both engines agree).
+    Demonstrates that the engine's operators compose without extra
+    shuffles: one scan, one hash join, zero Python."""
+    from pandas_plus_spark.operators.corpus import _top_gram_run_max
+
+    docs = ensure_parallelism(load_table(spark, sf, "documents"))
+    ls = corpus.line_stats(F.col("text"))
+    toks = tx.simple_tokens(F.col("text"))
+    frac = tx.let(
+        _top_gram_run_max(tx.word_ngrams(toks, 2)),
+        lambda b: F.when(b.getField("best_cnt") > 0,
+                         b.getField("best_cnt") * 2 / F.size(toks))
+        .otherwise(F.lit(0.0)))
+    flags = docs.select(
+        "doc_id",
+        (tx.quality_score("text") >= 0.5).alias("passes_quality"),
+        ((ls["dup_line_frac"] <= 0.30)
+         & (ls["dup_line_char_frac"] <= 0.20)
+         & (frac <= 0.20)).alias("passes_repetition"),
+        tx.lang_id(toks).alias("pred_lang"),
+        sampling.split_assign(
+            "doc_id", {"train": 8.0, "valid": 1.0, "test": 1.0},
+            seed=3).alias("split"),
+        F.sha2(F.col("text").cast("string"), 256).alias("__h"),
+    )
+    keeps = dedup.exact_dedup(docs, "text", "doc_id").select(
+        F.col("content_hash").alias("__h"), "keep_id")
+    out = flags.join(keeps, "__h")
+    canonical = F.col("doc_id") == F.col("keep_id")
+    return out.select(
+        "doc_id", canonical.alias("is_canonical"),
+        "passes_quality", "passes_repetition", "pred_lang", "split",
+        (canonical & F.col("passes_quality") & F.col("passes_repetition"))
+        .alias("keep"),
+    )
+
+
 def _q_chunk_dedup(spark, sf):
     """Paragraph-level dedup signals (operators/dedup.py chunk_dedup_stats):
     chunks hashed corpus-wide, per-doc duplicate-chunk fraction. Every 7th
@@ -1423,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_running": _q_streaming_running,
+        "curation_pipeline": _q_curation_pipeline,
         "chunk_dedup": _q_chunk_dedup,
         "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
@@ -1529,6 +1573,8 @@ def oracle_sql() -> dict[str, str]:
     u5 = sampling.sql_affine_uniform("doc_id", seed=5)
     split_case = sampling.sql_split_assign(
         "doc_id", {"train": 8.0, "valid": 1.0, "test": 1.0}, seed=3)
+    split_case_d = sampling.sql_split_assign(
+        "d.doc_id", {"train": 8.0, "valid": 1.0, "test": 1.0}, seed=3)
     # shared CTE chain for the repetition queries: inject determinstic
     # duplication (every 5th doc doubled), line stats + top-2-gram counts
     _rep_ctes = f"""
@@ -2162,6 +2208,75 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY event_id) AS BIGINT)
                        AS running_count
             FROM events
+        """,
+        # curation_pipeline: composed disposition — canonical, quality,
+        # repetition, lang-ID, split; same tie/threshold rules as the
+        # individual operator oracles.
+        "curation_pipeline": f"""
+            WITH lx AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, chr(10)), l -> l <> '') AS ls
+                FROM documents
+            ), lstats AS (
+                SELECT doc_id,
+                       CASE WHEN len(ls) > 0
+                            THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)
+                            ELSE 0.0 END AS dup_line_frac,
+                       CASE WHEN list_sum(list_transform(ls, l -> CAST(length(l) AS BIGINT))) > 0
+                            THEN 1.0 - list_sum(list_transform(list_distinct(ls), l -> CAST(length(l) AS BIGINT)))::DOUBLE
+                                 / list_sum(list_transform(ls, l -> CAST(length(l) AS BIGINT)))
+                            ELSE 0.0 END AS dup_line_char_frac
+                FROM lx
+            ), tk AS (
+                SELECT doc_id, text, length(text) AS n_chars, {_TOKS} AS toks
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS gram
+                FROM tk
+            ), cnts AS (
+                SELECT doc_id, gram, count(*) AS cnt
+                FROM grams GROUP BY doc_id, gram
+            ), top AS (
+                SELECT doc_id, cnt FROM (
+                    SELECT doc_id, cnt,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY cnt DESC, gram DESC) AS rn
+                    FROM cnts) WHERE rn = 1
+            ), qual AS (
+                SELECT doc_id,
+                       round(0.4 * least(len(toks) / 64.0, 1.0)
+                           + 0.3 * least(len(list_filter(toks, t -> t IN ({stop_list})))::DOUBLE / len(toks) * 4, 1.0)
+                           + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / n_chars * 10, 1.0)), 6) AS q
+                FROM tk
+            ), lp AS (
+                SELECT doc_id, {lang_defs} FROM tk
+            ), kp AS (
+                SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY text
+            ), fl AS (
+                SELECT d.doc_id,
+                       (d.doc_id = kp.keep_id) AS is_canonical,
+                       (qual.q >= 0.5) AS passes_quality,
+                       (lstats.dup_line_frac <= 0.30
+                        AND lstats.dup_line_char_frac <= 0.20
+                        AND COALESCE(top.cnt * 2.0 / len(tk.toks), 0.0) <= 0.20)
+                           AS passes_repetition,
+                       {lang_case} AS pred_lang,
+                       {split_case_d} AS split
+                FROM documents d
+                JOIN kp ON kp.text = d.text
+                JOIN qual ON qual.doc_id = d.doc_id
+                JOIN lstats ON lstats.doc_id = d.doc_id
+                JOIN tk ON tk.doc_id = d.doc_id
+                JOIN lp ON lp.doc_id = d.doc_id
+                LEFT JOIN top ON top.doc_id = d.doc_id
+            )
+            SELECT doc_id, is_canonical, passes_quality, passes_repetition,
+                   pred_lang, split,
+                   (is_canonical AND passes_quality AND passes_repetition)
+                       AS keep
+            FROM fl
         """,
         # chunk_dedup: non-overlapping 200-char chunk grid; dup = exact text
         # occurring >1 time corpus-wide; empty chunks never count as dups.

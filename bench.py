@@ -50,6 +50,10 @@ HEADLINE = [
     # round-2 continuation: sampling/packing/repetition pipeline ops
     "pack_chunks",
     "repetition_filter",
+    # round-4: composed curation disposition, paragraph dedup, unigram LM
+    "curation_pipeline",
+    "chunk_dedup",
+    "unigram_ppl",
 ]
 
 

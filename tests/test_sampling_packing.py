@@ -282,3 +282,50 @@ class TestParallelFilter:
         # only the explicit repartition's exchange — no second one, no guard
         assert plan.count("Exchange RoundRobinPartitioning") == 1
         assert "monotonically_increasing_id" not in plan
+
+
+class TestChunkDocumentsProperty:
+    def test_reconstruction_invariant_random(self, spark):
+        """Property sweep: for random texts and (chunk_size, overlap) pairs,
+        chunk 0 starts at 0, consecutive starts differ by stride, stitching
+        chunks at stride reconstructs the document, and every chunk except
+        possibly the last has exactly chunk_size chars."""
+        import random
+        from pandas_plus_spark.operators import chunk_documents
+        rng = random.Random(11)
+        alphabet = "abcdefg hij"
+        cases = []
+        did = 0
+        for chunk_size, overlap in [(10, 0), (10, 3), (7, 6), (50, 25), (3, 1)]:
+            for _ in range(6):
+                n = rng.randrange(0, 120)
+                cases.append((did, chunk_size, overlap,
+                              "".join(rng.choice(alphabet) for _ in range(n))))
+                did += 1
+        for chunk_size, overlap in sorted({(c, o) for _, c, o, _ in cases}):
+            rows = [(d, t) for d, c, o, t in cases
+                    if (c, o) == (chunk_size, overlap)]
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            out = chunk_documents(df, "text", "doc_id",
+                                  chunk_size=chunk_size, overlap=overlap)
+            stride = chunk_size - overlap
+            by_doc = {}
+            for r in out.collect():
+                by_doc.setdefault(r["doc_id"], []).append(r)
+            texts = dict(rows)
+            assert set(by_doc) == set(texts)
+            for d, chunks in by_doc.items():
+                chunks.sort(key=lambda r: r["chunk_idx"])
+                text = texts[d]
+                assert chunks[0]["chunk_start"] == 0
+                for a, b in zip(chunks, chunks[1:]):
+                    assert b["chunk_start"] - a["chunk_start"] == stride
+                for r in chunks[:-1]:
+                    assert r["chunk_len"] == chunk_size
+                rebuilt = chunks[0]["chunk_text"] + "".join(
+                    r["chunk_text"][overlap:] for r in chunks[1:])
+                assert rebuilt == text
+                # never more chunks than needed: the last chunk must start
+                # inside the doc (or be the only, possibly empty, chunk)
+                if len(chunks) > 1:
+                    assert chunks[-1]["chunk_start"] < len(text)
