@@ -185,8 +185,16 @@ def ngram_jaccard_pairs(
         F.array_distinct(word_ngrams(toks, shingle_size)).alias("grams"),
     )
     if candidates is not None:
+        # Shingle ONLY candidate-involved docs: the verify stage needs gram
+        # sets for ids appearing in some pair, and candidates ≪ corpus after
+        # LSH (r4 — the unpruned persist materialized gram sets for every
+        # document). The semi-join shuffles bare ids; shingling cost then
+        # scales with the candidate set, not the corpus.
+        cand_ids = (candidates.select(F.col("id_a").alias("id"))
+                    .union(candidates.select(F.col("id_b").alias("id")))
+                    .distinct())
         # both join sides read the gram sets → compute the shingling once
-        grams = grams.persist()
+        grams = grams.join(cand_ids, "id", "left_semi").persist()
         pairs = (
             candidates
             .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
