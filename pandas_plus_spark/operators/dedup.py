@@ -245,6 +245,41 @@ def minhash_dedup(
     return ngram_jaccard_pairs(df, text_col, id_col, threshold, shingle_size, candidates=cands)
 
 
+class RefIndex:
+    """Stored dedup index of a reference corpus: ``content_hashes``
+    (__h, ref_id) for the exact stage and ``band_entries`` (id, band,
+    bhash) for the LSH stage. Build once with :func:`build_ref_index`,
+    write both frames to parquet, read them back for every incremental
+    batch — the reference corpus is then never re-processed."""
+
+    def __init__(self, content_hashes: DataFrame, band_entries: DataFrame):
+        self.content_hashes = content_hashes
+        self.band_entries = band_entries
+
+
+def build_ref_index(
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    hash_fn: str = "xxhash64",
+) -> RefIndex:
+    """One-time indexing pass over the reference corpus for
+    :func:`incremental_dedup` (use the SAME parameters for both). Each
+    frame is corpus-linear and tiny per row (32-byte hash / 3 longs)."""
+    content = (
+        ref_df.select(F.sha2(F.col(text_col).cast("string"), 256).alias("__h"),
+                      F.col(id_col).alias("ref_id"))
+        .groupBy("__h").agg(F.min("ref_id").alias("ref_id"))
+    )
+    sigs = minhash_signatures(ref_df, text_col, id_col, num_hashes,
+                              shingle_size, hash_fn=hash_fn)
+    return RefIndex(content, _band_entries(sigs, bands, num_hashes, hash_fn))
+
+
 def incremental_dedup(
     new_df: DataFrame,
     ref_df: DataFrame,
@@ -255,6 +290,7 @@ def incremental_dedup(
     bands: int = 8,
     shingle_size: int = 3,
     hash_fn: str = "xxhash64",
+    ref_index: "RefIndex | None" = None,
 ) -> DataFrame:
     """Cross-corpus (incremental) dedup: flag documents of a NEW batch that
     duplicate an EXISTING reference corpus — the shape every continuously
@@ -271,18 +307,24 @@ def incremental_dedup(
     bodies). The near stage band-joins NEW bucket entries against REF bucket
     entries — never ref × ref, so cost scales with the BATCH, not the
     corpus; in production the reference side's signatures/buckets are
-    precomputed once and stored, making each increment's work proportional
-    to the new data only. Exact-matched docs are anti-joined out before the
-    LSH stage (they would only produce redundant candidates).
+    precomputed once and stored — pass them as ``ref_index``
+    (:func:`build_ref_index`, typically read back from parquet) and each
+    increment's work is proportional to the new data only: the reference
+    corpus is never re-hashed, re-shingled, or re-banded. Exact-matched
+    docs are anti-joined out before the LSH stage (they would only produce
+    redundant candidates).
     """
     new_hashed = new_df.select(
         F.col(id_col),
         F.sha2(F.col(text_col).cast("string"), 256).alias("__h"))
-    ref_hashed = (
-        ref_df.select(F.sha2(F.col(text_col).cast("string"), 256).alias("__h"),
-                      F.col(id_col).alias("ref_id"))
-        .groupBy("__h").agg(F.min("ref_id").alias("ref_id"))
-    )
+    if ref_index is not None:
+        ref_hashed = ref_index.content_hashes
+        e_ref = ref_index.band_entries
+    else:
+        idx = build_ref_index(ref_df, text_col, id_col,
+                              num_hashes=num_hashes, bands=bands,
+                              shingle_size=shingle_size, hash_fn=hash_fn)
+        ref_hashed, e_ref = idx.content_hashes, idx.band_entries
     exact = new_hashed.join(ref_hashed, "__h").select(
         F.col(id_col), F.lit("exact").alias("match_kind"),
         F.col("ref_id"), F.lit(1.0).alias("jaccard"))
@@ -290,10 +332,7 @@ def incremental_dedup(
     rem = new_df.join(exact.select(id_col), id_col, "left_anti")
     sigs_new = minhash_signatures(rem, text_col, id_col, num_hashes,
                                   shingle_size, hash_fn=hash_fn)
-    sigs_ref = minhash_signatures(ref_df, text_col, id_col, num_hashes,
-                                  shingle_size, hash_fn=hash_fn)
     e_new = _band_entries(sigs_new, bands, num_hashes, hash_fn)
-    e_ref = _band_entries(sigs_ref, bands, num_hashes, hash_fn)
     cands = (
         e_new.alias("a").join(e_ref.alias("b"), on=["band", "bhash"])
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

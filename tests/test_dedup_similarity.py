@@ -421,3 +421,52 @@ class TestChunkDedupStats:
                chunk_dedup_stats(df, "text", "doc_id").collect()}
         assert out[0]["n_chunks"] == 1 and out[0]["n_dup_chunks"] == 0
         assert out[1]["n_dup_chunks"] == 0
+
+
+class TestRefIndex:
+    def test_prebuilt_index_equals_inline(self, spark, tmp_path):
+        base = ("the quick brown fox jumps over the lazy dog again and"
+                " again in the morning sun near the river")
+        ref_rows = [(100, base), (101, "other reference content entirely here")]
+        new_rows = [(1, base), (2, base.replace("morning", "evening")),
+                    (3, "nothing in common with anything else at all")]
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+        new_df, ref_df = mk(new_rows), mk(ref_rows)
+        kw = dict(threshold=0.3, num_hashes=8, bands=4)
+
+        inline = {r["doc_id"]: (r["match_kind"], r["ref_id"]) for r in
+                  dedup.incremental_dedup(new_df, ref_df, "text", "doc_id",
+                                          **kw).collect()}
+        # build index, round-trip through parquet (the production path)
+        idx = dedup.build_ref_index(ref_df, "text", "doc_id",
+                                    num_hashes=8, bands=4)
+        idx.content_hashes.write.mode("overwrite").parquet(str(tmp_path / "ch"))
+        idx.band_entries.write.mode("overwrite").parquet(str(tmp_path / "be"))
+        stored = dedup.RefIndex(
+            spark.read.parquet(str(tmp_path / "ch")),
+            spark.read.parquet(str(tmp_path / "be")))
+        via_idx = {r["doc_id"]: (r["match_kind"], r["ref_id"]) for r in
+                   dedup.incremental_dedup(new_df, ref_df, "text", "doc_id",
+                                           ref_index=stored, **kw).collect()}
+        assert inline == via_idx
+        assert via_idx[1] == ("exact", 100)
+        assert via_idx[2][0] == "near"
+        assert 3 not in via_idx
+
+    def test_ref_side_never_rehashed_with_index(self, spark):
+        """With a stored index the plan must not shingle/hash the reference
+        text — only the new batch's."""
+        ref_df = spark.createDataFrame([(100, "a b c d e f g")],
+                                       "doc_id long, text string")
+        new_df = spark.createDataFrame([(1, "h i j k l m n")],
+                                       "doc_id long, text string")
+        idx = dedup.build_ref_index(ref_df, "text", "doc_id",
+                                    num_hashes=8, bands=4)
+        # materialize to plain frames so the index's lineage is opaque
+        stored = dedup.RefIndex(
+            spark.createDataFrame(idx.content_hashes.toPandas()),
+            spark.createDataFrame(idx.band_entries.toPandas()))
+        out = dedup.incremental_dedup(new_df, ref_df, "text", "doc_id",
+                                      threshold=0.3, num_hashes=8, bands=4,
+                                      ref_index=stored)
+        out.collect()
