@@ -687,6 +687,21 @@ def _q_streaming_running(spark, sf):
         "user_id", "event_id", "value", "running_total", "running_count")
 
 
+def _q_rolling_time(spark, sf):
+    """Time-based trailing window (GroupBy.rolling_time): per user, value
+    stats over the last 30 minutes of events — the range-frame analog of
+    the row-count rolling family. Closed-interval SQL range semantics, so
+    any engine agrees row-for-row including timestamp ties."""
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "value")
+    out = GroupBy(ev, "user_id", order_by="ts_us").rolling_time(
+        "value", on="ts_us", window=1_800_000_000,
+        funcs=("sum", "mean", "count"), min_periods=1)
+    return out.select("event_id", "user_id", "ts_us", "value",
+                      "value_tsum", "value_tmean", "value_tcount")
+
+
 def _q_curation_pipeline(spark, sf):
     """End-to-end curation disposition — the composed pipeline a real
     training-data team runs, in ONE engine pass per document: exact-dup
@@ -1466,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_running": _q_streaming_running,
+        "rolling_time": _q_rolling_time,
         "curation_pipeline": _q_curation_pipeline,
         "chunk_dedup": _q_chunk_dedup,
         "doc_chunks": _q_doc_chunks,
@@ -2208,6 +2224,18 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY event_id) AS BIGINT)
                        AS running_count
             FROM events
+        """,
+        "rolling_time": """
+            SELECT event_id, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                   value,
+                   sum(value) OVER w AS value_tsum,
+                   avg(value) OVER w AS value_tmean,
+                   CAST(count(value) OVER w AS BIGINT) AS value_tcount
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                         RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
         """,
         # curation_pipeline: composed disposition — canonical, quality,
         # repetition, lang-ID, split; same tie/threshold rules as the

@@ -1021,6 +1021,49 @@ class GroupBy:
                     min_periods: int | None = None) -> DataFrame:
         return self._rolling("max", values, window, mask, min_periods, "rolling_max")
 
+    def rolling_time(self, values=None, *, on: str, window,
+                     funcs=("sum",), min_periods: int = 1) -> DataFrame:
+        """Time-based trailing window (beyond the reference's row-count
+        rolling kernels; the pandas ``rolling('30min', on=...)`` analog):
+        aggregate rows of the same group whose ``on`` value lies within
+        ``[current - window, current]`` — the SQL
+        ``RANGE BETWEEN window PRECEDING AND CURRENT ROW`` frame, closed on
+        both ends, including ALL peer rows that share the current ``on``
+        value (standard SQL range-frame semantics, identical in any engine).
+
+        ``on`` must be numeric (epoch seconds/micros etc. — cast timestamps
+        first) and ``window`` is in the same units. ``funcs`` draws from
+        sum/mean/min/max/var/std plus ``count``; ``min_periods`` counts
+        non-null values in the frame. Output columns ``{col}_t{func}``.
+
+        Scale shape: one hash exchange on the group keys + per-partition
+        sort — the same single shuffle as every windowed operator; range
+        frames are evaluated streaming per partition, state bounded by the
+        widest frame.
+        """
+        if min_periods < 1:
+            raise ValueError("min_periods must be >= 1")
+        cols = self._numeric_values(values)
+        w = (Window.partitionBy(*self._keys)
+             .orderBy(F.col(on).asc())
+             .rangeBetween(-window, Window.currentRow))
+        out = self._base()
+        for func in funcs:
+            if func == "count":
+                for c in cols:
+                    out = out.withColumn(f"{c}_tcount",
+                                         F.count(F.col(c)).over(w))
+                continue
+            agg = self._ROLLING_AGGS.get(func)
+            if agg is None:
+                raise ValueError(func)
+            for c in cols:
+                v = F.col(c)
+                guard = F.count(v).over(w) >= min_periods
+                out = out.withColumn(f"{c}_t{func}",
+                                     F.when(guard, agg(v).over(w)))
+        return out
+
     def shift(self, values=None, window: int = 1, mask=None) -> DataFrame:
         """lag by `window` rows within group (reference core.py:1789-1838).
 

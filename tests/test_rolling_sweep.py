@@ -118,3 +118,36 @@ def test_shift_diff_masked_matches_reference_kernel(rolling_sdf, rolling_pdf, wi
             hist.append(v)
         check(rid, got_s[rid], e_s)
         check(rid, got_d[rid], e_d)
+
+
+class TestRollingTime:
+    def test_range_frame_values(self, spark):
+        from pandas_plus_spark import GroupBy
+        import pyspark.sql.functions as F
+        rows = [  # (key, t, v) — gaps and a timestamp tie at t=40
+            (1, 10, 1.0), (1, 20, 2.0), (1, 40, 4.0), (1, 40, 8.0),
+            (1, 100, 16.0), (2, 10, 1.0),
+        ]
+        df = spark.createDataFrame(rows, "k long, t long, v double")
+        out = GroupBy(df, "k", order_by="t").rolling_time(
+            "v", on="t", window=30, funcs=("sum", "count"))
+        got = {(r["k"], r["t"], r["v"]): (r["v_tsum"], r["v_tcount"])
+               for r in out.collect()}
+        assert got[(1, 10, 1.0)] == (1.0, 1)
+        assert got[(1, 20, 2.0)] == (3.0, 2)       # 10 and 20 in [−10, 20]
+        # closed interval + peer rows: t=40 frame covers {10,20,40,40}
+        assert got[(1, 40, 4.0)] == (15.0, 4)
+        assert got[(1, 40, 8.0)] == (15.0, 4)      # tie rows share the frame
+        assert got[(1, 100, 16.0)] == (16.0, 1)    # gap: nothing in [70,100)
+        assert got[(2, 10, 1.0)] == (1.0, 1)
+
+    def test_min_periods_guard(self, spark):
+        from pandas_plus_spark import GroupBy
+        rows = [(1, 10, 1.0), (1, 50, None), (1, 60, 2.0)]
+        df = spark.createDataFrame(rows, "k long, t long, v double")
+        out = GroupBy(df, "k", order_by="t").rolling_time(
+            "v", on="t", window=30, funcs=("sum",), min_periods=2)
+        got = {r["t"]: r["v_tsum"] for r in out.collect()}
+        # t=60 frame holds rows {50,60} but only ONE non-null value
+        assert got[60] is None
+        assert got[10] is None  # single row < min_periods
