@@ -501,45 +501,66 @@ def dup_clusters(pairs: DataFrame, n_iters: int = 16,
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst")))
+                                   F.col("src").alias("dst"))).persist()
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
+    # Size the per-round SHUFFLES to the GRAPH, not the session default:
+    # each round localCheckpoints its frames BEFORE AQE can coalesce, so a
+    # 5k-vertex dup graph would otherwise run every round as 100+
+    # near-empty tasks — pure scheduler overhead, measured ~2x the whole
+    # clustering cost at bench scale. One cheap count on the (persisted,
+    # edge-count-sized) frame buys right-sized rounds; the cap keeps
+    # billions of vertices at full cluster parallelism. The conf change is
+    # scoped to the loop and restored (driver-sequential section). The sym
+    # persist also stops every round from re-running the whole upstream
+    # candidate/verify pipeline that produced the pairs.
+    spark = pairs.sparkSession
+    n_vertices = labels.count()
+    n_parts = max(2, min(spark.sparkContext.defaultParallelism * 4,
+                         n_vertices // 250_000 + 2))
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     rounds_run = 0
-    for i in range(n_iters):
-        neigh = (
-            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .groupBy("src").agg(F.min("label").alias("nlabel"))
-            .withColumnRenamed("src", "id")
-        )
-        hopped = (
-            labels.join(neigh, "id", "left")
-            .select("id", F.col("label").alias("__old"),
-                    F.least("label", F.coalesce("nlabel", "label")).alias("label"))
-        )
-        parents = hopped.select(F.col("id").alias("label"),
-                                F.col("label").alias("plabel"))
-        flagged = (
-            hopped.join(parents, "label", "left")
-            .select("id",
-                    F.coalesce("plabel", "label").alias("label"),
-                    (F.coalesce("plabel", "label") != F.col("__old"))
-                    .cast("long").alias("__chg"))
-            .localCheckpoint(eager=False)
-        )
-        # one scalar agg over the checkpointed vertex frame; the checkpoint
-        # is computed exactly once (this action) and re-read by the next
-        # round / the caller, so convergence detection adds no data pass
-        changed = flagged.agg(F.sum("__chg")).collect()[0][0] or 0
-        labels = flagged.drop("__chg")
-        rounds_run = i + 1
-        if changed == 0:
-            break
-    else:
-        import warnings
-        warnings.warn(
-            f"dup_clusters hit the {n_iters}-round cap before converging; "
-            "components may be partially merged — raise n_iters",
-            RuntimeWarning, stacklevel=2)
+    try:
+        for i in range(n_iters):
+            neigh = (
+                sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+                .groupBy("src").agg(F.min("label").alias("nlabel"))
+                .withColumnRenamed("src", "id")
+            )
+            hopped = (
+                labels.join(neigh, "id", "left")
+                .select("id", F.col("label").alias("__old"),
+                        F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+            )
+            parents = hopped.select(F.col("id").alias("label"),
+                                    F.col("label").alias("plabel"))
+            flagged = (
+                hopped.join(parents, "label", "left")
+                .select("id",
+                        F.coalesce("plabel", "label").alias("label"),
+                        (F.coalesce("plabel", "label") != F.col("__old"))
+                        .cast("long").alias("__chg"))
+                .localCheckpoint(eager=False)
+            )
+            # one scalar agg over the checkpointed vertex frame; the
+            # checkpoint is computed exactly once (this action) and re-read
+            # by the next round / the caller, so convergence detection adds
+            # no data pass
+            changed = flagged.agg(F.sum("__chg")).collect()[0][0] or 0
+            labels = flagged.drop("__chg")
+            rounds_run = i + 1
+            if changed == 0:
+                break
+        else:
+            import warnings
+            warnings.warn(
+                f"dup_clusters hit the {n_iters}-round cap before converging; "
+                "components may be partially merged — raise n_iters",
+                RuntimeWarning, stacklevel=2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        sym.unpersist()
     out = labels.withColumnRenamed("label", "cluster_id")
     # observable convergence: how many rounds actually ran (≤ n_iters)
     out._pps_cc_rounds = rounds_run
