@@ -687,6 +687,18 @@ def _q_streaming_running(spark, sf):
         "user_id", "event_id", "value", "running_total", "running_count")
 
 
+def _q_weighted_sample(spark, sf):
+    """Quality-weighted sampling without replacement (operators/sampling.py
+    weighted_sample_per_group): per source, 10 documents drawn
+    proportionally to n_chars via deterministic Efraimidis-Spirakis keys —
+    identical selection on any partition layout, value-checked against the
+    ANSI twin."""
+    docs = load_table(spark, sf, "documents")
+    out = sampling.weighted_sample_per_group(
+        docs, "source", "n_chars", 10, "doc_id", seed=5)
+    return out.select("doc_id", "source", "n_chars")
+
+
 def _q_rolling_time(spark, sf):
     """Time-based trailing window (GroupBy.rolling_time): per user, value
     stats over the last 30 minutes of events — the range-frame analog of
@@ -1482,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "streaming_running": _q_streaming_running,
         "rolling_time": _q_rolling_time,
+        "weighted_sample": _q_weighted_sample,
         "curation_pipeline": _q_curation_pipeline,
         "chunk_dedup": _q_chunk_dedup,
         "doc_chunks": _q_doc_chunks,
@@ -2224,6 +2237,14 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY event_id) AS BIGINT)
                        AS running_count
             FROM events
+        """,
+        "weighted_sample": f"""
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       {sampling.sql_weighted_sample_per_group(
+                           "source", "n_chars", 10, "doc_id", seed=5)} AS rn
+                FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+            ) WHERE rn <= 10
         """,
         "rolling_time": """
             SELECT event_id, user_id,

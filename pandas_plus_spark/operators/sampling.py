@@ -165,3 +165,57 @@ def sample_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col,
+    weight_col,
+    n: int,
+    key,
+    seed: int = 0,
+    *,
+    string_key: bool = False,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, ``n`` rows per
+    group — the quality-weighted data-selection step of a curation pipeline
+    (sample documents proportionally to a quality/importance score).
+
+    Efraimidis–Spirakis A-ES: each row gets the exponential key
+    ``-ln(u) / w`` with ``u = affine_uniform(key, seed)``; the ``n``
+    SMALLEST keys per group are a weight-proportional sample without
+    replacement. Because ``u`` is a pure function of the row key, the
+    selection is identical on any cluster size or partition layout — and
+    ANSI-reproducible for the oracle. Rows with weight <= 0 or NULL are
+    never selected (excluded before the ranking).
+
+    One window shuffle on the group key; groups larger than executor memory
+    are fine (row_number streams), but a pathologically hot group can use
+    the same two-stage ``salt=`` pattern as ``GroupBy.head``.
+    """
+    # +1/P shift: u can be exactly 0 (~2^-31 per row), where the two
+    # engines diverge (Spark ln(0) -> NULL, DuckDB -> -inf); the shift is
+    # identical on both sides and biases selection immeasurably.
+    u = affine_uniform(key, seed, string_key=string_key) + F.lit(1.0 / UNIFORM_MOD)
+    w = _c(weight_col).cast("double")
+    es_key = -F.log(u) / w
+    cand = df.filter(w > 0).withColumn("__es", es_key)
+    win = Window.partitionBy(_c(group_col)).orderBy(
+        F.col("__es").asc(), _c(key).asc())
+    return (cand.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= n)
+            .drop("__es", "__rn"))
+
+
+def sql_weighted_sample_per_group(
+    group_expr: str, weight_expr: str, n: int, key_expr: str,
+    seed: int = 0, *, string_key: bool = False,
+) -> str:
+    """DuckDB twin of :func:`weighted_sample_per_group`: the qualifying
+    ``row_number() OVER`` predicate; embed in
+    ``SELECT ... FROM t QUALIFY {this} <= n`` or a rn subquery."""
+    u = sql_affine_uniform(key_expr, seed, string_key=string_key)
+    return (f"row_number() OVER (PARTITION BY {group_expr} "
+            f"ORDER BY -ln(({u}) + {1.0 / UNIFORM_MOD!r}) "
+            f"/ CAST({weight_expr} AS DOUBLE) ASC, "
+            f"{key_expr} ASC)")

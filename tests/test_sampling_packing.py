@@ -329,3 +329,41 @@ class TestChunkDocumentsProperty:
                 # inside the doc (or be the only, possibly empty, chunk)
                 if len(chunks) > 1:
                     assert chunks[-1]["chunk_start"] < len(text)
+
+
+class TestWeightedSamplePerGroup:
+    @pytest.fixture(scope="class")
+    def weighted_df(self, spark):
+        rows = [(i, "g%d" % (i % 3), float(1 + i % 7)) for i in range(300)]
+        rows += [(900, "g0", 0.0), (901, "g0", -1.0), (902, "g0", None)]
+        return spark.createDataFrame(rows, "id long, g string, w double")
+
+    def test_layout_invariance_and_n(self, weighted_df):
+        from pandas_plus_spark.operators.sampling import weighted_sample_per_group
+        a = {r["id"] for r in weighted_sample_per_group(
+            weighted_df.repartition(2), "g", "w", 5, "id", seed=1).collect()}
+        b = {r["id"] for r in weighted_sample_per_group(
+            weighted_df.repartition(23, "w"), "g", "w", 5, "id", seed=1).collect()}
+        assert a == b and len(a) == 15  # 5 per group, 3 groups
+
+    def test_nonpositive_weights_excluded(self, weighted_df):
+        from pandas_plus_spark.operators.sampling import weighted_sample_per_group
+        out = {r["id"] for r in weighted_sample_per_group(
+            weighted_df, "g", "w", 1000, "id", seed=1).collect()}
+        assert not out & {900, 901, 902}
+        assert len(out) == 300  # everything else kept when n >= group size
+
+    def test_weight_proportionality(self, spark):
+        """Statistical sanity over many seeds: an item with 9x the weight
+        must be selected far more often than a 1x item."""
+        from pandas_plus_spark.operators.sampling import weighted_sample_per_group
+        rows = [(0, "g", 9.0)] + [(i, "g", 1.0) for i in range(1, 10)]
+        df = spark.createDataFrame(rows, "id long, g string, w double").persist()
+        picks_heavy = picks_light = 0
+        for seed in range(40):
+            got = {r["id"] for r in weighted_sample_per_group(
+                df, "g", "w", 2, "id", seed=seed).collect()}
+            picks_heavy += 0 in got
+            picks_light += 1 in got
+        assert picks_heavy > 25      # 9x item: expected ~2/3+ of draws
+        assert picks_heavy > 2 * picks_light
