@@ -1,0 +1,82 @@
+"""Empty-input edge sweep (reference test strategy: SURVEY §5.9 — empty
+inputs, test_core.py:718-739). Every operator must return an empty,
+correctly-schemed frame — never crash — when the corpus/frame is empty."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pandas_plus_spark import GroupBy, nanops
+from pandas_plus_spark.operators import (
+    chunk_dedup_stats, chunk_documents, dedup, exact_dedup,
+    incremental_dedup, minhash_dedup, quantize_embeddings, ranking,
+    sample_frames, similarity, source_health, weighted_sample_per_group,
+)
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string, source string")
+
+
+@pytest.fixture(scope="module")
+def empty_nums(spark):
+    return spark.createDataFrame([], "k long, t long, v double")
+
+
+class TestEmptyGroupBy:
+    def test_aggs(self, empty_nums):
+        out = GroupBy(empty_nums, "k").agg({
+            "s": ("sum", "v"), "d": ("dsum", "v"),
+            "sc": ("dsum_scaled", "v"), "m": ("mean", "v"),
+            "n": ("size", "")})
+        assert out.count() == 0
+        assert set(out.columns) == {"k", "s", "d", "sc", "m", "n"}
+
+    def test_ordered_ops(self, empty_nums):
+        g = GroupBy(empty_nums, "k", order_by="t")
+        assert g.cumsum("v").count() == 0
+        assert g.rolling_sum("v", window=3).count() == 0
+        assert g.rolling_time("v", on="t", window=10).count() == 0
+        assert g.head(2, "v").count() == 0
+
+    def test_nanops(self, empty_nums):
+        out = nanops.reduce_frame(empty_nums, {"v": ["sum", "mean", "count"]})
+        row = out.collect()
+        assert len(row) == 1  # global reduction always yields one row
+
+
+class TestEmptyCorpusOps:
+    def test_dedup_family(self, empty_docs):
+        assert exact_dedup(empty_docs, "text", "doc_id").count() == 0
+        assert minhash_dedup(empty_docs, "text", "doc_id",
+                             num_hashes=8, bands=4).count() == 0
+        assert chunk_dedup_stats(empty_docs, "text", "doc_id").count() == 0
+        assert incremental_dedup(empty_docs, empty_docs, "text", "doc_id",
+                                 num_hashes=8, bands=4).count() == 0
+
+    def test_chunking_sampling_health(self, empty_docs):
+        assert chunk_documents(empty_docs, "text", "doc_id",
+                               chunk_size=10).count() == 0
+        assert weighted_sample_per_group(
+            empty_docs.withColumn("w", F.lit(1.0)),
+            "source", "w", 3, "doc_id").count() == 0
+        assert source_health(empty_docs).count() == 0
+
+    def test_ranking_family(self, empty_docs):
+        assert ranking.tfidf_scores(empty_docs).count() == 0
+        assert ranking.unigram_lm_score(empty_docs).count() == 0
+        assert ranking.build_vocab(empty_docs).count() == 0
+
+    def test_embeddings_and_frames(self, spark, empty_docs):
+        emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        assert quantize_embeddings(emb).count() == 0
+        blobs = empty_docs.select("doc_id", F.encode("text", "UTF-8").alias("b"))
+        assert sample_frames(blobs, "b", "doc_id").count() == 0
+        q = spark.createDataFrame([(0, [1.0, 0.0])],
+                                  "vec_id long, embedding array<double>")
+        emb_d = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        assert similarity.brute_force_knn(emb_d, q, k=3).count() == 0
+
+    def test_dup_clusters_empty_pairs(self, spark):
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert dedup.dup_clusters(pairs).count() == 0
