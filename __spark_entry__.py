@@ -687,6 +687,20 @@ def _q_streaming_running(spark, sf):
         "user_id", "event_id", "value", "running_total", "running_count")
 
 
+def _q_lsh_recall(spark, sf):
+    """LSH pair-generation quality gate (similarity.lsh_pair_recall,
+    mirroring ann_recall): hyperplane-LSH near-dup pairs vs the exact
+    cosine pair graph. Multi-table OR-construction (r4) measures 0.96
+    recall at 3 planes x 12 tables on this corpus — the single-table path
+    measured 0.002, which is why the gate exists. The 0.8 bar leaves drift
+    headroom; a broken bucket join scores near the candidate fraction
+    (~0.2) and fails loudly. Makes hyperplane_lsh_buckets' rows-only
+    correctness row meaningful."""
+    emb = _cast_double_embeddings(spark, sf)
+    rec = similarity.lsh_pair_recall(emb, 0.30, n_planes=3, n_tables=12)
+    return rec.select("n_exact", (F.col("recall") >= 0.8).alias("recall_ok"))
+
+
 def _q_weighted_sample(spark, sf):
     """Quality-weighted sampling without replacement (operators/sampling.py
     weighted_sample_per_group): per source, 10 documents drawn
@@ -1495,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_running": _q_streaming_running,
         "rolling_time": _q_rolling_time,
         "weighted_sample": _q_weighted_sample,
+        "lsh_recall": _q_lsh_recall,
         "curation_pipeline": _q_curation_pipeline,
         "chunk_dedup": _q_chunk_dedup,
         "doc_chunks": _q_doc_chunks,
@@ -2237,6 +2252,29 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY event_id) AS BIGINT)
                        AS running_count
             FROM events
+        """,
+        # lsh_recall: the exact pair count is SQL-computable; the hit side
+        # is xxhash-seeded, so the oracle pins (n_exact, recall >= bar).
+        "lsh_recall": """
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), n AS (
+                SELECT vec_id, v,
+                       sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+                FROM e
+            ), p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_reduce(list_prepend(0.0,
+                            list_transform(range(1, len(a.v) + 1),
+                                           i -> a.v[i] * b.v[i])), (a2, x) -> a2 + x)
+                         / (a.nrm * b.nrm) AS cos_sim
+                FROM n a, n b
+                WHERE a.vec_id < b.vec_id
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+            FROM p WHERE cos_sim >= 0.30
         """,
         "weighted_sample": f"""
             SELECT doc_id, source, n_chars FROM (

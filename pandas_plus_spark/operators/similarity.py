@@ -139,11 +139,14 @@ def hyperplane_lsh_buckets(
     n_planes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    table: int = 0,
 ) -> DataFrame:
     """(id, bucket) — sign-of-projection LSH. Plane p's d-th coefficient is a
     deterministic pseudo-uniform value in [-1, 1) derived from
-    xxhash64(p, d); similar vectors land in the same bucket with probability
-    1 − θ/π per plane. Bucket = the n-bit sign pattern packed into a long."""
+    xxhash64(table, p, d); similar vectors land in the same bucket with
+    probability 1 − θ/π per plane. Bucket = the n-bit sign pattern packed
+    into a long. ``table`` selects an independent plane family — the unit
+    of the multi-table OR-construction in :func:`lsh_neardup_pairs`."""
     df = ensure_parallelism(df)
     vec = F.col(vec_col)
     dim = F.size(vec)
@@ -151,7 +154,8 @@ def hyperplane_lsh_buckets(
     def proj(p: int) -> Column:
         coeffs = F.transform(
             F.sequence(F.lit(0), dim - 1),
-            lambda d: (F.pmod(F.xxhash64(F.lit(p), d), F.lit(2_000_001)).cast("double")
+            lambda d: (F.pmod(F.xxhash64(F.lit(table), F.lit(p), d),
+                              F.lit(2_000_001)).cast("double")
                        / F.lit(1_000_000.0)) - F.lit(1.0),
         )
         return F.aggregate(F.zip_with(vec, coeffs, lambda x, c: x * c),
@@ -168,19 +172,32 @@ def hyperplane_lsh_buckets(
 def lsh_neardup_pairs(
     df: DataFrame,
     threshold: float,
-    n_planes: int = 12,
+    n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 8,
 ) -> DataFrame:
     """Scale path for embedding near-dup: hyperplane-LSH bucket join to
-    generate candidates, exact cosine to verify. Recall is governed by
-    n_planes (fewer planes → bigger buckets → higher recall, more
-    verification work); run with several plane sets and union for
-    high-recall production sweeps."""
-    buckets = hyperplane_lsh_buckets(df, n_planes, id_col, vec_col).persist()
+    generate candidates, exact cosine to verify.
+
+    Multi-table OR-construction (r4 — a single table has recall
+    ``(1 − θ/π)^planes``, measured 0.06 at θ≈72° with 6 planes: unusable):
+    each of ``n_tables`` independent plane families hashes every vector
+    once; candidates co-bucket in ANY table, giving recall
+    ``1 − (1 − p^planes)^tables``. Tune planes down / tables up for
+    recall, the reverse for cost; candidates are deduped before the exact
+    verify so a pair found by several tables verifies once. All entries
+    live in ONE frame keyed by (table, bucket) — one self-join regardless
+    of table count."""
+    entries = None
+    for t in range(n_tables):
+        bt = (hyperplane_lsh_buckets(df, n_planes, id_col, vec_col, table=t)
+              .withColumn("table", F.lit(t)))
+        entries = bt if entries is None else entries.unionByName(bt)
+    buckets = entries.persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
-        a.join(b, on="bucket")
+        a.join(b, on=["table", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -424,3 +441,38 @@ def ann_recall_at_k(
                 (F.col("n_hit") / F.col("n_exact")).alias("recall"))
     )
     return attach_cached(per_q, *getattr(approx, "_pps_cached", ()))
+
+
+def lsh_pair_recall(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+) -> DataFrame:
+    """Pair recall of the hyperplane-LSH near-dup path against the exact
+    all-pairs cosine graph: one row ``(n_exact, n_hit, recall)``.
+
+    The LSH quality gate, mirroring :func:`ann_recall_at_k` for the
+    pair-generation path: both sides are deterministic (seeded planes,
+    exact verification), so recall of a fixed (corpus, threshold,
+    n_planes) tuple is a reproducible number a test can pin. Exact
+    all-pairs is the oracle side — run at validation scale; production
+    monitors recall on a sampled slice.
+    """
+    exact = cosine_neardup_pairs(df, threshold, id_col, vec_col) \
+        .select("id_a", "id_b")
+    approx = lsh_neardup_pairs(df, threshold, n_planes, id_col, vec_col,
+                               n_tables=n_tables) \
+        .select("id_a", "id_b").withColumn("__hit", F.lit(1))
+    out = (
+        exact.join(approx, ["id_a", "id_b"], "left")
+        .agg(F.count(F.lit(1)).alias("n_exact"),
+             F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"))
+        .select("n_exact", "n_hit",
+                F.when(F.col("n_exact") > 0,
+                       F.col("n_hit") / F.col("n_exact"))
+                .otherwise(F.lit(1.0)).alias("recall"))
+    )
+    return attach_cached(out, *getattr(approx, "_pps_cached", ()))
