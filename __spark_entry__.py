@@ -649,6 +649,24 @@ def _q_streaming_tumbling(spark, sf):
         "n_events", "avg_value")
 
 
+def _q_streaming_sliding(spark, sf):
+    """Streaming SLIDING-window gate (completes the streaming matrix:
+    sessions, tumbling, sliding, dedup, stateful): 2-hour windows sliding
+    hourly, so every event lands in exactly two windows. The batch oracle
+    enumerates both window starts per event (trunc(ts) and trunc(ts)-1h)
+    and aggregates — complete-mode availableNow replay equals it."""
+    from pandas_plus_spark import streaming as pps_streaming
+
+    stream = _stage_events_stream(spark, sf)
+    agg = pps_streaming.windowed_agg_stream(
+        stream, ts_col="ts", key_col="event_type",
+        window="2 hours", slide="1 hour", watermark="4 hours")
+    return _replay_stream(spark, agg, "complete").select(
+        "event_type",
+        F.unix_micros("window_start").alias("window_start_us"),
+        "n_events", "avg_value")
+
+
 def _q_streaming_dedup(spark, sf):
     """Streaming exact-dedup gate: replay events through
     dropDuplicatesWithinWatermark on (user_id, event_type). The watermark
@@ -1505,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # least-recently-verified queries.
         # --- new in round 4 ---
         "streaming_tumbling": _q_streaming_tumbling,
+        "streaming_sliding": _q_streaming_sliding,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_running": _q_streaming_running,
         "rolling_time": _q_rolling_time,
@@ -2524,6 +2543,24 @@ def oracle_sql() -> dict[str, str]:
                    avg(value) AS avg_value
             FROM events
             GROUP BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+        """,
+        # streaming_sliding: every event lands in the two hourly-sliding
+        # 2-hour windows starting at trunc_hour(ts) and trunc_hour(ts)-1h.
+        "streaming_sliding": """
+            WITH e AS (
+                SELECT event_type, value,
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+                FROM events
+            ), x AS (
+                SELECT event_type, value,
+                       unnest([h, h - INTERVAL 1 HOUR]) AS window_start
+                FROM e
+            )
+            SELECT event_type,
+                   epoch_us(window_start) AS window_start_us,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   avg(value) AS avg_value
+            FROM x GROUP BY event_type, window_start
         """,
         # streaming_dedup: watermark horizon covers the whole replay, so
         # dropDuplicatesWithinWatermark == global DISTINCT on the identity.
