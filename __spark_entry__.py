@@ -719,6 +719,21 @@ def _q_lsh_recall(spark, sf):
     return rec.select("n_exact", (F.col("recall") >= 0.8).alias("recall_ok"))
 
 
+def _q_group_rank(spark, sf):
+    """Window-ranking pass-through (SURVEY §2.11: the reference has no
+    rank/dense_rank/ntile — Spark natives surface through the engine):
+    per-returnflag quantity ranks with heavy ties, so rank vs dense_rank
+    vs percent_rank tie semantics are all value-checked."""
+    li = load_table(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").asc())
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        F.rank().over(w).alias("qty_rank"),
+        F.dense_rank().over(w).alias("qty_dense_rank"),
+        F.percent_rank().over(w).alias("qty_percent_rank"),
+    )
+
+
 def _q_weighted_sample(spark, sf):
     """Quality-weighted sampling without replacement (operators/sampling.py
     weighted_sample_per_group): per source, 10 documents drawn
@@ -1529,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_time": _q_rolling_time,
         "weighted_sample": _q_weighted_sample,
         "lsh_recall": _q_lsh_recall,
+        "group_rank": _q_group_rank,
         "curation_pipeline": _q_curation_pipeline,
         "chunk_dedup": _q_chunk_dedup,
         "doc_chunks": _q_doc_chunks,
@@ -2271,6 +2287,14 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY event_id) AS BIGINT)
                        AS running_count
             FROM events
+        """,
+        "group_rank": """
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                   CAST(rank() OVER w AS INTEGER) AS qty_rank,
+                   CAST(dense_rank() OVER w AS INTEGER) AS qty_dense_rank,
+                   percent_rank() OVER w AS qty_percent_rank
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity ASC)
         """,
         # lsh_recall: the exact pair count is SQL-computable; the hit side
         # is xxhash-seeded, so the oracle pins (n_exact, recall >= bar).
