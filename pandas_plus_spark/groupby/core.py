@@ -88,21 +88,48 @@ def _zip_array_key(df: DataFrame, arr, name: str) -> DataFrame:
     zip against the frame by position; length mismatch raises).
 
     The array lives on the driver, so this path is inherently
-    driver-bounded: the key ships as ONE broadcast join against a
-    row-number over the physical row order. Deterministic for a given
-    source layout; at scale pass a real key column instead. The length
-    check costs one count() job — the reference's eager len() check."""
+    driver-bounded: the key ships as ONE broadcast join against a global
+    row number over the physical row order. The row number is computed
+    WITHOUT a single-task global window (the `WindowExec: No Partition
+    Defined` scale-killer): row order is (input partition id, offset) —
+    exactly `monotonically_increasing_id` order — so a per-partition
+    `row_number` (window PARTITIONED by the pre-shuffle
+    `spark_partition_id()`, parallel) plus driver-side prefix offsets from
+    a tiny per-partition count job reconstructs the global position. The
+    count job doubles as the reference's eager len() check, so the path
+    still costs exactly one extra job. Deterministic for a given source
+    layout (no range-boundary sampling anywhere); at scale pass a real key
+    column instead."""
     import pandas as pd
 
     vals = list(arr)
-    n = df.count()
+    # __zip_pid/__zip_mid are projected BELOW the window exchange (the
+    # exchange depends on them), so they always see the INPUT partitioning.
+    with_pid = df.withColumn("__zip_pid", F.spark_partition_id()) \
+                 .withColumn("__zip_mid", F.monotonically_increasing_id())
+    counts = sorted(
+        with_pid.groupBy("__zip_pid").agg(F.count(F.lit(1)).alias("__n"))
+        .collect())
+    n = sum(r["__n"] for r in counts)
     if len(vals) != n:
         raise ValueError(
             f"Length of grouper ({len(vals)}) != length of DataFrame ({n})")
-    keys_df = df.sparkSession.createDataFrame(
+    offs, acc = [], 0
+    for r in counts:
+        offs.append((r["__zip_pid"], acc))
+        acc += r["__n"]
+    spark = df.sparkSession
+    offs_df = spark.createDataFrame(
+        pd.DataFrame(offs or [(0, 0)], columns=["__zip_pid", "__zip_off"]))
+    keys_df = spark.createDataFrame(
         pd.DataFrame({"__zip_rid": range(len(vals)), name: vals}))
-    w = Window.orderBy(F.monotonically_increasing_id())
-    with_rid = df.withColumn("__zip_rid", F.row_number().over(w) - 1)
+    w = Window.partitionBy("__zip_pid").orderBy("__zip_mid")
+    with_rid = (
+        with_pid.withColumn("__zip_lrn", F.row_number().over(w) - 1)
+        .join(F.broadcast(offs_df), "__zip_pid")
+        .withColumn("__zip_rid", F.col("__zip_off") + F.col("__zip_lrn"))
+        .drop("__zip_pid", "__zip_mid", "__zip_lrn", "__zip_off")
+    )
     return with_rid.join(F.broadcast(keys_df), "__zip_rid", "left").drop("__zip_rid")
 
 

@@ -500,43 +500,48 @@ def dup_clusters(pairs: DataFrame, n_iters: int = 16,
     data does.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.union(edges.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst"))).persist()
-    labels = (sym.select(F.col("src").alias("id")).distinct()
-              .withColumn("label", F.col("id")))
+    sym_raw = edges.union(edges.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst"))).persist()
     # Size the per-round SHUFFLES to the GRAPH, not the session default:
     # each round localCheckpoints its frames BEFORE AQE can coalesce, so a
     # 5k-vertex dup graph would otherwise run every round as 100+
     # near-empty tasks — pure scheduler overhead, measured ~2x the whole
-    # clustering cost at bench scale. One cheap count on the (persisted,
-    # edge-count-sized) frame buys right-sized rounds; the cap keeps
-    # billions of vertices at full cluster parallelism. The conf change is
-    # scoped to the loop and restored (driver-sequential section). The sym
-    # persist also stops every round from re-running the whole upstream
+    # clustering cost at bench scale. Rather than mutating the session-global
+    # spark.sql.shuffle.partitions (which would bleed into concurrent queries
+    # on a shared SparkSession), every per-round join/agg input is EXPLICITLY
+    # hash-repartitioned to n_parts on its key: repartition(n, key) yields
+    # HashPartitioning(key, n), which sort-merge join and hash aggregate
+    # both accept as-is, so no conf-sized exchange is ever planned. The
+    # sym persist also stops every round from re-running the whole upstream
     # candidate/verify pipeline that produced the pairs.
     spark = pairs.sparkSession
+    labels = (sym_raw.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
     n_vertices = labels.count()
     n_parts = max(2, min(spark.sparkContext.defaultParallelism * 4,
                          n_vertices // 250_000 + 2))
-    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    sym = sym_raw.repartition(n_parts, "dst").persist()
     rounds_run = 0
     try:
         for i in range(n_iters):
             neigh = (
-                sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+                sym.join(labels.withColumnRenamed("id", "dst")
+                         .repartition(n_parts, "dst"), "dst")
+                .repartition(n_parts, "src")
                 .groupBy("src").agg(F.min("label").alias("nlabel"))
                 .withColumnRenamed("src", "id")
             )
             hopped = (
-                labels.join(neigh, "id", "left")
+                labels.repartition(n_parts, "id")
+                .join(neigh.repartition(n_parts, "id"), "id", "left")
                 .select("id", F.col("label").alias("__old"),
                         F.least("label", F.coalesce("nlabel", "label")).alias("label"))
             )
             parents = hopped.select(F.col("id").alias("label"),
                                     F.col("label").alias("plabel"))
             flagged = (
-                hopped.join(parents, "label", "left")
+                hopped.repartition(n_parts, "label")
+                .join(parents.repartition(n_parts, "label"), "label", "left")
                 .select("id",
                         F.coalesce("plabel", "label").alias("label"),
                         (F.coalesce("plabel", "label") != F.col("__old"))
@@ -559,8 +564,8 @@ def dup_clusters(pairs: DataFrame, n_iters: int = 16,
                 "components may be partially merged — raise n_iters",
                 RuntimeWarning, stacklevel=2)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         sym.unpersist()
+        sym_raw.unpersist()
     out = labels.withColumnRenamed("label", "cluster_id")
     # observable convergence: how many rounds actually ran (≤ n_iters)
     out._pps_cc_rounds = rounds_run

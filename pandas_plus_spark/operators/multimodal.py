@@ -111,8 +111,11 @@ def sample_frames(
         lambda i: F.floor(i.cast("long") * span / F.lit(denom)),
     )
     staged = df.select(F.col(id_col), F.col(blob_col), offsets.alias("__offs"))
+    # Mirror the input id column's actual type — a string/int id would fail
+    # or silently corrupt in the Arrow conversion if LongType were assumed.
     out_schema = T.StructType(
-        [T.StructField(id_col, T.LongType())] + list(FRAME_SCHEMA.fields))
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + list(FRAME_SCHEMA.fields))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -133,7 +136,8 @@ def extract_image_features(df: DataFrame, blob_col: str, id_col: str) -> DataFra
     mapInPandas. The UDF sees pandas DataFrames of whole record batches —
     the shape a real decoder (vectorized over the batch) would use."""
     out_schema = T.StructType(
-        [T.StructField(id_col, T.LongType())] + list(IMAGE_FEATURES_SCHEMA.fields)
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + list(IMAGE_FEATURES_SCHEMA.fields)
     )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

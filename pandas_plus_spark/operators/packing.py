@@ -105,7 +105,11 @@ def chunk_documents(
     if overlap >= chunk_size:
         raise ValueError("overlap must be smaller than chunk_size")
     stride = chunk_size - overlap
-    ln = F.length(F.col(text_col))
+    # NULL text would make `sequence` NULL and posexplode emit no rows,
+    # silently dropping the document; coalesce to '' so a NULL doc yields
+    # one empty chunk like an empty doc (the no-row-loss contract).
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    ln = F.length(text)
     n_chunks = F.lit(1) + F.greatest(
         F.lit(0), F.ceil((ln - F.lit(chunk_size)) / F.lit(float(stride))))
     starts = F.sequence(F.lit(0), (n_chunks - 1).cast("int") * F.lit(stride),
@@ -113,9 +117,9 @@ def chunk_documents(
     exploded = df.select(
         F.col(id_col),
         F.posexplode(starts).alias("chunk_idx", "__start"),
-        F.col(text_col),
+        text.alias("__text"),
     )
-    chunk = F.substring(F.col(text_col), F.col("__start") + 1, chunk_size)
+    chunk = F.substring(F.col("__text"), F.col("__start") + 1, chunk_size)
     return exploded.select(
         F.col(id_col),
         F.col("chunk_idx"),

@@ -461,11 +461,14 @@ def lsh_pair_recall(
     all-pairs is the oracle side — run at validation scale; production
     monitors recall on a sampled slice.
     """
-    exact = cosine_neardup_pairs(df, threshold, id_col, vec_col) \
-        .select("id_a", "id_b")
-    approx = lsh_neardup_pairs(df, threshold, n_planes, id_col, vec_col,
-                               n_tables=n_tables) \
-        .select("id_a", "id_b").withColumn("__hit", F.lit(1))
+    exact_raw = cosine_neardup_pairs(df, threshold, id_col, vec_col)
+    exact = exact_raw.select("id_a", "id_b")
+    # Keep the raw handle: .select()/.withColumn() return NEW DataFrame
+    # objects that do not carry Python instance attributes, so _pps_cached
+    # must be read from the frame lsh_neardup_pairs actually returned.
+    approx_raw = lsh_neardup_pairs(df, threshold, n_planes, id_col, vec_col,
+                                   n_tables=n_tables)
+    approx = approx_raw.select("id_a", "id_b").withColumn("__hit", F.lit(1))
     out = (
         exact.join(approx, ["id_a", "id_b"], "left")
         .agg(F.count(F.lit(1)).alias("n_exact"),
@@ -475,4 +478,6 @@ def lsh_pair_recall(
                        F.col("n_hit") / F.col("n_exact"))
                 .otherwise(F.lit(1.0)).alias("recall"))
     )
-    return attach_cached(out, *getattr(approx, "_pps_cached", ()))
+    return attach_cached(out,
+                         *getattr(approx_raw, "_pps_cached", ()),
+                         *getattr(exact_raw, "_pps_cached", ()))

@@ -308,6 +308,24 @@ class TestByResolutionAndStatics:
         d = rows_dict(GroupBy(df, arr).sum("v"), "_key_0", "v")
         assert d == {"a": 3.0, "b": 12.0}
 
+    def test_array_key_multipartition_order_and_plan(self, spark):
+        # the zip path must (a) number rows in physical order across MANY
+        # input partitions and (b) never plan a single-task global window
+        # (Exchange SinglePartition) — the rows flow through a window
+        # PARTITIONED by input partition id instead
+        import numpy as np
+        from pandas_plus_spark.groupby.core import _zip_array_key
+        df = spark.range(0, 1000, 1, 8).withColumn(
+            "v", (F.col("id") % 7).cast("double"))
+        arr = np.arange(1000) // 100  # 10 positional buckets
+        zipped = _zip_array_key(df, arr, "_key_0")
+        plan = zipped._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
+        # positional correctness: row i (in id order — spark.range's
+        # physical order) gets bucket i // 100
+        got = {r["id"]: r["_key_0"] for r in zipped.collect()}
+        assert got == {i: i // 100 for i in range(1000)}
+
     def test_array_key_length_mismatch_raises(self, spark):
         import numpy as np
         df = spark.createDataFrame([(0, 1.0), (1, 2.0)], "rid long, v double")
