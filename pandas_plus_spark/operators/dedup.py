@@ -133,18 +133,57 @@ def _band_entries(sigs: DataFrame, bands: int, num_hashes: int,
     ).select("id", "bucket.band", "bucket.bhash")
 
 
+def _cap_bucket_entries(entries: DataFrame, key_cols: list[str],
+                        cap: int) -> DataFrame:
+    """Bound every LSH bucket to ≤ ~cap entries before a bucket self-join.
+
+    Exact-dup collapse kills the COMMON candidate blowup (d copies → d²/2
+    pairs), but a boilerplate-heavy *near*-dup corpus can still put an
+    unbounded member count into one (band, hash) bucket, making that single
+    bucket's self-join quadratic. The guard: one count per bucket over the
+    (persisted, tiny) entry frame; oversized buckets are deterministically
+    down-sampled to ~cap entries by keeping entry ``e`` iff
+    ``xxhash64(id, key) mod bucket_size < cap`` — a map-side filter, no
+    per-bucket single-task window, reproducible across runs. The drop is
+    logged as a RuntimeWarning with the oversized-bucket count. When no
+    bucket exceeds the cap (the healthy case) the original frame is
+    returned untouched — zero plan change on the hot path.
+
+    Recall note: a true near-dup pair inside a sampled bucket survives with
+    probability ~(cap/size)², per bucket — but near-dups share many of
+    their ``bands`` buckets, so the OR across bands keeps pair recall high
+    unless the corpus is pathological in *every* band at once."""
+    sizes = entries.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+    n_over = sizes.where(F.col("__bsz") > cap).count()
+    if n_over == 0:
+        return entries
+    import warnings
+    warnings.warn(
+        f"{n_over} LSH bucket(s) exceeded max_bucket_size={cap}; each was "
+        "hash-down-sampled to ~cap entries (bounding the bucket self-join; "
+        "candidate recall for members of those buckets is reduced)",
+        RuntimeWarning, stacklevel=3)
+    keep = (F.col("__bsz") <= cap) | (
+        F.pmod(F.xxhash64("id", *key_cols), F.col("__bsz")) < cap)
+    return entries.join(sizes, key_cols).where(keep).drop("__bsz")
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     bands: int = 8,
     num_hashes: int | None = None,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing at least one LSH band.
 
     Explode each signature into ``bands`` (band_idx, band_hash) rows, then
     self-join on the bucket key. The join is a plain shuffled equi-join —
-    AQE handles skewed buckets; a stop-word-like mega-bucket should be
-    length-capped upstream (we de-dup pairs with a distinct).
+    AQE handles skewed buckets, and ``max_bucket_size`` bounds the
+    pathological hot bucket (near-identical boilerplate that survives
+    exact-dup collapse): oversized buckets are deterministically sampled
+    down to ~cap entries and the drop is logged (see
+    :func:`_cap_bucket_entries`). Pass ``max_bucket_size=None`` to disable.
 
     Pass ``num_hashes`` to avoid an extra job just to read the signature
     width. The bucket-entry frame is persisted: both sides of the self-join
@@ -153,8 +192,12 @@ def minhash_lsh_candidates(
         raise ValueError(f"hash_fn must be one of {_HASH_FNS}, got {hash_fn!r}")
     n = num_hashes if num_hashes is not None else sigs.select(F.size("sig")).first()[0]
     bucket_entries = _band_entries(sigs, bands, n, hash_fn).persist()
-    a = bucket_entries.alias("a")
-    b = bucket_entries.alias("b")
+    capped = bucket_entries
+    if max_bucket_size is not None:
+        capped = _cap_bucket_entries(bucket_entries, ["band", "bhash"],
+                                     max_bucket_size)
+    a = capped.alias("a")
+    b = capped.alias("b")
     out = (
         a.join(b, on=["band", "bhash"])
         .where(F.col("a.id") < F.col("b.id"))
@@ -443,10 +486,17 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64,
     return staged.select("id", sig.alias("simhash"))
 
 
-def simhash_candidates(sig_df: DataFrame, quadrant_bits: int = 16) -> DataFrame:
+def simhash_candidates(sig_df: DataFrame, quadrant_bits: int = 16,
+                       max_bucket_size: int | None = 1024) -> DataFrame:
     """Near-dup candidates: pairs sharing at least one 16-bit quadrant of the
     simhash (catches Hamming distance ≤ 3 for 64-bit signatures). Same
-    bucket-join shape as MinHash LSH."""
+    bucket-join shape as MinHash LSH, including the hot-bucket guard —
+    a low-entropy corpus (short docs, shared boilerplate) can put an
+    unbounded member count into one (quadrant, qval) bucket; oversized
+    buckets are deterministically sampled to ~``max_bucket_size`` entries
+    (see :func:`_cap_bucket_entries`; ``None`` disables). The entry frame
+    is persisted — both self-join sides and the guard's bucket count read
+    it, and recomputing it means re-running the 64-bit-vote signature."""
     n_quadrants = 64 // quadrant_bits
     mask = (1 << quadrant_bits) - 1
     entries = sig_df.select(
@@ -459,14 +509,19 @@ def simhash_candidates(sig_df: DataFrame, quadrant_bits: int = 16) -> DataFrame:
             )
             for q in range(n_quadrants)
         ])).alias("b"),
-    ).select("id", "b.quadrant", "b.qval")
-    a, b = entries.alias("a"), entries.alias("b")
-    return (
+    ).select("id", "b.quadrant", "b.qval").persist()
+    capped = entries
+    if max_bucket_size is not None:
+        capped = _cap_bucket_entries(entries, ["quadrant", "qval"],
+                                     max_bucket_size)
+    a, b = capped.alias("a"), capped.alias("b")
+    out = (
         a.join(b, on=["quadrant", "qval"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    return attach_cached(out, entries)
 
 
 # --------------------------------------------------------------------- #

@@ -51,6 +51,78 @@ class TestMinhash:
         assert d[0] == d[1]
 
 
+class TestHotBucketGuard:
+    """Adversarial corpus: many docs landing in the SAME LSH bucket must not
+    produce a quadratic candidate set when the guard is on."""
+
+    N = 120
+    CAP = 16
+
+    @pytest.fixture(scope="class")
+    def hot_sigs(self, spark):
+        # identical signatures → every doc shares every band bucket
+        return spark.range(self.N).select(
+            F.col("id"),
+            F.array(*[F.lit(7 * j + 1).cast("long") for j in range(8)])
+            .alias("sig"))
+
+    def test_minhash_candidates_bounded_and_warns(self, hot_sigs):
+        with pytest.warns(RuntimeWarning, match="max_bucket_size"):
+            capped = dedup.minhash_lsh_candidates(
+                hot_sigs, bands=4, num_hashes=8,
+                max_bucket_size=self.CAP).count()
+        # uncapped would be the full N*(N-1)/2 clique
+        clique = self.N * (self.N - 1) // 2
+        assert capped < clique
+        # per-bucket self-join is bounded by ~cap^2/2 per band
+        assert capped <= 4 * self.CAP * self.CAP
+
+    def test_minhash_candidates_uncapped_is_clique(self, hot_sigs):
+        full = dedup.minhash_lsh_candidates(
+            hot_sigs, bands=4, num_hashes=8, max_bucket_size=None).count()
+        assert full == self.N * (self.N - 1) // 2
+
+    def test_healthy_corpus_unchanged_by_default_cap(self, planted_docs):
+        # default cap far above any bucket here → byte-identical pairs
+        sigs = dedup.minhash_signatures(planted_docs, "text", "doc_id",
+                                        num_hashes=32)
+        base = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(
+            sigs, bands=16, num_hashes=32, max_bucket_size=None).collect()}
+        guarded = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(
+            sigs, bands=16, num_hashes=32).collect()}
+        assert guarded == base
+
+    def test_simhash_candidates_bounded_and_warns(self, spark):
+        sig_df = spark.range(self.N).select(
+            F.col("id"), F.lit(0x1234_5678_9ABC_DEF0).cast("long")
+            .alias("simhash"))
+        with pytest.warns(RuntimeWarning, match="max_bucket_size"):
+            capped = dedup.simhash_candidates(
+                sig_df, max_bucket_size=self.CAP).count()
+        clique = self.N * (self.N - 1) // 2
+        assert capped < clique
+        assert capped <= 4 * self.CAP * self.CAP
+
+    def test_guard_keeps_recall_on_mixed_corpus(self, spark):
+        # 100 boilerplate docs (one hot bucket) + one planted near-dup pair
+        # with DISTINCT signatures — the pair must survive the guard because
+        # its buckets are small
+        hot = spark.range(100).select(
+            F.col("id"),
+            F.array(*[F.lit(3).cast("long")] * 8).alias("sig"))
+        pair = spark.createDataFrame(
+            [(1000, [11, 22, 33, 44, 55, 66, 77, 88]),
+             (1001, [11, 22, 33, 44, 55, 66, 99, 100])],
+            "id long, sig array<long>")
+        sigs = hot.union(pair)
+        with pytest.warns(RuntimeWarning):
+            got = {(r["id_a"], r["id_b"])
+                   for r in dedup.minhash_lsh_candidates(
+                       sigs, bands=4, num_hashes=8,
+                       max_bucket_size=self.CAP).collect()}
+        assert (1000, 1001) in got
+
+
 class TestJaccard:
     def test_exact_value(self, spark):
         df = spark.createDataFrame(
