@@ -6,6 +6,7 @@ via Arrow-batched UDFs where built-ins genuinely cannot express semantics).
 
 from .groupby import GroupBy, crosstab, DataFrameGroupBy, groupby_plus, install_groupby_plus
 from .session import get_spark
+from .sources.local import from_arrays, from_pandas
 from . import nanops
 from . import functions
 
@@ -16,6 +17,8 @@ __all__ = [
     "groupby_plus",
     "install_groupby_plus",
     "get_spark",
+    "from_arrays",
+    "from_pandas",
     "nanops",
     "functions",
 ]

@@ -1,5 +1,6 @@
 from .binning import pretty_cut
 from .encoding import bools_to_categorical, linear_combination
+from .masks import bool_array_mask, index_mask, slice_mask
 from .ordered import (global_cumsum, global_ntile, global_rank_cumsum,
                       global_row_number, global_shift)
 from .text import (
@@ -24,4 +25,7 @@ __all__ = [
     "global_shift",
     "global_ntile",
     "global_rank_cumsum",
+    "slice_mask",
+    "index_mask",
+    "bool_array_mask",
 ]
