@@ -97,17 +97,43 @@ def categorize_objects(self: DataFrame, columns=None, exclude=()) -> DataFrame:
 
 
 def heat_map(self: DataFrame, index, columns: str, values: str | None = None,
-             aggfunc: str = "size", precision: int = 1, **kw) -> DataFrame:
-    """The data side of the reference's ``heat_map`` (a styled crosstab,
-    extensions.py:86-91): pivoted crosstab with cells rounded to
-    ``precision``. Gradient rendering is a client/display concern — collect
-    the (tiny) pivot and style it there."""
+             aggfunc: str = "size", precision: int = 1, styled: bool = False,
+             **kw):
+    """The reference's ``heat_map`` (a styled crosstab, extensions.py:86-91).
+
+    Default: the distributed pivot with cells rounded to ``precision`` (the
+    data side — gradient rendering is a display concern). ``styled=True``
+    collects the (tiny — group-dimension-sized) pivot to the driver and
+    returns a ``pandas.io.formats.style.Styler`` with a white→blue
+    background gradient per cell, matching the reference's rendered output
+    without requiring matplotlib (the ramp is computed inline, not via a
+    colormap)."""
     from .groupby.pivot import crosstab
     out = crosstab(self, index, columns, values=values, aggfunc=aggfunc, **kw)
     for f in out.schema.fields:
         if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
             out = out.withColumn(f.name, F.round(F.col(f.name), precision))
-    return out
+    if not styled:
+        return out
+    import pandas as pd
+
+    idx_cols = [index] if isinstance(index, str) else list(index)
+    pdf = out.toPandas().set_index(idx_cols)
+    num_cols = pdf.select_dtypes("number").columns
+    lo = float(pdf[num_cols].min().min()) if len(num_cols) else 0.0
+    hi = float(pdf[num_cols].max().max()) if len(num_cols) else 1.0
+
+    def css(v):
+        if pd.isna(v):
+            return ""
+        t = 0.0 if hi == lo else (float(v) - lo) / (hi - lo)
+        r, g = int(255 - 160 * t), int(255 - 110 * t)
+        fg = "white" if t > 0.65 else "black"
+        return f"background-color: #{r:02x}{g:02x}ff; color: {fg}"
+
+    styler = pdf.style
+    mapper = getattr(styler, "map", None) or styler.applymap
+    return mapper(css, subset=list(num_cols))
 
 
 def select_numeric(self: DataFrame) -> DataFrame:

@@ -34,10 +34,11 @@ class DataFrameGroupBy:
     narrows the value set while SHARING the same engine object (and thus any
     persisted keyed layout) — reference api.py:813-833."""
 
-    def __init__(self, df: DataFrame, by, order_by=None, sort: bool = True,
-                 dropna: bool = True, _engine: GroupBy | None = None,
-                 _selection=None):
-        self._engine = _engine or GroupBy(df, by, order_by=order_by, sort=sort, dropna=dropna)
+    def __init__(self, df: DataFrame, by=None, order_by=None, sort: bool = True,
+                 dropna: bool = True, level=None,
+                 _engine: GroupBy | None = None, _selection=None):
+        self._engine = _engine or GroupBy(df, by, order_by=order_by, sort=sort,
+                                          dropna=dropna, level=level)
         self._selection = _selection
 
     def __getitem__(self, cols) -> "DataFrameGroupBy":
@@ -75,9 +76,10 @@ class DataFrameGroupBy:
         return bound
 
 
-def groupby_plus(self: DataFrame, by, order_by=None, sort: bool = True,
-                 dropna: bool = True) -> DataFrameGroupBy:
-    return DataFrameGroupBy(self, by, order_by=order_by, sort=sort, dropna=dropna)
+def groupby_plus(self: DataFrame, by=None, order_by=None, sort: bool = True,
+                 dropna: bool = True, level=None) -> DataFrameGroupBy:
+    return DataFrameGroupBy(self, by, order_by=order_by, sort=sort,
+                            dropna=dropna, level=level)
 
 
 def install_groupby_plus() -> None:

@@ -177,11 +177,33 @@ class GroupBy:
     def __init__(
         self,
         df: DataFrame,
-        keys,
+        keys=None,
         order_by=None,
         sort: bool = True,
         dropna: bool = True,
+        level=None,
     ):
+        # level= compat shim (reference api.py:739-805 resolves index level
+        # NAMES to groupers): a Spark frame has no index, so level names are
+        # simply column names — `GroupBy(df, level="date")` ≡
+        # `GroupBy(df, "date")`, making pandas-facade code drop-in.
+        # Positional (integer) levels have no Spark analog: there is no
+        # level order without an index — pass names.
+        if level is not None:
+            if keys is not None:
+                raise ValueError(
+                    "pass either keys or level=, not both (level names ARE "
+                    "key columns on a Spark frame)")
+            lv = list(level) if isinstance(level, (list, tuple)) else [level]
+            bad = [x for x in lv if not isinstance(x, str)]
+            if bad:
+                raise TypeError(
+                    f"integer/positional levels {bad} have no Spark analog "
+                    "(a DataFrame has no index level order) — pass level "
+                    "NAMES, which resolve as key columns")
+            keys = lv
+        if keys is None:
+            raise TypeError("GroupBy requires keys (or level= names)")
         # Key resolution mirrors the reference's _resolve_by_keys
         # (api.py:739-805): a top-level list/tuple is a collection of keys;
         # each key may be a column name, a Column expression, a callable

@@ -173,6 +173,38 @@ class TestExtensions:
             if row[c] is not None:
                 assert round(row[c], 1) == row[c]
 
+    def test_heat_map_styled_gradient(self, tables):
+        # styled=True → pandas Styler with per-cell background CSS (no
+        # matplotlib needed); extremes map to the ramp ends
+        out = tables["lineitem"].hm(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            aggfunc="mean", styled=True)
+        import pandas as pd
+        assert isinstance(out, pd.io.formats.style.Styler)
+        html = out.to_html()
+        assert "background-color: #" in html
+
+    def test_level_shim(self, tables):
+        from pandas_plus_spark import GroupBy
+        li = tables["lineitem"]
+        via_level = {r["l_returnflag"]: r["l_quantity"]
+                     for r in GroupBy(li, level="l_returnflag")
+                     .sum("l_quantity").collect()}
+        via_keys = {r["l_returnflag"]: r["l_quantity"]
+                    for r in GroupBy(li, "l_returnflag")
+                    .sum("l_quantity").collect()}
+        assert via_level == via_keys
+        # facade form
+        got = li.groupby_plus(level=["l_returnflag"]).size().count()
+        assert got == len(via_keys)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="not both"):
+            GroupBy(li, "l_returnflag", level="l_linestatus")
+        with _pt.raises(TypeError, match="no Spark analog"):
+            GroupBy(li, level=0)
+        with _pt.raises(TypeError, match="keys"):
+            GroupBy(li)
+
     def test_bools_allow_duplicates_false_raises(self, spark):
         from pandas_plus_spark.functions.encoding import bools_to_categorical
         import pytest as _pt
