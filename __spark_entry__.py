@@ -1029,6 +1029,72 @@ def _q_segment_revenue(spark, sf):
     })
 
 
+def _ensure_bucketed_facts(spark, sf):
+    """Create (once per session/warehouse) narrow bucketed copies of the two
+    fact tables, co-bucketed on the order key — the pre-shuffled layout a
+    100 TB deployment would maintain so the fact⋈fact join never shuffles.
+
+    The in-memory catalog is session-scoped, so a fresh driver session
+    rebuilds the tables (mode=overwrite reclaims any leftover warehouse
+    dir); within a session the write happens once."""
+    import re as _re
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf.rstrip("/").rsplit("/", 1)[-1])
+    li_t, ord_t = f"pps_bkt_lineitem_{tag}", f"pps_bkt_orders_{tag}"
+    from pandas_plus_spark.sources import write_bucketed
+
+    def _clear_stale_location(table: str) -> None:
+        # in-memory catalog: a previous session's table data may survive in
+        # the warehouse dir while the catalog entry did not — saveAsTable
+        # then fails with LOCATION_ALREADY_EXISTS even in overwrite mode
+        import shutil
+        from urllib.parse import urlparse
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+
+    if not spark.catalog.tableExists(li_t):
+        _clear_stale_location(li_t)
+        write_bucketed(
+            load_table(spark, sf, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+            li_t, "l_orderkey", 8, sort_by="l_orderkey", mode="overwrite")
+    if not spark.catalog.tableExists(ord_t):
+        _clear_stale_location(ord_t)
+        write_bucketed(
+            load_table(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+            ord_t, "o_orderkey", 8, sort_by="o_orderkey", mode="overwrite")
+    return li_t, ord_t
+
+
+def _q_segment_revenue_bucketed(spark, sf):
+    """segment_revenue over CO-BUCKETED fact tables: lineitem and orders are
+    stored bucketed(8) on the order key, so the fact⋈fact equi-join reads
+    both sides' distribution straight from the layout — ZERO Exchange on
+    the join (asserted in tests/test_sinks.py; plan in PLANS.md). The
+    per-(segment, orderkey) pre-aggregation ALSO rides the bucket layout:
+    HashPartitioning(o_orderkey) clusters every (segment, orderkey) group,
+    so the fine-level agg is exchange-free too — the only shuffle left in
+    the whole query is the segment-sized coarse agg. This is the layout a
+    standing 100 TB warehouse maintains for its hottest join."""
+    li_t, ord_t = _ensure_bucketed_facts(spark, sf)
+    li = spark.table(li_t)
+    orders = spark.table(ord_t)
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    joined = (
+        li.withColumn("revenue", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    per_order = GroupBy(joined, ["c_mktsegment", "o_orderkey"]).agg({
+        "rev": ("dsum_scaled", "revenue"),
+        "n": ("size", ""),
+    })
+    return GroupBy(per_order, "c_mktsegment").agg({
+        "revenue": ("dsum_unscale", "rev"),
+        "n_orders": ("size", ""),
+        "n_lineitems": ("sum", "n"),
+    })
+
+
 def _q_nation_revenue(spark, sf):
     """Multi-hop broadcast: lineitem ⋈ supplier ⋈ nation ⋈ region."""
     li = load_table(spark, sf, "lineitem")
@@ -1527,23 +1593,82 @@ def _q_contamination(spark, sf):
 # ---------------------------------------------------------------------- #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order matters: the driver's correctness gate samples the FIRST
-    # 50 entries. Entries with no driver CORRECTNESS row yet (r2 additions +
-    # this round's new queries) are listed first so every query accumulates a
-    # driver-verified row across rounds; long-green anchors follow.
+    # Registry order matters: the driver's correctness gate samples the
+    # FIRST 50 entries. Rotation is least-recently-verified-first: (new in
+    # r5) -> (last driver-checked in r3) -> (checked in r4), so CORRECTNESS
+    # r5 ∪ r4 covers the registry. The hash-seeded LSH/ANN queries (which
+    # get rows-only driver checks) are PINNED ADJACENT to their value-checked
+    # ANSI twins / recall gates inside the same window so the pairing stays
+    # verifiable on every rotation: minhash_neardup↔minhash_neardup_poly,
+    # simhash_candidates↔simhash_poly, hyperplane_lsh_buckets↔lsh_recall,
+    # ivf_knn↔ann_recall. That pinning pulls 4 extra entries into the
+    # window, so the last 4 r3-era entries (crosstab_pivot, transform_sum,
+    # head_per_group, nth_last_per_group) overflow to lead the r6 window.
     return {
-        # Registry order matters: the driver gate samples the FIRST 50
-        # entries. Order = (new in r4) -> (last driver-checked in r1/r2)
-        # -> (checked in r3), so the 50-slot window always covers the
-        # least-recently-verified queries.
-        # --- new in round 4 ---
+        # --- new in round 5 ---
+        "segment_revenue_bucketed": _q_segment_revenue_bucketed,
+        # --- last driver-checked in r3 (+ pinned seeded/twin pairs) ---
+        "minhash_neardup": _q_minhash_dedup,          # seeded (rows-only)
+        "minhash_neardup_poly": _q_minhash_poly,      # its ANSI twin
+        "dup_clusters": _q_dup_clusters,
+        "dedup_keep_list": _q_dedup_keep_list,
+        "simhash_candidates": _q_simhash_candidates,  # seeded (rows-only)
+        "simhash_poly": _q_simhash_poly,              # its ANSI twin
+        "skew_topn_salted": _q_skew_topn_salted,
+        "skew_topn_uniform": _q_skew_topn_uniform,
+        "hyperplane_lsh_buckets": _q_lsh_buckets,     # seeded (rows-only)
+        "lsh_recall": _q_lsh_recall,                  # its recall gate
+        "ivf_knn": _q_ivf_knn,                        # seeded (rows-only)
+        "ann_recall": _q_ann_recall,                  # its recall gate
+        "multimodal_image_meta": _q_multimodal_meta,
+        "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
+        "sample_per_group": _q_sample_per_group,
+        "pack_chunks": _q_pack_chunks,
+        "repetition_signals": _q_repetition_signals,
+        "repetition_filter": _q_repetition_filter,
+        "global_cumsum": _q_global_cumsum,
+        "global_shift": _q_global_shift,
+        "pii_scan": _q_pii_scan,
+        "c4_filter": _q_c4_filter,
+        "contamination": _q_contamination,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_rank": _q_bm25_rank,
+        "vocab_top": _q_vocab_top,
+        "oov_rate": _q_oov_rate,
+        "label_cohesion": _q_label_cohesion,
+        "nanops_rowwise": _q_nanops_rowwise,
+        "streaming_sessions": _q_streaming_sessions,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "masked_sum": _q_masked_sum,
+        "group_size": _q_size,
+        "group_minmax": _q_minmax,
+        "group_var_std": _q_var_std,
+        "agg_callable": _q_agg_callable,
+        "group_median": _q_median,
+        "group_mode": _q_group_mode,
+        "group_quantiles": _q_group_quantiles,
+        "group_corr_cov": _q_group_corr_cov,
+        "group_first_last": _q_first_last,
+        "ratio": _q_ratio,
+        "subset_ratio": _q_subset_ratio,
+        "density": _q_density,
+        "value_counts": _q_value_counts,
+        "value_counts_norm": _q_value_counts_norm,
+        "group_nunique": _q_nunique,
+        "margins_sum": _q_margins_sum,                # window position 50
+        # --- r3-era overflow (first in the r6 window) ---
+        "crosstab_pivot": _q_crosstab,
+        "transform_sum": _q_transform_sum,
+        "head_per_group": _q_head,
+        "nth_last_per_group": _q_nth_last,
+        # --- driver-checked in round 4 ---
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_sliding": _q_streaming_sliding,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_running": _q_streaming_running,
         "rolling_time": _q_rolling_time,
         "weighted_sample": _q_weighted_sample,
-        "lsh_recall": _q_lsh_recall,
         "group_rank": _q_group_rank,
         "curation_pipeline": _q_curation_pipeline,
         "chunk_dedup": _q_chunk_dedup,
@@ -1553,7 +1678,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "frame_sample": _q_frame_sample,
         "source_health": _q_source_health,
-        # --- last driver-checked in r1/r2 ---
         "cumsum": _q_cumsum,
         "cummax": _q_cummax,
         "cumcount": _q_cumcount,
@@ -1584,61 +1708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_pred": _q_lang_pred,
         "quality_score": _q_quality,
         "trigram_jaccard_pairs": _q_trigram_jaccard,
-        "minhash_neardup": _q_minhash_dedup,
-        "simhash_candidates": _q_simhash_candidates,
         "knn_cosine": _q_knn,
         "cosine_neardup": _q_cosine_neardup,
-        # --- driver-checked in round 3 ---
-        "minhash_neardup_poly": _q_minhash_poly,
-        "dup_clusters": _q_dup_clusters,
-        "dedup_keep_list": _q_dedup_keep_list,
-        "simhash_poly": _q_simhash_poly,
-        "skew_topn_salted": _q_skew_topn_salted,
-        "skew_topn_uniform": _q_skew_topn_uniform,
-        "hyperplane_lsh_buckets": _q_lsh_buckets,
-        "ivf_knn": _q_ivf_knn,
-        "multimodal_image_meta": _q_multimodal_meta,
-        "stratified_sample": _q_stratified_sample,
-        "split_assign": _q_split_assign,
-        "sample_per_group": _q_sample_per_group,
-        "pack_chunks": _q_pack_chunks,
-        "repetition_signals": _q_repetition_signals,
-        "repetition_filter": _q_repetition_filter,
-        "global_cumsum": _q_global_cumsum,
-        "global_shift": _q_global_shift,
-        "pii_scan": _q_pii_scan,
-        "c4_filter": _q_c4_filter,
-        "contamination": _q_contamination,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "bm25_rank": _q_bm25_rank,
-        "vocab_top": _q_vocab_top,
-        "oov_rate": _q_oov_rate,
-        "label_cohesion": _q_label_cohesion,
-        "ann_recall": _q_ann_recall,
-        "nanops_rowwise": _q_nanops_rowwise,
-        "streaming_sessions": _q_streaming_sessions,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "masked_sum": _q_masked_sum,
-        "group_size": _q_size,
-        "group_minmax": _q_minmax,
-        "group_var_std": _q_var_std,
-        "agg_callable": _q_agg_callable,
-        "group_median": _q_median,
-        "group_mode": _q_group_mode,
-        "group_quantiles": _q_group_quantiles,
-        "group_corr_cov": _q_group_corr_cov,
-        "group_first_last": _q_first_last,
-        "ratio": _q_ratio,
-        "subset_ratio": _q_subset_ratio,
-        "density": _q_density,
-        "value_counts": _q_value_counts,
-        "value_counts_norm": _q_value_counts_norm,
-        "group_nunique": _q_nunique,
-        "margins_sum": _q_margins_sum,
-        "crosstab_pivot": _q_crosstab,
-        "transform_sum": _q_transform_sum,
-        "head_per_group": _q_head,
-        "nth_last_per_group": _q_nth_last,
     }
 
 
@@ -1984,6 +2055,19 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN agg USING (c_mktsegment, c_nationkey)
         """,
         "segment_revenue": """
+            SELECT c_mktsegment,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+                     AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        # identical semantics to segment_revenue — the bucketed variant only
+        # changes the physical layout, never the result
+        "segment_revenue_bucketed": """
             SELECT c_mktsegment,
                    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
                      AS revenue,
