@@ -18,11 +18,22 @@ def get_spark(
     app_name: str = "pandas-plus-spark",
     cpus: int | str | None = None,
     shuffle_partitions: int | None = None,
+    rocksdb_state_store: bool = False,
 ) -> SparkSession:
     """Create (or reuse) a SparkSession with engine defaults.
 
     On a real cluster the master/memory settings come from the deploy
     environment; everything else here is cluster-appropriate as-is.
+
+    ``rocksdb_state_store=True`` switches Structured Streaming state to the
+    RocksDB provider — REQUIRED at corpus scale for the stateful operators
+    (streaming dedup keeps one key per distinct id inside the watermark;
+    windowed aggs one row per key×window): the default HDFS-backed store
+    keeps all state on the JVM heap, so executor memory caps total state,
+    while RocksDB spills to local disk and bounds heap to block cache.
+    Off by default locally — the replay gates' state is test-sized, and the
+    provider writes per-executor disk files the test harness doesn't need.
+    State sizing notes: PLANS.md §streaming state at scale.
     """
     cpus = int(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = int(shuffle_partitions or max(2 * cpus, 32))
@@ -51,4 +62,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if rocksdb_state_store:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ).config(
+            # changelog checkpointing: upload per-batch deltas instead of
+            # full RocksDB snapshots — the difference between O(state) and
+            # O(changes) checkpoint traffic on large stateful queries
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     return builder.getOrCreate()

@@ -55,6 +55,32 @@ def test_windowed_agg_stream(spark):
         q.stop()
 
 
+def test_windowed_agg_stream_rocksdb_provider(spark):
+    """The RocksDB state-store path (get_spark(rocksdb_state_store=True) at
+    corpus scale) runs the same watermarked agg and matches the batch count
+    — the replay gates are provider-agnostic."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state."
+                        "RocksDBStateStoreProvider")
+    try:
+        sdf = _events_stream_df(spark)
+        out = windowed_agg_stream(sdf, window="6 hours")
+        q = _run_to_memory(out, "win_agg_rocks")
+        try:
+            rows = spark.sql("SELECT * FROM win_agg_rocks").collect()
+            total = sum(r["n_events"] for r in rows)
+            assert total == spark.read.parquet(
+                "/root/testdata/sf0.001/events.parquet").count()
+        finally:
+            q.stop()
+    finally:
+        if old:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+
+
 def test_sessionized_stream(spark):
     sdf = _events_stream_df(spark)
     out = sessionized_stream(sdf, gap="30 minutes")
