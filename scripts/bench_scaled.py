@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Scaling benchmark: run a query subset at an arbitrary SF dir with the
+same noop-sink protocol as bench.py, printing one JSON line per run.
+
+Usage: python scripts/bench_scaled.py SF_DIR [query ...]
+
+Default query set = the heavy operators whose 100 TB story the scaling
+exponent either confirms or breaks (dedup pipeline, composed curation,
+incremental dedup, minhash, repetition filter, tf-idf, streaming replays).
+Timings exclude session startup; one warm-up pass touches every table and
+the noop committer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pandas_plus_spark.session import get_spark  # noqa: E402
+
+HEAVY = [
+    "dedup_keep_list",
+    "curation_pipeline",
+    "incremental_dedup",
+    "minhash_neardup",
+    "repetition_filter",
+    "tfidf_top_terms",
+    "streaming_tumbling",
+    "streaming_dedup",
+    "streaming_running",
+    "segment_revenue",
+    "segment_revenue_bucketed",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    names = sys.argv[2:] or HEAVY
+    spark = get_spark(app_name="pandas-plus-spark-bench-scaled")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    from pandas_plus_spark.sources import load_tables
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+    spark.range(1000).selectExpr("sum(id) as s").write.format("noop").mode(
+        "overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "scaled_bench_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf_dir": sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()
