@@ -233,8 +233,14 @@ def ngram_jaccard_pairs(
         # LSH (r4 — the unpruned persist materialized gram sets for every
         # document). The semi-join shuffles bare ids; shingling cost then
         # scales with the candidate set, not the corpus.
+        #
+        # The candidate frame itself is read THREE times downstream (the
+        # id-prune union here + both pair-join sides); without its own
+        # persist each read re-runs the LSH self-join + distinct. The frame
+        # is pair-count-sized (two longs per row), so pinning it is cheap.
+        candidates = candidates.persist()
         cand_ids = (candidates.select(F.col("id_a").alias("id"))
-                    .union(candidates.select(F.col("id_b").alias("id")))
+                    .unionByName(candidates.select(F.col("id_b").alias("id")))
                     .distinct())
         # both join sides read the gram sets → compute the shingling once
         grams = grams.join(cand_ids, "id", "left_semi").persist()
@@ -255,7 +261,8 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
     )
     if candidates is not None:
-        out = attach_cached(out, grams, *getattr(candidates, "_pps_cached", ()))
+        out = attach_cached(out, grams, candidates,
+                            *getattr(candidates, "_pps_cached", ()))
     return out
 
 
@@ -279,13 +286,23 @@ def minhash_dedup(
     d copies per document costs d²/2 candidate verifications for zero
     information. Near-dup pairs are reported between representatives; pair
     with ``exact_dedup`` for the full duplicate graph."""
+    collapsed = None
     if pre_dedup_exact:
-        df = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+        # The collapsed representative frame feeds BOTH the signature stage
+        # and the verify stage's shingling; unpersisted, each consumer
+        # re-runs the full-text groupBy shuffle. Persist it (disk-spillable)
+        # and hand the handle to the caller via attach_cached.
+        df = df.groupBy(text_col).agg(F.min(id_col).alias(id_col)).persist()
+        collapsed = df
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size,
                               hash_fn=hash_fn)
     cands = minhash_lsh_candidates(sigs, bands, num_hashes=num_hashes,
                                    hash_fn=hash_fn)
-    return ngram_jaccard_pairs(df, text_col, id_col, threshold, shingle_size, candidates=cands)
+    out = ngram_jaccard_pairs(df, text_col, id_col, threshold, shingle_size,
+                              candidates=cands)
+    if collapsed is not None:
+        out = attach_cached(out, collapsed)
+    return out
 
 
 class RefIndex:
@@ -554,9 +571,19 @@ def dup_clusters(pairs: DataFrame, n_iters: int = 16,
     plan doubles per iteration and the optimizer chokes long before the
     data does.
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym_raw = edges.union(edges.select(F.col("dst").alias("src"),
-                                       F.col("src").alias("dst"))).persist()
+    # Symmetrize in ONE pass over ``pairs``: a two-branch union would scan
+    # the pair lineage twice, and the pairs feeding this are typically the
+    # output of a whole (unpersisted) candidate+verify pipeline — doubling
+    # its cost inside the very first action here. explode(array(fwd, rev))
+    # emits both directions from a single read.
+    sym_raw = (
+        pairs.select(F.explode(F.array(
+            F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+            F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+        )).alias("e"))
+        .select("e.src", "e.dst")
+        .persist()
+    )
     # Size the per-round SHUFFLES to the GRAPH, not the session default:
     # each round localCheckpoints its frames BEFORE AQE can coalesce, so a
     # 5k-vertex dup graph would otherwise run every round as 100+
@@ -651,8 +678,12 @@ def dedup_keep_list(
     bodies never shuffle past step 1/2's shingling. ``keep`` is boolean so
     the output joins back to the corpus as a filter column.
     """
+    # rep_docs is read by the signature stage, the verify stage's shingling,
+    # and the keep-list join — three consumers of a full text-keyed shuffle.
+    # Persist once (memory-and-disk, so a 100 TB corpus spills rather than
+    # evicts); released with the other pipeline caches via attach_cached.
     reps = df.groupBy(text_col).agg(F.min(id_col).alias("rid"))
-    rep_docs = reps.select(F.col("rid").alias(id_col), F.col(text_col))
+    rep_docs = reps.select(F.col("rid").alias(id_col), F.col(text_col)).persist()
     pairs = minhash_dedup(rep_docs, text_col, id_col, threshold=threshold,
                           num_hashes=num_hashes, bands=bands,
                           shingle_size=shingle_size, pre_dedup_exact=False,
@@ -669,4 +700,4 @@ def dedup_keep_list(
         all_ids.join(rep_keep.withColumnRenamed("keep", "__rk"), "id", "left")
         .select("id", F.coalesce("__rk", F.lit(False)).alias("keep"))
     )
-    return attach_cached(out, *getattr(pairs, "_pps_cached", ()))
+    return attach_cached(out, rep_docs, *getattr(pairs, "_pps_cached", ()))
