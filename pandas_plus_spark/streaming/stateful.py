@@ -32,18 +32,26 @@ _STATE_SCHEMA = T.StructType([
 
 
 def _update_running(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    # Vectorized per-batch: running_total = carried_total + cumsum(value),
+    # running_count = carried_count + 1..n. The state update is the batch
+    # sum/len — no per-row Python loop (Arrow hands us columnar batches;
+    # keep them columnar).
     total, count = state.get if state.exists else (0.0, 0)
+    import numpy as np
+
     for pdf in pdfs:
         pdf = pdf.sort_values("event_id")
         out = pdf[["user_id", "event_id", "value"]].copy()
-        totals, counts = [], []
-        for v in pdf["value"]:
-            total += float(v)
-            count += 1
-            totals.append(total)
-            counts.append(count)
-        out["running_total"] = totals
-        out["running_count"] = counts
+        vals = pdf["value"].to_numpy(dtype="float64")
+        running = total + np.cumsum(vals)
+        out["running_total"] = running
+        out["running_count"] = count + np.arange(1, len(vals) + 1)
+        if len(vals):
+            # carry the LAST emitted total, not total + vals.sum():
+            # np.sum is pairwise-associated and would drift from the
+            # sequential accumulation the next batch must continue from
+            total = float(running[-1])
+            count += len(vals)
         yield out
     state.update((total, count))
 
