@@ -79,6 +79,8 @@ def main() -> None:
     for warm_q in ("group_minmax", "shift"):
         qs[warm_q](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    from pandas_plus_spark.util import release_cached
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -88,6 +90,9 @@ def main() -> None:
         # pruning under count), writes nothing.
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # free operator-persisted intermediates (the documented caller
+        # contract) so earlier queries' caches don't pressure later ones
+        release_cached(df)
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

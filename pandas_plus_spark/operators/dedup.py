@@ -82,9 +82,7 @@ def minhash_signatures(
 
     # Hash every shingle string ONCE, then derive the k families as affine
     # transforms a_i·h + b_i over the base hash — the classic one-hash
-    # minhash construction. Staged projections keep the interpreted
-    # higher-order lambdas from being recomputed per family (CollapseProject
-    # leaves multi-referenced non-trivial aliases alone).
+    # minhash construction.
     staged = df.select(
         F.col(id_col).alias("id"),
         F.transform(shingles, lambda s: h(s)).alias("__h"),
@@ -94,15 +92,28 @@ def minhash_signatures(
     # long range (Spark 4 runs ANSI mode — silent overflow would throw).
     P = 2_147_483_647
 
-    def family(i: int):
+    def family(i: int, hcol):
         a, b = 2 * i + 1, 0x9E3779B9 * (i + 1) % P
-        return lambda h: (F.pmod(h, F.lit(P)) * F.lit(a) + F.lit(b)) % F.lit(P)
+        return (F.pmod(hcol, F.lit(P)) * F.lit(a) + F.lit(b)) % F.lit(P)
 
-    sig = F.array(*[
-        F.array_min(F.transform(F.col("__h"), family(i)))
+    # Evaluate the k per-family minima in a hash AGGREGATE over exploded
+    # shingle hashes rather than k array_min(transform(...)) passes:
+    # higher-order functions are interpreted per element, so k transforms
+    # cost k interpreted sweeps per document, while min() buffers run in
+    # whole-stage codegen. The explode never shuffles raw shingles — the
+    # map-side partial aggregate collapses to one row per (partition, id)
+    # before the exchange, so the shuffle carries one k-long signature per
+    # document either way. Values are identical to the per-array
+    # construction (same base hashes, same affine map, same min).
+    # explode_outer: a shingle-less document (empty/NULL text) keeps its
+    # row and yields the all-NULL signature the array construction produced
+    exploded = staged.select("id", F.explode_outer("__h").alias("__e"))
+    sig_mins = exploded.groupBy("id").agg(*[
+        F.min(family(i, F.col("__e"))).alias(f"__m{i}")
         for i in range(num_hashes)
     ])
-    return staged.select("id", sig.alias("sig"))
+    return sig_mins.select(
+        "id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"))
 
 
 def _band_entries(sigs: DataFrame, bands: int, num_hashes: int,
