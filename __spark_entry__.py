@@ -1052,16 +1052,24 @@ def _ensure_bucketed_facts(spark, sf):
         shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
 
     if not spark.catalog.tableExists(li_t):
+        li = (load_table(spark, sf, "lineitem")
+              .select("l_orderkey", "l_extendedprice", "l_discount"))
+        # Bucket count must SCALE with the fact: a fixed count caps the
+        # exchange-free join's parallelism at n_buckets tasks forever (8
+        # buckets at sf10 ran the 60M-row join on 8 of 32 cores). Size it
+        # at ~2M fact rows per bucket, floor 8 — both tables must share the
+        # count for co-bucketing, so it derives from lineitem alone.
+        n_buckets = max(8, li.count() // 2_000_000 + 1)
         _clear_stale_location(li_t)
-        write_bucketed(
-            load_table(spark, sf, "lineitem")
-            .select("l_orderkey", "l_extendedprice", "l_discount"),
-            li_t, "l_orderkey", 8, sort_by="l_orderkey", mode="overwrite")
-    if not spark.catalog.tableExists(ord_t):
+        write_bucketed(li, li_t, "l_orderkey", n_buckets,
+                       sort_by="l_orderkey", mode="overwrite")
+        if spark.catalog.tableExists(ord_t):
+            spark.sql(f"DROP TABLE {ord_t}")  # re-pair with the new count
         _clear_stale_location(ord_t)
         write_bucketed(
             load_table(spark, sf, "orders").select("o_orderkey", "o_custkey"),
-            ord_t, "o_orderkey", 8, sort_by="o_orderkey", mode="overwrite")
+            ord_t, "o_orderkey", n_buckets, sort_by="o_orderkey",
+            mode="overwrite")
     return li_t, ord_t
 
 
