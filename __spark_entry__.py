@@ -1596,6 +1596,56 @@ def _q_contamination(spark, sf):
                       "contaminated")
 
 
+def _q_semantic_keep_list(spark, sf):
+    """Embedding-space dedup keep-list (similarity.semantic_dedup_keep_list):
+    cosine near-dup pairs at 0.30 → connected components → keep = cluster
+    minimum. The semantic twin of dedup_keep_list — exact all-pairs
+    verification here (validation scale per the operator contract; the
+    scale path feeds LSH candidates). Oracle: the same pair graph + a
+    recursive-CTE transitive closure in DuckDB."""
+    emb = _cast_double_embeddings(spark, sf)
+    return similarity.semantic_dedup_keep_list(emb, threshold=0.30)
+
+
+def _q_q6_forecast(spark, sf):
+    """TPC-H Q6-shape revenue-change forecast: one tight scan with every
+    predicate pushed to parquet (shipdate year + discount band + quantity
+    cap), one scalar aggregate. The classic 'is the scan actually pruned'
+    query — `PushedFilters` must carry all three predicates."""
+    li = load_table(spark, sf, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return f.agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+def _q_q3_shipping(spark, sf):
+    """TPC-H Q3-shape shipping priority: segment-filtered customer dim
+    broadcast into orders, fact join on the order key, per-order revenue,
+    top-10 by revenue via TakeOrdered (no global sort — each partition
+    contributes its local top-k). Ties broken by order key for
+    deterministic output."""
+    cust = (load_table(spark, sf, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (load_table(spark, sf, "orders")
+              .where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+              .select("o_orderkey", "o_custkey", "o_orderpriority"))
+    li = (load_table(spark, sf, "lineitem")
+          .where(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    joined = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")))
+    rev = (joined.groupBy("l_orderkey", "o_orderpriority")
+           .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("revenue")))
+    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
+
+
 # ---------------------------------------------------------------------- #
 # registries
 # ---------------------------------------------------------------------- #
@@ -1610,11 +1660,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verifiable on every rotation: minhash_neardup↔minhash_neardup_poly,
     # simhash_candidates↔simhash_poly, hyperplane_lsh_buckets↔lsh_recall,
     # ivf_knn↔ann_recall. That pinning pulls 4 extra entries into the
-    # window, so the last 4 r3-era entries (crosstab_pivot, transform_sum,
-    # head_per_group, nth_last_per_group) overflow to lead the r6 window.
+    # window, so the last r3-era entries (value_counts_norm, group_nunique,
+    # margins_sum, crosstab_pivot, transform_sum, head_per_group,
+    # nth_last_per_group) overflow to lead the r6 window.
     return {
         # --- new in round 5 ---
         "segment_revenue_bucketed": _q_segment_revenue_bucketed,
+        "semantic_keep_list": _q_semantic_keep_list,
+        "q6_forecast": _q_q6_forecast,
+        "q3_shipping": _q_q3_shipping,
         # --- last driver-checked in r3 (+ pinned seeded/twin pairs) ---
         "minhash_neardup": _q_minhash_dedup,          # seeded (rows-only)
         "minhash_neardup_poly": _q_minhash_poly,      # its ANSI twin
@@ -2747,6 +2801,59 @@ def oracle_sql() -> dict[str, str]:
                                                   threshold=0.3),
         "simhash_poly": _sql_simhash_poly(bits=24),
         "dup_clusters": _sql_dup_clusters(threshold=0.2),
+        "semantic_keep_list": """
+            WITH RECURSIVE e0 AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), n AS (
+                SELECT vec_id, v,
+                       sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+                FROM e0
+            ), p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM n a, n b
+                WHERE a.vec_id < b.vec_id
+                  AND list_reduce(list_prepend(0.0,
+                        list_transform(range(1, len(a.v) + 1),
+                                       i -> a.v[i] * b.v[i])), (a2, x) -> a2 + x)
+                        / (a.nrm * b.nrm) >= 0.30
+            ), e AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION SELECT id_b AS src, id_a AS dst FROM p
+            ),
+            reach(src, dst) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+            ),
+            cl AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)
+            SELECT emb.vec_id AS id,
+                   COALESCE(cl.cluster_id = emb.vec_id, TRUE) AS keep
+            FROM embeddings emb LEFT JOIN cl ON cl.id = emb.vec_id
+        """,
+        "q6_forecast": """
+            SELECT sum(l_extendedprice * l_discount) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q3_shipping": """
+            SELECT l_orderkey, o_orderpriority,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
         "dedup_keep_list": _sql_keep_list_poly(num_hashes=8, bands=4,
                                                threshold=0.3),
         "stratified_sample": f"""

@@ -481,3 +481,41 @@ def lsh_pair_recall(
     return attach_cached(out,
                          *getattr(approx_raw, "_pps_cached", ()),
                          *getattr(exact_raw, "_pps_cached", ()))
+
+
+def semantic_dedup_keep_list(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+    cluster_iters: int = 16,
+) -> DataFrame:
+    """(id, keep) for every embedded document: SEMANTIC dedup — the
+    embedding-space analog of ``dedup.dedup_keep_list``.
+
+    Pipeline: cosine near-dup pairs (≥ threshold) → connected components
+    over the similarity graph (``dedup.dup_clusters`` min-label
+    propagation) → keep = the minimum id of each cluster; documents with
+    no near-neighbor keep themselves.
+
+    Scale path: pass ``candidates`` from the hyperplane-LSH bucket join
+    (:func:`lsh_neardup_pairs` internals) so the pair verification is
+    bucket-bounded instead of all-pairs; without candidates the exact
+    all-pairs graph is test/validation scale only (documented contract,
+    same as :func:`cosine_neardup_pairs`). Downstream frames are
+    graph-sized (pairs/clusters), never corpus² — the 100 TB cost is the
+    candidate verification, which LSH bounds.
+    """
+    from .dedup import dup_clusters
+
+    pairs = cosine_neardup_pairs(df, threshold, id_col, vec_col,
+                                 candidates=candidates)
+    clusters = dup_clusters(pairs, n_iters=cluster_iters)
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return (
+        all_ids.join(clusters, "id", "left")
+        .select("id",
+                (F.col("cluster_id").isNull()
+                 | (F.col("cluster_id") == F.col("id"))).alias("keep"))
+    )
