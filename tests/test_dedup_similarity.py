@@ -542,3 +542,32 @@ class TestRefIndex:
                                       threshold=0.3, num_hashes=8, bands=4,
                                       ref_index=stored)
         out.collect()
+
+
+class TestSemanticKeepList:
+    def test_clusters_and_singletons(self, spark):
+        """Two near-identical vector pairs + one isolate: keep = cluster
+        minimum; the isolate keeps itself. Transitive chains collapse to
+        one keeper."""
+        from pandas_plus_spark.operators.similarity import semantic_dedup_keep_list
+
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),   # ~1.0 cos with 1
+            (3, [0.0, 1.0, 0.0]),      # isolate
+            (4, [0.0, 0.707, 0.707]),  # ~0.707 cos with 3 (below 0.9)
+            (5, [0.01, 0.999, 0.0]),   # ~1.0 cos with 3
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        keep = {r["id"]: r["keep"]
+                for r in semantic_dedup_keep_list(df, threshold=0.9).collect()}
+        assert keep == {1: True, 2: False, 3: True, 4: True, 5: False}
+
+    def test_all_isolates_all_kept(self, spark):
+        from pandas_plus_spark.operators.similarity import semantic_dedup_keep_list
+
+        df = spark.createDataFrame(
+            [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+            "vec_id long, embedding array<double>")
+        out = semantic_dedup_keep_list(df, threshold=0.5).collect()
+        assert len(out) == 4 and all(r["keep"] for r in out)
