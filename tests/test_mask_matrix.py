@@ -162,3 +162,30 @@ def test_shift_mask_nulls_masked_rows(matrix_sdf, matrix_pdf, mask_name):
             assert g is None, (rid, g, e)
         else:
             assert g == pytest.approx(e, rel=1e-9), (rid, g, e)
+
+
+def test_by_array_zip_has_no_single_partition_window(spark):
+    """The by-array zip path must not plan a global (unpartitioned) window:
+    row numbering runs per input partition + broadcast prefix offsets
+    (functions/ordered-style), so the physical plan may not contain a
+    SinglePartition exchange or a 'Window' with no partition spec feeding
+    the grouped aggregate."""
+    import numpy as np
+
+    pdf = pd.DataFrame({"val": np.arange(400, dtype="float64")})
+    # createDataFrame parallelizes ORDER-PRESERVING across partitions (the
+    # zip contract aligns to physical order; a round-robin repartition
+    # would scramble it)
+    sdf = spark.createDataFrame(pdf)
+    assert sdf.rdd.getNumPartitions() > 1
+    keys = np.tile(np.arange(4), 100)
+    gb = GroupBy(sdf, [keys])
+    out = gb.sum("val")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    # sanity: values still correct (value column = last output column)
+    got = {r[0]: r[out.columns[-1]] for r in out.collect()}
+    exp = {k: float(sum(v for i, v in enumerate(range(400)) if keys[i] == k))
+           for k in range(4)}
+    for k in range(4):
+        assert got[k] == pytest.approx(exp[k])
