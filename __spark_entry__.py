@@ -1596,6 +1596,21 @@ def _q_contamination(spark, sf):
                       "contaminated")
 
 
+def _q_temperature_mixture(spark, sf):
+    """Temperature-based source re-mixing (sampling.temperature_mixture,
+    alpha=0.5 upweighting small languages, half-corpus budget): per-lang
+    kept counts + an id checksum pinning exactly WHICH rows were kept.
+    The corpus is scanned once — per-source counts are a tiny aggregate,
+    the probability frame broadcasts, the keep decision is a map-side
+    deterministic-hash filter."""
+    docs = load_table(spark, sf, "documents")
+    kept = sampling.temperature_mixture(
+        docs, "lang", "doc_id", alpha=0.5, budget_frac=0.5, seed=13)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
 def _q_semantic_keep_list(spark, sf):
     """Embedding-space dedup keep-list (similarity.semantic_dedup_keep_list):
     cosine near-dup pairs at 0.30 → connected components → keep = cluster
@@ -1669,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_keep_list": _q_semantic_keep_list,
         "q6_forecast": _q_q6_forecast,
         "q3_shipping": _q_q3_shipping,
+        "temperature_mixture": _q_temperature_mixture,
         # --- last driver-checked in r3 (+ pinned seeded/twin pairs) ---
         "minhash_neardup": _q_minhash_dedup,          # seeded (rows-only)
         "minhash_neardup_poly": _q_minhash_poly,      # its ANSI twin
@@ -2801,6 +2817,18 @@ def oracle_sql() -> dict[str, str]:
                                                   threshold=0.3),
         "simhash_poly": _sql_simhash_poly(bits=24),
         "dup_clusters": _sql_dup_clusters(threshold=0.2),
+        "temperature_mixture": f"""
+            WITH {sampling.sql_temperature_mixture_probs(
+                "lang", "documents", alpha=0.5, budget_frac=0.5)},
+            k AS (
+                SELECT d.doc_id, d.lang
+                FROM documents d JOIN p USING (lang)
+                WHERE {sampling.sql_affine_uniform("d.doc_id", seed=13)} < p.p
+            )
+            SELECT lang, count(*) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS id_checksum
+            FROM k GROUP BY lang
+        """,
         "semantic_keep_list": """
             WITH RECURSIVE e0 AS (
                 SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

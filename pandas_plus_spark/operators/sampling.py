@@ -219,3 +219,62 @@ def sql_weighted_sample_per_group(
             f"ORDER BY -ln(({u}) + {1.0 / UNIFORM_MOD!r}) "
             f"/ CAST({weight_expr} AS DOUBLE) ASC, "
             f"{key_expr} ASC)")
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col,
+    key,
+    alpha: float = 0.5,
+    budget_frac: float = 1.0,
+    seed: int = 0,
+    *,
+    string_key: bool = False,
+) -> DataFrame:
+    """Temperature-based source re-mixing (the multilingual/multi-domain
+    pretraining mix): source ``s`` with ``n_s`` rows gets mixture weight
+    ``w_s = n_s**alpha / Σ_t n_t**alpha`` — ``alpha < 1`` upweights small
+    sources, ``alpha = 1`` keeps natural proportions. The row budget is
+    ``budget_frac · N`` total rows; each source keeps
+    ``p_s = min(1, budget · w_s / n_s)`` of its rows (downsample-only — no
+    row duplication), selected by ``affine_uniform(key, seed) < p_s`` so
+    the draw is deterministic and reproducible.
+
+    Plan shape: one tiny per-source count aggregate, a one-row total
+    cross-joined in (broadcast), then a broadcast join of the
+    sources-sized probability frame and a MAP-SIDE filter — the corpus
+    itself is scanned once and never shuffled.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    # the totals frame derives FROM counts — alias both sides so the
+    # cross join's column references resolve unambiguously
+    tot = counts.agg(F.sum("__n").alias("__N"),
+                     F.sum(F.pow("__n", F.lit(float(alpha)))).alias("__Z"))
+    probs = (
+        counts.alias("c").crossJoin(F.broadcast(tot.alias("t")))
+        .select(F.col("c." + source_col).alias(source_col),
+                F.least(F.lit(1.0),
+                        F.lit(float(budget_frac)) * F.col("t.__N")
+                        * F.pow(F.col("c.__n"), F.lit(float(alpha)))
+                        / F.col("t.__Z") / F.col("c.__n")).alias("__p"))
+    )
+    u = affine_uniform(key, seed, string_key=string_key)
+    return (df.join(F.broadcast(probs), on=source_col)
+            .where(u < F.col("__p")).drop("__p"))
+
+
+def sql_temperature_mixture_probs(source_col: str, table: str,
+                                  alpha: float, budget_frac: float) -> str:
+    """DuckDB CTE body computing the per-source keep probability ``p`` —
+    twin of the probability math in :func:`temperature_mixture`."""
+    return f"""
+        c AS (SELECT {source_col}, count(*) AS n FROM {table} GROUP BY {source_col}),
+        t AS (SELECT sum(n) AS tot_n,
+                     sum(pow(CAST(n AS DOUBLE), {float(alpha)})) AS tot_z
+              FROM c),
+        p AS (SELECT {source_col},
+                     least(1.0, {float(budget_frac)} * t.tot_n
+                           * pow(CAST(n AS DOUBLE), {float(alpha)})
+                           / t.tot_z / n) AS p
+              FROM c, t)
+    """

@@ -367,3 +367,43 @@ class TestWeightedSamplePerGroup:
             picks_light += 1 in got
         assert picks_heavy > 25      # 9x item: expected ~2/3+ of draws
         assert picks_heavy > 2 * picks_light
+
+
+class TestTemperatureMixture:
+    def test_alpha_one_keeps_budget_everywhere(self, spark):
+        """alpha=1 preserves natural proportions: every source keeps ~frac
+        of its rows (deterministic hash, so counts are fixed)."""
+        from pandas_plus_spark.operators.sampling import temperature_mixture
+
+        rows = [(i, "big" if i % 10 else "small") for i in range(1000)]
+        df = spark.createDataFrame(rows, "id long, src string")
+        import pyspark.sql.functions as F
+
+        kept = temperature_mixture(df, "src", "id", alpha=1.0,
+                                   budget_frac=0.5, seed=3)
+        by = {r["src"]: r["n"] for r in
+              kept.groupBy("src").agg(F.count("id").alias("n")).collect()}
+        assert 0.4 < by["big"] / 900 < 0.6
+        assert by.get("small", 0) <= 100
+
+    def test_low_alpha_upweights_small_sources(self, spark):
+        """alpha=0.25 with a tight budget: the small source's keep RATE must
+        exceed the big source's (that is the point of temperature mixing)."""
+        from pandas_plus_spark.operators.sampling import temperature_mixture
+
+        rows = [(i, "big" if i < 1900 else "small") for i in range(2000)]
+        df = spark.createDataFrame(rows, "id long, src string")
+        kept = temperature_mixture(df, "src", "id", alpha=0.25,
+                                   budget_frac=0.3, seed=5)
+        import pyspark.sql.functions as F
+        by = {r["src"]: r["n"] for r in
+              kept.groupBy("src").agg(F.count("id").alias("n")).collect()}
+        rate_big = by.get("big", 0) / 1900
+        rate_small = by.get("small", 0) / 100
+        assert rate_small > rate_big
+        # determinism: same seed, same rows
+        again = {r["src"]: r["n"] for r in
+                 temperature_mixture(df, "src", "id", alpha=0.25,
+                                     budget_frac=0.3, seed=5)
+                 .groupBy("src").agg(F.count("id").alias("n")).collect()}
+        assert again == by
