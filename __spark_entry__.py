@@ -1675,9 +1675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verifiable on every rotation: minhash_neardup↔minhash_neardup_poly,
     # simhash_candidates↔simhash_poly, hyperplane_lsh_buckets↔lsh_recall,
     # ivf_knn↔ann_recall. That pinning pulls 4 extra entries into the
-    # window, so the last r3-era entries (value_counts_norm, group_nunique,
-    # margins_sum, crosstab_pivot, transform_sum, head_per_group,
-    # nth_last_per_group) overflow to lead the r6 window.
+    # window, so the oldest r3-era entries that no longer fit (value_counts
+    # onward through nth_last_per_group) overflow to lead the r6 window.
     return {
         # --- new in round 5 ---
         "segment_revenue_bucketed": _q_segment_revenue_bucketed,
