@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Engine-vs-DuckDB wall-clock at an arbitrary SF dir — the reproducible
+source of BASELINE.md's oracle-priced comparison tables.
+
+Usage: python scripts/bench_vs_duckdb.py SF_DIR [query ...]
+
+Default query set = the headline queries that have a SQL oracle (DuckDB
+can only price those). Engine protocol matches bench.py (warm session,
+noop sink, caches released); DuckDB runs the oracle_sql() twin on the
+same parquet via fetchall(). Prints one JSON line with per-query
+(engine_sec, duck_sec) pairs and the subset totals.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+from pandas_plus_spark.session import get_spark  # noqa: E402
+from pandas_plus_spark.util import release_cached  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    spark = get_spark(app_name="pps-bench-vs-duckdb")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+    from bench import HEADLINE
+    from oracle_harness import duck_connection
+
+    qs, sqls = em.queries(), em.oracle_sql()
+    names = sys.argv[2:] or [n for n in HEADLINE if n in sqls]
+
+    from pandas_plus_spark.sources import load_tables
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+    spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode(
+        "overwrite").save()
+    for warm_q in ("group_minmax", "shift"):
+        qs[warm_q](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    if "incremental_dedup_indexed" in names:
+        qs["incremental_dedup_indexed"](spark, sf_dir).write.format(
+            "noop").mode("overwrite").save()
+
+    con = duck_connection(sf_dir)
+    results: dict[str, dict] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        eng = round(time.perf_counter() - t0, 4)
+        release_cached(df)
+        t0 = time.perf_counter()
+        con.sql(sqls[name]).fetchall()
+        duck = round(time.perf_counter() - t0, 4)
+        results[name] = {"engine": eng, "duck": duck}
+        print(f"# {name}: engine {eng:.2f}s duck {duck:.2f}s", file=sys.stderr)
+    te = round(sum(r["engine"] for r in results.values()), 2)
+    td = round(sum(r["duck"] for r in results.values()), 2)
+    print(json.dumps({
+        "metric": "engine_vs_duckdb",
+        "engine_total": te,
+        "duck_total": td,
+        "ratio": round(te / td, 3) if td else None,
+        "queries": results,
+        "sf_dir": sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()
