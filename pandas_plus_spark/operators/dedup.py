@@ -608,8 +608,15 @@ def dup_clusters(pairs: DataFrame, n_iters: int = 16,
     # sym persist also stops every round from re-running the whole upstream
     # candidate/verify pipeline that produced the pairs.
     spark = pairs.sparkSession
-    labels = (sym_raw.select(F.col("src").alias("id")).distinct()
-              .withColumn("label", F.col("id")))
+    # Initialize with the FIRST HOP already applied: label(v) = min(v,
+    # min neighbor). Same fixpoint as the identity init (min-label
+    # propagation is monotone from any state ≥ the component minimum that
+    # includes self), and the common shallow graphs — pair/triple clusters
+    # — then converge in ONE loop round instead of two, saving a full
+    # join+checkpoint+collect cycle per clustering call.
+    labels = (sym_raw.groupBy("dst").agg(F.min("src").alias("__nmin"))
+              .select(F.col("dst").alias("id"),
+                      F.least("dst", "__nmin").alias("label")))
     n_vertices = labels.count()
     n_parts = max(2, min(spark.sparkContext.defaultParallelism * 4,
                          n_vertices // 250_000 + 2))
