@@ -612,7 +612,25 @@ def _replay_stream(spark, stream_df, output_mode: str):
          .outputMode(output_mode).option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.table(name)
+    out = spark.table(name)
+    # The memory sink pins the full result on the JVM heap for the session
+    # lifetime (at sf10 each streaming gate leaves a 10M-row table behind,
+    # measured as multi-x slowdowns of LATER queries). Ride the engine's
+    # release protocol: dropping the temp view after the caller consumes
+    # the frame lets the sink rows be collected.
+    from pandas_plus_spark.util import attach_cached
+
+    class _MemorySinkHandle:
+        def __init__(self, spark_, name_):
+            self._spark, self._name = spark_, name_
+
+        def unpersist(self, blocking=False):
+            try:
+                self._spark.catalog.dropTempView(self._name)
+            except Exception:
+                pass
+
+    return attach_cached(out, _MemorySinkHandle(spark, name))
 
 
 def _stage_events_stream(spark, sf):
