@@ -22,8 +22,8 @@ from pandas_plus_spark.functions.binning import pretty_cut
 from pandas_plus_spark.functions.encoding import bools_to_categorical, linear_combination
 from pandas_plus_spark.functions import ordered
 from pandas_plus_spark.functions import text as tx
-from pandas_plus_spark.operators import (cleaning, corpus, dedup, joins,
-                                         multimodal, packing, ranking,
+from pandas_plus_spark.operators import (classify, cleaning, corpus, dedup,
+                                         joins, multimodal, packing, ranking,
                                          sampling, similarity)
 from pandas_plus_spark.plotting import binned_scatter_stats
 from pandas_plus_spark.sources import load_table
@@ -1723,6 +1723,43 @@ def _q_q3_shipping(spark, sf):
     return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
 
 
+def _q_quality_classifier(spark, sf):
+    """fastText-style hashed-ngram linear classifier inference
+    (operators/classify.py classifier_score): unigram+bigram features →
+    poly_hash mod 512 buckets → deterministic affine pseudo-weights →
+    sigmoid of the mean. Zero-shuffle map-side plan; the oracle reproduces
+    every hash, weight, and the left-fold sum term-for-term."""
+    docs = load_table(spark, sf, "documents")
+    return classify.classifier_score(docs, "text", "doc_id", dim=512,
+                                     ns=(1, 2), threshold=0.5)
+
+
+def _q_bigram_ppl(spark, sf):
+    """Interpolated bigram-LM perplexity quality signal
+    (operators/ranking.py bigram_lm_score): Jelinek-Mercer mix of corpus
+    bigram and unigram MLE."""
+    docs = load_table(spark, sf, "documents")
+    return ranking.bigram_lm_score(docs, "doc_id", "text", lam=0.8)
+
+
+def _q_source_cap(spark, sf):
+    """Per-source document cap (operators/sampling.py cap_per_key): at most
+    40 docs per source, chosen by deterministic affine-uniform draw — the
+    'no domain floods the mix' curation guard."""
+    docs = load_table(spark, sf, "documents")
+    return (sampling.cap_per_key(docs, "source", 40, "doc_id", seed=11)
+            .select("source", "doc_id"))
+
+
+def _q_global_sample(spark, sf):
+    """Deterministic global exact-N sample (operators/sampling.py
+    global_sample_n): 200 rows with the smallest affine-uniform draw,
+    TakeOrderedAndProject plan — no global sort."""
+    docs = load_table(spark, sf, "documents")
+    return (sampling.global_sample_n(docs, 200, "doc_id", seed=5)
+            .select("doc_id", "source", "n_chars"))
+
+
 # ---------------------------------------------------------------------- #
 # registries
 # ---------------------------------------------------------------------- #
@@ -1736,11 +1773,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ANSI twins / recall gates inside the same window so the pairing stays
     # verifiable on every rotation: minhash_neardup↔minhash_neardup_poly,
     # simhash_candidates↔simhash_poly, hyperplane_lsh_buckets↔lsh_recall,
-    # ivf_knn↔ann_recall. That pinning pulls 4 extra entries into the
-    # window, so the oldest r3-era entries that no longer fit (value_counts
-    # onward through nth_last_per_group) overflow to lead the r6 window.
+    # ivf_knn↔ann_recall. That pinning plus the 10 never-verified round-5
+    # entries overflows the oldest r3-era entries that no longer fit
+    # (the q1/margins/crosstab block tail) to lead the r6 window.
     return {
         # --- new in round 5 ---
+        "quality_classifier": _q_quality_classifier,
+        "bigram_ppl": _q_bigram_ppl,
+        "source_cap": _q_source_cap,
+        "global_sample": _q_global_sample,
         "segment_revenue_bucketed": _q_segment_revenue_bucketed,
         "semantic_keep_list": _q_semantic_keep_list,
         "q6_forecast": _q_q6_forecast,
@@ -1908,7 +1949,76 @@ def oracle_sql() -> dict[str, str]:
                 FROM cnts) WHERE rn = 1
         )"""
 
+    poly_tok = tx.sql_poly_hash("t")
+    poly_gram = tx.sql_poly_hash("g")
+    bigrams = _sql_ngrams("toks", 2)
+    lam, one_minus_lam = 0.8, repr(1.0 - 0.8)
+
     return {
+        # fastText-style hashed-ngram linear classifier: same tokenization,
+        # same poly-hash buckets mod 512, same affine pseudo-weights
+        # w(b) = ((b*2654435761) % 1000003)/1000003 - 0.5, same left-fold
+        # sum and sigmoid(mean) as operators/classify.classifier_score.
+        "quality_classifier": f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            f AS (SELECT doc_id,
+                         list_concat(
+                             list_transform(toks, t -> {poly_tok} % 512),
+                             list_transform({bigrams}, g -> {poly_gram} % 512)
+                         ) AS bk
+                  FROM tk),
+            s AS (SELECT doc_id, len(bk) AS n_feats,
+                         CASE WHEN len(bk) > 0 THEN
+                             1.0 / (1.0 + exp(-(0.0 + list_reduce(
+                                 list_prepend(0.0, list_transform(bk,
+                                     b -> CAST((b * 2654435761) % 1000003
+                                              AS DOUBLE) / 1000003.0 - 0.5)),
+                                 (a, x) -> a + x) / len(bk))))
+                         END AS score
+                  FROM f)
+            SELECT doc_id, CAST(n_feats AS INT) AS n_feats, score,
+                   score >= 0.5 AS keep
+            FROM s
+        """,
+        # interpolated bigram LM: identical mixture arithmetic
+        # lam*(bcnt/prev_cnt) + (1-lam)*(cur_cnt/total), avg of ln p per doc
+        "bigram_ppl": f"""
+            WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+            uc AS (SELECT term, count(*) AS ucnt FROM ex GROUP BY term),
+            tot AS (SELECT CAST(sum(ucnt) AS DOUBLE) AS total FROM uc),
+            bg AS (SELECT doc_id, unnest({bigrams}) AS gram FROM tk),
+            b2 AS (SELECT doc_id, gram,
+                          string_split(gram, ' ')[1] AS prev,
+                          string_split(gram, ' ')[2] AS cur
+                   FROM bg),
+            bc AS (SELECT gram, count(*) AS bcnt FROM b2 GROUP BY gram),
+            pd AS (SELECT doc_id, count(*) AS n_bigrams,
+                          avg(ln({lam} * (CAST(bcnt AS DOUBLE) / up.ucnt)
+                                 + {one_minus_lam}
+                                   * (CAST(uc2.ucnt AS DOUBLE) / total)))
+                            AS mlnp
+                   FROM b2
+                   JOIN bc USING (gram)
+                   JOIN uc up ON b2.prev = up.term
+                   JOIN uc uc2 ON b2.cur = uc2.term
+                   CROSS JOIN tot
+                   GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CASE WHEN pd.n_bigrams > 0 THEN -mlnp END AS xent,
+                   CASE WHEN pd.n_bigrams > 0 THEN exp(-mlnp) END AS ppl
+            FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
+        "source_cap": f"""
+            SELECT source, doc_id FROM documents
+            QUALIFY row_number() OVER (PARTITION BY source
+                                       ORDER BY {u11}, doc_id) <= 40
+        """,
+        "global_sample": f"""
+            SELECT doc_id, source, n_chars FROM documents
+            ORDER BY {u5}, doc_id LIMIT 200
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

@@ -151,32 +151,60 @@ def _cap_bucket_entries(entries: DataFrame, key_cols: list[str],
     Exact-dup collapse kills the COMMON candidate blowup (d copies → d²/2
     pairs), but a boilerplate-heavy *near*-dup corpus can still put an
     unbounded member count into one (band, hash) bucket, making that single
-    bucket's self-join quadratic. The guard: one count per bucket over the
-    (persisted, tiny) entry frame; oversized buckets are deterministically
-    down-sampled to ~cap entries by keeping entry ``e`` iff
-    ``xxhash64(id, key) mod bucket_size < cap`` — a map-side filter, no
-    per-bucket single-task window, reproducible across runs. The drop is
-    logged as a RuntimeWarning with the oversized-bucket count. When no
-    bucket exceeds the cap (the healthy case) the original frame is
-    returned untouched — zero plan change on the hot path.
+    bucket's self-join quadratic. The guard: oversized buckets are
+    deterministically down-sampled to ~cap entries by keeping entry ``e`` iff
+    ``xxhash64(id, key) mod bucket_size < cap`` — reproducible across runs,
+    a no-op filter when no bucket exceeds the cap.
+
+    This is a LAZY plan transform, not an eager check: only the OVERSIZED
+    buckets are aggregated (a frame bounded by n_entries/cap rows by
+    construction — each needs > cap entries) and broadcast-left-joined back
+    onto the entry frame, so the filter is map-side over the persisted
+    entries, and a healthy corpus pays one small aggregate plus a no-op
+    broadcast. (The first-cut guard counted buckets in a separate blocking
+    job, which serialized a full signature materialization ahead of the
+    join — 2× pipeline wall-clock at bench scale for a check that is almost
+    always a no-op; a window-count variant added a per-partition sort.)
+    Oversized-bucket monitoring is the opt-in :func:`lsh_bucket_stats`.
 
     Recall note: a true near-dup pair inside a sampled bucket survives with
     probability ~(cap/size)², per bucket — but near-dups share many of
     their ``bands`` buckets, so the OR across bands keeps pair recall high
     unless the corpus is pathological in *every* band at once."""
-    sizes = entries.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bsz"))
-    n_over = sizes.where(F.col("__bsz") > cap).count()
-    if n_over == 0:
-        return entries
-    import warnings
-    warnings.warn(
-        f"{n_over} LSH bucket(s) exceeded max_bucket_size={cap}; each was "
-        "hash-down-sampled to ~cap entries (bounding the bucket self-join; "
-        "candidate recall for members of those buckets is reduced)",
-        RuntimeWarning, stacklevel=3)
-    keep = (F.col("__bsz") <= cap) | (
+    oversized = (
+        entries.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+        .where(F.col("__bsz") > cap)
+    )
+    keep = F.col("__bsz").isNull() | (
         F.pmod(F.xxhash64("id", *key_cols), F.col("__bsz")) < cap)
-    return entries.join(sizes, key_cols).where(keep).drop("__bsz")
+    return (entries.join(F.broadcast(oversized), list(key_cols), "left")
+            .where(keep).drop("__bsz"))
+
+
+def lsh_bucket_stats(entries: DataFrame, cap: int,
+                     key_cols: list[str] = ("band", "bhash")) -> dict:
+    """Eager bucket-size diagnostic for an LSH entry frame: returns
+    ``{"n_buckets", "n_over_cap", "max_bucket"}`` and raises a
+    RuntimeWarning when any bucket exceeds ``cap`` (i.e. when the lazy
+    guard in the candidate join is down-sampling and pair recall for those
+    buckets is reduced). Pipelines that must ALERT on pathological corpora
+    call this on the persisted entry frame; the hot path never pays for it.
+    """
+    row = (entries.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+           .agg(F.count(F.lit(1)).alias("n_buckets"),
+                F.sum((F.col("__bsz") > cap).cast("long")).alias("n_over_cap"),
+                F.max("__bsz").alias("max_bucket"))
+           .first())
+    stats = {k: (row[k] or 0) for k in ("n_buckets", "n_over_cap", "max_bucket")}
+    if stats["n_over_cap"]:
+        import warnings
+        warnings.warn(
+            f"{stats['n_over_cap']} LSH bucket(s) exceed max_bucket_size="
+            f"{cap} (largest: {stats['max_bucket']}); the candidate join "
+            "hash-down-samples each to ~cap entries, reducing candidate "
+            "recall for members of those buckets",
+            RuntimeWarning, stacklevel=2)
+    return stats
 
 
 def minhash_lsh_candidates(
@@ -193,8 +221,9 @@ def minhash_lsh_candidates(
     AQE handles skewed buckets, and ``max_bucket_size`` bounds the
     pathological hot bucket (near-identical boilerplate that survives
     exact-dup collapse): oversized buckets are deterministically sampled
-    down to ~cap entries and the drop is logged (see
-    :func:`_cap_bucket_entries`). Pass ``max_bucket_size=None`` to disable.
+    down to ~cap entries by a lazy window filter riding the join's own
+    exchange (see :func:`_cap_bucket_entries`; monitor with
+    :func:`lsh_bucket_stats`). Pass ``max_bucket_size=None`` to disable.
 
     Pass ``num_hashes`` to avoid an extra job just to read the signature
     width. The bucket-entry frame is persisted: both sides of the self-join
@@ -522,9 +551,11 @@ def simhash_candidates(sig_df: DataFrame, quadrant_bits: int = 16,
     a low-entropy corpus (short docs, shared boilerplate) can put an
     unbounded member count into one (quadrant, qval) bucket; oversized
     buckets are deterministically sampled to ~``max_bucket_size`` entries
-    (see :func:`_cap_bucket_entries`; ``None`` disables). The entry frame
-    is persisted — both self-join sides and the guard's bucket count read
-    it, and recomputing it means re-running the 64-bit-vote signature."""
+    by a lazy window filter on the join's own exchange (see
+    :func:`_cap_bucket_entries`; ``None`` disables; monitor with
+    :func:`lsh_bucket_stats`). The entry frame is persisted — both
+    self-join sides read it, and recomputing it means re-running the
+    64-bit-vote signature."""
     n_quadrants = 64 // quadrant_bits
     mask = (1 << quadrant_bits) - 1
     entries = sig_df.select(

@@ -289,3 +289,83 @@ def bm25_scores(
         .withColumn("bm25", F.coalesce(F.col("bm25"), F.lit(0.0)))
     )
     return attach_cached(out, doclens, q_postings)
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.8,
+) -> DataFrame:
+    """Per-document cross-entropy and perplexity under a Jelinek-Mercer
+    interpolated bigram LM trained on the scored corpus itself — the
+    next step up from :func:`unigram_lm_score` as a fluency/quality signal
+    (a bigram model punishes scrambled or boilerplate-stitched text that a
+    unigram model scores as perfectly normal):
+
+        p(w_i | w_{i-1}) = lam · c(w_{i-1} w_i)/c(w_{i-1})
+                         + (1 − lam) · c(w_i)/total
+        H(D) = −(1/(|D|−1)) Σ_{i≥1} ln p(w_i | w_{i-1});   ppl = exp(H)
+
+    Both mixture components are corpus-MLE, so every observed bigram and
+    unigram has count ≥ 1 and p > 0 — no further smoothing needed.
+    Returns ``(id_col, n_bigrams, xent, ppl)`` for every document;
+    documents with < 2 tokens get n_bigrams 0 and NULL xent/ppl.
+
+    Scale shape: two vocabulary-sized count frames (unigrams, bigrams —
+    each one explode + partial/final agg, persisted) plus a scalar total;
+    the per-doc pass explodes bigrams once, takes three broadcast joins
+    (bigram count; unigram count of the PREVIOUS token for the conditional;
+    unigram count of the CURRENT token for the interpolation floor) and one
+    shuffle keyed on ``id_col`` for the per-doc mean. At web scale the
+    bigram vocabulary can outgrow broadcast — drop the hints and AQE falls
+    back to a shuffled join; the per-doc shape is unchanged. Release the
+    persisted count frames with ``util.release_cached``.
+    """
+    toks = tx.simple_tokens(text_col)
+    base = ensure_parallelism(docs)
+
+    uni = (
+        base.select(F.explode(toks).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("ucnt")).persist()
+    )
+    total = uni.select(F.sum("ucnt").cast("double").alias("__total"))
+
+    bi_rows = (
+        base.select(F.col(id_col),
+                    F.explode(tx.word_ngrams(toks, 2)).alias("gram"))
+        # whitespace tokens cannot contain the joiner — split is exact
+        .withColumn("__parts", F.split("gram", " "))
+        .select(id_col, "gram",
+                F.col("__parts")[0].alias("__prev"),
+                F.col("__parts")[1].alias("__cur"))
+    )
+    bi_counts = bi_rows.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("bcnt")).persist()
+
+    uprev = uni.select(F.col("term").alias("__prev"), F.col("ucnt").alias("pcnt"))
+    ucur = uni.select(F.col("term").alias("__cur"), F.col("ucnt").alias("ccnt"))
+    lam = float(lam)
+    p = (F.lit(lam) * (F.col("bcnt").cast("double") / F.col("pcnt"))
+         + F.lit(1.0 - lam) * (F.col("ccnt").cast("double") / F.col("__total")))
+    per_doc = (
+        bi_rows
+        .join(F.broadcast(bi_counts), "gram")
+        .join(F.broadcast(uprev), "__prev")
+        .join(F.broadcast(ucur), "__cur")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.avg(F.log(p)).alias("__mlnp"))
+    )
+    out = (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.when(F.col("n_bigrams") > 0, -F.col("__mlnp")).alias("xent"),
+            F.when(F.col("n_bigrams") > 0, F.exp(-F.col("__mlnp"))).alias("ppl"),
+        )
+    )
+    return attach_cached(out, uni, bi_counts)

@@ -278,3 +278,46 @@ def sql_temperature_mixture_probs(source_col: str, table: str,
                            / t.tot_z / n) AS p
               FROM c, t)
     """
+
+
+def global_sample_n(df: DataFrame, n: int, key, seed: int = 0, *,
+                    string_key: bool = False) -> DataFrame:
+    """Deterministic global sample of EXACTLY ``min(n, count)`` rows: the n
+    rows with the smallest ``affine_uniform(key, seed)`` (ties broken by the
+    key itself, so the draw is total-ordered and reproducible).
+
+    Plan shape: ``ORDER BY u LIMIT n`` compiles to TakeOrderedAndProject —
+    each task keeps a local top-n heap and the driver merges the per-task
+    heads; there is NO global sort and NO single-partition exchange, so the
+    operator scales with bytes scanned for any ``n`` that fits on the
+    driver (millions of rows). For sample sizes beyond driver memory use
+    :func:`stratified_sample` (fraction-based, fully distributed) instead.
+    """
+    u = affine_uniform(key, seed, string_key=string_key).alias("__u")
+    return (df.withColumn("__u", u)
+            .orderBy(F.col("__u"), _c(key))
+            .limit(n)
+            .drop("__u"))
+
+
+def cap_per_key(df: DataFrame, group_col, n: int, key, seed: int = 0, *,
+                string_key: bool = False) -> DataFrame:
+    """Per-group row cap: keep at most ``n`` rows per value of
+    ``group_col``, chosen deterministically by ``affine_uniform(key, seed)``
+    (ties → key order). The classic curation guard against a single domain /
+    source / site flooding the training mix (e.g. "≤ 100k docs per
+    domain").
+
+    Plan shape: one hash shuffle on ``group_col`` + a rank window inside
+    each partition — the same shape as ``GroupBy.head``; for pathologically
+    skewed group sizes route through ``GroupBy.head(salt=...)`` which
+    two-stages the cap (salted pre-cap, then exact cap), bounding any
+    single task at ~group_size/salt rows.
+    """
+    from pyspark.sql import Window
+
+    u = affine_uniform(key, seed, string_key=string_key)
+    w = Window.partitionBy(_c(group_col)).orderBy(u.asc(), _c(key).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n)
+            .drop("__rn"))

@@ -66,16 +66,30 @@ class TestHotBucketGuard:
             F.array(*[F.lit(7 * j + 1).cast("long") for j in range(8)])
             .alias("sig"))
 
-    def test_minhash_candidates_bounded_and_warns(self, hot_sigs):
-        with pytest.warns(RuntimeWarning, match="max_bucket_size"):
-            capped = dedup.minhash_lsh_candidates(
-                hot_sigs, bands=4, num_hashes=8,
-                max_bucket_size=self.CAP).count()
+    def test_minhash_candidates_bounded(self, hot_sigs):
+        capped = dedup.minhash_lsh_candidates(
+            hot_sigs, bands=4, num_hashes=8,
+            max_bucket_size=self.CAP).count()
         # uncapped would be the full N*(N-1)/2 clique
         clique = self.N * (self.N - 1) // 2
         assert capped < clique
         # per-bucket self-join is bounded by ~cap^2/2 per band
         assert capped <= 4 * self.CAP * self.CAP
+
+    def test_bucket_stats_warns_on_hot_bucket(self, hot_sigs):
+        entries = dedup._band_entries(hot_sigs, 4, 8, "xxhash64")
+        with pytest.warns(RuntimeWarning, match="max_bucket_size"):
+            stats = dedup.lsh_bucket_stats(entries, self.CAP)
+        assert stats["n_over_cap"] == 4          # every band is one hot bucket
+        assert stats["max_bucket"] == self.N
+
+    def test_bucket_stats_silent_when_healthy(self, hot_sigs):
+        import warnings as w
+        entries = dedup._band_entries(hot_sigs, 4, 8, "xxhash64")
+        with w.catch_warnings():
+            w.simplefilter("error")
+            stats = dedup.lsh_bucket_stats(entries, self.N + 1)
+        assert stats["n_over_cap"] == 0
 
     def test_minhash_candidates_uncapped_is_clique(self, hot_sigs):
         full = dedup.minhash_lsh_candidates(
@@ -92,13 +106,12 @@ class TestHotBucketGuard:
             sigs, bands=16, num_hashes=32).collect()}
         assert guarded == base
 
-    def test_simhash_candidates_bounded_and_warns(self, spark):
+    def test_simhash_candidates_bounded(self, spark):
         sig_df = spark.range(self.N).select(
             F.col("id"), F.lit(0x1234_5678_9ABC_DEF0).cast("long")
             .alias("simhash"))
-        with pytest.warns(RuntimeWarning, match="max_bucket_size"):
-            capped = dedup.simhash_candidates(
-                sig_df, max_bucket_size=self.CAP).count()
+        capped = dedup.simhash_candidates(
+            sig_df, max_bucket_size=self.CAP).count()
         clique = self.N * (self.N - 1) // 2
         assert capped < clique
         assert capped <= 4 * self.CAP * self.CAP
@@ -115,11 +128,10 @@ class TestHotBucketGuard:
              (1001, [11, 22, 33, 44, 55, 66, 99, 100])],
             "id long, sig array<long>")
         sigs = hot.union(pair)
-        with pytest.warns(RuntimeWarning):
-            got = {(r["id_a"], r["id_b"])
-                   for r in dedup.minhash_lsh_candidates(
-                       sigs, bands=4, num_hashes=8,
-                       max_bucket_size=self.CAP).collect()}
+        got = {(r["id_a"], r["id_b"])
+               for r in dedup.minhash_lsh_candidates(
+                   sigs, bands=4, num_hashes=8,
+                   max_bucket_size=self.CAP).collect()}
         assert (1000, 1001) in got
 
 
