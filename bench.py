@@ -59,6 +59,9 @@ HEADLINE = [
     "curation_pipeline",
     "chunk_dedup",
     "unigram_ppl",
+    # round-5 second wave: learned-model seam + LM fluency signal
+    "quality_classifier",
+    "bigram_ppl",
 ]
 
 
