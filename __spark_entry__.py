@@ -1723,6 +1723,42 @@ def _q_q3_shipping(spark, sf):
     return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
 
 
+def _q_streaming_neardup(spark, sf):
+    """Streaming ingestion near-dup gate (streaming/dedup.py
+    neardup_filtered_stream): replay the %5 "new batch" docs as a file
+    stream; each micro-batch runs the incremental_dedup pipeline (exact
+    sha + poly-LSH + Jaccard verify) against the static reference corpus
+    inside foreachBatch — Spark's sanctioned seam for per-batch
+    stream-vs-reference logic — and only ACCEPTED rows reach the parquet
+    sink. availableNow replay == the batch anti-join oracle."""
+    import tempfile
+
+    from pandas_plus_spark.streaming import neardup_filtered_stream
+
+    docs = load_table(spark, sf, "documents")
+    new_df = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "text", "lang", "source")
+    ref_df = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="pps_neardup_src_")
+    new_df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(new_df.schema).parquet(src)
+
+    out_dir = tempfile.mkdtemp(prefix="pps_neardup_out_")
+
+    def sink(accepted, batch_id):
+        accepted.write.mode("append").parquet(out_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="pps_neardup_ckpt_")
+    q = (neardup_filtered_stream(
+            stream, ref_df, "text", "doc_id", sink,
+            threshold=0.3, num_hashes=8, bands=4, hash_fn="poly")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.schema(new_df.schema).parquet(out_dir)
+            .select("doc_id", "lang", "source"))
+
+
 def _q_quality_classifier(spark, sf):
     """fastText-style hashed-ngram linear classifier inference
     (operators/classify.py classifier_score): unigram+bigram features →
@@ -1778,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the q1/margins/crosstab block tail) to lead the r6 window.
     return {
         # --- new in round 5 ---
+        "streaming_neardup": _q_streaming_neardup,
         "quality_classifier": _q_quality_classifier,
         "bigram_ppl": _q_bigram_ppl,
         "source_cap": _q_source_cap,
@@ -1955,6 +1992,16 @@ def oracle_sql() -> dict[str, str]:
     lam, one_minus_lam = 0.8, repr(1.0 - 0.8)
 
     return {
+        # accepted = new batch minus every exact/near match vs the reference
+        # (the incremental_dedup twin as a subquery; DuckDB allows a CTE
+        # chain inside a derived table)
+        "streaming_neardup": f"""
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d
+            WHERE d.doc_id % 5 = 0
+              AND d.doc_id NOT IN (
+                  SELECT doc_id FROM ({_sql_incremental_dedup()}))
+        """,
         # fastText-style hashed-ngram linear classifier: same tokenization,
         # same poly-hash buckets mod 512, same affine pseudo-weights
         # w(b) = ((b*2654435761) % 1000003)/1000003 - 0.5, same left-fold

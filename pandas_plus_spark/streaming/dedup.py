@@ -1,0 +1,100 @@
+"""Streaming near-duplicate filtering against a standing reference corpus.
+
+The production shape of continuous ingestion: every micro-batch of newly
+crawled documents is deduplicated against the corpus accumulated so far
+(exact sha-256 match + MinHash-LSH near match), and only ACCEPTED rows
+reach the sink. ``deduped_stream`` (sessions.py) covers exact identity
+inside a watermark horizon; this module covers content-level near-dup
+against a reference that does not fit in stream state.
+
+Mechanism: the per-batch pipeline is ``operators/dedup.incremental_dedup``
+— sha join + band join are stream-vs-static by construction (the reference
+side is a static frame / stored index), but the LSH stage also needs a
+per-batch ``distinct`` over candidate pairs and an anti-join of the batch
+against its own match result, which Structured Streaming cannot express
+inside one continuous plan. ``foreachBatch`` is Spark's sanctioned seam
+for exactly this (reuse batch operators + multi-step logic per
+micro-batch, with the batch id for exactly-once sinks), so the stream
+plan stays a plain file/kafka source and ALL dedup logic runs as batch
+plans per trigger.
+
+Scale shape per micro-batch: identical to ``incremental_dedup`` with a
+stored index — cost proportional to the BATCH (its hashes, signatures,
+candidate verifies), never the reference corpus, which is pre-hashed /
+pre-banded once (``build_ref_index``) and only ever joined against. In the
+production loop the accepted batch's own hashes + band entries are
+appended to the stored index between triggers (see
+``incremental_dedup_indexed`` in BASELINE.md for the steady-state cost
+table); this module keeps the reference FIXED per query lifetime — restart
+the query on index refresh.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from ..operators import dedup as _dedup
+from ..util import attach_cached, release_cached
+
+
+def accepted_against_reference(
+    batch_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    hash_fn: str = "xxhash64",
+    ref_index: "_dedup.RefIndex | None" = None,
+) -> DataFrame:
+    """Batch kernel: the rows of ``batch_df`` that match NOTHING in the
+    reference (neither exact sha-256 nor LSH-verified near-dup at
+    ``threshold``). All ``batch_df`` columns pass through unchanged."""
+    matches = _dedup.incremental_dedup(
+        batch_df, ref_df, text_col, id_col, threshold=threshold,
+        num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,
+        hash_fn=hash_fn, ref_index=ref_index)
+    out = batch_df.join(matches.select(id_col), id_col, "left_anti")
+    # hand the verify-stage persists to the caller's release point: the
+    # anti-join's one materialization is the only consumer per batch
+    return attach_cached(out, *getattr(matches, "_pps_cached", ()))
+
+
+def neardup_filtered_stream(
+    stream_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sink: Callable[[DataFrame, int], None],
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    hash_fn: str = "xxhash64",
+    ref_index: "_dedup.RefIndex | None" = None,
+):
+    """``DataStreamWriter`` filtering a document stream against a standing
+    reference corpus; accepted rows are handed to ``sink(accepted_df,
+    batch_id)`` per micro-batch (write parquet/Delta, push downstream, …).
+    Caller configures trigger/checkpoint and ``.start()``s.
+
+    Pass ``ref_index`` (``build_ref_index`` output, typically read back
+    from parquet) so the reference corpus is never re-hashed per batch;
+    ``ref_df`` is then only consulted for the text of candidate-matched
+    reference docs in the Jaccard verify."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        accepted = accepted_against_reference(
+            batch_df, ref_df, text_col, id_col, threshold=threshold,
+            num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,
+            hash_fn=hash_fn, ref_index=ref_index)
+        try:
+            sink(accepted, batch_id)
+        finally:
+            release_cached(accepted)
+
+    return stream_df.writeStream.foreachBatch(_process)

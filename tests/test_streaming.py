@@ -6,6 +6,7 @@ import time
 import pytest
 
 from pandas_plus_spark.streaming import sessionized_stream, windowed_agg_stream
+from pandas_plus_spark.util import release_cached
 
 
 def _run_to_memory(sdf, name):
@@ -114,3 +115,61 @@ def test_deduped_stream(spark):
         assert n == n_src  # every duplicate dropped, every original kept
     finally:
         q.stop()
+
+
+class TestNeardupFilteredStream:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        ref = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog today"),
+             (101, "an entirely unrelated reference document body")],
+            "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog today"),   # exact
+             (1, "the quick brown fox jumps over the lazy cat today"),   # near
+             (2, "completely novel content nothing like the reference"),
+             (3, "another fresh document with its own words entirely")],
+            "doc_id long, text string")
+        return ref, new
+
+    def test_accepted_against_reference_batch(self, corpus):
+        ref, new = corpus
+        from pandas_plus_spark.streaming import accepted_against_reference
+        out = accepted_against_reference(new, ref, "text", "doc_id",
+                                         threshold=0.3, num_hashes=16,
+                                         bands=8)
+        got = {r["doc_id"] for r in out.collect()}
+        release_cached(out)
+        assert got == {2, 3}
+
+    def test_replay_matches_batch_over_micro_batches(self, spark, corpus, tmp_path):
+        # maxFilesPerTrigger=1 forces MULTIPLE micro-batches — each must be
+        # filtered against the reference independently
+        ref, new = corpus
+        from pandas_plus_spark.streaming import (accepted_against_reference,
+                                                 neardup_filtered_stream)
+        src = str(tmp_path / "src")
+        new.repartition(3).write.mode("overwrite").parquet(src)
+        stream = (spark.readStream.schema(new.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out_dir = str(tmp_path / "out")
+        batches = []
+
+        def sink(accepted, batch_id):
+            batches.append(batch_id)
+            accepted.write.mode("append").parquet(out_dir)
+
+        q = (neardup_filtered_stream(stream, ref, "text", "doc_id", sink,
+                                     threshold=0.3, num_hashes=16, bands=8)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        assert len(batches) >= 2          # genuinely several micro-batches
+        got = {r["doc_id"] for r in
+               spark.read.schema(new.schema).parquet(out_dir).collect()}
+        want_df = accepted_against_reference(new, ref, "text", "doc_id",
+                                             threshold=0.3, num_hashes=16,
+                                             bands=8)
+        want = {r["doc_id"] for r in want_df.collect()}
+        release_cached(want_df)
+        assert got == want == {2, 3}
