@@ -1987,7 +1987,6 @@ def oracle_sql() -> dict[str, str]:
         )"""
 
     poly_tok = tx.sql_poly_hash("t")
-    poly_gram = tx.sql_poly_hash("g")
     bigrams = _sql_ngrams("toks", 2)
     lam, one_minus_lam = 0.8, repr(1.0 - 0.8)
 
@@ -2003,17 +2002,25 @@ def oracle_sql() -> dict[str, str]:
                   SELECT doc_id FROM ({_sql_incremental_dedup()}))
         """,
         # fastText-style hashed-ngram linear classifier: same tokenization,
-        # same poly-hash buckets mod 512, same affine pseudo-weights
-        # w(b) = ((b*2654435761) % 1000003)/1000003 - 0.5, same left-fold
-        # sum and sigmoid(mean) as operators/classify.classifier_score.
+        # same per-token poly hash, same fastText word-hash combine
+        # (h1*116049371 + h2 mod 1e9+7) for bigram features, same affine
+        # pseudo-weights w(b) = ((b*2654435761) % 1000003)/1000003 - 0.5,
+        # same left-fold sum and sigmoid(mean) as classify.classifier_score.
         "quality_classifier": f"""
             WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            th AS (SELECT doc_id,
+                          list_transform(toks, t -> {poly_tok}) AS hs
+                   FROM tk),
             f AS (SELECT doc_id,
                          list_concat(
-                             list_transform(toks, t -> {poly_tok} % 512),
-                             list_transform({bigrams}, g -> {poly_gram} % 512)
+                             list_transform(hs, h -> h % 512),
+                             CASE WHEN len(hs) >= 2 THEN
+                                 list_transform(range(1, len(hs)),
+                                     i -> ((hs[i] * 116049371 + hs[i+1])
+                                           % 1000000007) % 512)
+                             ELSE [] END
                          ) AS bk
-                  FROM tk),
+                  FROM th),
             s AS (SELECT doc_id, len(bk) AS n_feats,
                          CASE WHEN len(bk) > 0 THEN
                              1.0 / (1.0 + exp(-(0.0 + list_reduce(

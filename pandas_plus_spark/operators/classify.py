@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
-from ..functions.text import POLY_MOD, POLY_MUL, let, simple_tokens, word_ngrams
+from ..functions.text import let, simple_tokens
 from ..util import ensure_parallelism
 
 # Deterministic pseudo-weight family for the ``weights=None`` path:
@@ -42,23 +42,52 @@ from ..util import ensure_parallelism
 WEIGHT_KNUTH = 2_654_435_761
 WEIGHT_PRIME = 1_000_003
 
+# fastText's n-gram feature construction: hash each WORD once, then combine
+# word hashes for n-grams as h = h·116049371 + h_next (fastText
+# dictionary.cc's ``addWordNgrams`` coefficient) — the character pass over
+# the text happens exactly once, n-gram features are integer folds over the
+# word-hash array. (The first-cut implementation re-hashed every n-gram
+# STRING character-by-character, re-scanning ~2× the corpus bytes through
+# an interpreted per-char lambda.) Every step stays mod POLY_MOD ≈ 1e9, so
+# products are ≤ ~1.2e17 — inside long range under ANSI mode.
+NGRAM_COMBINE = 116_049_371
+
 
 def hashed_ngram_buckets(col, dim: int, ns: tuple[int, ...] = (1, 2)) -> Column:
-    """array<long> of feature buckets: poly_hash(gram) mod ``dim`` for every
-    word n-gram of the orders in ``ns`` (1 = unigrams = the tokens
-    themselves). One linear pass per order over a let-bound token array."""
-    def buckets_of(tk: Column) -> Column:
+    """array<long> of feature buckets for every word n-gram of the orders in
+    ``ns`` (1 = unigrams): token poly-hashes computed once, n-gram hashes =
+    fastText-style integer combine over the hash array, all mod ``dim``."""
+    def buckets_of(th: Column) -> Column:
         per_order = []
         for n in ns:
-            grams = tk if n == 1 else word_ngrams(tk, n)
+            if n == 1:
+                per_order.append(F.transform(th, lambda h: h % dim))
+                continue
+            count = F.size(th) - F.lit(n - 1)
+
+            # single-arg factory: a 2-arg callable would be bound as the
+            # (element, index) lambda form by F.transform
+            def make_gram_bucket(_n):
+                def gram_bucket(i):
+                    acc = F.get(th, i)
+                    for k in range(1, _n):
+                        acc = (acc * F.lit(NGRAM_COMBINE)
+                               + F.get(th, i + k)) % F.lit(tx.POLY_MOD)
+                    return acc % dim
+                return gram_bucket
+
+            grams = F.transform(F.sequence(F.lit(0), count - 1),
+                                make_gram_bucket(n))
             per_order.append(
-                F.transform(grams, lambda g: tx.poly_hash(g) % dim))
+                F.when(count >= 1, grams)
+                .otherwise(F.array().cast("array<long>")))
         out = per_order[0]
         for nxt in per_order[1:]:
             out = F.concat(out, nxt)
         return out
 
-    return let(simple_tokens(col), buckets_of)
+    token_hashes = F.transform(simple_tokens(col), lambda t: tx.poly_hash(t))
+    return let(token_hashes, buckets_of)
 
 
 def _affine_weight(bucket: Column) -> Column:

@@ -7,8 +7,12 @@ Usage: python scripts/bench_vs_duckdb.py SF_DIR [query ...]
 Default query set = the headline queries that have a SQL oracle (DuckDB
 can only price those). Engine protocol matches bench.py (warm session,
 noop sink, caches released); DuckDB runs the oracle_sql() twin on the
-same parquet via fetchall(). Prints one JSON line with per-query
-(engine_sec, duck_sec) pairs and the subset totals.
+same parquet, materializing the FULL result via .arrow() — columnar
+transfer, the fair analog of the engine's noop sink. (fetchall() was the
+r5.0 protocol; on 6M-row results it measured Python-tuple construction,
+~2x the query's own cost, inflating DuckDB by up to 90 s per query.)
+Prints one JSON line with per-query (engine_sec, duck_sec) pairs and the
+subset totals.
 """
 
 from __future__ import annotations
@@ -58,7 +62,7 @@ def main() -> None:
         eng = round(time.perf_counter() - t0, 4)
         release_cached(df)
         t0 = time.perf_counter()
-        con.sql(sqls[name]).fetchall()
+        con.sql(sqls[name]).arrow()
         duck = round(time.perf_counter() - t0, 4)
         results[name] = {"engine": eng, "duck": duck}
         print(f"# {name}: engine {eng:.2f}s duck {duck:.2f}s", file=sys.stderr)

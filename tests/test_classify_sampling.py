@@ -35,8 +35,11 @@ def _poly(s: str) -> int:
 
 def _buckets(text: str, dim: int) -> list[int]:
     toks = [t for t in text.split(" ") if t]
-    grams = toks + [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
-    return [_poly(g) % dim for g in grams]
+    hs = [_poly(t) for t in toks]
+    # fastText word-hash combine for bigram features
+    bi = [((hs[i] * 116049371 + hs[i + 1]) % POLY_MOD) % dim
+          for i in range(len(hs) - 1)]
+    return [h % dim for h in hs] + bi
 
 
 class TestClassifier:
