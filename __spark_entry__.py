@@ -1066,25 +1066,31 @@ def _q_segment_revenue(spark, sf):
     li = load_table(spark, sf, "lineitem")
     orders = load_table(spark, sf, "orders")
     cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    # Pre-aggregate the FACT side to order grain BEFORE any join (r5): the
+    # per-order rollup needs nothing from the dimensions, so rolling up
+    # first shrinks the join's probe side ~4x (lineitems -> orders) and the
+    # rollup's exchange replaces — not adds to — the old post-join
+    # (segment, orderkey) exchange: the aggregate's hashpartitioning on the
+    # order key is exactly the join's requirement, so the big side arrives
+    # at the join pre-shuffled. The fine level accumulates 1e-6-grain
+    # scaled LONGs (order-independent, ~40% faster than decimal buffers on
+    # the fact-sized level; bounded by ~7 lineitems/order so overflow-safe
+    # at any corpus size); only the orders-sized coarse level pays decimal
+    # accumulation. Two-level composition also replaces count(DISTINCT) —
+    # the Expand rewrite would double every fact row through the aggregate.
+    li_rev = li.withColumn(
+        "revenue", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_order = GroupBy(li_rev, "l_orderkey").agg({
+        "rev": ("dsum_scaled", "revenue"),
+        "n": ("size", ""),
+    })
     joined = (
-        li.withColumn("revenue", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        per_order
         .join(orders.select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
-    # Two-level composition instead of count(DISTINCT): the Expand rewrite
-    # doubles every fact row through the aggregate; pre-aggregating by
-    # (segment, orderkey) makes n_orders a plain count. The sum is the
-    # hierarchical exact pattern (r4): the fine level accumulates 1e-6-grain
-    # scaled LONGs (order-independent, ~40% faster than decimal buffers on
-    # the fact-sized level; bounded by ~7 lineitems/order so overflow-safe
-    # at any corpus size), and only the orders-sized coarse level pays the
-    # decimal accumulation.
-    per_order = GroupBy(joined, ["c_mktsegment", "o_orderkey"]).agg({
-        "rev": ("dsum_scaled", "revenue"),
-        "n": ("size", ""),
-    })
-    return GroupBy(per_order, "c_mktsegment").agg({
+    return GroupBy(joined, "c_mktsegment").agg({
         "revenue": ("dsum_unscale", "rev"),
         "n_orders": ("size", ""),
         "n_lineitems": ("sum", "n"),
