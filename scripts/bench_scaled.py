@@ -35,6 +35,10 @@ HEAVY = [
     "streaming_running",
     "segment_revenue",
     "segment_revenue_bucketed",
+    # round-5 second wave
+    "streaming_neardup",
+    "quality_classifier",
+    "bigram_ppl",
 ]
 
 
