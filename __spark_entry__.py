@@ -1831,6 +1831,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping": _q_q3_shipping,
         "temperature_mixture": _q_temperature_mixture,
         "incremental_dedup_indexed": _q_incremental_dedup_indexed,
+        # --- r5 code-change re-verification (operators touched this round,
+        #     pulled into the window ahead of untouched r3 entries) ---
+        "incremental_dedup": _q_incremental_dedup,
+        "segment_revenue": _q_segment_revenue,
         # --- last driver-checked in r3 (+ pinned seeded/twin pairs) ---
         "minhash_neardup": _q_minhash_dedup,          # seeded (rows-only)
         "minhash_neardup_poly": _q_minhash_poly,      # its ANSI twin
@@ -1899,7 +1903,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
         "unigram_ppl": _q_unigram_ppl,
-        "incremental_dedup": _q_incremental_dedup,
         "frame_sample": _q_frame_sample,
         "source_health": _q_source_health,
         "cumsum": _q_cumsum,
@@ -1913,7 +1916,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_sum_masked": _q_rolling_sum_masked,
         "shift_masked": _q_shift_masked,
         "observed_only_false": _q_observed_only_false,
-        "segment_revenue": _q_segment_revenue,
         "nation_revenue": _q_nation_revenue,
         "asof_join": _q_asof_join,
         "interval_join": _q_interval_join,
