@@ -1765,6 +1765,19 @@ def _q_streaming_neardup(spark, sf):
             .select("doc_id", "lang", "source"))
 
 
+def _q_pca_gate(spark, sf):
+    """PCA invariants gate (similarity.pca_fit/pca_project): distributed
+    Gram/moment accumulation via one Arrow-batched mapInPandas sweep,
+    driver-side eigendecomposition of the d×d covariance, broadcast
+    projection as JVM expression folds. The gate row pins orthonormality,
+    top-8 variance capture, and the distributed mean ‖proj‖² == Σ
+    eigenvalues identity (ann_recall's expected-row oracle pattern —
+    eigendecomposition is not SQL-expressible, its invariants are)."""
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.pca_gate(emb, "embedding", "vec_id", k=8,
+                               min_explained=0.15)
+
+
 def _q_quality_classifier(spark, sf):
     """fastText-style hashed-ngram linear classifier inference
     (operators/classify.py classifier_score): unigram+bigram features →
@@ -1821,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 5 ---
         "streaming_neardup": _q_streaming_neardup,
+        "pca_gate": _q_pca_gate,
         "quality_classifier": _q_quality_classifier,
         "bigram_ppl": _q_bigram_ppl,
         "source_cap": _q_source_cap,
@@ -1999,6 +2013,13 @@ def oracle_sql() -> dict[str, str]:
     lam, one_minus_lam = 0.8, repr(1.0 - 0.8)
 
     return {
+        # eigendecomposition is not SQL-expressible; the oracle pins the
+        # gate's expected invariant row (the ann_recall pattern)
+        "pca_gate": """
+            SELECT CAST(8 AS INT) AS k, CAST(64 AS INT) AS dim,
+                   TRUE AS orthonormal_ok, TRUE AS var_capture_ok,
+                   TRUE AS proj_energy_ok
+        """,
         # accepted = new batch minus every exact/near match vs the reference
         # (the incremental_dedup twin as a subquery; DuckDB allows a CTE
         # chain inside a derived table)

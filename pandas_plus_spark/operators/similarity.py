@@ -519,3 +519,139 @@ def semantic_dedup_keep_list(
                 (F.col("cluster_id").isNull()
                  | (F.col("cluster_id") == F.col("id"))).alias("keep"))
     )
+
+
+# --------------------------------------------------------------------- #
+# low-rank projection (PCA) for embedding columns
+# --------------------------------------------------------------------- #
+
+class PCAModel:
+    """Fitted PCA: ``mean`` (d,), ``components`` (k, d) row-orthonormal,
+    ``explained_variance`` (k,) eigenvalues, ``total_variance`` scalar.
+    Plain numpy arrays — serialize however the deployment stores models."""
+
+    def __init__(self, mean, components, explained_variance, total_variance):
+        self.mean = mean
+        self.components = components
+        self.explained_variance = explained_variance
+        self.total_variance = total_variance
+
+    @property
+    def explained_fraction(self) -> float:
+        return float(self.explained_variance.sum() / self.total_variance)
+
+
+def pca_fit(df: DataFrame, vec_col: str, k: int = 8) -> PCAModel:
+    """Fit a k-component PCA over an embedding column.
+
+    Distributed pass: one ``mapInPandas`` sweep accumulates, per Arrow
+    batch, the d×d raw second-moment (Gram) matrix via BLAS (``X.T @ X``),
+    the coordinate sum, and the row count — emitting ONE flattened row per
+    batch. That is the sanctioned Arrow seam (same contract as the
+    multimodal decode): vectorized numpy per batch, never per-row Python.
+    The batch partials (|batches| × (d²+d+1) doubles — KB, not data-sized)
+    aggregate driver-side in deterministic batch order; eigendecomposition
+    of the d×d covariance runs on the driver (d ≤ a few thousand — the
+    covariance is dimension-, not corpus-, sized).
+
+    At 100 TB the sweep is the only corpus pass and it is embarrassingly
+    parallel; the shuffle carries |batches| tiny partial rows. Components
+    with eigenvalue ties pick a deterministic sign (largest-|coordinate|
+    positive) so refits are reproducible.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = len(df.select(vec_col).first()[0])
+    schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.ArrayType(T.DoubleType())),
+        T.StructField("g", T.ArrayType(T.DoubleType())),
+    ])
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]], dtype=np.float64)
+            if len(X) == 0:
+                continue
+            yield pd.DataFrame({
+                "n": [len(X)],
+                "s": [X.sum(axis=0).tolist()],
+                "g": [(X.T @ X).ravel().tolist()],
+            })
+
+    rows = (ensure_parallelism(df).select(vec_col)
+            .mapInPandas(partials, schema).collect())
+    n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError("pca_fit needs at least 2 vectors")
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    gram = np.sum([np.array(r["g"]).reshape(d, d) for r in rows], axis=0)
+    mean = s / n
+    cov = gram / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T                   # (k, d)
+    # deterministic sign: the largest-|coordinate| entry is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return PCAModel(mean, comps, np.maximum(evals[order], 0.0),
+                    float(np.maximum(evals, 0.0).sum()))
+
+
+def pca_project(df: DataFrame, vec_col: str, id_col: str,
+                model: PCAModel) -> DataFrame:
+    """(id_col, proj array<double>) — centered projection onto the model's
+    components. The model ships as expression literals (k·d doubles —
+    bytes); the projection is k zip_with/aggregate folds per row, pure JVM
+    expression work, zero shuffles (the classic broadcast-the-model,
+    stream-the-corpus shape)."""
+    mean_lit = F.lit([float(x) for x in model.mean])
+    centered = F.zip_with(F.col(vec_col).cast("array<double>"), mean_lit,
+                          lambda v, m: v - m)
+
+    def proj_of(c: Column) -> Column:
+        outs = []
+        for row in model.components:
+            w = F.lit([float(x) for x in row])
+            outs.append(F.aggregate(
+                F.zip_with(c, w, lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x))
+        return F.array(*outs)
+
+    from ..functions.text import let
+    return df.select(F.col(id_col), let(centered, proj_of).alias("proj"))
+
+
+def pca_gate(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
+             min_explained: float = 0.5) -> DataFrame:
+    """One-row PCA invariants gate (the ann_recall pattern: Spark computes
+    the checks, the oracle pins the expected row):
+
+    - ``orthonormal_ok``: ``W Wᵀ = I`` to 1e-8 (driver check on the model);
+    - ``var_capture_ok``: top-k explained fraction ≥ ``min_explained``;
+    - ``proj_energy_ok``: the DISTRIBUTED mean ‖proj‖² equals the model's
+      explained variance sum to 1e-6 relative — ties the broadcast
+      projection plan to the fit (a wrong sign/order/centering breaks it).
+    """
+    import numpy as np
+
+    model = pca_fit(df, vec_col, k=k)
+    wwt = model.components @ model.components.T
+    ortho = bool(np.abs(wwt - np.eye(k)).max() < 1e-8)
+    proj = pca_project(df, vec_col, id_col, model)
+    energy = (proj.select(
+        F.aggregate("proj", F.lit(0.0), lambda a, x: a + x * x).alias("e"))
+        .agg(F.avg("e").alias("me")).first()["me"])
+    expl = float(model.explained_variance.sum())
+    energy_ok = bool(abs(energy - expl) <= 1e-6 * max(expl, 1e-12))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(k), int(model.components.shape[1]), ortho,
+          bool(model.explained_fraction >= min_explained), energy_ok)],
+        "k int, dim int, orthonormal_ok boolean, var_capture_ok boolean, "
+        "proj_energy_ok boolean")

@@ -157,3 +157,50 @@ class TestCapAndSample:
     def test_global_sample_n_exceeding_count(self, spark):
         df = spark.range(5).select(F.col("id").alias("k"))
         assert sampling.global_sample_n(df, 100, "k").count() == 5
+
+
+class TestPCA:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        import numpy as np
+        rng = np.random.RandomState(7)
+        # anisotropic cloud: variance concentrated in a few directions
+        basis = rng.randn(6, 16)
+        X = rng.randn(400, 6) * [10, 5, 3, 1, 0.5, 0.1] @ basis
+        X = X + rng.randn(400, 16) * 0.01
+        rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+        return (spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+                X)
+
+    def test_fit_matches_numpy(self, vecs):
+        import numpy as np
+        from pandas_plus_spark.operators.similarity import pca_fit
+        df, X = vecs
+        model = pca_fit(df, "embedding", k=4)
+        cov = np.cov(X.T, bias=True)
+        evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+        assert model.mean == pytest.approx(X.mean(axis=0), abs=1e-9)
+        assert model.explained_variance == pytest.approx(evals[:4], rel=1e-8)
+        # row-orthonormal components
+        assert np.abs(model.components @ model.components.T
+                      - np.eye(4)).max() < 1e-9
+
+    def test_project_matches_numpy(self, vecs):
+        import numpy as np
+        from pandas_plus_spark.operators.similarity import pca_fit, pca_project
+        df, X = vecs
+        model = pca_fit(df, "embedding", k=3)
+        got = {r["vec_id"]: np.array(r["proj"])
+               for r in pca_project(df, "embedding", "vec_id", model).collect()}
+        want = (X - X.mean(axis=0)) @ model.components.T
+        for i in range(0, 400, 97):
+            assert got[i] == pytest.approx(want[i], abs=1e-9)
+
+    def test_gate_passes(self, vecs):
+        from pandas_plus_spark.operators.similarity import pca_gate
+        df, _ = vecs
+        row = pca_gate(df, "embedding", "vec_id", k=4,
+                       min_explained=0.5).first()
+        assert (row["orthonormal_ok"], row["var_capture_ok"],
+                row["proj_energy_ok"]) == (True, True, True)
+        assert row["k"] == 4 and row["dim"] == 16
