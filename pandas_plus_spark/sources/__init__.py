@@ -1,8 +1,9 @@
 from .tables import TABLES, load_table, load_tables, with_row_id
-from .sinks import write_partitioned, write_bucketed
+from .sinks import write_partitioned, write_bucketed, write_zordered, zorder_key
 from .formats import read_any, register_views
 from .local import from_arrays, from_pandas
 
 __all__ = ["TABLES", "load_table", "load_tables", "with_row_id",
-           "write_partitioned", "write_bucketed", "read_any",
+           "write_partitioned", "write_bucketed", "write_zordered",
+           "zorder_key", "read_any",
            "register_views", "from_arrays", "from_pandas"]

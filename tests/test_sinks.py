@@ -68,3 +68,53 @@ def test_bucketed_table_skips_exchange(spark, tables):
         assert agg.count() == tables["orders"].select("o_custkey").distinct().count()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_zordered_write_narrows_file_stats(spark, tables, tmp_path):
+    """Every output file of a z-ordered write must cover a small slice of
+    EACH z column's range (parquet footer min/max), so predicates on either
+    column can prune most files."""
+    import pyarrow.parquet as pq
+    from pandas_plus_spark.sources.sinks import write_zordered
+
+    out = str(tmp_path / "z")
+    li = tables["lineitem"].select("l_orderkey", "l_partkey", "l_quantity")
+    write_zordered(li, out, ["l_orderkey", "l_partkey"], mode="overwrite",
+                   target_files=16)
+
+    import glob
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) >= 8
+    spans = {c: [] for c in ("l_orderkey", "l_partkey")}
+    glo = {c: [None, None] for c in spans}
+    for f in files:
+        md = pq.read_metadata(f)
+        mins = {c: None for c in spans}
+        maxs = {c: None for c in spans}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name in spans and col.statistics is not None:
+                    st = col.statistics
+                    mins[name] = st.min if mins[name] is None else min(mins[name], st.min)
+                    maxs[name] = st.max if maxs[name] is None else max(maxs[name], st.max)
+        for c in spans:
+            assert mins[c] is not None
+            spans[c].append(maxs[c] - mins[c])
+            glo[c][0] = mins[c] if glo[c][0] is None else min(glo[c][0], mins[c])
+            glo[c][1] = maxs[c] if glo[c][1] is None else max(glo[c][1], maxs[c])
+
+    for c in spans:
+        full = glo[c][1] - glo[c][0]
+        avg_span = sum(spans[c]) / len(spans[c])
+        # a random (unclustered) layout gives avg_span ≈ full on BOTH
+        # columns; z-order must shrink both substantially
+        assert avg_span < 0.55 * full, (c, avg_span, full)
+
+    # round-trip: no row loss, identical content ignoring order
+    got = spark.read.parquet(out)
+    assert got.count() == li.count()
+    assert got.agg(F.sum("l_quantity")).first()[0] == \
+        li.agg(F.sum("l_quantity")).first()[0]
