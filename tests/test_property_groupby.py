@@ -102,3 +102,80 @@ def test_mask_equals_prefilter_property(spark, rows, mask_mod):
     assert set(got) == set(exp)
     for k in exp:
         assert _approx_eq(got[k], exp[k]), k
+
+
+# --------------------------------------------------------------------- #
+# round-5 text operators vs pure-Python references
+# --------------------------------------------------------------------- #
+
+_WORDS = st.lists(
+    st.text(alphabet="abcxyz", min_size=1, max_size=4),
+    min_size=0, max_size=12)
+_DOCS = st.lists(_WORDS, min_size=1, max_size=8)
+
+_POLY_MOD = 1_000_000_007
+
+
+def _py_poly(s):
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % _POLY_MOD
+    return acc
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_DOCS)
+def test_classifier_matches_python(spark, docs):
+    from pandas_plus_spark.operators import classify
+
+    dim = 32
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in classify.classifier_score(
+        sdf, "text", "doc_id", dim=dim).collect()}
+    for i, ws in enumerate(docs):
+        hs = [_py_poly(w) for w in ws]
+        bk = [h % dim for h in hs] + [
+            ((hs[j] * classify.NGRAM_COMBINE + hs[j + 1]) % _POLY_MOD) % dim
+            for j in range(len(hs) - 1)]
+        if not bk:
+            assert got[i]["score"] is None
+            continue
+        wsum = sum(((b * classify.WEIGHT_KNUTH) % classify.WEIGHT_PRIME)
+                   / classify.WEIGHT_PRIME - 0.5 for b in bk)
+        want = 1.0 / (1.0 + math.exp(-(wsum / len(bk))))
+        assert got[i]["n_feats"] == len(bk)
+        assert got[i]["score"] == pytest.approx(want, rel=1e-9)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_DOCS)
+def test_bigram_lm_matches_python(spark, docs):
+    from pandas_plus_spark.operators import ranking
+    from pandas_plus_spark.util import release_cached
+
+    lam = 0.8
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ranking.bigram_lm_score(sdf, "doc_id", "text", lam=lam)
+    got = {r["doc_id"]: r for r in out.collect()}
+    release_cached(out)
+
+    uni, bi = {}, {}
+    for ws in docs:
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    total = float(sum(uni.values()) or 1)
+    for i, ws in enumerate(docs):
+        pairs = list(zip(ws, ws[1:]))
+        assert got[i]["n_bigrams"] == len(pairs)
+        if not pairs:
+            assert got[i]["xent"] is None
+            continue
+        lnp = [math.log(lam * (bi[(a, b)] / uni[a])
+                        + (1 - lam) * (uni[b] / total)) for a, b in pairs]
+        assert got[i]["xent"] == pytest.approx(-sum(lnp) / len(lnp), rel=1e-9)
