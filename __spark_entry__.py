@@ -1765,6 +1765,39 @@ def _q_streaming_neardup(spark, sf):
             .select("doc_id", "lang", "source"))
 
 
+def _q_pack_gate(spark, sf):
+    """Whole-document bin-packing invariants gate (packing.pack_first_fit,
+    FFD inside deterministic hash shards). Bin packing's assignment is not
+    SQL-expressible; its CONTRACT is — every doc packed exactly once, no
+    non-oversize pack over budget, oversize packs are singletons, fill
+    ratio of closed packs ≥ 50% (FFD guarantees > 50% for every pack with
+    no successor that fits; budget ≪ shard token mass here). The oracle
+    pins the expected invariant row, n_docs recomputed from the table."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", tx.token_count("text").alias("n_toks"))
+    packed = packing.pack_first_fit(docs, "doc_id", "n_toks",
+                                    budget=256, n_shards=8)
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_toks").alias("pl"),
+        F.count(F.lit(1)).alias("pn"),
+        F.max(F.col("oversize").cast("int")).alias("po"))
+    stats = packed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_ids"))
+    pstats = per_pack.agg(
+        F.max(F.when(F.col("po") == 0, F.col("pl"))).alias("max_fill"),
+        F.min(F.when(F.col("po") == 1, F.col("pn") == 1)).alias("ov_single"),
+        (F.sum(F.when(F.col("po") == 0, F.col("pl")))
+         / (F.lit(256.0) * F.sum(F.when(F.col("po") == 0, F.lit(1)))))
+        .alias("util"))
+    return stats.crossJoin(pstats).select(
+        F.col("n_rows").cast("long").alias("n_docs"),
+        (F.col("n_rows") == F.col("n_ids")).alias("all_packed_once"),
+        (F.col("max_fill") <= 256).alias("no_overflow"),
+        F.coalesce(F.col("ov_single"), F.lit(True)).alias("oversize_singletons"),
+        (F.col("util") >= 0.5).alias("util_ok"))
+
+
 def _q_pca_gate(spark, sf):
     """PCA invariants gate (similarity.pca_fit/pca_project): distributed
     Gram/moment accumulation via one Arrow-batched mapInPandas sweep,
@@ -1835,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5 ---
         "streaming_neardup": _q_streaming_neardup,
         "pca_gate": _q_pca_gate,
+        "pack_gate": _q_pack_gate,
         "quality_classifier": _q_quality_classifier,
         "bigram_ppl": _q_bigram_ppl,
         "source_cap": _q_source_cap,
@@ -2013,6 +2047,14 @@ def oracle_sql() -> dict[str, str]:
     lam, one_minus_lam = 0.8, repr(1.0 - 0.8)
 
     return {
+        # bin-packing's assignment is not SQL-expressible; the oracle pins
+        # the invariant row (n_docs recomputed independently)
+        "pack_gate": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   TRUE AS all_packed_once, TRUE AS no_overflow,
+                   TRUE AS oversize_singletons, TRUE AS util_ok
+            FROM documents
+        """,
         # eigendecomposition is not SQL-expressible; the oracle pins the
         # gate's expected invariant row (the ann_recall pattern)
         "pca_gate": """

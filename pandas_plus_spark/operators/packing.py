@@ -8,9 +8,11 @@ sequential recurrence looks anti-distributed, but becomes embarrassingly
 parallel once the corpus is sharded: chunk ids are a pure function of the
 running token total inside a shard, i.e. one window cumsum per shard —
 no Python, no iteration, and shards scale out linearly. Boundary waste is
-zero by construction (chunking, not bin packing); greedy
-no-straddle packing would need per-row state and is deliberately not the
-scale path.
+zero by construction (chunking, not bin packing). The complementary
+NO-STRADDLE shape — whole documents packed into budget-sized bins without
+splitting (the SFT/instruction-tuning layout) — is :func:`pack_first_fit`:
+serial first-fit-decreasing inside deterministic hash shards, Arrow seam,
+shards scale out linearly.
 
 Fully ANSI-expressible (window sum + integer division), so oracle-checked
 end to end.
@@ -127,3 +129,88 @@ def chunk_documents(
         chunk.alias("chunk_text"),
         F.length(chunk).alias("chunk_len"),
     )
+
+
+def pack_first_fit(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    budget: int,
+    n_shards: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Whole-document bin packing: assign each document to a pack such that
+    no pack exceeds ``budget`` tokens and documents are NEVER split — the
+    layout for SFT/instruction tuning, where an example must not straddle a
+    context boundary (contrast :func:`concat_chunk_pack`, which slices the
+    concatenated stream and accepts straddling).
+
+    Returns ``(id_col, len_col, shard, pack_id, oversize)`` — ``pack_id``
+    is globally unique (shard-prefixed); a document longer than ``budget``
+    gets its own pack with ``oversize=true`` (flag-and-keep, the caller
+    decides truncation).
+
+    Scale shape: bin packing is inherently serial, so the corpus is first
+    split into ``n_shards`` deterministic hash shards
+    (``xxhash64(id, seed) mod n_shards`` — one exchange) and first-fit-
+    decreasing runs SERIALLY PER SHARD inside an Arrow-batched
+    ``applyInPandas`` (numpy-backed loop over the shard's (len, id) pairs,
+    the sanctioned seam). Shards pack independently: utilization only
+    degrades by the per-shard tail (≤ one partial pack per shard —
+    bounded waste ``n_shards·budget`` total, negligible when each shard
+    holds ≫ 1 pack's worth of tokens), and the shard count is the
+    parallelism knob. FFD's guarantee (≤ 11/9·OPT + 6/9 packs) holds per
+    shard. Deterministic end-to-end: shard assignment is a pure hash and
+    the in-shard order is (len desc, id asc)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType([
+        T.StructField(id_col, id_field.dataType),
+        T.StructField(len_col, T.LongType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("pack_id", T.LongType()),
+        T.StructField("oversize", T.BooleanType()),
+    ])
+    budget = int(budget)
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["__shard"].iloc[0])
+        rows = sorted(zip(pdf[len_col].astype("int64"), pdf[id_col]),
+                      key=lambda t: (-t[0], t[1]))
+        # first-fit-decreasing over per-pack remaining budgets
+        remaining: list[int] = []
+        assign: list[int] = []
+        oversize: list[bool] = []
+        for ln, _ in rows:
+            if ln > budget:
+                assign.append(len(remaining))
+                remaining.append(0)          # full — nothing else joins it
+                oversize.append(True)
+                continue
+            for pi, rem in enumerate(remaining):
+                if rem >= ln:
+                    assign.append(pi)
+                    remaining[pi] = rem - ln
+                    break
+            else:
+                assign.append(len(remaining))
+                remaining.append(budget - ln)
+            oversize.append(False)
+        return pd.DataFrame({
+            id_col: [r[1] for r in rows],
+            len_col: [int(r[0]) for r in rows],
+            "shard": shard,
+            "pack_id": [shard * 1_000_000_000 + a for a in assign],
+            "oversize": oversize,
+        })
+
+    sharded = df.select(
+        F.col(id_col), F.col(len_col).cast("long").alias(len_col),
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards))
+         .cast("int").alias("__shard"))
+    return sharded.groupBy("__shard").applyInPandas(pack_shard, out_schema)

@@ -407,3 +407,46 @@ class TestTemperatureMixture:
                                      budget_frac=0.3, seed=5)
                  .groupBy("src").agg(F.count("id").alias("n")).collect()}
         assert again == by
+
+
+class TestPackFirstFit:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        import random
+        rng = random.Random(3)
+        rows = [(i, rng.randint(10, 300)) for i in range(500)]
+        rows.append((900, 2048))     # oversize
+        return spark.createDataFrame(rows, "doc_id long, n_toks long")
+
+    def test_invariants(self, corpus):
+        from pandas_plus_spark.operators.packing import pack_first_fit
+        out = pack_first_fit(corpus, "doc_id", "n_toks", budget=512,
+                             n_shards=4).collect()
+        assert len(out) == corpus.count()
+        assert len({r["doc_id"] for r in out}) == len(out)
+        packs = {}
+        for r in out:
+            packs.setdefault(r["pack_id"], []).append(r)
+        for members in packs.values():
+            if any(m["oversize"] for m in members):
+                assert len(members) == 1
+            else:
+                assert sum(m["n_toks"] for m in members) <= 512
+        # FFD fill: every closed pack (non-oversize) holds > 50% on average
+        closed = [sum(m["n_toks"] for m in members)
+                  for members in packs.values()
+                  if not any(m["oversize"] for m in members)]
+        assert sum(closed) / (512 * len(closed)) > 0.5
+
+    def test_deterministic(self, corpus):
+        from pandas_plus_spark.operators.packing import pack_first_fit
+        a = {(r["doc_id"], r["pack_id"]) for r in pack_first_fit(
+            corpus, "doc_id", "n_toks", budget=512, n_shards=4).collect()}
+        b = {(r["doc_id"], r["pack_id"]) for r in pack_first_fit(
+            corpus, "doc_id", "n_toks", budget=512, n_shards=4).collect()}
+        assert a == b
+
+    def test_budget_validation(self, corpus):
+        from pandas_plus_spark.operators.packing import pack_first_fit
+        with pytest.raises(ValueError, match="positive"):
+            pack_first_fit(corpus, "doc_id", "n_toks", budget=0)
