@@ -1207,6 +1207,23 @@ def _q_asof_join(spark, sf):
     return out.select("event_id", "user_id", "purchase_event_id", "purchase_value")
 
 
+def _q_asof_nearest(spark, sf):
+    """Nearest-direction as-of join (pandas merge_asof direction='nearest'
+    parity): every event matched to the CLOSEST purchase by the same user
+    in either time direction, ties to backward. One hash exchange on the
+    by key; both candidate windows sort the same partitions."""
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = joins.asof_join(ev, purchases, on="ts", by="user_id",
+                          right_cols=["purchase_event_id", "purchase_value"],
+                          direction="nearest", suffix="")
+    return out.select("event_id", "user_id", "purchase_event_id", "purchase_value")
+
+
 def _q_interval_join(spark, sf):
     """Bucketed point-in-interval join: session intervals (from the session
     operator) joined back to events by containment — every event must land
@@ -1869,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup": _q_streaming_neardup,
         "pca_gate": _q_pca_gate,
         "pack_gate": _q_pack_gate,
+        "asof_nearest": _q_asof_nearest,
         "quality_classifier": _q_quality_classifier,
         "bigram_ppl": _q_bigram_ppl,
         "source_cap": _q_source_cap,
@@ -2462,6 +2480,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
+        """,
+        # nearest = the union-merge construction in SQL: both directional
+        # candidates via IGNORE NULLS windows, closer one wins, ties backward
+        "asof_nearest": """
+            WITH p AS (SELECT user_id, ts, event_id AS pid, value AS pval
+                       FROM events WHERE event_type = 'purchase'),
+            u AS (
+                SELECT event_id, user_id, ts, 1 AS is_left,
+                       CAST(NULL AS BIGINT) AS pid,
+                       CAST(NULL AS DOUBLE) AS pval,
+                       CAST(NULL AS TIMESTAMP) AS rts
+                FROM events
+                UNION ALL
+                SELECT NULL, user_id, ts, 0, pid, pval, ts FROM p
+            ),
+            m AS (
+                SELECT *,
+                       last_value(pid IGNORE NULLS) OVER wb AS b_pid,
+                       last_value(pval IGNORE NULLS) OVER wb AS b_pval,
+                       last_value(rts IGNORE NULLS) OVER wb AS b_ts,
+                       last_value(pid IGNORE NULLS) OVER wf AS f_pid,
+                       last_value(pval IGNORE NULLS) OVER wf AS f_pval,
+                       last_value(rts IGNORE NULLS) OVER wf AS f_ts
+                FROM u
+                WINDOW wb AS (PARTITION BY user_id
+                              ORDER BY ts ASC, is_left ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wf AS (PARTITION BY user_id
+                              ORDER BY ts DESC, is_left ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN b_ts IS NOT NULL
+                             AND (f_ts IS NULL OR (ts - b_ts) <= (f_ts - ts))
+                        THEN b_pid ELSE f_pid END AS purchase_event_id,
+                   CASE WHEN b_ts IS NOT NULL
+                             AND (f_ts IS NULL OR (ts - b_ts) <= (f_ts - ts))
+                        THEN b_pval ELSE f_pval END AS purchase_value
+            FROM m WHERE is_left = 1
         """,
         "asof_join": """
             SELECT e.event_id, e.user_id, p.purchase_event_id, p.purchase_value

@@ -33,15 +33,20 @@ def asof_join(
     suffix: str = "_right",
 ) -> DataFrame:
     """Left as-of join: attach, to every left row, ``right_cols`` from the
-    right row with the greatest ``on`` ≤ left.``on`` (backward) or smallest
-    ``on`` ≥ left.``on`` (forward), within the same ``by`` key.
+    right row with the greatest ``on`` ≤ left.``on`` (backward), smallest
+    ``on`` ≥ left.``on`` (forward), or the closer of the two
+    (``nearest``, ties to backward — pandas ``merge_asof`` semantics),
+    within the same ``by`` key.
 
     tolerance: optional max |left.on − right.on| (same units as ``on``);
-    matches farther away are nulled, mirroring pandas ``merge_asof``.
+    matches farther away are nulled, mirroring pandas ``merge_asof``
+    (for ``nearest`` the tolerance filters each side BEFORE picking the
+    closer, as pandas does).
     """
     by = [by] if isinstance(by, str) else list(by)
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be one of "
+                         "'backward', 'forward', 'nearest'")
 
     payload = F.struct(F.col(on).alias("__r_on"),
                        *[F.col(c) for c in right_cols]).alias("__r")
@@ -57,24 +62,45 @@ def asof_join(
     unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
 
     # At equal timestamps the right row must be visible to the left row →
-    # right (0) sorts before left (1) for backward; after, for forward.
-    if direction == "backward":
-        w = (Window.partitionBy(*by)
-             .orderBy(F.col(on).asc(), F.col("__is_left").asc())
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    else:
-        w = (Window.partitionBy(*by)
+    # right (0) sorts before left (1) in each direction's sort order.
+    w_back = (Window.partitionBy(*by)
+              .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_fwd = (Window.partitionBy(*by)
              .orderBy(F.col(on).desc(), F.col("__is_left").asc())
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
+    def ok_and_dist(match: Column, backward: bool):
+        ok: Column = match.isNotNull()
+        dist = (F.col(on) - match["__r_on"] if backward
+                else match["__r_on"] - F.col(on))
+        if tolerance is not None:
+            ok = ok & (dist <= tolerance)
+        return ok, dist
+
+    if direction == "nearest":
+        # both candidate windows share one hash exchange on ``by``; the
+        # second WindowExec re-sorts the same partitions (no extra
+        # shuffle). Pick the closer WITHIN-TOLERANCE candidate per row,
+        # ties to backward — pandas merge_asof semantics.
+        matched = (unioned
+                   .withColumn("__mb", F.last("__r", ignorenulls=True).over(w_back))
+                   .withColumn("__mf", F.last("__r", ignorenulls=True).over(w_fwd)))
+        out = matched.filter(F.col("__is_left") == 1).drop("__is_left", "__r")
+        ok_b, d_b = ok_and_dist(F.col("__mb"), backward=True)
+        ok_f, d_f = ok_and_dist(F.col("__mf"), backward=False)
+        use_b = ok_b & (~ok_f | (d_b <= d_f))
+        for c in right_cols:
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(use_b, F.col(f"__mb.{c}"))
+                 .when(ok_f, F.col(f"__mf.{c}")))
+        return out.drop("__mb", "__mf")
+
+    w = w_back if direction == "backward" else w_fwd
     matched = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
     out = matched.filter(F.col("__is_left") == 1).drop("__is_left", "__r")
-
-    match_ok: Column = F.col("__match").isNotNull()
-    if tolerance is not None:
-        dist = (F.col(on) - F.col("__match.__r_on") if direction == "backward"
-                else F.col("__match.__r_on") - F.col(on))
-        match_ok = match_ok & (dist <= tolerance)
+    match_ok, _ = ok_and_dist(F.col("__match"), backward=(direction == "backward"))
     for c in right_cols:
         out = out.withColumn(f"{c}{suffix}",
                              F.when(match_ok, F.col(f"__match.{c}")))

@@ -55,6 +55,49 @@ class TestAsofJoin:
                               by="key", right_cols=["rid"])
         assert out.count() == left.count()
 
+    def test_nearest_matches_pandas(self, frames):
+        import pandas as pd
+        left, right = frames
+        out = joins.asof_join(left, right.select("key", "t", "rid"), on="t",
+                              by="key", right_cols=["rid"],
+                              direction="nearest")
+        d = {r["lid"]: r["rid_right"] for r in out.collect()}
+        lp = left.toPandas().sort_values("t")
+        rp = right.toPandas().sort_values("t")
+        exp = pd.merge_asof(lp, rp[["key", "t", "rid"]], on="t", by="key",
+                            direction="nearest")
+        want = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+                for r in exp.itertuples()}
+        assert d == want
+        # spot-check: t=10 is 6 from 4 and 10 from 20 -> backward rid 100;
+        # t=25 only has 20 behind -> 101; key 2 t=3,1 -> forward 102
+        assert d[1] == 100 and d[3] == 101 and d[4] == 102 and d[5] == 102
+
+    def test_nearest_tie_goes_backward(self, spark):
+        left = spark.createDataFrame([(1, 1, 10.0)], "lid long, key long, t double")
+        right = spark.createDataFrame([(100, 1, 8.0), (101, 1, 12.0)],
+                                      "rid long, key long, t double")
+        out = joins.asof_join(left, right.select("key", "t", "rid"), on="t",
+                              by="key", right_cols=["rid"],
+                              direction="nearest")
+        assert out.first()["rid_right"] == 100
+
+    def test_nearest_tolerance_filters_each_side(self, spark):
+        # backward candidate outside tolerance, forward inside -> forward wins
+        left = spark.createDataFrame([(1, 1, 10.0)], "lid long, key long, t double")
+        right = spark.createDataFrame([(100, 1, 2.0), (101, 1, 13.0)],
+                                      "rid long, key long, t double")
+        out = joins.asof_join(left, right.select("key", "t", "rid"), on="t",
+                              by="key", right_cols=["rid"],
+                              direction="nearest", tolerance=4.0)
+        assert out.first()["rid_right"] == 101
+
+    def test_bad_direction_raises(self, frames):
+        left, right = frames
+        with pytest.raises(ValueError, match="direction"):
+            joins.asof_join(left, right, on="t", by="key",
+                            right_cols=["rid"], direction="sideways")
+
 
 class TestIntervalJoin:
     @pytest.fixture(scope="class")
