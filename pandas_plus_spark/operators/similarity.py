@@ -563,7 +563,10 @@ def pca_fit(df: DataFrame, vec_col: str, k: int = 8) -> PCAModel:
     import pandas as pd
     from pyspark.sql import types as T
 
-    d = len(df.select(vec_col).first()[0])
+    head = df.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("pca_fit needs at least 2 vectors")
+    d = len(head[0])
     schema = T.StructType([
         T.StructField("n", T.LongType()),
         T.StructField("s", T.ArrayType(T.DoubleType())),

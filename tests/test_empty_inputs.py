@@ -80,3 +80,31 @@ class TestEmptyCorpusOps:
     def test_dup_clusters_empty_pairs(self, spark):
         pairs = spark.createDataFrame([], "id_a long, id_b long")
         assert dedup.dup_clusters(pairs).count() == 0
+
+    def test_round5_second_wave(self, spark, empty_docs):
+        from pandas_plus_spark.operators import classify, packing, sampling
+        from pandas_plus_spark.operators.ranking import bigram_lm_score
+        from pandas_plus_spark.streaming import accepted_against_reference
+
+        assert classify.classifier_score(
+            empty_docs, "text", "doc_id", dim=16).count() == 0
+        assert bigram_lm_score(empty_docs).count() == 0
+        assert sampling.cap_per_key(empty_docs, "source", 3, "doc_id").count() == 0
+        assert sampling.global_sample_n(empty_docs, 10, "doc_id").count() == 0
+        lens = empty_docs.select("doc_id", F.length("text").alias("n"))
+        assert packing.pack_first_fit(lens, "doc_id", "n", budget=64).count() == 0
+        # empty batch against a non-empty reference: nothing accepted,
+        # nothing crashes
+        ref = spark.createDataFrame([(100, "some reference text here")],
+                                    "doc_id long, text string")
+        out = accepted_against_reference(empty_docs.select("doc_id", "text"),
+                                         ref, "text", "doc_id",
+                                         num_hashes=8, bands=4)
+        assert out.count() == 0
+
+    def test_pca_rejects_empty(self, spark):
+        from pandas_plus_spark.operators.similarity import pca_fit
+        emb = spark.createDataFrame([(0, [1.0, 2.0])],
+                                    "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="at least 2"):
+            pca_fit(emb.limit(1).filter("vec_id < 0"), "embedding", k=2)
