@@ -1782,6 +1782,18 @@ def _q_streaming_neardup(spark, sf):
             .select("doc_id", "lang", "source"))
 
 
+def _q_semantic_contamination(spark, sf):
+    """Embedding-space benchmark decontamination
+    (similarity.semantic_contamination): vectors with vec_id % 20 == 0
+    stand in for the benchmark/eval set; every remaining corpus vector is
+    scored by its max cosine against the broadcast benchmark and flagged
+    at 0.8 — the semantic complement of the 8-gram contamination query."""
+    emb = _cast_double_embeddings(spark, sf)
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    return similarity.semantic_contamination(corpus, bench, threshold=0.8)
+
+
 def _q_pack_gate(spark, sf):
     """Whole-document bin-packing invariants gate (packing.pack_first_fit,
     FFD inside deterministic hash shards). Bin packing's assignment is not
@@ -1887,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_gate": _q_pca_gate,
         "pack_gate": _q_pack_gate,
         "asof_nearest": _q_asof_nearest,
+        "semantic_contamination": _q_semantic_contamination,
         "quality_classifier": _q_quality_classifier,
         "bigram_ppl": _q_bigram_ppl,
         "source_cap": _q_source_cap,
@@ -2065,6 +2078,30 @@ def oracle_sql() -> dict[str, str]:
     lam, one_minus_lam = 0.8, repr(1.0 - 0.8)
 
     return {
+        "semantic_contamination": """
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), n AS (
+                SELECT vec_id, v,
+                       sqrt(list_reduce(list_prepend(0.0,
+                            list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+                FROM e
+            ), sims AS (
+                SELECT c.vec_id, b.vec_id AS bid,
+                       list_reduce(list_prepend(0.0,
+                            list_transform(range(1, len(c.v) + 1),
+                                           i -> c.v[i] * b.v[i])), (a, x) -> a + x)
+                         / (c.nrm * b.nrm) AS s
+                FROM n c, n b
+                WHERE c.vec_id % 20 != 0 AND b.vec_id % 20 = 0
+            )
+            SELECT vec_id, bid AS nearest_bench_id, s AS max_sim,
+                   s >= 0.8 AS contaminated
+            FROM sims
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY s DESC, bid ASC) = 1
+        """,
         # bin-packing's assignment is not SQL-expressible; the oracle pins
         # the invariant row (n_docs recomputed independently)
         "pack_gate": """

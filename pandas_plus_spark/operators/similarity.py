@@ -658,3 +658,49 @@ def pca_gate(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
           bool(model.explained_fraction >= min_explained), energy_ok)],
         "k int, dim int, orthonormal_ok boolean, var_capture_ok boolean, "
         "proj_energy_ok boolean")
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: for every corpus vector,
+    the max cosine similarity against the (small) benchmark set and a
+    ``contaminated`` flag at ``threshold`` — the semantic complement of
+    ``cleaning.ngram_contamination`` (paraphrased/near-verbatim eval
+    leakage that n-gram overlap misses).
+
+    Returns ``(id_col, nearest_bench_id, max_sim, contaminated)`` for every
+    corpus row (ties on similarity break to the smaller benchmark id).
+
+    Scale shape: the benchmark side is benchmark-sized (eval suites are
+    thousands of rows) and BROADCAST; the corpus streams through a
+    map-side expansion against it and collapses back to one row per corpus
+    vector in the same stage's partial max — the corpus is scanned once
+    and never shuffled (the per-id final agg reuses the scan partitioning
+    ... or costs the one id-keyed exchange Spark needs for the global max,
+    which carries one slim row per corpus vector, not the expansion)."""
+    c = corpus.select(F.col(id_col).alias("__cid"),
+                      F.col(vec_col).cast("array<double>").alias("__cv"))
+    b = benchmark.select(F.col(id_col).alias("__bid"),
+                         F.col(vec_col).cast("array<double>").alias("__bv"))
+
+    def norm(v):
+        return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+
+    c = c.withColumn("__cn", norm(F.col("__cv")))
+    b = b.withColumn("__bn", norm(F.col("__bv")))
+    dot = F.aggregate(F.zip_with("__cv", "__bv", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    sim = dot / (F.col("__cn") * F.col("__bn"))
+    pairs = c.join(F.broadcast(b), F.lit(True)).select(
+        "__cid", F.struct(sim.alias("s"), (-F.col("__bid")).alias("nb")).alias("__p"))
+    best = pairs.groupBy("__cid").agg(F.max("__p").alias("__m"))
+    return best.select(
+        F.col("__cid").alias(id_col),
+        (-F.col("__m.nb")).alias("nearest_bench_id"),
+        F.col("__m.s").alias("max_sim"),
+        (F.col("__m.s") >= threshold).alias("contaminated"))

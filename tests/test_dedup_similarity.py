@@ -583,3 +583,33 @@ class TestSemanticKeepList:
             "vec_id long, embedding array<double>")
         out = semantic_dedup_keep_list(df, threshold=0.5).collect()
         assert len(out) == 4 and all(r["keep"] for r in out)
+
+
+class TestSemanticContamination:
+    def test_flags_planted_match(self, spark):
+        from pandas_plus_spark.operators.similarity import semantic_contamination
+        bench = spark.createDataFrame(
+            [(1000, [1.0, 0.0, 0.0]), (1001, [0.0, 1.0, 0.0])],
+            "vec_id long, embedding array<double>")
+        corpus = spark.createDataFrame(
+            [(0, [0.999, 0.01, 0.0]),     # ~bench 1000
+             (1, [0.0, 0.0, 1.0]),        # orthogonal to both
+             (2, [0.0, 2.0, 0.0])],       # scaled copy of bench 1001
+            "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: r for r in semantic_contamination(
+            corpus, bench, threshold=0.95).collect()}
+        assert len(got) == 3
+        assert got[0]["contaminated"] and got[0]["nearest_bench_id"] == 1000
+        assert not got[1]["contaminated"]
+        assert got[2]["contaminated"] and got[2]["nearest_bench_id"] == 1001
+        assert got[2]["max_sim"] == pytest.approx(1.0)
+
+    def test_tie_breaks_to_smaller_bench_id(self, spark):
+        from pandas_plus_spark.operators.similarity import semantic_contamination
+        bench = spark.createDataFrame(
+            [(7, [1.0, 0.0]), (3, [2.0, 0.0])],   # identical directions
+            "vec_id long, embedding array<double>")
+        corpus = spark.createDataFrame([(0, [5.0, 0.0])],
+                                       "vec_id long, embedding array<double>")
+        row = semantic_contamination(corpus, bench, threshold=0.5).first()
+        assert row["nearest_bench_id"] == 3
