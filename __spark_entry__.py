@@ -1890,9 +1890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ANSI twins / recall gates inside the same window so the pairing stays
     # verifiable on every rotation: minhash_neardup↔minhash_neardup_poly,
     # simhash_candidates↔simhash_poly, hyperplane_lsh_buckets↔lsh_recall,
-    # ivf_knn↔ann_recall. That pinning plus the 10 never-verified round-5
-    # entries overflows the oldest r3-era entries that no longer fit
-    # (the q1/margins/crosstab block tail) to lead the r6 window.
+    # ivf_knn↔ann_recall. That pinning plus the never-verified round-5
+    # entries (first block below) and the two r5-modified re-verifications
+    # overflows the oldest r3-era entries that no longer fit (the
+    # q1/margins/crosstab block tail) to lead the r6 window.
     return {
         # --- new in round 5 ---
         "streaming_neardup": _q_streaming_neardup,
