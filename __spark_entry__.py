@@ -1782,6 +1782,28 @@ def _q_streaming_neardup(spark, sf):
             .select("doc_id", "lang", "source"))
 
 
+def _q_dedup_exact_canonical(spark, sf):
+    """Exact dedup over the CANONICAL text form (functions/text.py
+    normalize_text: lowercase + whitespace collapse) — case/spacing
+    variants of the same content collapse to one representative. Same
+    32-byte-key shuffle shape as dedup_exact; the normalization is
+    map-side expression work on the scan."""
+    docs = load_table(spark, sf, "documents")
+    canon = docs.select("doc_id", tx.normalize_text("text").alias("text"))
+    return dedup.exact_dedup(canon, "text", "doc_id")
+
+
+def _q_containment_pairs(spark, sf):
+    """Asymmetric n-gram containment (|A∩B| / min(|A|,|B|)) — catches
+    sub-document duplication (quoting/embedding) that symmetric Jaccard
+    under-scores when document sizes differ. Same all-pairs verify shape
+    as trigram_jaccard_pairs (validation scale; the scale path feeds LSH
+    candidates)."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.4,
+                                     metric="containment")
+
+
 def _q_semantic_contamination(spark, sf):
     """Embedding-space benchmark decontamination
     (similarity.semantic_contamination): vectors with vec_id % 20 == 0
@@ -1901,6 +1923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_gate": _q_pack_gate,
         "asof_nearest": _q_asof_nearest,
         "semantic_contamination": _q_semantic_contamination,
+        "dedup_exact_canonical": _q_dedup_exact_canonical,
+        "containment_pairs": _q_containment_pairs,
         "quality_classifier": _q_quality_classifier,
         "bigram_ppl": _q_bigram_ppl,
         "source_cap": _q_source_cap,
@@ -2079,6 +2103,28 @@ def oracle_sql() -> dict[str, str]:
     lam, one_minus_lam = 0.8, repr(1.0 - 0.8)
 
     return {
+        "dedup_exact_canonical": """
+            WITH c AS (SELECT doc_id,
+                              trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                                AS text
+                       FROM documents)
+            SELECT sha256(text) AS content_hash,
+                   min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM c GROUP BY text
+        """,
+        "containment_pairs": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+            g AS (SELECT doc_id, list_distinct({trigrams}) AS grams FROM t)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.grams, b.grams))::DOUBLE
+                     / least(len(a.grams), len(b.grams)) AS containment
+            FROM g a, g b
+            WHERE a.doc_id < b.doc_id
+              AND least(len(a.grams), len(b.grams)) > 0
+              AND len(list_intersect(a.grams, b.grams))::DOUBLE
+                    / least(len(a.grams), len(b.grams)) >= 0.4
+        """,
         "semantic_contamination": """
             WITH e AS (
                 SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

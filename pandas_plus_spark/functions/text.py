@@ -226,3 +226,18 @@ def sql_winnow_fingerprints(toks_expr: str, window: int = 4) -> str:
         f"i -> list_min(({th})[CAST(i AS BIGINT):CAST(i + {window} - 1 AS BIGINT)])) "
         f"WHEN len({th}) > 0 THEN [list_min({th})] ELSE [] END))"
     )
+
+
+def normalize_text(col) -> Column:
+    """Canonical text form for exact-dedup and fingerprinting: lowercase,
+    whitespace runs collapsed to one space, leading/trailing space trimmed.
+    Case/spacing variants of the same content then hash identically —
+    run exact_dedup/minhash over this instead of the raw column when the
+    corpus mixes formatting (the standard pre-dedup normalization; heavier
+    Unicode folding is a tokenizer concern, not a dedup key concern)."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def sql_normalize_text(expr: str) -> str:
+    """DuckDB twin of :func:`normalize_text`."""
+    return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"

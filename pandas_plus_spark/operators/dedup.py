@@ -255,8 +255,15 @@ def ngram_jaccard_pairs(
     threshold: float,
     shingle_size: int = 3,
     candidates: DataFrame | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """Exact n-gram-set Jaccard between document pairs.
+    """Exact n-gram-set similarity between document pairs.
+
+    ``metric="jaccard"`` (default): |A∩B| / |A∪B|, column ``jaccard``.
+    ``metric="containment"``: |A∩B| / min(|A|, |B|), column
+    ``containment`` — the asymmetric score that catches SUB-document
+    duplication (a doc quoting or embedding another scores ~1.0 here but
+    low Jaccard when the sizes differ; Broder's containment measure).
 
     With ``candidates`` (id_a, id_b) this verifies only those pairs — the
     scale path after LSH. Without, it brute-forces all pairs (test scale
@@ -293,12 +300,19 @@ def ngram_jaccard_pairs(
         ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
         gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
         pairs = ga.join(gb, F.col("id_a") < F.col("id_b"))
+    if metric not in ("jaccard", "containment"):
+        raise ValueError("metric must be 'jaccard' or 'containment'")
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size("grams_a") + F.size("grams_b") - inter
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    if metric == "containment":
+        den = F.least(F.size("grams_a"), F.size("grams_b"))
+        out_col = "containment"
+    else:
+        den = F.size("grams_a") + F.size("grams_b") - inter
+        out_col = "jaccard"
+    score = F.when(den > 0, inter.cast("double") / den).otherwise(F.lit(0.0))
     out = (
-        pairs.select("id_a", "id_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        pairs.select("id_a", "id_b", score.alias(out_col))
+        .where(F.col(out_col) >= threshold)
     )
     if candidates is not None:
         out = attach_cached(out, grams, candidates,

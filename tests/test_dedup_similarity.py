@@ -613,3 +613,35 @@ class TestSemanticContamination:
                                        "vec_id long, embedding array<double>")
         row = semantic_contamination(corpus, bench, threshold=0.5).first()
         assert row["nearest_bench_id"] == 3
+
+
+class TestContainmentAndCanonical:
+    def test_containment_catches_subdocument(self, spark):
+        big = "a b c d e f g h i j k l m n o p"
+        sub = "a b c d e f"           # contained prefix
+        df = spark.createDataFrame([(0, big), (1, sub)],
+                                   "doc_id long, text string")
+        cont = dedup.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.9,
+                                         metric="containment").collect()
+        assert len(cont) == 1 and cont[0]["containment"] == pytest.approx(1.0)
+        # symmetric jaccard under-scores the same pair
+        jac = dedup.ngram_jaccard_pairs(df, "text", "doc_id",
+                                        threshold=0.0).collect()
+        assert jac[0]["jaccard"] < 0.5
+
+    def test_bad_metric_raises(self, spark):
+        df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="metric"):
+            dedup.ngram_jaccard_pairs(df, "text", "doc_id", 0.5,
+                                      metric="dice")
+
+    def test_canonical_collapses_case_and_whitespace(self, spark):
+        from pandas_plus_spark.functions.text import normalize_text
+        df = spark.createDataFrame(
+            [(0, "Hello   World"), (1, "hello world"), (2, " HELLO\tWORLD "),
+             (3, "different")],
+            "doc_id long, text string")
+        canon = df.select("doc_id", normalize_text("text").alias("text"))
+        out = {r["keep_id"]: r["n_copies"]
+               for r in dedup.exact_dedup(canon, "text", "doc_id").collect()}
+        assert out == {0: 3, 3: 1}
