@@ -313,11 +313,12 @@ def bigram_lm_score(
     documents with < 2 tokens get n_bigrams 0 and NULL xent/ppl.
 
     Scale shape: two vocabulary-sized count frames (unigrams, bigrams —
-    each one explode + partial/final agg, persisted) plus a scalar total;
-    the per-doc pass explodes bigrams once, takes three broadcast joins
-    (bigram count; unigram count of the PREVIOUS token for the conditional;
-    unigram count of the CURRENT token for the interpolation floor) and one
-    shuffle keyed on ``id_col`` for the per-doc mean. At web scale the
+    each one explode + partial/final agg, persisted) plus a scalar total.
+    The probability model assembles entirely at VOCABULARY grain — the
+    unigram-count joins and the interpolation arithmetic land on the
+    bigram-vocab frame (V rows), producing one (gram → ln p) lookup — so
+    the corpus-sized exploded pass takes exactly ONE broadcast join plus
+    the shuffle keyed on ``id_col`` for the per-doc mean. At web scale the
     bigram vocabulary can outgrow broadcast — drop the hints and AQE falls
     back to a shuffled join; the per-doc shape is unchanged. Release the
     persisted count frames with ``util.release_cached``.
@@ -331,32 +332,34 @@ def bigram_lm_score(
     )
     total = uni.select(F.sum("ucnt").cast("double").alias("__total"))
 
-    bi_rows = (
-        base.select(F.col(id_col),
-                    F.explode(tx.word_ngrams(toks, 2)).alias("gram"))
-        # whitespace tokens cannot contain the joiner — split is exact
-        .withColumn("__parts", F.split("gram", " "))
-        .select(id_col, "gram",
-                F.col("__parts")[0].alias("__prev"),
-                F.col("__parts")[1].alias("__cur"))
-    )
+    bi_rows = base.select(
+        F.col(id_col), F.explode(tx.word_ngrams(toks, 2)).alias("gram"))
     bi_counts = bi_rows.groupBy("gram").agg(
         F.count(F.lit(1)).alias("bcnt")).persist()
 
+    # whitespace tokens cannot contain the joiner — split is exact
+    lam = float(lam)
     uprev = uni.select(F.col("term").alias("__prev"), F.col("ucnt").alias("pcnt"))
     ucur = uni.select(F.col("term").alias("__cur"), F.col("ucnt").alias("ccnt"))
-    lam = float(lam)
     p = (F.lit(lam) * (F.col("bcnt").cast("double") / F.col("pcnt"))
          + F.lit(1.0 - lam) * (F.col("ccnt").cast("double") / F.col("__total")))
-    per_doc = (
-        bi_rows
-        .join(F.broadcast(bi_counts), "gram")
+    gram_model = (
+        bi_counts
+        .withColumn("__parts", F.split("gram", " "))
+        .select("gram", "bcnt",
+                F.col("__parts")[0].alias("__prev"),
+                F.col("__parts")[1].alias("__cur"))
         .join(F.broadcast(uprev), "__prev")
         .join(F.broadcast(ucur), "__cur")
         .crossJoin(F.broadcast(total))
+        .select("gram", F.log(p).alias("__lnp"))
+    )
+    per_doc = (
+        bi_rows
+        .join(F.broadcast(gram_model), "gram")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_bigrams"),
-             F.avg(F.log(p)).alias("__mlnp"))
+             F.avg("__lnp").alias("__mlnp"))
     )
     out = (
         docs.select(id_col)
