@@ -1393,6 +1393,56 @@ def _q_ivf_knn(spark, sf):
     return similarity.ivf_knn(emb, queries_df, k=3, n_lists=16, n_probes=4)
 
 
+def _ensure_ivf_index(spark, sf):
+    """Build (once per session) the STORED IVF-ANN index — assignments +
+    centroids written to parquet (similarity.IvfIndex), the standing-index
+    layout for a continuously-queried embedding corpus. Returns paths."""
+    import os
+    import re as _re
+    from urllib.parse import urlparse
+
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf.rstrip("/").rsplit("/", 1)[-1])
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    base = os.path.join(wh, f"pps_ivfidx_{tag}")
+    a_p, c_p = os.path.join(base, "assignments"), os.path.join(base, "centroids")
+    marker = os.path.join(base, "_built")
+    if not os.path.exists(marker):
+        emb = _cast_double_embeddings(spark, sf)
+        idx = similarity.ivf_build_index(emb, n_lists=16)
+        idx.assignments.write.mode("overwrite").parquet(a_p)
+        idx.centroids.write.mode("overwrite").parquet(c_p)
+        os.makedirs(base, exist_ok=True)
+        open(marker, "w").close()
+    return a_p, c_p
+
+
+def _q_ivf_index_gate(spark, sf):
+    """Stored-index IVF equality gate: ivf_knn probing the parquet-stored
+    index (steady state — corpus never re-clustered) must return EXACTLY
+    the inline build's neighbors. One row of pinned invariants (the
+    pca_gate pattern): row counts equal, zero (query, rank) cells
+    disagreeing on neighbor or similarity."""
+    a_p, c_p = _ensure_ivf_index(spark, sf)
+    idx = similarity.IvfIndex(spark.read.parquet(a_p), spark.read.parquet(c_p))
+    emb = _cast_double_embeddings(spark, sf)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    inline = similarity.ivf_knn(emb, queries_df, k=3, n_lists=16, n_probes=4)
+    stored = similarity.ivf_knn(emb, queries_df, k=3, n_probes=4, index=idx)
+    j = (inline.select("query_id", "rank",
+                       F.col("neighbor_id").alias("n_a"),
+                       F.col("cos_sim").alias("s_a"))
+         .join(stored.select("query_id", "rank",
+                             F.col("neighbor_id").alias("n_b"),
+                             F.col("cos_sim").alias("s_b")),
+               ["query_id", "rank"], "full_outer"))
+    return j.agg(
+        (F.sum(((F.col("n_a").isNull()) | (F.col("n_b").isNull())
+                | (F.col("n_a") != F.col("n_b"))
+                | (F.abs(F.col("s_a") - F.col("s_b")) > 1e-12)).cast("long"))
+         == 0).alias("identical"),
+        (F.count(F.lit(1)) > 0).alias("nonempty"))
+
+
 def _q_ann_recall(spark, sf):
     """ANN quality gate: recall@10 of ivf_knn vs brute_force_knn, computed
     in-engine (both sides deterministic — seeded IVF, id-tiebroken top-k).
@@ -1925,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_contamination": _q_semantic_contamination,
         "dedup_exact_canonical": _q_dedup_exact_canonical,
         "containment_pairs": _q_containment_pairs,
+        "ivf_index_gate": _q_ivf_index_gate,
         "quality_classifier": _q_quality_classifier,
         "bigram_ppl": _q_bigram_ppl,
         "source_cap": _q_source_cap,
@@ -2103,6 +2154,11 @@ def oracle_sql() -> dict[str, str]:
     lam, one_minus_lam = 0.8, repr(1.0 - 0.8)
 
     return {
+        # stored-vs-inline IVF equality is computed in-engine; the oracle
+        # pins the expected invariant row
+        "ivf_index_gate": """
+            SELECT TRUE AS identical, TRUE AS nonempty
+        """,
         "dedup_exact_canonical": """
             WITH c AS (SELECT doc_id,
                               trim(regexp_replace(lower(text), '\s+', ' ', 'g'))

@@ -373,11 +373,19 @@ def ivf_knn(
     n_probes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: "IvfIndex | None" = None,
 ) -> DataFrame:
     """Approximate top-k: probe the ``n_probes`` nearest inverted lists per
     query instead of the whole corpus — the candidate set shrinks by
-    ~n_probes/n_lists. Same output schema as brute_force_knn."""
-    assignments, centroids = ivf_build(corpus, n_lists, 2, id_col, vec_col)
+    ~n_probes/n_lists. Same output schema as brute_force_knn.
+
+    Pass ``index`` (:func:`ivf_build_index` output, typically read back
+    from parquet) to skip the k-means build — the production steady state;
+    ``n_lists`` is then ignored in favor of the stored centroids."""
+    if index is not None:
+        assignments, centroids = index.assignments, index.centroids
+    else:
+        assignments, centroids = ivf_build(corpus, n_lists, 2, id_col, vec_col)
     corpus_lists = corpus.join(
         assignments.withColumnRenamed("id", id_col), id_col)
 
@@ -704,3 +712,33 @@ def semantic_contamination(
         (-F.col("__m.nb")).alias("nearest_bench_id"),
         F.col("__m.s").alias("max_sim"),
         (F.col("__m.s") >= threshold).alias("contaminated"))
+
+
+class IvfIndex:
+    """Stored IVF-ANN index: ``assignments`` (id, list_id) and
+    ``centroids`` (list_id, centroid) — the similarity-side analog of
+    ``dedup.RefIndex``. Build once with :func:`ivf_build_index`, write
+    both frames to parquet, read them back for every query batch: the
+    corpus is never re-clustered, and the recurring cost is probe
+    selection (queries × k centroids, broadcast) plus the probed-list
+    candidate scoring. Refresh by rebuilding when the corpus drifts
+    (centroid staleness degrades recall, never correctness — the verify
+    is always the true cosine)."""
+
+    def __init__(self, assignments: DataFrame, centroids: DataFrame):
+        self.assignments = assignments
+        self.centroids = centroids
+
+
+def ivf_build_index(
+    df: DataFrame,
+    n_lists: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """One-time IVF indexing pass (same parameters as the queries that will
+    probe it). Both frames are corpus-linear and slim (two longs / one
+    list_id + d floats per row)."""
+    assignments, centroids = ivf_build(df, n_lists, n_iters, id_col, vec_col)
+    return IvfIndex(assignments, centroids)

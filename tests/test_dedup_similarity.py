@@ -645,3 +645,25 @@ class TestContainmentAndCanonical:
         out = {r["keep_id"]: r["n_copies"]
                for r in dedup.exact_dedup(canon, "text", "doc_id").collect()}
         assert out == {0: 3, 3: 1}
+
+
+class TestIvfIndex:
+    def test_stored_index_equals_inline(self, spark, tmp_path):
+        import numpy as np
+        rng = np.random.RandomState(11)
+        X = rng.randn(200, 8)
+        rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        idx = similarity.ivf_build_index(emb, n_lists=8)
+        a_p, c_p = str(tmp_path / "a"), str(tmp_path / "c")
+        idx.assignments.write.parquet(a_p)
+        idx.centroids.write.parquet(c_p)
+        stored = similarity.IvfIndex(spark.read.parquet(a_p),
+                                     spark.read.parquet(c_p))
+        q = emb.where("vec_id < 5")
+        inline = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                  for r in similarity.ivf_knn(emb, q, k=4, n_lists=8).collect()}
+        via_idx = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                   for r in similarity.ivf_knn(emb, q, k=4,
+                                               index=stored).collect()}
+        assert inline == via_idx and len(inline) == 20
