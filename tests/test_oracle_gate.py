@@ -1,6 +1,6 @@
 """Driver-contract parity: run a representative subset of
 __spark_entry__.queries() against their DuckDB oracles at sf0.001.
-(The full 43-query gate runs at sf0.01 via scripts/run_gate.py / the driver.)
+(The full 118-query gate runs at sf0.01 via scripts/run_gate.py / the driver.)
 """
 
 import pytest
@@ -21,6 +21,16 @@ SUBSET = [
     "doc_token_stats",
     "knn_cosine",
     "multimodal_image_meta",
+    # round-5 second wave
+    "quality_classifier",
+    "bigram_ppl",
+    "source_cap",
+    "global_sample",
+    "asof_nearest",
+    "semantic_contamination",
+    "dedup_exact_canonical",
+    "containment_pairs",
+    "pack_gate",
 ]
 
 
