@@ -925,6 +925,27 @@ def _q_incremental_dedup_indexed(spark, sf):
         ref_index=idx)
 
 
+def _q_bloom_dedup(spark, sf):
+    """Bloom-prefiltered exact cross-corpus dedup (operators/dedup.py
+    exact_match_bloom + functions/bloom.py): the reference corpus's
+    content hashes fold into a 2^17-bit bitmap (corpus-size-independent,
+    16 KiB); the new batch probes it MAP-SIDE (zero shuffle, broadcast
+    numpy bitmap, vectorized per Arrow batch) and only might-match
+    survivors take the exact sha-256 verification join. Bloom filters
+    have no false negatives and survivors are exactly verified, so the
+    result is hash-identical to the plain exact text join the oracle
+    runs. Content key = the leading 32 chars (head fingerprint — the
+    boilerplate-dedup shape), which unlike full text actually collides in
+    the fixture corpus, so the gate exercises survivor rows, not just the
+    all-filtered path."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, 32).alias("head"))
+    new_df = docs.filter(F.col("doc_id") % 5 == 0)
+    ref_df = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.exact_match_bloom(new_df, ref_df, "head", "doc_id",
+                                   n_bits=1 << 17, k=7)
+
+
 def _q_frame_sample(spark, sf):
     """Video frame-sampling plumbing (operators/multimodal.py
     sample_frames): evenly spaced byte offsets JVM-side, Arrow-batched
@@ -1986,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping": _q_q3_shipping,
         "temperature_mixture": _q_temperature_mixture,
         "incremental_dedup_indexed": _q_incremental_dedup_indexed,
+        "bloom_dedup": _q_bloom_dedup,
         # --- r5 code-change re-verification (operators touched this round,
         #     pulled into the window ahead of untouched r3 entries) ---
         "incremental_dedup": _q_incremental_dedup,
@@ -3168,6 +3190,18 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _sql_incremental_dedup(),
         # the stored-index variant is pure precomputation — identical result
         "incremental_dedup_indexed": _sql_incremental_dedup(),
+        # bloom_dedup: the Bloom pre-filter only removes definitive
+        # non-members and survivors are exactly verified, so the oracle is
+        # the PLAIN exact cross-corpus text join — no bloom math in SQL.
+        "bloom_dedup": """
+            WITH h AS (SELECT doc_id, substr(text, 1, 32) AS head
+                       FROM documents)
+            SELECT n.doc_id AS doc_id, min(r.doc_id) AS ref_id
+            FROM (SELECT * FROM h WHERE doc_id % 5 = 0) n
+            JOIN (SELECT * FROM h WHERE doc_id % 5 <> 0) r
+              ON n.head = r.head
+            GROUP BY n.doc_id
+        """,
         # frame_sample: byte-level hex slicing on both sides (no char/byte
         # ambiguity), offsets floor(i*span/3.0) identically.
         "frame_sample": """

@@ -1,4 +1,6 @@
 from .binning import pretty_cut
+from .bloom import (bloom_build, bloom_might_contain, bloom_positions,
+                    bloom_to_numpy)
 from .encoding import bools_to_categorical, linear_combination
 from .masks import bool_array_mask, index_mask, slice_mask
 from .ordered import (global_cumsum, global_ntile, global_rank_cumsum,
@@ -28,4 +30,8 @@ __all__ = [
     "slice_mask",
     "index_mask",
     "bool_array_mask",
+    "bloom_positions",
+    "bloom_build",
+    "bloom_to_numpy",
+    "bloom_might_contain",
 ]

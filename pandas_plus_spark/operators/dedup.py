@@ -466,6 +466,62 @@ def incremental_dedup(
     return attach_cached(out, *getattr(verified, "_pps_cached", ()))
 
 
+def exact_match_bloom(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_bits: int = 1 << 20,
+    k: int = 7,
+    bloom_words: DataFrame | None = None,
+) -> DataFrame:
+    """Exact cross-corpus matches with a Bloom pre-filter: ``(id_col,
+    ref_id)`` for every NEW document whose text already exists in the
+    reference corpus — identical output to the exact stage of
+    :func:`incremental_dedup`, but the new batch is first probed MAP-SIDE
+    against an ``n_bits`` Bloom bitmap of the reference content hashes,
+    so only the (tiny) might-match fraction reaches the verification
+    join.
+
+    Why this matters at 100 TB: the plain exact stage shuffles the whole
+    new batch's hashes against the reference hash set every increment.
+    The Bloom bitmap is ``n_bits/8`` bytes REGARDLESS of corpus size
+    (~10 bits per reference doc for ~1% false positives), broadcasts
+    once, and eliminates non-duplicates — typically ~99% of a fresh
+    crawl — without any shuffle or reference-side I/O. Survivors still
+    take the exact sha-256 join, so false positives only cost verify
+    work and the result is exactly correct (Bloom has no false
+    negatives). Pass ``bloom_words`` (the sparse frame from
+    :func:`~pandas_plus_spark.functions.bloom.bloom_build` over the
+    reference hashes, typically read back from parquet alongside the
+    :class:`RefIndex`) to skip rebuilding the bitmap per batch; new
+    reference keys append with one more ``bit_or`` pass since Bloom
+    bitmaps OR losslessly.
+    """
+    from ..functions.bloom import bloom_build, bloom_might_contain, bloom_to_numpy
+
+    new_hashed = new_df.select(
+        F.col(id_col),
+        F.sha2(F.col(text_col).cast("string"), 256).alias("__h"))
+    ref_hashed = (
+        ref_df.select(F.sha2(F.col(text_col).cast("string"), 256).alias("__h"),
+                      F.col(id_col).alias("ref_id"))
+        .groupBy("__h").agg(F.min("ref_id").alias("ref_id"))
+    )
+    if bloom_words is None:
+        bloom_words = bloom_build(ref_hashed, "__h", n_bits, k)
+    dense = bloom_to_numpy(bloom_words, n_bits)
+    survivors = (
+        bloom_might_contain(new_hashed, "__h", dense, n_bits, k)
+        .filter(F.col("might_contain")).drop("might_contain")
+    )
+    return (
+        survivors.join(ref_hashed, "__h")
+        .select(F.col(id_col), F.col("ref_id"))
+    )
+
+
 def chunk_dedup_stats(
     df: DataFrame,
     text_col: str,

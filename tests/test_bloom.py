@@ -1,0 +1,119 @@
+"""Distributed Bloom filter (functions/bloom.py) + the bloom-prefiltered
+exact cross-corpus dedup (operators/dedup.py exact_match_bloom).
+
+Invariants: zero false negatives by construction (every inserted key
+probes True); false-positive rate bounded near the theoretical
+(1 - e^{-kn/m})^k; exact_match_bloom's output is IDENTICAL to the plain
+exact join (the pre-filter only removes definitive non-members)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from pandas_plus_spark.functions.bloom import (
+    bloom_build, bloom_might_contain, bloom_positions, bloom_to_numpy,
+)
+from pandas_plus_spark.operators.dedup import exact_match_bloom
+
+N_BITS, K = 1 << 14, 7
+
+
+@pytest.fixture(scope="module")
+def keys_df(spark):
+    return spark.range(500).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("key"))
+
+
+@pytest.fixture(scope="module")
+def dense(spark, keys_df):
+    return bloom_to_numpy(bloom_build(keys_df, "key", N_BITS, K), N_BITS)
+
+
+class TestBloomFilter:
+    def test_build_shape(self, spark, keys_df):
+        words = bloom_build(keys_df, "key", N_BITS, K).toPandas()
+        assert len(words) <= N_BITS // 64
+        assert words["word"].between(0, N_BITS // 64 - 1).all()
+        # 500 keys x 7 probes set ~3400 distinct bits of 16384
+        total_bits = sum(bin(b & 0xFFFFFFFFFFFFFFFF).count("1")
+                         for b in words["bits"])
+        assert 2000 < total_bits <= 500 * K
+
+    def test_no_false_negatives(self, spark, keys_df, dense):
+        out = bloom_might_contain(keys_df, "key", dense, N_BITS, K)
+        assert out.filter(~F.col("might_contain")).count() == 0
+
+    def test_fp_rate_bounded(self, spark, dense):
+        probes = spark.range(10_000).select(
+            F.concat(F.lit("other-"), F.col("id")).alias("key"))
+        fp = (bloom_might_contain(probes, "key", dense, N_BITS, K)
+              .filter("might_contain").count())
+        # theoretical fp ~ (1 - exp(-7*500/16384))^7 ~ 0.0027%; allow slack
+        assert fp < 100
+
+    def test_null_keys_probe_false(self, spark, dense):
+        df = spark.createDataFrame(
+            [("key-1",), (None,), ("key-2",), (None,)], "key string")
+        got = [r["might_contain"] for r in
+               bloom_might_contain(df, "key", dense, N_BITS, K)
+               .orderBy(F.col("key").asc_nulls_last()).collect()]
+        assert got == [True, True, False, False]
+
+    def test_positions_deterministic(self, spark, keys_df):
+        a = keys_df.select(bloom_positions("key", N_BITS, K).alias("p")).collect()
+        b = keys_df.select(bloom_positions("key", N_BITS, K).alias("p")).collect()
+        assert a == b
+        assert all(len(r["p"]) == K and all(0 <= x < N_BITS for x in r["p"])
+                   for r in a)
+
+    def test_incremental_union_or(self, spark, keys_df):
+        """Bloom bitmaps OR losslessly: build over two halves, bit_or the
+        sparse frames together == build over the union."""
+        h1 = keys_df.limit(250)
+        h2 = keys_df.subtract(h1)
+        merged = (bloom_build(h1, "key", N_BITS, K)
+                  .unionByName(bloom_build(h2, "key", N_BITS, K))
+                  .groupBy("word").agg(F.bit_or("bits").alias("bits")))
+        np.testing.assert_array_equal(
+            bloom_to_numpy(merged, N_BITS), bloom_to_numpy(
+                bloom_build(keys_df, "key", N_BITS, K), N_BITS))
+
+    def test_n_bits_validation(self, spark, keys_df):
+        with pytest.raises(ValueError):
+            bloom_to_numpy(bloom_build(keys_df, "key", N_BITS, K), N_BITS + 7)
+
+    def test_empty_reference(self, spark, keys_df):
+        empty = keys_df.filter(F.lit(False))
+        dense0 = bloom_to_numpy(bloom_build(empty, "key", N_BITS, K), N_BITS)
+        assert not dense0.any()
+        out = bloom_might_contain(keys_df, "key", dense0, N_BITS, K)
+        assert out.filter("might_contain").count() == 0
+
+
+class TestExactMatchBloom:
+    def test_matches_plain_exact_join(self, spark, tables):
+        docs = tables["documents"]
+        new_df = docs.filter(F.col("doc_id") % 5 == 0)
+        ref_df = docs.filter(F.col("doc_id") % 5 != 0)
+        got = exact_match_bloom(new_df, ref_df, "text", "doc_id",
+                                n_bits=N_BITS, k=K)
+        want = (new_df.alias("n").join(ref_df.alias("r"),
+                                       F.col("n.text") == F.col("r.text"))
+                .groupBy(F.col("n.doc_id").alias("doc_id"))
+                .agg(F.min("r.doc_id").alias("ref_id")))
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect()))
+
+    def test_prebuilt_bloom_words(self, spark, tables):
+        docs = tables["documents"]
+        new_df = docs.filter(F.col("doc_id") % 5 == 0)
+        ref_df = docs.filter(F.col("doc_id") % 5 != 0)
+        ref_hashed = ref_df.select(
+            F.sha2(F.col("text").cast("string"), 256).alias("__h"))
+        words = bloom_build(ref_hashed, "__h", N_BITS, K)
+        got = exact_match_bloom(new_df, ref_df, "text", "doc_id",
+                                n_bits=N_BITS, k=K, bloom_words=words)
+        plain = exact_match_bloom(new_df, ref_df, "text", "doc_id",
+                                  n_bits=N_BITS, k=K)
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, plain.collect()))
