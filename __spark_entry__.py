@@ -164,6 +164,84 @@ def _sql_dup_clusters(threshold: float = 0.2) -> str:
     """
 
 
+def _spans_ctes(k: int = 6, min_df: int = 2) -> str:
+    """Shared CTE chain for the duplicated-span twins: per-token poly
+    hashes, positional k-gram fold, cross-doc distinct count, per-doc
+    gap-merge — ends with a ``spans(doc_id, span_start, span_end,
+    n_grams)`` CTE."""
+    MUL, MOD = tx.POLY_MUL, tx.POLY_MOD
+    th = (
+        "list_transform(list_filter(string_split(text, ' '), t -> t <> ''), "
+        "t -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, length(t)+1), "
+        "i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(acc, x) -> (acc*{MUL} + x) % {MOD}))")
+    return f"""
+        th AS (SELECT doc_id, {th} AS h FROM documents),
+        g AS (SELECT doc_id, CAST(i-1 AS BIGINT) AS pos,
+                list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                                 h[CAST(i AS BIGINT):CAST(i+{k}-1 AS BIGINT)]),
+                    (acc, x) -> (acc*{MUL} + x) % {MOD}) AS ghash
+              FROM th, unnest(range(1, len(h)-{k}+2)) AS t(i)),
+        rep AS (SELECT ghash FROM g GROUP BY ghash
+                HAVING count(DISTINCT doc_id) >= {min_df}),
+        hits AS (SELECT doc_id, pos FROM g
+                 WHERE ghash IN (SELECT ghash FROM rep)),
+        lagged AS (SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {k}
+                 OR lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                 THEN 1 ELSE 0 END AS brk
+          FROM hits),
+        lbl AS (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS l
+                FROM lagged),
+        spans AS (SELECT doc_id, min(pos) AS span_start,
+                         max(pos)+{k} AS span_end, count(*) AS n_grams
+                  FROM lbl GROUP BY doc_id, l)
+    """
+
+
+def _sql_duplicated_spans(k: int = 6, min_df: int = 2) -> str:
+    """DuckDB twin of duplicated_spans(hash_fn="poly")."""
+    return f"""
+        WITH {_spans_ctes(k, min_df)}
+        SELECT doc_id, span_start, span_end, n_grams FROM spans
+    """
+
+
+def _sql_span_excision(k: int = 6, min_df: int = 2) -> str:
+    """DuckDB twin of duplicated_spans → excise_spans composed: flagged
+    docs get their duplicated token spans cut out (indexed-lambda filter
+    over the token list, 1-based i → 0-based pos), unflagged docs pass
+    their raw text through unchanged."""
+    return f"""
+        WITH {_spans_ctes(k, min_df)},
+        sp AS (SELECT doc_id,
+                      list(struct_pack(s := span_start, e := span_end)) AS ss
+               FROM spans GROUP BY doc_id),
+        tk AS (SELECT doc_id, text,
+                      list_filter(string_split(text, ' '), t -> t <> '') AS toks
+               FROM documents)
+        SELECT tk.doc_id,
+               CASE WHEN sp.doc_id IS NULL THEN tk.text
+                    -- array_to_string([]) is NULL in DuckDB; Spark's
+                    -- concat_ws over an empty array is '' — align them
+                    ELSE COALESCE(array_to_string(
+                        list_filter(toks, (t, i) ->
+                            len(list_filter(ss, r ->
+                                i-1 >= r.s AND i-1 < r.e)) = 0), ' '), '')
+               END AS clean_text,
+               CASE WHEN sp.doc_id IS NULL THEN 0
+                    ELSE len(list_filter(toks, (t, i) ->
+                        len(list_filter(ss, r ->
+                            i-1 >= r.s AND i-1 < r.e)) > 0))
+               END AS n_removed
+        FROM tk LEFT JOIN sp ON tk.doc_id = sp.doc_id
+    """
+
+
 def _sql_incremental_dedup(num_hashes: int = 8, bands: int = 4,
                            threshold: float = 0.3) -> str:
     """DuckDB twin of incremental_dedup(hash_fn="poly") on the %5 new/ref
@@ -944,6 +1022,29 @@ def _q_bloom_dedup(spark, sf):
     ref_df = docs.filter(F.col("doc_id") % 5 != 0)
     return dedup.exact_match_bloom(new_df, ref_df, "head", "doc_id",
                                    n_bits=1 << 17, k=7)
+
+
+def _q_duplicated_spans(spark, sf):
+    """Exact-substring dedup at span granularity (operators/dedup.py
+    duplicated_spans, Lee et al. 2022): maximal per-document token spans
+    whose every k-gram also appears in >= 2 distinct documents. Poly hash
+    family so positional gram hashes, the cross-doc distinct count, and
+    the gap-merge are all value-checked against the SQL twin."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.duplicated_spans(docs, "text", "doc_id", k=6,
+                                  hash_fn="poly")
+
+
+def _q_span_excision(spark, sf):
+    """duplicated_spans → excise_spans composed (operators/dedup.py):
+    the full exact-substring dedup pipeline — detect cross-document
+    duplicated token spans, then cut them out of the flagged documents;
+    unflagged documents pass through byte-identical. n_removed is the
+    per-doc excised token count."""
+    docs = load_table(spark, sf, "documents")
+    spans = dedup.duplicated_spans(docs, "text", "doc_id", k=6,
+                                   hash_fn="poly")
+    return dedup.excise_spans(docs, spans, "text", "doc_id")
 
 
 def _q_frame_sample(spark, sf):
@@ -2008,6 +2109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": _q_temperature_mixture,
         "incremental_dedup_indexed": _q_incremental_dedup_indexed,
         "bloom_dedup": _q_bloom_dedup,
+        "duplicated_spans": _q_duplicated_spans,
+        "span_excision": _q_span_excision,
         # --- r5 code-change re-verification (operators touched this round,
         #     pulled into the window ahead of untouched r3 entries) ---
         "incremental_dedup": _q_incremental_dedup,
@@ -3202,6 +3305,8 @@ def oracle_sql() -> dict[str, str]:
               ON n.head = r.head
             GROUP BY n.doc_id
         """,
+        "duplicated_spans": _sql_duplicated_spans(),
+        "span_excision": _sql_span_excision(),
         # frame_sample: byte-level hex slicing on both sides (no char/byte
         # ambiguity), offsets floor(i*span/3.0) identically.
         "frame_sample": """

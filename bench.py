@@ -62,6 +62,8 @@ HEADLINE = [
     # round-5 second wave: learned-model seam + LM fluency signal
     "quality_classifier",
     "bigram_ppl",
+    # round-5 close: substring-granular dedup sweep over the corpus
+    "duplicated_spans",
 ]
 
 

@@ -522,6 +522,143 @@ def exact_match_bloom(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 6,
+    min_df: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans: ``(id_col,
+    span_start, span_end, n_grams)`` — every region of ≥ ``k``
+    consecutive tokens that also appears in ≥ ``min_df`` distinct
+    documents, merged into maximal spans per document (token-index
+    half-open ``[span_start, span_end)``).
+
+    The substring-granular dedup modality (exact-substring dedup of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, arXiv:2107.06499): document- and chunk-level dedup miss
+    boilerplate/quotation spans embedded in otherwise-unique documents;
+    this surfaces them for masking or excision. A suffix array finds
+    arbitrary-length repeats; the distributed approximation here detects
+    every repeat of length ≥ k via positional k-gram hashes — the same
+    guarantee at span granularity k, with corpus-LINEAR cost and plain
+    shuffle machinery:
+
+    1. per-token poly/xxhash, then the hash of the k-gram starting at
+       every position — one JVM array pass per doc, no explosion yet;
+    2. explode to ``(id, pos, ghash)`` (corpus-token-sized, 24 B rows)
+       and count DISTINCT docs per ghash — one shuffle on the gram hash;
+       ``min_df`` filters to cross-document repeats;
+    3. join positions back (same ghash partitioning) and merge positions
+       with gap ≤ k into maximal spans — a per-document window, one
+       shuffle on the doc id.
+
+    At 100 TB every intermediate row is a couple of longs; the dominant
+    cost is the one groupBy over corpus-token-count gram hashes, which
+    AQE splits like any big aggregation. Hash collisions (~n²/2⁶⁴ for
+    xxhash64) can merge unrelated grams — acceptable for span masking;
+    verify survivors textually if excising. ``hash_fn="poly"`` switches
+    to the ANSI-reproducible family for the oracle gate."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = _base_hash(hash_fn)
+    tk = simple_tokens(F.col(text_col))
+
+    def gram_hashes(th):
+        n = F.size(th)
+        if hash_fn == "poly":
+            from ..functions.text import POLY_MOD, POLY_MUL
+            fold = lambda i: F.aggregate(  # noqa: E731
+                F.slice(th, i + 1, k), F.lit(0).cast("long"),
+                lambda acc, x: (acc * F.lit(POLY_MUL) + x) % F.lit(POLY_MOD))
+        else:
+            fold = lambda i: F.xxhash64(F.slice(th, i + 1, k))  # noqa: E731
+        return F.when(
+            n >= k,
+            F.transform(F.sequence(F.lit(0), n - k), fold)
+        ).otherwise(F.array().cast("array<long>"))
+
+    from ..functions.text import let
+
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            let(F.transform(tk, lambda t: base(t)), gram_hashes)
+        ).alias("pos", "__g"),
+    )
+    repeated = (
+        grams.groupBy("__g")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__g")
+    )
+    hits = grams.join(repeated, "__g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.coalesce(F.col("pos") - F.lag("pos").over(w), F.lit(k + 1)) > k,
+        F.lit(1)).otherwise(F.lit(0))
+    spans = (
+        hits.withColumn("__brk", brk)
+        .withColumn("__lbl", F.sum("__brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(id_col, "__lbl")
+        .agg(F.min("pos").cast("long").alias("span_start"),
+             (F.max("pos") + k).cast("long").alias("span_end"),
+             F.count(F.lit(1)).alias("n_grams"))
+        .select(id_col, "span_start", "span_end", "n_grams")
+    )
+    return spans
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cut duplicated token spans out of each document: ``(id_col,
+    clean_text, n_removed)`` — the excision step of exact-substring
+    dedup (pair with :func:`duplicated_spans`; Lee et al. 2022 drop one
+    occurrence of each duplicate, the simpler fleet policy here drops
+    every flagged span — the spans frame IS the policy input, so callers
+    wanting keep-one semantics anti-join their keeper spans out first).
+
+    Documents with no flagged span pass through unchanged (left join,
+    ``n_removed = 0``). Shuffle shape: spans is a RESULT-sized frame
+    (duplicated regions only), aggregated to one ``array<struct>`` per
+    flagged doc and joined on the doc id — AQE broadcasts it when small;
+    the token filter itself is a JVM expression over the tokenized
+    document (``exists`` probe per token against the doc's few spans),
+    no Python, no explosion: the corpus moves through exactly one
+    map stage plus that join."""
+    span_arr = (
+        spans.groupBy(id_col)
+        .agg(F.collect_list(
+            F.struct(F.col("span_start").alias("s"),
+                     F.col("span_end").alias("e"))).alias("__spans"))
+    )
+    tk = simple_tokens(F.col(text_col))
+    kept = F.filter(
+        tk,
+        lambda t, i: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (i >= sp["s"]) & (i < sp["e"])))
+    return (
+        df.join(span_arr, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__spans").isNull(), F.col(text_col))
+            .otherwise(F.concat_ws(" ", kept)).alias("clean_text"),
+            F.when(F.col("__spans").isNull(), F.lit(0).cast("long"))
+            .otherwise((F.size(tk) - F.size(kept)).cast("long"))
+            .alias("n_removed"),
+        )
+    )
+
+
 def chunk_dedup_stats(
     df: DataFrame,
     text_col: str,

@@ -667,3 +667,86 @@ class TestIvfIndex:
                    for r in similarity.ivf_knn(emb, q, k=4,
                                                index=stored).collect()}
         assert inline == via_idx and len(inline) == 20
+
+
+class TestDuplicatedSpans:
+    """Exact-substring (span-granular) dedup: duplicated_spans."""
+
+    @pytest.fixture(scope="class")
+    def span_docs(self, spark):
+        # docs 0 and 1 share an 8-token boilerplate block at different
+        # offsets; doc 2 is unrelated; doc 3 shares a second, separate
+        # 6-token block with doc 0 (two disjoint spans in doc 0).
+        block_a = "all rights reserved contact us for more information"  # 8 tokens
+        block_b = "subscribe to our newsletter right now"               # 6 tokens
+        rows = [
+            (0, f"unique opening words here {block_a} middle filler text {block_b}"),
+            (1, f"{block_a} and then a totally different continuation follows"),
+            (2, "nothing here repeats anywhere else in this tiny corpus at all"),
+            (3, f"some other prefix tokens {block_b} trailing ending part"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_finds_planted_spans(self, span_docs):
+        out = dedup.duplicated_spans(span_docs, "text", "doc_id", k=6)
+        spans = {}
+        for r in out.collect():
+            spans.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"]))
+        # doc 0: block_a at tokens [4, 12), block_b at [15, 21)
+        assert sorted(spans[0]) == [(4, 12), (15, 21)]
+        # doc 1: block_a at [0, 8); doc 3: block_b at [4, 10)
+        assert spans[1] == [(0, 8)]
+        assert spans[3] == [(4, 10)]
+        assert 2 not in spans  # nothing in doc 2 repeats
+
+    def test_hash_families_agree(self, span_docs):
+        a = sorted(map(tuple, dedup.duplicated_spans(
+            span_docs, "text", "doc_id", k=6, hash_fn="poly").collect()))
+        b = sorted(map(tuple, dedup.duplicated_spans(
+            span_docs, "text", "doc_id", k=6, hash_fn="xxhash64").collect()))
+        assert a == b and len(a) == 4
+
+    def test_min_df_3_drops_pairwise_repeats(self, span_docs):
+        out = dedup.duplicated_spans(span_docs, "text", "doc_id", k=6,
+                                     min_df=3)
+        assert out.count() == 0  # every planted block is in exactly 2 docs
+
+    def test_short_and_empty_docs(self, spark):
+        df = spark.createDataFrame(
+            [(0, "too short"), (1, ""), (2, None), (3, "also too short")],
+            "doc_id long, text string")
+        assert dedup.duplicated_spans(df, "text", "doc_id", k=6).count() == 0
+        empty = df.filter(F.lit(False))
+        out = dedup.duplicated_spans(empty, "text", "doc_id", k=6)
+        assert out.count() == 0
+        assert out.columns == ["doc_id", "span_start", "span_end", "n_grams"]
+
+    def test_k_validation(self, span_docs):
+        with pytest.raises(ValueError):
+            dedup.duplicated_spans(span_docs, "text", "doc_id", k=0)
+
+    def test_excise_spans(self, span_docs):
+        spans = dedup.duplicated_spans(span_docs, "text", "doc_id", k=6)
+        out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+               for r in dedup.excise_spans(
+                   span_docs, spans, "text", "doc_id").collect()}
+        assert len(out) == 4
+        # doc 0 loses both blocks (8 + 6 tokens), keeps the filler
+        assert out[0] == (
+            "unique opening words here middle filler text", 14)
+        assert out[1] == (
+            "and then a totally different continuation follows", 8)
+        # unflagged doc passes through byte-identical (not re-tokenized)
+        assert out[2] == (
+            "nothing here repeats anywhere else in this tiny corpus at all", 0)
+        assert out[3] == ("some other prefix tokens trailing ending part", 6)
+
+    def test_excise_empty_spans(self, span_docs):
+        no_spans = dedup.duplicated_spans(span_docs, "text", "doc_id",
+                                          k=6, min_df=3)
+        out = dedup.excise_spans(span_docs, no_spans, "text", "doc_id")
+        assert out.filter(F.col("n_removed") != 0).count() == 0
+        texts = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+        orig = {r["doc_id"]: r["text"] for r in span_docs.collect()}
+        assert texts == orig
