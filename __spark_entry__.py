@@ -959,11 +959,16 @@ def _q_incremental_dedup(spark, sf):
         num_hashes=8, bands=4, shingle_size=3, hash_fn="poly")
 
 
+_REFIDX_BLOOM_BITS = 1 << 17
+
+
 def _ensure_ref_index(spark, sf):
     """Build (once per session) the STORED reference-corpus dedup index —
-    content hashes + LSH band entries written to parquet, the layout a
-    continuously-ingesting pipeline maintains so each increment re-processes
-    only the new batch. Returns the parquet paths."""
+    content hashes + LSH band entries + the Bloom bitmap over the content
+    hashes, all written to parquet: the layout a continuously-ingesting
+    pipeline maintains so each increment re-processes only the new batch
+    and probes the bitmap map-side before the exact join. Returns the
+    parquet paths."""
     import os
     import re as _re
     from urllib.parse import urlparse
@@ -972,31 +977,37 @@ def _ensure_ref_index(spark, sf):
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     base = os.path.join(wh, f"pps_refidx_{tag}")
     ch_p, be_p = os.path.join(base, "content_hashes"), os.path.join(base, "band_entries")
-    marker = os.path.join(base, "_built")
+    bw_p = os.path.join(base, "bloom_words")
+    marker = os.path.join(base, "_built_v2")
     if not os.path.exists(marker):
         docs = load_table(spark, sf, "documents")
         ref_df = docs.filter(F.col("doc_id") % 5 != 0)
         idx = dedup.build_ref_index(ref_df, "text", "doc_id", num_hashes=8,
-                                    bands=4, shingle_size=3, hash_fn="poly")
+                                    bands=4, shingle_size=3, hash_fn="poly",
+                                    bloom_bits=_REFIDX_BLOOM_BITS)
         idx.content_hashes.write.mode("overwrite").parquet(ch_p)
         idx.band_entries.write.mode("overwrite").parquet(be_p)
+        idx.bloom_words.write.mode("overwrite").parquet(bw_p)
         os.makedirs(base, exist_ok=True)
         open(marker, "w").close()
-    return ch_p, be_p
+    return ch_p, be_p, bw_p
 
 
 def _q_incremental_dedup_indexed(spark, sf):
     """incremental_dedup's PRODUCTION shape: the reference corpus's index
-    (content hashes + LSH band entries) is read back from parquet instead
-    of recomputed, so the per-batch cost is proportional to the new data
-    (plus candidate-pruned verify shingling). Result is IDENTICAL to
-    incremental_dedup — same oracle SQL — because the index is pure
-    precomputation."""
-    ch_p, be_p = _ensure_ref_index(spark, sf)
+    (content hashes + LSH band entries + Bloom bitmap) is read back from
+    parquet instead of recomputed, so the per-batch cost is proportional
+    to the new data (plus candidate-pruned verify shingling), and the
+    batch probes the bitmap map-side before the exact join. Result is
+    IDENTICAL to incremental_dedup — same oracle SQL — because the index
+    is pure precomputation and Bloom filters have no false negatives."""
+    ch_p, be_p, bw_p = _ensure_ref_index(spark, sf)
     docs = load_table(spark, sf, "documents")
     new_df = docs.filter(F.col("doc_id") % 5 == 0)
     ref_df = docs.filter(F.col("doc_id") % 5 != 0)
-    idx = dedup.RefIndex(spark.read.parquet(ch_p), spark.read.parquet(be_p))
+    idx = dedup.RefIndex(spark.read.parquet(ch_p), spark.read.parquet(be_p),
+                         bloom_words=spark.read.parquet(bw_p),
+                         bloom_bits=_REFIDX_BLOOM_BITS)
     return dedup.incremental_dedup(
         new_df, ref_df, "text", "doc_id", threshold=0.3,
         num_hashes=8, bands=4, shingle_size=3, hash_fn="poly",

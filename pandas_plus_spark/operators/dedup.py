@@ -364,11 +364,25 @@ class RefIndex:
     (__h, ref_id) for the exact stage and ``band_entries`` (id, band,
     bhash) for the LSH stage. Build once with :func:`build_ref_index`,
     write both frames to parquet, read them back for every incremental
-    batch — the reference corpus is then never re-processed."""
+    batch — the reference corpus is then never re-processed.
 
-    def __init__(self, content_hashes: DataFrame, band_entries: DataFrame):
+    Optionally carries ``bloom_words`` (the sparse Bloom bitmap over the
+    content hashes, ``functions.bloom.bloom_build``) with its
+    ``bloom_bits``/``bloom_k`` parameters: when present,
+    :func:`incremental_dedup` probes new batches against the broadcast
+    bitmap MAP-SIDE before the exact join, so non-duplicates (the bulk
+    of any fresh crawl) never shuffle against the reference hash set.
+    The bitmap frame round-trips through parquet like the other two and
+    absorbs new keys with one more ``bit_or`` pass."""
+
+    def __init__(self, content_hashes: DataFrame, band_entries: DataFrame,
+                 bloom_words: DataFrame | None = None,
+                 bloom_bits: int = 1 << 20, bloom_k: int = 7):
         self.content_hashes = content_hashes
         self.band_entries = band_entries
+        self.bloom_words = bloom_words
+        self.bloom_bits = bloom_bits
+        self.bloom_k = bloom_k
 
 
 def build_ref_index(
@@ -380,10 +394,15 @@ def build_ref_index(
     bands: int = 8,
     shingle_size: int = 3,
     hash_fn: str = "xxhash64",
+    bloom_bits: int | None = None,
+    bloom_k: int = 7,
 ) -> RefIndex:
     """One-time indexing pass over the reference corpus for
     :func:`incremental_dedup` (use the SAME parameters for both). Each
-    frame is corpus-linear and tiny per row (32-byte hash / 3 longs)."""
+    frame is corpus-linear and tiny per row (32-byte hash / 3 longs).
+    Pass ``bloom_bits`` (~10 bits per reference doc) to also build the
+    Bloom bitmap over the content hashes — new batches then probe it
+    map-side before the exact join (see :class:`RefIndex`)."""
     content = (
         ref_df.select(F.sha2(F.col(text_col).cast("string"), 256).alias("__h"),
                       F.col(id_col).alias("ref_id"))
@@ -391,7 +410,13 @@ def build_ref_index(
     )
     sigs = minhash_signatures(ref_df, text_col, id_col, num_hashes,
                               shingle_size, hash_fn=hash_fn)
-    return RefIndex(content, _band_entries(sigs, bands, num_hashes, hash_fn))
+    bloom_words = None
+    if bloom_bits is not None:
+        from ..functions.bloom import bloom_build
+        bloom_words = bloom_build(content, "__h", bloom_bits, bloom_k)
+    return RefIndex(content, _band_entries(sigs, bands, num_hashes, hash_fn),
+                    bloom_words=bloom_words,
+                    bloom_bits=bloom_bits or (1 << 20), bloom_k=bloom_k)
 
 
 def incremental_dedup(
@@ -434,6 +459,19 @@ def incremental_dedup(
     if ref_index is not None:
         ref_hashed = ref_index.content_hashes
         e_ref = ref_index.band_entries
+        if ref_index.bloom_words is not None:
+            # Map-side Bloom pre-filter: non-duplicates (no false
+            # negatives possible) never reach the exact join's shuffle;
+            # false positives just take the join and fall out of it.
+            from ..functions.bloom import bloom_might_contain, bloom_to_numpy
+            dense = bloom_to_numpy(ref_index.bloom_words,
+                                   ref_index.bloom_bits)
+            new_hashed = (
+                bloom_might_contain(new_hashed, "__h", dense,
+                                    ref_index.bloom_bits,
+                                    ref_index.bloom_k)
+                .filter(F.col("might_contain")).drop("might_contain")
+            )
     else:
         idx = build_ref_index(ref_df, text_col, id_col,
                               num_hashes=num_hashes, bands=bands,

@@ -117,3 +117,29 @@ class TestExactMatchBloom:
                                   n_bits=N_BITS, k=K)
         assert sorted(map(tuple, got.collect())) == \
             sorted(map(tuple, plain.collect()))
+
+
+class TestRefIndexBloom:
+    def test_bloom_indexed_incremental_dedup_identical(self, spark, tables):
+        from pandas_plus_spark.operators.dedup import (
+            build_ref_index, incremental_dedup)
+        docs = tables["documents"]
+        new_df = docs.filter(F.col("doc_id") % 5 == 0)
+        ref_df = docs.filter(F.col("doc_id") % 5 != 0)
+        kw = dict(threshold=0.3, num_hashes=8, bands=4, shingle_size=3,
+                  hash_fn="poly")
+        plain = incremental_dedup(new_df, ref_df, "text", "doc_id", **kw)
+        idx = build_ref_index(ref_df, "text", "doc_id", num_hashes=8,
+                              bands=4, shingle_size=3, hash_fn="poly",
+                              bloom_bits=N_BITS, bloom_k=K)
+        assert idx.bloom_words is not None
+        bloomed = incremental_dedup(new_df, ref_df, "text", "doc_id",
+                                    ref_index=idx, **kw)
+        assert sorted(map(tuple, plain.collect())) == \
+            sorted(map(tuple, bloomed.collect()))
+
+    def test_no_bloom_by_default(self, spark, tables):
+        from pandas_plus_spark.operators.dedup import build_ref_index
+        idx = build_ref_index(tables["documents"], "text", "doc_id",
+                              num_hashes=8, bands=4)
+        assert idx.bloom_words is None
