@@ -143,3 +143,20 @@ class TestRefIndexBloom:
         idx = build_ref_index(tables["documents"], "text", "doc_id",
                               num_hashes=8, bands=4)
         assert idx.bloom_words is None
+
+
+class TestBloomPlanShape:
+    def test_probe_is_zero_shuffle(self, spark, keys_df, dense):
+        """The probe stage must be pure map work: positions JVM-side,
+        bitmap via broadcast, no Exchange anywhere in the plan."""
+        out = bloom_might_contain(keys_df, "key", dense, N_BITS, K)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time
+
+    def test_build_has_single_exchange(self, spark, keys_df):
+        """The bitmap build is one partial-agg exchange on the word index
+        — map-side bit_or combine, then the final n_bits/64-row frame."""
+        words = bloom_build(keys_df, "key", N_BITS, K)
+        plan = words._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
