@@ -2295,7 +2295,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_index_gate": """
             SELECT TRUE AS identical, TRUE AS nonempty
         """,
-        "dedup_exact_canonical": """
+        "dedup_exact_canonical": r"""
             WITH c AS (SELECT doc_id,
                               trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
                                 AS text

@@ -37,11 +37,25 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _validate_params(n_bits: int, k: int) -> None:
+    """Fail fast on the driver for parameter mistakes that would otherwise
+    surface as silent no-ops or opaque executor errors: ``k == 0`` makes
+    every probe vacuously True (an empty all() — the pre-filter silently
+    disabled while appearing to work), and a tiny / non-word-aligned
+    ``n_bits`` breaks the word/bit packing."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k} (k=0 would make every "
+                         "probe vacuously True, disabling the filter)")
+    if n_bits < 64 or n_bits % 64:
+        raise ValueError(f"n_bits must be a positive multiple of 64, got {n_bits}")
+
+
 def bloom_positions(col, n_bits: int, k: int) -> Column:
     """``array<long>`` of the ``k`` bit positions of a key — seeded
     ``xxhash64(seed_i, key)`` mod ``n_bits``. The single source of the
     hash family: build and probe both call this, so they can never
     disagree. NULL keys yield a NULL array (treated as "not contained")."""
+    _validate_params(n_bits, k)
     col = F.col(col) if isinstance(col, str) else col
     return F.when(
         col.isNotNull(),
@@ -80,8 +94,21 @@ def bloom_to_numpy(words_df: DataFrame, n_bits: int) -> np.ndarray:
     return dense
 
 
+def bloom_broadcast(spark, dense: np.ndarray):
+    """Broadcast the dense bitmap once for reuse across many probe calls.
+
+    :func:`bloom_might_contain` creates a fresh ``SparkContext`` broadcast
+    per call when handed a raw numpy bitmap; in a continuously-ingesting
+    loop (one probe per batch, large ``n_bits``) those accumulate on the
+    executors until Python GC happens to release the plan closures. For
+    that shape, broadcast once with this helper, pass the returned
+    ``Broadcast`` to every probe, and ``.unpersist()`` it when the bitmap
+    is superseded (e.g. after a ``bit_or`` union absorbs new keys)."""
+    return spark.sparkContext.broadcast(dense)
+
+
 def bloom_might_contain(
-    df: DataFrame, col, dense: np.ndarray, n_bits: int, k: int = 7,
+    df: DataFrame, col, dense, n_bits: int, k: int = 7,
     out_col: str = "might_contain",
 ) -> DataFrame:
     """Append boolean ``out_col``: True iff every one of the key's ``k``
@@ -89,8 +116,31 @@ def bloom_might_contain(
     set; False is definitive absence). Zero-shuffle: positions are
     computed JVM-side, the bitmap ships once per executor as a
     ``SparkContext`` broadcast, and the check is a vectorized numpy
-    gather per Arrow batch."""
-    bc = df.sparkSession.sparkContext.broadcast(dense)
+    gather per Arrow batch.
+
+    ``dense`` is the numpy bitmap from :func:`bloom_to_numpy`, or a
+    ``Broadcast`` of it from :func:`bloom_broadcast` — pass the broadcast
+    form when probing repeatedly (per-batch loops) so the bitmap ships
+    once and its lifecycle is caller-managed.
+
+    Scale ceiling (dense-broadcast form): the bitmap costs ``n_bits/8``
+    bytes on the driver and on every executor — ~10 bits/key means ~1.25
+    GB per 10⁹ reference keys. Fine to ~10⁹–10¹⁰ keys; beyond that (a
+    100 TB-class reference corpus is ~10¹¹ docs → ~125 GB bitmap) the
+    bitmap is not broadcastable — use :func:`bloom_might_contain_sharded`,
+    which keeps the bitmap distributed and joins the probes to it."""
+    _validate_params(n_bits, k)
+    from pyspark import Broadcast
+    if isinstance(dense, Broadcast):
+        bc, arr = dense, dense.value
+    else:
+        arr = dense
+        bc = df.sparkSession.sparkContext.broadcast(dense)
+    if arr.size * 64 != n_bits:
+        raise ValueError(
+            f"dense bitmap has {arr.size} words = {arr.size * 64} bits but "
+            f"n_bits={n_bits}; bitmap and hash family must agree (a "
+            "mismatch would probe a truncated/shifted bit range)")
 
     @F.pandas_udf("boolean")
     def probe(pos: pd.Series) -> pd.Series:
@@ -107,3 +157,56 @@ def bloom_might_contain(
         return pd.Series(np.where(null.to_numpy(), False, hit))
 
     return df.withColumn(out_col, probe(bloom_positions(col, n_bits, k)))
+
+
+def bloom_might_contain_sharded(
+    df: DataFrame, col, words_df: DataFrame, n_bits: int, k: int = 7,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Same contract as :func:`bloom_might_contain` (no false negatives,
+    NULL keys → False) but the bitmap stays DISTRIBUTED — the scale path
+    past the dense-broadcast ceiling.
+
+    The "shards" are the word-keyed partitions of the sparse ``(word,
+    bits)`` frame itself (:func:`bloom_build` output, typically read back
+    from parquet): each distinct probe key explodes into its ``k`` ``(word,
+    mask)`` probes, those equi-join the sparse frame on ``word`` — Spark
+    hash-partitions both sides by word, so every task probes exactly its
+    shard of the bitmap, the hash-partition-plus-per-shard-piece plan
+    expressed declaratively — and a ``bool_and`` over the key's ``k``
+    probes rebuilds the verdict. A word row that doesn't exist means those
+    bits are all zero (``coalesce(bits, 0)``), so absence is still
+    definitive and no false negatives are possible.
+
+    Cost: two extra shuffles versus the broadcast probe (distinct keys +
+    the word join + the join back), in exchange for NO driver
+    materialization and NO per-executor bitmap copy — the right trade once
+    ``n_bits/8`` outgrows broadcast (≫ ~10¹⁰ reference keys). Probing is
+    per DISTINCT key, so duplicated keys cost one probe. Below the
+    ceiling, prefer the broadcast probe: it is zero-shuffle. AQE will
+    still broadcast the sparse frame here when it is small, so this form
+    degrades gracefully at test scale."""
+    _validate_params(n_bits, k)
+    key = F.col(col) if isinstance(col, str) else col
+    probes = (
+        df.select(key.alias("__bloom_key"))
+        .where(F.col("__bloom_key").isNotNull())
+        .distinct()
+        .select("__bloom_key",
+                F.explode(bloom_positions(F.col("__bloom_key"), n_bits, k))
+                .alias("__p"))
+        .select("__bloom_key",
+                F.shiftright("__p", 6).alias("word"),
+                F.expr("shiftleft(1L, cast(__p % 64 as int))").alias("__m"))
+    )
+    verdicts = (
+        probes.join(words_df.select("word", "bits"), "word", "left")
+        .groupBy("__bloom_key")
+        .agg(F.bool_and(
+            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("__m")) != 0
+        ).alias("__bloom_hit"))
+    )
+    joined = df.join(verdicts, key == F.col("__bloom_key"), "left")
+    return (joined
+            .withColumn(out_col, F.coalesce(F.col("__bloom_hit"), F.lit(False)))
+            .drop("__bloom_key", "__bloom_hit"))

@@ -453,6 +453,7 @@ def incremental_dedup(
     docs are anti-joined out before the LSH stage (they would only produce
     redundant candidates).
     """
+    extra_cached: list[DataFrame] = []
     new_hashed = new_df.select(
         F.col(id_col),
         F.sha2(F.col(text_col).cast("string"), 256).alias("__h"))
@@ -463,6 +464,15 @@ def incremental_dedup(
             # Map-side Bloom pre-filter: non-duplicates (no false
             # negatives possible) never reach the exact join's shuffle;
             # false positives just take the join and fall out of it.
+            # NOTE: materializing the dense bitmap is an EAGER Spark job
+            # (bloom_to_numpy collects the sparse frame) inside otherwise
+            # lazy plan construction — the price of a driver-held bitmap;
+            # amortize it by building the RefIndex once per reference
+            # corpus, not per call. The probed survivor frame is persisted
+            # because BOTH the output union and the LSH anti-join read it
+            # — uncached, the Arrow-batched probe would execute twice per
+            # action (handle released via release_cached, like every
+            # other _pps_cached intermediate).
             from ..functions.bloom import bloom_might_contain, bloom_to_numpy
             dense = bloom_to_numpy(ref_index.bloom_words,
                                    ref_index.bloom_bits)
@@ -471,7 +481,9 @@ def incremental_dedup(
                                     ref_index.bloom_bits,
                                     ref_index.bloom_k)
                 .filter(F.col("might_contain")).drop("might_contain")
+                .persist()
             )
+            extra_cached.append(new_hashed)
     else:
         idx = build_ref_index(ref_df, text_col, id_col,
                               num_hashes=num_hashes, bands=bands,
@@ -501,7 +513,8 @@ def incremental_dedup(
                 F.col("id_b").alias("ref_id"), F.col("jaccard"))
     )
     out = exact.unionByName(near)
-    return attach_cached(out, *getattr(verified, "_pps_cached", ()))
+    return attach_cached(out, *extra_cached,
+                         *getattr(verified, "_pps_cached", ()))
 
 
 def exact_match_bloom(

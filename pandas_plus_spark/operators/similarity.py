@@ -112,7 +112,17 @@ def cosine_neardup_pairs(
     """Embedding near-duplicate pairs: (id_a < id_b, cos_sim ≥ threshold).
 
     With ``candidates`` (from LSH buckets) verifies only those; without,
-    brute-force all pairs (test scale)."""
+    brute-force ALL pairs — O(n²) similarity work, the validation-scale
+    contract only. The all-pairs form warns (``RuntimeWarning``, same
+    convention as ``GroupBy.__iter__``) so a silent cross-join can never
+    masquerade as a scale path: at 100 TB always pass ``candidates``
+    (e.g. the bucket join inside :func:`lsh_neardup_pairs`)."""
+    if candidates is None:
+        import warnings
+        warnings.warn(
+            "cosine_neardup_pairs without candidates cross-joins ALL pairs "
+            "(O(n²)) — validation scale only; pass LSH candidates for the "
+            "scale path", RuntimeWarning, stacklevel=2)
     vecs = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"))
@@ -134,30 +144,74 @@ def cosine_neardup_pairs(
     return pairs.select("id_a", "id_b", sim.alias("cos_sim")).where(F.col("cos_sim") >= threshold)
 
 
+_POLY_M = 2147483647  # Lehmer LCG modulus (2^31 - 1): products stay < 2^47
+
+
+def _poly_plane_seed(table: int, p: int) -> int:
+    """Per-(table, plane) seed of the ANSI-reproducible coefficient family
+    — plain bounded integer arithmetic so DuckDB computes the IDENTICAL
+    value (the hyperplane analog of dedup.py's ``hash_fn="poly"``)."""
+    return (table * 131071 + p * 8191 + 7) % 1000003
+
+
+def sql_hyperplane_poly_coeff(table_expr: str, p: int, dim_idx_expr: str) -> str:
+    """DuckDB SQL for the poly plane coefficient — the oracle twin of the
+    ``hash_fn="poly"`` branch below. ``dim_idx_expr`` is the 0-based
+    dimension index; every intermediate stays < 2^47 (BIGINT-safe in both
+    engines; Spark ANSI mode would throw on overflow)."""
+    s = f"(({table_expr}) * 131071 + {p * 8191 + 7}) % 1000003"
+    v1 = f"(({s}) * 31 + ({dim_idx_expr}) + 1) % {_POLY_M}"
+    v3 = f"((({v1}) * 48271 % {_POLY_M}) * 48271 % {_POLY_M})"
+    return f"(({v3}) / {_POLY_M}.0 * 2.0 - 1.0)"
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     n_planes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     table: int = 0,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, bucket) — sign-of-projection LSH. Plane p's d-th coefficient is a
     deterministic pseudo-uniform value in [-1, 1) derived from
     xxhash64(table, p, d); similar vectors land in the same bucket with
     probability 1 − θ/π per plane. Bucket = the n-bit sign pattern packed
     into a long. ``table`` selects an independent plane family — the unit
-    of the multi-table OR-construction in :func:`lsh_neardup_pairs`."""
+    of the multi-table OR-construction in :func:`lsh_neardup_pairs`.
+
+    ``hash_fn="poly"`` swaps the coefficient family for a two-round Lehmer
+    LCG over bounded integers (same convention as ``dedup`` minhash's poly
+    twin): identical arithmetic is expressible in ANSI SQL
+    (:func:`sql_hyperplane_poly_coeff`), so a DuckDB oracle reproduces the
+    EXACT buckets — which makes the whole LSH-candidates dedup path
+    value-checkable end-to-end, not just rows-only. Production keeps
+    xxhash64 (JVM codegen, 64-bit mixing)."""
+    if hash_fn not in ("xxhash64", "poly"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'poly', got {hash_fn!r}")
     df = ensure_parallelism(df)
     vec = F.col(vec_col)
     dim = F.size(vec)
 
     def proj(p: int) -> Column:
-        coeffs = F.transform(
-            F.sequence(F.lit(0), dim - 1),
-            lambda d: (F.pmod(F.xxhash64(F.lit(table), F.lit(p), d),
-                              F.lit(2_000_001)).cast("double")
-                       / F.lit(1_000_000.0)) - F.lit(1.0),
-        )
+        if hash_fn == "poly":
+            s31 = _poly_plane_seed(table, p) * 31
+
+            def coeff(d: Column) -> Column:
+                v1 = F.pmod(F.lit(s31).cast("long") + d.cast("long") + 1,
+                            F.lit(_POLY_M))
+                v3 = F.pmod(F.pmod(v1 * 48271, F.lit(_POLY_M)) * 48271,
+                            F.lit(_POLY_M))
+                return v3.cast("double") / F.lit(float(_POLY_M)) * 2.0 - 1.0
+
+            coeffs = F.transform(F.sequence(F.lit(0), dim - 1), coeff)
+        else:
+            coeffs = F.transform(
+                F.sequence(F.lit(0), dim - 1),
+                lambda d: (F.pmod(F.xxhash64(F.lit(table), F.lit(p), d),
+                                  F.lit(2_000_001)).cast("double")
+                           / F.lit(1_000_000.0)) - F.lit(1.0),
+            )
         return F.aggregate(F.zip_with(vec, coeffs, lambda x, c: x * c),
                            F.lit(0.0), lambda acc, v: acc + v)
 
@@ -169,6 +223,38 @@ def hyperplane_lsh_buckets(
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """UNVERIFIED candidate pairs ``(id_a < id_b)`` from the multi-table
+    hyperplane-LSH bucket join — the candidate-generation stage of
+    :func:`lsh_neardup_pairs`, exposed so other consumers (e.g.
+    :func:`semantic_dedup_keep_list`'s scale path) can feed the same
+    bucket-bounded pair set into their own verification. Deduped across
+    tables; the returned frame carries a persisted bucket intermediate via
+    ``_pps_cached`` (release with ``util.release_cached``)."""
+    entries = None
+    for t in range(n_tables):
+        bt = (hyperplane_lsh_buckets(df, n_planes, id_col, vec_col, table=t,
+                                     hash_fn=hash_fn)
+              .withColumn("table", F.lit(t)))
+        entries = bt if entries is None else entries.unionByName(bt)
+    buckets = entries.persist()
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(b, on=["table", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return attach_cached(cands, buckets)
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     threshold: float,
@@ -176,6 +262,7 @@ def lsh_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Scale path for embedding near-dup: hyperplane-LSH bucket join to
     generate candidates, exact cosine to verify.
@@ -189,21 +276,10 @@ def lsh_neardup_pairs(
     verify so a pair found by several tables verifies once. All entries
     live in ONE frame keyed by (table, bucket) — one self-join regardless
     of table count."""
-    entries = None
-    for t in range(n_tables):
-        bt = (hyperplane_lsh_buckets(df, n_planes, id_col, vec_col, table=t)
-              .withColumn("table", F.lit(t)))
-        entries = bt if entries is None else entries.unionByName(bt)
-    buckets = entries.persist()
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cands = (
-        a.join(b, on=["table", "bucket"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    cands = lsh_candidate_pairs(df, n_planes, id_col, vec_col, n_tables,
+                                hash_fn=hash_fn)
     out = cosine_neardup_pairs(df, threshold, id_col, vec_col, candidates=cands)
-    return attach_cached(out, buckets)
+    return attach_cached(out, *getattr(cands, "_pps_cached", ()))
 
 
 # --------------------------------------------------------------------- #
@@ -458,6 +534,7 @@ def lsh_pair_recall(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pair recall of the hyperplane-LSH near-dup path against the exact
     all-pairs cosine graph: one row ``(n_exact, n_hit, recall)``.
@@ -469,13 +546,18 @@ def lsh_pair_recall(
     all-pairs is the oracle side — run at validation scale; production
     monitors recall on a sampled slice.
     """
-    exact_raw = cosine_neardup_pairs(df, threshold, id_col, vec_col)
+    import warnings
+    with warnings.catch_warnings():
+        # the exact all-pairs side IS this function's oracle — the
+        # all-pairs RuntimeWarning is redundant here by construction
+        warnings.simplefilter("ignore", RuntimeWarning)
+        exact_raw = cosine_neardup_pairs(df, threshold, id_col, vec_col)
     exact = exact_raw.select("id_a", "id_b")
     # Keep the raw handle: .select()/.withColumn() return NEW DataFrame
     # objects that do not carry Python instance attributes, so _pps_cached
     # must be read from the frame lsh_neardup_pairs actually returned.
     approx_raw = lsh_neardup_pairs(df, threshold, n_planes, id_col, vec_col,
-                                   n_tables=n_tables)
+                                   n_tables=n_tables, hash_fn=hash_fn)
     approx = approx_raw.select("id_a", "id_b").withColumn("__hit", F.lit(1))
     out = (
         exact.join(approx, ["id_a", "id_b"], "left")
@@ -507,13 +589,15 @@ def semantic_dedup_keep_list(
     propagation) → keep = the minimum id of each cluster; documents with
     no near-neighbor keep themselves.
 
-    Scale path: pass ``candidates`` from the hyperplane-LSH bucket join
-    (:func:`lsh_neardup_pairs` internals) so the pair verification is
-    bucket-bounded instead of all-pairs; without candidates the exact
-    all-pairs graph is test/validation scale only (documented contract,
-    same as :func:`cosine_neardup_pairs`). Downstream frames are
-    graph-sized (pairs/clusters), never corpus² — the 100 TB cost is the
-    candidate verification, which LSH bounds.
+    Scale path: pass ``candidates`` from :func:`lsh_candidate_pairs` so
+    the pair verification is bucket-bounded instead of all-pairs; without
+    candidates the exact all-pairs graph is test/validation scale only
+    (documented contract, same as :func:`cosine_neardup_pairs`, and it
+    warns the same way). Downstream frames are graph-sized
+    (pairs/clusters), never corpus² — the 100 TB cost is the candidate
+    verification, which LSH bounds. The LSH-candidates form is
+    value-checked end-to-end by the ``semantic_keep_list_lsh`` gate
+    (poly plane family — DuckDB reproduces the exact buckets).
     """
     from .dedup import dup_clusters
 

@@ -11,7 +11,8 @@ import pyspark.sql.functions as F
 import pytest
 
 from pandas_plus_spark.functions.bloom import (
-    bloom_build, bloom_might_contain, bloom_positions, bloom_to_numpy,
+    bloom_broadcast, bloom_build, bloom_might_contain,
+    bloom_might_contain_sharded, bloom_positions, bloom_to_numpy,
 )
 from pandas_plus_spark.operators.dedup import exact_match_bloom
 
@@ -82,12 +83,90 @@ class TestBloomFilter:
         with pytest.raises(ValueError):
             bloom_to_numpy(bloom_build(keys_df, "key", N_BITS, K), N_BITS + 7)
 
+    def test_param_validation_fails_fast(self, spark, keys_df, dense):
+        # k=0 would make every probe vacuously True — silent filter bypass
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            bloom_positions("key", N_BITS, 0)
+        with pytest.raises(ValueError, match="multiple of 64"):
+            bloom_positions("key", 100, K)
+        with pytest.raises(ValueError, match="multiple of 64"):
+            bloom_build(keys_df, "key", 0, K)
+        # bitmap/n_bits mismatch must fail on the driver, not at executor
+        # runtime with an opaque IndexError / truncated probe range
+        with pytest.raises(ValueError, match="bitmap"):
+            bloom_might_contain(keys_df, "key", dense, N_BITS * 2, K)
+        with pytest.raises(ValueError, match="bitmap"):
+            bloom_might_contain(keys_df, "key", dense[:-2], N_BITS - 64, K)
+
+    def test_prebuilt_broadcast_reused(self, spark, keys_df, dense):
+        """Caller-managed broadcast lifecycle: pass a Broadcast, results
+        identical, and the same broadcast id serves every probe call."""
+        bc = bloom_broadcast(spark, dense)
+        try:
+            a = bloom_might_contain(keys_df, "key", bc, N_BITS, K)
+            b = bloom_might_contain(keys_df, "key", bc, N_BITS, K)
+            assert a.filter(~F.col("might_contain")).count() == 0
+            assert b.filter(~F.col("might_contain")).count() == 0
+        finally:
+            bc.unpersist()
+
     def test_empty_reference(self, spark, keys_df):
         empty = keys_df.filter(F.lit(False))
         dense0 = bloom_to_numpy(bloom_build(empty, "key", N_BITS, K), N_BITS)
         assert not dense0.any()
         out = bloom_might_contain(keys_df, "key", dense0, N_BITS, K)
         assert out.filter("might_contain").count() == 0
+
+
+class TestShardedProbe:
+    """bloom_might_contain_sharded: same verdicts as the dense probe, but
+    the bitmap never leaves the cluster (the past-broadcast-ceiling path)."""
+
+    @pytest.fixture(scope="class")
+    def words(self, spark, keys_df):
+        # unpersist on teardown: a lingering cache entry would substitute
+        # InMemoryTableScan into later tests' identical build plans and
+        # break their Exchange-count assertions
+        w = bloom_build(keys_df, "key", N_BITS, K).persist()
+        yield w
+        w.unpersist()
+
+    def test_agrees_with_dense_probe(self, spark, keys_df, dense, words):
+        # member + non-member mix: verdicts must be bit-identical
+        probes = keys_df.unionByName(
+            spark.range(2000).select(
+                F.concat(F.lit("other-"), F.col("id")).alias("key")))
+        d = (bloom_might_contain(probes, "key", dense, N_BITS, K)
+             .orderBy("key").collect())
+        s = (bloom_might_contain_sharded(probes, "key", words, N_BITS, K)
+             .orderBy("key").collect())
+        assert [tuple(r) for r in d] == [tuple(r) for r in s]
+
+    def test_no_false_negatives(self, spark, keys_df, words):
+        out = bloom_might_contain_sharded(keys_df, "key", words, N_BITS, K)
+        assert out.filter(~F.col("might_contain")).count() == 0
+
+    def test_null_and_duplicate_keys(self, spark, words):
+        df = spark.createDataFrame(
+            [("key-1",), ("key-1",), (None,), ("nope",), ("nope",)],
+            "key string")
+        out = bloom_might_contain_sharded(df, "key", words, N_BITS, K)
+        got = sorted((r["key"] or "", r["might_contain"]) for r in out.collect())
+        assert got == [("", False), ("key-1", True), ("key-1", True),
+                       ("nope", False), ("nope", False)]
+
+    def test_mismatched_params_fail_fast(self, spark, keys_df, words):
+        with pytest.raises(ValueError, match="k must be >= 1"):
+            bloom_might_contain_sharded(keys_df, "key", words, N_BITS, 0)
+
+    def test_preserves_other_columns(self, spark, words):
+        df = spark.createDataFrame([("key-3", 42), ("zzz", 7)],
+                                   "key string, payload int")
+        out = bloom_might_contain_sharded(df, "key", words, N_BITS, K)
+        assert set(out.columns) == {"key", "payload", "might_contain"}
+        rows = {r["key"]: (r["payload"], r["might_contain"])
+                for r in out.collect()}
+        assert rows == {"key-3": (42, True), "zzz": (7, False)}
 
 
 class TestExactMatchBloom:

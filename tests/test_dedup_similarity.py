@@ -176,6 +176,25 @@ class TestSimilarity:
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         assert got == {(0, 1)}
 
+    def test_all_pairs_fallback_warns(self, spark, vecs):
+        """The silent O(n²) cross-join must announce itself (same
+        RuntimeWarning convention as GroupBy.__iter__); the candidates
+        form — the scale path — must stay silent."""
+        import warnings
+
+        import pytest as _pytest
+        with _pytest.warns(RuntimeWarning, match="ALL pairs"):
+            similarity.cosine_neardup_pairs(vecs, threshold=0.9)
+        with _pytest.warns(RuntimeWarning, match="ALL pairs"):
+            similarity.semantic_dedup_keep_list(vecs, threshold=0.9)
+        cands = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            similarity.cosine_neardup_pairs(vecs, threshold=0.9,
+                                            candidates=cands)
+            similarity.lsh_neardup_pairs(vecs, threshold=0.9, n_planes=2,
+                                         n_tables=2)
+
     def test_ivf_knn_recovers_neighbor(self, spark):
         import math
         # 24 vectors on a circle: neighbors are adjacent angles
