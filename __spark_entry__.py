@@ -332,6 +332,48 @@ def _sql_simhash_poly(bits: int = 24) -> str:
     """
 
 
+def _sql_semantic_lsh_ctes(n_planes: int = 3, n_tables: int = 12,
+                           threshold: float = 0.30) -> str:
+    """Shared CTEs of the poly-family hyperplane-LSH oracle: normalized
+    vectors -> per-(table, vector) sign buckets (the EXACT integer/double
+    arithmetic of similarity.hyperplane_lsh_buckets(hash_fn='poly') —
+    sql_hyperplane_poly_coeff is the single source of the coefficient
+    formula) -> distinct candidate pairs via the bucket self-join ->
+    cosine-verified pairs ``vp``."""
+    terms = []
+    for p in range(n_planes):
+        coeff = similarity.sql_hyperplane_poly_coeff("tb.tbl", p, "i - 1")
+        proj = (f"list_reduce(list_prepend(0.0, "
+                f"list_transform(range(1, len(v) + 1), "
+                f"i -> v[i] * {coeff})), (acc, x) -> acc + x)")
+        terms.append(f"CASE WHEN ({proj}) >= 0 THEN {2 ** p} ELSE 0 END")
+    bucket = " + ".join(terms)
+    return f"""e0 AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), nv AS (
+        SELECT vec_id, v,
+               sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
+        FROM e0
+    ), tb AS (SELECT unnest(range(0, {n_tables})) AS tbl),
+    bk AS (
+        SELECT e0.vec_id, tb.tbl, {bucket} AS bucket FROM e0, tb
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id
+    ), vp AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN nv a ON a.vec_id = c.id_a
+        JOIN nv b ON b.vec_id = c.id_b
+        WHERE list_reduce(list_prepend(0.0,
+                list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
+                (acc, x) -> acc + x) / (a.nrm * b.nrm) >= {threshold}
+    )"""
+
+
 def _sql_lang_scores() -> tuple[str, str]:
     """(CTE column defs, CASE expression) replicating functions.text.lang_id."""
     defs = []
@@ -1890,6 +1932,36 @@ def _q_semantic_keep_list(spark, sf):
     return similarity.semantic_dedup_keep_list(emb, threshold=0.30)
 
 
+def _q_semantic_keep_list_lsh(spark, sf):
+    """The SCALE PATH of semantic dedup, value-checked end-to-end: LSH
+    candidate pairs (hyperplane buckets, poly plane family, 3 planes x 12
+    tables) -> bucket-bounded cosine verification -> connected components
+    -> keep = cluster minimum. Unlike semantic_keep_list (all-pairs
+    validation form), this runs the candidates= contract you'd actually
+    deploy at 100 TB. The poly coefficient family is plain bounded integer
+    arithmetic, so the DuckDB oracle reproduces the EXACT buckets and
+    candidate graph — full hash check, not rows-only. Recall vs the
+    all-pairs keep-list is gated separately by semantic_lsh_recall."""
+    emb = _cast_double_embeddings(spark, sf)
+    cands = similarity.lsh_candidate_pairs(
+        emb, n_planes=3, n_tables=12, hash_fn="poly")
+    return similarity.semantic_dedup_keep_list(
+        emb, threshold=0.30, candidates=cands)
+
+
+def _q_semantic_lsh_recall(spark, sf):
+    """Recall of the poly-family LSH candidate graph against the exact
+    all-pairs cosine graph at the semantic-dedup operating point
+    (threshold 0.30, 3 planes x 12 tables — the same parameters
+    semantic_keep_list_lsh runs). Both sides deterministic, so the DuckDB
+    oracle value-checks the recall NUMBER itself, not just a bound."""
+    emb = _cast_double_embeddings(spark, sf)
+    rec = similarity.lsh_pair_recall(emb, 0.30, n_planes=3, n_tables=12,
+                                     hash_fn="poly")
+    return rec.select("n_exact", "n_hit",
+                      F.round("recall", 6).alias("recall"))
+
+
 def _q_q6_forecast(spark, sf):
     """TPC-H Q6-shape revenue-change forecast: one tight scan with every
     predicate pushed to parquet (shipdate year + discount band + quantity
@@ -2087,73 +2159,22 @@ def _q_global_sample(spark, sf):
 # ---------------------------------------------------------------------- #
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+
     # Registry order matters: the driver's correctness gate samples the
-    # FIRST 50 entries. Rotation is least-recently-verified-first: (new in
-    # r5) -> (last driver-checked in r3) -> (checked in r4), so CORRECTNESS
-    # r5 ∪ r4 covers the registry. The hash-seeded LSH/ANN queries (which
-    # get rows-only driver checks) are PINNED ADJACENT to their value-checked
-    # ANSI twins / recall gates inside the same window so the pairing stays
-    # verifiable on every rotation: minhash_neardup↔minhash_neardup_poly,
-    # simhash_candidates↔simhash_poly, hyperplane_lsh_buckets↔lsh_recall,
-    # ivf_knn↔ann_recall. That pinning plus the never-verified round-5
-    # entries (first block below) and the two r5-modified re-verifications
-    # overflows the oldest r3-era entries that no longer fit (the
-    # q1/margins/crosstab block tail) to lead the r6 window.
+    # FIRST 50 entries. Rotation is least-recently-verified-first. The r6
+    # window = the 26 entries whose latest driver row is r3 (two rounds
+    # stale), the two new-in-r6 LSH-scale-path gates, the 8 re-verifications
+    # of operators whose code changed this round (bloom validation/caching,
+    # similarity lsh refactor + all-pairs guardrail), and the oldest r4-era
+    # entries filling to 50. Seeded hash queries stay PINNED adjacent to
+    # their value-checked twins/recall gates (minhash_neardup<->poly,
+    # simhash_candidates<->poly, hyperplane_lsh_buckets<->lsh_recall,
+    # ivf_knn<->ann_recall) so the pairing is verifiable whenever they
+    # rotate into a window. After r6, CORRECTNESS r6 u r5 u r4 covers all
+    # queries with nothing older than two rounds.
     return {
-        # --- new in round 5 ---
-        "streaming_neardup": _q_streaming_neardup,
-        "pca_gate": _q_pca_gate,
-        "pack_gate": _q_pack_gate,
-        "asof_nearest": _q_asof_nearest,
-        "semantic_contamination": _q_semantic_contamination,
-        "dedup_exact_canonical": _q_dedup_exact_canonical,
-        "containment_pairs": _q_containment_pairs,
-        "ivf_index_gate": _q_ivf_index_gate,
-        "quality_classifier": _q_quality_classifier,
-        "bigram_ppl": _q_bigram_ppl,
-        "source_cap": _q_source_cap,
-        "global_sample": _q_global_sample,
-        "segment_revenue_bucketed": _q_segment_revenue_bucketed,
-        "semantic_keep_list": _q_semantic_keep_list,
-        "q6_forecast": _q_q6_forecast,
-        "q3_shipping": _q_q3_shipping,
-        "temperature_mixture": _q_temperature_mixture,
-        "incremental_dedup_indexed": _q_incremental_dedup_indexed,
-        "bloom_dedup": _q_bloom_dedup,
-        "duplicated_spans": _q_duplicated_spans,
-        "span_excision": _q_span_excision,
-        # --- r5 code-change re-verification (operators touched this round,
-        #     pulled into the window ahead of untouched r3 entries) ---
-        "incremental_dedup": _q_incremental_dedup,
-        "segment_revenue": _q_segment_revenue,
-        # --- last driver-checked in r3 (+ pinned seeded/twin pairs) ---
-        "minhash_neardup": _q_minhash_dedup,          # seeded (rows-only)
-        "minhash_neardup_poly": _q_minhash_poly,      # its ANSI twin
-        "dup_clusters": _q_dup_clusters,
-        "dedup_keep_list": _q_dedup_keep_list,
-        "simhash_candidates": _q_simhash_candidates,  # seeded (rows-only)
-        "simhash_poly": _q_simhash_poly,              # its ANSI twin
-        "skew_topn_salted": _q_skew_topn_salted,
-        "skew_topn_uniform": _q_skew_topn_uniform,
-        "hyperplane_lsh_buckets": _q_lsh_buckets,     # seeded (rows-only)
-        "lsh_recall": _q_lsh_recall,                  # its recall gate
-        "ivf_knn": _q_ivf_knn,                        # seeded (rows-only)
-        "ann_recall": _q_ann_recall,                  # its recall gate
-        "multimodal_image_meta": _q_multimodal_meta,
-        "stratified_sample": _q_stratified_sample,
-        "split_assign": _q_split_assign,
-        "sample_per_group": _q_sample_per_group,
-        "pack_chunks": _q_pack_chunks,
-        "repetition_signals": _q_repetition_signals,
-        "repetition_filter": _q_repetition_filter,
-        "global_cumsum": _q_global_cumsum,
-        "global_shift": _q_global_shift,
-        "pii_scan": _q_pii_scan,
-        "c4_filter": _q_c4_filter,
-        "contamination": _q_contamination,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "bm25_rank": _q_bm25_rank,
-        "vocab_top": _q_vocab_top,
+        # --- r6 window head: last driver-checked in r3 (two rounds
+        #     stale; VERDICT r5 'Next round' item 1) ---
         "oov_rate": _q_oov_rate,
         "label_cohesion": _q_label_cohesion,
         "nanops_rowwise": _q_nanops_rowwise,
@@ -2175,13 +2196,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_counts": _q_value_counts,
         "value_counts_norm": _q_value_counts_norm,
         "group_nunique": _q_nunique,
-        "margins_sum": _q_margins_sum,                # window position 50
-        # --- r3-era overflow (first in the r6 window) ---
+        "margins_sum": _q_margins_sum,
         "crosstab_pivot": _q_crosstab,
         "transform_sum": _q_transform_sum,
         "head_per_group": _q_head,
         "nth_last_per_group": _q_nth_last,
-        # --- driver-checked in round 4 ---
+        # --- new in round 6 ---
+        "semantic_keep_list_lsh": _q_semantic_keep_list_lsh,
+        "semantic_lsh_recall": _q_semantic_lsh_recall,
+        # --- r6 code-change re-verification (bloom/dedup/similarity
+        #     operators touched this round; hyperplane_lsh_buckets is the
+        #     seeded rows-only entry PINNED adjacent to its lsh_recall
+        #     value gate) ---
+        "bloom_dedup": _q_bloom_dedup,
+        "incremental_dedup_indexed": _q_incremental_dedup_indexed,
+        "incremental_dedup": _q_incremental_dedup,
+        "dedup_exact_canonical": _q_dedup_exact_canonical,
+        "semantic_keep_list": _q_semantic_keep_list,
+        "cosine_neardup": _q_cosine_neardup,
+        "hyperplane_lsh_buckets": _q_lsh_buckets,     # seeded (rows-only)
+        "lsh_recall": _q_lsh_recall,                  # its recall gate
+        # --- oldest r4-era entries filling the window to 50 ---
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_sliding": _q_streaming_sliding,
         "streaming_dedup": _q_streaming_dedup,
@@ -2194,6 +2229,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
         "unigram_ppl": _q_unigram_ppl,
+        # --- tail: remaining r4-era entries, then the r5-verified
+        #     block (freshest last) ---
+        "streaming_neardup": _q_streaming_neardup,
+        "pca_gate": _q_pca_gate,
+        "pack_gate": _q_pack_gate,
+        "asof_nearest": _q_asof_nearest,
+        "semantic_contamination": _q_semantic_contamination,
+        "containment_pairs": _q_containment_pairs,
+        "ivf_index_gate": _q_ivf_index_gate,
+        "quality_classifier": _q_quality_classifier,
+        "bigram_ppl": _q_bigram_ppl,
+        "source_cap": _q_source_cap,
+        "global_sample": _q_global_sample,
+        "segment_revenue_bucketed": _q_segment_revenue_bucketed,
+        "q6_forecast": _q_q6_forecast,
+        "q3_shipping": _q_q3_shipping,
+        "temperature_mixture": _q_temperature_mixture,
+        "duplicated_spans": _q_duplicated_spans,
+        "span_excision": _q_span_excision,
+        "segment_revenue": _q_segment_revenue,
+        "minhash_neardup": _q_minhash_dedup,          # seeded (rows-only)
+        "minhash_neardup_poly": _q_minhash_poly,      # its ANSI twin
+        "dup_clusters": _q_dup_clusters,
+        "dedup_keep_list": _q_dedup_keep_list,
+        "simhash_candidates": _q_simhash_candidates,  # seeded (rows-only)
+        "simhash_poly": _q_simhash_poly,              # its ANSI twin
+        "skew_topn_salted": _q_skew_topn_salted,
+        "skew_topn_uniform": _q_skew_topn_uniform,
+        "ivf_knn": _q_ivf_knn,                        # seeded (rows-only)
+        "ann_recall": _q_ann_recall,                    # its recall gate
+        "multimodal_image_meta": _q_multimodal_meta,
+        "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
+        "sample_per_group": _q_sample_per_group,
+        "pack_chunks": _q_pack_chunks,
+        "repetition_signals": _q_repetition_signals,
+        "repetition_filter": _q_repetition_filter,
+        "global_cumsum": _q_global_cumsum,
+        "global_shift": _q_global_shift,
+        "pii_scan": _q_pii_scan,
+        "c4_filter": _q_c4_filter,
+        "contamination": _q_contamination,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_rank": _q_bm25_rank,
+        "vocab_top": _q_vocab_top,
         "frame_sample": _q_frame_sample,
         "source_health": _q_source_health,
         "cumsum": _q_cumsum,
@@ -2226,7 +2306,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "trigram_jaccard_pairs": _q_trigram_jaccard,
         "knn_cosine": _q_knn,
-        "cosine_neardup": _q_cosine_neardup,
     }
 
 
@@ -3505,6 +3584,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT emb.vec_id AS id,
                    COALESCE(cl.cluster_id = emb.vec_id, TRUE) AS keep
             FROM embeddings emb LEFT JOIN cl ON cl.id = emb.vec_id
+        """,
+        "semantic_keep_list_lsh": f"""
+            WITH RECURSIVE {_sql_semantic_lsh_ctes(3, 12, 0.30)},
+            e AS (
+                SELECT id_a AS src, id_b AS dst FROM vp
+                UNION SELECT id_b AS src, id_a AS dst FROM vp
+            ),
+            reach(src, dst) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+            ),
+            cl AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)
+            SELECT emb.vec_id AS id,
+                   COALESCE(cl.cluster_id = emb.vec_id, TRUE) AS keep
+            FROM embeddings emb LEFT JOIN cl ON cl.id = emb.vec_id
+        """,
+        "semantic_lsh_recall": f"""
+            WITH {_sql_semantic_lsh_ctes(3, 12, 0.30)},
+            exact AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM nv a, nv b
+                WHERE a.vec_id < b.vec_id
+                  AND list_reduce(list_prepend(0.0,
+                        list_transform(range(1, len(a.v) + 1),
+                                       i -> a.v[i] * b.v[i])),
+                        (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.30
+            ),
+            j AS (
+                SELECT e.id_a,
+                       CASE WHEN v.id_a IS NULL THEN 0 ELSE 1 END AS hit
+                FROM exact e
+                LEFT JOIN vp v ON v.id_a = e.id_a AND v.id_b = e.id_b
+            )
+            SELECT count(*) AS n_exact,
+                   CAST(COALESCE(sum(hit), 0) AS BIGINT) AS n_hit,
+                   round(CASE WHEN count(*) > 0
+                              THEN sum(hit) * 1.0 / count(*)
+                              ELSE 1.0 END, 6) AS recall
+            FROM j
         """,
         "q6_forecast": """
             SELECT sum(l_extendedprice * l_discount) AS revenue,
