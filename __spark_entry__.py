@@ -1669,6 +1669,43 @@ def _q_multimodal_meta(spark, sf):
     return multimodal.extract_image_features(blobs, "blob", "doc_id")
 
 
+def _q_image_header_meta(spark, sf):
+    """REAL image decode through the multimodal seam: deterministic
+    PNG/BMP/GIF header blobs are constructed per doc_id in an
+    Arrow-batched mapInPandas (the binary column round-trips through
+    Spark like any media payload), then extract_image_features parses
+    width/height/channels from the ACTUAL container headers
+    (multimodal.decode_image_header) — no codec library, pure byte
+    arithmetic. The oracle recomputes the expected dimensions from the
+    same doc_id arithmetic, so a parse-offset bug (endianness, chunk
+    offset, color-type map) fails the hash, not just a unit test."""
+    import pandas as _pd
+
+    from pandas_plus_spark.operators.multimodal import (
+        bmp_header_bytes, gif_header_bytes, png_header_bytes)
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 200).select("doc_id"))
+
+    def make(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 300 + 1, (did * 3) % 200 + 1
+                if did % 3 == 0:
+                    blobs.append(png_header_bytes(w, h, 6 if did % 2 else 2))
+                elif did % 3 == 1:
+                    blobs.append(bmp_header_bytes(w, h))
+                else:
+                    blobs.append(gif_header_bytes(w, h))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs_df = docs.mapInPandas(make, "doc_id long, blob binary")
+    feats = multimodal.extract_image_features(blobs_df, "blob", "doc_id")
+    return feats.select("doc_id", "width", "height", "n_channels")
+
+
 def _q_stratified_sample(spark, sf):
     """Deterministic per-stratum downsampling (operators/sampling.py):
     membership is a pure affine-hash function of doc_id, so a pushed-down
@@ -2204,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 6 ---
         "semantic_keep_list_lsh": _q_semantic_keep_list_lsh,
         "semantic_lsh_recall": _q_semantic_lsh_recall,
+        "image_header_meta": _q_image_header_meta,
         # --- r6 code-change re-verification (bloom/dedup/similarity
         #     operators touched this round; hyperplane_lsh_buckets is the
         #     seeded rows-only entry PINNED adjacent to its lsh_recall
@@ -2216,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": _q_cosine_neardup,
         "hyperplane_lsh_buckets": _q_lsh_buckets,     # seeded (rows-only)
         "lsh_recall": _q_lsh_recall,                  # its recall gate
+        "multimodal_image_meta": _q_multimodal_meta,  # decode path touched
         # --- oldest r4-era entries filling the window to 50 ---
         "streaming_tumbling": _q_streaming_tumbling,
         "streaming_sliding": _q_streaming_sliding,
@@ -2259,7 +2298,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_topn_uniform": _q_skew_topn_uniform,
         "ivf_knn": _q_ivf_knn,                        # seeded (rows-only)
         "ann_recall": _q_ann_recall,                    # its recall gate
-        "multimodal_image_meta": _q_multimodal_meta,
         "stratified_sample": _q_stratified_sample,
         "split_assign": _q_split_assign,
         "sample_per_group": _q_sample_per_group,
@@ -3137,6 +3175,17 @@ def oracle_sql() -> dict[str, str]:
                         (a, x) -> a + x)::DOUBLE / least(length(text), 64) AS mean_byte
             FROM documents
             WHERE length(text) = octet_length(encode(text))
+        """,
+        # expected dims recomputed from the same doc_id arithmetic the
+        # query's fixture generator uses; n_channels: PNG color-type 6
+        # (doc_id % 3 = 0 and odd) decodes RGBA=4, everything else 3
+        "image_header_meta": """
+            SELECT doc_id,
+                   CAST(doc_id % 300 + 1 AS INTEGER) AS width,
+                   CAST((doc_id * 3) % 200 + 1 AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 1
+                             THEN 4 ELSE 3 END AS INTEGER) AS n_channels
+            FROM documents WHERE doc_id < 200
         """,
         # minhash_neardup, simhash_candidates, hyperplane_lsh_buckets: xxhash64-
         # seeded — not reproducible in ANSI SQL; driver records rows-only

@@ -51,23 +51,89 @@ def attach_blob_metadata(df: DataFrame, blob_col: str, kind: str, fmt: str) -> D
     )
 
 
-def decode_image_stub(blob: bytes) -> dict:
-    """STUB — real decode needs PIL/libjpeg, not present in this container.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> sample count (spec 11.2.2): grayscale, RGB, palette,
+# gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# plausible DIB header sizes (BITMAPCOREHEADER..BITMAPV5HEADER) — gates the
+# 'BM' magic so ordinary text that happens to start with "BM" never parses
+_BMP_DIB_SIZES = {12, 40, 52, 56, 64, 108, 124}
 
-    The deterministic fake derives plausible dimensions from the payload so
-    the distributed pipeline (schema, batching, downstream aggregation) is
-    fully exercisable. Swap the body for ``PIL.Image.open(BytesIO(blob))``
-    in a real deployment.
+
+def decode_image_header(blob: bytes) -> dict | None:
+    """Dependency-free REAL header parse for PNG / BMP / GIF blobs:
+    ``{width, height, n_channels}`` straight from the container header, or
+    None for formats that need a full codec (JPEG/WebP/...). Pure byte
+    arithmetic — no PIL/libjpeg — so it runs anywhere the engine runs."""
+    if blob[:8] == _PNG_MAGIC and len(blob) >= 26 and blob[12:16] == b"IHDR":
+        return {
+            "width": int.from_bytes(blob[16:20], "big"),
+            "height": int.from_bytes(blob[20:24], "big"),
+            "n_channels": _PNG_CHANNELS.get(blob[25], 3),
+        }
+    if (blob[:2] == b"BM" and len(blob) >= 30
+            and int.from_bytes(blob[14:18], "little") in _BMP_DIB_SIZES):
+        bits = int.from_bytes(blob[28:30], "little")
+        return {
+            "width": int.from_bytes(blob[18:22], "little", signed=True),
+            # negative BMP height = top-down row order; magnitude is the size
+            "height": abs(int.from_bytes(blob[22:26], "little", signed=True)),
+            "n_channels": max(bits // 8, 1),
+        }
+    if blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
+        return {
+            "width": int.from_bytes(blob[6:8], "little"),
+            "height": int.from_bytes(blob[8:10], "little"),
+            "n_channels": 3,
+        }
+    return None
+
+
+def decode_image_stub(blob: bytes) -> dict:
+    """PNG/BMP/GIF dimensions are decoded for REAL (header parse,
+    :func:`decode_image_header`); other formats fall back to the
+    deterministic fake — full-pixel decode needs PIL/libjpeg, not present
+    in this container. The fake derives plausible dimensions from the
+    payload so the distributed pipeline (schema, batching, downstream
+    aggregation) is fully exercisable either way. Swap the fallback for
+    ``PIL.Image.open(BytesIO(blob))`` in a real deployment.
     """
     n = len(blob)
     if n == 0:
         raise NotImplementedError("empty blob: nothing to decode (stub)")
+    mean_byte = float(sum(blob[:64]) / min(n, 64))
+    hdr = decode_image_header(blob)
+    if hdr is not None:
+        return {**hdr, "mean_byte": mean_byte}
     return {
         "width": n % 640 + 1,
         "height": (n * 7) % 480 + 1,
         "n_channels": 3,
-        "mean_byte": float(sum(blob[:64]) / min(n, 64)),
+        "mean_byte": mean_byte,
     }
+
+
+def png_header_bytes(width: int, height: int, color_type: int = 2) -> bytes:
+    """Minimal valid PNG signature + IHDR chunk (no pixel data) — the
+    deterministic fixture generator for header-decode gates/tests."""
+    ihdr = (width.to_bytes(4, "big") + height.to_bytes(4, "big")
+            + bytes([8, color_type, 0, 0, 0]))
+    return _PNG_MAGIC + (13).to_bytes(4, "big") + b"IHDR" + ihdr
+
+
+def bmp_header_bytes(width: int, height: int, bits: int = 24) -> bytes:
+    """Minimal BMP file header + BITMAPINFOHEADER (no pixel data)."""
+    return (b"BM" + (54).to_bytes(4, "little") + bytes(4)
+            + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + width.to_bytes(4, "little", signed=True)
+            + height.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + bits.to_bytes(2, "little"))
+
+
+def gif_header_bytes(width: int, height: int) -> bytes:
+    """Minimal GIF89a logical-screen descriptor (no image data)."""
+    return (b"GIF89a" + width.to_bytes(2, "little")
+            + height.to_bytes(2, "little") + bytes(3))
 
 
 FRAME_SCHEMA = T.StructType([
