@@ -40,6 +40,18 @@ def _is_arraylike(x) -> bool:
     return hasattr(x, "__len__") and not isinstance(x, (str, bytes, Mapping))
 
 
+def _maybe_polars():
+    """polars is an OPTIONAL ingestion container (reference util.py:24-33,
+    680-682 accepts pl.Series/pl.DataFrame/pl.LazyFrame) — imported lazily
+    so the engine has no polars dependency."""
+    import sys
+    try:
+        import polars as pl
+        return pl
+    except ImportError:
+        return sys.modules.get("polars")  # test double, if one is installed
+
+
 def _to_pandas_series(arr, name: str):
     import pandas as pd
 
@@ -49,6 +61,11 @@ def _to_pandas_series(arr, name: str):
             return arr.to_pandas().rename(name)
     except ImportError:  # pragma: no cover
         pass
+    pl = _maybe_polars()
+    if pl is not None and isinstance(arr, pl.Series):
+        # polars -> arrow -> pandas: zero-copy for numeric columns, and
+        # arrow owns the NaN/None -> NULL translation
+        return arr.to_arrow().to_pandas().rename(name)
     if isinstance(arr, pd.Series):
         return arr.reset_index(drop=True).rename(name)
     if isinstance(arr, (pd.Index, pd.Categorical)):
@@ -77,6 +94,13 @@ def from_arrays(
     import numpy as np
     import pandas as pd
 
+    pl = _maybe_polars()
+    if pl is not None and isinstance(data, pl.LazyFrame):
+        data = data.collect()
+    if pl is not None and isinstance(data, pl.DataFrame):
+        return from_pandas(spark, data.to_arrow().to_pandas(),
+                           row_id_col=row_id_col,
+                           num_partitions=num_partitions)
     if isinstance(data, (pd.DataFrame, pd.Series)):
         return from_pandas(spark, data, row_id_col=row_id_col,
                            num_partitions=num_partitions)
