@@ -2038,6 +2038,77 @@ def _q_q3_shipping(spark, sf):
     return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
 
 
+def _q_q5_local_supplier(spark, sf):
+    """TPC-H Q5-shape local-supplier revenue: six-table join where the
+    customer and supplier sides must land in the SAME nation (the
+    c_nationkey = s_nationkey correlation), restricted to one region and
+    a one-year order window, grouped by nation.
+
+    Scale shape: region⋈nation is a 5-row composite — broadcast it into
+    BOTH the customer and supplier sides so each becomes a map-side
+    semi-reduction before the only real shuffles (lineitem⋈orders on the
+    order key, then the supplier-nation correlation). Customer and
+    supplier carry only their key + nationkey columns into the join;
+    date + region predicates prune at the scans. At 100 TB the single
+    big exchange is lineitem⋈orders; AQE picks broadcast for the
+    nation-filtered customer/supplier sides while they fit."""
+    nr = (load_table(spark, sf, "nation")
+          .join(F.broadcast(load_table(spark, sf, "region")
+                            .where(F.col("r_name") == "ASIA")),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("n_nationkey", "n_name"))
+    cust = (load_table(spark, sf, "customer")
+            .join(F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_nationkey"))
+    supp = (load_table(spark, sf, "supplier")
+            .join(F.broadcast(nr.select("n_nationkey")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_nationkey"))
+    orders = (load_table(spark, sf, "orders")
+              .where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    joined = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+              .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+                    & (F.col("c_nationkey") == F.col("s_nationkey")))
+              .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")))
+    return (joined.groupBy("n_name")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("n_name")))
+
+
+def _q_q18_large_orders(spark, sf):
+    """TPC-H Q18-shape large-volume orders: two-phase quantity rollup on
+    the fact (partial map-side sum → HAVING filter at order grain), then
+    the tiny surviving key set joins back to orders and customer, top-100
+    by total price via TakeOrdered (no global sort).
+
+    Scale shape: the only corpus-wide exchange is the l_orderkey
+    aggregation (map-side combine shrinks it to order grain in the map
+    stage); the HAVING filter leaves a result-bounded key frame that AQE
+    broadcasts into orders, so the orders⋈customer stage never shuffles
+    the fact again. The top-100 is TakeOrderedAndProject — each partition
+    ships 100 rows, not a sort of the corpus."""
+    li = load_table(spark, sf, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .where(F.col("total_qty") > 300))
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    out = (orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+           .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+           .select("c_name", "c_custkey", "o_orderkey",
+                   F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                   .alias("o_orderdate_us"),
+                   "o_totalprice", "total_qty"))
+    return out.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(100)
+
+
 def _q_streaming_neardup(spark, sf):
     """Streaming ingestion near-dup gate (streaming/dedup.py
     neardup_filtered_stream): replay the %5 "new batch" docs as a file
@@ -2242,6 +2313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_keep_list_lsh": _q_semantic_keep_list_lsh,
         "semantic_lsh_recall": _q_semantic_lsh_recall,
         "image_header_meta": _q_image_header_meta,
+        "q5_local_supplier": _q_q5_local_supplier,
+        "q18_large_orders": _q_q18_large_orders,
         # --- r6 code-change re-verification (bloom/dedup/similarity
         #     operators touched this round; hyperplane_lsh_buckets is the
         #     seeded rows-only entry PINNED adjacent to its lsh_recall
@@ -2266,10 +2339,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "chunk_dedup": _q_chunk_dedup,
         "doc_chunks": _q_doc_chunks,
+        # --- tail: remaining r4-era entries (embedding_quantize and
+        #     unigram_ppl displaced from the window by the two new
+        #     TPC-H-shape gates; their r4 rows stay in the two-round
+        #     union), then the r5-verified block (freshest last) ---
         "embedding_quantize": _q_embedding_quantize,
         "unigram_ppl": _q_unigram_ppl,
-        # --- tail: remaining r4-era entries, then the r5-verified
-        #     block (freshest last) ---
         "streaming_neardup": _q_streaming_neardup,
         "pca_gate": _q_pca_gate,
         "pack_gate": _q_pack_gate,
@@ -3695,6 +3770,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderpriority
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10
+        """,
+        "q5_local_supplier": """
+            SELECT n_name,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "q18_large_orders": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   epoch_us(o_orderdate) AS o_orderdate_us,
+                   o_totalprice, total_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 300) big
+              ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
         """,
         "dedup_keep_list": _sql_keep_list_poly(num_hashes=8, bands=4,
                                                threshold=0.3),

@@ -53,6 +53,8 @@ HEADLINE = [
     # round-5: classics + mixing + steady-state indexed dedup
     "q6_forecast",
     "q3_shipping",
+    "q5_local_supplier",
+    "q18_large_orders",
     "temperature_mixture",
     "incremental_dedup_indexed",
     # round-4: composed curation disposition, paragraph dedup, unigram LM

@@ -159,6 +159,30 @@ class TestPlanShape:
         assert plan.count("HashAggregate") >= 2
         assert "partial_sum" in plan
 
+    def test_q5_broadcasts_dims_no_cartesian(self, spark):
+        """Q5-shape six-table join: the region⋈nation composite and the
+        nation-filtered dims ride broadcast joins; the c_nationkey =
+        s_nationkey correlation is an equi-join condition, never a
+        cartesian blow-up."""
+        import __spark_entry__ as entry_mod
+        out = entry_mod.queries()["q5_local_supplier"](
+            spark, "/root/testdata/sf0.001")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q18_two_phase_agg_and_take_ordered(self, spark):
+        """Q18-shape: the order-grain quantity rollup is partial+final
+        (map-side combine before the only fact exchange), and the top-100
+        is TakeOrderedAndProject — no global sort."""
+        import __spark_entry__ as entry_mod
+        out = entry_mod.queries()["q18_large_orders"](
+            spark, "/root/testdata/sf0.001")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "partial_sum" in plan
+        assert "TakeOrderedAndProject" in plan
+
     def test_persist_skips_second_exchange(self, tables):
         g = GroupBy(tables["lineitem"], "l_returnflag").persist()
         try:
