@@ -9,6 +9,7 @@ from .session import get_spark
 from .sources.local import from_arrays, from_pandas
 from . import nanops
 from . import functions
+from . import plans
 
 __all__ = [
     "GroupBy",

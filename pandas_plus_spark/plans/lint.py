@@ -1,0 +1,231 @@
+"""Scale linting over Spark physical plans.
+
+Reads the PRE-EXECUTION physical plan (``queryExecution().executedPlan()``
+— the AdaptiveSparkPlan's initial plan; AQE may still improve it at
+runtime, never worsen the lint verdicts below) and reports the features
+that decide whether the plan survives a 100× scale-up:
+
+- every ``Exchange`` is a shuffle of its input subtree;
+- ``Exchange SinglePartition`` funnels the whole input through ONE task —
+  the classic silent scale-killer (global windows, ``coalesce(1)``);
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` are O(n·m) row
+  explosions — a join that lost its equi-condition;
+- ``BatchEvalPython`` is a row-at-a-time Python UDF (pickled row loop,
+  10-100× slower than the Arrow-batched ``ArrowEvalPython`` /
+  ``MapInPandas`` seams the engine uses for genuinely-Python work);
+- a final ``HashAggregate`` without a ``partial_*`` phase shuffles raw
+  rows instead of map-side-combined partials;
+- ``FileScan`` lines carry the pushdown evidence (``PushedFilters``,
+  ``ReadSchema``) that PLANS.md quotes by hand.
+
+No JVM round-trips beyond fetching the plan string, no execution, no
+dependency beyond the DataFrame itself — safe to call in tests and CI on
+every query the engine ships.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import List
+
+from pyspark.sql import DataFrame
+
+# severity levels, ordered
+ERROR = "error"
+WARN = "warn"
+INFO = "info"
+
+
+@dataclass(frozen=True)
+class Finding:
+    """One lint finding: a stable ``code`` for filtering/suppression, a
+    severity (``error`` > ``warn`` > ``info``), and a human message."""
+    code: str
+    severity: str
+    message: str
+
+    def __str__(self) -> str:  # readable in assertion output
+        return f"[{self.severity}] {self.code}: {self.message}"
+
+
+def plan_text(df: DataFrame) -> str:
+    """The physical plan as one string (pre-execution; AQE initial plan)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+_SCAN_RE = re.compile(r"FileScan (\w+) \[([^\]]*)\]")
+_PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
+
+# a SinglePartition exchange is FINE when its input is already
+# result-bounded: a partial aggregate (the scalar-aggregate pattern: the
+# map side reduces to one row per task before the funnel) or a limit.
+_BOUNDED_CHILD = re.compile(
+    r"partial_|CollectLimit|LocalLimit|TakeOrderedAndProject|"
+    r"(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[\]")
+
+
+def _unbounded_single_partition(plan: str) -> int:
+    """Count ``Exchange SinglePartition`` nodes whose direct child is NOT
+    result-bounded — the ones that funnel raw data through one task."""
+    lines = plan.splitlines()
+    n = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if not _BOUNDED_CHILD.search(child):
+            n += 1
+    return n
+
+
+def plan_stats(df: DataFrame) -> dict:
+    """Summarize the plan's scale-relevant features as plain counts.
+
+    Keys: ``exchanges`` (total), ``single_partition_exchanges``,
+    ``broadcast_joins``, ``sort_merge_joins``, ``shuffled_hash_joins``,
+    ``cartesian_products`` (incl. broadcast nested loop),
+    ``hash_aggregates``, ``has_partial_agg``, ``row_udfs``
+    (BatchEvalPython), ``arrow_udfs`` (ArrowEvalPython + the
+    mapInPandas/applyInPandas seams), ``take_ordered``,
+    ``codegen_spans`` (WholeStageCodegen regions), and ``scans`` — a list
+    of ``{format, columns, pushed_filters}`` per FileScan.
+    """
+    plan = plan_text(df)
+    scans = []
+    for m in _SCAN_RE.finditer(plan):
+        rest = plan[m.end():m.end() + 2000]
+        pushed = _PUSHED_RE.search(rest)
+        cols = [c.split("#")[0] for c in m.group(2).split(",") if c]
+        scans.append({
+            "format": m.group(1),
+            "columns": cols,
+            "pushed_filters": bool(pushed and pushed.group(1).strip()),
+        })
+    return {
+        "exchanges": len(re.findall(r"\bExchange ", plan)),
+        "single_partition_exchanges": _unbounded_single_partition(plan),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
+        "cartesian_products": plan.count("CartesianProduct")
+        + plan.count("BroadcastNestedLoopJoin"),
+        "hash_aggregates": plan.count("HashAggregate"),
+        "has_partial_agg": "partial_" in plan,
+        "row_udfs": plan.count("BatchEvalPython"),
+        "arrow_udfs": plan.count("ArrowEvalPython")
+        + plan.count("MapInPandas") + plan.count("FlatMapGroupsInPandas"),
+        "take_ordered": plan.count("TakeOrderedAndProject"),
+        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)",
+                                            plan))),
+        "scans": scans,
+    }
+
+
+def lint(df: DataFrame) -> List[Finding]:
+    """Flag the plan's scale anti-patterns, most severe first.
+
+    Rules (code → severity):
+
+    - ``cartesian-product`` → error: CartesianProduct or
+      BroadcastNestedLoopJoin; the join condition is missing or
+      non-equi, cost is O(n·m) rows.
+    - ``single-partition-exchange`` → warn: the whole input funnels
+      through one task (unpartitioned window, ``repartition(1)``);
+      fine on result-bounded frames, fatal on the corpus.
+    - ``row-udf`` → warn: BatchEvalPython = row-at-a-time pickled
+      Python; rewrite as built-in expressions or an Arrow-batched
+      pandas UDF.
+    - ``agg-no-map-side-combine`` → warn: a hash aggregate shuffles
+      raw rows without a partial phase (distinct-style rewrites can
+      cause this; so can ``spark.sql.aggregate.partialAggregate``
+      misconfiguration).
+    - ``global-sort-of-scan`` → info: a global Sort over raw scan
+      output with no aggregate/limit bounding it — a full-corpus
+      range shuffle; intended for final result ordering only.
+    """
+    plan = plan_text(df)
+    stats = plan_stats(df)
+    findings: List[Finding] = []
+    if stats["cartesian_products"]:
+        findings.append(Finding(
+            "cartesian-product", ERROR,
+            f"{stats['cartesian_products']} non-equi join(s) "
+            "(CartesianProduct/BroadcastNestedLoopJoin): O(n*m) row "
+            "explosion; add an equi-join condition"))
+    if stats["single_partition_exchanges"]:
+        findings.append(Finding(
+            "single-partition-exchange", WARN,
+            f"{stats['single_partition_exchanges']} Exchange "
+            "SinglePartition: entire input through one task; partition "
+            "the window/repartition call"))
+    if stats["row_udfs"]:
+        findings.append(Finding(
+            "row-udf", WARN,
+            f"{stats['row_udfs']} BatchEvalPython node(s): row-at-a-time "
+            "Python UDF; use built-in expressions or a pandas_udf"))
+    if (stats["hash_aggregates"]
+            and "Exchange hashpartitioning" in plan
+            and not stats["has_partial_agg"]):
+        findings.append(Finding(
+            "agg-no-map-side-combine", WARN,
+            "hash aggregate shuffles raw rows (no partial_* phase "
+            "below the exchange)"))
+    if (re.search(r"Sort \[[^\]]*\], true", plan)
+            and not stats["hash_aggregates"]
+            and not stats["take_ordered"]
+            and "CollectLimit" not in plan
+            and "FileScan" in plan):
+        findings.append(Finding(
+            "global-sort-of-scan", INFO,
+            "global Sort over raw scan output with no aggregate/limit: "
+            "full-corpus range shuffle"))
+    order = {ERROR: 0, WARN: 1, INFO: 2}
+    findings.sort(key=lambda f: order[f.severity])
+    return findings
+
+
+def assert_scalable(df: DataFrame, max_severity: str = WARN,
+                    allow: tuple = ()) -> None:
+    """Raise ``AssertionError`` listing every finding at or above
+    ``max_severity`` (default: errors AND warnings fail), minus codes in
+    ``allow``. The one-line CI gate:
+
+    >>> assert_scalable(my_query(spark, sf))          # errors+warns fail
+    >>> assert_scalable(df, allow=("row-udf",))       # suppress one code
+    >>> assert_scalable(df, max_severity="error")     # errors only
+    """
+    order = {ERROR: 0, WARN: 1, INFO: 2}
+    bad = [f for f in lint(df)
+           if order[f.severity] <= order[max_severity]
+           and f.code not in allow]
+    if bad:
+        raise AssertionError(
+            "plan fails scale lint:\n" + "\n".join(f"  {f}" for f in bad))
+
+
+def explain_report(df: DataFrame) -> str:
+    """Human-readable one-stop summary: stats, per-scan pushdown
+    evidence, and lint findings — the PLANS.md audit for one frame."""
+    s = plan_stats(df)
+    lines = [
+        f"exchanges={s['exchanges']} "
+        f"(single-partition={s['single_partition_exchanges']}) "
+        f"broadcast_joins={s['broadcast_joins']} "
+        f"sort_merge_joins={s['sort_merge_joins']} "
+        f"cartesian={s['cartesian_products']}",
+        f"hash_aggregates={s['hash_aggregates']} "
+        f"partial_agg={s['has_partial_agg']} "
+        f"take_ordered={s['take_ordered']} "
+        f"codegen_spans={s['codegen_spans']}",
+        f"row_udfs={s['row_udfs']} arrow_udfs={s['arrow_udfs']}",
+    ]
+    for sc in s["scans"]:
+        lines.append(
+            f"scan {sc['format']}: {len(sc['columns'])} col(s) "
+            f"[{', '.join(sc['columns'][:8])}"
+            f"{', ...' if len(sc['columns']) > 8 else ''}] "
+            f"pushed_filters={sc['pushed_filters']}")
+    fs = lint(df)
+    lines += [str(f) for f in fs] if fs else ["lint: clean"]
+    return "\n".join(lines)
