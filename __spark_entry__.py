@@ -2109,6 +2109,36 @@ def _q_q18_large_orders(spark, sf):
     return out.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(100)
 
 
+def _q_plan_lint_gate(spark, sf):
+    """Invariant-row gate for the plan scale linter (plans/lint.py):
+    lint the Q1/Q5/Q18 plans and emit the counts that must hold for the
+    engine's own flagship queries — zero cartesian products, zero
+    unbounded single-partition exchanges, zero row-at-a-time Python
+    UDFs, zero error/warn findings, map-side partial aggregation
+    present, and the Q5 dim broadcasts in place. The oracle is the
+    constant row those invariants pin; any plan regression (or linter
+    regression) flips a value and hash-mismatches."""
+    from pandas_plus_spark.plans import lint, plan_stats
+    tot_cart = tot_single = tot_rowudf = tot_bad = 0
+    partial_all = True
+    for name in ("q1_pricing_summary", "q5_local_supplier",
+                 "q18_large_orders"):
+        df = queries()[name](spark, sf)
+        s = plan_stats(df)
+        tot_cart += s["cartesian_products"]
+        tot_single += s["single_partition_exchanges"]
+        tot_rowudf += s["row_udfs"]
+        partial_all = partial_all and s["has_partial_agg"]
+        tot_bad += sum(1 for f in lint(df) if f.severity in ("error", "warn"))
+    q5_bcast = plan_stats(
+        queries()["q5_local_supplier"](spark, sf))["broadcast_joins"] >= 2
+    return spark.createDataFrame(
+        [(tot_cart, tot_single, tot_rowudf, tot_bad,
+          bool(partial_all), bool(q5_bcast))],
+        "n_cartesian long, n_single_partition long, n_row_udfs long, "
+        "n_error_warn long, partial_agg_all boolean, q5_broadcasts boolean")
+
+
 def _q_streaming_neardup(spark, sf):
     """Streaming ingestion near-dup gate (streaming/dedup.py
     neardup_filtered_stream): replay the %5 "new batch" docs as a file
@@ -2315,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_header_meta": _q_image_header_meta,
         "q5_local_supplier": _q_q5_local_supplier,
         "q18_large_orders": _q_q18_large_orders,
+        "plan_lint_gate": _q_plan_lint_gate,
         # --- r6 code-change re-verification (bloom/dedup/similarity
         #     operators touched this round; hyperplane_lsh_buckets is the
         #     seeded rows-only entry PINNED adjacent to its lsh_recall
@@ -2338,11 +2369,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_rank": _q_group_rank,
         "curation_pipeline": _q_curation_pipeline,
         "chunk_dedup": _q_chunk_dedup,
+        # --- tail: remaining r4-era entries (doc_chunks,
+        #     embedding_quantize and unigram_ppl displaced from the
+        #     window by the two TPC-H-shape gates + the plan-lint gate;
+        #     their r4 rows stay in the two-round union), then the
+        #     r5-verified block (freshest last) ---
         "doc_chunks": _q_doc_chunks,
-        # --- tail: remaining r4-era entries (embedding_quantize and
-        #     unigram_ppl displaced from the window by the two new
-        #     TPC-H-shape gates; their r4 rows stay in the two-round
-        #     union), then the r5-verified block (freshest last) ---
         "embedding_quantize": _q_embedding_quantize,
         "unigram_ppl": _q_unigram_ppl,
         "streaming_neardup": _q_streaming_neardup,
@@ -3799,6 +3831,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 100
+        """,
+        # the linter invariants the engine's flagship plans must hold;
+        # any plan or linter regression flips a value off this row
+        "plan_lint_gate": """
+            SELECT CAST(0 AS BIGINT) AS n_cartesian,
+                   CAST(0 AS BIGINT) AS n_single_partition,
+                   CAST(0 AS BIGINT) AS n_row_udfs,
+                   CAST(0 AS BIGINT) AS n_error_warn,
+                   TRUE AS partial_agg_all,
+                   TRUE AS q5_broadcasts
         """,
         "dedup_keep_list": _sql_keep_list_poly(num_hashes=8, bands=4,
                                                threshold=0.3),
