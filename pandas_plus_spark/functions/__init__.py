@@ -3,6 +3,7 @@ from .bloom import (bloom_build, bloom_might_contain, bloom_positions,
                     bloom_to_numpy)
 from .encoding import bools_to_categorical, linear_combination
 from .masks import bool_array_mask, index_mask, slice_mask
+from .sketches import merge_sketches, nunique_sketches, sketch_estimate
 from .ordered import (global_cumsum, global_ntile, global_rank_cumsum,
                       global_row_number, global_shift)
 from .text import (
@@ -34,4 +35,7 @@ __all__ = [
     "bloom_build",
     "bloom_to_numpy",
     "bloom_might_contain",
+    "nunique_sketches",
+    "merge_sketches",
+    "sketch_estimate",
 ]
