@@ -2121,6 +2121,7 @@ def _q_plan_lint_gate(spark, sf):
     from pandas_plus_spark.plans import lint, plan_stats
     tot_cart = tot_single = tot_rowudf = tot_bad = 0
     partial_all = True
+    q5_bcast = False
     for name in ("q1_pricing_summary", "q5_local_supplier",
                  "q18_large_orders"):
         df = queries()[name](spark, sf)
@@ -2130,13 +2131,54 @@ def _q_plan_lint_gate(spark, sf):
         tot_rowudf += s["row_udfs"]
         partial_all = partial_all and s["has_partial_agg"]
         tot_bad += sum(1 for f in lint(df) if f.severity in ("error", "warn"))
-    q5_bcast = plan_stats(
-        queries()["q5_local_supplier"](spark, sf))["broadcast_joins"] >= 2
+        if name == "q5_local_supplier":
+            q5_bcast = s["broadcast_joins"] >= 2
     return spark.createDataFrame(
         [(tot_cart, tot_single, tot_rowudf, tot_bad,
           bool(partial_all), bool(q5_bcast))],
         "n_cartesian long, n_single_partition long, n_row_udfs long, "
         "n_error_warn long, partial_agg_all boolean, q5_broadcasts boolean")
+
+
+def _q_hll_merge_gate(spark, sf):
+    """Mergeable-HLL gate (functions/sketches.py): per-slice sketches of
+    orders.o_custkey (slice = o_orderkey % 4, the ingestion-increment
+    shape) union into per-priority rollups; the gate pins (a) the
+    MERGE-STABILITY property — the merged estimate tracks the single-pass
+    estimate within register resolution (≤ 3% + 2 here; the union
+    operates on sketch state, so accuracy does NOT degrade with the
+    number of increments merged, but Spark's HLL_4/union-gadget mode
+    transitions make the estimates near-, not bit-, identical past the
+    sparse regime — measured ≤ 1.4% at sf0.01, bit-equal at sf0.001) —
+    and (b) estimate accuracy within 5% of exact countDistinct for BOTH
+    paths. exact_n is the value check (DuckDB reproduces it); the two
+    invariants are booleans the oracle pins TRUE. Scale shape: one
+    map-side-combining exchange per aggregation, sketch-sized (~2.5 KB)
+    rows on the wire, rollups never rescan raw data."""
+    from pandas_plus_spark.functions import sketches
+
+    orders = load_table(spark, sf, "orders")
+    sliced = orders.withColumn("slice", F.col("o_orderkey") % 4)
+    merged = sketches.merge_sketches(
+        sketches.nunique_sketches(sliced, ["o_orderpriority", "slice"],
+                                  "o_custkey"),
+        "o_orderpriority", estimate_col="merged_est")
+    single = sketches.merge_sketches(
+        sketches.nunique_sketches(orders, "o_orderpriority", "o_custkey"),
+        "o_orderpriority", estimate_col="single_est")
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_n"))
+    return (exact.join(merged, "o_orderpriority")
+            .join(single, "o_orderpriority")
+            .select(
+                "o_orderpriority", "exact_n",
+                (F.abs(F.col("merged_est") - F.col("single_est"))
+                 <= 0.03 * F.col("exact_n") + 2)
+                .alias("merged_close_single"),
+                ((F.abs(F.col("merged_est") - F.col("exact_n"))
+                  <= 0.05 * F.col("exact_n") + 2)
+                 & (F.abs(F.col("single_est") - F.col("exact_n"))
+                    <= 0.05 * F.col("exact_n") + 2)).alias("rel_err_ok")))
 
 
 def _q_streaming_neardup(spark, sf):
@@ -2346,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier": _q_q5_local_supplier,
         "q18_large_orders": _q_q18_large_orders,
         "plan_lint_gate": _q_plan_lint_gate,
+        "hll_merge_gate": _q_hll_merge_gate,
         # --- r6 code-change re-verification (bloom/dedup/similarity
         #     operators touched this round; hyperplane_lsh_buckets is the
         #     seeded rows-only entry PINNED adjacent to its lsh_recall
@@ -3841,6 +3884,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_error_warn,
                    TRUE AS partial_agg_all,
                    TRUE AS q5_broadcasts
+        """,
+        # exact_n is the value check; the two sketch invariants (merge
+        # stability, 5% accuracy) are booleans the oracle pins TRUE
+        "hll_merge_gate": """
+            SELECT o_orderpriority,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_n,
+                   TRUE AS merged_close_single,
+                   TRUE AS rel_err_ok
+            FROM orders GROUP BY o_orderpriority
         """,
         "dedup_keep_list": _sql_keep_list_poly(num_hashes=8, bands=4,
                                                threshold=0.3),

@@ -223,6 +223,23 @@ def hyperplane_lsh_buckets(
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
+def recommended_planes(n_rows: int, target_bucket_size: int = 1024) -> int:
+    """Plane count that keeps the EXPECTED bucket population near
+    ``target_bucket_size``: each plane halves the expected bucket size
+    (2^planes buckets per table), so ``planes = ceil(log2(n /
+    target))``, floored at 1. This is the bucket-size CONTRACT of
+    :func:`lsh_candidate_pairs`: bucket population is corpus-
+    proportional at FIXED planes (n / 2^planes per table), so a corpus
+    that grows 10× needs ~3.3 more planes to hold the candidate join's
+    per-bucket cost constant. The ``max_bucket_size`` cap is the hard
+    backstop for skewed/clustered corpora where the expectation doesn't
+    hold; this helper keeps the cap a no-op on healthy ones."""
+    import math
+    if n_rows <= target_bucket_size:
+        return 1
+    return max(1, math.ceil(math.log2(n_rows / target_bucket_size)))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     n_planes: int = 4,
@@ -230,6 +247,7 @@ def lsh_candidate_pairs(
     vec_col: str = "embedding",
     n_tables: int = 8,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """UNVERIFIED candidate pairs ``(id_a < id_b)`` from the multi-table
     hyperplane-LSH bucket join — the candidate-generation stage of
@@ -237,7 +255,21 @@ def lsh_candidate_pairs(
     :func:`semantic_dedup_keep_list`'s scale path) can feed the same
     bucket-bounded pair set into their own verification. Deduped across
     tables; the returned frame carries a persisted bucket intermediate via
-    ``_pps_cached`` (release with ``util.release_cached``)."""
+    ``_pps_cached`` (release with ``util.release_cached``).
+
+    Bucket-size contract: expected bucket population is ``n / 2^planes``
+    per table — corpus-proportional at fixed ``n_planes``. Size planes
+    with :func:`recommended_planes` (planes ≈ log2(n/target)) so the
+    self-join stays bounded as the corpus grows; ``max_bucket_size``
+    (default 1024) is the hard backstop — oversized buckets are lazily
+    hash-down-sampled to ~cap entries before the self-join, the same
+    guard as the minhash path (``dedup._cap_bucket_entries``), a no-op
+    broadcast when no bucket exceeds the cap. ``None`` disables; monitor
+    with ``dedup.lsh_bucket_stats(entries, cap, ["table", "bucket"])``.
+    Recall under the cap survives via the multi-table OR — a true pair
+    sampled out of one table's hot bucket usually co-buckets in another."""
+    from .dedup import _cap_bucket_entries
+
     entries = None
     for t in range(n_tables):
         bt = (hyperplane_lsh_buckets(df, n_planes, id_col, vec_col, table=t,
@@ -245,7 +277,11 @@ def lsh_candidate_pairs(
               .withColumn("table", F.lit(t)))
         entries = bt if entries is None else entries.unionByName(bt)
     buckets = entries.persist()
-    a, b = buckets.alias("a"), buckets.alias("b")
+    capped = buckets
+    if max_bucket_size is not None:
+        capped = _cap_bucket_entries(buckets, ["table", "bucket"],
+                                     max_bucket_size)
+    a, b = capped.alias("a"), capped.alias("b")
     cands = (
         a.join(b, on=["table", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
@@ -263,6 +299,7 @@ def lsh_neardup_pairs(
     vec_col: str = "embedding",
     n_tables: int = 8,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Scale path for embedding near-dup: hyperplane-LSH bucket join to
     generate candidates, exact cosine to verify.
@@ -277,7 +314,8 @@ def lsh_neardup_pairs(
     live in ONE frame keyed by (table, bucket) — one self-join regardless
     of table count."""
     cands = lsh_candidate_pairs(df, n_planes, id_col, vec_col, n_tables,
-                                hash_fn=hash_fn)
+                                hash_fn=hash_fn,
+                                max_bucket_size=max_bucket_size)
     out = cosine_neardup_pairs(df, threshold, id_col, vec_col, candidates=cands)
     return attach_cached(out, *getattr(cands, "_pps_cached", ()))
 
@@ -535,6 +573,7 @@ def lsh_pair_recall(
     vec_col: str = "embedding",
     n_tables: int = 8,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Pair recall of the hyperplane-LSH near-dup path against the exact
     all-pairs cosine graph: one row ``(n_exact, n_hit, recall)``.
@@ -557,7 +596,8 @@ def lsh_pair_recall(
     # objects that do not carry Python instance attributes, so _pps_cached
     # must be read from the frame lsh_neardup_pairs actually returned.
     approx_raw = lsh_neardup_pairs(df, threshold, n_planes, id_col, vec_col,
-                                   n_tables=n_tables, hash_fn=hash_fn)
+                                   n_tables=n_tables, hash_fn=hash_fn,
+                                   max_bucket_size=max_bucket_size)
     approx = approx_raw.select("id_a", "id_b").withColumn("__hit", F.lit(1))
     out = (
         exact.join(approx, ["id_a", "id_b"], "left")

@@ -58,25 +58,80 @@ _SCAN_RE = re.compile(r"FileScan (\w+) \[([^\]]*)\]")
 _PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
 
 # a SinglePartition exchange is FINE when its input is already
-# result-bounded: a partial aggregate (the scalar-aggregate pattern: the
-# map side reduces to one row per task before the funnel) or a limit.
+# result-bounded: a SCALAR (keys=[]) aggregate — partial or final, the map
+# side reduces to one row per task before the funnel — or a limit. A KEYED
+# partial aggregate does NOT excuse the funnel: its output is
+# key-cardinality-sized, i.e. corpus-scale for high-cardinality keys.
 _BOUNDED_CHILD = re.compile(
-    r"partial_|CollectLimit|LocalLimit|TakeOrderedAndProject|"
+    r"CollectLimit|LocalLimit|GlobalLimit|TakeOrderedAndProject|"
     r"(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[\]")
 
 
+def _tree_depth(line: str) -> int:
+    """Depth of a plan-tree line = length of its tree-drawing prefix
+    (spaces, ``:``, ``+``, ``-``, ``|``)."""
+    return re.match(r"^[\s:+|-]*", line).end()
+
+
+def _child_line(lines: list[str], i: int) -> str:
+    """The first real descendant of the operator at ``lines[i]``: the next
+    line strictly deeper in the tree, skipping blank and section-marker
+    lines (``== Initial Plan ==`` etc.). Empty string when the node prints
+    no child (leaf, or reused-subtree reference)."""
+    depth = _tree_depth(lines[i])
+    for j in range(i + 1, len(lines)):
+        cand = lines[j]
+        if not cand.strip() or "==" in cand:
+            continue
+        if _tree_depth(cand) <= depth:
+            return ""
+        return cand
+    return ""
+
+
+def _parent_line(lines: list[str], i: int) -> str:
+    """The nearest preceding line strictly shallower in the tree — the
+    operator consuming ``lines[i]``'s output."""
+    depth = _tree_depth(lines[i])
+    for j in range(i - 1, -1, -1):
+        cand = lines[j]
+        if not cand.strip() or "==" in cand:
+            continue
+        if _tree_depth(cand) < depth:
+            return cand
+    return ""
+
+
 def _unbounded_single_partition(plan: str) -> int:
-    """Count ``Exchange SinglePartition`` nodes whose direct child is NOT
+    """Count ``Exchange SinglePartition`` nodes whose child subtree is NOT
     result-bounded — the ones that funnel raw data through one task."""
     lines = plan.splitlines()
-    n = 0
-    for i, line in enumerate(lines):
-        if "Exchange SinglePartition" not in line:
-            continue
-        child = lines[i + 1] if i + 1 < len(lines) else ""
-        if not _BOUNDED_CHILD.search(child):
-            n += 1
-    return n
+    return sum(
+        1 for i, line in enumerate(lines)
+        if "Exchange SinglePartition" in line
+        and not _BOUNDED_CHILD.search(_child_line(lines, i)))
+
+
+# a shuffle feeding an aggregate is map-side combined when what it ships is
+# partial-aggregate state — either an explicit partial_* phase or a
+# keyed/scalar aggregate with functions=[] (the two-phase DISTINCT rewrite:
+# the map side dedups by the grouping keys before the exchange).
+_MAP_SIDE_COMBINED = re.compile(
+    r"partial_|Aggregate\(keys=\[[^\]]*\], functions=\[\]")
+
+
+def _agg_raw_shuffles(plan: str) -> int:
+    """Count hash-partitioned exchanges that feed an aggregate but ship RAW
+    rows: parent is a HashAggregate, child is neither a partial_* phase nor
+    a map-side-dedup (functions=[]) aggregate. Evaluated PER Exchange
+    region, so one healthy partial+final pair elsewhere in a multi-
+    aggregate plan can't mask a raw-row shuffle in another."""
+    lines = plan.splitlines()
+    return sum(
+        1 for i, line in enumerate(lines)
+        if "Exchange hashpartitioning" in line
+        and "Aggregate" in _parent_line(lines, i)
+        and not _MAP_SIDE_COMBINED.search(_child_line(lines, i)))
 
 
 def plan_stats(df: DataFrame) -> dict:
@@ -85,7 +140,9 @@ def plan_stats(df: DataFrame) -> dict:
     Keys: ``exchanges`` (total), ``single_partition_exchanges``,
     ``broadcast_joins``, ``sort_merge_joins``, ``shuffled_hash_joins``,
     ``cartesian_products`` (incl. broadcast nested loop),
-    ``hash_aggregates``, ``has_partial_agg``, ``row_udfs``
+    ``hash_aggregates``, ``has_partial_agg``, ``agg_raw_shuffles``
+    (aggregate-feeding exchanges shipping raw rows, per region),
+    ``row_udfs``
     (BatchEvalPython), ``arrow_udfs`` (ArrowEvalPython + the
     mapInPandas/applyInPandas seams), ``take_ordered``,
     ``codegen_spans`` (WholeStageCodegen regions), and ``scans`` — a list
@@ -94,7 +151,11 @@ def plan_stats(df: DataFrame) -> dict:
     plan = plan_text(df)
     scans = []
     for m in _SCAN_RE.finditer(plan):
-        rest = plan[m.end():m.end() + 2000]
+        # a FileScan's attributes print on ITS OWN line — bound the
+        # PushedFilters search there so a neighboring scan's fields can
+        # never be misattributed to this one
+        eol = plan.find("\n", m.end())
+        rest = plan[m.end():eol if eol != -1 else len(plan)]
         pushed = _PUSHED_RE.search(rest)
         cols = [c.split("#")[0] for c in m.group(2).split(",") if c]
         scans.append({
@@ -112,6 +173,7 @@ def plan_stats(df: DataFrame) -> dict:
         + plan.count("BroadcastNestedLoopJoin"),
         "hash_aggregates": plan.count("HashAggregate"),
         "has_partial_agg": "partial_" in plan,
+        "agg_raw_shuffles": _agg_raw_shuffles(plan),
         "row_udfs": plan.count("BatchEvalPython"),
         "arrow_udfs": plan.count("ArrowEvalPython")
         + plan.count("MapInPandas") + plan.count("FlatMapGroupsInPandas"),
@@ -136,10 +198,12 @@ def lint(df: DataFrame) -> List[Finding]:
     - ``row-udf`` → warn: BatchEvalPython = row-at-a-time pickled
       Python; rewrite as built-in expressions or an Arrow-batched
       pandas UDF.
-    - ``agg-no-map-side-combine`` → warn: a hash aggregate shuffles
-      raw rows without a partial phase (distinct-style rewrites can
-      cause this; so can ``spark.sql.aggregate.partialAggregate``
-      misconfiguration).
+    - ``agg-no-map-side-combine`` → warn: an aggregate-feeding exchange
+      ships raw rows with no partial/map-side-dedup phase below it —
+      checked PER exchange region, so a healthy partial+final pair in
+      one part of a multi-aggregate plan can't mask a raw-row shuffle
+      in another (``spark.sql.aggregate.partialAggregate``
+      misconfiguration, some rewrites).
     - ``global-sort-of-scan`` → info: a global Sort over raw scan
       output with no aggregate/limit bounding it — a full-corpus
       range shuffle; intended for final result ordering only.
@@ -164,13 +228,12 @@ def lint(df: DataFrame) -> List[Finding]:
             "row-udf", WARN,
             f"{stats['row_udfs']} BatchEvalPython node(s): row-at-a-time "
             "Python UDF; use built-in expressions or a pandas_udf"))
-    if (stats["hash_aggregates"]
-            and "Exchange hashpartitioning" in plan
-            and not stats["has_partial_agg"]):
+    if stats["agg_raw_shuffles"]:
         findings.append(Finding(
             "agg-no-map-side-combine", WARN,
-            "hash aggregate shuffles raw rows (no partial_* phase "
-            "below the exchange)"))
+            f"{stats['agg_raw_shuffles']} aggregate exchange(s) shuffle "
+            "raw rows (no partial_*/map-side-dedup phase below that "
+            "exchange)"))
     if (re.search(r"Sort \[[^\]]*\], true", plan)
             and not stats["hash_aggregates"]
             and not stats["take_ordered"]

@@ -135,6 +135,78 @@ class TestHotBucketGuard:
         assert (1000, 1001) in got
 
 
+class TestHyperplaneHotBucket:
+    """Clustered embedding corpus: a tight cluster puts its whole membership
+    into ONE (table, bucket) cell in EVERY table (hyperplane buckets depend
+    only on projection signs, so identical vectors always co-bucket) — the
+    exact shape that made the uncapped candidate join quadratic. The cap
+    must bound the candidate set without losing small-bucket pairs."""
+
+    N = 120
+    CAP = 16
+    TABLES = 4
+
+    @pytest.fixture(scope="class")
+    def clustered(self, spark):
+        # one tight cluster (identical vectors -> one bucket per table)
+        return spark.range(self.N).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(0.5), F.lit(-0.25), F.lit(0.125))
+            .alias("embedding"))
+
+    def test_candidates_bounded_under_cap(self, clustered):
+        capped = similarity.lsh_candidate_pairs(
+            clustered, n_planes=3, n_tables=self.TABLES,
+            max_bucket_size=self.CAP).count()
+        clique = self.N * (self.N - 1) // 2
+        assert capped < clique
+        # each table contributes at most ~cap^2/2 pairs from its one bucket
+        assert capped <= self.TABLES * self.CAP * self.CAP
+
+    def test_uncapped_is_clique(self, clustered):
+        full = similarity.lsh_candidate_pairs(
+            clustered, n_planes=3, n_tables=self.TABLES,
+            max_bucket_size=None).count()
+        assert full == self.N * (self.N - 1) // 2
+
+    def test_small_bucket_pair_survives_cap(self, spark, clustered):
+        # planted identical pair in a different direction: its buckets hold
+        # 2 entries, far under the cap -> the pair must remain a candidate
+        pair = spark.createDataFrame(
+            [(1000, [-1.0, 2.0, 0.5, -3.0]), (1001, [-1.0, 2.0, 0.5, -3.0])],
+            "vec_id long, embedding array<double>")
+        got = {(r["id_a"], r["id_b"])
+               for r in similarity.lsh_candidate_pairs(
+                   clustered.union(pair), n_planes=3, n_tables=self.TABLES,
+                   max_bucket_size=self.CAP).collect()}
+        assert (1000, 1001) in got
+
+    def test_healthy_corpus_unchanged_by_default_cap(self, spark):
+        # spread-out corpus, buckets far under the default cap -> the guard
+        # is a no-op broadcast and pairs are byte-identical
+        import random
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(60)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        base = {(r["id_a"], r["id_b"]) for r in similarity.lsh_candidate_pairs(
+            emb, n_planes=3, n_tables=4, max_bucket_size=None).collect()}
+        guarded = {(r["id_a"], r["id_b"]) for r in similarity.lsh_candidate_pairs(
+            emb, n_planes=3, n_tables=4).collect()}
+        assert guarded == base
+
+    def test_recommended_planes_contract(self):
+        # planes = ceil(log2(n / target)), floored at 1
+        assert similarity.recommended_planes(500, 1024) == 1
+        assert similarity.recommended_planes(1024, 1024) == 1
+        assert similarity.recommended_planes(2048, 1024) == 1
+        assert similarity.recommended_planes(4096, 1024) == 2
+        assert similarity.recommended_planes(10 ** 9, 1024) == 20
+        # 10x corpus -> ~3.3 more planes (expected bucket size constant)
+        p1 = similarity.recommended_planes(10 ** 6)
+        p10 = similarity.recommended_planes(10 ** 7)
+        assert p10 - p1 in (3, 4)
+
+
 class TestJaccard:
     def test_exact_value(self, spark):
         df = spark.createDataFrame(

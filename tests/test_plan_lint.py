@@ -13,6 +13,13 @@ def codes(findings):
     return {f.code for f in findings}
 
 
+def _lint_mod():
+    # the plans package re-exports the lint FUNCTION under the submodule's
+    # name, so a plain `import ... as m` would bind the function
+    import importlib
+    return importlib.import_module("pandas_plus_spark.plans.lint")
+
+
 class TestRulesFire:
     def test_cartesian_product_is_error(self, spark):
         a = spark.range(10)
@@ -66,6 +73,86 @@ class TestRulesFire:
         df = spark.range(100).withColumn(
             "rn", F.row_number().over(Window.orderBy("id")))
         assert_scalable(df, allow=("single-partition-exchange",))
+
+
+class TestRuleRefinements:
+    """The r7 rule refinements, pinned on constructed plan trees (exact
+    control over the shapes that defeated the first-cut string checks) and
+    on real frames where Spark produces the shape naturally."""
+
+    def test_keyed_partial_does_not_excuse_funnel(self):
+        # a KEYED partial agg's output is key-cardinality-sized — it must
+        # NOT excuse a single-partition funnel
+        m = _lint_mod()
+        plan = ("Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+                "+- HashAggregate(keys=[k#1], functions=[partial_sum(v#2)])\n"
+                "   +- FileScan parquet [k#1,v#2]\n")
+        assert m._unbounded_single_partition(plan) == 1
+
+    def test_scalar_partial_still_excuses_funnel(self):
+        m = _lint_mod()
+        plan = ("Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+                "+- HashAggregate(keys=[], functions=[partial_sum(v#2)])\n"
+                "   +- FileScan parquet [v#2]\n")
+        assert m._unbounded_single_partition(plan) == 0
+
+    def test_child_walk_skips_marker_lines(self):
+        # a section marker between the Exchange and its real child must not
+        # defeat the boundedness check
+        m = _lint_mod()
+        plan = ("Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+                "+- == Initial Plan ==\n"
+                "   HashAggregate(keys=[], functions=[partial_sum(v#2)])\n"
+                "   +- FileScan parquet [v#2]\n")
+        assert m._unbounded_single_partition(plan) == 0
+
+    def test_raw_agg_shuffle_beside_healthy_pair_is_flagged(self):
+        # multi-aggregate plan: one healthy partial+final pair, one raw-row
+        # shuffle — the old plan-wide 'partial_ in plan' check went quiet
+        m = _lint_mod()
+        plan = (
+            "HashAggregate(keys=[a#1], functions=[sum(x#2)])\n"
+            "+- Exchange hashpartitioning(a#1, 32)\n"
+            "   +- HashAggregate(keys=[a#1], functions=[partial_sum(x#2)])\n"
+            "      +- HashAggregate(keys=[b#3], functions=[sum(y#4)])\n"
+            "         +- Exchange hashpartitioning(b#3, 32)\n"
+            "            +- Project [b#3, y#4]\n"
+            "               +- FileScan parquet [b#3,y#4]\n")
+        assert m._agg_raw_shuffles(plan) == 1
+
+    def test_distinct_two_phase_not_flagged(self, tables):
+        # two-phase DISTINCT prints no 'partial_' (functions=[]) but IS
+        # map-side combined — must stay clean, synthetic and real
+        m = _lint_mod()
+        plan = ("HashAggregate(keys=[a#1], functions=[])\n"
+                "+- Exchange hashpartitioning(a#1, 32)\n"
+                "   +- HashAggregate(keys=[a#1], functions=[])\n"
+                "      +- FileScan parquet [a#1]\n")
+        assert m._agg_raw_shuffles(plan) == 0
+        real = tables["lineitem"].select("l_orderkey").distinct()
+        assert "agg-no-map-side-combine" not in codes(lint(real))
+
+    def test_join_exchange_not_mistaken_for_agg_shuffle(self, tables):
+        # hash-partitioned exchanges feeding a JOIN (parent is not an
+        # aggregate) are out of this rule's scope
+        import pyspark.sql.functions as F
+        a = tables["orders"].select("o_orderkey")
+        b = tables["lineitem"].select("l_orderkey", "l_quantity")
+        df = (a.join(b.hint("shuffle_merge"),
+                     a.o_orderkey == b.l_orderkey)
+              .groupBy("o_orderkey").agg(F.sum("l_quantity").alias("q")))
+        assert "agg-no-map-side-combine" not in codes(lint(df))
+
+    def test_pushed_filters_not_misattributed_across_scans(self, tables):
+        # scan WITHOUT filters adjacent to a scan WITH them: the fixed-
+        # window search credited the first scan with the second's filters
+        df = (tables["nation"].select(F.col("n_name").alias("name"))
+              .union(tables["region"].where(F.col("r_regionkey") > 1)
+                     .select(F.col("r_name").alias("name"))))
+        by_first_col = {sc["columns"][0]: sc["pushed_filters"]
+                        for sc in plan_stats(df)["scans"]}
+        assert by_first_col["n_name"] is False
+        assert by_first_col["r_regionkey"] or by_first_col.get("r_name", False)
 
 
 class TestStats:
