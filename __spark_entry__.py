@@ -1671,18 +1671,22 @@ def _q_multimodal_meta(spark, sf):
 
 def _q_image_header_meta(spark, sf):
     """REAL image decode through the multimodal seam: deterministic
-    PNG/BMP/GIF header blobs are constructed per doc_id in an
+    PNG/BMP/GIF/JPEG header blobs are constructed per doc_id in an
     Arrow-batched mapInPandas (the binary column round-trips through
     Spark like any media payload), then extract_image_features parses
     width/height/channels from the ACTUAL container headers
-    (multimodal.decode_image_header) — no codec library, pure byte
-    arithmetic. The oracle recomputes the expected dimensions from the
-    same doc_id arithmetic, so a parse-offset bug (endianness, chunk
-    offset, color-type map) fails the hash, not just a unit test."""
+    (multimodal.decode_image_header; JPEG via the SOFn marker-segment
+    walk, both baseline SOF0 and progressive SOF2, with a JFIF APP0 the
+    scan must hop over by its length field) — no codec library, pure
+    byte arithmetic. The oracle recomputes the expected dimensions from
+    the same doc_id arithmetic, so a parse-offset bug (endianness, chunk
+    offset, color-type map, marker-walk stride) fails the hash, not just
+    a unit test."""
     import pandas as _pd
 
     from pandas_plus_spark.operators.multimodal import (
-        bmp_header_bytes, gif_header_bytes, png_header_bytes)
+        bmp_header_bytes, gif_header_bytes, jpeg_header_bytes,
+        png_header_bytes)
 
     docs = (load_table(spark, sf, "documents")
             .where(F.col("doc_id") < 200).select("doc_id"))
@@ -1693,12 +1697,17 @@ def _q_image_header_meta(spark, sf):
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = did % 300 + 1, (did * 3) % 200 + 1
-                if did % 3 == 0:
-                    blobs.append(png_header_bytes(w, h, 6 if did % 2 else 2))
-                elif did % 3 == 1:
+                if did % 4 == 0:
+                    blobs.append(
+                        png_header_bytes(w, h, 6 if did % 8 == 4 else 2))
+                elif did % 4 == 1:
                     blobs.append(bmp_header_bytes(w, h))
-                else:
+                elif did % 4 == 2:
                     blobs.append(gif_header_bytes(w, h))
+                else:
+                    blobs.append(jpeg_header_bytes(
+                        w, h, 1 if did % 8 == 3 else 3,
+                        progressive=(did % 8 == 7)))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     blobs_df = docs.mapInPandas(make, "doc_id long, blob binary")
@@ -3329,12 +3338,16 @@ def oracle_sql() -> dict[str, str]:
         # expected dims recomputed from the same doc_id arithmetic the
         # query's fixture generator uses; n_channels: PNG color-type 6
         # (doc_id % 3 = 0 and odd) decodes RGBA=4, everything else 3
+        # doc_id%4 picks the container (0 png / 1 bmp / 2 gif / 3 jpeg);
+        # channels: png color-type 6 at %8=4 -> 4, grayscale jpeg at
+        # %8=3 -> 1, everything else 3
         "image_header_meta": """
             SELECT doc_id,
                    CAST(doc_id % 300 + 1 AS INTEGER) AS width,
                    CAST((doc_id * 3) % 200 + 1 AS INTEGER) AS height,
-                   CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 1
-                             THEN 4 ELSE 3 END AS INTEGER) AS n_channels
+                   CAST(CASE WHEN doc_id % 8 = 4 THEN 4
+                             WHEN doc_id % 8 = 3 THEN 1
+                             ELSE 3 END AS INTEGER) AS n_channels
             FROM documents WHERE doc_id < 200
         """,
         # minhash_neardup, simhash_candidates, hyperplane_lsh_buckets: xxhash64-

@@ -60,11 +60,54 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _BMP_DIB_SIZES = {12, 40, 52, 56, 64, 108, 124}
 
 
+def _jpeg_sof_dims(blob: bytes) -> dict | None:
+    """Walk a JPEG's marker segments to the first SOFn frame header and
+    read ``{width, height, n_channels}`` from it. Pure marker-scan byte
+    arithmetic (no entropy decode, no libjpeg): every segment carries a
+    2-byte big-endian length, so the scan hops segment to segment —
+    APPn/COM/DQT/DHT are skipped by length — until a Start-Of-Frame
+    marker (0xC0-0xCF minus DHT 0xC4 / JPG 0xC8 / DAC 0xCC; covers
+    baseline, progressive, arithmetic and lossless variants). The SOFn
+    payload is precision(1) height(2 BE) width(2 BE) n_components(1).
+    Returns None on lost sync, truncation, or SOS before any SOF."""
+    if blob[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(blob)
+    while i + 1 < n:
+        if blob[i] != 0xFF:
+            return None                      # lost marker sync
+        marker = blob[i + 1]
+        if marker == 0xFF:                   # fill byte
+            i += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2                           # standalone, no length field
+            continue
+        if i + 4 > n:
+            return None
+        seg_len = int.from_bytes(blob[i + 2:i + 4], "big")
+        if seg_len < 2:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 10 > n:
+                return None                  # truncated SOF payload
+            return {
+                "width": int.from_bytes(blob[i + 7:i + 9], "big"),
+                "height": int.from_bytes(blob[i + 5:i + 7], "big"),
+                "n_channels": blob[i + 9],
+            }
+        if marker == 0xDA:                   # SOS: entropy data, no SOF seen
+            return None
+        i += 2 + seg_len
+    return None
+
+
 def decode_image_header(blob: bytes) -> dict | None:
-    """Dependency-free REAL header parse for PNG / BMP / GIF blobs:
-    ``{width, height, n_channels}`` straight from the container header, or
-    None for formats that need a full codec (JPEG/WebP/...). Pure byte
-    arithmetic — no PIL/libjpeg — so it runs anywhere the engine runs."""
+    """Dependency-free REAL header parse for PNG / BMP / GIF / JPEG blobs:
+    ``{width, height, n_channels}`` straight from the container header
+    (JPEG via the SOFn marker scan, :func:`_jpeg_sof_dims`), or None for
+    formats that need a full codec (WebP/AVIF/...). Pure byte arithmetic
+    — no PIL/libjpeg — so it runs anywhere the engine runs."""
     if blob[:8] == _PNG_MAGIC and len(blob) >= 26 and blob[12:16] == b"IHDR":
         return {
             "width": int.from_bytes(blob[16:20], "big"),
@@ -86,11 +129,13 @@ def decode_image_header(blob: bytes) -> dict | None:
             "height": int.from_bytes(blob[8:10], "little"),
             "n_channels": 3,
         }
+    if blob[:2] == b"\xff\xd8":
+        return _jpeg_sof_dims(blob)
     return None
 
 
 def decode_image_stub(blob: bytes) -> dict:
-    """PNG/BMP/GIF dimensions are decoded for REAL (header parse,
+    """PNG/BMP/GIF/JPEG dimensions are decoded for REAL (header parse,
     :func:`decode_image_header`); other formats fall back to the
     deterministic fake — full-pixel decode needs PIL/libjpeg, not present
     in this container. The fake derives plausible dimensions from the
@@ -134,6 +179,23 @@ def gif_header_bytes(width: int, height: int) -> bytes:
     """Minimal GIF89a logical-screen descriptor (no image data)."""
     return (b"GIF89a" + width.to_bytes(2, "little")
             + height.to_bytes(2, "little") + bytes(3))
+
+
+def jpeg_header_bytes(width: int, height: int, n_channels: int = 3,
+                      progressive: bool = False) -> bytes:
+    """Minimal valid JPEG prelude: SOI + JFIF APP0 + a SOF0 (baseline) or
+    SOF2 (progressive) frame header, no entropy data — exercises the
+    marker-segment walk (APP0 must be SKIPPED by its length field, not
+    pattern-matched) and both common SOF variants."""
+    app0 = (b"\xff\xe0" + (16).to_bytes(2, "big")
+            + b"JFIF\x00\x01\x01\x00"
+            + (1).to_bytes(2, "big") + (1).to_bytes(2, "big") + bytes(2))
+    comps = b"".join(bytes([c + 1, 0x11, 0]) for c in range(n_channels))
+    sof = ((b"\xff\xc2" if progressive else b"\xff\xc0")
+           + (8 + 3 * n_channels).to_bytes(2, "big") + bytes([8])
+           + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+           + bytes([n_channels]) + comps)
+    return b"\xff\xd8" + app0 + sof
 
 
 FRAME_SCHEMA = T.StructType([

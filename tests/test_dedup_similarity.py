@@ -327,6 +327,52 @@ class TestMultimodal:
         # top-down BMP: negative height decodes to its magnitude
         assert decode_image_header(bmp_header_bytes(10, -20))["height"] == 20
 
+    def test_jpeg_sof_marker_walk(self):
+        """JPEG decode is a REAL SOFn marker-segment scan: APP0 hopped by
+        its length field, baseline SOF0 and progressive SOF2 both read,
+        grayscale/RGB channel counts from the frame header."""
+        from pandas_plus_spark.operators.multimodal import (
+            decode_image_header, jpeg_header_bytes)
+        for w, h in [(1, 1), (300, 200), (4032, 3024)]:
+            assert decode_image_header(jpeg_header_bytes(w, h, 3)) == {
+                "width": w, "height": h, "n_channels": 3}
+            assert decode_image_header(
+                jpeg_header_bytes(w, h, 1, progressive=True)) == {
+                "width": w, "height": h, "n_channels": 1}
+        # CMYK (4-component) SOF
+        assert decode_image_header(
+            jpeg_header_bytes(640, 480, 4))["n_channels"] == 4
+
+    def test_jpeg_extra_segments_are_skipped(self):
+        """Segments the scanner must walk over by LENGTH, not pattern:
+        a COM comment whose payload CONTAINS a fake SOF marker byte pair
+        must not be read as a frame header."""
+        from pandas_plus_spark.operators.multimodal import (
+            decode_image_header, jpeg_header_bytes)
+        base = jpeg_header_bytes(123, 45, 3)
+        # splice a COM segment (with an embedded fake \xff\xc0) after SOI
+        fake_sof = b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8]) \
+            + (9999).to_bytes(2, "big") + (9999).to_bytes(2, "big") + b"\x01"
+        com = b"\xff\xfe" + (2 + len(fake_sof)).to_bytes(2, "big") + fake_sof
+        spliced = base[:2] + com + base[2:]
+        assert decode_image_header(spliced) == {
+            "width": 123, "height": 45, "n_channels": 3}
+
+    def test_jpeg_malformed_returns_none(self):
+        from pandas_plus_spark.operators.multimodal import (
+            decode_image_header, jpeg_header_bytes)
+        good = jpeg_header_bytes(300, 200, 3)
+        assert decode_image_header(b"\xff\xd8") is None       # bare SOI
+        assert decode_image_header(good[:12]) is None         # truncated APP0
+        # truncated INSIDE the dims fields (cut 10 of the SOF's 19 bytes;
+        # cutting only the trailing component specs leaves dims readable)
+        assert decode_image_header(good[:-10]) is None
+        # SOS before any SOF: entropy stream, dims unknowable by marker scan
+        sos = b"\xff\xd8" + b"\xff\xda" + (2).to_bytes(2, "big") + b"\x00" * 8
+        assert decode_image_header(sos) is None
+        # lost sync (non-FF where a marker must start)
+        assert decode_image_header(b"\xff\xd8" + b"garbage") is None
+
     def test_text_blobs_never_parse_as_images(self):
         """The fake-dimension fallback is keyed on REAL magic + structure:
         ordinary text — even text starting with 'BM' or 'GIF' — must not
