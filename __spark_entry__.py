@@ -2096,16 +2096,25 @@ def _q_q18_large_orders(spark, sf):
     the tiny surviving key set joins back to orders and customer, top-100
     by total price via TakeOrdered (no global sort).
 
-    Scale shape: the only corpus-wide exchange is the l_orderkey
-    aggregation (map-side combine shrinks it to order grain in the map
-    stage); the HAVING filter leaves a result-bounded key frame that AQE
-    broadcasts into orders, so the orders⋈customer stage never shuffles
-    the fact again. The top-100 is TakeOrderedAndProject — each partition
-    ships 100 rows, not a sort of the corpus."""
+    Scale shape: the fact is exchanged once (the l_orderkey aggregation,
+    map-side combined to order grain before the wire). The orders⋈big
+    join carries a ``shuffle_hash`` hint on the HAVING-bounded frame —
+    measured r7: AQE CANNOT see the bound (the HAVING filter runs
+    post-shuffle inside the join stage, so runtime stats at the exchange
+    boundary are pre-filter, order-grain-sized), and with orders past
+    any broadcast threshold the statistics fallback is a SortMergeJoin
+    that sorts the whole orders shuffle. The hint pins the statistics-
+    independent right plan instead: ShuffledHashJoin BUILDING ON the
+    bounded frame — hash map is ~result-sized per partition, orders
+    streams through unsorted; identical exchange count, no sort of the
+    fact side at any SF (plan test: TestPlanShape.test_q18_*_build_side).
+    The top-100 is TakeOrderedAndProject — each partition ships 100
+    rows, not a sort of the corpus."""
     li = load_table(spark, sf, "lineitem")
     big = (li.groupBy("l_orderkey")
            .agg(F.sum("l_quantity").alias("total_qty"))
-           .where(F.col("total_qty") > 300))
+           .where(F.col("total_qty") > 300)
+           .hint("shuffle_hash"))
     orders = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     cust = load_table(spark, sf, "customer").select("c_custkey", "c_name")

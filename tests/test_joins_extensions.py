@@ -183,6 +183,55 @@ class TestPlanShape:
         assert "partial_sum" in plan
         assert "TakeOrderedAndProject" in plan
 
+    def test_q18_bounded_frame_is_build_side_default(self, spark):
+        """The orders⋈big join must BUILD on the HAVING-bounded rollup
+        frame, never on orders. Statistics cannot deliver this at scale
+        (the HAVING filter runs post-shuffle inside the join stage, so
+        AQE's exchange-boundary stats are pre-filter — measured r7), so
+        the query pins it with a shuffle_hash hint on the bounded side:
+        ShuffledHashJoin BuildRight, right = the l_orderkey rollup."""
+        import __spark_entry__ as entry_mod
+        out = entry_mod.queries()["q18_large_orders"](
+            spark, "/root/testdata/sf0.001")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        join_lines = [ln for ln in plan.splitlines()
+                      if "Join [o_orderkey" in ln]
+        assert join_lines, plan
+        assert all("ShuffledHashJoin" in ln and "BuildRight" in ln
+                   for ln in join_lines), plan
+        # the fact side streams through the SHJ unsorted
+        assert "SortMergeJoin [o_orderkey" not in plan
+
+    def test_q18_bounded_frame_is_build_side_no_autobroadcast(self, spark):
+        """Scale statistics: every broadcast threshold OFF (orders outgrow
+        any threshold at 100 TB) — the executed ADAPTIVE plan must still
+        build on the bounded frame, not fall back to sorting the orders
+        shuffle."""
+        import __spark_entry__ as entry_mod
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            out = entry_mod.queries()["q18_large_orders"](
+                spark, "/root/testdata/sf0.001")
+            pre = out._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in pre
+            out.collect()
+            final = out._jdf.queryExecution().executedPlan().toString()
+            if "== Final Plan ==" in final:
+                final = final.split("== Final Plan ==")[1] \
+                             .split("== Initial Plan ==")[0]
+            join_lines = [ln for ln in final.splitlines()
+                          if "Join [o_orderkey" in ln]
+            assert join_lines, final
+            assert all("ShuffledHashJoin" in ln and "BuildRight" in ln
+                       for ln in join_lines), final
+            assert "SortMergeJoin [o_orderkey" not in final
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
     def test_persist_skips_second_exchange(self, tables):
         g = GroupBy(tables["lineitem"], "l_returnflag").persist()
         try:
