@@ -27,7 +27,7 @@ from pandas_plus_spark.operators import (classify, cleaning, corpus, dedup,
                                          sampling, similarity)
 from pandas_plus_spark.plotting import binned_scatter_stats
 from pandas_plus_spark.sources import load_table
-from pandas_plus_spark.util import ensure_parallelism
+from pandas_plus_spark.util import attach_cached, ensure_parallelism
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -371,6 +371,35 @@ def _sql_semantic_lsh_ctes(n_planes: int = 3, n_tables: int = 12,
         WHERE list_reduce(list_prepend(0.0,
                 list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])),
                 (acc, x) -> acc + x) / (a.nrm * b.nrm) >= {threshold}
+    )"""
+
+
+def _sql_lsh_skew_ctes(n_planes: int = 3, n_tables: int = 2) -> str:
+    """CTEs for the Zipfian-bucket LSH skew oracle: the same poly bucket
+    arithmetic as _sql_semantic_lsh_ctes but over the MODIFIED corpus
+    (vec_id % 5 == 0 collapsed onto the all-ones direction) and without
+    the cosine-verify stage — the skew pair gates candidate GENERATION."""
+    terms = []
+    for p in range(n_planes):
+        coeff = similarity.sql_hyperplane_poly_coeff("tb.tbl", p, "i - 1")
+        proj = (f"list_reduce(list_prepend(0.0, "
+                f"list_transform(range(1, len(v) + 1), "
+                f"i -> v[i] * {coeff})), (acc, x) -> acc + x)")
+        terms.append(f"CASE WHEN ({proj}) >= 0 THEN {2 ** p} ELSE 0 END")
+    bucket = " + ".join(terms)
+    return f"""e0 AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 5 = 0
+                    THEN list_transform(embedding, x -> 1.0)
+                    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE))
+               END AS v
+        FROM embeddings
+    ), tb AS (SELECT unnest(range(0, {n_tables})) AS tbl),
+    bk AS (SELECT e0.vec_id, tb.tbl, {bucket} AS bucket FROM e0, tb),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id
     )"""
 
 
@@ -2008,6 +2037,60 @@ def _q_semantic_lsh_recall(spark, sf):
                       F.round("recall", 6).alias("recall"))
 
 
+def _skewed_embeddings(spark, sf):
+    """Zipfian-bucket LSH fixture: 20% of the corpus (vec_id % 5 == 0)
+    collapses onto one all-ones direction — every hot vector lands in the
+    SAME (table, bucket) cell of every table, the adversarial shape for
+    the candidate self-join."""
+    emb = load_table(spark, sf, "embeddings")
+    hot = F.transform(F.col("embedding"), lambda x: F.lit(1.0))
+    cold = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 5 == 0, hot).otherwise(cold)
+        .alias("embedding"))
+
+
+def _q_lsh_skew_uncapped(spark, sf):
+    """UNCAPPED hyperplane-LSH candidate join on the Zipfian fixture —
+    the quadratic blowup the r6 verdict flagged, measured: the 20% hot
+    cluster forms its full clique (n_hot²/2 pairs). Poly plane family, so
+    the DuckDB oracle reproduces the exact candidate graph (counts +
+    id checksum value-checked). The bench pair row with lsh_skew_capped
+    records the cap's effect as a number (BASELINE.md r7)."""
+    emb = _skewed_embeddings(spark, sf)
+    cands = similarity.lsh_candidate_pairs(
+        emb, n_planes=3, n_tables=2, hash_fn="poly", max_bucket_size=None)
+    out = cands.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(((F.col("id_a") % 5 == 0) & (F.col("id_b") % 5 == 0))
+              .cast("long")).alias("hot_pairs"),
+        F.sum(F.col("id_a") + F.col("id_b")).alias("sum_ids"))
+    return attach_cached(out, *getattr(cands, "_pps_cached", ()))
+
+
+def _q_lsh_skew_capped(spark, sf):
+    """CAPPED twin (max_bucket_size=16 — below the hot-cluster size at
+    every gate/bench SF, so the guard provably engages): oversized
+    buckets are lazily
+    hash-down-sampled before the self-join, so the hot cluster can no
+    longer produce its clique. The cap's sampling is xxhash64-seeded
+    (not ANSI-reproducible), so the oracle pins invariants instead of
+    the exact count: n_hot is value-checked SQL, and the capped pair
+    count must sit strictly below the hot clique while staying non-empty
+    — booleans the oracle pins TRUE."""
+    emb = _skewed_embeddings(spark, sf)
+    cands = similarity.lsh_candidate_pairs(
+        emb, n_planes=3, n_tables=2, hash_fn="poly", max_bucket_size=16)
+    n_hot = emb.where(F.col("vec_id") % 5 == 0).count()
+    out = cands.agg(
+        F.lit(n_hot).cast("long").alias("n_hot"),
+        (F.count(F.lit(1)) < F.lit(n_hot * (n_hot - 1) // 2))
+        .alias("below_hot_clique"),
+        (F.count(F.lit(1)) > 0).alias("has_pairs"))
+    return attach_cached(out, *getattr(cands, "_pps_cached", ()))
+
+
 def _q_q6_forecast(spark, sf):
     """TPC-H Q6-shape revenue-change forecast: one tight scan with every
     predicate pushed to parquet (shipdate year + discount band + quantity
@@ -2359,127 +2442,23 @@ def _q_global_sample(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Registry order matters: the driver's correctness gate samples the
-    # FIRST 50 entries. Rotation is least-recently-verified-first. The r6
-    # window = the 26 entries whose latest driver row is r3 (two rounds
-    # stale), the two new-in-r6 LSH-scale-path gates, the 8 re-verifications
-    # of operators whose code changed this round (bloom validation/caching,
-    # similarity lsh refactor + all-pairs guardrail), and the oldest r4-era
-    # entries filling to 50. Seeded hash queries stay PINNED adjacent to
-    # their value-checked twins/recall gates (minhash_neardup<->poly,
-    # simhash_candidates<->poly, hyperplane_lsh_buckets<->lsh_recall,
-    # ivf_knn<->ann_recall) so the pairing is verifiable whenever they
-    # rotate into a window. After r6, CORRECTNESS r6 u r5 u r4 covers all
-    # queries with nothing older than two rounds.
+    # FIRST 50 entries. Rotation is least-recently-verified-first. The r7
+    # window = the 35 r4-era entries (two rounds stale — the whole
+    # cumulative/rolling/joins/utilities + text-signals tail), the
+    # new-in-r7 hll_merge_gate, the 10 re-verifications of operators whose
+    # code changed this round (similarity hot-bucket cap, Q18 build-side
+    # hint, plan-linter rules, JPEG decode), and a 4-entry r5-era buffer
+    # (minhash keep-list family) to shrink the r8 rotation debt. Seeded
+    # rows-only entries stay PINNED adjacent to their value-checked twins
+    # (hyperplane_lsh_buckets<->lsh_recall, minhash_neardup<->poly;
+    # simhash_candidates<->poly and ivf_knn<->ann_recall pinned in the
+    # tail). After r7, CORRECTNESS r7 u r6 u r5 covers all 128 queries
+    # with nothing older than two rounds (the invariant r6 established).
     return {
-        # --- r6 window head: last driver-checked in r3 (two rounds
-        #     stale; VERDICT r5 'Next round' item 1) ---
-        "oov_rate": _q_oov_rate,
-        "label_cohesion": _q_label_cohesion,
-        "nanops_rowwise": _q_nanops_rowwise,
-        "streaming_sessions": _q_streaming_sessions,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "masked_sum": _q_masked_sum,
-        "group_size": _q_size,
-        "group_minmax": _q_minmax,
-        "group_var_std": _q_var_std,
-        "agg_callable": _q_agg_callable,
-        "group_median": _q_median,
-        "group_mode": _q_group_mode,
-        "group_quantiles": _q_group_quantiles,
-        "group_corr_cov": _q_group_corr_cov,
-        "group_first_last": _q_first_last,
-        "ratio": _q_ratio,
-        "subset_ratio": _q_subset_ratio,
-        "density": _q_density,
-        "value_counts": _q_value_counts,
-        "value_counts_norm": _q_value_counts_norm,
-        "group_nunique": _q_nunique,
-        "margins_sum": _q_margins_sum,
-        "crosstab_pivot": _q_crosstab,
-        "transform_sum": _q_transform_sum,
-        "head_per_group": _q_head,
-        "nth_last_per_group": _q_nth_last,
-        # --- new in round 6 ---
-        "semantic_keep_list_lsh": _q_semantic_keep_list_lsh,
-        "semantic_lsh_recall": _q_semantic_lsh_recall,
-        "image_header_meta": _q_image_header_meta,
-        "q5_local_supplier": _q_q5_local_supplier,
-        "q18_large_orders": _q_q18_large_orders,
-        "plan_lint_gate": _q_plan_lint_gate,
-        "hll_merge_gate": _q_hll_merge_gate,
-        # --- r6 code-change re-verification (bloom/dedup/similarity
-        #     operators touched this round; hyperplane_lsh_buckets is the
-        #     seeded rows-only entry PINNED adjacent to its lsh_recall
-        #     value gate) ---
-        "bloom_dedup": _q_bloom_dedup,
-        "incremental_dedup_indexed": _q_incremental_dedup_indexed,
-        "incremental_dedup": _q_incremental_dedup,
-        "dedup_exact_canonical": _q_dedup_exact_canonical,
-        "semantic_keep_list": _q_semantic_keep_list,
-        "cosine_neardup": _q_cosine_neardup,
-        "hyperplane_lsh_buckets": _q_lsh_buckets,     # seeded (rows-only)
-        "lsh_recall": _q_lsh_recall,                  # its recall gate
-        "multimodal_image_meta": _q_multimodal_meta,  # decode path touched
-        # --- oldest r4-era entries filling the window to 50 ---
-        "streaming_tumbling": _q_streaming_tumbling,
-        "streaming_sliding": _q_streaming_sliding,
-        "streaming_dedup": _q_streaming_dedup,
-        "streaming_running": _q_streaming_running,
-        "rolling_time": _q_rolling_time,
-        "weighted_sample": _q_weighted_sample,
-        "group_rank": _q_group_rank,
-        "curation_pipeline": _q_curation_pipeline,
-        "chunk_dedup": _q_chunk_dedup,
-        # --- tail: remaining r4-era entries (doc_chunks,
-        #     embedding_quantize and unigram_ppl displaced from the
-        #     window by the two TPC-H-shape gates + the plan-lint gate;
-        #     their r4 rows stay in the two-round union), then the
-        #     r5-verified block (freshest last) ---
+        # --- r7 window: r4-era entries, last driver-checked in r4 ---
         "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
         "unigram_ppl": _q_unigram_ppl,
-        "streaming_neardup": _q_streaming_neardup,
-        "pca_gate": _q_pca_gate,
-        "pack_gate": _q_pack_gate,
-        "asof_nearest": _q_asof_nearest,
-        "semantic_contamination": _q_semantic_contamination,
-        "containment_pairs": _q_containment_pairs,
-        "ivf_index_gate": _q_ivf_index_gate,
-        "quality_classifier": _q_quality_classifier,
-        "bigram_ppl": _q_bigram_ppl,
-        "source_cap": _q_source_cap,
-        "global_sample": _q_global_sample,
-        "segment_revenue_bucketed": _q_segment_revenue_bucketed,
-        "q6_forecast": _q_q6_forecast,
-        "q3_shipping": _q_q3_shipping,
-        "temperature_mixture": _q_temperature_mixture,
-        "duplicated_spans": _q_duplicated_spans,
-        "span_excision": _q_span_excision,
-        "segment_revenue": _q_segment_revenue,
-        "minhash_neardup": _q_minhash_dedup,          # seeded (rows-only)
-        "minhash_neardup_poly": _q_minhash_poly,      # its ANSI twin
-        "dup_clusters": _q_dup_clusters,
-        "dedup_keep_list": _q_dedup_keep_list,
-        "simhash_candidates": _q_simhash_candidates,  # seeded (rows-only)
-        "simhash_poly": _q_simhash_poly,              # its ANSI twin
-        "skew_topn_salted": _q_skew_topn_salted,
-        "skew_topn_uniform": _q_skew_topn_uniform,
-        "ivf_knn": _q_ivf_knn,                        # seeded (rows-only)
-        "ann_recall": _q_ann_recall,                    # its recall gate
-        "stratified_sample": _q_stratified_sample,
-        "split_assign": _q_split_assign,
-        "sample_per_group": _q_sample_per_group,
-        "pack_chunks": _q_pack_chunks,
-        "repetition_signals": _q_repetition_signals,
-        "repetition_filter": _q_repetition_filter,
-        "global_cumsum": _q_global_cumsum,
-        "global_shift": _q_global_shift,
-        "pii_scan": _q_pii_scan,
-        "c4_filter": _q_c4_filter,
-        "contamination": _q_contamination,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "bm25_rank": _q_bm25_rank,
-        "vocab_top": _q_vocab_top,
         "frame_sample": _q_frame_sample,
         "source_health": _q_source_health,
         "cumsum": _q_cumsum,
@@ -2512,6 +2491,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "trigram_jaccard_pairs": _q_trigram_jaccard,
         "knn_cosine": _q_knn,
+        # --- new in round 7 ---
+        "hll_merge_gate": _q_hll_merge_gate,
+        "lsh_skew_uncapped": _q_lsh_skew_uncapped,
+        "lsh_skew_capped": _q_lsh_skew_capped,
+        # --- r7 code-change re-verification (similarity hot-bucket cap,
+        #     Q18 shuffle_hash build-side pin, plan-linter rule rewrite,
+        #     JPEG SOFn decode; hyperplane_lsh_buckets is the seeded
+        #     rows-only entry PINNED adjacent to its lsh_recall gate) ---
+        "semantic_keep_list_lsh": _q_semantic_keep_list_lsh,
+        "semantic_lsh_recall": _q_semantic_lsh_recall,
+        "semantic_keep_list": _q_semantic_keep_list,
+        "cosine_neardup": _q_cosine_neardup,
+        "hyperplane_lsh_buckets": _q_lsh_buckets,     # seeded (rows-only)
+        "lsh_recall": _q_lsh_recall,                  # its recall gate
+        "q18_large_orders": _q_q18_large_orders,
+        "plan_lint_gate": _q_plan_lint_gate,
+        "image_header_meta": _q_image_header_meta,
+        "multimodal_image_meta": _q_multimodal_meta,
+        # --- r5-era buffer filling the window to 50 (minhash seeded
+        #     entry + its pinned twin; shrinks the r8 rotation debt) ---
+        "minhash_neardup": _q_minhash_dedup,          # seeded (rows-only)
+        "minhash_neardup_poly": _q_minhash_poly,      # its ANSI twin
+        # --- tail: r6-verified block (outside the sampled window; their
+        #     r6 rows stay in the two-round union) ---
+        "dup_clusters": _q_dup_clusters,
+        "dedup_keep_list": _q_dedup_keep_list,
+        "oov_rate": _q_oov_rate,
+        "label_cohesion": _q_label_cohesion,
+        "nanops_rowwise": _q_nanops_rowwise,
+        "streaming_sessions": _q_streaming_sessions,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "masked_sum": _q_masked_sum,
+        "group_size": _q_size,
+        "group_minmax": _q_minmax,
+        "group_var_std": _q_var_std,
+        "agg_callable": _q_agg_callable,
+        "group_median": _q_median,
+        "group_mode": _q_group_mode,
+        "group_quantiles": _q_group_quantiles,
+        "group_corr_cov": _q_group_corr_cov,
+        "group_first_last": _q_first_last,
+        "ratio": _q_ratio,
+        "subset_ratio": _q_subset_ratio,
+        "density": _q_density,
+        "value_counts": _q_value_counts,
+        "value_counts_norm": _q_value_counts_norm,
+        "group_nunique": _q_nunique,
+        "margins_sum": _q_margins_sum,
+        "crosstab_pivot": _q_crosstab,
+        "transform_sum": _q_transform_sum,
+        "head_per_group": _q_head,
+        "nth_last_per_group": _q_nth_last,
+        "q5_local_supplier": _q_q5_local_supplier,
+        "bloom_dedup": _q_bloom_dedup,
+        "incremental_dedup_indexed": _q_incremental_dedup_indexed,
+        "incremental_dedup": _q_incremental_dedup,
+        "dedup_exact_canonical": _q_dedup_exact_canonical,
+        "streaming_tumbling": _q_streaming_tumbling,
+        "streaming_sliding": _q_streaming_sliding,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_running": _q_streaming_running,
+        "rolling_time": _q_rolling_time,
+        "weighted_sample": _q_weighted_sample,
+        "group_rank": _q_group_rank,
+        "curation_pipeline": _q_curation_pipeline,
+        "chunk_dedup": _q_chunk_dedup,
+        # --- r5-verified block (freshest tail) ---
+        "streaming_neardup": _q_streaming_neardup,
+        "pca_gate": _q_pca_gate,
+        "pack_gate": _q_pack_gate,
+        "asof_nearest": _q_asof_nearest,
+        "semantic_contamination": _q_semantic_contamination,
+        "containment_pairs": _q_containment_pairs,
+        "ivf_index_gate": _q_ivf_index_gate,
+        "quality_classifier": _q_quality_classifier,
+        "bigram_ppl": _q_bigram_ppl,
+        "source_cap": _q_source_cap,
+        "global_sample": _q_global_sample,
+        "segment_revenue_bucketed": _q_segment_revenue_bucketed,
+        "q6_forecast": _q_q6_forecast,
+        "q3_shipping": _q_q3_shipping,
+        "temperature_mixture": _q_temperature_mixture,
+        "duplicated_spans": _q_duplicated_spans,
+        "span_excision": _q_span_excision,
+        "segment_revenue": _q_segment_revenue,
+        "simhash_candidates": _q_simhash_candidates,  # seeded (rows-only)
+        "simhash_poly": _q_simhash_poly,              # its ANSI twin
+        "skew_topn_salted": _q_skew_topn_salted,
+        "skew_topn_uniform": _q_skew_topn_uniform,
+        "ivf_knn": _q_ivf_knn,                        # seeded (rows-only)
+        "ann_recall": _q_ann_recall,                  # its recall gate
+        "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
+        "sample_per_group": _q_sample_per_group,
+        "pack_chunks": _q_pack_chunks,
+        "repetition_signals": _q_repetition_signals,
+        "repetition_filter": _q_repetition_filter,
+        "global_cumsum": _q_global_cumsum,
+        "global_shift": _q_global_shift,
+        "pii_scan": _q_pii_scan,
+        "c4_filter": _q_c4_filter,
+        "contamination": _q_contamination,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_rank": _q_bm25_rank,
+        "vocab_top": _q_vocab_top,
     }
 
 
@@ -3906,6 +3990,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_error_warn,
                    TRUE AS partial_agg_all,
                    TRUE AS q5_broadcasts
+        """,
+        # skew pair: the uncapped candidate graph is exact poly arithmetic
+        # (full value check incl. id checksum); the capped twin's sampling
+        # is xxhash64-seeded, so its oracle value-checks n_hot and pins
+        # the bounded-below-clique invariants TRUE
+        "lsh_skew_uncapped": f"""
+            WITH {_sql_lsh_skew_ctes()}
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(sum(CASE WHEN id_a % 5 = 0 AND id_b % 5 = 0
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS hot_pairs,
+                   CAST(coalesce(sum(id_a + id_b), 0) AS BIGINT) AS sum_ids
+            FROM cand
+        """,
+        "lsh_skew_capped": """
+            SELECT CAST(count(*) AS BIGINT) AS n_hot,
+                   TRUE AS below_hot_clique,
+                   TRUE AS has_pairs
+            FROM embeddings WHERE vec_id % 5 = 0
         """,
         # exact_n is the value check; the two sketch invariants (merge
         # stability, 5% accuracy) are booleans the oracle pins TRUE

@@ -47,6 +47,11 @@ HEADLINE = [
     # uniform-key equivalent (proves the salted path + AQE handle skew)
     "skew_topn_salted",
     "skew_topn_uniform",
+    # r7 skew pair for the LSH candidate join: Zipfian bucket (20% hot
+    # cluster) with and without the hot-bucket cap — records the cap's
+    # effect on the quadratic blowup as a number
+    "lsh_skew_capped",
+    "lsh_skew_uncapped",
     # round-2 continuation: sampling/packing/repetition pipeline ops
     "pack_chunks",
     "repetition_filter",

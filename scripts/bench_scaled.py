@@ -2,7 +2,12 @@
 """Scaling benchmark: run a query subset at an arbitrary SF dir with the
 same noop-sink protocol as bench.py, printing one JSON line per run.
 
-Usage: python scripts/bench_scaled.py SF_DIR [query ...]
+Usage: python scripts/bench_scaled.py SF_DIR[,SF_DIR2,...] [query ...]
+
+Comma-separated dirs run back-to-back in ONE warm session (one boot), the
+protocol BASELINE.md's scaling-decade tables require — cross-boot
+comparisons carry 40-50% JIT/page-cache variance (r6 A/B finding).
+One JSON line per dir.
 
 Default query set = the heavy operators whose 100 TB story the scaling
 exponent either confirms or breaks (dedup pipeline, composed curation,
@@ -43,11 +48,15 @@ HEAVY = [
 
 
 def main() -> None:
-    sf_dir = sys.argv[1]
+    sf_dirs = sys.argv[1].split(",")
     names = sys.argv[2:] or HEAVY
     spark = get_spark(app_name="pandas-plus-spark-bench-scaled")
     spark.sparkContext.setLogLevel("ERROR")
+    for sf_dir in sf_dirs:
+        run_dir(spark, sf_dir, names)
 
+
+def run_dir(spark, sf_dir: str, names: list[str]) -> None:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
