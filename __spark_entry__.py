@@ -1302,30 +1302,57 @@ def _q_segment_revenue(spark, sf):
 
 
 def _ensure_bucketed_facts(spark, sf):
-    """Create (once per session/warehouse) narrow bucketed copies of the two
-    fact tables, co-bucketed on the order key — the pre-shuffled layout a
-    100 TB deployment would maintain so the fact⋈fact join never shuffles.
+    """Ensure (once per WAREHOUSE, not per session) narrow bucketed copies
+    of the two fact tables, co-bucketed on the order key — the
+    pre-shuffled layout a 100 TB deployment would maintain so the
+    fact⋈fact join never shuffles.
 
-    The in-memory catalog is session-scoped, so a fresh driver session
-    rebuilds the tables (mode=overwrite reclaims any leftover warehouse
-    dir); within a session the write happens once."""
+    Steady state across sessions (r7): the layout plus a sidecar JSON
+    (bucket count) survives in the warehouse dir, and a fresh driver
+    session RE-REGISTERS the existing files as external bucketed tables
+    (``CREATE TABLE ... CLUSTERED BY ... LOCATION``) instead of
+    rewriting the fact — a standing warehouse maintains its hottest
+    layout, it does not recreate it per client (the sf100 layout build
+    is ~19 min; the reattach is a DDL statement). Spark reads bucket
+    ids from the saveAsTable file-name convention, so the reattached
+    table gets the same exchange-free join plans."""
+    import json as _json
+    import os as _os
     import re as _re
+    from urllib.parse import urlparse as _urlparse
     tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf.rstrip("/").rsplit("/", 1)[-1])
     li_t, ord_t = f"pps_bkt_lineitem_{tag}", f"pps_bkt_orders_{tag}"
     from pandas_plus_spark.sources import write_bucketed
 
+    wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    meta_path = f"{wh}/pps_bkt_meta_{tag}.json"
+
     def _clear_stale_location(table: str) -> None:
-        # in-memory catalog: a previous session's table data may survive in
-        # the warehouse dir while the catalog entry did not — saveAsTable
-        # then fails with LOCATION_ALREADY_EXISTS even in overwrite mode
+        # a previous session's table data may survive in the warehouse dir
+        # while the in-memory catalog entry did not — saveAsTable then
+        # fails with LOCATION_ALREADY_EXISTS even in overwrite mode
         import shutil
-        from urllib.parse import urlparse
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+
+    def _reattach(table: str, key: str, cols) -> None:
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in cols)
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{wh}/{table}'")
 
     if not spark.catalog.tableExists(li_t):
         li = (load_table(spark, sf, "lineitem")
               .select("l_orderkey", "l_extendedprice", "l_discount"))
+        orders = load_table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey")
+        if (_os.path.exists(meta_path)
+                and _os.path.isdir(f"{wh}/{li_t}")
+                and _os.path.isdir(f"{wh}/{ord_t}")):
+            n_buckets = _json.load(open(meta_path))["n_buckets"]
+            _reattach(li_t, "l_orderkey", li.schema.fields)
+            _reattach(ord_t, "o_orderkey", orders.schema.fields)
+            return li_t, ord_t
         # Bucket count must SCALE with the fact: a fixed count caps the
         # exchange-free join's parallelism at n_buckets tasks forever (8
         # buckets at sf10 ran the 60M-row join on 8 of 32 cores). Size it
@@ -1339,9 +1366,10 @@ def _ensure_bucketed_facts(spark, sf):
             spark.sql(f"DROP TABLE {ord_t}")  # re-pair with the new count
         _clear_stale_location(ord_t)
         write_bucketed(
-            load_table(spark, sf, "orders").select("o_orderkey", "o_custkey"),
-            ord_t, "o_orderkey", n_buckets, sort_by="o_orderkey",
+            orders, ord_t, "o_orderkey", n_buckets, sort_by="o_orderkey",
             mode="overwrite")
+        with open(meta_path, "w") as fh:
+            _json.dump({"n_buckets": int(n_buckets)}, fh)
     return li_t, ord_t
 
 
@@ -1359,16 +1387,27 @@ def _q_segment_revenue_bucketed(spark, sf):
     li = spark.table(li_t)
     orders = spark.table(ord_t)
     cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
-    joined = (
-        li.withColumn("revenue", F.col("l_extendedprice") * (1 - F.col("l_discount")))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-    )
-    per_order = GroupBy(joined, ["c_mktsegment", "o_orderkey"]).agg({
+    # Roll the fact up to ORDER GRAIN FIRST — exchange-free: the bucket
+    # layout already clusters l_orderkey, so the rollup is a bucket-local
+    # hash aggregate (no partial/final exchange), and its output keeps the
+    # partitioning the join needs. r7 measurement at sf100: joining the
+    # RAW 600M-row fact to orders first cost 152 s (the co-bucketed SMJ
+    # per-bucket-sorts the whole fact — the sort costs more than the
+    # exchange the layout saves), vs 99 s for the rollup-first shuffle
+    # formulation; rollup-first ON the layout gets both wins (join input
+    # shrinks 4x to order grain AND stays exchange-free).
+    per_order = GroupBy(
+        li.withColumn("revenue",
+                      F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+        "l_orderkey",
+    ).agg({
         "rev": ("dsum_scaled", "revenue"),
         "n": ("size", ""),
     })
-    return GroupBy(per_order, "c_mktsegment").agg({
+    joined = (per_order
+              .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")))
+    return GroupBy(joined, "c_mktsegment").agg({
         "revenue": ("dsum_unscale", "rev"),
         "n_orders": ("size", ""),
         "n_lineitems": ("sum", "n"),

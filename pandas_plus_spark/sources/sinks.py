@@ -45,8 +45,22 @@ def write_bucketed(
     """Bucketed (hive-layout) table write. Joins/aggregations keyed on
     ``bucket_by`` against this table satisfy their distribution requirement
     from the layout — no Exchange. Requires saveAsTable (bucket metadata
-    lives in the catalog)."""
+    lives in the catalog).
+
+    The input is repartitioned by the bucket key into ``num_buckets``
+    partitions first — REQUIRED at scale: ``bucketBy`` writes one file
+    per (writer task × bucket), so an unpartitioned 600M-row write from
+    ~800 scan tasks produced ~250k files of ~26 KB each (r7 sf100
+    measurement: the layout took 19 min to write and every bucketed
+    read paid ~800 file-opens per bucket — the "exchange-free" join ran
+    1.5x SLOWER than the shuffled formulation it exists to beat).
+    Repartition uses the same murmur3 hash family as the bucket id, so
+    each task holds exactly one bucket's rows → one file per bucket;
+    the shuffle it adds is the one-time build cost, repaid on every
+    read. (Same fix shape as Spark's own docs' bucketing guidance.)"""
     bucket_by = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    from pyspark.sql import functions as F
+    df = df.repartition(num_buckets, *[F.col(c) for c in bucket_by])
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
     if sort_by:
         sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
