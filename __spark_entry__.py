@@ -1030,16 +1030,25 @@ def _q_incremental_dedup(spark, sf):
         num_hashes=8, bands=4, shingle_size=3, hash_fn="poly")
 
 
-_REFIDX_BLOOM_BITS = 1 << 17
-
-
 def _ensure_ref_index(spark, sf):
-    """Build (once per session) the STORED reference-corpus dedup index —
+    """Build (once per WAREHOUSE) the STORED reference-corpus dedup index —
     content hashes + LSH band entries + the Bloom bitmap over the content
     hashes, all written to parquet: the layout a continuously-ingesting
     pipeline maintains so each increment re-processes only the new batch
     and probes the bitmap map-side before the exact join. Returns the
-    parquet paths."""
+    parquet paths plus the bitmap's size.
+
+    The bitmap is sized from the REFERENCE CORPUS COUNT (~10 bits/key,
+    pow2-rounded, floor 2^17): a fixed size silently saturates as the
+    corpus grows — at sf1 (~550k ref docs) the old fixed 2^17 bits was
+    0.24 bits/key, fill ≈ 1.0, FP ≈ 100%: every probe "might match", so
+    the pre-filter removed nothing and its collect + Arrow probe pass
+    were pure overhead (the r7 engine-vs-DuckDB drift on this query).
+    The count is one extra job at BUILD time only; the size rides in a
+    sidecar JSON so later sessions probe with the bits the bitmap was
+    built with."""
+    import json as _json
+    import math
     import os
     import re as _re
     from urllib.parse import urlparse
@@ -1049,19 +1058,24 @@ def _ensure_ref_index(spark, sf):
     base = os.path.join(wh, f"pps_refidx_{tag}")
     ch_p, be_p = os.path.join(base, "content_hashes"), os.path.join(base, "band_entries")
     bw_p = os.path.join(base, "bloom_words")
-    marker = os.path.join(base, "_built_v2")
-    if not os.path.exists(marker):
+    meta = os.path.join(base, "_built_v3.json")
+    if not os.path.exists(meta):
         docs = load_table(spark, sf, "documents")
         ref_df = docs.filter(F.col("doc_id") % 5 != 0)
+        n_ref = ref_df.count()
+        bloom_bits = 1 << max(17, math.ceil(math.log2(max(1, 10 * n_ref))))
         idx = dedup.build_ref_index(ref_df, "text", "doc_id", num_hashes=8,
                                     bands=4, shingle_size=3, hash_fn="poly",
-                                    bloom_bits=_REFIDX_BLOOM_BITS)
+                                    bloom_bits=bloom_bits)
         idx.content_hashes.write.mode("overwrite").parquet(ch_p)
         idx.band_entries.write.mode("overwrite").parquet(be_p)
         idx.bloom_words.write.mode("overwrite").parquet(bw_p)
         os.makedirs(base, exist_ok=True)
-        open(marker, "w").close()
-    return ch_p, be_p, bw_p
+        with open(meta, "w") as fh:
+            _json.dump({"bloom_bits": int(bloom_bits)}, fh)
+    else:
+        bloom_bits = _json.load(open(meta))["bloom_bits"]
+    return ch_p, be_p, bw_p, bloom_bits
 
 
 def _q_incremental_dedup_indexed(spark, sf):
@@ -1072,13 +1086,13 @@ def _q_incremental_dedup_indexed(spark, sf):
     batch probes the bitmap map-side before the exact join. Result is
     IDENTICAL to incremental_dedup — same oracle SQL — because the index
     is pure precomputation and Bloom filters have no false negatives."""
-    ch_p, be_p, bw_p = _ensure_ref_index(spark, sf)
+    ch_p, be_p, bw_p, bloom_bits = _ensure_ref_index(spark, sf)
     docs = load_table(spark, sf, "documents")
     new_df = docs.filter(F.col("doc_id") % 5 == 0)
     ref_df = docs.filter(F.col("doc_id") % 5 != 0)
     idx = dedup.RefIndex(spark.read.parquet(ch_p), spark.read.parquet(be_p),
                          bloom_words=spark.read.parquet(bw_p),
-                         bloom_bits=_REFIDX_BLOOM_BITS)
+                         bloom_bits=bloom_bits)
     return dedup.incremental_dedup(
         new_df, ref_df, "text", "doc_id", threshold=0.3,
         num_hashes=8, bands=4, shingle_size=3, hash_fn="poly",

@@ -270,16 +270,17 @@ def ngram_jaccard_pairs(
     only; the join is a cross product)."""
     df = ensure_parallelism(df)
     toks = simple_tokens(F.col(text_col))
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_ngrams(toks, shingle_size)).alias("grams"),
-    )
+    gram_expr = F.array_distinct(word_ngrams(toks, shingle_size)).alias("grams")
     if candidates is not None:
         # Shingle ONLY candidate-involved docs: the verify stage needs gram
         # sets for ids appearing in some pair, and candidates ≪ corpus after
         # LSH (r4 — the unpruned persist materialized gram sets for every
-        # document). The semi-join shuffles bare ids; shingling cost then
-        # scales with the candidate set, not the corpus.
+        # document). The semi-join must apply to the RAW (id, text) rows,
+        # below the gram projection: Catalyst has no pull-expensive-
+        # projections-above-joins rule, so a semi-join placed above the
+        # projection still shingles the whole corpus and filters after
+        # (r7 plan audit — the Project sat under the LeftSemi). Ordered
+        # this way, shingling cost scales with the candidate set.
         #
         # The candidate frame itself is read THREE times downstream (the
         # id-prune union here + both pair-join sides); without its own
@@ -290,13 +291,16 @@ def ngram_jaccard_pairs(
                     .unionByName(candidates.select(F.col("id_b").alias("id")))
                     .distinct())
         # both join sides read the gram sets → compute the shingling once
-        grams = grams.join(cand_ids, "id", "left_semi").persist()
+        grams = (df.select(F.col(id_col).alias("id"), F.col(text_col))
+                 .join(cand_ids, "id", "left_semi")
+                 .select("id", gram_expr).persist())
         pairs = (
             candidates
             .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
             .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
         )
     else:
+        grams = df.select(F.col(id_col).alias("id"), gram_expr)
         ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
         gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
         pairs = ga.join(gb, F.col("id_a") < F.col("id_b"))
