@@ -34,6 +34,12 @@ SUBSET = [
     "bloom_dedup",
     "duplicated_spans",
     "span_excision",
+    # round-7 code-change gates: bucketed rollup-first join + reattach,
+    # corpus-sized ref-index Bloom, candidate-pruned verify shingling
+    "segment_revenue_bucketed",
+    "incremental_dedup",
+    "incremental_dedup_indexed",
+    "minhash_neardup_poly",
 ]
 
 
