@@ -387,6 +387,19 @@ class RefIndex:
         self.bloom_words = bloom_words
         self.bloom_bits = bloom_bits
         self.bloom_k = bloom_k
+        self._dense = None
+
+    def dense_bitmap(self):
+        """Driver-resident dense numpy bitmap, collected from
+        ``bloom_words`` once per index OBJECT and memoized. A standing
+        ingestion pipeline probes every batch against the same bitmap;
+        the sparse→dense collect (an eager Spark job) is a per-index
+        cost, not a per-batch one — hold the RefIndex across batches to
+        amortize it. Size = ``bloom_bits``/8 bytes on the driver."""
+        if self._dense is None:
+            from ..functions.bloom import bloom_to_numpy
+            self._dense = bloom_to_numpy(self.bloom_words, self.bloom_bits)
+        return self._dense
 
 
 def build_ref_index(
@@ -471,15 +484,15 @@ def incremental_dedup(
             # NOTE: materializing the dense bitmap is an EAGER Spark job
             # (bloom_to_numpy collects the sparse frame) inside otherwise
             # lazy plan construction — the price of a driver-held bitmap;
-            # amortize it by building the RefIndex once per reference
-            # corpus, not per call. The probed survivor frame is persisted
+            # RefIndex.dense_bitmap memoizes it, so HOLD the RefIndex
+            # object across batches and the collect runs once per index,
+            # not per call. The probed survivor frame is persisted
             # because BOTH the output union and the LSH anti-join read it
             # — uncached, the Arrow-batched probe would execute twice per
             # action (handle released via release_cached, like every
             # other _pps_cached intermediate).
-            from ..functions.bloom import bloom_might_contain, bloom_to_numpy
-            dense = bloom_to_numpy(ref_index.bloom_words,
-                                   ref_index.bloom_bits)
+            from ..functions.bloom import bloom_might_contain
+            dense = ref_index.dense_bitmap()
             new_hashed = (
                 bloom_might_contain(new_hashed, "__h", dense,
                                     ref_index.bloom_bits,
