@@ -164,6 +164,39 @@ def _sql_dup_clusters(threshold: float = 0.2) -> str:
     """
 
 
+def _sql_leakage_split(threshold: float = 0.2) -> str:
+    """leakage_safe_split twin: the _sql_dup_clusters recursive closure
+    plus the affine split CASE over the cluster representative
+    (COALESCE(cluster_id, doc_id))."""
+    split_rep = sampling.sql_split_assign(
+        "COALESCE(cl.cluster_id, d.doc_id)",
+        {"train": 8.0, "valid": 1.0, "test": 1.0}, seed=3)
+    return f"""
+        WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id, list_distinct({_sql_trigrams('toks')}) AS grams FROM t),
+        p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM g a, g b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.grams, b.grams))::DOUBLE
+                    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                    >= {threshold}
+        ),
+        e AS (
+            SELECT id_a AS src, id_b AS dst FROM p
+            UNION SELECT id_b AS src, id_a AS dst FROM p
+        ),
+        reach(src, dst) AS (
+            SELECT src, src FROM e
+            UNION
+            SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+        ),
+        cl AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)
+        SELECT d.doc_id, {split_rep} AS split
+        FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
+    """
+
+
 def _spans_ctes(k: int = 6, min_df: int = 2) -> str:
     """Shared CTE chain for the duplicated-span twins: per-token poly
     hashes, positional k-gram fold, cross-doc distinct count, per-doc
@@ -1840,6 +1873,52 @@ def _q_sample_per_group(spark, sf):
         docs, "lang", 5, "doc_id", seed=11).select("lang", "doc_id")
 
 
+def _q_token_budget(spark, sf):
+    """Per-source TOKEN-budget selection (sampling.token_budget_sample):
+    greedy take-in-deterministic-priority-order until each source's token
+    budget is spent — the "N billion tokens per source" training-mix
+    idiom. The running total routes through functions.ordered.
+    grouped_cumsum (range partition on (source, priority) + broadcast
+    prefix offsets), so a 100 TB mix with 20 sources never funnels a
+    source through one window task. Row-level check of every selected
+    (source, doc_id, n_tok)."""
+    docs = load_table(spark, sf, "documents")
+    withn = docs.select(
+        "doc_id", "source", tx.token_count("text").cast("long").alias("n_tok"))
+    sel = sampling.token_budget_sample(
+        withn, "source", "n_tok", budget=2000, key="doc_id", seed=7)
+    return sel.select("source", "doc_id", "n_tok")
+
+
+def _q_quantile_calibration(spark, sf):
+    """Per-source quality-threshold calibration
+    (cleaning.quantile_threshold_filter): ONE exact-percentile aggregate
+    (one row per source) broadcast back as a filter predicate — "keep the
+    top 30% of each source by quality" with the corpus never shuffling.
+    Thresholds snap to 9 decimals so the >= membership is knife-edge-free
+    across engines. Row-level check of every kept (doc_id, source, q)."""
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "source", tx.quality_score("text").alias("q"))
+    return cleaning.quantile_threshold_filter(scored, "source", "q", 0.7)
+
+
+def _q_leakage_split(spark, sf):
+    """Near-dup-leakage-safe train/valid/test split
+    (sampling.leakage_safe_split): members of a connected near-duplicate
+    cluster all hash the cluster representative, so a near-copy of a test
+    document can never land in train. Pair graph = the exact
+    trigram-Jaccard pairs (same graph the dup_clusters gate pins);
+    checked against a recursive-CTE closure + the affine split CASE.
+    Row-level check of every (doc_id, split)."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.2)
+    out = sampling.leakage_safe_split(
+        docs, pairs, "doc_id",
+        {"train": 8.0, "valid": 1.0, "test": 1.0}, seed=3)
+    return out.select("doc_id", "split")
+
+
 def _q_pack_chunks(spark, sf):
     """Concat-and-chunk sequence packing (operators/packing.py): shard by
     hash, window cumsum inside the shard, chunk ids by integer division.
@@ -2662,6 +2741,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bm25_rank": _q_bm25_rank,
         "vocab_top": _q_vocab_top,
+        # --- new in round 7 close (pinned in the in-pytest oracle subset;
+        #     rotate into the r8 driver window head) ---
+        "token_budget": _q_token_budget,
+        "quantile_calibration": _q_quantile_calibration,
+        "leakage_split": _q_leakage_split,
     }
 
 
@@ -4099,6 +4183,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT {split_case} AS split, count(*) AS n
             FROM documents GROUP BY 1
         """,
+        "token_budget": f"""
+            SELECT source, doc_id, n_tok
+            FROM {sampling.sql_token_budget_sample(
+                "source", "n_tok", 2000, "doc_id", seed=7,
+                from_clause="(SELECT doc_id, source, CAST(len(" + _TOKS
+                + ") AS BIGINT) AS n_tok FROM documents)")}
+        """,
+        "quantile_calibration": f"""
+            WITH tk AS (SELECT doc_id, source, text, {_TOKS} AS toks,
+                               length(text) AS n_chars
+                        FROM documents),
+            qual AS (
+                SELECT doc_id, source,
+                       round(0.4 * least(len(toks) / 64.0, 1.0)
+                           + 0.3 * least(len(list_filter(toks, t -> t IN ({stop_list})))::DOUBLE / len(toks) * 4, 1.0)
+                           + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / n_chars * 10, 1.0)), 6) AS q
+                FROM tk),
+            thr AS (SELECT source, round(quantile_cont(q, 0.7), 9) AS t
+                    FROM qual GROUP BY source)
+            SELECT qual.doc_id, qual.source, qual.q
+            FROM qual JOIN thr ON qual.source = thr.source
+            WHERE qual.q >= thr.t
+        """,
+        "leakage_split": _sql_leakage_split(threshold=0.2),
         "sample_per_group": f"""
             SELECT lang, doc_id FROM (
                 SELECT lang, doc_id,

@@ -116,6 +116,64 @@ def global_cumsum(
     return attach_cached(out_df, local)
 
 
+def grouped_cumsum(
+    df: DataFrame,
+    group_by,
+    order_by,
+    value,
+    out: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total of ``value`` per group in ``order_by`` order — the
+    grouped generalization of :func:`global_cumsum` for FEW, HUGE groups.
+
+    A plain ``Window.partitionBy(group)`` funnels each group through one
+    task; with training-mix groups (source / domain / language — often
+    10-100 values over the whole corpus) that is a per-group single-task
+    sort of terabytes. Here the range partitioning is on ``(group,
+    order_by)`` — a group spans MANY consecutive partitions — and the
+    prefix correction joins on ``(group, partition)``: one tiny frame of at
+    most ``n_partitions × groups-spanned`` rows, broadcast back. Same
+    two-phase shape, same null semantics, any group cardinality.
+    """
+    gnames = [group_by] if isinstance(group_by, str) else list(group_by)
+    gcols = [F.col(c) for c in gnames]  # group_by: column NAMES (join keys)
+    ocols = _order_cols(order_by)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    rp = df.repartitionByRange(n, *gcols, *ocols).withColumn(
+        "__pid", F.spark_partition_id())
+    v = F.col(value) if isinstance(value, str) else value
+    # pinned: the rows and the per-(pid, group) totals must see the SAME
+    # sampled range boundaries (the global_row_number two-branch hazard)
+    w_local = (Window.partitionBy("__pid", *gcols).orderBy(*ocols)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = rp.withColumn("__lcum", F.sum(v).over(w_local)).persist()
+    totals = local.groupBy("__pid", *gcols).agg(F.sum(v).alias("__tot"))
+    w_off = (Window.partitionBy(*gcols).orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = totals.select(
+        F.col("__pid").alias("__opid"),
+        *[F.col(g).alias(f"__og_{i}") for i, g in enumerate(gnames)],
+        F.sum("__tot").over(w_off).alias("__off"))
+    # null-safe group match (a NULL group key is a group like any other and
+    # can span partitions); left join keeps first-partition rows (__off null)
+    cond = F.col("__pid") == F.col("__opid")
+    for i, g in enumerate(gnames):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{i}"))
+    cum = F.when(
+        F.col("__lcum").isNull() & F.col("__off").isNull(), F.lit(None)
+    ).otherwise(
+        F.coalesce(F.col("__lcum"), F.lit(0)) + F.coalesce(F.col("__off"), F.lit(0))
+    )
+    out_df = (
+        local.join(F.broadcast(offs), cond, "left")
+        .withColumn(out, cum)
+        .drop("__pid", "__lcum", "__off", "__opid",
+              *[f"__og_{i}" for i in range(len(gnames))])
+    )
+    return attach_cached(out_df, local)
+
+
 def global_rank_cumsum(
     df: DataFrame,
     order_by,

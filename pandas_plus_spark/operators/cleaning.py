@@ -244,3 +244,53 @@ def ngram_contamination(
         .otherwise(F.lit(0.0)).alias("contamination_frac"),
         (F.col("n_contaminated") > 0).alias("contaminated"),
     )
+
+
+# --------------------------------------------------------------------- #
+# quality-threshold calibration
+# --------------------------------------------------------------------- #
+
+def quantile_threshold_filter(
+    df: DataFrame,
+    group_col,
+    score_col,
+    q: float,
+    *,
+    exact: bool = True,
+    accuracy: int = 10_000,
+    round_to: int = 9,
+    threshold_out: str | None = None,
+) -> DataFrame:
+    """Per-group score-quantile calibration: keep rows whose ``score_col``
+    is at or above the group's ``q``-quantile — the pipeline idiom behind
+    "keep the top 30% of each source by quality".
+
+    The threshold comes from ONE aggregate pass (per-group exact
+    ``percentile`` for ``exact=True``, else ``approx_percentile`` — the
+    100 TB path: a mergeable sketch, no per-group sort), after which the
+    filter itself is a broadcast-joined predicate: the group/threshold
+    frame has one row per group, so at corpus scale the selection costs a
+    map-side join — the corpus never shuffles. Calibrating on a
+    stratified sample and filtering the full corpus composes naturally
+    (pass the sample here, join the thresholds yourself).
+
+    Thresholds are snapped to ``round_to`` decimals so membership is
+    reproducible across engines and runs (interpolation emits doubles;
+    an unrounded threshold makes >= comparisons knife-edge).
+
+    ``threshold_out`` keeps the per-row threshold as a column for
+    downstream inspection; default drops it.
+    """
+    g = _c(group_col)
+    s = _c(score_col)
+    if exact:
+        agg = F.percentile(s, F.lit(float(q)))
+    else:
+        agg = F.percentile_approx(s, F.lit(float(q)), F.lit(int(accuracy)))
+    thr = df.groupBy(g.alias("__g")).agg(
+        F.round(agg, round_to).alias("__thr"))
+    joined = df.join(F.broadcast(thr), g.eqNullSafe(F.col("__g")), "left")
+    kept = joined.where(s >= F.col("__thr")).drop("__g")
+    if threshold_out:
+        return kept.withColumnRenamed("__thr", threshold_out)
+    return kept.drop("__thr")

@@ -300,6 +300,110 @@ def global_sample_n(df: DataFrame, n: int, key, seed: int = 0, *,
             .drop("__u"))
 
 
+def token_budget_sample(
+    df: DataFrame,
+    group_col,
+    token_col,
+    budget: int,
+    key,
+    seed: int = 0,
+    *,
+    string_key: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group TOKEN-budget selection: take documents in deterministic
+    priority order until each group's token budget is spent.
+
+    The training-mix idiom is "N billion tokens per source", not "N docs
+    per source" (cap_per_key): every row gets a deterministic priority
+    ``affine_uniform(key, seed)``, and a row is selected iff the token
+    total of strictly-higher-priority rows in its group is still under
+    ``budget`` — greedy take-while, so each group overshoots by at most
+    one document and selection is a pure function of the data (stable
+    under any partitioning / cluster size, like every sampler here).
+
+    Scale shape: groups in a training mix are FEW and HUGE (10-100
+    sources over the corpus), so a plain per-group window would funnel
+    terabytes through one task per source. The running total instead
+    routes through :func:`~pandas_plus_spark.functions.ordered.
+    grouped_cumsum`: range partition on (group, priority), per-partition
+    window, broadcast prefix offsets — no single-group bottleneck. Token
+    counts stay integral (long) so the running totals are exact.
+    """
+    from ..functions.ordered import grouped_cumsum
+
+    gnames = [group_col] if isinstance(group_col, str) else list(group_col)
+    u = affine_uniform(key, seed, string_key=string_key)
+    base = df.withColumn("__u", u)
+    cum = grouped_cumsum(
+        base, gnames, ["__u", _c(key)], token_col, out="__cum",
+        num_partitions=num_partitions)
+    tok = _c(token_col)
+    out = cum.where((F.col("__cum") - tok) < F.lit(budget)).drop("__u", "__cum")
+    from ..util import attach_cached
+    return attach_cached(out, *getattr(cum, "_pps_cached", ()))
+
+
+def sql_token_budget_sample(group_expr: str, token_expr: str, budget: int,
+                            key_expr: str, seed: int = 0, *,
+                            string_key: bool = False,
+                            from_clause: str = "documents") -> str:
+    """DuckDB twin of :func:`token_budget_sample` — returns a subquery
+    selecting every column of ``from_clause`` rows that the engine keeps."""
+    u = sql_affine_uniform(key_expr, seed, string_key=string_key)
+    return f"""(
+        SELECT * FROM (
+            SELECT *, sum({token_expr}) OVER (
+                    PARTITION BY {group_expr}
+                    ORDER BY {u}, {key_expr}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __cum
+            FROM {from_clause})
+        WHERE __cum - {token_expr} < {budget}
+    )"""
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    cluster_iters: int = 16,
+    out: str = "split",
+) -> DataFrame:
+    """Near-duplicate-aware split assignment: every member of a connected
+    near-dup cluster gets the SAME split label, so a near-copy of a test
+    document can never leak into train.
+
+    ``pairs`` is any near-dup pair frame (minhash/simhash/semantic/exact
+    Jaccard — the usual :mod:`~pandas_plus_spark.operators.dedup`
+    outputs). Clusters come from the same O(log diameter) min-label
+    propagation as the dedup keep-list (``dup_clusters``); each document's
+    split hashes the CLUSTER REPRESENTATIVE (minimum member id — or its
+    own id for documents outside the pair graph), through the ordinary
+    :func:`split_assign` thresholds. Determinism and disjointness are
+    inherited; the leakage guarantee is definitional (one rep per
+    cluster → one label per cluster).
+
+    Plan shape: the clustering is pair-graph-sized; the only corpus-scale
+    step is one equi-join of the corpus against the (id, cluster_id)
+    vertex frame — AQE broadcasts it when the dup graph is small.
+    """
+    from .dedup import dup_clusters
+
+    clusters = dup_clusters(pairs, n_iters=cluster_iters,
+                            id_a=id_a, id_b=id_b)
+    cl = clusters.select(F.col("id").alias("__lid"),
+                         F.col("cluster_id").alias("__rep"))
+    joined = df.join(cl, F.col(id_col) == F.col("__lid"), "left")
+    rep = F.coalesce(F.col("__rep"), F.col(id_col))
+    lbl = split_assign(rep, weights, seed)
+    return joined.withColumn(out, lbl).drop("__lid", "__rep")
+
+
 def cap_per_key(df: DataFrame, group_col, n: int, key, seed: int = 0, *,
                 string_key: bool = False) -> DataFrame:
     """Per-group row cap: keep at most ``n`` rows per value of

@@ -168,3 +168,44 @@ class TestGlobalRankCumsum:
                global_rank_cumsum(df, F.col("k").desc(), "v",
                                   num_partitions=2).collect()}
         assert got == {3: (1, 1.0), 2: (2, 1.0), 1: (3, 3.0)}
+
+
+class TestGroupedCumsum:
+    """grouped_cumsum = the per-group window, bit-for-bit, at any partition
+    count — including groups that span many range partitions and NULL
+    group keys (a group like any other)."""
+
+    @pytest.fixture(scope="class")
+    def gframe(self, spark):
+        rows = []
+        for i in range(1200):
+            g = ["a", "b", None][i % 3] if i % 7 else None
+            rows.append((i, g, float(i % 13) if i % 11 else None))
+        return spark.createDataFrame(rows, "rid long, g string, v double")
+
+    @pytest.mark.parametrize("n", PARTS)
+    def test_matches_grouped_window(self, gframe, n):
+        from pandas_plus_spark.functions.ordered import grouped_cumsum
+        got = grouped_cumsum(gframe, ["g"], ["rid"], "v", out="c",
+                             num_partitions=n)
+        w = (Window.partitionBy("g").orderBy("rid")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        want = gframe.withColumn("c", F.sum("v").over(w))
+        gm = {r.rid: r.c for r in got.collect()}
+        wm = {r.rid: r.c for r in want.collect()}
+        assert gm == wm
+
+    def test_few_huge_groups_all_null_prefix(self, spark):
+        # leading all-null prefix within a group must stay NULL, and a
+        # 2-group frame must still spread over many range partitions
+        from pandas_plus_spark.functions.ordered import grouped_cumsum
+        rows = [(i, "g0" if i < 500 else "g1",
+                 None if i % 500 < 3 else 1.0) for i in range(1000)]
+        df = spark.createDataFrame(rows, "rid long, g string, v double")
+        got = grouped_cumsum(df, ["g"], ["rid"], "v", out="c",
+                             num_partitions=16)
+        m = {r.rid: r.c for r in got.collect()}
+        assert m[0] is None and m[1] is None and m[2] is None
+        assert m[500] is None and m[502] is None
+        assert m[3] == 1.0 and m[499] == 497.0
+        assert m[999] == 497.0

@@ -40,6 +40,12 @@ SUBSET = [
     "incremental_dedup",
     "incremental_dedup_indexed",
     "minhash_neardup_poly",
+    # round-7 close additions (new queries; rotate into the r8 driver
+    # window head): grouped-cumsum token budgets, percentile calibration,
+    # dup-cluster-aware splits
+    "token_budget",
+    "quantile_calibration",
+    "leakage_split",
 ]
 
 

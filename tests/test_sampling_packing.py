@@ -450,3 +450,133 @@ class TestPackFirstFit:
         from pandas_plus_spark.operators.packing import pack_first_fit
         with pytest.raises(ValueError, match="positive"):
             pack_first_fit(corpus, "doc_id", "n_toks", budget=0)
+
+
+class TestTokenBudget:
+    """token_budget_sample contract: greedy take-in-priority-order — each
+    group's selected token total lands in [budget, budget + max_doc), the
+    selection is exactly the priority-prefix, and membership is invariant
+    under repartitioning."""
+
+    def _withn(self, docs):
+        from pandas_plus_spark.functions import text as tx
+        return docs.select(
+            "doc_id", "source",
+            tx.token_count("text").cast("long").alias("n_tok"))
+
+    def test_budget_respected_take_while(self, docs):
+        from pandas_plus_spark.operators import token_budget_sample
+        withn = self._withn(docs)
+        sel = token_budget_sample(withn, "source", "n_tok", budget=500,
+                                  key="doc_id", seed=7)
+        agg = {r.source: (r.tot, r.mx) for r in
+               sel.groupBy("source").agg(
+                   F.sum("n_tok").alias("tot"),
+                   F.max("n_tok").alias("mx")).collect()}
+        for source, (tot, mx) in agg.items():
+            assert tot >= 500, source          # budget is filled...
+            assert tot - mx < 500, source      # ...with minimal overshoot
+
+    def test_selection_is_priority_prefix(self, docs):
+        # every selected row must out-rank every unselected row of its
+        # group in (affine_uniform, doc_id) order — no gaps
+        from pandas_plus_spark.operators import token_budget_sample
+        from pandas_plus_spark.operators.sampling import affine_uniform
+        withn = self._withn(docs).withColumn(
+            "u", affine_uniform("doc_id", seed=7))
+        sel = token_budget_sample(withn, "source", "n_tok", budget=500,
+                                  key="doc_id", seed=7)
+        picked = {(r.source, r.doc_id) for r in sel.collect()}
+        rows = sorted(withn.collect(), key=lambda r: (r.source, r.u, r.doc_id))
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r.source, []).append(r)
+        for source, rs in by_src.items():
+            in_prefix = True
+            for r in rs:
+                member = (source, r.doc_id) in picked
+                if not member:
+                    in_prefix = False
+                assert member == in_prefix or member is False
+
+    def test_partition_layout_invariance(self, docs):
+        from pandas_plus_spark.operators import token_budget_sample
+        withn = self._withn(docs)
+        a = {r.doc_id for r in token_budget_sample(
+            withn, "source", "n_tok", 500, "doc_id", seed=7).collect()}
+        b = {r.doc_id for r in token_budget_sample(
+            withn.repartition(13), "source", "n_tok", 500, "doc_id",
+            seed=7, num_partitions=5).collect()}
+        assert a == b
+
+
+class TestLeakageSafeSplit:
+    def test_no_cluster_straddles_splits(self, docs, spark):
+        from pandas_plus_spark.operators import leakage_safe_split
+        from pandas_plus_spark.operators import dedup
+        pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                          threshold=0.2)
+        out = leakage_safe_split(
+            docs, pairs, "doc_id",
+            {"train": 8.0, "valid": 1.0, "test": 1.0}, seed=3)
+        cl = dedup.dup_clusters(pairs)
+        joined = out.join(cl, out.doc_id == cl.id)
+        bad = (joined.groupBy("cluster_id")
+               .agg(F.countDistinct("split").alias("k"))
+               .where(F.col("k") > 1).count())
+        assert bad == 0
+
+    def test_exhaustive_and_isolates_match_plain_split(self, docs, spark):
+        # docs outside the pair graph must get exactly split_assign(doc_id)
+        from pandas_plus_spark.operators import leakage_safe_split
+        from pandas_plus_spark.operators import dedup
+        weights = {"train": 8.0, "valid": 1.0, "test": 1.0}
+        pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                          threshold=0.2)
+        out = leakage_safe_split(docs, pairs, "doc_id", weights, seed=3)
+        assert out.count() == docs.count()
+        assert out.where(F.col("split").isNull()).count() == 0
+        graph_ids = {r.id for r in dedup.dup_clusters(pairs).collect()}
+        plain = docs.withColumn("split", split_assign("doc_id", weights, 3))
+        pm = {r.doc_id: r.split for r in plain.collect()}
+        for r in out.collect():
+            if r.doc_id not in graph_ids:
+                assert r.split == pm[r.doc_id]
+
+
+class TestQuantileThresholdFilter:
+    def test_keeps_top_fraction_exact(self, docs):
+        from pandas_plus_spark.operators import quantile_threshold_filter
+        from pandas_plus_spark.functions import text as tx
+        scored = docs.select("doc_id", "source",
+                             tx.quality_score("text").alias("q"))
+        kept = quantile_threshold_filter(scored, "source", "q", 0.7)
+        tot = {r.source: r.n for r in
+               scored.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        got = {r.source: r.n for r in
+               kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        for source, n in tot.items():
+            # >= ceil(0.3 * n) modulo ties at the threshold
+            assert got.get(source, 0) >= int(0.3 * n) - 1, source
+            assert got.get(source, 0) <= n
+
+    def test_threshold_out_column_and_min_kept(self, docs):
+        from pandas_plus_spark.operators import quantile_threshold_filter
+        from pandas_plus_spark.functions import text as tx
+        scored = docs.select("doc_id", "source",
+                             tx.quality_score("text").alias("q"))
+        kept = quantile_threshold_filter(scored, "source", "q", 0.7,
+                                         threshold_out="thr")
+        assert "thr" in kept.columns
+        bad = kept.where(F.col("q") < F.col("thr")).count()
+        assert bad == 0
+
+    def test_approx_path_close_to_exact(self, docs):
+        from pandas_plus_spark.operators import quantile_threshold_filter
+        from pandas_plus_spark.functions import text as tx
+        scored = docs.select("doc_id", "source",
+                             tx.quality_score("text").alias("q"))
+        exact = quantile_threshold_filter(scored, "source", "q", 0.7).count()
+        approx = quantile_threshold_filter(
+            scored, "source", "q", 0.7, exact=False).count()
+        assert abs(exact - approx) <= 0.1 * exact + 5
