@@ -120,6 +120,90 @@ _MAP_SIDE_COMBINED = re.compile(
     r"partial_|Aggregate\(keys=\[[^\]]*\], functions=\[\]")
 
 
+# nodes that pass their input through without changing its row bound —
+# walking through these from a cross-join's build side finds the node
+# that actually determines the broadcast side's cardinality
+_PASS_THROUGH = re.compile(
+    r"^\s*[:+|*\-( ]*\**\s*(Project|Filter|Sort|Exchange|BroadcastExchange|"
+    r"AQEShuffleRead|ShuffleQueryStage|BroadcastQueryStage|TableCacheQueryStage|"
+    r"WholeStageCodegen|InputAdapter|ColumnarToRow|InMemoryTableScan|"
+    r"InMemoryRelation|AdaptiveSparkPlan)\b")
+
+
+def _subtree_bounded(lines: list[str], i: int) -> bool:
+    """True when the subtree rooted at ``lines[i]`` is RESULT-BOUNDED:
+    descending through pass-through nodes (projection/filter/exchange/
+    codegen markers — none can grow the row bound) reaches a scalar
+    aggregate or a limit. A join/union/scan before one of those means the
+    side is data-sized — not bounded."""
+    j = i
+    for _ in range(len(lines)):
+        line = lines[j]
+        if _BOUNDED_CHILD.search(line):
+            return True
+        if not _PASS_THROUGH.search(line):
+            return False
+        # descend to the first real child (next strictly-deeper line,
+        # markers skipped); pass-through nodes have at most one
+        depth = _tree_depth(line)
+        for k in range(j + 1, len(lines)):
+            if not lines[k].strip() or "==" in lines[k]:
+                continue
+            if _tree_depth(lines[k]) <= depth:
+                return False
+            j = k
+            break
+        else:
+            return False
+    return False
+
+
+def _direct_children(lines: list[str], i: int) -> list[int]:
+    """Indices of the operator's DIRECT children (depth == first child's
+    depth, within the subtree)."""
+    depth = _tree_depth(lines[i])
+    kids: list[int] = []
+    child_depth = None
+    for j in range(i + 1, len(lines)):
+        if not lines[j].strip() or "==" in lines[j]:
+            continue
+        d = _tree_depth(lines[j])
+        if d <= depth:
+            break
+        if child_depth is None:
+            child_depth = d
+        if d == child_depth:
+            kids.append(j)
+    return kids
+
+
+def _cross_join_counts(plan: str) -> tuple[int, int]:
+    """(unbounded, bounded) cross-join nodes. A CartesianProduct /
+    BroadcastNestedLoopJoin is BOUNDED when a side's subtree reduces to a
+    scalar aggregate or a limit before any data-sized node — the
+    broadcast-scalar idiom (crossJoin(agg(...)) to attach a corpus total)
+    multiplies row counts by ~1 and is fine at any scale. For a BNLJ the
+    BUILD side must be the bounded one (the streamed side may be the
+    corpus); for a plain CartesianProduct either side bounds the output."""
+    lines = plan.splitlines()
+    unbounded = bounded = 0
+    for i, line in enumerate(lines):
+        is_bnlj = "BroadcastNestedLoopJoin" in line
+        if not is_bnlj and "CartesianProduct" not in line:
+            continue
+        kids = _direct_children(lines, i)
+        if is_bnlj and len(kids) >= 2:
+            build = kids[0] if "BuildLeft" in line else kids[1]
+            ok = _subtree_bounded(lines, build)
+        else:
+            ok = any(_subtree_bounded(lines, k) for k in kids)
+        if ok:
+            bounded += 1
+        else:
+            unbounded += 1
+    return unbounded, bounded
+
+
 def _agg_raw_shuffles(plan: str) -> int:
     """Count hash-partitioned exchanges that feed an aggregate but ship RAW
     rows: parent is a HashAggregate, child is neither a partial_* phase nor
@@ -139,7 +223,10 @@ def plan_stats(df: DataFrame) -> dict:
 
     Keys: ``exchanges`` (total), ``single_partition_exchanges``,
     ``broadcast_joins``, ``sort_merge_joins``, ``shuffled_hash_joins``,
-    ``cartesian_products`` (incl. broadcast nested loop),
+    ``cartesian_products`` (UNBOUNDED CartesianProduct/broadcast nested
+    loop — both sides data-sized), ``bounded_cross_joins`` (a side
+    reduces to a scalar aggregate or limit: the broadcast-scalar idiom,
+    output ~1x),
     ``hash_aggregates``, ``has_partial_agg``, ``agg_raw_shuffles``
     (aggregate-feeding exchanges shipping raw rows, per region),
     ``row_udfs``
@@ -149,6 +236,7 @@ def plan_stats(df: DataFrame) -> dict:
     of ``{format, columns, pushed_filters}`` per FileScan.
     """
     plan = plan_text(df)
+    xj_unbounded, xj_bounded = _cross_join_counts(plan)
     scans = []
     for m in _SCAN_RE.finditer(plan):
         # a FileScan's attributes print on ITS OWN line — bound the
@@ -169,8 +257,8 @@ def plan_stats(df: DataFrame) -> dict:
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
-        "cartesian_products": plan.count("CartesianProduct")
-        + plan.count("BroadcastNestedLoopJoin"),
+        "cartesian_products": xj_unbounded,
+        "bounded_cross_joins": xj_bounded,
         "hash_aggregates": plan.count("HashAggregate"),
         "has_partial_agg": "partial_" in plan,
         "agg_raw_shuffles": _agg_raw_shuffles(plan),
@@ -190,8 +278,12 @@ def lint(df: DataFrame) -> List[Finding]:
     Rules (code → severity):
 
     - ``cartesian-product`` → error: CartesianProduct or
-      BroadcastNestedLoopJoin; the join condition is missing or
-      non-equi, cost is O(n·m) rows.
+      BroadcastNestedLoopJoin with BOTH sides data-sized; the join
+      condition is missing or non-equi, cost is O(n·m) rows.
+    - ``bounded-cross-join`` → info: a cross join whose bounding side
+      reduces to a scalar aggregate or limit (the
+      ``crossJoin(broadcast(agg(...)))`` idiom for attaching a corpus
+      total) — output ~1× the streamed side, fine at any scale.
     - ``single-partition-exchange`` → warn: the whole input funnels
       through one task (unpartitioned window, ``repartition(1)``);
       fine on result-bounded frames, fatal on the corpus.
@@ -217,6 +309,12 @@ def lint(df: DataFrame) -> List[Finding]:
             f"{stats['cartesian_products']} non-equi join(s) "
             "(CartesianProduct/BroadcastNestedLoopJoin): O(n*m) row "
             "explosion; add an equi-join condition"))
+    if stats["bounded_cross_joins"]:
+        findings.append(Finding(
+            "bounded-cross-join", INFO,
+            f"{stats['bounded_cross_joins']} cross join(s) against a "
+            "scalar-aggregate/limit-bounded side (broadcast-scalar "
+            "idiom): output ~1x the streamed side"))
     if stats["single_partition_exchanges"]:
         findings.append(Finding(
             "single-partition-exchange", WARN,

@@ -193,3 +193,119 @@ class TestEngineQueriesLintClean:
         import __spark_entry__ as entry_mod
         df = entry_mod.queries()[name](spark, "/root/testdata/sf0.001")
         assert_scalable(df)
+
+
+class TestFullRegistrySweep:
+    """Every registered query's physical plan, machine-linted: zero
+    cartesian products and zero row-at-a-time Python UDFs ANYWHERE in the
+    registry — the repo-wide claims PLANS.md makes, as one executable
+    gate (the 8-query Clean list above additionally pins warn-level
+    cleanliness on the headliners).
+
+    Excluded: streaming_* (building the frame executes a full replay —
+    their plans are the batch-oracle frames already covered; the
+    streaming kernels are plan-shape-tested in test_streaming.py) and
+    the two deliberately-adversarial skew fixtures whose uncapped twin
+    EXISTS to show the quadratic blowup the capped path avoids.
+    """
+
+    # cross-join allowlist: every entry is bounded by a CONSTANT the plan
+    # can't see statically (a filter's selectivity / a k-row side file),
+    # or is a deliberate validation-scale formulation. row-udf has NO
+    # allowlist — zero BatchEvalPython is a repo-wide invariant.
+    CROSS_JOIN_ALLOWED = {
+        # brute-force KNN: 10-query frame (filter vec_id < 10) x corpus —
+        # query-bounded; the scale path is ivf_knn/lsh
+        "knn_cosine": "k-query brute-force baseline",
+        # recall gates NEED the exact ground truth: brute-force by design
+        "lsh_recall": "brute-force ground truth for the recall gate",
+        "ann_recall": "brute-force ground truth for the recall gate",
+        "semantic_lsh_recall": "brute-force ground truth for the recall gate",
+        # IVF: vectors x k-centroid frame (k = constant, broadcast);
+        # centroid side is a k-row parquet scan the plan can't bound
+        "ivf_knn": "k-centroid broadcast assignment",
+        "ivf_index_gate": "k-centroid broadcast assignment (x2 variants)",
+        # documented all-pairs fallbacks (warn at runtime; LSH-candidate
+        # variants are the scale path and lint clean)
+        "cosine_neardup": "validation-scale all-pairs fallback (warns)",
+        "containment_pairs": "validation-scale all-pairs fallback",
+        "trigram_jaccard_pairs": "exact all-pairs oracle pinning the "
+                                 "minhash/LSH candidate paths",
+        # observed=False cartesian completion: the distinct-level product
+        # IS the pandas semantic being reproduced (level-cardinality-
+        # bounded; the linter can't know level counts statically)
+        "observed_only_false": "cartesian completion of group levels",
+        # benchmark side is MBs vs a TB corpus (broadcast by design); in
+        # the gate it is a filtered slice, which no static check can bound
+        "semantic_contamination": "benchmark-sized broadcast side",
+    }
+
+    def test_no_cartesian_no_row_udf_anywhere(self, spark):
+        import __spark_entry__ as entry_mod
+        from pandas_plus_spark.plans import lint
+
+        skip_prefixes = ("streaming_",)
+        bad: dict[str, list] = {}
+        checked = 0
+        for name, fn in entry_mod.queries().items():
+            if name.startswith(skip_prefixes):
+                continue
+            df = fn(spark, "/root/testdata/sf0.001")
+            codes = ("row-udf",) if name in self.CROSS_JOIN_ALLOWED else (
+                "cartesian-product", "row-udf")
+            hits = [f for f in lint(df) if f.code in codes]
+            # release any operator-pinned caches so the sweep doesn't
+            # accumulate 100+ persisted frames
+            from pandas_plus_spark.util import release_cached
+            release_cached(df)
+            if hits:
+                bad[name] = [str(h) for h in hits]
+            checked += 1
+        assert not bad, bad
+        assert checked >= 100  # the sweep really covered the registry
+
+
+class TestBoundedCrossJoin:
+    """cartesian-product only fires when BOTH sides are data-sized; the
+    broadcast-scalar idiom (crossJoin against a scalar aggregate / limit)
+    downgrades to the info-level bounded-cross-join code."""
+
+    def test_scalar_agg_side_is_bounded(self, spark):
+        import pyspark.sql.functions as F
+        corpus = spark.range(1000)
+        total = corpus.agg(F.sum("id").alias("tot"))
+        fs = lint(corpus.crossJoin(F.broadcast(total)))
+        assert "cartesian-product" not in codes(fs)
+        assert "bounded-cross-join" in codes(fs)
+        assert [f for f in fs if f.code == "bounded-cross-join"][0] \
+            .severity == "info"
+        assert_scalable(corpus.crossJoin(F.broadcast(total)))  # no raise
+
+    def test_limit_side_is_bounded(self, spark):
+        corpus = spark.range(1000)
+        few = spark.range(1000).withColumnRenamed("id", "id2").limit(3)
+        fs = lint(corpus.crossJoin(few))
+        assert "cartesian-product" not in codes(fs)
+        assert "bounded-cross-join" in codes(fs)
+
+    def test_data_sized_sides_still_error(self, spark):
+        # a filter/projection does NOT bound a side — still an error
+        import pyspark.sql.functions as F
+        a = spark.range(1000)
+        b = (spark.range(1000).withColumnRenamed("id", "id2")
+             .filter(F.col("id2") % 2 == 0).select("id2"))
+        fs = lint(a.crossJoin(b))
+        assert "cartesian-product" in codes(fs)
+
+    def test_stats_split_counts(self, spark):
+        import pyspark.sql.functions as F
+        from pandas_plus_spark.plans import plan_stats
+        corpus = spark.range(100)
+        total = corpus.agg(F.count("*").alias("n"))
+        other = spark.range(100).withColumnRenamed("id", "id2")
+        healthy = plan_stats(corpus.crossJoin(F.broadcast(total)))
+        assert healthy["cartesian_products"] == 0
+        assert healthy["bounded_cross_joins"] == 1
+        bad = plan_stats(corpus.crossJoin(other))
+        assert bad["cartesian_products"] == 1
+        assert bad["bounded_cross_joins"] == 0
