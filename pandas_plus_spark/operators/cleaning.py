@@ -260,6 +260,7 @@ def quantile_threshold_filter(
     accuracy: int = 10_000,
     round_to: int = 9,
     threshold_out: str | None = None,
+    calibration_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group score-quantile calibration: keep rows whose ``score_col``
     is at or above the group's ``q``-quantile — the pipeline idiom behind
@@ -280,6 +281,14 @@ def quantile_threshold_filter(
 
     ``threshold_out`` keeps the per-row threshold as a column for
     downstream inspection; default drops it.
+
+    ``calibration_df`` computes the thresholds from a DIFFERENT frame —
+    typically a deterministic sample (``stratified_sample``) of the
+    corpus. Without it, both the aggregate branch and the filter branch
+    re-evaluate ``score_col``'s expression over the full input (two
+    plan branches from one scan — at corpus scale, two passes of a
+    regex-heavy score); calibrating on a 1-10% sample makes the
+    threshold pass ~free and the filter a single scoring pass.
     """
     g = _c(group_col)
     s = _c(score_col)
@@ -287,8 +296,8 @@ def quantile_threshold_filter(
         agg = F.percentile(s, F.lit(float(q)))
     else:
         agg = F.percentile_approx(s, F.lit(float(q)), F.lit(int(accuracy)))
-    thr = df.groupBy(g.alias("__g")).agg(
-        F.round(agg, round_to).alias("__thr"))
+    thr = (calibration_df if calibration_df is not None else df).groupBy(
+        g.alias("__g")).agg(F.round(agg, round_to).alias("__thr"))
     joined = df.join(F.broadcast(thr), g.eqNullSafe(F.col("__g")), "left")
     kept = joined.where(s >= F.col("__thr")).drop("__g")
     if threshold_out:

@@ -138,3 +138,23 @@ class TestContamination:
         assert "BroadcastHashJoin" in plan
         # the corpus side must not sort-merge-shuffle for the join
         assert "SortMergeJoin" not in plan
+
+
+class TestQuantileCalibrationDf:
+    def test_sample_calibration_close_and_single_pass(self, spark):
+        # thresholds from a half-corpus sample select approximately the
+        # same rows; with calibration_df the aggregate branch reads the
+        # SAMPLE frame, not the filtered frame
+        import pyspark.sql.functions as F
+        from pandas_plus_spark.functions import text as tx
+        from pandas_plus_spark.operators import quantile_threshold_filter
+        from pandas_plus_spark.operators.sampling import stratified_sample
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        scored = docs.select("doc_id", "source",
+                             tx.quality_score("text").alias("q"))
+        full = quantile_threshold_filter(scored, "source", "q", 0.5).count()
+        sample = stratified_sample(scored, "source", 0.5, "doc_id", seed=9)
+        via_sample = quantile_threshold_filter(
+            scored, "source", "q", 0.5, calibration_df=sample).count()
+        n = scored.count()
+        assert abs(full - via_sample) <= 0.15 * n

@@ -1,6 +1,6 @@
 """Driver-contract parity: run a representative subset of
 __spark_entry__.queries() against their DuckDB oracles at sf0.001.
-(The full 121-query gate runs at sf0.01 via scripts/run_gate.py / the driver.)
+(The full registry-wide gate runs at sf0.01 via scripts/run_gate.py / the driver.)
 """
 
 import pytest
