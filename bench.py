@@ -71,6 +71,12 @@ HEADLINE = [
     "bigram_ppl",
     # round-5 close: substring-granular dedup sweep over the corpus
     "duplicated_spans",
+    # round-7 close: training-mix selection (grouped-cumsum token budgets,
+    # per-source quantile calibration); leakage_split is excluded — its
+    # GATE form deliberately uses the exact all-pairs oracle graph (the
+    # production pair source is the measured minhash pipeline)
+    "token_budget",
+    "quantile_calibration",
 ]
 
 
