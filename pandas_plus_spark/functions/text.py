@@ -148,37 +148,68 @@ def lang_id(tokens: Column, default: str = "und") -> Column:
 # quality scoring
 # --------------------------------------------------------------------- #
 
+# the exact character set Java regex \s matches ([ \t\n\x0B\f\r]) plus
+# [A-Za-z0-9] — deleting this set via translate() leaves exactly the
+# characters `[^A-Za-z0-9\s]` matches, so length(translate(c, SET, ''))
+# equals regexp_count(c, '[^A-Za-z0-9\s]') CHARACTER FOR CHARACTER, at
+# ~20x the throughput (a branchless set-membership scan vs the Java regex
+# engine — measured 1.90 s vs 0.09 s per 50k-doc pass, BASELINE.md r7)
+_ALNUM_WS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    " \t\n\x0b\f\r")
+_DIGITS = "0123456789"
+
+
 def quality_features(col) -> dict[str, Column]:
     """Cheap quality signals: doc length, token stats, punctuation/digit
-    ratios, stopword ratio. All codegen-able expressions."""
+    ratios, stopword ratio. All codegen-able expressions; the character-
+    class counts run on translate() set-scans, not the regex engine."""
     c = _c(col)
     toks = simple_tokens(c)
     n_chars = F.length(c)
     n_tokens = F.size(toks)
     stop = LANG_MARKERS["en"]
+    n_digits = n_chars - F.length(F.translate(c, _DIGITS, ""))
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tokens.cast("long"),
         "mean_token_len": F.aggregate(
             toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
         ).cast("double") / n_tokens,
-        "punct_ratio": F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]")).cast("double") / n_chars,
-        "digit_ratio": F.regexp_count(c, F.lit(r"[0-9]")).cast("double") / n_chars,
+        "punct_ratio": F.length(F.translate(c, _ALNUM_WS, "")).cast("double") / n_chars,
+        "digit_ratio": n_digits.cast("double") / n_chars,
         "stopword_ratio": F.size(F.filter(toks, lambda t: t.isin(*stop))).cast("double") / n_tokens,
     }
 
 
 def quality_score(col) -> Column:
     """Composite score in [0,1]: rewards mid-length docs and prose-like
-    stopword density, penalizes punctuation/digit noise."""
-    f = quality_features(col)
-    length_term = F.least(f["n_tokens"].cast("double") / F.lit(64.0), F.lit(1.0))
-    return F.round(
-        F.lit(0.4) * length_term
-        + F.lit(0.3) * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - F.least(f["punct_ratio"] * 10, F.lit(1.0))),
-        6,
-    )
+    stopword density, penalizes punctuation/digit noise.
+
+    The token array is let-bound so the tokenizing split evaluates ONCE
+    per row across the length and stopword terms (unbound, each reference
+    re-evaluates the split — the functions.text.let gotcha), and the
+    punctuation count is a translate() set-scan; together 4.5x the
+    throughput of the first-cut regex formulation at identical output
+    (BASELINE.md r7 close)."""
+    c = _c(col)
+    punct_ratio = (F.length(F.translate(c, _ALNUM_WS, "")).cast("double")
+                   / F.length(c))
+    stop = LANG_MARKERS["en"]
+
+    def body(tk: Column) -> Column:
+        n_tokens = F.size(tk)
+        stop_ratio = (F.size(F.filter(tk, lambda t: t.isin(*stop)))
+                      .cast("double") / n_tokens)
+        length_term = F.least(n_tokens.cast("double") / F.lit(64.0), F.lit(1.0))
+        return F.round(
+            F.lit(0.4) * length_term
+            + F.lit(0.3) * F.least(stop_ratio * 4, F.lit(1.0))
+            + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))),
+            6,
+        )
+
+    return let(simple_tokens(c), body)
 
 
 def winnow_fingerprints(tokens: Column, window: int = 4) -> Column:
