@@ -131,7 +131,11 @@ def c4_line_stats(col, min_words: int = 5) -> dict[str, Column]:
         "n_kept_lines": n_kept,
         "kept_line_frac": F.when(
             n_lines > 0, n_kept.cast("double") / n_lines),
-        "n_sentences": F.regexp_count(_c(col), F.lit(r"[.!?]")),
+        # translate() set-scan, not the regex engine: count of [.!?] chars
+        # == length minus length-after-deleting-them (the quality_score
+        # de-regex pattern, functions/text.py _ALNUM_WS note)
+        "n_sentences": F.length(_c(col))
+        - F.length(F.translate(_c(col), ".!?", "")),
     }
 
 
