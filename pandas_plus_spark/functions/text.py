@@ -128,20 +128,29 @@ def lang_scores(tokens: Column) -> dict[str, Column]:
 def lang_id(tokens: Column, default: str = "und") -> Column:
     """argmax language by marker hits; ties resolve in LANG_MARKERS order;
     zero hits → ``default``. Chained CASE → identical semantics in any SQL
-    engine (used by the oracle)."""
-    scores = lang_scores(tokens)
-    langs = list(scores)
-    expr = F.when(sum(scores.values(), F.lit(0)) == 0, F.lit(default))
-    for i, lang in enumerate(langs):
-        cond = None
-        for other in langs[i + 1:]:
-            c = scores[lang] >= scores[other]
-            cond = c if cond is None else cond & c
-        for prev in langs[:i]:
-            c = scores[lang] > scores[prev]
-            cond = c if cond is None else cond & c
-        expr = expr.when(cond if cond is not None else F.lit(True), F.lit(lang))
-    return expr
+    engine (used by the oracle).
+
+    ``tokens`` is let-bound internally: the CASE chain references the
+    per-language scores ~K² times, and an expression-valued ``tokens``
+    (e.g. a raw ``simple_tokens(col)``) would re-tokenize per reference
+    (measured 5× on the sf1 corpus — the quality_score let gotcha)."""
+    def body(tk: Column) -> Column:
+        scores = lang_scores(tk)
+        langs = list(scores)
+        expr = F.when(sum(scores.values(), F.lit(0)) == 0, F.lit(default))
+        for i, lang in enumerate(langs):
+            cond = None
+            for other in langs[i + 1:]:
+                c = scores[lang] >= scores[other]
+                cond = c if cond is None else cond & c
+            for prev in langs[:i]:
+                c = scores[lang] > scores[prev]
+                cond = c if cond is None else cond & c
+            expr = expr.when(cond if cond is not None else F.lit(True),
+                             F.lit(lang))
+        return expr
+
+    return let(tokens, body)
 
 
 # --------------------------------------------------------------------- #
