@@ -2599,6 +2599,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # simhash_candidates<->poly and ivf_knn<->ann_recall pinned in the
     # tail). After r7, CORRECTNESS r7 u r6 u r5 covers all 128 queries
     # with nothing older than two rounds (the invariant r6 established).
+    #
+    # r8 ROTATION PLAN (for the next round's session — do the reorder at
+    # round START, never mid-round): window head = (a) the three r7-close
+    # additions (token_budget, quantile_calibration, leakage_split —
+    # in-pytest-gated only so far), (b) re-verifications of the r7-close
+    # code changes (quality_score/lang_id/c4 de-regex family:
+    # quality_score, source_health, curation_pipeline, quality_classifier,
+    # lang_id_pred, c4_filter, quantile_calibration; bucketed/ref-index:
+    # segment_revenue_bucketed, incremental_dedup, incremental_dedup_indexed,
+    # minhash_neardup_poly, chunk_dedup, dedup_keep_list), then (c) the
+    # r5-era tail block (streaming_neardup .. vocab_top) which will be two
+    # rounds stale after r7.
     return {
         # --- r7 window: r4-era entries, last driver-checked in r4 ---
         "doc_chunks": _q_doc_chunks,
