@@ -197,6 +197,43 @@ def _sql_leakage_split(threshold: float = 0.2) -> str:
     """
 
 
+def _sql_leakage_split_lsh(num_hashes: int = 8, bands: int = 4,
+                           threshold: float = 0.3) -> str:
+    """leakage_split_lsh twin: the poly-minhash pair CTEs (pairs between
+    exact-collapse representatives) UNION the exact-copy edges (rep ↔
+    duplicate), recursive closure, then the affine split CASE over the
+    cluster representative — the production leakage guarantee: no near-dup
+    OR exact copy of an eval document lands in train."""
+    split_rep = sampling.sql_split_assign(
+        "COALESCE(cl.cluster_id, d.doc_id)",
+        {"train": 8.0, "valid": 1.0, "test": 1.0}, seed=3)
+    return f"""
+        WITH RECURSIVE {_sql_minhash_poly_ctes(num_hashes, bands, threshold)},
+        kp AS (SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY text),
+        xe AS (
+            SELECT kp.keep_id AS id_a, d.doc_id AS id_b
+            FROM documents d JOIN kp ON kp.text = d.text
+            WHERE d.doc_id <> kp.keep_id
+        ),
+        pe AS (
+            SELECT id_a, id_b FROM vp
+            UNION SELECT id_a, id_b FROM xe
+        ),
+        e AS (
+            SELECT id_a AS src, id_b AS dst FROM pe
+            UNION SELECT id_b AS src, id_a AS dst FROM pe
+        ),
+        reach(src, dst) AS (
+            SELECT src, src FROM e
+            UNION
+            SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+        ),
+        cl AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)
+        SELECT d.doc_id, {split_rep} AS split
+        FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
+    """
+
+
 def _spans_ctes(k: int = 6, min_df: int = 2) -> str:
     """Shared CTE chain for the duplicated-span twins: per-token poly
     hashes, positional k-gram fold, cross-doc distinct count, per-doc
@@ -1919,6 +1956,31 @@ def _q_leakage_split(spark, sf):
     return out.select("doc_id", "split")
 
 
+def _q_leakage_split_lsh(spark, sf):
+    """leakage_safe_split at its PRODUCTION operating point: the pair
+    graph is the banded-minhash near-dup pipeline (the corpus-scale pair
+    source, bucket-capped and batch-proportional — BASELINE.md's measured
+    scale path) UNION the exact-copy edges from the content collapse, so
+    neither a near-dup nor a byte-identical copy of an eval document can
+    land in train. Poly hashes end to end → the whole composition is
+    value-checked against the recursive-CTE closure + affine split CASE
+    (the exact-pair `leakage_split` gate pins the operator on an
+    independent pair source)."""
+    docs = load_table(spark, sf, "documents")
+    near = dedup.minhash_dedup(docs, "text", "doc_id", threshold=0.3,
+                               num_hashes=8, bands=4, hash_fn="poly")
+    reps = docs.groupBy("text").agg(F.min("doc_id").alias("__rid"))
+    exact_edges = (
+        docs.join(reps, "text")
+        .where(F.col("doc_id") != F.col("__rid"))
+        .select(F.col("__rid").alias("id_a"), F.col("doc_id").alias("id_b")))
+    pairs = near.select("id_a", "id_b").unionByName(exact_edges)
+    out = sampling.leakage_safe_split(
+        docs, pairs, "doc_id",
+        {"train": 8.0, "valid": 1.0, "test": 1.0}, seed=3)
+    return out.select("doc_id", "split")
+
+
 def _q_pack_chunks(spark, sf):
     """Concat-and-chunk sequence packing (operators/packing.py): shard by
     hash, window cumsum inside the shard, chunk ids by integer division.
@@ -2758,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": _q_token_budget,
         "quantile_calibration": _q_quantile_calibration,
         "leakage_split": _q_leakage_split,
+        "leakage_split_lsh": _q_leakage_split_lsh,
     }
 
 
@@ -4219,6 +4282,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE qual.q >= thr.t
         """,
         "leakage_split": _sql_leakage_split(threshold=0.2),
+        "leakage_split_lsh": _sql_leakage_split_lsh(num_hashes=8, bands=4,
+                                                    threshold=0.3),
         "sample_per_group": f"""
             SELECT lang, doc_id FROM (
                 SELECT lang, doc_id,

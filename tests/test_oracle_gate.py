@@ -46,6 +46,7 @@ SUBSET = [
     "token_budget",
     "quantile_calibration",
     "leakage_split",
+    "leakage_split_lsh",
 ]
 
 
