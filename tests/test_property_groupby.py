@@ -179,3 +179,28 @@ def test_bigram_lm_matches_python(spark, docs):
         lnp = [math.log(lam * (bi[(a, b)] / uni[a])
                         + (1 - lam) * (uni[b] / total)) for a, b in pairs]
         assert got[i]["xent"] == pytest.approx(-sum(lnp) / len(lnp), rel=1e-9)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=ROWS, n_parts=st.integers(min_value=1, max_value=7))
+def test_grouped_cumsum_matches_window(spark, rows, n_parts):
+    """grouped_cumsum == the per-group running-sum window on arbitrary
+    key/value/null combinations at arbitrary range-partition counts
+    (the r7-close grouped two-phase decomposition)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pandas_plus_spark.functions.ordered import grouped_cumsum
+
+    indexed = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    sdf = spark.createDataFrame(indexed, "rid long, k long, v double")
+    got = {r.rid: r.c for r in grouped_cumsum(
+        sdf, ["k"], ["rid"], "v", out="c", num_partitions=n_parts).collect()}
+    w = (Window.partitionBy("k").orderBy("rid")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {r.rid: r.c for r in
+            sdf.withColumn("c", F.sum("v").over(w)).collect()}
+    assert set(got) == set(want)
+    for rid in want:
+        assert _approx_eq(got[rid], want[rid]), (rid, got[rid], want[rid])
