@@ -76,3 +76,26 @@ class TestRegisterViews:
         """)
         assert out.count() == 5
         assert dict(out.collect())["ASIA"] == 5
+
+
+class TestSmallSourceHelpers:
+    """Direct coverage for the two small public source/multimodal helpers
+    (everything else exercises them only indirectly or not at all — the
+    hll_merge_gate lesson: no exported API ships untested)."""
+
+    def test_with_row_id_unique_and_named(self, spark):
+        from pandas_plus_spark.sources import with_row_id
+        df = with_row_id(spark.range(100).repartition(7), col="rid")
+        assert "rid" in df.columns
+        rows = df.collect()
+        ids = [r.rid for r in rows]
+        assert len(set(ids)) == 100  # unique across partitions
+
+    def test_attach_blob_metadata_struct(self, spark):
+        from pandas_plus_spark.operators import attach_blob_metadata
+        df = spark.createDataFrame(
+            [(1, b"\x00\x01\x02"), (2, b"")], "id long, blob binary")
+        out = attach_blob_metadata(df, "blob", kind="image", fmt="png")
+        got = {r.id: r.blob_meta for r in out.collect()}
+        assert got[1].kind == "image" and got[1].format == "png"
+        assert got[1].n_bytes == 3 and got[2].n_bytes == 0
