@@ -108,3 +108,39 @@ class TestEmptyCorpusOps:
                                     "vec_id long, embedding array<double>")
         with pytest.raises(ValueError, match="at least 2"):
             pca_fit(emb.limit(1).filter("vec_id < 0"), "embedding", k=2)
+
+
+class TestEmptySelectionOps:
+    """Round-7-close selection operators on empty / degenerate inputs."""
+
+    def test_token_budget_empty_and_single(self, spark):
+        from pandas_plus_spark.operators import token_budget_sample
+        empty = spark.createDataFrame([], "doc_id long, source string, n_tok long")
+        assert token_budget_sample(empty, "source", "n_tok", 100,
+                                   "doc_id").count() == 0
+        one = spark.createDataFrame([(1, "a", 5)],
+                                    "doc_id long, source string, n_tok long")
+        assert token_budget_sample(one, "source", "n_tok", 100,
+                                   "doc_id").count() == 1
+
+    def test_quantile_filter_empty(self, spark):
+        from pandas_plus_spark.operators import quantile_threshold_filter
+        es = spark.createDataFrame([], "doc_id long, source string, q double")
+        assert quantile_threshold_filter(es, "source", "q", 0.5).count() == 0
+
+    def test_leakage_split_empty_pair_graph(self, spark):
+        # no near-dup pairs at all: every doc is an isolate and must get
+        # exactly its own-id split; output stays exhaustive
+        from pandas_plus_spark.operators import leakage_safe_split
+        docs = spark.createDataFrame([(1, "a"), (2, "b")],
+                                     "doc_id long, text string")
+        ep = spark.createDataFrame([], "id_a long, id_b long")
+        out = leakage_safe_split(docs, ep, "doc_id",
+                                 {"train": 1.0, "test": 1.0}, seed=1)
+        assert out.count() == 2
+        assert out.where(out.split.isNull()).count() == 0
+
+    def test_grouped_cumsum_empty(self, spark):
+        from pandas_plus_spark.functions.ordered import grouped_cumsum
+        e = spark.createDataFrame([], "rid long, g string, v double")
+        assert grouped_cumsum(e, ["g"], ["rid"], "v").count() == 0
