@@ -1910,6 +1910,21 @@ def _q_sample_per_group(spark, sf):
         docs, "lang", 5, "doc_id", seed=11).select("lang", "doc_id")
 
 
+def _q_filter_groups(spark, sf):
+    """pandas GroupBy.filter re-expressed declaratively
+    (GroupBy.filter_groups): rows of the (l_returnflag, l_linestatus)
+    groups satisfying a compound AGGREGATE predicate. One keyed boolean
+    aggregate + a null-safe LEFT SEMI join of the corpus against the
+    group-count-bounded qualifying key frame (AQE broadcasts it).
+    Row-level check: every qualifying (orderkey, linenumber) row."""
+    li = load_table(spark, sf, "lineitem")
+    gb = GroupBy(li, ["l_returnflag", "l_linestatus"])
+    out = gb.filter_groups(
+        (F.avg("l_discount") > F.lit(0.049)) & (F.count(F.lit(1)) > F.lit(100)))
+    return out.select("l_orderkey", "l_linenumber",
+                      "l_returnflag", "l_linestatus")
+
+
 def _q_token_budget(spark, sf):
     """Per-source TOKEN-budget selection (sampling.token_budget_sample):
     greedy take-in-deterministic-priority-order until each source's token
@@ -2821,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_calibration": _q_quantile_calibration,
         "leakage_split": _q_leakage_split,
         "leakage_split_lsh": _q_leakage_split_lsh,
+        "filter_groups": _q_filter_groups,
     }
 
 
@@ -4257,6 +4273,18 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": f"""
             SELECT {split_case} AS split, count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "filter_groups": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_linestatus
+            FROM lineitem l
+            SEMI JOIN (
+                SELECT l_returnflag, l_linestatus
+                FROM lineitem
+                GROUP BY l_returnflag, l_linestatus
+                HAVING avg(l_discount) > 0.049 AND count(*) > 100
+            ) g
+            ON l.l_returnflag = g.l_returnflag
+               AND l.l_linestatus = g.l_linestatus
         """,
         "token_budget": f"""
             SELECT source, doc_id, n_tok

@@ -55,6 +55,12 @@ class DataFrameGroupBy:
     def ngroups(self) -> int:
         return self._engine.ngroups()
 
+    def filter(self, predicate):
+        """pandas-name alias for :meth:`GroupBy.filter_groups` (the
+        DataFrame.filter collision doesn't exist on the grouped facade).
+        Takes the declarative aggregate predicate, not a callable."""
+        return self._engine.filter_groups(predicate)
+
     def __getattr__(self, name):
         if name not in _FORWARDED:
             raise AttributeError(name)

@@ -1216,6 +1216,38 @@ class GroupBy:
         (reference api.py:527-662)."""
         return GroupByRolling(self, window, min_periods)
 
+    def filter_groups(self, predicate: Column) -> DataFrame:
+        """Rows of the groups whose AGGREGATE predicate holds — pandas
+        ``GroupBy.filter`` re-expressed declaratively (pandas-parity
+        extra beyond the reference, like nunique/mode/rank).
+
+        ``predicate`` is a Column over aggregate functions — e.g.
+        ``F.sum("v") > 100`` or ``(F.count(F.lit(1)) >= 3) &
+        (F.avg("x") < 0.5)`` — anything Spark accepts inside ``agg()``.
+        Where pandas takes a Python callable over each materialized
+        sub-frame (a row-at-a-time loop at corpus scale), the
+        declarative form stays in whole-stage codegen end to end.
+
+        Plan shape: one keyed aggregate produces a boolean per group,
+        the qualifying KEY frame (group-count-bounded, usually tiny
+        relative to the corpus) semi-joins back against the rows — AQE
+        broadcasts it when small, so the filter typically costs the
+        aggregate plus a map-side probe. Null-key groups follow
+        ``dropna`` (True = dropped); with ``dropna=False`` the semi
+        join matches null keys null-safely, so a qualifying null-key
+        group keeps its rows like any other.
+        """
+        base = self._base()
+        flags = (base.groupBy(*[F.col(k) for k in self._keys])
+                 .agg(predicate.alias("__keep")))
+        kept = flags.where(F.col("__keep")).select(
+            *[F.col(k).alias(f"__fk_{i}") for i, k in enumerate(self._keys)])
+        cond = None
+        for i, k in enumerate(self._keys):
+            c = F.col(k).eqNullSafe(F.col(f"__fk_{i}"))
+            cond = c if cond is None else cond & c
+        return base.join(kept, cond, "left_semi")
+
     def groups(self, row_id: str) -> DataFrame:
         """key(s) → sorted array of row ids (reference ``groups`` dict,
         core.py:323-339). ANTI-PATTERN at scale: a group's id list must fit

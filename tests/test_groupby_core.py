@@ -565,3 +565,46 @@ class TestHierarchicalExactSum:
         assert dict(per.dtypes)["sv"] == "bigint"
         plan = per._jdf.queryExecution().executedPlan().toString()
         assert "decimal" not in plan.lower()
+
+
+class TestFilterGroups:
+    """GroupBy.filter_groups — pandas GroupBy.filter, declaratively."""
+
+    def test_matches_pandas_filter(self, spark):
+        import pandas as pd
+        pdf = pd.DataFrame({
+            "k": ["a", "a", "b", "b", "b", "c", None],
+            "v": [1.0, 2.0, 10.0, 20.0, 30.0, 5.0, 99.0],
+        })
+        sdf = spark.createDataFrame(pdf)
+        got = sorted(r.v for r in GroupBy(sdf, "k").filter_groups(
+            F.sum("v") > 6).collect())
+        want = sorted(pdf.dropna(subset=["k"]).groupby("k")
+                      .filter(lambda g: g.v.sum() > 6).v.tolist())
+        assert got == want
+
+    def test_dropna_false_keeps_qualifying_null_group(self, spark):
+        sdf = spark.createDataFrame(
+            [("a", 1.0), (None, 50.0), (None, 60.0)], "k string, v double")
+        out = GroupBy(sdf, "k", dropna=False).filter_groups(F.sum("v") > 100)
+        assert sorted(r.v for r in out.collect()) == [50.0, 60.0]
+        # and with dropna=True the null group is gone regardless
+        out2 = GroupBy(sdf, "k", dropna=True).filter_groups(F.sum("v") > 100)
+        assert out2.count() == 0
+
+    def test_compound_predicate_and_facade_alias(self, spark):
+        from pandas_plus_spark.groupby.api import DataFrameGroupBy
+        sdf = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 100.0)], "k string, v double")
+        out = DataFrameGroupBy(sdf, "k").filter(
+            (F.count(F.lit(1)) >= 2) & (F.avg("v") < 10))
+        assert sorted(r.v for r in out.collect()) == [1.0, 2.0]
+
+    def test_plan_is_semi_join_no_cartesian(self, spark):
+        from pandas_plus_spark.plans import plan_stats, plan_text
+        sdf = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0)], "k string, v double")
+        out = GroupBy(sdf, "k").filter_groups(F.sum("v") > 1)
+        s = plan_stats(out)
+        assert s["cartesian_products"] == 0
+        assert "LeftSemi" in plan_text(out)

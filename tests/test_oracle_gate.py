@@ -47,6 +47,7 @@ SUBSET = [
     "quantile_calibration",
     "leakage_split",
     "leakage_split_lsh",
+    "filter_groups",
 ]
 
 
