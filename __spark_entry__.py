@@ -1925,6 +1925,32 @@ def _q_filter_groups(spark, sf):
                       "l_returnflag", "l_linestatus")
 
 
+def _q_group_idxminmax(spark, sf):
+    """pandas GroupBy.idxmax/idxmin with an explicit id column: per
+    event_type, the event_id holding the max (resp. min) value — one
+    lexicographic struct aggregate per direction, single keyed agg pass,
+    no window/join. Ties → minimum id (pandas first-occurrence)."""
+    ev = load_table(spark, sf, "events")
+    g = GroupBy(ev, "event_type")
+    mx = g.idxmax("value", id_col="event_id")
+    mn = g.idxmin("value", id_col="event_id")
+    return mx.join(mn, "event_type").select(
+        "event_type", "value_idxmax", "value_idxmin")
+
+
+def _q_pct_change(spark, sf):
+    """pandas GroupBy.pct_change: per-source fractional doc-length change
+    in (doc_id) order — composes the keyed shift machinery; first row per
+    group NULL. n_chars is strictly positive so the division is exact and
+    engine/oracle-stable."""
+    docs = load_table(spark, sf, "documents")
+    g = GroupBy(docs.select("doc_id", "source",
+                            F.col("n_chars").cast("double").alias("len_d")),
+                "source", order_by="doc_id")
+    out = g.pct_change("len_d")
+    return out.select("doc_id", "source", "len_d_pct_change")
+
+
 def _q_token_budget(spark, sf):
     """Per-source TOKEN-budget selection (sampling.token_budget_sample):
     greedy take-in-deterministic-priority-order until each source's token
@@ -2837,6 +2863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": _q_leakage_split,
         "leakage_split_lsh": _q_leakage_split_lsh,
         "filter_groups": _q_filter_groups,
+        "group_idxminmax": _q_group_idxminmax,
+        "pct_change": _q_pct_change,
     }
 
 
@@ -4273,6 +4301,33 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": f"""
             SELECT {split_case} AS split, count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "group_idxminmax": """
+            WITH rmax AS (
+                SELECT event_type, event_id,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC, event_id ASC) AS rn
+                FROM events WHERE value IS NOT NULL
+            ), rmin AS (
+                SELECT event_type, event_id,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value ASC, event_id ASC) AS rn
+                FROM events WHERE value IS NOT NULL
+            )
+            SELECT a.event_type,
+                   a.event_id AS value_idxmax,
+                   b.event_id AS value_idxmin
+            FROM rmax a JOIN rmin b ON a.event_type = b.event_type
+            WHERE a.rn = 1 AND b.rn = 1
+        """,
+        "pct_change": """
+            SELECT doc_id, source,
+                   (len_d - prev) / prev AS len_d_pct_change
+            FROM (
+                SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS len_d,
+                       lag(CAST(n_chars AS DOUBLE)) OVER (
+                           PARTITION BY source ORDER BY doc_id) AS prev
+                FROM documents)
         """,
         "filter_groups": """
             SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_linestatus

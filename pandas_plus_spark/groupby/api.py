@@ -25,7 +25,8 @@ _FORWARDED = (
     "cumsum", "cummin", "cummax", "cumcount",
     "rolling_sum", "rolling_mean", "rolling_min", "rolling_max",
     "rolling_var", "rolling_std",
-    "shift", "diff", "group_nearby_members", "persist", "unpersist",
+    "shift", "diff", "pct_change", "idxmax", "idxmin", "filter_groups",
+    "group_nearby_members", "persist", "unpersist",
 )
 
 

@@ -1145,6 +1145,63 @@ class GroupBy:
             out = out.withColumn(f"{c}_diff", F.col(c) - F.lag(c, window).over(w))
         return out
 
+    def pct_change(self, values=None, window: int = 1, mask=None) -> DataFrame:
+        """Fractional change vs the ``window``-th previous in-group row:
+        ``(x − lag)/lag`` — pandas ``GroupBy.pct_change`` (parity extra
+        beyond the reference, composed from the shift machinery, so the
+        masked path inherits shift's observation-only semantics). First
+        ``window`` rows per group (no lag) emit NULL, like pandas."""
+        cols = self._numeric_values(values)
+        out = self.shift(values, window=window, mask=mask)
+        for c in cols:
+            out = out.withColumn(
+                f"{c}_pct_change",
+                (F.col(c) - F.col(f"{c}_shift")) / F.col(f"{c}_shift"))
+        return out.drop(*[f"{c}_shift" for c in cols])
+
+    def idxmax(self, values=None, id_col: str | None = None) -> DataFrame:
+        """Per group, the ``id_col`` value of the row holding the maximum
+        of each value column — pandas ``GroupBy.idxmax`` with the index
+        made explicit (a Spark frame has no index; pass the row-identity
+        column). Ties resolve to the MINIMUM id (pandas' first
+        occurrence under an ascending index); NULL values are skipped,
+        all-NULL groups yield NULL (pandas skipna). One lexicographic
+        struct aggregate per value column — a single keyed agg pass, no
+        window, no join; ``id_col`` must be numeric (the tie-break
+        negates it to turn min-id into a struct max)."""
+        cols = self._numeric_values(values)
+        if not id_col:
+            raise ValueError("idxmax requires id_col (a Spark frame has "
+                             "no implicit index)")
+        idc = F.col(id_col)
+        aggs = []
+        for c in cols:
+            vc = F.col(c)
+            picked = F.max(F.when(vc.isNotNull(), F.struct(
+                vc.alias("v"), (-idc).alias("ni"))))
+            aggs.append((-picked["ni"]).alias(f"{c}_idxmax"))
+        out = self._base().groupBy(*self._keys).agg(*aggs)
+        return self._finish(out)
+
+    def idxmin(self, values=None, id_col: str | None = None) -> DataFrame:
+        """Per group, the ``id_col`` of each value column's MINIMUM row
+        (ties → minimum id; NULLs skipped) — see :meth:`idxmax`. The
+        lexicographic struct min needs no negation, so ``id_col`` may be
+        any orderable type here."""
+        cols = self._numeric_values(values)
+        if not id_col:
+            raise ValueError("idxmin requires id_col (a Spark frame has "
+                             "no implicit index)")
+        idc = F.col(id_col)
+        aggs = []
+        for c in cols:
+            vc = F.col(c)
+            picked = F.min(F.when(vc.isNotNull(), F.struct(
+                vc.alias("v"), idc.alias("i"))))
+            aggs.append(picked["i"].alias(f"{c}_idxmin"))
+        out = self._base().groupBy(*self._keys).agg(*aggs)
+        return self._finish(out)
+
     def _shift_masked(self, cols, window: int, mask, diff: bool) -> DataFrame:
         """Masked shift/diff via the same obs-index machinery as
         ``_rolling_masked``: lag over the FILTERED (unmasked) rows, equi-join

@@ -608,3 +608,55 @@ class TestFilterGroups:
         s = plan_stats(out)
         assert s["cartesian_products"] == 0
         assert "LeftSemi" in plan_text(out)
+
+
+class TestIdxMaxMinPctChange:
+    def test_idxmax_idxmin_match_pandas(self, spark):
+        import pandas as pd
+        pdf = pd.DataFrame({
+            "k": ["a", "a", "a", "b", "b", "c"],
+            "rid": [10, 11, 12, 20, 21, 30],
+            "v": [5.0, 9.0, 9.0, None, 3.0, None],  # tie in a; all-null c? no: c single null
+        }).set_index("rid")
+        sdf = spark.createDataFrame(pdf.reset_index())
+        got_mx = {r.k: r.v_idxmax for r in
+                  GroupBy(sdf, "k").idxmax("v", id_col="rid").collect()}
+        got_mn = {r.k: r.v_idxmin for r in
+                  GroupBy(sdf, "k").idxmin("v", id_col="rid").collect()}
+        want_mx = pdf.groupby("k").v.idxmax(skipna=True)
+        want_mn = pdf.groupby("k").v.idxmin(skipna=True)
+        for k in ("a", "b"):
+            assert got_mx[k] == want_mx[k], k   # tie -> first occurrence (11)
+            assert got_mn[k] == want_mn[k], k
+        assert got_mx["c"] is None and got_mn["c"] is None  # all-null group
+
+    def test_pct_change_matches_pandas(self, spark):
+        import pandas as pd
+        pdf = pd.DataFrame({
+            "k": ["a", "a", "a", "b", "b"],
+            "rid": [0, 1, 2, 3, 4],
+            "v": [2.0, 4.0, 3.0, 10.0, 5.0],
+        })
+        sdf = spark.createDataFrame(pdf)
+        out = GroupBy(sdf, "k", order_by="rid").pct_change("v")
+        got = {r.rid: r.v_pct_change for r in out.collect()}
+        want = pdf.sort_values("rid").groupby("k").v.pct_change()
+        for rid in pdf.rid:
+            w = want[pdf.index[pdf.rid == rid][0]]
+            g = got[rid]
+            if pd.isna(w):
+                assert g is None
+            else:
+                assert abs(g - w) < 1e-12
+
+    def test_pct_change_masked_observation_semantics(self, spark):
+        # masked row emits NULL and is skipped as a lag source (inherits
+        # shift's observation-only contract)
+        sdf = spark.createDataFrame(
+            [(0, "a", 2.0, True), (1, "a", 100.0, False), (2, "a", 4.0, True)],
+            "rid long, k string, v double, m boolean")
+        out = GroupBy(sdf, "k", order_by="rid").pct_change("v", mask=F.col("m"))
+        got = {r.rid: r.v_pct_change for r in out.collect()}
+        assert got[0] is None
+        assert got[1] is None              # masked row: no output
+        assert abs(got[2] - 1.0) < 1e-12   # 4 vs 2 (skips the masked 100)

@@ -48,6 +48,8 @@ SUBSET = [
     "leakage_split",
     "leakage_split_lsh",
     "filter_groups",
+    "group_idxminmax",
+    "pct_change",
 ]
 
 
