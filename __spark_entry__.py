@@ -2704,8 +2704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with nothing older than two rounds (the invariant r6 established).
     #
     # r8 ROTATION PLAN (for the next round's session — do the reorder at
-    # round START, never mid-round): window head = (a) the three r7-close
-    # additions (token_budget, quantile_calibration, leakage_split —
+    # round START, never mid-round): window head = (a) the seven r7-close
+    # additions (token_budget, quantile_calibration, leakage_split,
+    # leakage_split_lsh, filter_groups, group_idxminmax, pct_change —
     # in-pytest-gated only so far), (b) re-verifications of the r7-close
     # code changes (quality_score/lang_id/c4 de-regex family:
     # quality_score, source_health, curation_pipeline, quality_classifier,
