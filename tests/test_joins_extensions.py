@@ -372,3 +372,13 @@ class TestStatefulStreaming:
                 by_user[r["user_id"]] = r["running_total"]
         finally:
             q.stop()
+
+
+def test_install_groupby_plus_attaches_method(spark):
+    from pyspark.sql import DataFrame
+    from pandas_plus_spark import install_groupby_plus
+    install_groupby_plus()
+    assert hasattr(DataFrame, "groupby_plus")
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v long")
+    out = df.groupby_plus("k").sum("v")
+    assert out.collect()[0]["v"] == 3
