@@ -1965,7 +1965,10 @@ def _q_token_budget(spark, sf):
         "doc_id", "source", tx.token_count("text").cast("long").alias("n_tok"))
     sel = sampling.token_budget_sample(
         withn, "source", "n_tok", budget=2000, key="doc_id", seed=7)
-    return sel.select("source", "doc_id", "n_tok")
+    # .select() strips _pps_cached — re-attach so bench's release_cached
+    # frees grouped_cumsum's pinned range-partitioned frame
+    return attach_cached(sel.select("source", "doc_id", "n_tok"),
+                         *getattr(sel, "_pps_cached", ()))
 
 
 def _q_quantile_calibration(spark, sf):
@@ -2010,16 +2013,25 @@ def _q_leakage_split_lsh(spark, sf):
     docs = load_table(spark, sf, "documents")
     near = dedup.minhash_dedup(docs, "text", "doc_id", threshold=0.3,
                                num_hashes=8, bands=4, hash_fn="poly")
-    reps = docs.groupBy("text").agg(F.min("doc_id").alias("__rid"))
+    # exact-copy edges via 32-byte content hashes (the exact_dedup
+    # pattern) — document bodies never shuffle for this side
+    hashed = docs.select(
+        "doc_id", F.sha2(F.col("text").cast("string"), 256).alias("__h"))
+    reps = hashed.groupBy("__h").agg(F.min("doc_id").alias("__rid"))
     exact_edges = (
-        docs.join(reps, "text")
+        hashed.join(reps, "__h")
         .where(F.col("doc_id") != F.col("__rid"))
         .select(F.col("__rid").alias("id_a"), F.col("doc_id").alias("id_b")))
-    pairs = near.select("id_a", "id_b").unionByName(exact_edges)
+    # carry minhash_dedup's persist handles through the union/select so
+    # release_cached on the result frees them (lint sweep + gate rely on it)
+    pairs = attach_cached(
+        near.select("id_a", "id_b").unionByName(exact_edges),
+        *getattr(near, "_pps_cached", ()))
     out = sampling.leakage_safe_split(
         docs, pairs, "doc_id",
         {"train": 8.0, "valid": 1.0, "test": 1.0}, seed=3)
-    return out.select("doc_id", "split")
+    return attach_cached(out.select("doc_id", "split"),
+                         *getattr(out, "_pps_cached", ()))
 
 
 def _q_pack_chunks(spark, sf):
@@ -4304,7 +4316,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "group_idxminmax": """
-            WITH rmax AS (
+            WITH g AS (SELECT DISTINCT event_type FROM events
+                       WHERE event_type IS NOT NULL),
+            rmax AS (
                 SELECT event_type, event_id,
                        row_number() OVER (PARTITION BY event_type
                                           ORDER BY value DESC, event_id ASC) AS rn
@@ -4315,11 +4329,14 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY value ASC, event_id ASC) AS rn
                 FROM events WHERE value IS NOT NULL
             )
-            SELECT a.event_type,
+            -- LEFT joins from the full group list: an all-NULL group
+            -- emits NULL idxmax/idxmin (engine's pandas-skipna contract)
+            SELECT g.event_type,
                    a.event_id AS value_idxmax,
                    b.event_id AS value_idxmin
-            FROM rmax a JOIN rmin b ON a.event_type = b.event_type
-            WHERE a.rn = 1 AND b.rn = 1
+            FROM g
+            LEFT JOIN rmax a ON a.event_type = g.event_type AND a.rn = 1
+            LEFT JOIN rmin b ON b.event_type = g.event_type AND b.rn = 1
         """,
         "pct_change": """
             SELECT doc_id, source,

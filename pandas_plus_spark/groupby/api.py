@@ -68,11 +68,13 @@ class DataFrameGroupBy:
         target = getattr(self._engine, name)
         # corr/cov take explicit (x, y) column args — selection binding
         # doesn't apply to two-column statistics
+        # filter_groups takes an aggregate predicate, not values= —
+        # selection binding does not apply (like corr/cov's explicit args)
         if self._selection is None or name in ("size", "cumcount", "value_counts",
                                                "key_count", "persist", "unpersist",
                                                "group_nearby_members",
                                                "find_first_n", "find_last_n",
-                                               "corr", "cov"):
+                                               "corr", "cov", "filter_groups"):
             return target
 
         def bound(*args, **kwargs):

@@ -293,6 +293,14 @@ def quantile_threshold_filter(
     plan branches from one scan — at corpus scale, two passes of a
     regex-heavy score); calibrating on a 1-10% sample makes the
     threshold pass ~free and the filter a single scoring pass.
+
+    CONTRACT: a group with NO row in the calibration frame has no
+    threshold, and ALL of its rows are dropped (``s >= NULL`` is never
+    true) — "uncalibrated ⇒ unfiltered-out", the conservative choice
+    for a quality gate. When sampling for calibration, size the sample
+    so every group you intend to keep is represented (stratified
+    sampling by the same group column does this by construction for
+    non-tiny groups).
     """
     g = _c(group_col)
     s = _c(score_col)

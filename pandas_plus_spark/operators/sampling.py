@@ -401,7 +401,13 @@ def leakage_safe_split(
     joined = df.join(cl, F.col(id_col) == F.col("__lid"), "left")
     rep = F.coalesce(F.col("__rep"), F.col(id_col))
     lbl = split_assign(rep, weights, seed)
-    return joined.withColumn(out, lbl).drop("__lid", "__rep")
+    # propagate any persist handles riding on the PAIR frame (minhash /
+    # candidate-verify pipelines pin intermediates) so release_cached on
+    # the split result frees them — the dedup_keep_list contract
+    from ..util import attach_cached
+    return attach_cached(
+        joined.withColumn(out, lbl).drop("__lid", "__rep"),
+        *getattr(pairs, "_pps_cached", ()))
 
 
 def cap_per_key(df: DataFrame, group_col, n: int, key, seed: int = 0, *,

@@ -123,8 +123,10 @@ _MAP_SIDE_COMBINED = re.compile(
 # nodes that pass their input through without changing its row bound —
 # walking through these from a cross-join's build side finds the node
 # that actually determines the broadcast side's cardinality
+# prefix class includes digits/parens for codegen-starred lines ("*(3)
+# Project ..." — the whole-stage-codegen stage id printed without AQE)
 _PASS_THROUGH = re.compile(
-    r"^\s*[:+|*\-( ]*\**\s*(Project|Filter|Sort|Exchange|BroadcastExchange|"
+    r"^[\s:+|*\-()0-9]*(Project|Filter|Sort|Exchange|BroadcastExchange|"
     r"AQEShuffleRead|ShuffleQueryStage|BroadcastQueryStage|TableCacheQueryStage|"
     r"WholeStageCodegen|InputAdapter|ColumnarToRow|InMemoryTableScan|"
     r"InMemoryRelation|AdaptiveSparkPlan)\b")

@@ -158,3 +158,15 @@ class TestQuantileCalibrationDf:
             scored, "source", "q", 0.5, calibration_df=sample).count()
         n = scored.count()
         assert abs(full - via_sample) <= 0.15 * n
+
+    def test_uncalibrated_group_is_dropped_by_contract(self, spark):
+        # a group absent from calibration_df has no threshold -> all its
+        # rows drop (documented conservative contract, not an accident)
+        from pandas_plus_spark.operators import quantile_threshold_filter
+        scored = spark.createDataFrame(
+            [(1, "a", 0.9), (2, "a", 0.1), (3, "b", 0.5)],
+            "doc_id long, source string, q double")
+        calib = scored.where("source = 'a'")
+        kept = quantile_threshold_filter(scored, "source", "q", 0.5,
+                                         calibration_df=calib)
+        assert sorted(r.doc_id for r in kept.collect()) == [1]

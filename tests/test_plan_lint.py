@@ -309,3 +309,17 @@ class TestBoundedCrossJoin:
         bad = plan_stats(corpus.crossJoin(other))
         assert bad["cartesian_products"] == 1
         assert bad["bounded_cross_joins"] == 0
+
+    def test_codegen_starred_lines_pass_through(self, spark):
+        # without AQE the plan prints '*(n) Project ...' — the stage-id
+        # digits must not defeat the pass-through walk (r7-continuation
+        # review finding)
+        m = _lint_mod()
+        plan = ("BroadcastNestedLoopJoin BuildRight, Cross\n"
+                ":- *(2) Project [id#1L]\n"
+                ":  +- FileScan parquet [id#1L]\n"
+                "+- BroadcastExchange IdentityBroadcastMode\n"
+                "   +- *(3) HashAggregate(keys=[], functions=[count(1)])\n"
+                "      +- FileScan parquet [x#2]\n")
+        assert m._cross_join_counts(plan) == (0, 1)
+        assert m._PASS_THROUGH.search("*(3) Project [id#5L]")

@@ -580,3 +580,39 @@ class TestQuantileThresholdFilter:
         approx = quantile_threshold_filter(
             scored, "source", "q", 0.7, exact=False).count()
         assert abs(exact - approx) <= 0.1 * exact + 5
+
+
+class TestCacheHandles:
+    """The release_cached contract on the new operators: .select()/union
+    must not orphan operator-pinned persists (r7-continuation review)."""
+
+    def test_token_budget_query_carries_handles(self, spark):
+        import __spark_entry__ as em
+        df = em.queries()["token_budget"](spark, "/root/testdata/sf0.001")
+        handles = getattr(df, "_pps_cached", ())
+        assert handles, "token_budget result lost grouped_cumsum's persist handle"
+        from pandas_plus_spark.util import release_cached
+        df.count()
+        release_cached(df)
+        assert all(h.storageLevel.useMemory is False and
+                   h.storageLevel.useDisk is False for h in handles)
+
+    def test_leakage_safe_split_propagates_pair_handles(self, spark, docs):
+        from pandas_plus_spark.operators import dedup, leakage_safe_split
+        pairs = dedup.minhash_dedup(docs, "text", "doc_id", threshold=0.3,
+                                    num_hashes=8, bands=4, hash_fn="poly")
+        out = leakage_safe_split(docs, pairs.select("id_a", "id_b"), "doc_id",
+                                 {"train": 1.0, "test": 1.0}, seed=1)
+        # pairs.select stripped them; the operator takes what rides on the
+        # frame it was GIVEN — so pass the un-stripped frame to get them
+        out2 = leakage_safe_split(docs, pairs, "doc_id",
+                                  {"train": 1.0, "test": 1.0}, seed=1)
+        assert getattr(out2, "_pps_cached", ())
+
+    def test_filter_groups_facade_with_selection(self, spark, docs):
+        # selection-bound facade must not inject values= into filter_groups
+        import pyspark.sql.functions as F
+        from pandas_plus_spark.groupby.api import DataFrameGroupBy
+        gb = DataFrameGroupBy(docs, "source")["n_chars"]
+        out = gb.filter_groups(predicate=F.count(F.lit(1)) > 0)
+        assert out.count() == docs.count()
