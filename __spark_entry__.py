@@ -1951,6 +1951,22 @@ def _q_pct_change(spark, sf):
     return out.select("doc_id", "source", "len_d_pct_change")
 
 
+def _q_cumprod(spark, sf):
+    """pandas GroupBy.cumprod (parity extra): per-source running product
+    of a near-1 growth factor in doc_id order — factors near 1 keep the
+    float product inside the driver's rounding tolerance on both engines
+    (the operator docstring's cross-engine caution, exercised here)."""
+    docs = load_table(spark, sf, "documents")
+    base = docs.select(
+        "doc_id", "source",
+        (F.lit(1.0) + F.lit(1.0) / (F.col("n_chars") + F.lit(100.0)))
+        .alias("factor"))
+    g = GroupBy(base, "source", order_by="doc_id")
+    out = g.cumprod("factor")
+    return out.select("doc_id", "source",
+                      F.round("factor_cumprod", 6).alias("running_factor"))
+
+
 def _q_token_budget(spark, sf):
     """Per-source TOKEN-budget selection (sampling.token_budget_sample):
     greedy take-in-deterministic-priority-order until each source's token
@@ -2716,9 +2732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with nothing older than two rounds (the invariant r6 established).
     #
     # r8 ROTATION PLAN (for the next round's session — do the reorder at
-    # round START, never mid-round): window head = (a) the seven r7-close
+    # round START, never mid-round): window head = (a) the eight r7-close
     # additions (token_budget, quantile_calibration, leakage_split,
-    # leakage_split_lsh, filter_groups, group_idxminmax, pct_change —
+    # leakage_split_lsh, filter_groups, group_idxminmax, pct_change,
+    # cumprod —
     # in-pytest-gated only so far), (b) re-verifications of the r7-close
     # code changes (quality_score/lang_id/c4 de-regex family:
     # quality_score, source_health, curation_pipeline, quality_classifier,
@@ -2878,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_groups": _q_filter_groups,
         "group_idxminmax": _q_group_idxminmax,
         "pct_change": _q_pct_change,
+        "cumprod": _q_cumprod,
     }
 
 
@@ -4314,6 +4332,14 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": f"""
             SELECT {split_case} AS split, count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "cumprod": """
+            SELECT doc_id, source,
+                   round(product(1.0 + 1.0 / (n_chars + 100.0)) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                       AS running_factor
+            FROM documents
         """,
         "group_idxminmax": """
             WITH g AS (SELECT DISTINCT event_type FROM events

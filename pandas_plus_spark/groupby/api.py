@@ -22,7 +22,7 @@ _FORWARDED = (
     "sum_squares", "first", "last", "nunique", "agg", "ratio", "subset_ratio",
     "density", "value_counts", "key_count", "head", "tail", "nth",
     "find_first_n", "find_last_n", "mode", "quantile", "corr", "cov",
-    "cumsum", "cummin", "cummax", "cumcount",
+    "cumsum", "cummin", "cummax", "cumprod", "cumcount",
     "rolling_sum", "rolling_mean", "rolling_min", "rolling_max",
     "rolling_var", "rolling_std",
     "shift", "diff", "pct_change", "idxmax", "idxmin", "filter_groups",

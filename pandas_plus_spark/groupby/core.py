@@ -936,6 +936,8 @@ class GroupBy:
                 e = F.min(v).over(w)
             elif func == "cummax":
                 e = F.max(v).over(w)
+            elif func == "cumprod":
+                e = F.product(v).over(w)
             else:
                 raise ValueError(func)
             if not skip_na:
@@ -957,6 +959,15 @@ class GroupBy:
 
     def cummax(self, values=None, mask=None, skip_na: bool = True) -> DataFrame:
         return self._cum("cummax", values, mask, skip_na, "cummax")
+
+    def cumprod(self, values=None, mask=None, skip_na: bool = True) -> DataFrame:
+        """Running product per group (pandas GroupBy.cumprod — parity
+        extra; the reference's cumulative kernels stop at sum/min/max).
+        Float caution: a windowed product is evaluated in frame order by
+        both this engine and the SQL twins, but products magnify rounding
+        faster than sums — for exact cross-engine checks keep factors
+        near 1 or use log-space (cumsum of log)."""
+        return self._cum("cumprod", values, mask, skip_na, "cumprod")
 
     def cumcount(self, mask=None) -> DataFrame:
         """0-based running count per group (reference core.py:1711-1731)."""

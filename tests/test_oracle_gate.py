@@ -50,6 +50,7 @@ SUBSET = [
     "filter_groups",
     "group_idxminmax",
     "pct_change",
+    "cumprod",
 ]
 
 

