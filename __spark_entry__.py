@@ -1951,6 +1951,26 @@ def _q_pct_change(spark, sf):
     return out.select("doc_id", "source", "len_d_pct_change")
 
 
+def _q_group_prod_any_all(spark, sf):
+    """pandas GroupBy.prod/any/all (parity extras) in one multi-agg pass:
+    per source, the product of a near-1 growth factor plus two truthiness
+    aggregates (bool_or/bool_and with pandas vacuous-group semantics).
+    One keyed agg, map-side combined."""
+    docs = load_table(spark, sf, "documents")
+    base = docs.select(
+        "doc_id", "source",
+        (F.lit(1.0) + F.lit(1.0) / (F.col("n_chars") + F.lit(100.0)))
+        .alias("factor"),
+        (F.col("n_chars") > 4000).alias("is_long"),
+        (F.col("n_chars") > 50).alias("not_tiny"))
+    g = GroupBy(base, "source")
+    p = g.prod("factor").select(
+        "source", F.round("factor", 6).alias("factor_prod"))
+    a = g.any("is_long").withColumnRenamed("is_long", "any_long")
+    l = g.all("not_tiny").withColumnRenamed("not_tiny", "all_not_tiny")
+    return p.join(a, "source").join(l, "source")
+
+
 def _q_cumprod(spark, sf):
     """pandas GroupBy.cumprod (parity extra): per-source running product
     of a near-1 growth factor in doc_id order — factors near 1 keep the
@@ -2732,10 +2752,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with nothing older than two rounds (the invariant r6 established).
     #
     # r8 ROTATION PLAN (for the next round's session — do the reorder at
-    # round START, never mid-round): window head = (a) the eight r7-close
+    # round START, never mid-round): window head = (a) the nine r7-close
     # additions (token_budget, quantile_calibration, leakage_split,
     # leakage_split_lsh, filter_groups, group_idxminmax, pct_change,
-    # cumprod —
+    # cumprod, group_prod_any_all —
     # in-pytest-gated only so far), (b) re-verifications of the r7-close
     # code changes (quality_score/lang_id/c4 de-regex family:
     # quality_score, source_health, curation_pipeline, quality_classifier,
@@ -2896,6 +2916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_idxminmax": _q_group_idxminmax,
         "pct_change": _q_pct_change,
         "cumprod": _q_cumprod,
+        "group_prod_any_all": _q_group_prod_any_all,
     }
 
 
@@ -4332,6 +4353,14 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": f"""
             SELECT {split_case} AS split, count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "group_prod_any_all": """
+            SELECT source,
+                   round(product(1.0 + 1.0 / (n_chars + 100.0)), 6)
+                       AS factor_prod,
+                   coalesce(bool_or(n_chars > 4000), FALSE) AS any_long,
+                   coalesce(bool_and(n_chars > 50), TRUE) AS all_not_tiny
+            FROM documents GROUP BY source
         """,
         "cumprod": """
             SELECT doc_id, source,

@@ -320,7 +320,8 @@ class GroupBy:
     # ------------------------------------------------------------------ #
 
     _ARITHMETIC_FUNCS = frozenset(
-        {"sum", "dsum", "mean", "sum_squares", "median", "approx_median", "var", "std"})
+        {"sum", "dsum", "mean", "sum_squares", "median", "approx_median",
+         "var", "std", "prod"})
 
     def _agg_expr(self, func: str, col: str, mask, ddof: int = 1,
                   keep_decimal: bool = False, q: float | None = None) -> Column:
@@ -409,6 +410,19 @@ class GroupBy:
             n = F.count(v)
             var = (F.sum(v * v) - F.sum(v) * F.sum(v) / n) / (n - F.lit(ddof))
             return var if func == "var" else F.sqrt(var)
+        if func == "prod":
+            # pandas GroupBy.prod (min_count=0): the empty/all-null group
+            # is the EMPTY PRODUCT, 1.0 — coalesce reproduces it
+            return F.coalesce(F.product(v), F.lit(1.0))
+        if func in ("any", "all"):
+            # pandas truthiness for numerics (nonzero = true); booleans
+            # pass through; NULLs are skipped (skipna), and the vacuous
+            # group follows pandas: any([]) = False, all([]) = True
+            dt = dict(self._df.dtypes).get(col if isinstance(col, str) else "")
+            b = v if dt == "boolean" else (v != 0)
+            if func == "any":
+                return F.coalesce(F.bool_or(b), F.lit(False))
+            return F.coalesce(F.bool_and(b), F.lit(True))
         if func == "nunique":
             return F.count_distinct(v)
         if func == "approx_nunique":
@@ -579,6 +593,25 @@ class GroupBy:
     @_groupby_method
     def count(self, values=None, **kw) -> DataFrame:
         return self._apply("count", values, **kw)
+
+    @_groupby_method
+    def prod(self, values=None, **kw) -> DataFrame:
+        """Product per group — pandas ``GroupBy.prod`` (min_count=0: the
+        all-null group is the empty product, 1.0); booleans promote to
+        0/1 like the other arithmetic aggregations."""
+        return self._apply("prod", values, **kw)
+
+    @_groupby_method
+    def any(self, values=None, **kw) -> DataFrame:
+        """True iff ANY value in the group is truthy (nonzero / true) —
+        pandas ``GroupBy.any``: NULLs skipped, vacuous group = False."""
+        return self._apply("any", values, **kw)
+
+    @_groupby_method
+    def all(self, values=None, **kw) -> DataFrame:
+        """True iff EVERY value in the group is truthy — pandas
+        ``GroupBy.all``: NULLs skipped, vacuous group = True."""
+        return self._apply("all", values, **kw)
 
     @_groupby_method
     def size(self, mask=None, **kw) -> DataFrame:

@@ -660,3 +660,39 @@ class TestIdxMaxMinPctChange:
         assert got[0] is None
         assert got[1] is None              # masked row: no output
         assert abs(got[2] - 1.0) < 1e-12   # 4 vs 2 (skips the masked 100)
+
+
+class TestProdAnyAll:
+    def test_match_pandas(self, spark):
+        import pandas as pd
+        pdf = pd.DataFrame({
+            "k": ["a", "a", "b", "b", "c"],
+            "v": [2.0, 3.0, None, None, 0.0],
+            "b": [True, False, None, None, True],
+        })
+        sdf = spark.createDataFrame(pdf)
+        gp = {r.k: r.v for r in GroupBy(sdf, "k").prod("v").collect()}
+        ga = {r.k: r.v for r in GroupBy(sdf, "k").any("v").collect()}
+        gl = {r.k: r.v for r in GroupBy(sdf, "k").all("v").collect()}
+        pp = pdf.groupby("k").v.prod()
+        pa = pdf.groupby("k").v.any()
+        pl = pdf.groupby("k").v.all()
+        for k in ("a", "b", "c"):
+            assert gp[k] == pp[k], ("prod", k)   # b: all-null -> 1.0
+            assert ga[k] == pa[k], ("any", k)    # b: vacuous -> False
+            assert gl[k] == pl[k], ("all", k)    # c: 0.0 -> False
+        # boolean column: truthiness passthrough incl. all-null group
+        ba = {r.k: r.b for r in GroupBy(sdf, "k").any("b").collect()}
+        bl = {r.k: r.b for r in GroupBy(sdf, "k").all("b").collect()}
+        assert ba == {"a": True, "b": False, "c": True}
+        assert bl == {"a": False, "b": True, "c": True}
+
+    def test_masked_and_static_form(self, spark):
+        import pyspark.sql.functions as F
+        sdf = spark.createDataFrame(
+            [("a", 2.0), ("a", 50.0), ("b", 3.0)], "k string, v double")
+        out = {r.k: r.v for r in
+               GroupBy(sdf, "k").prod("v", mask=F.col("v") < 10).collect()}
+        assert out == {"a": 2.0, "b": 3.0}
+        stat = {r.k: r.v for r in GroupBy.any(sdf, "k", "v").collect()}
+        assert stat == {"a": True, "b": True}

@@ -51,6 +51,7 @@ SUBSET = [
     "group_idxminmax",
     "pct_change",
     "cumprod",
+    "group_prod_any_all",
 ]
 
 
