@@ -1951,6 +1951,19 @@ def _q_pct_change(spark, sf):
     return out.select("doc_id", "source", "len_d_pct_change")
 
 
+def _q_group_sem(spark, sf):
+    """pandas GroupBy.sem (std error of the mean, any ddof): composes the
+    gated var/std machinery — one keyed agg pass, value-checked for both
+    the default ddof=1 and a generalized ddof=2."""
+    li = load_table(spark, sf, "lineitem")
+    g = GroupBy(li, "l_returnflag")
+    s1 = g.sem("l_quantity", alias={"l_quantity": "sem_qty"})
+    s2 = g.sem("l_quantity", ddof=2, alias={"l_quantity": "sem_qty_ddof2"})
+    return s1.join(s2, "l_returnflag").select(
+        "l_returnflag", F.round("sem_qty", 9).alias("sem_qty"),
+        F.round("sem_qty_ddof2", 9).alias("sem_qty_ddof2"))
+
+
 def _q_group_prod_any_all(spark, sf):
     """pandas GroupBy.prod/any/all (parity extras) in one multi-agg pass:
     per source, the product of a near-1 growth factor plus two truthiness
@@ -2752,10 +2765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with nothing older than two rounds (the invariant r6 established).
     #
     # r8 ROTATION PLAN (for the next round's session — do the reorder at
-    # round START, never mid-round): window head = (a) the nine r7-close
+    # round START, never mid-round): window head = (a) the eleven r7-close
     # additions (token_budget, quantile_calibration, leakage_split,
     # leakage_split_lsh, filter_groups, group_idxminmax, pct_change,
-    # cumprod, group_prod_any_all —
+    # cumprod, group_prod_any_all, group_sem —
     # in-pytest-gated only so far), (b) re-verifications of the r7-close
     # code changes (quality_score/lang_id/c4 de-regex family:
     # quality_score, source_health, curation_pipeline, quality_classifier,
@@ -2917,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pct_change": _q_pct_change,
         "cumprod": _q_cumprod,
         "group_prod_any_all": _q_group_prod_any_all,
+        "group_sem": _q_group_sem,
     }
 
 
@@ -4353,6 +4367,15 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": f"""
             SELECT {split_case} AS split, count(*) AS n
             FROM documents GROUP BY 1
+        """,
+        "group_sem": """
+            SELECT l_returnflag,
+                   round(stddev_samp(l_quantity) / sqrt(count(l_quantity)), 9)
+                       AS sem_qty,
+                   round(sqrt(var_pop(l_quantity) * count(l_quantity)
+                              / (count(l_quantity) - 2))
+                         / sqrt(count(l_quantity)), 9) AS sem_qty_ddof2
+            FROM lineitem GROUP BY l_returnflag
         """,
         "group_prod_any_all": """
             SELECT source,

@@ -19,7 +19,7 @@ from .core import GroupBy
 
 _FORWARDED = (
     "sum", "mean", "min", "max", "count", "size", "var", "std", "median",
-    "prod", "any", "all",
+    "prod", "any", "all", "sem",
     "sum_squares", "first", "last", "nunique", "agg", "ratio", "subset_ratio",
     "density", "value_counts", "key_count", "head", "tail", "nth",
     "find_first_n", "find_last_n", "mode", "quantile", "corr", "cov",

@@ -321,7 +321,7 @@ class GroupBy:
 
     _ARITHMETIC_FUNCS = frozenset(
         {"sum", "dsum", "mean", "sum_squares", "median", "approx_median",
-         "var", "std", "prod"})
+         "var", "std", "prod", "sem"})
 
     def _agg_expr(self, func: str, col: str, mask, ddof: int = 1,
                   keep_decimal: bool = False, q: float | None = None) -> Column:
@@ -423,6 +423,16 @@ class GroupBy:
             if func == "any":
                 return F.coalesce(F.bool_or(b), F.lit(False))
             return F.coalesce(F.bool_and(b), F.lit(True))
+        if func == "sem":
+            # pandas GroupBy.sem: std(ddof)/sqrt(n_non_null) — composed
+            # from the SAME var machinery the group_var_std gate pins
+            n = F.count(v)
+            if ddof in (0, 1):
+                sd = F.stddev_samp(v) if ddof == 1 else F.stddev_pop(v)
+            else:
+                var = (F.var_pop(v) * n) / (n - F.lit(ddof))
+                sd = F.sqrt(var)
+            return sd / F.sqrt(n)
         if func == "nunique":
             return F.count_distinct(v)
         if func == "approx_nunique":
@@ -593,6 +603,13 @@ class GroupBy:
     @_groupby_method
     def count(self, values=None, **kw) -> DataFrame:
         return self._apply("count", values, **kw)
+
+    @_groupby_method
+    def sem(self, values=None, **kw) -> DataFrame:
+        """Standard error of the group mean — pandas ``GroupBy.sem``:
+        ``std(ddof)/sqrt(count)`` over non-null values (any ddof, like
+        var/std)."""
+        return self._apply("sem", values, **kw)
 
     @_groupby_method
     def prod(self, values=None, **kw) -> DataFrame:

@@ -696,3 +696,25 @@ class TestProdAnyAll:
         assert out == {"a": 2.0, "b": 3.0}
         stat = {r.k: r.v for r in GroupBy.any(sdf, "k", "v").collect()}
         assert stat == {"a": True, "b": True}
+
+
+class TestSem:
+    def test_matches_pandas_and_ddof(self, spark):
+        import math
+        import pandas as pd
+        pdf = pd.DataFrame({"k": ["a"]*4 + ["b"]*2,
+                            "v": [1.0, 2.0, 4.0, 9.0, 3.0, None]})
+        sdf = spark.createDataFrame(pdf)
+        got = {r.k: r.v for r in GroupBy(sdf, "k").sem("v").collect()}
+        want = pdf.groupby("k").v.sem()
+        assert abs(got["a"] - want["a"]) < 1e-12
+        if got["b"] is None:
+            assert pd.isna(want["b"])  # single-obs group: NaN both sides
+        else:
+            assert abs(got["b"] - want["b"]) < 1e-12
+        # generalized ddof (reference var/std accept any ddof)
+        g2 = {r.k: r.v for r in GroupBy(sdf, "k").sem("v", ddof=2).collect()}
+        xs = [1.0, 2.0, 4.0, 9.0]
+        n = len(xs); m = sum(xs)/n
+        var2 = sum((x-m)**2 for x in xs)/(n-2)
+        assert abs(g2["a"] - math.sqrt(var2)/math.sqrt(n)) < 1e-12

@@ -52,6 +52,7 @@ SUBSET = [
     "pct_change",
     "cumprod",
     "group_prod_any_all",
+    "group_sem",
 ]
 
 
