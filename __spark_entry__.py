@@ -1984,6 +1984,28 @@ def _q_group_prod_any_all(spark, sf):
     return p.join(a, "source").join(l, "source")
 
 
+def _q_group_skew_kurt(spark, sf):
+    """pandas GroupBy.skew/kurt (parity extras): bias-corrected sample
+    skewness and excess kurtosis of quantity and price per returnflag —
+    one multi-agg keyed pass rescaling Spark's population moments to the
+    pandas/DuckDB sample correction (the operator docstring's formulas,
+    both value-checked here)."""
+    li = load_table(spark, sf, "lineitem")
+    g = GroupBy(li, "l_returnflag")
+    out = g.agg({
+        "skew_qty": ("skew", "l_quantity"),
+        "kurt_qty": ("kurt", "l_quantity"),
+        "skew_price": ("skew", "l_extendedprice"),
+        "kurt_price": ("kurt", "l_extendedprice"),
+    })
+    return out.select(
+        "l_returnflag",
+        F.round("skew_qty", 9).alias("skew_qty"),
+        F.round("kurt_qty", 9).alias("kurt_qty"),
+        F.round("skew_price", 9).alias("skew_price"),
+        F.round("kurt_price", 9).alias("kurt_price"))
+
+
 def _q_cumprod(spark, sf):
     """pandas GroupBy.cumprod (parity extra): per-source running product
     of a near-1 growth factor in doc_id order — factors near 1 keep the
@@ -2931,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumprod": _q_cumprod,
         "group_prod_any_all": _q_group_prod_any_all,
         "group_sem": _q_group_sem,
+        "group_skew_kurt": _q_group_skew_kurt,
     }
 
 
@@ -4375,6 +4398,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(var_pop(l_quantity) * count(l_quantity)
                               / (count(l_quantity) - 2))
                          / sqrt(count(l_quantity)), 9) AS sem_qty_ddof2
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "group_skew_kurt": """
+            SELECT l_returnflag,
+                   round(skewness(l_quantity), 9) AS skew_qty,
+                   round(kurtosis(l_quantity), 9) AS kurt_qty,
+                   round(skewness(l_extendedprice), 9) AS skew_price,
+                   round(kurtosis(l_extendedprice), 9) AS kurt_price
             FROM lineitem GROUP BY l_returnflag
         """,
         "group_prod_any_all": """

@@ -321,7 +321,7 @@ class GroupBy:
 
     _ARITHMETIC_FUNCS = frozenset(
         {"sum", "dsum", "mean", "sum_squares", "median", "approx_median",
-         "var", "std", "prod", "sem"})
+         "var", "std", "prod", "sem", "skew", "kurt"})
 
     def _agg_expr(self, func: str, col: str, mask, ddof: int = 1,
                   keep_decimal: bool = False, q: float | None = None) -> Column:
@@ -433,6 +433,28 @@ class GroupBy:
                 var = (F.var_pop(v) * n) / (n - F.lit(ddof))
                 sd = F.sqrt(var)
             return sd / F.sqrt(n)
+        if func in ("skew", "kurt"):
+            # pandas GroupBy.skew / kurt: the bias-corrected sample moments
+            # (adjusted Fisher-Pearson G1; sample excess kurtosis G2) —
+            # DuckDB's skewness/kurtosis use the same correction. Spark's
+            # builtins are the POPULATION moments g1 = m3/m2^1.5 and
+            # g2 = m4/m2^2 - 3, so rescale:
+            #   G1 = g1 * sqrt(n(n-1)) / (n-2)            (null when n < 3)
+            #   G2 = ((n+1) g2 + 6)(n-1) / ((n-2)(n-3))   (null when n < 4)
+            # Zero-variance groups are 0.0 in pandas (DuckDB says NULL) —
+            # pinned by the unit test; one keyed agg pass either way.
+            n = F.count(v)
+            nd = n.cast("double")
+            zero_var = F.var_pop(v) == 0
+            if func == "skew":
+                adj = (F.skewness(v) * F.sqrt(nd * (nd - 1))
+                       / (nd - 2))
+                return (F.when(n < 3, F.lit(None).cast("double"))
+                        .when(zero_var, F.lit(0.0)).otherwise(adj))
+            adj = (((nd + 1) * F.kurtosis(v) + 6) * (nd - 1)
+                   / ((nd - 2) * (nd - 3)))
+            return (F.when(n < 4, F.lit(None).cast("double"))
+                    .when(zero_var, F.lit(0.0)).otherwise(adj))
         if func == "nunique":
             return F.count_distinct(v)
         if func == "approx_nunique":
@@ -631,6 +653,22 @@ class GroupBy:
         return self._apply("all", values, **kw)
 
     @_groupby_method
+    def skew(self, values=None, **kw) -> DataFrame:
+        """Bias-corrected sample skewness per group — pandas
+        ``GroupBy.skew`` (adjusted Fisher-Pearson G1): NULL when fewer
+        than 3 non-null values, 0.0 for zero-variance groups."""
+        return self._apply("skew", values, **kw)
+
+    @_groupby_method
+    def kurt(self, values=None, **kw) -> DataFrame:
+        """Bias-corrected sample excess kurtosis per group — pandas
+        ``GroupBy.kurt``/``kurtosis`` (G2): NULL when fewer than 4
+        non-null values, 0.0 for zero-variance groups."""
+        return self._apply("kurt", values, **kw)
+
+    kurtosis = kurt
+
+    @_groupby_method
     def size(self, mask=None, **kw) -> DataFrame:
         return self._apply("size", None, mask=mask, **kw)
 
@@ -740,7 +778,7 @@ class GroupBy:
         "amin": "min", "amax": "max", "nanmin": "min", "nanmax": "max",
         "nansum": "sum", "nanmean": "mean", "nanmedian": "median",
         "nanvar": "var", "nanstd": "std", "average": "mean", "avg": "mean",
-        "len": "size",
+        "len": "size", "kurtosis": "kurt",
     }
 
     _KNOWN_FUNCS = frozenset(
@@ -748,7 +786,7 @@ class GroupBy:
          "count", "size", "sum_squares",
          "median", "approx_median", "var", "std", "nunique", "approx_nunique",
          "first", "last", "quantile", "approx_quantile", "corr", "cov",
-         "cov_pop"})
+         "cov_pop", "skew", "kurt"})
 
     @classmethod
     def _resolve_func(cls, func) -> str:

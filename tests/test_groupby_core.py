@@ -718,3 +718,41 @@ class TestSem:
         n = len(xs); m = sum(xs)/n
         var2 = sum((x-m)**2 for x in xs)/(n-2)
         assert abs(g2["a"] - math.sqrt(var2)/math.sqrt(n)) < 1e-12
+
+class TestSkewKurt:
+    def test_matches_pandas(self, spark):
+        import pandas as pd
+        pdf = pd.DataFrame({
+            "k": ["a"]*5 + ["b"]*4 + ["c"]*3 + ["d"]*2 + ["e"]*4,
+            "v": [1.0, 2.0, 4.0, 9.0, 3.5,        # generic
+                  2.0, 2.0, 7.0, None,            # null skipped -> n=3
+                  5.0, 5.0, 5.0,                  # zero variance
+                  1.0, 8.0,                       # n=2 -> NULL (skew)
+                  3.0, 3.0, 3.0, 3.0],            # zero variance, n=4
+        })
+        sdf = spark.createDataFrame(pdf)
+        gs = {r.k: r.v for r in GroupBy(sdf, "k").skew("v").collect()}
+        gk = {r.k: r.v for r in GroupBy(sdf, "k").kurt("v").collect()}
+        ps = pdf.groupby("k").v.skew()
+        pk = pdf.groupby("k").v.apply(lambda s: s.kurt())
+        for k in "abcde":
+            if gs[k] is None:
+                assert pd.isna(ps[k]), ("skew", k)
+            else:
+                assert abs(gs[k] - ps[k]) < 1e-9, ("skew", k)
+            if gk[k] is None:
+                assert pd.isna(pk[k]), ("kurt", k)
+            else:
+                assert abs(gk[k] - pk[k]) < 1e-9, ("kurt", k)
+
+    def test_alias_mask_static(self, spark):
+        import pandas as pd
+        import pyspark.sql.functions as F
+        pdf = pd.DataFrame({"k": ["a"]*6,
+                            "v": [1.0, 2.0, 4.0, 9.0, 3.5, 100.0]})
+        sdf = spark.createDataFrame(pdf)
+        got = GroupBy(sdf, "k").skew("v", mask=F.col("v") < 50).collect()[0].v
+        want = pdf[pdf.v < 50].groupby("k").v.skew()["a"]
+        assert abs(got - want) < 1e-9
+        stat = GroupBy.kurtosis(sdf, "k", "v").collect()[0].v
+        assert abs(stat - pdf.groupby("k").v.apply(lambda s: s.kurt())["a"]) < 1e-9

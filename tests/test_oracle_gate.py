@@ -53,6 +53,7 @@ SUBSET = [
     "cumprod",
     "group_prod_any_all",
     "group_sem",
+    "group_skew_kurt",
 ]
 
 
