@@ -2006,6 +2006,41 @@ def _q_group_skew_kurt(spark, sf):
         F.round("kurt_price", 9).alias("kurt_price"))
 
 
+def _q_ngroup(spark, sf):
+    """pandas GroupBy.ngroup (parity extra): 0-based group label per row
+    in key sort order. The numbering window runs over the DISTINCT key
+    frame only (group-bounded), then joins back — the corpus never
+    funnels through a single-task sort."""
+    docs = load_table(spark, sf, "documents")
+    out = GroupBy(docs, "source").ngroup()
+    return out.select("doc_id", "source",
+                      F.col("ngroup").cast("long").alias("ngroup"))
+
+
+def _q_group_fill(spark, sf):
+    """pandas GroupBy.ffill/bfill (+limit): per event_type in event_id
+    order, forward fill, backward fill, and limit-2 forward fill of a
+    deterministically nulled value column (event_id % 7 < 2 → NULL, same
+    expression both engines). Running last/first-non-null windows — no
+    join, one keyed sort."""
+    ev = load_table(spark, sf, "events")
+    base = ev.select(
+        "event_id", "event_type",
+        F.when(F.pmod(F.col("event_id"), F.lit(7)) >= 2,
+               F.col("value")).alias("v"))
+    g = GroupBy(base, "event_type", order_by="event_id")
+    f1 = g.ffill("v").withColumnRenamed("v_ffill", "v_f")
+    f2 = (GroupBy(f1, "event_type", order_by="event_id")
+          .bfill("v").withColumnRenamed("v_bfill", "v_b"))
+    f3 = (GroupBy(f2, "event_type", order_by="event_id")
+          .ffill("v", limit=2).withColumnRenamed("v_ffill", "v_f2"))
+    return f3.select("event_id", "event_type",
+                     F.round("v", 6).alias("v"),
+                     F.round("v_f", 6).alias("v_f"),
+                     F.round("v_b", 6).alias("v_b"),
+                     F.round("v_f2", 6).alias("v_f2"))
+
+
 def _q_cumprod(spark, sf):
     """pandas GroupBy.cumprod (parity extra): per-source running product
     of a near-1 growth factor in doc_id order — factors near 1 keep the
@@ -2954,6 +2989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_prod_any_all": _q_group_prod_any_all,
         "group_sem": _q_group_sem,
         "group_skew_kurt": _q_group_skew_kurt,
+        "ngroup": _q_ngroup,
+        "group_fill": _q_group_fill,
     }
 
 
@@ -4399,6 +4436,42 @@ def oracle_sql() -> dict[str, str]:
                               / (count(l_quantity) - 2))
                          / sqrt(count(l_quantity)), 9) AS sem_qty_ddof2
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "ngroup": """
+            SELECT doc_id, source,
+                   dense_rank() OVER (ORDER BY source) - 1 AS ngroup
+            FROM documents
+        """,
+        "group_fill": """
+            WITH b AS (
+                SELECT event_id, event_type,
+                       CASE WHEN event_id % 7 >= 2 THEN value END AS v
+                FROM events
+            ), r AS (
+                SELECT event_id, event_type, v,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY event_id) AS rn,
+                       last_value(v IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS vf,
+                       first_value(v IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                       ) AS vb
+                FROM b
+            ), d AS (
+                SELECT *, max(CASE WHEN v IS NOT NULL THEN rn END) OVER (
+                           PARTITION BY event_type ORDER BY rn
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS donor
+                FROM r
+            )
+            SELECT event_id, event_type, round(v, 6) AS v,
+                   round(vf, 6) AS v_f, round(vb, 6) AS v_b,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN rn - donor <= 2 THEN vf END, 6) AS v_f2
+            FROM d
         """,
         "group_skew_kurt": """
             SELECT l_returnflag,

@@ -906,6 +906,47 @@ class GroupBy:
         """distinct key combinations (reference core.py:766-776)."""
         return self._base().select(*self._keys).distinct()
 
+    def ngroup(self, ascending: bool = True) -> DataFrame:
+        """Group number per row — pandas ``GroupBy.ngroup``: 0..ngroups−1
+        in key sort order (``ascending=False`` reverses the labels;
+        ``sort=False`` numbers groups by first appearance in ``order_by``
+        order; null-key groups sort last under ``dropna=False``, and are
+        dropped — pandas NaN — under the default ``dropna=True``).
+
+        Scale shape: the numbering window runs over the DISTINCT key
+        frame only (group-bounded — never the corpus; the single-task
+        orderBy is over ngroups rows), then joins back on the keys — AQE
+        broadcasts the group-sized side, so the corpus never shuffles."""
+        keys = list(self._keys)
+        base = self._base()
+        if self._sort:
+            frame = base.select(*keys).distinct()
+            order = [F.col(k).asc_nulls_last() for k in keys]
+        else:
+            if not self._order_by:
+                raise ValueError(
+                    "ngroup on a sort=False GroupBy requires order_by "
+                    "(first-appearance order is undefined on an unordered "
+                    "distributed table)")
+            frame = base.groupBy(*keys).agg(
+                F.min(F.struct(*[F.col(o) for o in self._order_by]))
+                .alias("__first"))
+            order = [F.col("__first")]
+        numbered = frame.withColumn(
+            "__n", F.row_number().over(Window.orderBy(*order)) - 1)
+        if not ascending:
+            total = F.count(F.lit(1)).over(Window.partitionBy())
+            numbered = numbered.withColumn("__n", total - 1 - F.col("__n"))
+        ren = numbered.select(
+            *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+            F.col("__n").alias("ngroup"))
+        cond = None
+        for i, k in enumerate(keys):
+            c = F.col(k).eqNullSafe(F.col(f"__k{i}"))
+            cond = c if cond is None else cond & c
+        return (base.join(ren, cond, "left")
+                .drop(*[f"__k{i}" for i in range(len(keys))]))
+
     # ------------------------------------------------------------------ #
     # row selection within groups (reference §2.3)
     # ------------------------------------------------------------------ #
@@ -1257,6 +1298,57 @@ class GroupBy:
                 f"{c}_pct_change",
                 (F.col(c) - F.col(f"{c}_shift")) / F.col(f"{c}_shift"))
         return out.drop(*[f"{c}_shift" for c in cols])
+
+    def ffill(self, values=None, limit: int | None = None, mask=None) -> DataFrame:
+        """Per-group forward fill in ``order_by`` order — pandas
+        ``GroupBy.ffill``: each NULL takes the most recent non-null value
+        in its group, at most ``limit`` rows back (``limit=None`` =
+        unbounded). ``mask`` restricts which rows count as observations
+        (masked-out rows neither donate nor receive fills — they pass
+        through unchanged, the shift family's convention).
+
+        One running window per column (``last(..., ignorenulls=True)``
+        over rows UNBOUNDED PRECEDING..CURRENT) — no join, no extra
+        shuffle beyond the keyed sort every ordered operator pays."""
+        return self._fill(values, limit, mask, backward=False)
+
+    def bfill(self, values=None, limit: int | None = None, mask=None) -> DataFrame:
+        """Per-group backward fill (pandas ``GroupBy.bfill``): the mirror
+        of :meth:`ffill` — the next non-null value in ``order_by`` order,
+        at most ``limit`` rows ahead."""
+        return self._fill(values, limit, mask, backward=True)
+
+    def _fill(self, values, limit, mask, backward: bool) -> DataFrame:
+        if not self._order_by:
+            raise ValueError("ffill/bfill require order_by")
+        if limit is not None and limit < 1:
+            raise ValueError("limit must be >= 1")
+        cols = self._numeric_values(values)
+        suffix = "bfill" if backward else "ffill"
+        order = [F.col(o).desc() if backward else F.col(o)
+                 for o in self._order_by]
+        w = (Window.partitionBy(*self._keys).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = self._base()
+        need_rn = limit is not None
+        if need_rn:
+            out = out.withColumn(
+                "__rn", F.row_number().over(
+                    Window.partitionBy(*self._keys).orderBy(*order)))
+        for c in cols:
+            v = self._masked(c, mask)
+            filled = F.last(v, ignorenulls=True).over(w)
+            if need_rn:
+                # distance to the donor row: position of the last non-null
+                # observation in the same running window
+                donor = F.max(F.when(v.isNotNull(), F.col("__rn"))).over(w)
+                filled = F.when(F.col("__rn") - donor <= limit, filled)
+            e = F.when(v.isNotNull(), F.col(c)).otherwise(filled)
+            if mask is not None:
+                # masked-out rows pass through untouched
+                e = F.when(_col(mask), e).otherwise(F.col(c))
+            out = out.withColumn(f"{c}_{suffix}", e)
+        return out.drop("__rn") if need_rn else out
 
     def idxmax(self, values=None, id_col: str | None = None) -> DataFrame:
         """Per group, the ``id_col`` value of the row holding the maximum

@@ -756,3 +756,86 @@ class TestSkewKurt:
         assert abs(got - want) < 1e-9
         stat = GroupBy.kurtosis(sdf, "k", "v").collect()[0].v
         assert abs(stat - pdf.groupby("k").v.apply(lambda s: s.kurt())["a"]) < 1e-9
+
+class TestNgroup:
+    def test_matches_pandas(self, spark):
+        import pandas as pd
+        pdf = pd.DataFrame({"k": ["b", "a", None, "a", "c"],
+                            "o": [0, 1, 2, 3, 4], "v": range(5)})
+        sdf = spark.createDataFrame(pdf)
+        # dropna=True: null-key rows are absent (the family's drop
+        # convention; pandas keeps them as NaN)
+        got = {r.o: r.ngroup for r in GroupBy(sdf, "k").ngroup().collect()}
+        want = pdf.groupby("k").ngroup()
+        assert got == {0: 1, 1: 0, 3: 0, 4: 2}
+        assert {o: int(want[o]) for o in got} == got
+        # dropna=False: null key sorts last
+        g2 = {r.o: r.ngroup for r in
+              GroupBy(sdf, "k", dropna=False).ngroup().collect()}
+        assert g2 == dict(enumerate(pdf.groupby("k", dropna=False).ngroup()))
+        # ascending=False reverses labels
+        g3 = {r.o: r.ngroup for r in
+              GroupBy(sdf, "k").ngroup(ascending=False).collect()}
+        assert g3 == {0: 1, 1: 2, 3: 2, 4: 0}
+
+    def test_sort_false_first_appearance(self, spark):
+        import pandas as pd
+        pdf = pd.DataFrame({"k": ["b", "a", "b", "c"], "o": [0, 1, 2, 3]})
+        sdf = spark.createDataFrame(pdf)
+        got = {r.o: r.ngroup for r in
+               GroupBy(sdf, "k", sort=False, order_by="o").ngroup().collect()}
+        assert got == dict(enumerate(pdf.groupby("k", sort=False).ngroup()))
+        import pytest as _pt
+        with _pt.raises(ValueError, match="order_by"):
+            GroupBy(sdf, "k", sort=False).ngroup()
+
+
+class TestFill:
+    def _frame(self):
+        import pandas as pd
+        return pd.DataFrame({
+            "k": ["a"]*6 + ["b"]*3,
+            "o": list(range(6)) + list(range(3)),
+            "v": [1.0, None, None, 4.0, None, None, None, 7.0, None],
+        })
+
+    def test_ffill_bfill_match_pandas(self, spark):
+        pdf = self._frame()
+        sdf = spark.createDataFrame(pdf)
+        g = GroupBy(sdf, "k", order_by="o")
+        gf = {(r.k, r.o): r.v_ffill for r in g.ffill("v").collect()}
+        gb = {(r.k, r.o): r.v_bfill for r in g.bfill("v").collect()}
+        pf = pdf.groupby("k").v.ffill()
+        pb = pdf.groupby("k").v.bfill()
+        import pandas as pd
+        for i, (k, o) in enumerate(zip(pdf.k, pdf.o)):
+            for got, want in ((gf[(k, o)], pf[i]), (gb[(k, o)], pb[i])):
+                if got is None:
+                    assert pd.isna(want)
+                else:
+                    assert got == want
+
+    def test_limit(self, spark):
+        import pandas as pd
+        pdf = self._frame()
+        sdf = spark.createDataFrame(pdf)
+        g = GroupBy(sdf, "k", order_by="o")
+        gf = {(r.k, r.o): r.v_ffill for r in g.ffill("v", limit=1).collect()}
+        pf = pdf.groupby("k").v.ffill(limit=1)
+        for i, (k, o) in enumerate(zip(pdf.k, pdf.o)):
+            if gf[(k, o)] is None:
+                assert pd.isna(pf[i]), (k, o)
+            else:
+                assert gf[(k, o)] == pf[i], (k, o)
+
+    def test_masked_rows_pass_through(self, spark):
+        import pyspark.sql.functions as F
+        sdf = spark.createDataFrame(
+            [("a", 0, 1.0), ("a", 1, 9.0), ("a", 2, None), ("a", 3, None)],
+            "k string, o int, v double")
+        # o=1 masked out: it neither donates (o=2 fills from o=0) nor
+        # receives; its own value survives untouched
+        out = {r.o: r.v_ffill for r in
+               GroupBy(sdf, "k", order_by="o")
+               .ffill("v", mask=F.col("o") != 1).collect()}
+        assert out == {0: 1.0, 1: 9.0, 2: 1.0, 3: 1.0}

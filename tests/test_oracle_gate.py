@@ -54,6 +54,8 @@ SUBSET = [
     "group_prod_any_all",
     "group_sem",
     "group_skew_kurt",
+    "ngroup",
+    "group_fill",
 ]
 
 
