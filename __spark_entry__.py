@@ -2041,6 +2041,56 @@ def _q_group_fill(spark, sf):
                      F.round("v_f2", 6).alias("v_f2"))
 
 
+def _q_group_ohlc(spark, sf):
+    """pandas GroupBy.ohlc (parity extra): per event_type, the first/
+    max/min/last of value in event_id order — one keyed agg pass (the
+    ordered first/last struct machinery + plain min/max)."""
+    ev = load_table(spark, sf, "events")
+    g = GroupBy(ev, "event_type", order_by="event_id")
+    out = g.ohlc("value")
+    return out.select(
+        "event_type",
+        F.round("value_open", 6).alias("v_open"),
+        F.round("value_high", 6).alias("v_high"),
+        F.round("value_low", 6).alias("v_low"),
+        F.round("value_close", 6).alias("v_close"))
+
+
+def _q_group_describe(spark, sf):
+    """pandas GroupBy.describe (parity extra): count/mean/std/min/
+    quartiles/max of quantity per returnflag in ONE keyed agg pass —
+    exact percentile_cont quartiles (approx=True is the sketch path for
+    100 TB)."""
+    li = load_table(spark, sf, "lineitem")
+    out = GroupBy(li, "l_returnflag").describe("l_quantity")
+    return out.select(
+        "l_returnflag",
+        F.col("l_quantity_count").alias("cnt"),
+        F.round("l_quantity_mean", 9).alias("mean_qty"),
+        F.round("l_quantity_std", 9).alias("std_qty"),
+        F.col("l_quantity_min").alias("min_qty"),
+        F.round("l_quantity_q0_25", 9).alias("q25"),
+        F.round("l_quantity_q0_5", 9).alias("q50"),
+        F.round("l_quantity_q0_75", 9).alias("q75"),
+        F.col("l_quantity_max").alias("max_qty"))
+
+
+def _q_group_nlargest(spark, sf):
+    """pandas SeriesGroupBy.nlargest/nsmallest with whole rows: top-3
+    and bottom-2 events by value per event_type — per-key ranking
+    window, NULLs excluded, ties to the earliest event_id (pandas
+    keep='first'); salt= is the skew path (pinned equal in tests)."""
+    ev = load_table(spark, sf, "events")
+    g = GroupBy(ev, "event_type", order_by="event_id")
+    top = g.nlargest(3, "value").select(
+        "event_type", "event_id", F.round("value", 6).alias("value"),
+        F.lit("top").alias("side"))
+    bot = g.nsmallest(2, "value").select(
+        "event_type", "event_id", F.round("value", 6).alias("value"),
+        F.lit("bottom").alias("side"))
+    return top.unionByName(bot)
+
+
 def _q_cumprod(spark, sf):
     """pandas GroupBy.cumprod (parity extra): per-source running product
     of a near-1 growth factor in doc_id order — factors near 1 keep the
@@ -2991,6 +3041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_skew_kurt": _q_group_skew_kurt,
         "ngroup": _q_ngroup,
         "group_fill": _q_group_fill,
+        "group_ohlc": _q_group_ohlc,
+        "group_describe": _q_group_describe,
+        "group_nlargest": _q_group_nlargest,
     }
 
 
@@ -4436,6 +4489,43 @@ def oracle_sql() -> dict[str, str]:
                               / (count(l_quantity) - 2))
                          / sqrt(count(l_quantity)), 9) AS sem_qty_ddof2
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "group_ohlc": """
+            SELECT event_type,
+                   round(arg_min(value, event_id), 6) AS v_open,
+                   round(max(value), 6) AS v_high,
+                   round(min(value), 6) AS v_low,
+                   round(arg_max(value, event_id), 6) AS v_close
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY event_type
+        """,
+        "group_describe": """
+            SELECT l_returnflag,
+                   count(l_quantity) AS cnt,
+                   round(avg(l_quantity), 9) AS mean_qty,
+                   round(stddev_samp(l_quantity), 9) AS std_qty,
+                   min(l_quantity) AS min_qty,
+                   round(quantile_cont(l_quantity, 0.25), 9) AS q25,
+                   round(quantile_cont(l_quantity, 0.5), 9) AS q50,
+                   round(quantile_cont(l_quantity, 0.75), 9) AS q75,
+                   max(l_quantity) AS max_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "group_nlargest": """
+            WITH r AS (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY value DESC, event_id) AS rt,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY value ASC, event_id) AS rb
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            )
+            SELECT event_type, event_id, round(value, 6) AS value,
+                   'top' AS side FROM r WHERE rt <= 3
+            UNION ALL
+            SELECT event_type, event_id, round(value, 6) AS value,
+                   'bottom' AS side FROM r WHERE rb <= 2
         """,
         "ngroup": """
             SELECT doc_id, source,

@@ -727,6 +727,50 @@ class GroupBy:
         return self._finish(self._base().groupBy(*self._keys).agg(*exprs))
 
     @_groupby_method
+    def ohlc(self, values=None, mask=None) -> DataFrame:
+        """Open/high/low/close per group — pandas ``GroupBy.ohlc`` with
+        the row order made explicit: open/close are the first/last
+        NON-NULL values in ``order_by`` order (the ordered first/last
+        machinery), high/low are max/min. One keyed agg pass; columns
+        ``{col}_open/high/low/close``."""
+        cols = self._numeric_values(values)
+        exprs = []
+        for c in cols:
+            exprs += [
+                self._ordered_first_last("first", c, mask).alias(f"{c}_open"),
+                self._agg_expr("max", c, mask).alias(f"{c}_high"),
+                self._agg_expr("min", c, mask).alias(f"{c}_low"),
+                self._ordered_first_last("last", c, mask).alias(f"{c}_close"),
+            ]
+        return self._finish(self._base().groupBy(*self._keys).agg(*exprs))
+
+    @_groupby_method
+    def describe(self, values=None, mask=None,
+                 percentiles: Sequence[float] = (0.25, 0.5, 0.75),
+                 approx: bool = False) -> DataFrame:
+        """Summary statistics per group — pandas ``GroupBy.describe``:
+        count, mean, std, min, the requested percentiles, max, all in ONE
+        keyed agg pass. Percentile columns are named ``{col}_q{p}`` (dots
+        → underscores, the quantile() convention — Spark columns can't
+        carry pandas' ``25%`` labels); ``approx=True`` switches the
+        percentiles to the bounded-memory sketch for 100 TB runs."""
+        cols = self._numeric_values(values)
+        qfn = "approx_quantile" if approx else "quantile"
+        exprs = []
+        for c in cols:
+            exprs += [
+                self._agg_expr("count", c, mask).alias(f"{c}_count"),
+                self._agg_expr("mean", c, mask).alias(f"{c}_mean"),
+                self._agg_expr("std", c, mask).alias(f"{c}_std"),
+                self._agg_expr("min", c, mask).alias(f"{c}_min"),
+            ]
+            for q in percentiles:
+                name = f"{c}_q{q}".replace(".", "_")
+                exprs.append(self._agg_expr(qfn, c, mask, q=q).alias(name))
+            exprs.append(self._agg_expr("max", c, mask).alias(f"{c}_max"))
+        return self._finish(self._base().groupBy(*self._keys).agg(*exprs))
+
+    @_groupby_method
     def corr(self, x: str, y: str, mask=None, alias: str = "corr") -> DataFrame:
         """Per-group Pearson correlation of two columns (pairwise null /
         mask handling: a masked row drops out of both sides)."""
@@ -996,6 +1040,42 @@ class GroupBy:
         if cols is not None:
             out = out.select(*self._keys, *self._order_by, *cols)
         return out
+
+    def nlargest(self, n: int, column: str, salt: int | None = None) -> DataFrame:
+        """Rows holding the ``n`` largest values of ``column`` per group —
+        pandas ``SeriesGroupBy.nlargest`` with the whole row kept. NULLs
+        are excluded (pandas drops NaN); ties resolve to the earliest
+        ``order_by`` position when one is set (pandas ``keep='first'``),
+        else ties are broken by the value ordering alone.
+
+        ``salt``: two-stage top-n for skewed keys, same contract as
+        :meth:`head` — local top-n within (key, salt-bucket) so no single
+        task sorts a whole hot key, then the exact top-n of the ≤ n·salt
+        survivors."""
+        return self._topn_value(n, column, descending=True, salt=salt)
+
+    def nsmallest(self, n: int, column: str, salt: int | None = None) -> DataFrame:
+        """Rows holding the ``n`` smallest values per group — the mirror
+        of :meth:`nlargest`."""
+        return self._topn_value(n, column, descending=False, salt=salt)
+
+    def _topn_value(self, n: int, column: str, descending: bool,
+                    salt: int | None) -> DataFrame:
+        if column not in self._df.columns:
+            raise ValueError(f"column {column!r} not in DataFrame")
+        vc = (F.col(column).desc_nulls_last() if descending
+              else F.col(column).asc_nulls_last())
+        tie = [F.col(o) for o in self._order_by] if self._order_by else []
+        order = [vc, *tie]
+        base = self._base().filter(F.col(column).isNotNull())
+        if salt:
+            salt_col = F.pmod(F.xxhash64(F.col(column), *tie), F.lit(salt))
+            base = (base.withColumn("__rn", F.row_number().over(
+                Window.partitionBy(*self._keys, salt_col).orderBy(*order)))
+                .filter(F.col("__rn") <= n).drop("__rn"))
+        return (base.withColumn("__rn", F.row_number().over(
+            Window.partitionBy(*self._keys).orderBy(*order)))
+            .filter(F.col("__rn") <= n).drop("__rn"))
 
     def find_first_n(self, row_id: str, n: int, mask=None) -> DataFrame:
         """(keys..., row_ids: array) — ids of the first ``n`` rows per group

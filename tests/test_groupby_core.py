@@ -839,3 +839,71 @@ class TestFill:
                GroupBy(sdf, "k", order_by="o")
                .ffill("v", mask=F.col("o") != 1).collect()}
         assert out == {0: 1.0, 1: 9.0, 2: 1.0, 3: 1.0}
+
+class TestOhlcDescribe:
+    def test_ohlc_matches_pandas(self, spark):
+        import pandas as pd
+        pdf = pd.DataFrame({
+            "k": ["a"]*4 + ["b"]*2,
+            "o": [0, 1, 2, 3, 0, 1],
+            "v": [3.0, 9.0, 1.0, 5.0, 2.0, 8.0],
+        })
+        sdf = spark.createDataFrame(pdf)
+        got = {r.k: (r.v_open, r.v_high, r.v_low, r.v_close)
+               for r in GroupBy(sdf, "k", order_by="o").ohlc("v").collect()}
+        want = pdf.groupby("k").v.ohlc()
+        for k in ("a", "b"):
+            assert got[k] == tuple(want.loc[k, ["open", "high", "low", "close"]])
+
+    def test_describe_matches_pandas(self, spark):
+        import pandas as pd
+        pdf = pd.DataFrame({"k": ["a"]*5 + ["b"]*3,
+                            "v": [1.0, 2.0, 4.0, 9.0, 3.0, 5.0, None, 7.0]})
+        sdf = spark.createDataFrame(pdf)
+        row = {r.k: r for r in GroupBy(sdf, "k").describe("v").collect()}
+        want = pdf.groupby("k").v.describe()
+        for k in ("a", "b"):
+            r = row[k]
+            assert r.v_count == want.loc[k, "count"]
+            assert abs(r.v_mean - want.loc[k, "mean"]) < 1e-12
+            assert abs(r.v_std - want.loc[k, "std"]) < 1e-12
+            assert r.v_min == want.loc[k, "min"]
+            assert abs(r.v_q0_25 - want.loc[k, "25%"]) < 1e-12
+            assert abs(r.v_q0_5 - want.loc[k, "50%"]) < 1e-12
+            assert abs(r.v_q0_75 - want.loc[k, "75%"]) < 1e-12
+            assert r.v_max == want.loc[k, "max"]
+
+
+class TestNlargest:
+    def test_matches_pandas_and_ties(self, spark):
+        import pandas as pd
+        pdf = pd.DataFrame({
+            "k": ["a"]*5 + ["b"]*3,
+            "o": list(range(5)) + list(range(3)),
+            "v": [5.0, 9.0, 9.0, 1.0, None, 2.0, 8.0, 3.0],
+        })
+        sdf = spark.createDataFrame(pdf)
+        g = GroupBy(sdf, "k", order_by="o")
+        top = sorted((r.k, r.o, r.v) for r in g.nlargest(2, "v").collect())
+        # ties at 9.0 keep the earlier o (pandas keep='first'); NULL excluded
+        assert top == [("a", 1, 9.0), ("a", 2, 9.0), ("b", 1, 8.0), ("b", 2, 3.0)]
+        bot = sorted((r.k, r.o, r.v) for r in g.nsmallest(2, "v").collect())
+        assert bot == [("a", 0, 5.0), ("a", 3, 1.0), ("b", 0, 2.0), ("b", 2, 3.0)]
+        # pandas equivalence on values
+        want = pdf.groupby("k").v.nlargest(2)
+        assert sorted(v for _, _, v in top) == sorted(want.tolist())
+
+    def test_salted_equals_plain(self, spark):
+        import pandas as pd
+        import numpy as np
+        rng = np.random.default_rng(7)
+        pdf = pd.DataFrame({
+            "k": rng.choice(["x", "y"], 500),
+            "o": np.arange(500),
+            "v": rng.random(500),
+        })
+        sdf = spark.createDataFrame(pdf)
+        g = GroupBy(sdf, "k", order_by="o")
+        plain = sorted((r.k, r.o) for r in g.nlargest(5, "v").collect())
+        salted = sorted((r.k, r.o) for r in g.nlargest(5, "v", salt=8).collect())
+        assert plain == salted

@@ -56,6 +56,9 @@ SUBSET = [
     "group_skew_kurt",
     "ngroup",
     "group_fill",
+    "group_ohlc",
+    "group_describe",
+    "group_nlargest",
 ]
 
 
