@@ -2091,6 +2091,19 @@ def _q_group_nlargest(spark, sf):
     return top.unionByName(bot)
 
 
+def _q_resample_agg(spark, sf):
+    """pandas GroupBy.resample analog: per event_type per 1-hour bucket
+    of ts, the event count and value sum — the bucket is a pure per-row
+    expression (epoch-aligned window start), one keyed agg shuffle on
+    (type, bucket), map-side combined."""
+    ev = load_table(spark, sf, "events")
+    g = GroupBy(ev, "event_type").resample("ts", "1h")
+    out = g.agg({"n": ("size", ""), "sum_v": ("dsum", "value")})
+    return out.select(
+        "event_type", F.col("ts_bucket").alias("bucket"), "n",
+        F.round("sum_v", 6).alias("sum_v"))
+
+
 def _q_cumprod(spark, sf):
     """pandas GroupBy.cumprod (parity extra): per-source running product
     of a near-1 growth factor in doc_id order — factors near 1 keep the
@@ -3041,6 +3054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_skew_kurt": _q_group_skew_kurt,
         "ngroup": _q_ngroup,
         "group_fill": _q_group_fill,
+        "resample_agg": _q_resample_agg,
         "group_ohlc": _q_group_ohlc,
         "group_describe": _q_group_describe,
         "group_nlargest": _q_group_nlargest,
@@ -4489,6 +4503,15 @@ def oracle_sql() -> dict[str, str]:
                               / (count(l_quantity) - 2))
                          / sqrt(count(l_quantity)), 9) AS sem_qty_ddof2
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "resample_agg": """
+            SELECT event_type,
+                   time_bucket(INTERVAL '1 hour', ts) AS bucket,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 6)
+                       AS sum_v
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY event_type, bucket
         """,
         "group_ohlc": """
             SELECT event_type,

@@ -41,6 +41,7 @@ the compute path, no row-at-a-time Python UDFs.
 from __future__ import annotations
 
 import functools
+import re
 import types
 import warnings
 from collections.abc import Mapping, Sequence
@@ -1332,6 +1333,39 @@ class GroupBy:
                 out = out.withColumn(f"{c}_t{func}",
                                      F.when(guard, agg(v).over(w)))
         return out
+
+    _FREQ_UNITS = {
+        "s": "seconds", "sec": "seconds", "second": "seconds",
+        "min": "minutes", "t": "minutes", "minute": "minutes",
+        "h": "hours", "hr": "hours", "hour": "hours",
+        "d": "days", "day": "days", "w": "weeks", "week": "weeks",
+    }
+
+    def resample(self, on: str, freq: str) -> "GroupBy":
+        """Tumbling time-bucket regroup — the pandas ``GroupBy.resample``
+        analog with the time column explicit: adds a bucket key (the
+        window START, epoch-aligned) named ``{on}_bucket`` and returns a
+        NEW GroupBy over (keys..., bucket), so every aggregation /
+        transform / margin in the family applies per bucket.
+
+        ``freq`` accepts pandas-style aliases (``'15min'``, ``'1h'``,
+        ``'1d'``) or Spark duration strings (``'15 minutes'``). The
+        bucket is a pure per-row expression — no shuffle happens until
+        the aggregation the caller runs next, which shuffles once on
+        (keys, bucket) exactly like any keyed agg. Empty buckets are
+        absent (observed-only; pandas emits them — use
+        ``observed_only=False``-style completion downstream if needed)."""
+        m = re.fullmatch(r"(\d+)\s*([A-Za-z]+)", freq.strip())
+        if not m:
+            raise ValueError(f"unparseable freq {freq!r}")
+        qty, unit = m.group(1), m.group(2).lower()
+        unit = self._FREQ_UNITS.get(unit, self._FREQ_UNITS.get(
+            unit.rstrip("s"), unit))
+        dur = f"{qty} {unit}"
+        name = f"{on}_bucket"
+        df2 = self._df.withColumn(name, F.window(F.col(on), dur)["start"])
+        return GroupBy(df2, [*self._keys, name], order_by=self._order_by,
+                       sort=self._sort, dropna=self._dropna)
 
     def shift(self, values=None, window: int = 1, mask=None) -> DataFrame:
         """lag by `window` rows within group (reference core.py:1789-1838).

@@ -907,3 +907,38 @@ class TestNlargest:
         plain = sorted((r.k, r.o) for r in g.nlargest(5, "v").collect())
         salted = sorted((r.k, r.o) for r in g.nlargest(5, "v", salt=8).collect())
         assert plain == salted
+
+class TestResample:
+    def test_matches_pandas(self, spark):
+        import pandas as pd
+        import numpy as np
+        rng = np.random.default_rng(3)
+        ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 72 * 3600, 300), unit="s")
+        pdf = pd.DataFrame({"k": rng.choice(["a", "b"], 300),
+                            "ts": ts, "v": rng.random(300)})
+        sdf = spark.createDataFrame(pdf)
+        out = GroupBy(sdf, "k").resample("ts", "1h").sum("v")
+        got = {(r.k, r.ts_bucket): r.v for r in out.collect()}
+        # pandas resample emits empty buckets; ours are observed-only, so
+        # compare against the equivalent floor-bucket groupby (identical
+        # to resample on every observed bucket)
+        want = pdf.groupby(["k", pdf.ts.dt.floor("1h")]).v.sum()
+        assert len(got) == len(want)
+        for (k, b), v in want.items():
+            assert abs(got[(k, b.to_pydatetime())] - v) < 1e-9, (k, b)
+
+    def test_freq_aliases_and_chain(self, spark):
+        sdf = spark.createDataFrame(
+            [("a", "2024-01-01 00:10:00", 1.0),
+             ("a", "2024-01-01 00:20:00", 2.0),
+             ("a", "2024-01-01 00:40:00", 4.0)],
+            "k string, ts string, v double")
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+        out = GroupBy(sdf, "k").resample("ts", "30min").agg(
+            {"total": ("sum", "v"), "n": ("size", "")})
+        rows = sorted((r.ts_bucket.minute, r.total, r.n) for r in out.collect())
+        assert rows == [(0, 3.0, 2), (30, 4.0, 1)]
+        import pytest as _pt
+        with _pt.raises(ValueError, match="freq"):
+            GroupBy(sdf, "k").resample("ts", "half an hour")

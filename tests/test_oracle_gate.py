@@ -59,6 +59,7 @@ SUBSET = [
     "group_ohlc",
     "group_describe",
     "group_nlargest",
+    "resample_agg",
 ]
 
 
