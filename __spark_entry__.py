@@ -2091,6 +2091,36 @@ def _q_group_nlargest(spark, sf):
     return top.unionByName(bot)
 
 
+def _q_expanding_stats(spark, sf):
+    """pandas GroupBy.expanding (parity extra): per-user running mean
+    and sample std of value in event_id order with min_periods=2 — the
+    unbounded-preceding frame of the rolling machinery (one keyed sort,
+    no join)."""
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    g = GroupBy(ev, "user_id", order_by="event_id")
+    m = g.expanding(min_periods=2).mean("value")
+    s = (GroupBy(m, "user_id", order_by="event_id")
+         .expanding(min_periods=2).std("value"))
+    return s.select(
+        "event_id", "user_id",
+        F.col("value_expanding_mean").alias("run_mean"),
+        F.col("value_expanding_std").alias("run_std"))
+
+
+def _q_ewm_mean(spark, sf):
+    """pandas GroupBy.ewm().mean() (parity extra): per-user
+    exponentially weighted value mean (alpha=0.1, adjust=True) in
+    event_id order — pandas' vectorized kernel per group over
+    Arrow-batched applyInPandas (groups parallel, one C pass each; the
+    operator docstring documents the bounded-frame alternative). Oracle:
+    the closed-form weighted sum over in-group pairs."""
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    g = GroupBy(ev, "user_id", order_by="event_id")
+    out = g.ewm_mean("value", alpha=0.1)
+    return out.select("event_id", "user_id",
+                      F.col("value_ewm").alias("ewm_v"))
+
+
 def _q_resample_agg(spark, sf):
     """pandas GroupBy.resample analog: per event_type per 1-hour bucket
     of ts, the event count and value sum — the bucket is a pure per-row
@@ -3055,6 +3085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngroup": _q_ngroup,
         "group_fill": _q_group_fill,
         "resample_agg": _q_resample_agg,
+        "expanding_stats": _q_expanding_stats,
+        "ewm_mean": _q_ewm_mean,
         "group_ohlc": _q_group_ohlc,
         "group_describe": _q_group_describe,
         "group_nlargest": _q_group_nlargest,
@@ -4503,6 +4535,30 @@ def oracle_sql() -> dict[str, str]:
                               / (count(l_quantity) - 2))
                          / sqrt(count(l_quantity)), 9) AS sem_qty_ddof2
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "expanding_stats": """
+            SELECT event_id, user_id,
+                   CASE WHEN row_number() OVER w >= 2
+                        THEN avg(value) OVER w END AS run_mean,
+                   CASE WHEN row_number() OVER w >= 2
+                        THEN stddev_samp(value) OVER w END AS run_std
+            FROM events WHERE user_id IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "ewm_mean": """
+            WITH r AS (
+                SELECT event_id, user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id) AS rn
+                FROM events WHERE user_id IS NOT NULL
+            )
+            SELECT a.event_id, a.user_id,
+                   sum(b.value * pow(0.9, a.rn - b.rn))
+                       / sum(pow(0.9, a.rn - b.rn)) AS ewm_v
+            FROM r a JOIN r b
+              ON a.user_id = b.user_id AND b.rn <= a.rn
+            GROUP BY a.event_id, a.user_id
         """,
         "resample_agg": """
             SELECT event_type,

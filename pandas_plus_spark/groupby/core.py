@@ -1206,17 +1206,19 @@ class GroupBy:
         if not self._order_by:
             raise ValueError("rolling operators require order_by")
         if min_periods is None:
-            min_periods = window
+            min_periods = 1 if window is None else window
         cols = self._numeric_values(values)
         agg = self._ROLLING_AGGS.get(func)
         if agg is None:
             raise ValueError(func)
 
+        # window=None = the expanding (unbounded-preceding) frame
+        lo = Window.unboundedPreceding if window is None else -(window - 1)
         if mask is None:
             w = (
                 Window.partitionBy(*self._keys)
                 .orderBy(*self._order_by)
-                .rowsBetween(-(window - 1), Window.currentRow)
+                .rowsBetween(lo, Window.currentRow)
             )
             out = self._base()
             for c in cols:
@@ -1249,7 +1251,9 @@ class GroupBy:
         ow = (
             Window.partitionBy(*self._keys)
             .orderBy(*self._order_by)
-            .rowsBetween(-(window - 1), Window.currentRow)
+            .rowsBetween(
+                Window.unboundedPreceding if window is None else -(window - 1),
+                Window.currentRow)
         )
         obs_aggs = obs.select(
             *self._keys,
@@ -1578,6 +1582,50 @@ class GroupBy:
         (reference api.py:527-662)."""
         return GroupByRolling(self, window, min_periods)
 
+    def expanding(self, min_periods: int = 1) -> "GroupByExpanding":
+        """pandas-style expanding facade — ``gb.expanding().mean('x')``:
+        the unbounded-preceding frame of the rolling machinery (parity
+        extra; cumsum/cummin/cummax cover sum/min/max without the
+        min_periods guard, this adds mean/var/std and the guard). Same
+        mask semantics as rolling (masked rows are excluded observations
+        but still emit output)."""
+        return GroupByExpanding(self, min_periods)
+
+    def ewm_mean(self, values=None, *, alpha: float, adjust: bool = True,
+                 ignore_na: bool = False) -> DataFrame:
+        """Exponentially weighted mean per group in ``order_by`` order —
+        pandas ``GroupBy.ewm(alpha=...).mean()``. Output ``{col}_ewm``.
+
+        An EWM is an inherently sequential per-group recurrence
+        (y_t depends on y_{t-1}), so this runs pandas' vectorized C
+        kernel per group via Arrow-batched ``applyInPandas``: groups are
+        parallel across executors, within-group is one vectorized pass,
+        memory is one group's columns (the documented GROUPED_MAP seam —
+        same contract as :meth:`apply`). A fully declarative
+        decomposition exists (segmented pow-rescaled scans) but trades
+        numeric exactness for overflow management; the kernel path is
+        bit-faithful to pandas. For FEW/HUGE groups note the truncation
+        property: weights decay by (1−alpha) per row, so a trailing
+        window of ~log(1e-16)/log(1−alpha) rows reproduces the exact
+        value to double precision if a bounded-frame variant is needed."""
+        if not self._order_by:
+            raise ValueError("ewm_mean requires order_by")
+        if not (0.0 < alpha <= 1.0):
+            raise ValueError("alpha must be in (0, 1]")
+        cols = self._numeric_values(values)
+        schema = T.StructType(
+            list(self._df.schema.fields)
+            + [T.StructField(f"{c}_ewm", T.DoubleType()) for c in cols])
+
+        def fn(pdf):
+            for c in cols:
+                pdf[f"{c}_ewm"] = (
+                    pdf[c].ewm(alpha=alpha, adjust=adjust,
+                               ignore_na=ignore_na).mean())
+            return pdf
+
+        return self.apply(fn, schema)
+
     def filter_groups(self, predicate: Column) -> DataFrame:
         """Rows of the groups whose AGGREGATE predicate holds — pandas
         ``GroupBy.filter`` re-expressed declaratively (pandas-parity
@@ -1686,3 +1734,38 @@ class GroupByRolling:
 
     def diff(self, values=None, mask=None) -> DataFrame:
         return self._gb.diff(values, window=self._window, mask=mask)
+
+
+class GroupByExpanding:
+    """Bound expanding context (pandas ``GroupBy.expanding`` analog):
+    every method runs the rolling machinery with the unbounded-preceding
+    frame and the stored ``min_periods``."""
+
+    def __init__(self, gb: GroupBy, min_periods: int = 1):
+        self._gb = gb
+        self._min_periods = min_periods
+
+    def _call(self, name: str, values=None, mask=None):
+        return self._gb._rolling(name, values, None, mask,
+                                 self._min_periods, f"expanding_{name}")
+
+    def sum(self, values=None, mask=None) -> DataFrame:
+        return self._call("sum", values, mask)
+
+    def mean(self, values=None, mask=None) -> DataFrame:
+        return self._call("mean", values, mask)
+
+    def min(self, values=None, mask=None) -> DataFrame:
+        return self._call("min", values, mask)
+
+    def max(self, values=None, mask=None) -> DataFrame:
+        return self._call("max", values, mask)
+
+    def var(self, values=None, mask=None) -> DataFrame:
+        return self._call("var", values, mask)
+
+    def std(self, values=None, mask=None) -> DataFrame:
+        return self._call("std", values, mask)
+
+    def agg(self, func: str, values=None, mask=None) -> DataFrame:
+        return self._call(func, values, mask)

@@ -942,3 +942,73 @@ class TestResample:
         import pytest as _pt
         with _pt.raises(ValueError, match="freq"):
             GroupBy(sdf, "k").resample("ts", "half an hour")
+
+class TestExpanding:
+    def test_matches_pandas(self, spark):
+        import pandas as pd
+        import numpy as np
+        rng = np.random.default_rng(5)
+        pdf = pd.DataFrame({
+            "k": rng.choice(["a", "b"], 60),
+            "o": np.arange(60),
+            "v": np.where(rng.random(60) < 0.15, np.nan, rng.random(60)),
+        })
+        sdf = spark.createDataFrame(pdf)
+        g = GroupBy(sdf, "k", order_by="o")
+        for name, pfn in (("mean", "mean"), ("var", "var"), ("std", "std")):
+            got = {(r.k, r.o): r[f"v_expanding_{name}"]
+                   for r in g.expanding(min_periods=2).agg(name, "v").collect()}
+            want = getattr(
+                pdf.groupby("k").v.expanding(min_periods=2), pfn)()
+            for (k, i) in want.index:
+                w = want.loc[(k, i)]
+                gv = got[(k, pdf.o[i])]
+                if gv is None:
+                    assert pd.isna(w), (name, k, i)
+                else:
+                    assert abs(gv - w) < 1e-9, (name, k, i)
+
+    def test_masked_excludes_observations(self, spark):
+        import pyspark.sql.functions as F
+        sdf = spark.createDataFrame(
+            [("a", 0, 1.0), ("a", 1, 100.0), ("a", 2, 3.0)],
+            "k string, o int, v double")
+        out = {r.o: r.v_expanding_mean for r in
+               GroupBy(sdf, "k", order_by="o").expanding()
+               .mean("v", mask=F.col("v") < 50).collect()}
+        assert out == {0: 1.0, 1: 1.0, 2: 2.0}
+
+
+class TestEwmMean:
+    def test_matches_pandas(self, spark):
+        import pandas as pd
+        import numpy as np
+        rng = np.random.default_rng(11)
+        pdf = pd.DataFrame({
+            "k": rng.choice(["a", "b", "c"], 90),
+            "o": np.arange(90),
+            "v": np.where(rng.random(90) < 0.1, np.nan, rng.random(90)),
+        })
+        sdf = spark.createDataFrame(pdf)
+        for adjust in (True, False):
+            out = (GroupBy(sdf, "k", order_by="o")
+                   .ewm_mean("v", alpha=0.3, adjust=adjust).collect())
+            got = {(r.k, r.o): r.v_ewm for r in out}
+            want = (pdf.groupby("k").apply(
+                lambda s: s.sort_values("o").v.ewm(
+                    alpha=0.3, adjust=adjust).mean(), include_groups=False))
+            for (k, i) in want.index:
+                w = want.loc[(k, i)]
+                gv = got[(k, pdf.o[i])]
+                if gv is None or pd.isna(gv):
+                    assert pd.isna(w), (adjust, k, i)
+                else:
+                    assert abs(gv - w) < 1e-12, (adjust, k, i)
+
+    def test_validation(self, spark):
+        import pytest as _pt
+        sdf = spark.createDataFrame([("a", 1, 1.0)], "k string, o int, v double")
+        with _pt.raises(ValueError, match="alpha"):
+            GroupBy(sdf, "k", order_by="o").ewm_mean("v", alpha=1.5)
+        with _pt.raises(ValueError, match="order_by"):
+            GroupBy(sdf, "k").ewm_mean("v", alpha=0.5)

@@ -60,6 +60,8 @@ SUBSET = [
     "group_describe",
     "group_nlargest",
     "resample_agg",
+    "expanding_stats",
+    "ewm_mean",
 ]
 
 
