@@ -28,6 +28,9 @@ _FORWARDED = (
     "rolling_var", "rolling_std",
     "shift", "diff", "pct_change", "idxmax", "idxmin", "filter_groups",
     "group_nearby_members", "persist", "unpersist",
+    "skew", "kurt", "kurtosis", "ngroup", "ffill", "bfill",
+    "nlargest", "nsmallest", "ohlc", "describe",
+    "resample", "expanding", "ewm_mean", "rolling_time",
 )
 
 
@@ -71,11 +74,15 @@ class DataFrameGroupBy:
         # doesn't apply to two-column statistics
         # filter_groups takes an aggregate predicate, not values= —
         # selection binding does not apply (like corr/cov's explicit args)
+        # ngroup/resample/expanding take no values=; nlargest/nsmallest
+        # take an explicit single column arg
         if self._selection is None or name in ("size", "cumcount", "value_counts",
                                                "key_count", "persist", "unpersist",
                                                "group_nearby_members",
                                                "find_first_n", "find_last_n",
-                                               "corr", "cov", "filter_groups"):
+                                               "corr", "cov", "filter_groups",
+                                               "ngroup", "resample", "expanding",
+                                               "nlargest", "nsmallest"):
             return target
 
         def bound(*args, **kwargs):

@@ -382,3 +382,21 @@ def test_install_groupby_plus_attaches_method(spark):
     df = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v long")
     out = df.groupby_plus("k").sum("v")
     assert out.collect()[0]["v"] == 3
+
+
+def test_facade_forwards_parity_extras(spark):
+    from pandas_plus_spark.groupby.api import DataFrameGroupBy
+    sdf = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, None), ("a", 2, 4.0), ("b", 0, 2.0)],
+        "k string, o int, v double")
+    gb = DataFrameGroupBy(sdf, "k", order_by="o")
+    # values-bearing methods respect column selection
+    assert "v_ffill" in gb["v"].ffill().columns
+    assert "v_open" in gb["v"].ohlc().columns
+    assert "v_q0_5" in gb["v"].describe().columns
+    assert "v" in gb["v"].skew().columns
+    # no-values methods bypass selection binding
+    assert "ngroup" in gb["v"].ngroup().columns
+    assert gb["v"].nlargest(1, "v").count() == 2
+    assert "v_expanding_mean" in gb["v"].expanding().mean("v").columns
+    assert "v_ewm" in gb["v"].ewm_mean(alpha=0.5).columns
