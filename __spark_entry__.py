@@ -2918,7 +2918,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round START, never mid-round): window head = (a) the eleven r7-close
     # additions (token_budget, quantile_calibration, leakage_split,
     # leakage_split_lsh, filter_groups, group_idxminmax, pct_change,
-    # cumprod, group_prod_any_all, group_sem —
+    # cumprod, group_prod_any_all, group_sem — plus the nine
+    # continuation-session additions: group_skew_kurt, ngroup, group_fill,
+    # group_ohlc, group_describe, group_nlargest, resample_agg,
+    # expanding_stats, ewm_mean —
     # in-pytest-gated only so far), (b) re-verifications of the r7-close
     # code changes (quality_score/lang_id/c4 de-regex family:
     # quality_score, source_health, curation_pipeline, quality_classifier,
