@@ -73,3 +73,48 @@ def pretty_cut(
     for hi, lab in zip(bins[1:], labels[1:-1]):
         expr = expr.when(c <= hi, F.lit(lab))
     return expr.otherwise(F.lit(labels[-1]))
+
+
+def qcut_bin(col: str | Column, boundaries: Sequence[float]) -> Column:
+    """Quantile-bin assignment as a pure Column expression given
+    PRECOMPUTED internal boundaries b_1 < … < b_{q-1}: bin index =
+    #{b_i : x > b_i}, i.e. pandas ``qcut``'s right-closed intervals
+    (a value equal to a boundary falls in the LOWER bin). NULL → NULL.
+    A chained sum of comparisons — whole-stage codegen, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    expr = F.lit(0)
+    for b in boundaries:
+        expr = expr + F.when(c > F.lit(float(b)), 1).otherwise(0)
+    return F.when(c.isNotNull(), expr.cast("int"))
+
+
+def qcut(df, col: str, q: int = 4, output: str | None = None,
+         approx: bool = False, duplicates: str = "drop"):
+    """Global quantile binning — pandas ``qcut(series, q, labels=False)``:
+    adds an integer bin column (0..q−1) splitting ``col`` at its
+    1/q … (q−1)/q quantiles, right-closed like pandas.
+
+    Scale shape: ONE aggregation computes all q−1 boundaries (a q-sized
+    scalar collect — bounded, never row data); ``approx=True`` routes the
+    mergeable percentile sketch for the 100 TB single-pass path. The
+    assignment is a broadcast-free comparison chain, so the corpus is
+    never shuffled — the same calibrate-then-map shape as
+    ``cleaning.quantile_threshold_filter``, without the per-group axis.
+
+    duplicates='drop' collapses repeated boundaries (pandas raises by
+    default; on heavy-tailed data dropping is the useful behavior —
+    resulting bins may then be fewer than ``q``)."""
+    if q < 2:
+        raise ValueError("q must be >= 2")
+    if duplicates not in ("drop", "raise"):
+        raise ValueError("duplicates must be 'drop' or 'raise'")
+    fracs = [i / q for i in range(1, q)]
+    fn = F.percentile_approx if approx else F.percentile
+    row = df.select(*[
+        fn(F.col(col), F.lit(p)).alias(f"b{i}") for i, p in enumerate(fracs)
+    ]).first()
+    bounds = [row[f"b{i}"] for i in range(len(fracs))]
+    uniq = sorted(set(b for b in bounds if b is not None))
+    if duplicates == "raise" and len(uniq) != len(bounds):
+        raise ValueError(f"duplicate bin edges {bounds}; pass duplicates='drop'")
+    return df.withColumn(output or f"{col}_qbin", qcut_bin(col, uniq))
