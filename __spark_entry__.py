@@ -2091,6 +2091,34 @@ def _q_group_nlargest(spark, sf):
     return top.unionByName(bot)
 
 
+def _q_qcut_deciles(spark, sf):
+    """Global quantile binning (functions.binning.qcut — pandas qcut):
+    decile-bin document length. ONE aggregation computes all nine
+    boundaries (scalar collect, bounded); assignment is a codegen
+    comparison chain — the corpus never shuffles. Integer n_chars makes
+    the interpolated boundaries bit-identical across engines."""
+    docs = load_table(spark, sf, "documents")
+    from pandas_plus_spark.functions import qcut
+    out = qcut(docs, "n_chars", q=10, output="qbin")
+    return out.select("doc_id", "n_chars",
+                      F.col("qbin").cast("long").alias("qbin"))
+
+
+def _q_pivot_table_mean(spark, sf):
+    """pandas pivot_table over the crosstab cube engine: mean doc length
+    per source x lang with full margins — one cube pass, then the tiny
+    aggregated frame pivots. column_values passed explicitly (skips the
+    distinct-discovery job — the 100 TB contract)."""
+    docs = load_table(spark, sf, "documents")
+    from pandas_plus_spark import pivot_table
+    out = pivot_table(docs, values="n_chars", index="source",
+                      columns="lang", aggfunc="mean", margins=True,
+                      column_values=["de", "en", "es", "fr", "zh"])
+    cols = ["de", "en", "es", "fr", "zh", "All"]
+    return out.select("source",
+                      *[F.round(F.col(c), 9).alias(c) for c in cols])
+
+
 def _q_expanding_stats(spark, sf):
     """pandas GroupBy.expanding (parity extra): per-user running mean
     and sample std of value in event_id order with min_periods=2 — the
@@ -3088,6 +3116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngroup": _q_ngroup,
         "group_fill": _q_group_fill,
         "resample_agg": _q_resample_agg,
+        "qcut_deciles": _q_qcut_deciles,
+        "pivot_table_mean": _q_pivot_table_mean,
         "expanding_stats": _q_expanding_stats,
         "ewm_mean": _q_ewm_mean,
         "group_ohlc": _q_group_ohlc,
@@ -4538,6 +4568,42 @@ def oracle_sql() -> dict[str, str]:
                               / (count(l_quantity) - 2))
                          / sqrt(count(l_quantity)), 9) AS sem_qty_ddof2
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "qcut_deciles": """
+            WITH b AS (
+                SELECT quantile_cont(n_chars,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+                FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   len(list_filter(b.qs, q -> d.n_chars > q)) AS qbin
+            FROM documents d, b
+        """,
+        "pivot_table_mean": """
+            WITH cells AS (
+                SELECT source, lang, avg(n_chars) AS m
+                FROM documents GROUP BY source, lang
+            ), rows_all AS (
+                SELECT source, 'All' AS lang, avg(n_chars) AS m
+                FROM documents GROUP BY source
+            ), col_all AS (
+                SELECT 'All' AS source, lang, avg(n_chars) AS m
+                FROM documents GROUP BY lang
+            ), grand AS (
+                SELECT 'All' AS source, 'All' AS lang, avg(n_chars) AS m
+                FROM documents
+            ), u AS (
+                SELECT * FROM cells UNION ALL SELECT * FROM rows_all
+                UNION ALL SELECT * FROM col_all UNION ALL SELECT * FROM grand
+            )
+            SELECT source,
+                   round(max(CASE WHEN lang = 'de' THEN m END), 9) AS de,
+                   round(max(CASE WHEN lang = 'en' THEN m END), 9) AS en,
+                   round(max(CASE WHEN lang = 'es' THEN m END), 9) AS es,
+                   round(max(CASE WHEN lang = 'fr' THEN m END), 9) AS fr,
+                   round(max(CASE WHEN lang = 'zh' THEN m END), 9) AS zh,
+                   round(max(CASE WHEN lang = 'All' THEN m END), 9) AS "All"
+            FROM u GROUP BY source
         """,
         "expanding_stats": """
             SELECT event_id, user_id,

@@ -4,7 +4,7 @@ model (DataFrame/Catalyst first; no RDDs, no driver-side loops, Python only
 via Arrow-batched UDFs where built-ins genuinely cannot express semantics).
 """
 
-from .groupby import GroupBy, crosstab, DataFrameGroupBy, groupby_plus, install_groupby_plus
+from .groupby import GroupBy, crosstab, pivot_table, DataFrameGroupBy, groupby_plus, install_groupby_plus
 from .session import get_spark
 from .sources.local import from_arrays, from_pandas
 from . import nanops
@@ -14,6 +14,7 @@ from . import plans
 __all__ = [
     "GroupBy",
     "crosstab",
+    "pivot_table",
     "DataFrameGroupBy",
     "groupby_plus",
     "install_groupby_plus",

@@ -1,4 +1,4 @@
-from .binning import pretty_cut
+from .binning import pretty_cut, qcut, qcut_bin
 from .bloom import (bloom_build, bloom_might_contain, bloom_positions,
                     bloom_to_numpy)
 from .encoding import bools_to_categorical, linear_combination
@@ -17,6 +17,8 @@ from .text import (
 
 __all__ = [
     "pretty_cut",
+    "qcut",
+    "qcut_bin",
     "bools_to_categorical",
     "linear_combination",
     "simple_tokens",

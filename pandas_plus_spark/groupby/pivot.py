@@ -107,3 +107,24 @@ def crosstab(
     pivoted = (grouped.pivot(columns, pivot_vals) if pivot_vals is not None
                else grouped.pivot(columns)).agg(F.first("__cell"))
     return pivoted.orderBy(*index)
+
+
+def pivot_table(
+    df: DataFrame,
+    values: str | None = None,
+    index=None,
+    columns: str | None = None,
+    aggfunc: str = "mean",
+    margins: bool | str = False,
+    column_values: list | None = None,
+    dropna: bool = True,
+    mask=None,
+) -> DataFrame:
+    """pandas ``pivot_table`` argument order over the crosstab engine
+    (one cube/pivot pass — see :func:`crosstab`). pandas defaults apply:
+    ``aggfunc='mean'`` (crosstab defaults to counts)."""
+    if index is None or columns is None:
+        raise ValueError("pivot_table requires index= and columns=")
+    return crosstab(df, index, columns, values=values, aggfunc=aggfunc,
+                    mask=mask, margins=margins, column_values=column_values,
+                    dropna=dropna)

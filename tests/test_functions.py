@@ -88,3 +88,72 @@ class TestText:
         rows = tables["documents"].select(
             tx.quality_score("text").alias("q")).collect()
         assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+class TestQcut:
+    def test_matches_pandas(self, spark):
+        import pandas as pd
+        import numpy as np
+        from pandas_plus_spark.functions import qcut
+        rng = np.random.default_rng(9)
+        pdf = pd.DataFrame({"id": np.arange(400),
+                            "v": rng.integers(0, 1000, 400).astype("float64")})
+        pdf.loc[5, "v"] = None
+        sdf = spark.createDataFrame(pdf)
+        got = {r.id: r.v_qbin for r in qcut(sdf, "v", q=4).collect()}
+        want = pd.qcut(pdf.v, 4, labels=False, duplicates="drop")
+        for i in pdf.id:
+            if got[i] is None:
+                assert pd.isna(want[i])
+            else:
+                assert got[i] == want[i], i
+
+    def test_duplicate_edges_and_validation(self, spark):
+        import pytest as _pt
+        from pandas_plus_spark.functions import qcut
+        # heavy ties: most mass at one value -> duplicate quantile edges
+        sdf = spark.createDataFrame(
+            [(i, 5.0 if i < 90 else float(i)) for i in range(100)],
+            "id int, v double")
+        out = qcut(sdf, "v", q=4, output="b")
+        assert out.select("b").distinct().count() <= 4  # collapsed bins
+        with _pt.raises(ValueError, match="duplicate bin edges"):
+            qcut(sdf, "v", q=4, duplicates="raise")
+        with _pt.raises(ValueError, match="q must be"):
+            qcut(sdf, "v", q=1)
+
+    def test_approx_close_to_exact(self, spark):
+        import numpy as np
+        import pandas as pd
+        from pandas_plus_spark.functions import qcut
+        rng = np.random.default_rng(2)
+        pdf = pd.DataFrame({"id": np.arange(2000),
+                            "v": rng.random(2000)})
+        sdf = spark.createDataFrame(pdf)
+        exact = {r.id: r.v_qbin for r in qcut(sdf, "v", q=10).collect()}
+        approx = {r.id: r.v_qbin for r in
+                  qcut(sdf, "v", q=10, approx=True).collect()}
+        agree = sum(exact[i] == approx[i] for i in pdf.id) / len(pdf)
+        assert agree > 0.98  # sketch boundaries shift a few edge rows only
+
+
+class TestPivotTable:
+    def test_matches_pandas(self, spark):
+        import pandas as pd
+        from pandas_plus_spark import pivot_table
+        pdf = pd.DataFrame({
+            "r": ["x", "x", "y", "y", "y"],
+            "c": ["a", "b", "a", "a", "b"],
+            "v": [1.0, 2.0, 3.0, 5.0, 7.0],
+        })
+        sdf = spark.createDataFrame(pdf)
+        out = pivot_table(sdf, values="v", index="r", columns="c")
+        got = {r.r: (r.a, r.b) for r in out.collect()}
+        want = pdf.pivot_table(values="v", index="r", columns="c")
+        assert got["x"] == (1.0, 2.0)
+        assert got["y"] == (want.loc["y", "a"], 7.0)
+        # margins reuse the crosstab cube path
+        m = pivot_table(sdf, values="v", index="r", columns="c",
+                        aggfunc="sum", margins=True)
+        rows = {r.r: r for r in m.collect()}
+        assert rows["All"].All == 18.0

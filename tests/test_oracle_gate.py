@@ -62,6 +62,8 @@ SUBSET = [
     "resample_agg",
     "expanding_stats",
     "ewm_mean",
+    "qcut_deciles",
+    "pivot_table_mean",
 ]
 
 
