@@ -2091,6 +2091,65 @@ def _q_group_nlargest(spark, sf):
     return top.unionByName(bot)
 
 
+def _q_group_rank_methods(spark, sf):
+    """pandas GroupBy.rank methods (average/max/dense+pct) on heavily
+    tied quantities — single-window compositions (tie counts from a
+    per-value partition; the dense-pct denominator is the
+    dense_asc+dense_desc−1 distinct-count identity, no extra agg/join)."""
+    li = load_table(spark, sf, "lineitem")
+    base = li.select("l_orderkey", "l_linenumber", "l_returnflag",
+                     F.col("l_quantity").alias("qty"))
+    a = (GroupBy(base, "l_returnflag").rank("qty", method="average")
+         .withColumnRenamed("qty_rank", "avg_rank"))
+    b = (GroupBy(a, "l_returnflag").rank("qty", method="max")
+         .withColumnRenamed("qty_rank", "max_rank"))
+    c = (GroupBy(b, "l_returnflag").rank("qty", method="dense", pct=True)
+         .withColumnRenamed("qty_rank", "dense_pct"))
+    return c.select("l_orderkey", "l_linenumber", "l_returnflag", "qty",
+                    "avg_rank", "max_rank", F.round("dense_pct", 9).alias("dense_pct"))
+
+
+def _q_group_take(spark, sf):
+    """pandas GroupBy.take: events at in-group positions [0, 2, -1] in
+    event_id order — one forward + one backward ranking window over the
+    same keyed sort; out-of-range positions drop (nth's convention)."""
+    ev = load_table(spark, sf, "events")
+    g = GroupBy(ev.select("event_id", "event_type", "value"),
+                "event_type", order_by="event_id")
+    out = g.take([0, 2, -1])
+    return out.select("event_id", "event_type",
+                      F.round("value", 6).alias("value"))
+
+
+def _q_corrwith(spark, sf):
+    """pandas DataFrameGroupBy.corrwith: per-returnflag Pearson
+    correlation of quantity and discount with extendedprice — one
+    multi-column keyed agg pass (a corr expression per column)."""
+    li = load_table(spark, sf, "lineitem")
+    out = GroupBy(li, "l_returnflag").corrwith(
+        "l_extendedprice", ["l_quantity", "l_discount"])
+    return out.select(
+        "l_returnflag",
+        F.round("l_quantity_corr", 9).alias("qty_corr"),
+        F.round("l_discount_corr", 9).alias("disc_corr"))
+
+
+def _q_duplicated_flags(spark, sf):
+    """pandas DataFrame.duplicated with explicit order
+    (operators/dedup.py duplicated_flags): keep='first' and keep=False
+    flags over exact-content duplicates in doc_id order. The subset is
+    the sha2 content hash, so the exchange carries 32 bytes per row, not
+    the document body."""
+    docs = load_table(spark, sf, "documents")
+    hashed = docs.select(
+        "doc_id", F.sha2(F.col("text").cast("string"), 256).alias("h"))
+    first = dedup.duplicated_flags(hashed, "h", "doc_id", keep="first")
+    both = (dedup.duplicated_flags(first.withColumnRenamed(
+        "duplicated", "dup_first"), "h", "doc_id", keep=False)
+        .withColumnRenamed("duplicated", "dup_any"))
+    return both.select("doc_id", "dup_first", "dup_any")
+
+
 def _q_qcut_deciles(spark, sf):
     """Global quantile binning (functions.binning.qcut — pandas qcut):
     decile-bin document length. ONE aggregation computes all nine
@@ -3118,6 +3177,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_agg": _q_resample_agg,
         "qcut_deciles": _q_qcut_deciles,
         "pivot_table_mean": _q_pivot_table_mean,
+        "group_rank_methods": _q_group_rank_methods,
+        "group_take": _q_group_take,
+        "corrwith": _q_corrwith,
+        "duplicated_flags": _q_duplicated_flags,
         "expanding_stats": _q_expanding_stats,
         "ewm_mean": _q_ewm_mean,
         "group_ohlc": _q_group_ohlc,
@@ -4568,6 +4631,48 @@ def oracle_sql() -> dict[str, str]:
                               / (count(l_quantity) - 2))
                          / sqrt(count(l_quantity)), 9) AS sem_qty_ddof2
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "group_rank_methods": """
+            WITH d AS (
+                SELECT l_returnflag, count(DISTINCT l_quantity) AS nd
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                   l.l_quantity AS qty,
+                   rank() OVER w
+                     + (count(*) OVER (PARTITION BY l.l_returnflag,
+                                       l.l_quantity) - 1) / 2.0 AS avg_rank,
+                   CAST(rank() OVER w
+                     + count(*) OVER (PARTITION BY l.l_returnflag,
+                                      l.l_quantity) - 1 AS DOUBLE) AS max_rank,
+                   round(dense_rank() OVER w * 1.0 / d.nd, 9) AS dense_pct
+            FROM lineitem l JOIN d USING (l_returnflag)
+            WINDOW w AS (PARTITION BY l.l_returnflag ORDER BY l.l_quantity)
+        """,
+        "group_take": """
+            WITH r AS (
+                SELECT event_id, event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY event_id) AS rn,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY event_id DESC) AS rb
+                FROM events WHERE event_type IS NOT NULL
+            )
+            SELECT event_id, event_type, round(value, 6) AS value
+            FROM r WHERE rn IN (1, 3) OR rb = 1
+        """,
+        "corrwith": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 9) AS qty_corr,
+                   round(corr(l_discount, l_extendedprice), 9) AS disc_corr
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "duplicated_flags": """
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY text ORDER BY doc_id) > 1
+                       AS dup_first,
+                   count(*) OVER (PARTITION BY text) > 1 AS dup_any
+            FROM documents
         """,
         "qcut_deciles": """
             WITH b AS (

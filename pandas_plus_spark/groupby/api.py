@@ -31,6 +31,7 @@ _FORWARDED = (
     "skew", "kurt", "kurtosis", "ngroup", "ffill", "bfill",
     "nlargest", "nsmallest", "ohlc", "describe",
     "resample", "expanding", "ewm_mean", "rolling_time",
+    "rank", "take", "corrwith",
 )
 
 
@@ -82,7 +83,7 @@ class DataFrameGroupBy:
                                                "find_first_n", "find_last_n",
                                                "corr", "cov", "filter_groups",
                                                "ngroup", "resample", "expanding",
-                                               "nlargest", "nsmallest"):
+                                               "nlargest", "nsmallest", "take"):
             return target
 
         def bound(*args, **kwargs):

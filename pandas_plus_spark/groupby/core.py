@@ -1042,6 +1042,99 @@ class GroupBy:
             out = out.select(*self._keys, *self._order_by, *cols)
         return out
 
+    def rank(self, values=None, method: str = "average",
+             ascending: bool = True, pct: bool = False) -> DataFrame:
+        """Per-group value ranks — pandas ``GroupBy.rank``: methods
+        ``average``/``min``/``max``/``first``/``dense``; NULL values keep
+        NULL ranks (pandas ``na_option='keep'``) and don't count toward
+        ``pct`` denominators. ``first`` breaks ties by ``order_by``
+        position (required for it — appearance order is undefined on an
+        unordered distributed table). Output ``{col}_rank``.
+
+        All methods are single-window compositions (rank/dense_rank/
+        row_number; average/max add the tie count from a per-value
+        partition count) — one keyed sort, no join, codegen throughout."""
+        if method not in ("average", "min", "max", "first", "dense"):
+            raise ValueError(f"unknown rank method {method!r}")
+        cols = self._numeric_values(values)
+        out = self._base()
+        for c in cols:
+            v = F.col(c)
+            order = v.asc_nulls_last() if ascending else v.desc_nulls_last()
+            w = Window.partitionBy(*self._keys).orderBy(order)
+            if method == "first":
+                if not self._order_by:
+                    raise ValueError("rank(method='first') requires order_by")
+                tie = [F.col(o) for o in self._order_by]
+                r = F.row_number().over(
+                    Window.partitionBy(*self._keys).orderBy(order, *tie))
+            elif method == "dense":
+                r = F.dense_rank().over(w)
+            elif method == "min":
+                r = F.rank().over(w)
+            else:
+                ties = F.count(v).over(Window.partitionBy(*self._keys, v))
+                if method == "max":
+                    r = F.rank().over(w) + ties - 1
+                else:  # average
+                    r = F.rank().over(w) + (ties - 1) / 2
+            r = F.when(v.isNotNull(), r.cast("double"))
+            if pct:
+                if method == "dense":
+                    # pandas divides dense ranks by the DISTINCT value
+                    # count; windows can't count-distinct, but
+                    # dense_asc + dense_desc − 1 == n_distinct at every
+                    # non-null row (same single exchange)
+                    rev = (v.desc_nulls_last() if ascending
+                           else v.asc_nulls_last())
+                    nd = (F.dense_rank().over(w)
+                          + F.dense_rank().over(
+                              Window.partitionBy(*self._keys).orderBy(rev))
+                          - 1)
+                    r = r / nd
+                else:
+                    nn = F.count(v).over(Window.partitionBy(*self._keys))
+                    r = r / nn
+            out = out.withColumn(f"{c}_rank", r)
+        return out
+
+    def take(self, positions: Sequence[int], values=None) -> DataFrame:
+        """Rows at the given 0-based in-group positions, in ``order_by``
+        order — pandas ``GroupBy.take``. Negative positions count from
+        the end; out-of-range positions drop out (pandas raises — the
+        distributed engine follows nth's out-of-bounds-drop convention).
+        One ranking window (forward + backward only if needed)."""
+        pos = list(positions)
+        cols = self._numeric_values(values) if values is not None else None
+        df = self._base()
+        fwd = sorted({p + 1 for p in pos if p >= 0})
+        bwd = sorted({-p for p in pos if p < 0})
+        conds = []
+        if fwd:
+            df = df.withColumn("__rn", F.row_number().over(self._rank_window()))
+            conds.append(F.col("__rn").isin(fwd))
+        if bwd:
+            df = df.withColumn("__rb", F.row_number().over(
+                self._rank_window(descending=True)))
+            conds.append(F.col("__rb").isin(bwd))
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        out = df.filter(cond).drop("__rn", "__rb")
+        if cols is not None:
+            out = out.select(*self._keys, *self._order_by, *cols)
+        return out
+
+    def corrwith(self, target: str, values=None, mask=None) -> DataFrame:
+        """Pearson correlation of each value column with ``target`` per
+        group — pandas ``DataFrameGroupBy.corrwith`` (Series other): one
+        multi-column keyed agg pass (a corr expression per column, pairwise
+        null/mask drops like :meth:`corr`). Output ``{col}_corr``."""
+        cols = [c for c in self._numeric_values(values) if c != target]
+        exprs = [self._agg_expr("corr", (c, target), mask).alias(f"{c}_corr")
+                 for c in cols]
+        return self._finish(self._base().groupBy(*self._keys).agg(*exprs))
+
     def nlargest(self, n: int, column: str, salt: int | None = None) -> DataFrame:
         """Rows holding the ``n`` largest values of ``column`` per group —
         pandas ``SeriesGroupBy.nlargest`` with the whole row kept. NULLs

@@ -60,6 +60,31 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def duplicated_flags(df: DataFrame, subset, order_by,
+                     keep: str = "first") -> DataFrame:
+    """Per-row duplicate flag — pandas ``DataFrame.duplicated(subset,
+    keep)`` with the row order explicit: ``keep='first'`` marks every
+    occurrence after the first (in ``order_by`` order) True,
+    ``keep='last'`` mirrors it, ``keep=False`` marks ALL members of any
+    duplicated key group. Adds a boolean ``duplicated`` column.
+
+    Scale shape: one ranking window partitioned by the subset hash
+    (sha2 of the concatenated subset for wide/text subsets would be the
+    variant — here the subset columns themselves key the exchange, one
+    shuffle); keep=False uses a per-key count instead of a rank — same
+    single exchange."""
+    subset = [subset] if isinstance(subset, str) else list(subset)
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    if keep is False or keep == "false":
+        n = F.count(F.lit(1)).over(Window.partitionBy(*subset))
+        return df.withColumn("duplicated", n > 1)
+    if keep not in ("first", "last"):
+        raise ValueError("keep must be 'first', 'last' or False")
+    cols = [F.col(o).desc() if keep == "last" else F.col(o) for o in order]
+    rn = F.row_number().over(Window.partitionBy(*subset).orderBy(*cols))
+    return df.withColumn("duplicated", rn > 1)
+
+
 # --------------------------------------------------------------------- #
 # MinHash + LSH
 # --------------------------------------------------------------------- #

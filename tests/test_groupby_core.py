@@ -1012,3 +1012,86 @@ class TestEwmMean:
             GroupBy(sdf, "k", order_by="o").ewm_mean("v", alpha=1.5)
         with _pt.raises(ValueError, match="order_by"):
             GroupBy(sdf, "k").ewm_mean("v", alpha=0.5)
+
+class TestRankMethods:
+    def test_all_methods_match_pandas(self, spark):
+        import pandas as pd
+        import numpy as np
+        rng = np.random.default_rng(4)
+        pdf = pd.DataFrame({
+            "k": rng.choice(["a", "b"], 50),
+            "o": np.arange(50),
+            "v": np.where(rng.random(50) < 0.2, np.nan,
+                          rng.integers(0, 8, 50).astype("float64")),
+        })
+        sdf = spark.createDataFrame(pdf)
+        g = GroupBy(sdf, "k", order_by="o")
+        for method in ("average", "min", "max", "first", "dense"):
+            for asc in (True, False):
+                for pct in (False, True):
+                    got = {(r.k, r.o): r.v_rank for r in
+                           g.rank("v", method=method, ascending=asc,
+                                  pct=pct).collect()}
+                    want = pdf.groupby("k").v.rank(
+                        method=method, ascending=asc, pct=pct)
+                    for i in pdf.index:
+                        key = (pdf.k[i], pdf.o[i])
+                        if got[key] is None:
+                            assert pd.isna(want[i]), (method, asc, pct, key)
+                        else:
+                            assert abs(got[key] - want[i]) < 1e-12, \
+                                (method, asc, pct, key)
+
+    def test_validation(self, spark):
+        import pytest as _pt
+        sdf = spark.createDataFrame([("a", 0, 1.0)], "k string, o int, v double")
+        with _pt.raises(ValueError, match="rank method"):
+            GroupBy(sdf, "k").rank("v", method="bogus")
+        with _pt.raises(ValueError, match="order_by"):
+            GroupBy(sdf, "k").rank("v", method="first")
+
+
+class TestTakeCorrwith:
+    def test_take_positions(self, spark):
+        sdf = spark.createDataFrame(
+            [("a", i, float(i * 10)) for i in range(5)]
+            + [("b", i, float(i)) for i in range(2)],
+            "k string, o int, v double")
+        g = GroupBy(sdf, "k", order_by="o")
+        got = sorted((r.k, r.o) for r in g.take([0, 2, -1]).collect())
+        # a: positions 0,2,last(4); b: 0, last(1); position 2 OOB for b drops
+        assert got == [("a", 0), ("a", 2), ("a", 4), ("b", 0), ("b", 1)]
+
+    def test_corrwith_matches_pandas(self, spark):
+        import pandas as pd
+        import numpy as np
+        rng = np.random.default_rng(8)
+        pdf = pd.DataFrame({
+            "k": rng.choice(["a", "b"], 80),
+            "t": rng.random(80),
+            "x": rng.random(80),
+            "y": rng.random(80),
+        })
+        sdf = spark.createDataFrame(pdf)
+        out = {r.k: (r.x_corr, r.y_corr) for r in
+               GroupBy(sdf, "k").corrwith("t", ["x", "y"]).collect()}
+        for k in ("a", "b"):
+            sub = pdf[pdf.k == k]
+            assert abs(out[k][0] - sub.x.corr(sub.t)) < 1e-12
+            assert abs(out[k][1] - sub.y.corr(sub.t)) < 1e-12
+
+
+class TestDuplicatedFlags:
+    def test_matches_pandas(self, spark):
+        import pandas as pd
+        from pandas_plus_spark.operators import duplicated_flags
+        pdf = pd.DataFrame({
+            "o": range(7),
+            "u": ["p", "q", "p", "r", "q", "p", "s"],
+        })
+        sdf = spark.createDataFrame(pdf)
+        for keep in ("first", "last", False):
+            got = {r.o: r.duplicated for r in
+                   duplicated_flags(sdf, "u", "o", keep=keep).collect()}
+            want = pdf.duplicated("u", keep=keep)
+            assert got == {i: bool(want[i]) for i in pdf.o}, keep

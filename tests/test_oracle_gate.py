@@ -64,6 +64,10 @@ SUBSET = [
     "ewm_mean",
     "qcut_deciles",
     "pivot_table_mean",
+    "group_rank_methods",
+    "group_take",
+    "corrwith",
+    "duplicated_flags",
 ]
 
 
