@@ -77,6 +77,12 @@ HEADLINE = [
     # production pair source is the measured minhash pipeline)
     "token_budget",
     "quantile_calibration",
+    # round-7 continuation: pandas-parity sweep representatives (the keyed
+    # fill windows, the one Python-kernel seam, and the zero-shuffle
+    # calibrate-then-map binning)
+    "group_fill",
+    "ewm_mean",
+    "qcut_deciles",
 ]
 
 
