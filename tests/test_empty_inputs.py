@@ -144,3 +144,32 @@ class TestEmptySelectionOps:
         from pandas_plus_spark.functions.ordered import grouped_cumsum
         e = spark.createDataFrame([], "rid long, g string, v double")
         assert grouped_cumsum(e, ["g"], ["rid"], "v").count() == 0
+
+
+class TestEmptyParitySweep:
+    """Round-7 continuation pandas-parity operators on empty inputs."""
+
+    def test_groupby_extras(self, empty_nums):
+        g = GroupBy(empty_nums, "k", order_by="t")
+        assert g.skew("v").count() == 0
+        assert g.kurt("v").count() == 0
+        assert g.ngroup().count() == 0
+        assert g.ffill("v").count() == 0
+        assert g.bfill("v", limit=2).count() == 0
+        assert g.ohlc("v").count() == 0
+        assert g.describe("v").count() == 0
+        assert g.nlargest(3, "v").count() == 0
+        assert g.rank("v").count() == 0
+        assert g.take([0, -1]).count() == 0
+        assert g.corrwith("t", ["v"]).count() == 0
+        assert g.expanding().mean("v").count() == 0
+        assert g.ewm_mean("v", alpha=0.5).count() == 0
+
+    def test_resample_qcut_duplicated(self, spark, empty_nums):
+        ts = spark.createDataFrame([], "k long, ts timestamp, v double")
+        assert GroupBy(ts, "k").resample("ts", "1h").sum("v").count() == 0
+        from pandas_plus_spark.functions import qcut
+        # empty frame: no boundaries survive; all (zero) rows pass through
+        assert qcut(empty_nums, "v", q=4).count() == 0
+        from pandas_plus_spark.operators import duplicated_flags
+        assert duplicated_flags(empty_nums, "k", "t").count() == 0
