@@ -5,7 +5,7 @@ from .encoding import bools_to_categorical, linear_combination
 from .masks import bool_array_mask, index_mask, slice_mask
 from .sketches import merge_sketches, nunique_sketches, sketch_estimate
 from .ordered import (global_cumsum, global_ntile, global_rank_cumsum,
-                      grouped_cumsum,
+                      grouped_cumsum, grouped_ffill,
                       global_row_number, global_shift)
 from .text import (
     let,
@@ -29,6 +29,7 @@ __all__ = [
     "global_row_number",
     "global_cumsum",
     "grouped_cumsum",
+    "grouped_ffill",
     "global_shift",
     "global_ntile",
     "global_rank_cumsum",

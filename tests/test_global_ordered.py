@@ -209,3 +209,47 @@ class TestGroupedCumsum:
         assert m[500] is None and m[502] is None
         assert m[3] == 1.0 and m[499] == 497.0
         assert m[999] == 497.0
+
+
+class TestGroupedFfill:
+    """grouped_ffill = the per-group last-non-null window, bit-for-bit, at
+    any partition count — groups spanning many range partitions, NULL group
+    keys, all-null partitions in the middle of a group."""
+
+    @pytest.fixture(scope="class")
+    def fframe(self, spark):
+        rows = []
+        for i in range(1200):
+            g = ["a", "b", None][i % 3] if i % 7 else None
+            # long null runs so fills must cross partition boundaries
+            rows.append((i, g, float(i) if i % 17 == 0 else None))
+        return spark.createDataFrame(rows, "rid long, g string, v double")
+
+    @pytest.mark.parametrize("n", PARTS)
+    def test_matches_grouped_window(self, fframe, n):
+        from pandas_plus_spark.functions.ordered import grouped_ffill
+        got = grouped_ffill(fframe, ["g"], ["rid"], "v", out="f",
+                            num_partitions=n)
+        w = (Window.partitionBy("g").orderBy("rid")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        want = fframe.withColumn("f", F.last("v", ignorenulls=True).over(w))
+        gm = {r.rid: r.f for r in got.collect()}
+        wm = {r.rid: r.f for r in want.collect()}
+        assert gm == wm
+
+    def test_all_null_prefix_and_span(self, spark):
+        from pandas_plus_spark.functions.ordered import grouped_ffill
+        # one observation at rid=700 in a 2-group frame over 16 range
+        # partitions: every g1 row before it NULL, every one after 700.0;
+        # whole partitions between observations are all-null and must be
+        # skipped by the carry
+        rows = [(i, "g0" if i < 500 else "g1",
+                 700.0 if i == 700 else (5.0 if i == 5 else None))
+                for i in range(1000)]
+        df = spark.createDataFrame(rows, "rid long, g string, v double")
+        m = {r.rid: r.f for r in grouped_ffill(
+            df, ["g"], ["rid"], "v", out="f", num_partitions=16).collect()}
+        assert m[0] is None and m[4] is None
+        assert m[5] == 5.0 and m[499] == 5.0
+        assert m[500] is None and m[699] is None
+        assert m[700] == 700.0 and m[999] == 700.0
