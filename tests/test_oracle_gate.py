@@ -68,6 +68,7 @@ SUBSET = [
     "group_take",
     "corrwith",
     "duplicated_flags",
+    "group_ffill_scale",
 ]
 
 
