@@ -2062,6 +2062,22 @@ def _q_group_ffill_scale(spark, sf):
                       F.round("v_f", 6).alias("v_f"))
 
 
+def _q_group_take_scale(spark, sf):
+    """Scale-path GroupBy.take (functions.ordered.grouped_take): ONE
+    grouped_row_number pass (range partition + broadcast (partition,
+    group) count frame) serves both forward and negative positions via
+    backward = size − rn + 1 — vs the window form's one-task-per-group
+    sort TWICE (forward + descending) when negatives are requested
+    (group_take measured mildly superlinear at sf100, exponent 1.11 —
+    BASELINE.md third-decade table). Same positions as group_take."""
+    ev = load_table(spark, sf, "events")
+    out = ordered.grouped_take(
+        ev.select("event_id", "event_type", "value"),
+        ["event_type"], ["event_id"], [0, 2, -1], num_partitions=8)
+    return out.select("event_id", "event_type",
+                      F.round("value", 6).alias("value"))
+
+
 def _q_group_ohlc(spark, sf):
     """pandas GroupBy.ohlc (parity extra): per event_type, the first/
     max/min/last of value in event_id order — one keyed agg pass (the
@@ -3208,6 +3224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_describe": _q_group_describe,
         "group_nlargest": _q_group_nlargest,
         "group_ffill_scale": _q_group_ffill_scale,
+        "group_take_scale": _q_group_take_scale,
     }
 
 
@@ -4847,6 +4864,18 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ), 6) AS v_f
             FROM events
+        """,
+        "group_take_scale": """
+            WITH r AS (
+                SELECT event_id, event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS sz
+                FROM events
+            )
+            SELECT event_id, event_type, round(value, 6) AS value
+            FROM r
+            WHERE rn IN (1, 3) OR sz - rn + 1 = 1
         """,
         "group_skew_kurt": """
             SELECT l_returnflag,

@@ -174,6 +174,95 @@ def grouped_cumsum(
     return attach_cached(out_df, local)
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_by,
+    order_by,
+    out: str = "rn",
+    size: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based per-group row number in ``order_by`` order — the grouped
+    generalization of :func:`global_row_number` for FEW, HUGE groups
+    (``Window.partitionBy(group)`` numbers each group in ONE task;
+    measured superlinear on 100M rows / 5 groups, BASELINE.md third-decade
+    table). Optionally also emits the group size as ``size`` — backward
+    position = size − rn + 1, which is what take/nth negative indexing
+    needs without a second (descending) corpus sort.
+
+    Range partition on ``(group, order)``; local row_number per
+    ``(partition, group)``; ONE tiny count row per (partition, group)
+    yields both the prefix offset and the group total, broadcast back."""
+    gnames = [group_by] if isinstance(group_by, str) else list(group_by)
+    gcols = [F.col(c) for c in gnames]
+    ocols = _order_cols(order_by)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    rp = df.repartitionByRange(n, *gcols, *ocols).withColumn(
+        "__pid", F.spark_partition_id())
+    # pinned: the rows and the per-(pid, group) counts must see the SAME
+    # sampled range boundaries (the global_row_number two-branch hazard)
+    local = rp.withColumn(
+        "__lrn",
+        F.row_number().over(Window.partitionBy("__pid", *gcols).orderBy(*ocols))
+    ).persist()
+    counts = local.groupBy("__pid", *gcols).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (Window.partitionBy(*gcols).orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_tot = (Window.partitionBy(*gcols)
+             .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    offs = counts.select(
+        F.col("__pid").alias("__opid"),
+        *[F.col(g).alias(f"__og_{i}") for i, g in enumerate(gnames)],
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_tot).alias("__tot"))
+    cond = F.col("__pid") == F.col("__opid")
+    for i, g in enumerate(gnames):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{i}"))
+    out_df = (
+        local.join(F.broadcast(offs), cond)
+        .withColumn(out, (F.col("__lrn") + F.col("__off")).cast("long"))
+    )
+    if size is not None:
+        out_df = out_df.withColumn(size, F.col("__tot").cast("long"))
+    out_df = out_df.drop("__pid", "__lrn", "__off", "__tot", "__opid",
+                         *[f"__og_{i}" for i in range(len(gnames))])
+    return attach_cached(out_df, local)
+
+
+def grouped_take(
+    df: DataFrame,
+    group_by,
+    order_by,
+    positions,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Rows at the given 0-based in-group positions (negatives from the
+    end) in ``order_by`` order — ``GroupBy.take`` semantics (out-of-range
+    drops) at few-huge-groups scale. One :func:`grouped_row_number` pass
+    with group sizes supplies BOTH directions: the window form needs a
+    second full descending sort for negative positions; here backward
+    position = size − rn + 1 is free.
+
+    NULL group keys form a group like any other (the functions.ordered
+    convention, matching SQL window PARTITION BY); ``GroupBy.take``
+    follows pandas ``dropna=True`` and excludes them — pre-filter
+    ``df.filter(col(g).isNotNull())`` for exact GroupBy parity."""
+    pos = list(positions)
+    fwd = sorted({p + 1 for p in pos if p >= 0})
+    bwd = sorted({-p for p in pos if p < 0})
+    rn = grouped_row_number(df, group_by, order_by, out="__grn",
+                            size="__gsz", num_partitions=num_partitions)
+    conds = []
+    if fwd:
+        conds.append(F.col("__grn").isin(fwd))
+    if bwd:
+        conds.append((F.col("__gsz") - F.col("__grn") + 1).isin(bwd))
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    return rn.filter(cond).drop("__grn", "__gsz")
+
+
 def grouped_ffill(
     df: DataFrame,
     group_by,

@@ -253,3 +253,62 @@ class TestGroupedFfill:
         assert m[5] == 5.0 and m[499] == 5.0
         assert m[500] is None and m[699] is None
         assert m[700] == 700.0 and m[999] == 700.0
+
+
+class TestGroupedRowNumberTake:
+    """grouped_row_number/grouped_take = the per-group ranking window,
+    bit-for-bit, at any partition count — groups spanning many range
+    partitions, NULL group keys, negative/out-of-range positions."""
+
+    @pytest.fixture(scope="class")
+    def gframe(self, spark):
+        rows = [(i, ["a", "b", None][i % 3] if i % 11 else None, float(i))
+                for i in range(1500)]
+        return spark.createDataFrame(rows, "rid long, g string, v double")
+
+    @pytest.mark.parametrize("n", PARTS)
+    def test_row_number_matches_window(self, gframe, n):
+        from pandas_plus_spark.functions.ordered import grouped_row_number
+        got = grouped_row_number(gframe, ["g"], ["rid"], out="rn",
+                                 size="sz", num_partitions=n)
+        w = Window.partitionBy("g").orderBy("rid")
+        wc = Window.partitionBy("g")
+        want = (gframe.withColumn("rn", F.row_number().over(w))
+                .withColumn("sz", F.count(F.lit(1)).over(
+                    wc.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing))))
+        gm = {r.rid: (r.rn, r.sz) for r in got.collect()}
+        wm = {r.rid: (r.rn, r.sz) for r in want.collect()}
+        assert gm == wm
+
+    @pytest.mark.parametrize("n", [2, 16])
+    def test_take_matches_groupby_take(self, gframe, n, spark):
+        from pandas_plus_spark.functions.ordered import grouped_take
+        from pandas_plus_spark import GroupBy
+        pos = [0, 2, -1, -3, 10_000]  # out-of-range position must drop
+        got = grouped_take(gframe, ["g"], ["rid"], pos, num_partitions=n)
+        # GroupBy.take is pandas dropna=True; the ordered family keeps the
+        # NULL group (SQL PARTITION BY convention) — compare on the
+        # non-null side, then pin the NULL group against the window form
+        want = GroupBy(gframe, "g", order_by="rid").take(pos)
+        gs = sorted(r.rid for r in got.filter(F.col("g").isNotNull()).collect())
+        ws = sorted(r.rid for r in want.collect())
+        assert gs == ws and len(gs) > 0
+        w = Window.partitionBy("g").orderBy("rid")
+        wd = Window.partitionBy("g").orderBy(F.col("rid").desc())
+        wref = (gframe.withColumn("rn", F.row_number().over(w))
+                .withColumn("rb", F.row_number().over(wd))
+                .filter(F.col("rn").isin([1, 3]) | F.col("rb").isin([1, 3]))
+                .filter(F.col("g").isNull()))
+        assert (sorted(r.rid for r in got.filter(F.col("g").isNull()).collect())
+                == sorted(r.rid for r in wref.collect()))
+
+    def test_single_row_groups(self, spark):
+        from pandas_plus_spark.functions.ordered import grouped_take
+        df = spark.createDataFrame(
+            [(i, f"g{i}", float(i)) for i in range(40)],
+            "rid long, g string, v double")
+        # every group has exactly one row: positions 0 and -1 both hit it,
+        # dedup through the OR filter keeps it once
+        got = grouped_take(df, ["g"], ["rid"], [0, -1], num_partitions=8)
+        assert sorted(r.rid for r in got.collect()) == list(range(40))

@@ -69,6 +69,7 @@ SUBSET = [
     "corrwith",
     "duplicated_flags",
     "group_ffill_scale",
+    "group_take_scale",
 ]
 
 
