@@ -41,6 +41,7 @@ the compute path, no row-at-a-time Python UDFs.
 from __future__ import annotations
 
 import functools
+import math
 import re
 import types
 import warnings
@@ -1685,39 +1686,135 @@ class GroupBy:
         return GroupByExpanding(self, min_periods)
 
     def ewm_mean(self, values=None, *, alpha: float, adjust: bool = True,
-                 ignore_na: bool = False) -> DataFrame:
+                 ignore_na: bool = False, method: str = "auto") -> DataFrame:
         """Exponentially weighted mean per group in ``order_by`` order —
         pandas ``GroupBy.ewm(alpha=...).mean()``. Output ``{col}_ewm``.
 
-        An EWM is an inherently sequential per-group recurrence
-        (y_t depends on y_{t-1}), so this runs pandas' vectorized C
-        kernel per group via Arrow-batched ``applyInPandas``: groups are
-        parallel across executors, within-group is one vectorized pass,
-        memory is one group's columns (the documented GROUPED_MAP seam —
-        same contract as :meth:`apply`). A fully declarative
-        decomposition exists (segmented pow-rescaled scans) but trades
-        numeric exactness for overflow management; the kernel path is
-        bit-faithful to pandas. For FEW/HUGE groups note the truncation
-        property: weights decay by (1−alpha) per row, so a trailing
-        window of ~log(1e-16)/log(1−alpha) rows reproduces the exact
-        value to double precision if a bounded-frame variant is needed."""
+        ``method="scan"`` (the default via ``"auto"`` when
+        ``adjust=True``) is fully declarative — whole-stage-codegen
+        windows, no Python seam. The recurrence decomposes because (a)
+        the adjusted EWM is a ratio of geometric-weighted prefix sums,
+        computed per fixed-length chunk with the weights rescaled to the
+        chunk origin (chunk length L chosen so the rescale factor stays
+        ≤ ~1e17 — overflow-safe by construction — and the carry past the
+        previous chunk is < (1−alpha)^L < 1e-17 relative, i.e. below
+        double epsilon: one lag-1 carry from a corpus/L-sized chunk
+        frame is exact to double precision); and (b) at a null row both
+        numerator and denominator scale by the same (1−alpha) power, so
+        the value is EXACTLY the previous row's — a per-group forward
+        fill. Measured 207.8 s → JVM-side on 100M rows (BASELINE.md).
+
+        ``method="kernel"`` (the default when ``adjust=False``, whose
+        renormalized recurrence does not reduce to one prefix ratio)
+        runs pandas' vectorized C kernel per group via Arrow-batched
+        ``applyInPandas``: groups parallel, one C pass each, memory one
+        group's columns (the documented GROUPED_MAP seam — same
+        contract as :meth:`apply`)."""
         if not self._order_by:
             raise ValueError("ewm_mean requires order_by")
         if not (0.0 < alpha <= 1.0):
             raise ValueError("alpha must be in (0, 1]")
+        if method not in ("auto", "scan", "kernel"):
+            raise ValueError("method must be auto, scan or kernel")
+        if method == "scan" and not adjust:
+            raise ValueError("method='scan' supports adjust=True only")
         cols = self._numeric_values(values)
-        schema = T.StructType(
-            list(self._df.schema.fields)
-            + [T.StructField(f"{c}_ewm", T.DoubleType()) for c in cols])
+        if method == "kernel" or (method == "auto" and not adjust):
+            schema = T.StructType(
+                list(self._df.schema.fields)
+                + [T.StructField(f"{c}_ewm", T.DoubleType()) for c in cols])
 
-        def fn(pdf):
+            def fn(pdf):
+                for c in cols:
+                    pdf[f"{c}_ewm"] = (
+                        pdf[c].ewm(alpha=alpha, adjust=adjust,
+                                   ignore_na=ignore_na).mean())
+                return pdf
+
+            return self.apply(fn, schema)
+        return self._ewm_mean_scan(cols, alpha, ignore_na)
+
+    def _ewm_mean_scan(self, cols, alpha: float, ignore_na: bool) -> DataFrame:
+        base = self._base()
+        ocols = [F.col(o) for o in self._order_by]
+        w_pos = Window.partitionBy(*self._keys).orderBy(*ocols)
+        w_cum = w_pos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        r = 1.0 - alpha
+        if r == 0.0:
+            # alpha=1: only the current observation weighs; nulls carry
+            out = base
             for c in cols:
-                pdf[f"{c}_ewm"] = (
-                    pdf[c].ewm(alpha=alpha, adjust=adjust,
-                               ignore_na=ignore_na).mean())
-            return pdf
-
-        return self.apply(fn, schema)
+                out = out.withColumn(
+                    f"{c}_ewm",
+                    F.last(F.col(c).cast("double"), ignorenulls=True).over(w_cum))
+            return out
+        # r^L < 1e-17 → the lag-1 chunk carry is exact to double
+        # precision; r^-(L-1) ≤ ~1e17 → the rescaled prefix never overflows
+        L = max(8, int(math.ceil(-17.0 * math.log(10.0) / math.log(r))))
+        df = base
+        for c in cols:
+            x = F.col(c).cast("double")
+            nn = x.isNotNull()
+            if ignore_na:
+                # weight exponent counts the column's non-null steps
+                p = F.sum(nn.cast("long")).over(w_cum) - F.lit(1)
+            else:
+                p = F.row_number().over(w_pos).cast("long") - F.lit(1)
+            # p < 0 only at leading-null rows under ignore_na (ffilled
+            # to null anyway) — clamp so pow/chunk math stays finite
+            p = F.greatest(p, F.lit(0))
+            df = (df.withColumn(f"__c_{c}", F.floor(p / F.lit(L)))
+                  .withColumn(f"__w_{c}",
+                              F.pow(F.lit(r), -(p % F.lit(L)).cast("double")))
+                  .withColumn(f"__z_{c}", F.col(f"__w_{c}") * x)
+                  .withColumn(f"__zw_{c}",
+                              F.when(nn, F.col(f"__w_{c}")).otherwise(F.lit(0.0))))
+        # within-chunk geometric prefix sums (one WindowExec per column's
+        # chunk id; for ignore_na=False all columns share one chunk id
+        # expression and Catalyst collapses the specs)
+        for c in cols:
+            w_chunk = (Window.partitionBy(*self._keys, f"__c_{c}")
+                       .orderBy(*ocols)
+                       .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            df = (df.withColumn(f"__S_{c}", F.sum(f"__z_{c}").over(w_chunk))
+                  .withColumn(f"__W_{c}", F.sum(f"__zw_{c}").over(w_chunk)))
+        # corpus/L-sized chunk-total frame → lag-1 carry, joined back on
+        # (keys, chunk) with the key shifted by one chunk (chunk ids are
+        # contiguous per group, so "previous chunk" is an exact join; AQE
+        # broadcasts the frame — n/L rows of scalars). The in-chunk
+        # rescale r^i cancels in the num/den ratio, so the value is
+        # (S + r·EndN_prev) / (W + r·EndW_prev) with EndX_prev = the
+        # previous chunk's totals re-expressed at its end (· r^(L−1));
+        # the carry's own inherited carry is < r^L relative — dropped.
+        out = df
+        end_scale = float(r ** (L - 1))
+        for c in cols:
+            totals = (df.groupBy(*self._keys, f"__c_{c}")
+                      .agg(F.sum(f"__z_{c}").alias("__tn"),
+                           F.sum(f"__zw_{c}").alias("__tw")))
+            carry = totals.select(
+                *[F.col(k).alias(f"__k_{i}") for i, k in enumerate(self._keys)],
+                (F.col(f"__c_{c}") + 1).alias("__nc"),
+                (F.lit(end_scale) * F.col("__tn")).alias("__pn"),
+                (F.lit(end_scale) * F.col("__tw")).alias("__pw"))
+            cond = F.col(f"__c_{c}") == F.col("__nc")
+            for i, k in enumerate(self._keys):
+                cond = cond & F.col(k).eqNullSafe(F.col(f"__k_{i}"))
+            out = out.join(carry, cond, "left")
+            num = F.col(f"__S_{c}") + F.lit(r) * F.coalesce("__pn", F.lit(0.0))
+            den = F.col(f"__W_{c}") + F.lit(r) * F.coalesce("__pw", F.lit(0.0))
+            # den > 0 iff any observation within the current or previous
+            # chunk; beyond that the true EWM is constant across the null
+            # run (num and den decay identically), so the final per-group
+            # forward fill is exact, and leading nulls stay null
+            val = F.when(den > F.lit(0.0), num / den)
+            out = out.withColumn(
+                f"{c}_ewm", F.last(val, ignorenulls=True).over(w_cum))
+            out = out.drop("__nc", "__pn", "__pw",
+                           *[f"__k_{i}" for i in range(len(self._keys))],
+                           f"__c_{c}", f"__w_{c}", f"__z_{c}", f"__zw_{c}",
+                           f"__S_{c}", f"__W_{c}")
+        return out
 
     def filter_groups(self, predicate: Column) -> DataFrame:
         """Rows of the groups whose AGGREGATE predicate holds — pandas

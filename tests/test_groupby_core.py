@@ -1012,6 +1012,69 @@ class TestEwmMean:
             GroupBy(sdf, "k", order_by="o").ewm_mean("v", alpha=1.5)
         with _pt.raises(ValueError, match="order_by"):
             GroupBy(sdf, "k").ewm_mean("v", alpha=0.5)
+        with _pt.raises(ValueError, match="adjust"):
+            GroupBy(sdf, "k", order_by="o").ewm_mean(
+                "v", alpha=0.5, adjust=False, method="scan")
+
+    def test_scan_multichunk_matches_pandas(self, spark):
+        """The scan path's chunk machinery: 600 rows/group at alpha=0.5
+        (L=57) crosses ~10 chunk boundaries; a 200-row null gap (>> L)
+        exercises the exact-forward-fill regime; leading nulls stay null."""
+        import pandas as pd
+        import numpy as np
+        rng = np.random.default_rng(23)
+        n = 1200
+        v = rng.standard_normal(n) * 100
+        v[:7] = np.nan                      # leading nulls in group 0 slice
+        v[300:500] = np.nan                 # long gap spanning many chunks
+        v[rng.random(n) < 0.15] = np.nan    # scattered nulls
+        pdf = pd.DataFrame({"k": np.arange(n) % 2, "o": np.arange(n), "v": v})
+        sdf = spark.createDataFrame(pdf)
+        for alpha, ignore_na in ((0.5, False), (0.5, True), (0.02, False)):
+            got = {(r.k, r.o): r.v_ewm for r in
+                   (GroupBy(sdf, "k", order_by="o")
+                    .ewm_mean("v", alpha=alpha, ignore_na=ignore_na,
+                              method="scan").collect())}
+            want = pdf.groupby("k").apply(
+                lambda s: s.sort_values("o").v.ewm(
+                    alpha=alpha, ignore_na=ignore_na).mean(),
+                include_groups=False)
+            for (k, i) in want.index:
+                w, gv = want.loc[(k, i)], got[(k, pdf.o[i])]
+                if gv is None or pd.isna(gv):
+                    assert pd.isna(w), (alpha, ignore_na, k, i)
+                else:
+                    assert abs(gv - w) <= 1e-9 * max(1.0, abs(w)), \
+                        (alpha, ignore_na, k, i, gv, w)
+
+    def test_scan_equals_kernel(self, spark):
+        """method='scan' and method='kernel' agree on the same frame
+        (incl. alpha=1 and a multi-column pass)."""
+        import pandas as pd
+        import numpy as np
+        rng = np.random.default_rng(5)
+        pdf = pd.DataFrame({
+            "k": rng.choice(["x", "y", "z"], 400),
+            "o": np.arange(400),
+            "a": np.where(rng.random(400) < 0.2, np.nan, rng.random(400)),
+            "b": rng.standard_normal(400),
+        })
+        sdf = spark.createDataFrame(pdf)
+        for alpha in (0.3, 1.0):
+            g = GroupBy(sdf, "k", order_by="o")
+            s = {(r.k, r.o): (r.a_ewm, r.b_ewm) for r in
+                 g.ewm_mean(["a", "b"], alpha=alpha, method="scan").collect()}
+            kq = {(r.k, r.o): (r.a_ewm, r.b_ewm) for r in
+                  g.ewm_mean(["a", "b"], alpha=alpha, method="kernel").collect()}
+            assert set(s) == set(kq)
+            for key, (sa, sb) in s.items():
+                ka, kb = kq[key]
+                for x, y in ((sa, ka), (sb, kb)):
+                    if x is None or pd.isna(x):
+                        assert y is None or pd.isna(y), (alpha, key)
+                    else:
+                        assert abs(x - y) <= 1e-9 * max(1.0, abs(y)), \
+                            (alpha, key)
 
 class TestRankMethods:
     def test_all_methods_match_pandas(self, spark):
