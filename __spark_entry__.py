@@ -2246,6 +2246,22 @@ def _q_ewm_mean(spark, sf):
                       F.col("value_ewm").alias("ewm_v"))
 
 
+def _q_ewm_var_std(spark, sf):
+    """pandas GroupBy.ewm().var()/std() (bias=False): per-user
+    exponentially weighted variance in event_id order — the same
+    chunk-rescaled scan as ewm_mean plus a squared-weight component
+    ((1-alpha)^2 ratio) for the W1^2/(W1^2-W2) bias correction. Oracle:
+    the closed-form weighted moments over in-group pairs."""
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    g = GroupBy(ev, "user_id", order_by="event_id")
+    out = g.ewm_var("value", alpha=0.1)
+    out = GroupBy(out, "user_id", order_by="event_id").ewm_std(
+        "value", alpha=0.1)
+    return out.select("event_id", "user_id",
+                      F.col("value_ewm_var").alias("ewm_var"),
+                      F.col("value_ewm_std").alias("ewm_std"))
+
+
 def _q_resample_agg(spark, sf):
     """pandas GroupBy.resample analog: per event_type per 1-hour bucket
     of ts, the event count and value sum — the bucket is a pure per-row
@@ -3226,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_nlargest": _q_group_nlargest,
         "group_ffill_scale": _q_group_ffill_scale,
         "group_take_scale": _q_group_take_scale,
+        "ewm_var_std": _q_ewm_var_std,
     }
 
 
@@ -4877,6 +4894,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, round(value, 6) AS value
             FROM r
             WHERE rn IN (1, 3) OR sz - rn + 1 = 1
+        """,
+        "ewm_var_std": """
+            WITH r AS (
+                SELECT event_id, user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id) AS rn
+                FROM events WHERE user_id IS NOT NULL
+            ), m AS (
+                SELECT a.event_id, a.user_id,
+                       sum(pow(0.9, a.rn - b.rn)) AS w1,
+                       sum(pow(0.81, a.rn - b.rn)) AS w2,
+                       sum(b.value * pow(0.9, a.rn - b.rn)) AS sx,
+                       sum(b.value * b.value * pow(0.9, a.rn - b.rn)) AS sxx
+                FROM r a JOIN r b
+                  ON a.user_id = b.user_id AND b.rn <= a.rn
+                GROUP BY a.event_id, a.user_id
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN w1 * w1 > w2 THEN
+                        w1 * w1 / (w1 * w1 - w2)
+                        * greatest(sxx / w1 - (sx / w1) * (sx / w1), 0)
+                   END AS ewm_var,
+                   CASE WHEN w1 * w1 > w2 THEN
+                        sqrt(w1 * w1 / (w1 * w1 - w2)
+                             * greatest(sxx / w1 - (sx / w1) * (sx / w1), 0))
+                   END AS ewm_std
+            FROM m
         """,
         "group_skew_kurt": """
             SELECT l_returnflag,

@@ -1710,8 +1710,37 @@ class GroupBy:
         ``applyInPandas``: groups parallel, one C pass each, memory one
         group's columns (the documented GROUPED_MAP seam — same
         contract as :meth:`apply`)."""
+        return self._ewm_dispatch(values, alpha, adjust, ignore_na, method,
+                                  stat="mean")
+
+    def ewm_var(self, values=None, *, alpha: float, adjust: bool = True,
+                bias: bool = False, ignore_na: bool = False,
+                method: str = "auto") -> DataFrame:
+        """Exponentially weighted variance per group — pandas
+        ``GroupBy.ewm(alpha=...).var(bias=...)``. Output ``{col}_ewm_var``.
+        Same scan/kernel dispatch as :meth:`ewm_mean`; the scan adds a
+        squared-weight component (ratio (1−alpha)²) for the bias
+        correction W1²/(W1²−W2). Caveat shared with any weighted-moment
+        formulation: when the effective sample size approaches 1 (all
+        weight on one observation) the correction is a ratio of nearly
+        cancelling terms and precision degrades — pandas' sequential
+        kernel is stabler there; use ``method="kernel"`` if that regime
+        matters."""
+        return self._ewm_dispatch(values, alpha, adjust, ignore_na, method,
+                                  stat="var", bias=bias)
+
+    def ewm_std(self, values=None, *, alpha: float, adjust: bool = True,
+                bias: bool = False, ignore_na: bool = False,
+                method: str = "auto") -> DataFrame:
+        """sqrt of :meth:`ewm_var` — pandas ``ewm().std()``. Output
+        ``{col}_ewm_std``."""
+        return self._ewm_dispatch(values, alpha, adjust, ignore_na, method,
+                                  stat="std", bias=bias)
+
+    def _ewm_dispatch(self, values, alpha, adjust, ignore_na, method,
+                      stat, bias=False):
         if not self._order_by:
-            raise ValueError("ewm_mean requires order_by")
+            raise ValueError(f"ewm_{stat} requires order_by")
         if not (0.0 < alpha <= 1.0):
             raise ValueError("alpha must be in (0, 1]")
         if method not in ("auto", "scan", "kernel"):
@@ -1719,38 +1748,56 @@ class GroupBy:
         if method == "scan" and not adjust:
             raise ValueError("method='scan' supports adjust=True only")
         cols = self._numeric_values(values)
+        suffix = "_ewm" if stat == "mean" else f"_ewm_{stat}"
         if method == "kernel" or (method == "auto" and not adjust):
             schema = T.StructType(
                 list(self._df.schema.fields)
-                + [T.StructField(f"{c}_ewm", T.DoubleType()) for c in cols])
+                + [T.StructField(c + suffix, T.DoubleType()) for c in cols])
 
             def fn(pdf):
                 for c in cols:
-                    pdf[f"{c}_ewm"] = (
-                        pdf[c].ewm(alpha=alpha, adjust=adjust,
-                                   ignore_na=ignore_na).mean())
+                    ew = pdf[c].ewm(alpha=alpha, adjust=adjust,
+                                    ignore_na=ignore_na)
+                    pdf[c + suffix] = (
+                        ew.mean() if stat == "mean"
+                        else ew.var(bias=bias) if stat == "var"
+                        else ew.std(bias=bias))
                 return pdf
 
             return self.apply(fn, schema)
-        return self._ewm_mean_scan(cols, alpha, ignore_na)
+        return self._ewm_scan(cols, alpha, ignore_na, stat=stat, bias=bias)
 
-    def _ewm_mean_scan(self, cols, alpha: float, ignore_na: bool) -> DataFrame:
+    def _ewm_scan(self, cols, alpha: float, ignore_na: bool,
+                  stat: str = "mean", bias: bool = False) -> DataFrame:
+        suffix = "_ewm" if stat == "mean" else f"_ewm_{stat}"
         base = self._base()
         ocols = [F.col(o) for o in self._order_by]
         w_pos = Window.partitionBy(*self._keys).orderBy(*ocols)
         w_cum = w_pos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         r = 1.0 - alpha
         if r == 0.0:
-            # alpha=1: only the current observation weighs; nulls carry
+            # alpha=1: only the current observation weighs; nulls carry.
+            # mean = x; biased var = 0; unbiased var undefined (one
+            # effective observation: W1² − W2 = 0 → pandas NaN)
             out = base
             for c in cols:
+                x = F.col(c).cast("double")
+                if stat == "mean":
+                    v = x
+                elif bias:
+                    v = F.when(x.isNotNull(), F.lit(0.0))
+                else:
+                    v = F.lit(None).cast("double")
                 out = out.withColumn(
-                    f"{c}_ewm",
-                    F.last(F.col(c).cast("double"), ignorenulls=True).over(w_cum))
+                    c + suffix, F.last(v, ignorenulls=True).over(w_cum))
             return out
-        # r^L < 1e-17 → the lag-1 chunk carry is exact to double
-        # precision; r^-(L-1) ≤ ~1e17 → the rescaled prefix never overflows
+        want_var = stat in ("var", "std")
+        # END-ANCHORED chunk rescale: in-chunk weight r^(L−1−i) ≤ 1 (no
+        # overflow possible, running sums bounded by the chunk length);
+        # L picked so r^L < 1e-17 — the lag-1 carry is exact to double
+        # precision and anything older is below epsilon
         L = max(8, int(math.ceil(-17.0 * math.log(10.0) / math.log(r))))
+        d1, d2 = float(r ** L), float(r ** (2 * L))
         df = base
         for c in cols:
             x = F.col(c).cast("double")
@@ -1763,12 +1810,15 @@ class GroupBy:
             # p < 0 only at leading-null rows under ignore_na (ffilled
             # to null anyway) — clamp so pow/chunk math stays finite
             p = F.greatest(p, F.lit(0))
+            w1 = F.pow(F.lit(r), (F.lit(L - 1) - p % F.lit(L)).cast("double"))
             df = (df.withColumn(f"__c_{c}", F.floor(p / F.lit(L)))
-                  .withColumn(f"__w_{c}",
-                              F.pow(F.lit(r), -(p % F.lit(L)).cast("double")))
-                  .withColumn(f"__z_{c}", F.col(f"__w_{c}") * x)
+                  .withColumn(f"__z_{c}", w1 * x)
                   .withColumn(f"__zw_{c}",
-                              F.when(nn, F.col(f"__w_{c}")).otherwise(F.lit(0.0))))
+                              F.when(nn, w1).otherwise(F.lit(0.0))))
+            if want_var:
+                df = (df.withColumn(f"__z2_{c}", w1 * x * x)
+                      .withColumn(f"__zw2_{c}",
+                                  F.when(nn, w1 * w1).otherwise(F.lit(0.0))))
         # within-chunk geometric prefix sums (one WindowExec per column's
         # chunk id; for ignore_na=False all columns share one chunk id
         # expression and Catalyst collapses the specs)
@@ -1778,42 +1828,76 @@ class GroupBy:
                        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             df = (df.withColumn(f"__S_{c}", F.sum(f"__z_{c}").over(w_chunk))
                   .withColumn(f"__W_{c}", F.sum(f"__zw_{c}").over(w_chunk)))
+            if want_var:
+                df = (df.withColumn(f"__S2_{c}", F.sum(f"__z2_{c}").over(w_chunk))
+                      .withColumn(f"__W2_{c}", F.sum(f"__zw2_{c}").over(w_chunk)))
         # corpus/L-sized chunk-total frame → lag-1 carry, joined back on
         # (keys, chunk) with the key shifted by one chunk (chunk ids are
         # contiguous per group, so "previous chunk" is an exact join; AQE
-        # broadcasts the frame — n/L rows of scalars). The in-chunk
-        # rescale r^i cancels in the num/den ratio, so the value is
-        # (S + r·EndN_prev) / (W + r·EndW_prev) with EndX_prev = the
-        # previous chunk's totals re-expressed at its end (· r^(L−1));
-        # the carry's own inherited carry is < r^L relative — dropped.
+        # broadcasts the frame — n/L rows of scalars). End-anchored
+        # totals carry straight through: a power-1 sum decays by r^L per
+        # chunk, the squared-weight sum by r^(2L); the carry's own
+        # inherited carry is < r^L relative — dropped. All output ratios
+        # are scale-invariant, so the common r^(i−(L−1)) factor never
+        # needs materializing.
         out = df
-        end_scale = float(r ** (L - 1))
         for c in cols:
-            totals = (df.groupBy(*self._keys, f"__c_{c}")
-                      .agg(F.sum(f"__z_{c}").alias("__tn"),
-                           F.sum(f"__zw_{c}").alias("__tw")))
-            carry = totals.select(
+            aggs = [F.sum(f"__z_{c}").alias("__tn"),
+                    F.sum(f"__zw_{c}").alias("__tw")]
+            if want_var:
+                aggs += [F.sum(f"__z2_{c}").alias("__tb"),
+                         F.sum(f"__zw2_{c}").alias("__tw2")]
+            totals = df.groupBy(*self._keys, f"__c_{c}").agg(*aggs)
+            sel = [
                 *[F.col(k).alias(f"__k_{i}") for i, k in enumerate(self._keys)],
                 (F.col(f"__c_{c}") + 1).alias("__nc"),
-                (F.lit(end_scale) * F.col("__tn")).alias("__pn"),
-                (F.lit(end_scale) * F.col("__tw")).alias("__pw"))
+                F.col("__tn").alias("__pn"), F.col("__tw").alias("__pw")]
+            if want_var:
+                sel += [F.col("__tb").alias("__pb"),
+                        F.col("__tw2").alias("__pw2")]
+            carry = totals.select(*sel)
             cond = F.col(f"__c_{c}") == F.col("__nc")
             for i, k in enumerate(self._keys):
                 cond = cond & F.col(k).eqNullSafe(F.col(f"__k_{i}"))
             out = out.join(carry, cond, "left")
-            num = F.col(f"__S_{c}") + F.lit(r) * F.coalesce("__pn", F.lit(0.0))
-            den = F.col(f"__W_{c}") + F.lit(r) * F.coalesce("__pw", F.lit(0.0))
+            # a chunk whose prefix has no observation yet gives NULL
+            # prefix sums (SQL sum-of-nothing) — that is 0 contribution,
+            # NOT a null result: the carry alone must flow through
+            # (F.greatest would silently swallow a null into the clamp)
+            num = (F.coalesce(f"__S_{c}", F.lit(0.0))
+                   + F.lit(d1) * F.coalesce("__pn", F.lit(0.0)))
+            den = F.col(f"__W_{c}") + F.lit(d1) * F.coalesce("__pw", F.lit(0.0))
             # den > 0 iff any observation within the current or previous
             # chunk; beyond that the true EWM is constant across the null
-            # run (num and den decay identically), so the final per-group
-            # forward fill is exact, and leading nulls stay null
-            val = F.when(den > F.lit(0.0), num / den)
+            # run (every component decays by a common or squared-common
+            # factor, leaving all ratios invariant), so the final
+            # per-group forward fill is exact; leading nulls stay null
+            if stat == "mean":
+                val = F.when(den > F.lit(0.0), num / den)
+            else:
+                sq = (F.coalesce(f"__S2_{c}", F.lit(0.0))
+                      + F.lit(d1) * F.coalesce("__pb", F.lit(0.0)))
+                w2 = (F.col(f"__W2_{c}")
+                      + F.lit(d2) * F.coalesce("__pw2", F.lit(0.0)))
+                m = num / den
+                vb = F.greatest(sq / den - m * m, F.lit(0.0))
+                if bias:
+                    val = F.when(den > F.lit(0.0), vb)
+                else:
+                    denom = den * den - w2
+                    val = F.when(denom > F.lit(0.0), den * den / denom * vb)
+                if stat == "std":
+                    val = F.sqrt(val)
             out = out.withColumn(
-                f"{c}_ewm", F.last(val, ignorenulls=True).over(w_cum))
-            out = out.drop("__nc", "__pn", "__pw",
-                           *[f"__k_{i}" for i in range(len(self._keys))],
-                           f"__c_{c}", f"__w_{c}", f"__z_{c}", f"__zw_{c}",
-                           f"__S_{c}", f"__W_{c}")
+                c + suffix, F.last(val, ignorenulls=True).over(w_cum))
+            drop = ["__nc", "__pn", "__pw",
+                    *[f"__k_{i}" for i in range(len(self._keys))],
+                    f"__c_{c}", f"__z_{c}", f"__zw_{c}",
+                    f"__S_{c}", f"__W_{c}"]
+            if want_var:
+                drop += ["__pb", "__pw2", f"__z2_{c}", f"__zw2_{c}",
+                         f"__S2_{c}", f"__W2_{c}"]
+            out = out.drop(*drop)
         return out
 
     def filter_groups(self, predicate: Column) -> DataFrame:

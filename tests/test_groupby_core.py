@@ -1047,6 +1047,41 @@ class TestEwmMean:
                     assert abs(gv - w) <= 1e-9 * max(1.0, abs(w)), \
                         (alpha, ignore_na, k, i, gv, w)
 
+    def test_var_std_match_pandas(self, spark):
+        """ewm_var/ewm_std scan path vs pandas across chunk boundaries,
+        scattered nulls, bias both ways, ignore_na both ways; kernel path
+        via adjust=False."""
+        import pandas as pd
+        import numpy as np
+        rng = np.random.default_rng(31)
+        n = 700
+        v = rng.standard_normal(n) * 10 + 3
+        v[rng.random(n) < 0.15] = np.nan
+        v[:5] = np.nan
+        pdf = pd.DataFrame({"k": np.arange(n) % 3, "o": np.arange(n), "v": v})
+        sdf = spark.createDataFrame(pdf)
+        g = GroupBy(sdf, "k", order_by="o")
+        for stat, bias, ignore_na, adjust in (
+                ("var", False, False, True), ("var", True, False, True),
+                ("var", False, True, True), ("std", False, False, True),
+                ("var", False, False, False)):  # last → kernel path
+            meth = getattr(g, f"ewm_{stat}")
+            out = meth("v", alpha=0.4, bias=bias, ignore_na=ignore_na,
+                       adjust=adjust).collect()
+            got = {(r.k, r.o): getattr(r, f"v_ewm_{stat}") for r in out}
+            want = pdf.groupby("k").apply(
+                lambda s: getattr(s.sort_values("o").v.ewm(
+                    alpha=0.4, adjust=adjust, ignore_na=ignore_na),
+                    stat)(bias=bias),
+                include_groups=False)
+            for (k, i) in want.index:
+                w, gv = want.loc[(k, i)], got[(k, pdf.o[i])]
+                if gv is None or pd.isna(gv):
+                    assert pd.isna(w), (stat, bias, ignore_na, adjust, k, i)
+                else:
+                    assert abs(gv - w) <= 1e-8 * max(1.0, abs(w)), \
+                        (stat, bias, ignore_na, adjust, k, i, gv, w)
+
     def test_scan_equals_kernel(self, spark):
         """method='scan' and method='kernel' agree on the same frame
         (incl. alpha=1 and a multi-column pass)."""

@@ -70,6 +70,7 @@ SUBSET = [
     "duplicated_flags",
     "group_ffill_scale",
     "group_take_scale",
+    "ewm_var_std",
 ]
 
 
