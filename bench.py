@@ -83,6 +83,11 @@ HEADLINE = [
     "group_fill",
     "ewm_mean",
     "qcut_deciles",
+    # round-7 close: the declarative ewm moments and the few-huge-groups
+    # scale paths (range partition + broadcast carry/count frames)
+    "ewm_var_std",
+    "group_ffill_scale",
+    "group_take_scale",
 ]
 
 
