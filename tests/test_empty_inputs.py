@@ -173,3 +173,17 @@ class TestEmptyParitySweep:
         assert qcut(empty_nums, "v", q=4).count() == 0
         from pandas_plus_spark.operators import duplicated_flags
         assert duplicated_flags(empty_nums, "k", "t").count() == 0
+
+    def test_round7_close_ops(self, spark, empty_nums):
+        from pandas_plus_spark.functions.ordered import (grouped_ffill,
+                                                         grouped_row_number,
+                                                         grouped_take)
+        e = spark.createDataFrame([], "rid long, g string, v double")
+        assert grouped_ffill(e, ["g"], ["rid"], "v").count() == 0
+        assert grouped_row_number(e, ["g"], ["rid"], size="sz").count() == 0
+        assert grouped_take(e, ["g"], ["rid"], [0, -1]).count() == 0
+        g = GroupBy(empty_nums, "k", order_by="t")
+        assert g.ewm_var("v", alpha=0.5).count() == 0
+        assert g.ewm_std("v", alpha=0.5, bias=True).count() == 0
+        # alpha=1 special path
+        assert g.ewm_mean("v", alpha=1.0).count() == 0
