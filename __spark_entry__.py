@@ -2062,6 +2062,22 @@ def _q_group_ffill_scale(spark, sf):
                       F.round("v_f", 6).alias("v_f"))
 
 
+def _q_group_bfill_scale(spark, sf):
+    """Backward-fill mirror of group_ffill_scale (grouped_ffill with
+    backward=True): same range partitioning; local window, boundary row
+    and carry direction reversed."""
+    ev = load_table(spark, sf, "events")
+    base = ev.select(
+        "event_id", "event_type",
+        F.when(F.pmod(F.col("event_id"), F.lit(7)) >= 2,
+               F.col("value")).alias("v"))
+    out = ordered.grouped_ffill(base, ["event_type"], ["event_id"], "v",
+                                out="v_b", num_partitions=8, backward=True)
+    return out.select("event_id", "event_type",
+                      F.round("v", 6).alias("v"),
+                      F.round("v_b", 6).alias("v_b"))
+
+
 def _q_group_take_scale(spark, sf):
     """Scale-path GroupBy.take (functions.ordered.grouped_take): ONE
     grouped_row_number pass (range partition + broadcast (partition,
@@ -3243,6 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_ffill_scale": _q_group_ffill_scale,
         "group_take_scale": _q_group_take_scale,
         "ewm_var_std": _q_ewm_var_std,
+        "group_bfill_scale": _q_group_bfill_scale,
     }
 
 
@@ -4881,6 +4898,16 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type ORDER BY event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ), 6) AS v_f
+            FROM events
+        """,
+        "group_bfill_scale": """
+            SELECT event_id, event_type,
+                   round(CASE WHEN event_id % 7 >= 2 THEN value END, 6) AS v,
+                   round(first_value(CASE WHEN event_id % 7 >= 2 THEN value END
+                                     IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ), 6) AS v_b
             FROM events
         """,
         "group_take_scale": """

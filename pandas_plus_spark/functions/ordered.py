@@ -270,12 +270,17 @@ def grouped_ffill(
     value: str,
     out: str | None = None,
     num_partitions: int | None = None,
+    backward: bool = False,
 ) -> DataFrame:
     """Forward fill per group in ``order_by`` order — the grouped
     generalization of the ``GroupBy.ffill`` window for FEW, HUGE groups
     (the :func:`grouped_cumsum` regime: ``Window.partitionBy(group)``
     funnels each group through ONE task — measured superlinear at 100M
     rows over 5 event types, BASELINE.md third-decade table).
+    ``backward=True`` is the ``GroupBy.bfill`` mirror (next non-null in
+    order): same range partitioning, with the local window, boundary row
+    and carry direction all reversed. Default output column
+    ``{value}_ffill`` / ``{value}_bfill``.
 
     Two-phase: range partition on ``(group, order)``; within
     ``(partition, group)`` a running last-non-null gives the local fill;
@@ -290,21 +295,25 @@ def grouped_ffill(
     gcols = [F.col(c) for c in gnames]
     ocols = _order_cols(order_by)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    out = out or f"{value}_ffill"
+    out = out or f"{value}_{'bfill' if backward else 'ffill'}"
     rp = df.repartitionByRange(n, *gcols, *ocols).withColumn(
         "__pid", F.spark_partition_id())
     v = F.col(value)
+    local_order = [c.desc() for c in ocols] if backward else ocols
     # pinned: rows and the per-(pid, group) boundary frame must see the
     # SAME sampled range boundaries (the global_row_number two-branch
     # hazard) — hence the persist
-    w_local = (Window.partitionBy("__pid", *gcols).orderBy(*ocols)
+    w_local = (Window.partitionBy("__pid", *gcols).orderBy(*local_order)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = rp.withColumn(
         "__lff", F.last(v, ignorenulls=True).over(w_local)).persist()
-    # the partition's last non-null = the local fill at its max-order row
+    # the partition's boundary fill = the local fill at its max-order row
+    # (min-order row for backward)
+    boundary_pick = F.min_by if backward else F.max_by
     lastnn = local.groupBy("__pid", *gcols).agg(
-        F.max_by("__lff", F.struct(*ocols)).alias("__lastnn"))
-    w_carry = (Window.partitionBy(*gcols).orderBy("__pid")
+        boundary_pick("__lff", F.struct(*ocols)).alias("__lastnn"))
+    carry_order = F.col("__pid").desc() if backward else F.col("__pid")
+    w_carry = (Window.partitionBy(*gcols).orderBy(carry_order)
                .rowsBetween(Window.unboundedPreceding, -1))
     carries = lastnn.select(
         F.col("__pid").alias("__opid"),

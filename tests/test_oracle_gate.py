@@ -71,6 +71,7 @@ SUBSET = [
     "group_ffill_scale",
     "group_take_scale",
     "ewm_var_std",
+    "group_bfill_scale",
 ]
 
 
