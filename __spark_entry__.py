@@ -942,6 +942,24 @@ def _q_streaming_running(spark, sf):
         "user_id", "event_id", "value", "running_total", "running_count")
 
 
+def _q_streaming_ewm(spark, sf):
+    """Stateful streaming EWM gate: replay events through
+    applyInPandasWithState (streaming/stateful.py stateful_ewm — the
+    streaming analog of GroupBy.ewm_mean's chunk-rescaled scan, with the
+    carry in the state store). A single availableNow batch delivers each
+    key's rows sorted by event_id, so the replay equals the batch
+    adjusted EWM; multi-micro-batch state continuation is pinned by
+    TestStatefulEwm. Oracle: the closed-form weighted sum over in-group
+    pairs (the ewm_mean oracle)."""
+    from pandas_plus_spark.streaming import stateful_ewm
+
+    stream = _stage_events_stream(spark, sf).select(
+        "user_id", "event_id", "value")
+    out = stateful_ewm(stream, alpha=0.1)
+    return _replay_stream(spark, out, "append").select(
+        "user_id", "event_id", F.col("ewm").alias("ewm_v"))
+
+
 def _q_lsh_recall(spark, sf):
     """LSH pair-generation quality gate (similarity.lsh_pair_recall,
     mirroring ann_recall): hyperplane-LSH near-dup pairs vs the exact
@@ -3260,6 +3278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_take_scale": _q_group_take_scale,
         "ewm_var_std": _q_ewm_var_std,
         "group_bfill_scale": _q_group_bfill_scale,
+        "streaming_ewm": _q_streaming_ewm,
     }
 
 
@@ -4899,6 +4918,20 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ), 6) AS v_f
             FROM events
+        """,
+        "streaming_ewm": """
+            WITH r AS (
+                SELECT event_id, user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id) AS rn
+                FROM events WHERE user_id IS NOT NULL
+            )
+            SELECT a.user_id, a.event_id,
+                   sum(b.value * pow(0.9, a.rn - b.rn))
+                       / sum(pow(0.9, a.rn - b.rn)) AS ewm_v
+            FROM r a JOIN r b
+              ON a.user_id = b.user_id AND b.rn <= a.rn
+            GROUP BY a.event_id, a.user_id
         """,
         "group_bfill_scale": """
             SELECT event_id, event_type,

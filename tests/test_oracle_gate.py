@@ -72,6 +72,7 @@ SUBSET = [
     "group_take_scale",
     "ewm_var_std",
     "group_bfill_scale",
+    "streaming_ewm",
 ]
 
 

@@ -173,3 +173,67 @@ class TestNeardupFilteredStream:
         want = {r["doc_id"] for r in want_df.collect()}
         release_cached(want_df)
         assert got == want == {2, 3}
+
+
+class TestStatefulEwm:
+    def test_replay_matches_batch_scan_over_micro_batches(self, spark, tmp_path):
+        """stateful_ewm with maxFilesPerTrigger=1: state (num, den, carry)
+        must continue across micro-batches so the replay equals the batch
+        GroupBy.ewm_mean scan on the full frame — including null rows and
+        a null gap spanning batch boundaries."""
+        import os
+        import numpy as np
+        import pandas as pd
+        import pyspark.sql.functions as F
+        from pandas_plus_spark import GroupBy
+        from pandas_plus_spark.streaming import stateful_ewm
+
+        rng = np.random.default_rng(9)
+        n = 800
+        v = rng.standard_normal(n) * 50
+        v[rng.random(n) < 0.2] = np.nan
+        v[180:420] = np.nan  # gap spanning micro-batch boundaries
+        pdf = pd.DataFrame({
+            "user_id": (np.arange(n) % 5).astype("int64"),
+            "event_id": np.arange(n, dtype="int64"),
+            "value": v})
+        sdf = spark.createDataFrame(pdf)
+        src = str(tmp_path / "src"); os.makedirs(src)
+        # four event-id range slices as separate files; mtimes force the
+        # file source to pick them up in event order, one per micro-batch
+        import glob
+        import shutil
+        for i, (lo, hi) in enumerate([(0, 200), (200, 400),
+                                      (400, 600), (600, 800)]):
+            tmp = str(tmp_path / f"stage_{i}")
+            (sdf.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+             .coalesce(1).write.mode("overwrite").parquet(tmp))
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"slice_{i}.parquet")
+            shutil.copyfile(part, dst)
+            os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
+        stream = (spark.readStream.schema(sdf.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("latestFirst", "false").parquet(src))
+        out = stateful_ewm(stream, alpha=0.1)
+        q = (out.writeStream.format("memory").queryName("ewm_replay")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        try:
+            got = {r["event_id"]: r["ewm"]
+                   for r in spark.sql("SELECT * FROM ewm_replay").collect()}
+        finally:
+            q.stop()
+        assert len(got) == n
+        want_df = GroupBy(sdf, "user_id", order_by="event_id").ewm_mean(
+            "value", alpha=0.1)
+        want = {r["event_id"]: r["value_ewm"] for r in want_df.collect()}
+        for eid in want:
+            w, g = want[eid], got[eid]
+            if w is None:
+                assert g is None or pd.isna(g), eid
+            else:
+                assert g is not None and abs(g - w) <= 1e-9 * max(1.0, abs(w)), \
+                    (eid, g, w)
