@@ -2112,6 +2112,32 @@ def _q_group_take_scale(spark, sf):
                       F.round("value", 6).alias("value"))
 
 
+def _q_group_rolling_scale(spark, sf):
+    """Scale-path trailing rolling sum/mean
+    (functions.ordered.grouped_rolling_sum): rolling = prefix difference —
+    one fused range-partition pass emits (rn, running sum, running
+    non-null count), then a NARROW (group, rn−w) self-join supplies the
+    window-start prefix; parallelism = partition count (the window form
+    is one task per group). window=25, min_periods=5, deterministically
+    nulled values; num_partitions=8 forces windows to span partition
+    boundaries at gate SF."""
+    ev = load_table(spark, sf, "events")
+    base = ev.select(
+        "event_id", "event_type",
+        F.when(F.pmod(F.col("event_id"), F.lit(7)) >= 2,
+               F.col("value")).alias("v"))
+    s = ordered.grouped_rolling_sum(base, ["event_type"], ["event_id"],
+                                    "v", 25, min_periods=5, out="rsum",
+                                    num_partitions=8)
+    m = ordered.grouped_rolling_mean(s, ["event_type"], ["event_id"],
+                                     "v", 25, min_periods=5, out="rmean",
+                                     num_partitions=8)
+    return m.select("event_id", "event_type",
+                    F.round("v", 6).alias("v"),
+                    F.round("rsum", 6).alias("rsum"),
+                    F.round("rmean", 6).alias("rmean"))
+
+
 def _q_group_ohlc(spark, sf):
     """pandas GroupBy.ohlc (parity extra): per event_type, the first/
     max/min/last of value in event_id order — one keyed agg pass (the
@@ -3279,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewm_var_std": _q_ewm_var_std,
         "group_bfill_scale": _q_group_bfill_scale,
         "streaming_ewm": _q_streaming_ewm,
+        "group_rolling_scale": _q_group_rolling_scale,
     }
 
 
@@ -4942,6 +4969,25 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
                    ), 6) AS v_b
             FROM events
+        """,
+        "group_rolling_scale": """
+            WITH b AS (
+                SELECT event_id, event_type,
+                       CASE WHEN event_id % 7 >= 2 THEN value END AS v
+                FROM events
+            ), r AS (
+                SELECT event_id, event_type, v,
+                       sum(v) OVER w AS rsum0,
+                       avg(v) OVER w AS rmean0,
+                       count(v) OVER w AS nn
+                FROM b
+                WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                             ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, event_type, round(v, 6) AS v,
+                   round(CASE WHEN nn >= 5 THEN rsum0 END, 6) AS rsum,
+                   round(CASE WHEN nn >= 5 THEN rmean0 END, 6) AS rmean
+            FROM r
         """,
         "group_take_scale": """
             WITH r AS (

@@ -6,7 +6,7 @@ from .masks import bool_array_mask, index_mask, slice_mask
 from .sketches import merge_sketches, nunique_sketches, sketch_estimate
 from .ordered import (global_cumsum, global_ntile, global_rank_cumsum,
                       grouped_cumsum, grouped_ffill, grouped_row_number,
-                      grouped_take,
+                      grouped_rolling_mean, grouped_rolling_sum, grouped_take,
                       global_row_number, global_shift)
 from .text import (
     let,
@@ -32,6 +32,8 @@ __all__ = [
     "grouped_cumsum",
     "grouped_ffill",
     "grouped_row_number",
+    "grouped_rolling_mean",
+    "grouped_rolling_sum",
     "grouped_take",
     "global_shift",
     "global_ntile",

@@ -331,6 +331,121 @@ def grouped_ffill(
     return attach_cached(out_df, local)
 
 
+def _grouped_running(df, gnames, order_by, value, num_partitions):
+    """One fused range-partition pass emitting, per group in order: the
+    1-based row number ``__rn``, the null-skipping running sum ``__C``
+    and the non-null running count ``__N`` — the prefix state every
+    difference-based rolling/shift operator needs. Same two-phase shape
+    and pinning rationale as :func:`grouped_cumsum`."""
+    gcols = [F.col(c) for c in gnames]
+    ocols = _order_cols(order_by)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    rp = df.repartitionByRange(n, *gcols, *ocols).withColumn(
+        "__pid", F.spark_partition_id())
+    v = F.col(value)
+    w_run = (Window.partitionBy("__pid", *gcols).orderBy(*ocols)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_rn = Window.partitionBy("__pid", *gcols).orderBy(*ocols)
+    local = (rp.withColumn("__lrn", F.row_number().over(w_rn))
+             .withColumn("__lC", F.sum(v).over(w_run))
+             .withColumn("__lN", F.count(v).over(w_run))).persist()
+    bounds = local.groupBy("__pid", *gcols).agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.sum(v).alias("__tot"),
+        F.count(v).alias("__nn"))
+    w_off = (Window.partitionBy(*gcols).orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bounds.select(
+        F.col("__pid").alias("__opid"),
+        *[F.col(g).alias(f"__og_{i}") for i, g in enumerate(gnames)],
+        F.coalesce(F.sum("__rows").over(w_off), F.lit(0)).alias("__orows"),
+        F.sum("__tot").over(w_off).alias("__osum"),
+        F.coalesce(F.sum("__nn").over(w_off), F.lit(0)).alias("__onn"))
+    cond = F.col("__pid") == F.col("__opid")
+    for i, g in enumerate(gnames):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{i}"))
+    glob_c = F.when(
+        F.col("__lC").isNull() & F.col("__osum").isNull(), F.lit(None)
+    ).otherwise(
+        F.coalesce("__lC", F.lit(0.0)) + F.coalesce("__osum", F.lit(0.0)))
+    out = (local.join(F.broadcast(offs), cond, "left")
+           .withColumn("__rn", (F.col("__lrn") + F.col("__orows")).cast("long"))
+           .withColumn("__C", glob_c)
+           .withColumn("__N", (F.col("__lN") + F.col("__onn")).cast("long"))
+           .drop("__pid", "__lrn", "__lC", "__lN", "__opid", "__orows",
+                 "__osum", "__onn",
+                 *[f"__og_{i}" for i in range(len(gnames))]))
+    return attach_cached(out, local)
+
+
+def grouped_rolling_sum(
+    df: DataFrame,
+    group_by,
+    order_by,
+    value: str,
+    window: int,
+    min_periods: int | None = None,
+    out: str | None = None,
+    num_partitions: int | None = None,
+    mean: bool = False,
+) -> DataFrame:
+    """Trailing ``window``-row rolling sum (or mean) per group in
+    ``order_by`` order at few-huge-groups scale — ``GroupBy.rolling_sum``
+    semantics (min_periods counts NON-NULL values in the frame, default
+    = window; every row emits).
+
+    The per-group window form funnels each group through one task (the
+    regime measured superlinear at sf100 for the fill/take family). Here
+    rolling = prefix difference: ONE fused :func:`_grouped_running` pass
+    gives (rn, running sum C, running non-null count N), then a NARROW
+    (group, rn, C, N) projection self-joins on (group, rn − window) — a
+    plain hash join, parallelism = partition count. Precision note: the
+    difference C_t − C_{t−w} carries the prefix sum's accumulated
+    rounding (relative error ~ eps·n_prefix/window against the window
+    sum) — bit-differences vs the windowed form appear in the last ~2
+    digits on 1e8-row groups; exact for integer-valued doubles below
+    2^53 as always."""
+    if window is None or window < 1:
+        raise ValueError("window must be a positive int")
+    mp = window if min_periods is None else min_periods
+    gnames = [group_by] if isinstance(group_by, str) else list(group_by)
+    out = out or f"{value}_rolling_{'mean' if mean else 'sum'}"
+    run = _grouped_running(df, gnames, order_by, value, num_partitions)
+    right = run.select(
+        *[F.col(g).alias(f"__jg_{i}") for i, g in enumerate(gnames)],
+        (F.col("__rn") + F.lit(window)).alias("__jrn"),
+        F.col("__C").alias("__Cp"), F.col("__N").alias("__Np"))
+    cond = F.col("__rn") == F.col("__jrn")
+    for i, g in enumerate(gnames):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__jg_{i}"))
+    n_in = F.col("__N") - F.coalesce("__Np", F.lit(0))
+    val = (F.coalesce("__C", F.lit(0.0))
+           - F.coalesce("__Cp", F.lit(0.0)))
+    if mean:
+        val = val / n_in
+    guarded = F.when(n_in >= F.lit(max(mp, 1)), val)
+    joined = (run.join(right, cond, "left")
+              .withColumn(out, guarded)
+              .drop("__rn", "__C", "__N", "__jrn", "__Cp", "__Np",
+                    *[f"__jg_{i}" for i in range(len(gnames))]))
+    return joined
+
+
+def grouped_rolling_mean(
+    df: DataFrame,
+    group_by,
+    order_by,
+    value: str,
+    window: int,
+    min_periods: int | None = None,
+    out: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Trailing rolling mean per group — see :func:`grouped_rolling_sum`."""
+    return grouped_rolling_sum(df, group_by, order_by, value, window,
+                               min_periods, out, num_partitions, mean=True)
+
+
 def global_rank_cumsum(
     df: DataFrame,
     order_by,

@@ -324,3 +324,58 @@ class TestGroupedRowNumberTake:
         gm = {r.rid: r.f for r in got.collect()}
         wm = {r.rid: r.f for r in want.collect()}
         assert gm == wm
+
+
+class TestGroupedRolling:
+    """grouped_rolling_sum/mean = the per-group trailing window, at any
+    partition count — windows spanning range-partition boundaries, nulls
+    inside frames, min_periods gating, window larger than a partition."""
+
+    @pytest.fixture(scope="class")
+    def rframe(self, spark):
+        rows = [(i, ["a", "b", None][i % 3],
+                 float(i % 17) if i % 5 else None) for i in range(900)]
+        return spark.createDataFrame(rows, "rid long, g string, v double")
+
+    @pytest.mark.parametrize("n", PARTS)
+    @pytest.mark.parametrize("window,mp", [(5, None), (5, 2), (40, 10)])
+    def test_matches_window_form(self, rframe, n, window, mp):
+        from pandas_plus_spark.functions.ordered import grouped_rolling_sum
+        got = grouped_rolling_sum(rframe, ["g"], ["rid"], "v", window,
+                                  min_periods=mp, out="r", num_partitions=n)
+        w = (Window.partitionBy("g").orderBy("rid")
+             .rowsBetween(-(window - 1), Window.currentRow))
+        mp_eff = window if mp is None else mp
+        want = rframe.withColumn(
+            "r", F.when(F.count("v").over(w) >= mp_eff, F.sum("v").over(w)))
+        gm = {r.rid: r.r for r in got.collect()}
+        wm = {r.rid: r.r for r in want.collect()}
+        assert set(gm) == set(wm)
+        for k in wm:
+            if wm[k] is None:
+                assert gm[k] is None, k
+            else:
+                assert gm[k] == pytest.approx(wm[k], rel=1e-12, abs=1e-9), k
+
+    def test_mean_matches_window_form(self, rframe):
+        from pandas_plus_spark.functions.ordered import grouped_rolling_mean
+        got = grouped_rolling_mean(rframe, ["g"], ["rid"], "v", 7,
+                                   min_periods=3, out="r", num_partitions=8)
+        w = (Window.partitionBy("g").orderBy("rid")
+             .rowsBetween(-6, Window.currentRow))
+        want = rframe.withColumn(
+            "r", F.when(F.count("v").over(w) >= 3, F.avg("v").over(w)))
+        gm = {r.rid: r.r for r in got.collect()}
+        wm = {r.rid: r.r for r in want.collect()}
+        for k in wm:
+            if wm[k] is None:
+                assert gm[k] is None, k
+            else:
+                assert gm[k] == pytest.approx(wm[k], rel=1e-12, abs=1e-9), k
+
+    def test_validation_and_empty(self, spark):
+        from pandas_plus_spark.functions.ordered import grouped_rolling_sum
+        e = spark.createDataFrame([], "rid long, g string, v double")
+        assert grouped_rolling_sum(e, ["g"], ["rid"], "v", 3).count() == 0
+        with pytest.raises(ValueError, match="window"):
+            grouped_rolling_sum(e, ["g"], ["rid"], "v", 0)

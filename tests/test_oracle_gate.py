@@ -73,6 +73,7 @@ SUBSET = [
     "ewm_var_std",
     "group_bfill_scale",
     "streaming_ewm",
+    "group_rolling_scale",
 ]
 
 
