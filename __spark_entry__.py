@@ -2138,6 +2138,23 @@ def _q_group_rolling_scale(spark, sf):
                     F.round("rmean", 6).alias("rmean"))
 
 
+def _q_group_shift_scale(spark, sf):
+    """Scale-path GroupBy.shift (functions.ordered.grouped_shift): one
+    grouped_row_number pass + a narrow (group, rn+n) self-join — no
+    per-group lag window (whose task must hold the entire group). Lag 3
+    and lead 2 in one result."""
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value")
+    s = ordered.grouped_shift(ev, ["event_type"], ["event_id"], "value",
+                              n=3, out="lag3", num_partitions=8)
+    s = ordered.grouped_shift(s, ["event_type"], ["event_id"], "value",
+                              n=-2, out="lead2", num_partitions=8)
+    return s.select("event_id", "event_type",
+                    F.round("value", 6).alias("value"),
+                    F.round("lag3", 6).alias("lag3"),
+                    F.round("lead2", 6).alias("lead2"))
+
+
 def _q_group_ohlc(spark, sf):
     """pandas GroupBy.ohlc (parity extra): per event_type, the first/
     max/min/last of value in event_id order — one keyed agg pass (the
@@ -3306,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_bfill_scale": _q_group_bfill_scale,
         "streaming_ewm": _q_streaming_ewm,
         "group_rolling_scale": _q_group_rolling_scale,
+        "group_shift_scale": _q_group_shift_scale,
     }
 
 
@@ -4969,6 +4987,13 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
                    ), 6) AS v_b
             FROM events
+        """,
+        "group_shift_scale": """
+            SELECT event_id, event_type, round(value, 6) AS value,
+                   round(lag(value, 3) OVER w, 6) AS lag3,
+                   round(lead(value, 2) OVER w, 6) AS lead2
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
         """,
         "group_rolling_scale": """
             WITH b AS (

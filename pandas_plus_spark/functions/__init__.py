@@ -6,7 +6,8 @@ from .masks import bool_array_mask, index_mask, slice_mask
 from .sketches import merge_sketches, nunique_sketches, sketch_estimate
 from .ordered import (global_cumsum, global_ntile, global_rank_cumsum,
                       grouped_cumsum, grouped_ffill, grouped_row_number,
-                      grouped_rolling_mean, grouped_rolling_sum, grouped_take,
+                      grouped_rolling_mean, grouped_rolling_sum, grouped_shift,
+                      grouped_take,
                       global_row_number, global_shift)
 from .text import (
     let,
@@ -34,6 +35,7 @@ __all__ = [
     "grouped_row_number",
     "grouped_rolling_mean",
     "grouped_rolling_sum",
+    "grouped_shift",
     "grouped_take",
     "global_shift",
     "global_ntile",

@@ -431,6 +431,38 @@ def grouped_rolling_sum(
     return joined
 
 
+def grouped_shift(
+    df: DataFrame,
+    group_by,
+    order_by,
+    value: str,
+    n: int = 1,
+    out: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group shift (pandas ``GroupBy.shift``: positive n = lag,
+    negative = lead) at few-huge-groups scale. One
+    :func:`grouped_row_number` pass, then a narrow (group, rn + n)
+    self-join fetches the partner row's value — no per-group lag window,
+    parallelism = partition count, any |n| (a lag window's task must
+    hold the whole group regardless of n)."""
+    gnames = [group_by] if isinstance(group_by, str) else list(group_by)
+    out = out or f"{value}_shift"
+    rn = grouped_row_number(df, gnames, order_by, out="__srn",
+                            num_partitions=num_partitions)
+    right = rn.select(
+        *[F.col(g).alias(f"__sg_{i}") for i, g in enumerate(gnames)],
+        (F.col("__srn") + F.lit(n)).alias("__sjrn"),
+        F.col(value).alias("__sval"))
+    cond = F.col("__srn") == F.col("__sjrn")
+    for i, g in enumerate(gnames):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__sg_{i}"))
+    return (rn.join(right, cond, "left")
+            .withColumn(out, F.col("__sval"))
+            .drop("__srn", "__sjrn", "__sval",
+                  *[f"__sg_{i}" for i in range(len(gnames))]))
+
+
 def grouped_rolling_mean(
     df: DataFrame,
     group_by,

@@ -379,3 +379,19 @@ class TestGroupedRolling:
         assert grouped_rolling_sum(e, ["g"], ["rid"], "v", 3).count() == 0
         with pytest.raises(ValueError, match="window"):
             grouped_rolling_sum(e, ["g"], ["rid"], "v", 0)
+
+
+class TestGroupedShift:
+    @pytest.mark.parametrize("n_parts", [2, 16])
+    @pytest.mark.parametrize("n_shift", [1, 5, -3])
+    def test_matches_lag_window(self, spark, n_parts, n_shift):
+        from pandas_plus_spark.functions.ordered import grouped_shift
+        rows = [(i, ["a", "b", None][i % 3], float(i)) for i in range(600)]
+        df = spark.createDataFrame(rows, "rid long, g string, v double")
+        got = grouped_shift(df, ["g"], ["rid"], "v", n=n_shift, out="s",
+                            num_partitions=n_parts)
+        w = Window.partitionBy("g").orderBy("rid")
+        want = df.withColumn("s", F.lag("v", n_shift).over(w))
+        gm = {r.rid: r.s for r in got.collect()}
+        wm = {r.rid: r.s for r in want.collect()}
+        assert gm == wm

@@ -74,6 +74,7 @@ SUBSET = [
     "group_bfill_scale",
     "streaming_ewm",
     "group_rolling_scale",
+    "group_shift_scale",
 ]
 
 
