@@ -3147,7 +3147,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # segment_revenue_bucketed, incremental_dedup, incremental_dedup_indexed,
     # minhash_neardup_poly, chunk_dedup, dedup_keep_list), then (c) the
     # r5-era tail block (streaming_neardup .. vocab_top) which will be two
-    # rounds stale after r7.
+    # rounds stale after r7, and (d) the r7-CLOSE scale/streaming block
+    # (qcut_deciles, pivot_table_mean, group_rank_methods, group_take,
+    # corrwith, duplicated_flags, group_ffill_scale, group_bfill_scale,
+    # group_take_scale, group_shift_scale, group_rolling_scale,
+    # ewm_var_std, streaming_ewm — all in-pytest-gated; ewm_mean also
+    # re-verifies the scan-path rewrite).
     return {
         # --- r7 window: r4-era entries, last driver-checked in r4 ---
         "doc_chunks": _q_doc_chunks,
