@@ -254,6 +254,18 @@ class TestGroupedFfill:
         assert m[500] is None and m[699] is None
         assert m[700] == 700.0 and m[999] == 700.0
 
+    @pytest.mark.parametrize("n", PARTS)
+    def test_backward_matches_grouped_window(self, fframe, n):
+        from pandas_plus_spark.functions.ordered import grouped_ffill
+        got = grouped_ffill(fframe, ["g"], ["rid"], "v", out="f",
+                            num_partitions=n, backward=True)
+        w = (Window.partitionBy("g").orderBy("rid")
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        want = fframe.withColumn("f", F.first("v", ignorenulls=True).over(w))
+        gm = {r.rid: r.f for r in got.collect()}
+        wm = {r.rid: r.f for r in want.collect()}
+        assert gm == wm
+
 
 class TestGroupedRowNumberTake:
     """grouped_row_number/grouped_take = the per-group ranking window,
@@ -312,18 +324,6 @@ class TestGroupedRowNumberTake:
         # dedup through the OR filter keeps it once
         got = grouped_take(df, ["g"], ["rid"], [0, -1], num_partitions=8)
         assert sorted(r.rid for r in got.collect()) == list(range(40))
-
-    @pytest.mark.parametrize("n", PARTS)
-    def test_backward_matches_grouped_window(self, fframe, n):
-        from pandas_plus_spark.functions.ordered import grouped_ffill
-        got = grouped_ffill(fframe, ["g"], ["rid"], "v", out="f",
-                            num_partitions=n, backward=True)
-        w = (Window.partitionBy("g").orderBy("rid")
-             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-        want = fframe.withColumn("f", F.first("v", ignorenulls=True).over(w))
-        gm = {r.rid: r.f for r in got.collect()}
-        wm = {r.rid: r.f for r in want.collect()}
-        assert gm == wm
 
 
 class TestGroupedRolling:
