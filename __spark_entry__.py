@@ -2155,6 +2155,31 @@ def _q_group_shift_scale(spark, sf):
                     F.round("lead2", 6).alias("lead2"))
 
 
+def _q_group_expanding_scale(spark, sf):
+    """Scale-path expanding mean/var/std
+    (functions.ordered.grouped_expanding): the expanding frame IS the
+    running prefix, so one fused range-partition pass (sum, sum of
+    squares, non-null count + broadcast offsets) serves all three stats
+    with NO join — vs the window form's one-task-per-group unbounded
+    frame. min_periods=4 like the expanding_stats twin."""
+    ev = load_table(spark, sf, "events")
+    base = ev.select(
+        "event_id", "event_type",
+        F.when(F.pmod(F.col("event_id"), F.lit(7)) >= 2,
+               F.col("value")).alias("v"))
+    out = ordered.grouped_expanding(base, ["event_type"], ["event_id"],
+                                    "v", stats=("mean", "var", "std"),
+                                    min_periods=4, num_partitions=8)
+    # stats ship unrounded: the harness's rtol=1e-9 float compare absorbs
+    # last-bit prefix-sum drift, while round(x, 6) SPLITS values that sit
+    # on a rounding boundary (44.9184375 → .918438 vs .918437)
+    return out.select("event_id", "event_type",
+                      F.round("v", 6).alias("v"),
+                      F.col("v_expanding_mean").alias("exp_mean"),
+                      F.col("v_expanding_var").alias("exp_var"),
+                      F.col("v_expanding_std").alias("exp_std"))
+
+
 def _q_group_ohlc(spark, sf):
     """pandas GroupBy.ohlc (parity extra): per event_type, the first/
     max/min/last of value in event_id order — one keyed agg pass (the
@@ -3329,6 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ewm": _q_streaming_ewm,
         "group_rolling_scale": _q_group_rolling_scale,
         "group_shift_scale": _q_group_shift_scale,
+        "group_expanding_scale": _q_group_expanding_scale,
     }
 
 
@@ -4992,6 +5018,25 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
                    ), 6) AS v_b
             FROM events
+        """,
+        "group_expanding_scale": """
+            WITH b AS (
+                SELECT event_id, event_type,
+                       CASE WHEN event_id % 7 >= 2 THEN value END AS v
+                FROM events
+            ), r AS (
+                SELECT event_id, event_type, v,
+                       avg(v) OVER w AS m, var_samp(v) OVER w AS s2,
+                       stddev_samp(v) OVER w AS s, count(v) OVER w AS nn
+                FROM b
+                WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, event_type, round(v, 6) AS v,
+                   CASE WHEN nn >= 4 THEN m END AS exp_mean,
+                   CASE WHEN nn >= 4 THEN s2 END AS exp_var,
+                   CASE WHEN nn >= 4 THEN s END AS exp_std
+            FROM r
         """,
         "group_shift_scale": """
             SELECT event_id, event_type, round(value, 6) AS value,

@@ -331,12 +331,14 @@ def grouped_ffill(
     return attach_cached(out_df, local)
 
 
-def _grouped_running(df, gnames, order_by, value, num_partitions):
+def _grouped_running(df, gnames, order_by, value, num_partitions,
+                     want_sq: bool = False):
     """One fused range-partition pass emitting, per group in order: the
     1-based row number ``__rn``, the null-skipping running sum ``__C``
-    and the non-null running count ``__N`` — the prefix state every
-    difference-based rolling/shift operator needs. Same two-phase shape
-    and pinning rationale as :func:`grouped_cumsum`."""
+    and the non-null running count ``__N`` (plus the running sum of
+    squares ``__C2`` when ``want_sq``) — the prefix state every
+    difference-based rolling/shift/expanding operator needs. Same
+    two-phase shape and pinning rationale as :func:`grouped_cumsum`."""
     gcols = [F.col(c) for c in gnames]
     ocols = _order_cols(order_by)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -348,33 +350,47 @@ def _grouped_running(df, gnames, order_by, value, num_partitions):
     w_rn = Window.partitionBy("__pid", *gcols).orderBy(*ocols)
     local = (rp.withColumn("__lrn", F.row_number().over(w_rn))
              .withColumn("__lC", F.sum(v).over(w_run))
-             .withColumn("__lN", F.count(v).over(w_run))).persist()
-    bounds = local.groupBy("__pid", *gcols).agg(
-        F.count(F.lit(1)).alias("__rows"),
-        F.sum(v).alias("__tot"),
-        F.count(v).alias("__nn"))
+             .withColumn("__lN", F.count(v).over(w_run)))
+    if want_sq:
+        local = local.withColumn("__lC2", F.sum(v * v).over(w_run))
+    local = local.persist()
+    baggs = [F.count(F.lit(1)).alias("__rows"),
+             F.sum(v).alias("__tot"),
+             F.count(v).alias("__nn")]
+    if want_sq:
+        baggs.append(F.sum(v * v).alias("__tot2"))
+    bounds = local.groupBy("__pid", *gcols).agg(*baggs)
     w_off = (Window.partitionBy(*gcols).orderBy("__pid")
              .rowsBetween(Window.unboundedPreceding, -1))
-    offs = bounds.select(
+    osel = [
         F.col("__pid").alias("__opid"),
         *[F.col(g).alias(f"__og_{i}") for i, g in enumerate(gnames)],
         F.coalesce(F.sum("__rows").over(w_off), F.lit(0)).alias("__orows"),
         F.sum("__tot").over(w_off).alias("__osum"),
-        F.coalesce(F.sum("__nn").over(w_off), F.lit(0)).alias("__onn"))
+        F.coalesce(F.sum("__nn").over(w_off), F.lit(0)).alias("__onn")]
+    if want_sq:
+        osel.append(F.sum("__tot2").over(w_off).alias("__osum2"))
+    offs = bounds.select(*osel)
     cond = F.col("__pid") == F.col("__opid")
     for i, g in enumerate(gnames):
         cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{i}"))
-    glob_c = F.when(
-        F.col("__lC").isNull() & F.col("__osum").isNull(), F.lit(None)
-    ).otherwise(
-        F.coalesce("__lC", F.lit(0.0)) + F.coalesce("__osum", F.lit(0.0)))
+
+    def _null_aware(lc, oc):
+        return F.when(
+            F.col(lc).isNull() & F.col(oc).isNull(), F.lit(None)
+        ).otherwise(
+            F.coalesce(lc, F.lit(0.0)) + F.coalesce(oc, F.lit(0.0)))
+
     out = (local.join(F.broadcast(offs), cond, "left")
            .withColumn("__rn", (F.col("__lrn") + F.col("__orows")).cast("long"))
-           .withColumn("__C", glob_c)
-           .withColumn("__N", (F.col("__lN") + F.col("__onn")).cast("long"))
-           .drop("__pid", "__lrn", "__lC", "__lN", "__opid", "__orows",
-                 "__osum", "__onn",
-                 *[f"__og_{i}" for i in range(len(gnames))]))
+           .withColumn("__C", _null_aware("__lC", "__osum"))
+           .withColumn("__N", (F.col("__lN") + F.col("__onn")).cast("long")))
+    drop = ["__pid", "__lrn", "__lC", "__lN", "__opid", "__orows",
+            "__osum", "__onn", *[f"__og_{i}" for i in range(len(gnames))]]
+    if want_sq:
+        out = out.withColumn("__C2", _null_aware("__lC2", "__osum2"))
+        drop += ["__lC2", "__osum2"]
+    out = out.drop(*drop)
     return attach_cached(out, local)
 
 
@@ -429,6 +445,55 @@ def grouped_rolling_sum(
               .drop("__rn", "__C", "__N", "__jrn", "__Cp", "__Np",
                     *[f"__jg_{i}" for i in range(len(gnames))]))
     return joined
+
+
+def grouped_expanding(
+    df: DataFrame,
+    group_by,
+    order_by,
+    value: str,
+    stats=("mean",),
+    min_periods: int = 1,
+    ddof: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Expanding mean/var/std per group in ``order_by`` order at
+    few-huge-groups scale — ``GroupBy.expanding()`` semantics
+    (min_periods counts NON-NULL observations; every row emits). The
+    expanding frame IS the running prefix, so this is ONE
+    :func:`_grouped_running` pass (sum, sum of squares, count) with no
+    join at all — parallelism = partition count. Output columns
+    ``{value}_expanding_{stat}``. Precision: var = (C2 − C²/N)/(N−ddof)
+    carries the one-pass moment formula's cancellation when
+    var ≪ mean² — the same contract as the engine's keyed var/std
+    aggregates."""
+    stats = [stats] if isinstance(stats, str) else list(stats)
+    bad = set(stats) - {"mean", "var", "std", "sum", "count"}
+    if bad:
+        raise ValueError(f"unsupported expanding stats: {sorted(bad)}")
+    want_sq = bool({"var", "std"} & set(stats))
+    gnames = [group_by] if isinstance(group_by, str) else list(group_by)
+    run = _grouped_running(df, gnames, order_by, value, num_partitions,
+                           want_sq=want_sq)
+    n_obs = F.col("__N")
+    guard = n_obs >= F.lit(max(min_periods, 1))
+    out = run
+    for stat in stats:
+        if stat == "sum":
+            val = F.col("__C")
+        elif stat == "count":
+            val = n_obs.cast("double")
+        elif stat == "mean":
+            val = F.col("__C") / n_obs
+        else:  # var / std
+            m = F.col("__C") / n_obs
+            num = F.greatest(F.col("__C2") - F.col("__C") * m, F.lit(0.0))
+            val = F.when(n_obs > F.lit(ddof), num / (n_obs - F.lit(ddof)))
+            if stat == "std":
+                val = F.sqrt(val)
+        out = out.withColumn(f"{value}_expanding_{stat}",
+                             F.when(guard, val))
+    return out.drop("__rn", "__C", "__N", "__C2")
 
 
 def grouped_shift(

@@ -395,3 +395,37 @@ class TestGroupedShift:
         gm = {r.rid: r.s for r in got.collect()}
         wm = {r.rid: r.s for r in want.collect()}
         assert gm == wm
+
+
+class TestGroupedExpanding:
+    @pytest.mark.parametrize("n", [2, 16])
+    def test_matches_window_form(self, spark, n):
+        from pandas_plus_spark.functions.ordered import grouped_expanding
+        rows = [(i, ["a", "b"][i % 2], float(i % 23) if i % 6 else None)
+                for i in range(800)]
+        df = spark.createDataFrame(rows, "rid long, g string, v double")
+        got = grouped_expanding(df, ["g"], ["rid"], "v",
+                                stats=("mean", "var", "std"),
+                                min_periods=3, num_partitions=n)
+        w = (Window.partitionBy("g").orderBy("rid")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        guard = F.count("v").over(w) >= 3
+        want = (df.withColumn("m", F.when(guard, F.avg("v").over(w)))
+                .withColumn("s2", F.when(guard, F.var_samp("v").over(w)))
+                .withColumn("s", F.when(guard, F.stddev_samp("v").over(w))))
+        gm = {r.rid: (r.v_expanding_mean, r.v_expanding_var, r.v_expanding_std)
+              for r in got.collect()}
+        wm = {r.rid: (r.m, r.s2, r.s) for r in want.collect()}
+        for k in wm:
+            for a, b in zip(gm[k], wm[k]):
+                if b is None:
+                    assert a is None, k
+                else:
+                    assert a == pytest.approx(b, rel=1e-9, abs=1e-9), k
+
+    def test_validation_and_empty(self, spark):
+        from pandas_plus_spark.functions.ordered import grouped_expanding
+        e = spark.createDataFrame([], "rid long, g string, v double")
+        assert grouped_expanding(e, ["g"], ["rid"], "v").count() == 0
+        with pytest.raises(ValueError, match="unsupported"):
+            grouped_expanding(e, ["g"], ["rid"], "v", stats=("median",))

@@ -75,6 +75,7 @@ SUBSET = [
     "streaming_ewm",
     "group_rolling_scale",
     "group_shift_scale",
+    "group_expanding_scale",
 ]
 
 
