@@ -2132,10 +2132,14 @@ def _q_group_rolling_scale(spark, sf):
     m = ordered.grouped_rolling_mean(s, ["event_type"], ["event_id"],
                                      "v", 25, min_periods=5, out="rmean",
                                      num_partitions=8)
-    return m.select("event_id", "event_type",
-                    F.round("v", 6).alias("v"),
-                    F.round("rsum", 6).alias("rsum"),
-                    F.round("rmean", 6).alias("rmean"))
+    vr = ordered.grouped_rolling_var(m, ["event_type"], ["event_id"],
+                                     "v", 25, min_periods=5, out="rvar",
+                                     num_partitions=8)
+    # computed stats ship unrounded — round(x, 6) splits values on a
+    # rounding boundary; the harness rtol=1e-9 absorbs last-bit drift
+    return vr.select("event_id", "event_type",
+                     F.round("v", 6).alias("v"),
+                     F.col("rsum"), F.col("rmean"), F.col("rvar"))
 
 
 def _q_group_shift_scale(spark, sf):
@@ -5054,14 +5058,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_id, event_type, v,
                        sum(v) OVER w AS rsum0,
                        avg(v) OVER w AS rmean0,
+                       var_samp(v) OVER w AS rvar0,
                        count(v) OVER w AS nn
                 FROM b
                 WINDOW w AS (PARTITION BY event_type ORDER BY event_id
                              ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
             )
             SELECT event_id, event_type, round(v, 6) AS v,
-                   round(CASE WHEN nn >= 5 THEN rsum0 END, 6) AS rsum,
-                   round(CASE WHEN nn >= 5 THEN rmean0 END, 6) AS rmean
+                   CASE WHEN nn >= 5 THEN rsum0 END AS rsum,
+                   CASE WHEN nn >= 5 THEN rmean0 END AS rmean,
+                   CASE WHEN nn >= 5 THEN rvar0 END AS rvar
             FROM r
         """,
         "group_take_scale": """

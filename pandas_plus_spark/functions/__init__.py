@@ -7,7 +7,8 @@ from .sketches import merge_sketches, nunique_sketches, sketch_estimate
 from .ordered import (global_cumsum, global_ntile, global_rank_cumsum,
                       grouped_cumsum, grouped_expanding, grouped_ffill,
                       grouped_row_number,
-                      grouped_rolling_mean, grouped_rolling_sum, grouped_shift,
+                      grouped_rolling_mean, grouped_rolling_sum, grouped_rolling_var,
+                      grouped_shift,
                       grouped_take,
                       global_row_number, global_shift)
 from .text import (
@@ -37,6 +38,7 @@ __all__ = [
     "grouped_row_number",
     "grouped_rolling_mean",
     "grouped_rolling_sum",
+    "grouped_rolling_var",
     "grouped_shift",
     "grouped_take",
     "global_shift",

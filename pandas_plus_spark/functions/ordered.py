@@ -447,6 +447,55 @@ def grouped_rolling_sum(
     return joined
 
 
+def grouped_rolling_var(
+    df: DataFrame,
+    group_by,
+    order_by,
+    value: str,
+    window: int,
+    min_periods: int | None = None,
+    ddof: int = 1,
+    std: bool = False,
+    out: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Trailing rolling variance (or std) per group at few-huge-groups
+    scale — the :func:`grouped_rolling_sum` prefix-difference join with
+    the sum-of-squares component carried too: over the frame,
+    n = N_t − N_{t−w}, S = C_t − C_{t−w}, S2 = C2_t − C2_{t−w},
+    var = (S2 − S²/n)/(n − ddof). Same one-pass-moment precision
+    contract as the keyed var aggregates (cancellation when
+    var ≪ mean²) stacked on the prefix-difference contract."""
+    if window is None or window < 1:
+        raise ValueError("window must be a positive int")
+    mp = window if min_periods is None else min_periods
+    gnames = [group_by] if isinstance(group_by, str) else list(group_by)
+    out = out or f"{value}_rolling_{'std' if std else 'var'}"
+    run = _grouped_running(df, gnames, order_by, value, num_partitions,
+                           want_sq=True)
+    right = run.select(
+        *[F.col(g).alias(f"__jg_{i}") for i, g in enumerate(gnames)],
+        (F.col("__rn") + F.lit(window)).alias("__jrn"),
+        F.col("__C").alias("__Cp"), F.col("__N").alias("__Np"),
+        F.col("__C2").alias("__C2p"))
+    cond = F.col("__rn") == F.col("__jrn")
+    for i, g in enumerate(gnames):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__jg_{i}"))
+    n_in = F.col("__N") - F.coalesce("__Np", F.lit(0))
+    s = (F.coalesce("__C", F.lit(0.0)) - F.coalesce("__Cp", F.lit(0.0)))
+    s2 = (F.coalesce("__C2", F.lit(0.0)) - F.coalesce("__C2p", F.lit(0.0)))
+    num = F.greatest(s2 - s * s / n_in, F.lit(0.0))
+    val = num / (n_in - F.lit(ddof))
+    if std:
+        val = F.sqrt(val)
+    guarded = F.when(
+        (n_in >= F.lit(max(mp, 1))) & (n_in > F.lit(ddof)), val)
+    return (run.join(right, cond, "left")
+            .withColumn(out, guarded)
+            .drop("__rn", "__C", "__N", "__C2", "__jrn", "__Cp", "__Np",
+                  "__C2p", *[f"__jg_{i}" for i in range(len(gnames))]))
+
+
 def grouped_expanding(
     df: DataFrame,
     group_by,

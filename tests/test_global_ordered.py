@@ -429,3 +429,27 @@ class TestGroupedExpanding:
         assert grouped_expanding(e, ["g"], ["rid"], "v").count() == 0
         with pytest.raises(ValueError, match="unsupported"):
             grouped_expanding(e, ["g"], ["rid"], "v", stats=("median",))
+
+
+class TestGroupedRollingVar:
+    @pytest.mark.parametrize("n", [2, 16])
+    @pytest.mark.parametrize("std", [False, True])
+    def test_matches_window_form(self, spark, n, std):
+        from pandas_plus_spark.functions.ordered import grouped_rolling_var
+        rows = [(i, ["a", "b"][i % 2], float(i % 19) if i % 6 else None)
+                for i in range(700)]
+        df = spark.createDataFrame(rows, "rid long, g string, v double")
+        got = grouped_rolling_var(df, ["g"], ["rid"], "v", 9, min_periods=3,
+                                  std=std, out="r", num_partitions=n)
+        w = (Window.partitionBy("g").orderBy("rid")
+             .rowsBetween(-8, Window.currentRow))
+        agg = F.stddev_samp("v") if std else F.var_samp("v")
+        want = df.withColumn(
+            "r", F.when(F.count("v").over(w) >= 3, agg.over(w)))
+        gm = {r.rid: r.r for r in got.collect()}
+        wm = {r.rid: r.r for r in want.collect()}
+        for k in wm:
+            if wm[k] is None:
+                assert gm[k] is None, k
+            else:
+                assert gm[k] == pytest.approx(wm[k], rel=1e-9, abs=1e-9), k
