@@ -2184,6 +2184,26 @@ def _q_group_expanding_scale(spark, sf):
                       F.col("v_expanding_std").alias("exp_std"))
 
 
+def _q_group_cumminmax_scale(spark, sf):
+    """Scale-path running min+max (functions.ordered.grouped_cumminmax):
+    prefix min/max is associative, so the grouped_cumsum two-phase
+    shape applies verbatim — per-(partition, group) running extreme +
+    broadcast boundary carry."""
+    ev = load_table(spark, sf, "events")
+    base = ev.select(
+        "event_id", "event_type",
+        F.when(F.pmod(F.col("event_id"), F.lit(7)) >= 2,
+               F.col("value")).alias("v"))
+    a = ordered.grouped_cumminmax(base, ["event_type"], ["event_id"], "v",
+                                  op="min", out="cmin", num_partitions=8)
+    b = ordered.grouped_cumminmax(a, ["event_type"], ["event_id"], "v",
+                                  op="max", out="cmax", num_partitions=8)
+    return b.select("event_id", "event_type",
+                    F.round("v", 6).alias("v"),
+                    F.round("cmin", 6).alias("cmin"),
+                    F.round("cmax", 6).alias("cmax"))
+
+
 def _q_group_ohlc(spark, sf):
     """pandas GroupBy.ohlc (parity extra): per event_type, the first/
     max/min/last of value in event_id order — one keyed agg pass (the
@@ -3359,6 +3379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_rolling_scale": _q_group_rolling_scale,
         "group_shift_scale": _q_group_shift_scale,
         "group_expanding_scale": _q_group_expanding_scale,
+        "group_cumminmax_scale": _q_group_cumminmax_scale,
     }
 
 
@@ -5022,6 +5043,17 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
                    ), 6) AS v_b
             FROM events
+        """,
+        "group_cumminmax_scale": """
+            SELECT event_id, event_type,
+                   round(CASE WHEN event_id % 7 >= 2 THEN value END, 6) AS v,
+                   round(min(CASE WHEN event_id % 7 >= 2 THEN value END)
+                         OVER w, 6) AS cmin,
+                   round(max(CASE WHEN event_id % 7 >= 2 THEN value END)
+                         OVER w, 6) AS cmax
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "group_expanding_scale": """
             WITH b AS (

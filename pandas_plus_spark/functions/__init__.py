@@ -5,7 +5,8 @@ from .encoding import bools_to_categorical, linear_combination
 from .masks import bool_array_mask, index_mask, slice_mask
 from .sketches import merge_sketches, nunique_sketches, sketch_estimate
 from .ordered import (global_cumsum, global_ntile, global_rank_cumsum,
-                      grouped_cumsum, grouped_expanding, grouped_ffill,
+                      grouped_cumminmax, grouped_cumsum, grouped_expanding,
+                      grouped_ffill,
                       grouped_row_number,
                       grouped_rolling_mean, grouped_rolling_sum, grouped_rolling_var,
                       grouped_shift,
@@ -32,6 +33,7 @@ __all__ = [
     "let",
     "global_row_number",
     "global_cumsum",
+    "grouped_cumminmax",
     "grouped_cumsum",
     "grouped_expanding",
     "grouped_ffill",

@@ -447,6 +447,56 @@ def grouped_rolling_sum(
     return joined
 
 
+def grouped_cumminmax(
+    df: DataFrame,
+    group_by,
+    order_by,
+    value: str,
+    op: str = "min",
+    out: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running min/max per group in ``order_by`` order at few-huge-groups
+    scale. Prefix min/max is associative, so the :func:`grouped_cumsum`
+    two-phase shape applies verbatim: per-(partition, group) running
+    min/max, a tiny boundary frame's running min/max over PRECEDING
+    partitions broadcast back, final = least/greatest of the two
+    (null-skipping, like the window aggregate)."""
+    if op not in ("min", "max"):
+        raise ValueError("op must be 'min' or 'max'")
+    agg = F.min if op == "min" else F.max
+    pick = F.least if op == "min" else F.greatest
+    gnames = [group_by] if isinstance(group_by, str) else list(group_by)
+    gcols = [F.col(c) for c in gnames]
+    ocols = _order_cols(order_by)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    out = out or f"{value}_cum{op}"
+    rp = df.repartitionByRange(n, *gcols, *ocols).withColumn(
+        "__pid", F.spark_partition_id())
+    v = F.col(value)
+    w_run = (Window.partitionBy("__pid", *gcols).orderBy(*ocols)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # pinned: same two-branch boundary hazard as grouped_cumsum
+    local = rp.withColumn("__lm", agg(v).over(w_run)).persist()
+    bounds = local.groupBy("__pid", *gcols).agg(agg(v).alias("__bm"))
+    w_off = (Window.partitionBy(*gcols).orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bounds.select(
+        F.col("__pid").alias("__opid"),
+        *[F.col(g).alias(f"__og_{i}") for i, g in enumerate(gnames)],
+        agg("__bm").over(w_off).alias("__om"))
+    cond = F.col("__pid") == F.col("__opid")
+    for i, g in enumerate(gnames):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{i}"))
+    # least/greatest skip nulls (SQL semantics), matching the window
+    # aggregate: null iff no observation in the whole prefix
+    out_df = (local.join(F.broadcast(offs), cond, "left")
+              .withColumn(out, pick(F.col("__lm"), F.col("__om")))
+              .drop("__pid", "__lm", "__om", "__opid",
+                    *[f"__og_{i}" for i in range(len(gnames))]))
+    return attach_cached(out_df, local)
+
+
 def grouped_rolling_var(
     df: DataFrame,
     group_by,

@@ -453,3 +453,30 @@ class TestGroupedRollingVar:
                 assert gm[k] is None, k
             else:
                 assert gm[k] == pytest.approx(wm[k], rel=1e-9, abs=1e-9), k
+
+
+class TestGroupedCumMinMax:
+    @pytest.mark.parametrize("n", PARTS)
+    @pytest.mark.parametrize("op", ["min", "max"])
+    def test_matches_window_form(self, spark, n, op):
+        from pandas_plus_spark.functions.ordered import grouped_cumminmax
+        rows = [(i, ["a", None][i % 2],
+                 float((i * 13) % 101) if i % 6 else None)
+                for i in range(800)]
+        df = spark.createDataFrame(rows, "rid long, g string, v double")
+        got = grouped_cumminmax(df, ["g"], ["rid"], "v", op=op, out="m",
+                                num_partitions=n)
+        w = (Window.partitionBy("g").orderBy("rid")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        agg = F.min("v") if op == "min" else F.max("v")
+        want = df.withColumn("m", agg.over(w))
+        gm = {r.rid: r.m for r in got.collect()}
+        wm = {r.rid: r.m for r in want.collect()}
+        assert gm == wm
+
+    def test_validation(self, spark):
+        from pandas_plus_spark.functions.ordered import grouped_cumminmax
+        e = spark.createDataFrame([], "rid long, g string, v double")
+        assert grouped_cumminmax(e, ["g"], ["rid"], "v").count() == 0
+        with pytest.raises(ValueError, match="op"):
+            grouped_cumminmax(e, ["g"], ["rid"], "v", op="sum")

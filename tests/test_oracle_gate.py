@@ -76,6 +76,7 @@ SUBSET = [
     "group_rolling_scale",
     "group_shift_scale",
     "group_expanding_scale",
+    "group_cumminmax_scale",
 ]
 
 
