@@ -2184,6 +2184,33 @@ def _q_group_expanding_scale(spark, sf):
                       F.col("v_expanding_std").alias("exp_std"))
 
 
+def _q_group_rank_scale(spark, sf):
+    """Scale-path GroupBy.rank (functions.ordered.grouped_rank): range
+    partition on (group, VALUE) — ranking's own order — one grouped
+    numbering pass + a (group, value)-distinct tie frame joined back;
+    the tie frame gets the same no-funnel numbering for the dense index.
+    Same columns as group_rank_methods (average, max, dense-pct over
+    heavy l_quantity ties)."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    base = li.withColumn("qty", F.col("l_quantity").cast("double"))
+    a = ordered.grouped_rank(base, ["l_returnflag"],
+                             ["l_orderkey", "l_linenumber"], "qty",
+                             method="average", out="avg_rank",
+                             num_partitions=8)
+    b = ordered.grouped_rank(a, ["l_returnflag"],
+                             ["l_orderkey", "l_linenumber"], "qty",
+                             method="max", out="max_rank",
+                             num_partitions=8)
+    c = ordered.grouped_rank(b, ["l_returnflag"],
+                             ["l_orderkey", "l_linenumber"], "qty",
+                             method="dense", pct=True, out="dense_pct",
+                             num_partitions=8)
+    return c.select("l_orderkey", "l_linenumber", "l_returnflag", "qty",
+                    "avg_rank", "max_rank",
+                    F.round("dense_pct", 9).alias("dense_pct"))
+
+
 def _q_group_cumminmax_scale(spark, sf):
     """Scale-path running min+max (functions.ordered.grouped_cumminmax):
     prefix min/max is associative, so the grouped_cumsum two-phase
@@ -3380,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_shift_scale": _q_group_shift_scale,
         "group_expanding_scale": _q_group_expanding_scale,
         "group_cumminmax_scale": _q_group_cumminmax_scale,
+        "group_rank_scale": _q_group_rank_scale,
     }
 
 
@@ -5043,6 +5071,23 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
                    ), 6) AS v_b
             FROM events
+        """,
+        "group_rank_scale": """
+            WITH d AS (
+                SELECT l_returnflag, count(DISTINCT l_quantity) AS nd
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                   CAST(l.l_quantity AS DOUBLE) AS qty,
+                   rank() OVER w
+                     + (count(*) OVER (PARTITION BY l.l_returnflag,
+                                       l.l_quantity) - 1) / 2.0 AS avg_rank,
+                   CAST(rank() OVER w
+                     + count(*) OVER (PARTITION BY l.l_returnflag,
+                                      l.l_quantity) - 1 AS DOUBLE) AS max_rank,
+                   round(dense_rank() OVER w * 1.0 / d.nd, 9) AS dense_pct
+            FROM lineitem l JOIN d USING (l_returnflag)
+            WINDOW w AS (PARTITION BY l.l_returnflag ORDER BY l.l_quantity)
         """,
         "group_cumminmax_scale": """
             SELECT event_id, event_type,

@@ -447,6 +447,89 @@ def grouped_rolling_sum(
     return joined
 
 
+def grouped_rank(
+    df: DataFrame,
+    group_by,
+    tiebreak,
+    value: str,
+    method: str = "average",
+    ascending: bool = True,
+    pct: bool = False,
+    out: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group rank of ``value`` (pandas ``GroupBy.rank`` methods
+    average/min/max/first/dense, na_option=keep) at few-huge-groups
+    scale. Ranking orders by VALUE, so the range partition is on
+    ``(group, value)`` — one :func:`grouped_row_number` pass with nulls
+    forced last (their positions never perturb non-null ranks), then a
+    (group, value)-distinct tie frame (min/max position per tie, dense
+    index via a second grouped numbering of the frame itself — the
+    frame can be corpus-sized under continuous values, so it gets the
+    same no-funnel treatment) joined back. ``tiebreak`` columns make
+    method='first' deterministic. pct divides by the group's non-null
+    count (dense: by its distinct count), as pandas does."""
+    if method not in ("average", "min", "max", "first", "dense"):
+        raise ValueError(f"unsupported rank method: {method}")
+    gnames = [group_by] if isinstance(group_by, str) else list(group_by)
+    out = out or f"{value}_rank"
+    v = F.col(value)
+    vord = (v.asc_nulls_last() if ascending else v.desc_nulls_last())
+    order = [vord] + _order_cols(tiebreak)
+    rn = grouped_row_number(df, gnames, order, out="__rrn",
+                            num_partitions=num_partitions)
+    nnrows = rn.filter(v.isNotNull())
+    if method == "first" and not pct:
+        val = F.when(v.isNotNull(), F.col("__rrn").cast("double"))
+        return rn.withColumn(out, val).drop("__rrn")
+    ties = nnrows.groupBy(*gnames, value).agg(
+        F.min("__rrn").alias("__tmin"), F.max("__rrn").alias("__tmax"))
+    if method == "dense":
+        ties = grouped_row_number(
+            ties, gnames, [vord], out="__tdense",
+            num_partitions=num_partitions)
+    sizes = nnrows.groupBy(*gnames).agg(
+        F.count(F.lit(1)).alias("__gnn"),
+        F.count_distinct(v).alias("__gnd"))
+    tsel = [*[F.col(g).alias(f"__tg_{i}") for i, g in enumerate(gnames)],
+            F.col(value).alias("__tv"), "__tmin", "__tmax"]
+    if method == "dense":
+        tsel.append("__tdense")
+    ties = ties.select(*tsel)
+    cond = v == F.col("__tv")  # value non-null on both sides at matches
+    for i, g in enumerate(gnames):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__tg_{i}"))
+    joined = rn.join(ties, cond, "left")
+    scond = None
+    for i, g in enumerate(gnames):
+        c = F.col(g).eqNullSafe(F.col(f"__sg_{i}"))
+        scond = c if scond is None else scond & c
+    joined = joined.join(
+        sizes.select(*[F.col(g).alias(f"__sg_{i}")
+                       for i, g in enumerate(gnames)], "__gnn", "__gnd"),
+        scond, "left")
+    if method == "min":
+        rank = F.col("__tmin").cast("double")
+    elif method == "max":
+        rank = F.col("__tmax").cast("double")
+    elif method == "average":
+        rank = (F.col("__tmin") + F.col("__tmax")) / F.lit(2.0)
+    elif method == "dense":
+        rank = F.col("__tdense").cast("double")
+    else:  # first (pct path)
+        rank = F.col("__rrn").cast("double")
+    if pct:
+        denom = F.col("__gnd") if method == "dense" else F.col("__gnn")
+        rank = rank / denom
+    drop = ["__rrn", "__tmin", "__tmax", "__tv", "__gnn", "__gnd",
+            *[f"__tg_{i}" for i in range(len(gnames))],
+            *[f"__sg_{i}" for i in range(len(gnames))]]
+    if method == "dense":
+        drop.append("__tdense")
+    return (joined.withColumn(out, F.when(v.isNotNull(), rank))
+            .drop(*drop))
+
+
 def grouped_cumminmax(
     df: DataFrame,
     group_by,

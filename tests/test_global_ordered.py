@@ -480,3 +480,46 @@ class TestGroupedCumMinMax:
         assert grouped_cumminmax(e, ["g"], ["rid"], "v").count() == 0
         with pytest.raises(ValueError, match="op"):
             grouped_cumminmax(e, ["g"], ["rid"], "v", op="sum")
+
+
+class TestGroupedRank:
+    """grouped_rank = GroupBy.rank (pandas methods), at any partition
+    count, over heavy ties and nulls."""
+
+    @pytest.fixture(scope="class")
+    def kframe(self, spark):
+        rows = [(i, ["a", "b"][i % 2],
+                 float((i * 7) % 6) if i % 5 else None)  # heavy ties + nulls
+                for i in range(600)]
+        return spark.createDataFrame(rows, "rid long, g string, v double")
+
+    @pytest.mark.parametrize("n", [2, 16])
+    @pytest.mark.parametrize("method", ["average", "min", "max", "first",
+                                        "dense"])
+    @pytest.mark.parametrize("asc", [True, False])
+    def test_matches_groupby_rank(self, kframe, n, method, asc):
+        from pandas_plus_spark.functions.ordered import grouped_rank
+        from pandas_plus_spark import GroupBy
+        got = grouped_rank(kframe, ["g"], ["rid"], "v", method=method,
+                           ascending=asc, out="r", num_partitions=n)
+        want = GroupBy(kframe, "g", order_by="rid").rank(
+            "v", method=method, ascending=asc)
+        gm = {r.rid: r.r for r in got.collect()}
+        wm = {r.rid: r.v_rank for r in want.collect()}
+        assert gm == wm
+
+    @pytest.mark.parametrize("method", ["average", "dense"])
+    def test_pct_matches_groupby_rank(self, kframe, method):
+        from pandas_plus_spark.functions.ordered import grouped_rank
+        from pandas_plus_spark import GroupBy
+        got = grouped_rank(kframe, ["g"], ["rid"], "v", method=method,
+                           pct=True, out="r", num_partitions=8)
+        want = GroupBy(kframe, "g", order_by="rid").rank(
+            "v", method=method, pct=True)
+        gm = {r.rid: r.r for r in got.collect()}
+        wm = {r.rid: r.v_rank for r in want.collect()}
+        for k in wm:
+            if wm[k] is None:
+                assert gm[k] is None, k
+            else:
+                assert gm[k] == pytest.approx(wm[k], rel=1e-12), k

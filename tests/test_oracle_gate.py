@@ -77,6 +77,7 @@ SUBSET = [
     "group_shift_scale",
     "group_expanding_scale",
     "group_cumminmax_scale",
+    "group_rank_scale",
 ]
 
 
