@@ -2407,9 +2407,7 @@ def _q_ewm_var_std(spark, sf):
     the closed-form weighted moments over in-group pairs."""
     ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
     g = GroupBy(ev, "user_id", order_by="event_id")
-    out = g.ewm_var("value", alpha=0.1)
-    out = GroupBy(out, "user_id", order_by="event_id").ewm_std(
-        "value", alpha=0.1)
+    out = g.ewm_moments("value", alpha=0.1)  # one scan: mean+var+std
     return out.select("event_id", "user_id",
                       F.col("value_ewm_var").alias("ewm_var"),
                       F.col("value_ewm_std").alias("ewm_std"))

@@ -1737,6 +1737,17 @@ class GroupBy:
         return self._ewm_dispatch(values, alpha, adjust, ignore_na, method,
                                   stat="std", bias=bias)
 
+    def ewm_moments(self, values=None, *, alpha: float, adjust: bool = True,
+                    bias: bool = False, ignore_na: bool = False,
+                    method: str = "auto") -> DataFrame:
+        """Mean, variance and std in ONE pass — outputs ``{col}_ewm``,
+        ``{col}_ewm_var`` and ``{col}_ewm_std``. All three share every
+        scan component (the mean is the var's own num/den ratio and the
+        std its square root), so this costs one :meth:`ewm_var`, not
+        three operators."""
+        return self._ewm_dispatch(values, alpha, adjust, ignore_na, method,
+                                  stat="moments", bias=bias)
+
     def _ewm_dispatch(self, values, alpha, adjust, ignore_na, method,
                       stat, bias=False):
         if not self._order_by:
@@ -1750,18 +1761,28 @@ class GroupBy:
         cols = self._numeric_values(values)
         suffix = "_ewm" if stat == "mean" else f"_ewm_{stat}"
         if method == "kernel" or (method == "auto" and not adjust):
-            schema = T.StructType(
-                list(self._df.schema.fields)
-                + [T.StructField(c + suffix, T.DoubleType()) for c in cols])
+            if stat == "moments":
+                new_fields = [T.StructField(c + s, T.DoubleType())
+                              for c in cols
+                              for s in ("_ewm", "_ewm_var", "_ewm_std")]
+            else:
+                new_fields = [T.StructField(c + suffix, T.DoubleType())
+                              for c in cols]
+            schema = T.StructType(list(self._df.schema.fields) + new_fields)
 
             def fn(pdf):
                 for c in cols:
                     ew = pdf[c].ewm(alpha=alpha, adjust=adjust,
                                     ignore_na=ignore_na)
-                    pdf[c + suffix] = (
-                        ew.mean() if stat == "mean"
-                        else ew.var(bias=bias) if stat == "var"
-                        else ew.std(bias=bias))
+                    if stat == "moments":
+                        pdf[f"{c}_ewm"] = ew.mean()
+                        pdf[f"{c}_ewm_var"] = ew.var(bias=bias)
+                        pdf[f"{c}_ewm_std"] = ew.std(bias=bias)
+                    else:
+                        pdf[c + suffix] = (
+                            ew.mean() if stat == "mean"
+                            else ew.var(bias=bias) if stat == "var"
+                            else ew.std(bias=bias))
                 return pdf
 
             return self.apply(fn, schema)
@@ -1782,16 +1803,20 @@ class GroupBy:
             out = base
             for c in cols:
                 x = F.col(c).cast("double")
-                if stat == "mean":
-                    v = x
-                elif bias:
-                    v = F.when(x.isNotNull(), F.lit(0.0))
-                else:
-                    v = F.lit(None).cast("double")
+                vb = (F.when(x.isNotNull(), F.lit(0.0)) if bias
+                      else F.lit(None).cast("double"))
+                if stat == "moments":
+                    for sfx, v in ((f"{c}_ewm", x), (f"{c}_ewm_var", vb),
+                                   (f"{c}_ewm_std", F.sqrt(vb))):
+                        out = out.withColumn(
+                            sfx, F.last(v, ignorenulls=True).over(w_cum))
+                    continue
+                v = x if stat == "mean" else (vb if stat == "var"
+                                              else F.sqrt(vb))
                 out = out.withColumn(
                     c + suffix, F.last(v, ignorenulls=True).over(w_cum))
             return out
-        want_var = stat in ("var", "std")
+        want_var = stat in ("var", "std", "moments")
         # END-ANCHORED chunk rescale: in-chunk weight r^(L−1−i) ≤ 1 (no
         # overflow possible, running sums bounded by the chunk length);
         # L picked so r^L < 1e-17 — the lag-1 carry is exact to double
@@ -1888,6 +1913,19 @@ class GroupBy:
                     val = F.when(denom > F.lit(0.0), den * den / denom * vb)
                 if stat == "std":
                     val = F.sqrt(val)
+            if stat == "moments":
+                mean_val = F.when(den > F.lit(0.0), num / den)
+                out = (out.withColumn(
+                    f"{c}_ewm", F.last(mean_val, ignorenulls=True).over(w_cum))
+                    .withColumn(
+                    f"{c}_ewm_var", F.last(val, ignorenulls=True).over(w_cum))
+                    .withColumn(f"{c}_ewm_std", F.sqrt(f"{c}_ewm_var")))
+                out = out.drop("__nc", "__pn", "__pw", "__pb", "__pw2",
+                               *[f"__k_{i}" for i in range(len(self._keys))],
+                               f"__c_{c}", f"__z_{c}", f"__zw_{c}",
+                               f"__S_{c}", f"__W_{c}", f"__z2_{c}",
+                               f"__zw2_{c}", f"__S2_{c}", f"__W2_{c}")
+                continue
             out = out.withColumn(
                 c + suffix, F.last(val, ignorenulls=True).over(w_cum))
             drop = ["__nc", "__pn", "__pw",

@@ -1193,3 +1193,35 @@ class TestDuplicatedFlags:
                    duplicated_flags(sdf, "u", "o", keep=keep).collect()}
             want = pdf.duplicated("u", keep=keep)
             assert got == {i: bool(want[i]) for i in pdf.o}, keep
+
+
+class TestEwmMoments:
+    def test_moments_equal_individual_ops(self, spark):
+        """ewm_moments (one scan) == ewm_mean + ewm_var + ewm_std run
+        separately, scan and kernel paths, incl. alpha=1."""
+        import pandas as pd
+        import numpy as np
+        rng = np.random.default_rng(17)
+        pdf = pd.DataFrame({
+            "k": rng.choice(["x", "y"], 300), "o": np.arange(300),
+            "v": np.where(rng.random(300) < 0.2, np.nan,
+                          rng.standard_normal(300) * 9)})
+        sdf = spark.createDataFrame(pdf)
+        g = GroupBy(sdf, "k", order_by="o")
+        for alpha, method in ((0.3, "scan"), (0.3, "kernel"), (1.0, "scan")):
+            mom = {(r.k, r.o): (r.v_ewm, r.v_ewm_var, r.v_ewm_std) for r in
+                   g.ewm_moments("v", alpha=alpha, method=method).collect()}
+            m1 = {(r.k, r.o): r.v_ewm for r in
+                  g.ewm_mean("v", alpha=alpha, method=method).collect()}
+            v1 = {(r.k, r.o): r.v_ewm_var for r in
+                  g.ewm_var("v", alpha=alpha, method=method).collect()}
+            s1 = {(r.k, r.o): r.v_ewm_std for r in
+                  g.ewm_std("v", alpha=alpha, method=method).collect()}
+            for key in m1:
+                for a, b in ((mom[key][0], m1[key]), (mom[key][1], v1[key]),
+                             (mom[key][2], s1[key])):
+                    if b is None or pd.isna(b):
+                        assert a is None or pd.isna(a), (alpha, method, key)
+                    else:
+                        assert abs(a - b) <= 1e-12 * max(1.0, abs(b)), \
+                            (alpha, method, key, a, b)
