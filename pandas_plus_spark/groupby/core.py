@@ -174,6 +174,20 @@ class GroupBy:
         by those operators; ignored by plain aggregations.
     sort : bool — sort the result by key columns (reference core.py:164).
     dropna : bool — drop null-key groups (reference default; numba.py:441-443).
+
+    Scale note (FEW, HUGE groups)
+    -----------------------------
+    The ordered operators here compile to ``Window.partitionBy(keys)``,
+    which funnels each group through ONE task — superlinear once a group
+    outgrows a task (measured at 100M rows over 5 keys, BASELINE.md).
+    Every one of them has a range-partition twin in
+    ``pandas_plus_spark.functions.ordered`` whose parallelism is the
+    partition count: ``grouped_cumsum``, ``grouped_cumminmax``,
+    ``grouped_ffill`` (+``backward=``), ``grouped_shift``,
+    ``grouped_row_number``/``grouped_take``, ``grouped_rolling_sum/
+    _mean/_var``, ``grouped_expanding``, ``grouped_rank``. ``ewm_*``
+    need no twin — the scan path has no per-group window. Prefer the
+    twins when the group count is far below the cluster's parallelism.
     """
 
     def __init__(
