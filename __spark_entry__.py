@@ -2184,6 +2184,29 @@ def _q_group_expanding_scale(spark, sf):
                       F.col("v_expanding_std").alias("exp_std"))
 
 
+def _q_group_rolling_time_scale(spark, sf):
+    """Scale-path time-based trailing window
+    (functions.ordered.grouped_rolling_time): per-(group, t) cumulative
+    totals + a UNION-FFILL ASOF for the window-start prefix (anchors at
+    t−w sort before data rows at equal keys) — no range-frame window, no
+    pair-amplifying bucket join, O(n) end to end. RANGE frame
+    [t−1000, t] on event_id as the time axis, sum/mean/count/var,
+    min_periods=2."""
+    ev = load_table(spark, sf, "events")
+    base = ev.select(
+        "event_id", "event_type",
+        F.when(F.pmod(F.col("event_id"), F.lit(7)) >= 2,
+               F.col("value")).alias("v"))
+    out = ordered.grouped_rolling_time(
+        base, ["event_type"], "event_id", "v", 1000,
+        funcs=("sum", "mean", "count", "var"), min_periods=2,
+        num_partitions=8)
+    return out.select("event_id", "event_type",
+                      F.round("v", 6).alias("v"),
+                      F.col("v_tsum"), F.col("v_tmean"),
+                      F.col("v_tcount"), F.col("v_tvar"))
+
+
 def _q_group_rank_scale(spark, sf):
     """Scale-path GroupBy.rank (functions.ordered.grouped_rank): range
     partition on (group, VALUE) — ranking's own order — one grouped
@@ -3406,6 +3429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_expanding_scale": _q_group_expanding_scale,
         "group_cumminmax_scale": _q_group_cumminmax_scale,
         "group_rank_scale": _q_group_rank_scale,
+        "group_rolling_time_scale": _q_group_rolling_time_scale,
     }
 
 
@@ -5069,6 +5093,26 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
                    ), 6) AS v_b
             FROM events
+        """,
+        "group_rolling_time_scale": """
+            WITH b AS (
+                SELECT event_id, event_type,
+                       CASE WHEN event_id % 7 >= 2 THEN value END AS v
+                FROM events
+            ), r AS (
+                SELECT event_id, event_type, v,
+                       sum(v) OVER w AS s, avg(v) OVER w AS m,
+                       var_samp(v) OVER w AS s2, count(v) OVER w AS nn
+                FROM b
+                WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, event_type, round(v, 6) AS v,
+                   CASE WHEN nn >= 2 THEN s END AS v_tsum,
+                   CASE WHEN nn >= 2 THEN m END AS v_tmean,
+                   nn AS v_tcount,
+                   CASE WHEN nn >= 2 AND nn > 1 THEN s2 END AS v_tvar
+            FROM r
         """,
         "group_rank_scale": """
             WITH d AS (

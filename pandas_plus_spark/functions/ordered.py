@@ -447,6 +447,110 @@ def grouped_rolling_sum(
     return joined
 
 
+def grouped_rolling_time(
+    df: DataFrame,
+    group_by,
+    on: str,
+    value: str,
+    window,
+    funcs=("sum",),
+    min_periods: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Time-based trailing window (``GroupBy.rolling_time`` semantics:
+    the closed range frame ``[on − window, on]`` incl. ALL peer rows at
+    the current ``on``; ``min_periods`` counts non-null values) at
+    few-huge-groups scale, for the difference-expressible funcs
+    sum/mean/count/var/std.
+
+    No range-frame window, no pair-amplifying bucket join. Three steps,
+    all partition-count-parallel: (1) aggregate to one row per
+    (group, on) — sum/count/sum² — and take grouped running totals over
+    it; (2) the window-START prefix comes from a UNION-FFILL ASOF: an
+    anchor row at key ``on − window`` is unioned into the frame, sorted
+    BEFORE data rows at equal keys (strictly-before semantics, so
+    boundary rows at exactly on−window stay inside the frame), and one
+    :func:`grouped_ffill` of the cumulative struct carries each
+    anchor's predecessor totals to it; (3) frame stats are the
+    cumulative differences, joined back to the rows on (group, on).
+    min/max are not prefix-differenceable — use the window form or a
+    bucketed join for those. Rows with NULL ``on`` emit NULL outputs."""
+    allowed = {"sum", "mean", "count", "var", "std"}
+    bad = set(funcs) - allowed
+    if bad:
+        raise ValueError(
+            f"grouped_rolling_time supports {sorted(allowed)}; got {sorted(bad)}")
+    if min_periods < 1:
+        raise ValueError("min_periods must be >= 1")
+    gnames = [group_by] if isinstance(group_by, str) else list(group_by)
+    v = F.col(value)
+    # (1) per-(group, on) totals, then grouped running totals over the
+    # distinct-timestamp frame (corpus-sized in the worst case — hence
+    # grouped_cumsum, not a per-group window)
+    agg = (df.filter(F.col(on).isNotNull())
+           .groupBy(*gnames, on)
+           .agg(F.sum(v).alias("__ts"), F.count(v).alias("__tn"),
+                F.sum(v * v).alias("__ts2")))
+    cum = grouped_cumsum(agg, gnames, [on], "__ts", out="__cs",
+                         num_partitions=num_partitions)
+    cum = grouped_cumsum(cum, gnames, [on], "__tn", out="__cn",
+                         num_partitions=num_partitions)
+    cum = grouped_cumsum(cum, gnames, [on], "__ts2", out="__cs2",
+                         num_partitions=num_partitions)
+    # (2) union-ffill asof: anchors at on − window pick up the cumulative
+    # struct of the last data key STRICTLY before them
+    data_rows = cum.select(
+        *gnames, F.col(on).alias("__key"), F.lit(1).alias("__isdata"),
+        F.col(on).alias("__src"),
+        F.struct(F.col("__cs").alias("s"), F.col("__cn").alias("n"),
+                 F.col("__cs2").alias("s2")).alias("__cum"))
+    anchors = cum.select(
+        *gnames, (F.col(on) - F.lit(window)).alias("__key"),
+        F.lit(0).alias("__isdata"), F.col(on).alias("__src"),
+        F.lit(None).cast(data_rows.schema["__cum"].dataType).alias("__cum"))
+    union = data_rows.unionByName(anchors)
+    filled = grouped_ffill(union, gnames, ["__key", "__isdata"], "__cum",
+                           out="__before", num_partitions=num_partitions)
+    before = (filled.filter(F.col("__isdata") == 0)
+              .select(*[F.col(g).alias(f"__bg_{i}")
+                        for i, g in enumerate(gnames)],
+                      F.col("__src").alias("__bsrc"),
+                      F.col("__before")))
+    # (3) frame stats = cumulative differences per (group, on)
+    cond = F.col(on) == F.col("__bsrc")
+    for i, g in enumerate(gnames):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__bg_{i}"))
+    stats = cum.join(before, cond, "left")
+    n_in = F.col("__cn") - F.coalesce(F.col("__before.n"), F.lit(0))
+    s_in = (F.coalesce("__cs", F.lit(0.0))
+            - F.coalesce(F.col("__before.s"), F.lit(0.0)))
+    s2_in = (F.coalesce("__cs2", F.lit(0.0))
+             - F.coalesce(F.col("__before.s2"), F.lit(0.0)))
+    guard = n_in >= F.lit(min_periods)
+    outcols = []
+    for func in funcs:
+        name = f"{value}_t{func}"
+        if func == "count":
+            expr = n_in
+        elif func == "sum":
+            expr = F.when(guard, s_in)
+        elif func == "mean":
+            expr = F.when(guard, s_in / n_in)
+        else:
+            vb = F.greatest(s2_in - s_in * s_in / n_in, F.lit(0.0))
+            e = F.when(guard & (n_in > 1), vb / (n_in - F.lit(1)))
+            expr = F.sqrt(e) if func == "std" else e
+        outcols.append(expr.alias(name))
+    per_key = stats.select(
+        *[F.col(g).alias(f"__rg_{i}") for i, g in enumerate(gnames)],
+        F.col(on).alias("__ron"), *outcols)
+    jcond = F.col(on) == F.col("__ron")
+    for i, g in enumerate(gnames):
+        jcond = jcond & F.col(g).eqNullSafe(F.col(f"__rg_{i}"))
+    return (df.join(per_key, jcond, "left")
+            .drop("__ron", *[f"__rg_{i}" for i in range(len(gnames))]))
+
+
 def grouped_rank(
     df: DataFrame,
     group_by,

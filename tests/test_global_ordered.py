@@ -523,3 +523,49 @@ class TestGroupedRank:
                 assert gm[k] is None, k
             else:
                 assert gm[k] == pytest.approx(wm[k], rel=1e-12), k
+
+
+class TestGroupedRollingTime:
+    """grouped_rolling_time = the range-frame window, at any partition
+    count — duplicate timestamps (peer rows), boundary rows at exactly
+    on − window, null values, min_periods gating."""
+
+    @pytest.fixture(scope="class")
+    def tframe(self, spark):
+        # irregular timestamps with DUPLICATES (i//3 repeats 3x) and nulls
+        rows = [(i, ["a", "b"][i % 2],
+                 float((i // 3) * 7 % 50),
+                 float(i % 11) if i % 5 else None) for i in range(600)]
+        return spark.createDataFrame(rows, "rid long, g string, ts double, v double")
+
+    @pytest.mark.parametrize("n", [2, 16])
+    @pytest.mark.parametrize("window", [0, 7, 100])
+    def test_matches_range_frame(self, tframe, n, window):
+        from pandas_plus_spark.functions.ordered import grouped_rolling_time
+        from pandas_plus_spark import GroupBy
+        got = grouped_rolling_time(
+            tframe, ["g"], "ts", "v", window,
+            funcs=("sum", "mean", "count", "var", "std"),
+            min_periods=2, num_partitions=n)
+        want = GroupBy(tframe, "g", order_by="rid").rolling_time(
+            ["v"], on="ts", window=window,
+            funcs=("sum", "mean", "count", "var", "std"), min_periods=2)
+        gm = {r.rid: (r.v_tsum, r.v_tmean, r.v_tcount, r.v_tvar, r.v_tstd)
+              for r in got.collect()}
+        wm = {r.rid: (r.v_tsum, r.v_tmean, r.v_tcount, r.v_tvar, r.v_tstd)
+              for r in want.collect()}
+        assert set(gm) == set(wm)
+        for k in wm:
+            for a, b in zip(gm[k], wm[k]):
+                if b is None:
+                    assert a is None, (k, window, gm[k], wm[k])
+                else:
+                    assert a == pytest.approx(b, rel=1e-9, abs=1e-9), \
+                        (k, window)
+
+    def test_validation(self, spark):
+        from pandas_plus_spark.functions.ordered import grouped_rolling_time
+        e = spark.createDataFrame([], "rid long, g string, ts double, v double")
+        assert grouped_rolling_time(e, ["g"], "ts", "v", 5.0).count() == 0
+        with pytest.raises(ValueError, match="supports"):
+            grouped_rolling_time(e, ["g"], "ts", "v", 5.0, funcs=("min",))

@@ -78,6 +78,7 @@ SUBSET = [
     "group_expanding_scale",
     "group_cumminmax_scale",
     "group_rank_scale",
+    "group_rolling_time_scale",
 ]
 
 
