@@ -447,6 +447,54 @@ def grouped_rolling_sum(
     return joined
 
 
+def _grouped_multi_cumsum(df, gnames, order_by, pairs, num_partitions):
+    """:func:`grouped_cumsum` over SEVERAL value columns in one fused
+    range-partition pass (one exchange, one persist, one boundary frame
+    with all the offsets) — ``pairs`` = [(value_col, out_col), ...].
+    Same null semantics per column as grouped_cumsum."""
+    gcols = [F.col(c) for c in gnames]
+    ocols = _order_cols(order_by)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    rp = df.repartitionByRange(n, *gcols, *ocols).withColumn(
+        "__pid", F.spark_partition_id())
+    w_local = (Window.partitionBy("__pid", *gcols).orderBy(*ocols)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = rp
+    for i, (vc, _) in enumerate(pairs):
+        local = local.withColumn(f"__mlc_{i}", F.sum(vc).over(w_local))
+    # pinned for the two-branch boundary hazard (grouped_cumsum's note).
+    # DISK_ONLY: this frame can be corpus-sized and both consumers read it
+    # exactly once more — on an 8g local heap a MEMORY_AND_DISK copy
+    # starves the downstream hash aggregates' execution pool (measured
+    # SparkOutOfMemoryError at 100M rows), while the disk round-trip is
+    # two sequential scans
+    from pyspark import StorageLevel
+    local = local.persist(StorageLevel.DISK_ONLY)
+    totals = local.groupBy("__pid", *gcols).agg(
+        *[F.sum(vc).alias(f"__mt_{i}") for i, (vc, _) in enumerate(pairs)])
+    w_off = (Window.partitionBy(*gcols).orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = totals.select(
+        F.col("__pid").alias("__opid"),
+        *[F.col(g).alias(f"__og_{i}") for i, g in enumerate(gnames)],
+        *[F.sum(f"__mt_{i}").over(w_off).alias(f"__mo_{i}")
+          for i in range(len(pairs))])
+    cond = F.col("__pid") == F.col("__opid")
+    for i, g in enumerate(gnames):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{i}"))
+    out = local.join(F.broadcast(offs), cond, "left")
+    for i, (_, oc) in enumerate(pairs):
+        lc, off = F.col(f"__mlc_{i}"), F.col(f"__mo_{i}")
+        out = out.withColumn(oc, F.when(
+            lc.isNull() & off.isNull(), F.lit(None)
+        ).otherwise(F.coalesce(lc, F.lit(0.0)) + F.coalesce(off, F.lit(0.0))))
+    out = out.drop("__pid", "__opid",
+                   *[f"__og_{i}" for i in range(len(gnames))],
+                   *[f"__mlc_{i}" for i in range(len(pairs))],
+                   *[f"__mo_{i}" for i in range(len(pairs))])
+    return attach_cached(out, local)
+
+
 def grouped_rolling_time(
     df: DataFrame,
     group_by,
@@ -465,14 +513,15 @@ def grouped_rolling_time(
 
     No range-frame window, no pair-amplifying bucket join. Three steps,
     all partition-count-parallel: (1) aggregate to one row per
-    (group, on) — sum/count/sum² — and take grouped running totals over
-    it; (2) the window-START prefix comes from a UNION-FFILL ASOF: an
-    anchor row at key ``on − window`` is unioned into the frame, sorted
-    BEFORE data rows at equal keys (strictly-before semantics, so
-    boundary rows at exactly on−window stay inside the frame), and one
-    :func:`grouped_ffill` of the cumulative struct carries each
-    anchor's predecessor totals to it; (3) frame stats are the
-    cumulative differences, joined back to the rows on (group, on).
+    (group, on) — sum/count/sum²; (2) UNION-ASOF in the running pass
+    itself: an all-zeros anchor row at key ``on − window`` is unioned in,
+    sorted BEFORE data rows at equal keys, and ONE fused grouped running
+    pass over (key, is_data) order gives every data row its cumulative
+    totals and every anchor row the window-START prefix (zeros never
+    perturb the sums; strictly-before ordering keeps boundary rows at
+    exactly on−window inside the frame); (3) one hash-agg collapses each
+    (data, anchor) pair on (group, on) — frame stats are the cumulative
+    differences — and joins back to the rows.
     min/max are not prefix-differenceable — use the window form or a
     bucketed join for those. Rows with NULL ``on`` emit NULL outputs."""
     allowed = {"sum", "mean", "count", "var", "std"}
@@ -486,52 +535,50 @@ def grouped_rolling_time(
     v = F.col(value)
     # (1) per-(group, on) totals, then grouped running totals over the
     # distinct-timestamp frame (corpus-sized in the worst case — hence
-    # grouped_cumsum, not a per-group window)
+    # ONE fused range-partition pass over all three columns, not a
+    # per-group window and not three separate cumsum passes)
     agg = (df.filter(F.col(on).isNotNull())
            .groupBy(*gnames, on)
-           .agg(F.sum(v).alias("__ts"), F.count(v).alias("__tn"),
+           .agg(F.sum(v).alias("__ts"),
+                F.count(v).cast("double").alias("__tn"),
                 F.sum(v * v).alias("__ts2")))
-    cum = grouped_cumsum(agg, gnames, [on], "__ts", out="__cs",
-                         num_partitions=num_partitions)
-    cum = grouped_cumsum(cum, gnames, [on], "__tn", out="__cn",
-                         num_partitions=num_partitions)
-    cum = grouped_cumsum(cum, gnames, [on], "__ts2", out="__cs2",
-                         num_partitions=num_partitions)
-    # (2) union-ffill asof: anchors at on − window pick up the cumulative
-    # struct of the last data key STRICTLY before them
-    data_rows = cum.select(
-        *gnames, F.col(on).alias("__key"), F.lit(1).alias("__isdata"),
-        F.col(on).alias("__src"),
-        F.struct(F.col("__cs").alias("s"), F.col("__cn").alias("n"),
-                 F.col("__cs2").alias("s2")).alias("__cum"))
-    anchors = cum.select(
+    # (2) one fused running pass over the data∪anchor union: anchors are
+    # all-zero rows at key on − window, ordered before data rows at equal
+    # keys, so their running totals ARE the strictly-before prefix
+    data_rows = agg.select(
+        *gnames, F.col(on).alias("__key"), F.lit(1).alias("__isd"),
+        F.col(on).alias("__src"), "__ts", "__tn", "__ts2")
+    anchors = agg.select(
         *gnames, (F.col(on) - F.lit(window)).alias("__key"),
-        F.lit(0).alias("__isdata"), F.col(on).alias("__src"),
-        F.lit(None).cast(data_rows.schema["__cum"].dataType).alias("__cum"))
+        F.lit(0).alias("__isd"), F.col(on).alias("__src"),
+        F.lit(0.0).alias("__ts"), F.lit(0.0).alias("__tn"),
+        F.lit(0.0).alias("__ts2"))
     union = data_rows.unionByName(anchors)
-    filled = grouped_ffill(union, gnames, ["__key", "__isdata"], "__cum",
-                           out="__before", num_partitions=num_partitions)
-    before = (filled.filter(F.col("__isdata") == 0)
-              .select(*[F.col(g).alias(f"__bg_{i}")
-                        for i, g in enumerate(gnames)],
-                      F.col("__src").alias("__bsrc"),
-                      F.col("__before")))
-    # (3) frame stats = cumulative differences per (group, on)
-    cond = F.col(on) == F.col("__bsrc")
-    for i, g in enumerate(gnames):
-        cond = cond & F.col(g).eqNullSafe(F.col(f"__bg_{i}"))
-    stats = cum.join(before, cond, "left")
-    n_in = F.col("__cn") - F.coalesce(F.col("__before.n"), F.lit(0))
-    s_in = (F.coalesce("__cs", F.lit(0.0))
-            - F.coalesce(F.col("__before.s"), F.lit(0.0)))
+    run = _grouped_multi_cumsum(
+        union, gnames, ["__key", "__isd"],
+        [("__ts", "__cs"), ("__tn", "__cn"), ("__ts2", "__cs2")],
+        num_partitions)
+    # (3) collapse each (data, anchor) pair — exactly two rows per
+    # (group, on) — into frame stats via the cumulative differences
+    isd = F.col("__isd") == 1
+    stats = run.groupBy(*gnames, "__src").agg(
+        F.max(F.when(isd, F.col("__cs"))).alias("__cs"),
+        F.max(F.when(isd, F.col("__cn"))).alias("__cn"),
+        F.max(F.when(isd, F.col("__cs2"))).alias("__cs2"),
+        F.max(F.when(~isd, F.col("__cs"))).alias("__bs"),
+        F.max(F.when(~isd, F.col("__cn"))).alias("__bn"),
+        F.max(F.when(~isd, F.col("__cs2"))).alias("__bs2"),
+    ).withColumnRenamed("__src", on)
+    n_in = F.coalesce("__cn", F.lit(0.0)) - F.coalesce("__bn", F.lit(0.0))
+    s_in = F.coalesce("__cs", F.lit(0.0)) - F.coalesce("__bs", F.lit(0.0))
     s2_in = (F.coalesce("__cs2", F.lit(0.0))
-             - F.coalesce(F.col("__before.s2"), F.lit(0.0)))
+             - F.coalesce("__bs2", F.lit(0.0)))
     guard = n_in >= F.lit(min_periods)
     outcols = []
     for func in funcs:
         name = f"{value}_t{func}"
         if func == "count":
-            expr = n_in
+            expr = n_in.cast("long")  # the fused cumsum coalesces in double
         elif func == "sum":
             expr = F.when(guard, s_in)
         elif func == "mean":
