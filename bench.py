@@ -88,6 +88,8 @@ HEADLINE = [
     "ewm_var_std",
     "group_ffill_scale",
     "group_take_scale",
+    "group_rolling_time_scale",
+    "group_rank_scale",
 ]
 
 

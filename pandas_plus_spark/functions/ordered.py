@@ -876,6 +876,43 @@ def grouped_rolling_mean(
                                min_periods, out, num_partitions, mean=True)
 
 
+def global_ffill(
+    df: DataFrame,
+    order_by,
+    value: str,
+    out: str | None = None,
+    num_partitions: int | None = None,
+    backward: bool = False,
+) -> DataFrame:
+    """GLOBAL forward/backward fill in ``order_by`` order — the no-key
+    window (`Window.orderBy` with no partition) funnels the entire
+    corpus through one task; this is :func:`grouped_ffill` over a single
+    constant group spanning every range partition."""
+    tagged = df.withColumn("__gall", F.lit(1))
+    out_df = grouped_ffill(tagged, ["__gall"], order_by, value, out=out,
+                           num_partitions=num_partitions, backward=backward)
+    return out_df.drop("__gall")
+
+
+def global_rolling_sum(
+    df: DataFrame,
+    order_by,
+    value: str,
+    window: int,
+    min_periods: int | None = None,
+    out: str | None = None,
+    num_partitions: int | None = None,
+    mean: bool = False,
+) -> DataFrame:
+    """GLOBAL trailing rolling sum/mean — :func:`grouped_rolling_sum`
+    over a single constant group (same rationale as :func:`global_ffill`)."""
+    tagged = df.withColumn("__gall", F.lit(1))
+    out_df = grouped_rolling_sum(tagged, ["__gall"], order_by, value,
+                                 window, min_periods, out,
+                                 num_partitions, mean=mean)
+    return out_df.drop("__gall")
+
+
 def global_rank_cumsum(
     df: DataFrame,
     order_by,

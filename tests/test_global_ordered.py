@@ -569,3 +569,35 @@ class TestGroupedRollingTime:
         assert grouped_rolling_time(e, ["g"], "ts", "v", 5.0).count() == 0
         with pytest.raises(ValueError, match="supports"):
             grouped_rolling_time(e, ["g"], "ts", "v", 5.0, funcs=("min",))
+
+
+class TestGlobalFillRolling:
+    @pytest.mark.parametrize("n", [1, 8])
+    def test_global_ffill_matches_window(self, spark, n):
+        from pandas_plus_spark.functions.ordered import global_ffill
+        rows = [(i, float(i) if i % 4 == 0 else None) for i in range(300)]
+        df = spark.createDataFrame(rows, "rid long, v double")
+        got = {r.rid: r.f for r in global_ffill(
+            df, ["rid"], "v", out="f", num_partitions=n).collect()}
+        w = (Window.orderBy("rid")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        want = {r.rid: r.f for r in df.withColumn(
+            "f", F.last("v", ignorenulls=True).over(w)).collect()}
+        assert got == want
+
+    def test_global_rolling_matches_window(self, spark):
+        from pandas_plus_spark.functions.ordered import global_rolling_sum
+        rows = [(i, float(i % 13) if i % 5 else None) for i in range(300)]
+        df = spark.createDataFrame(rows, "rid long, v double")
+        got = {r.rid: r.r for r in global_rolling_sum(
+            df, ["rid"], "v", 10, min_periods=2, out="r",
+            num_partitions=8).collect()}
+        w = Window.orderBy("rid").rowsBetween(-9, Window.currentRow)
+        want = {r.rid: r.r for r in df.withColumn(
+            "r", F.when(F.count("v").over(w) >= 2,
+                        F.sum("v").over(w))).collect()}
+        for k in want:
+            if want[k] is None:
+                assert got[k] is None, k
+            else:
+                assert got[k] == pytest.approx(want[k], rel=1e-12), k
