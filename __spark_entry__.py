@@ -3248,8 +3248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (qcut_deciles, pivot_table_mean, group_rank_methods, group_take,
     # corrwith, duplicated_flags, group_ffill_scale, group_bfill_scale,
     # group_take_scale, group_shift_scale, group_rolling_scale,
-    # ewm_var_std, streaming_ewm — all in-pytest-gated; ewm_mean also
-    # re-verifies the scan-path rewrite).
+    # group_expanding_scale, group_cumminmax_scale, group_rank_scale,
+    # group_rolling_time_scale, ewm_var_std, streaming_ewm — all
+    # in-pytest-gated; ewm_mean also re-verifies the scan-path rewrite).
     return {
         # --- r7 window: r4-era entries, last driver-checked in r4 ---
         "doc_chunks": _q_doc_chunks,
