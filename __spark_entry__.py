@@ -2217,21 +2217,15 @@ def _q_group_rank_scale(spark, sf):
     li = load_table(spark, sf, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
     base = li.withColumn("qty", F.col("l_quantity").cast("double"))
-    a = ordered.grouped_rank(base, ["l_returnflag"],
-                             ["l_orderkey", "l_linenumber"], "qty",
-                             method="average", out="avg_rank",
-                             num_partitions=8)
-    b = ordered.grouped_rank(a, ["l_returnflag"],
-                             ["l_orderkey", "l_linenumber"], "qty",
-                             method="max", out="max_rank",
-                             num_partitions=8)
-    c = ordered.grouped_rank(b, ["l_returnflag"],
-                             ["l_orderkey", "l_linenumber"], "qty",
-                             method="dense", pct=True, out="dense_pct",
-                             num_partitions=8)
-    return c.select("l_orderkey", "l_linenumber", "l_returnflag", "qty",
-                    "avg_rank", "max_rank",
-                    F.round("dense_pct", 9).alias("dense_pct"))
+    out = ordered.grouped_rank(
+        base, ["l_returnflag"], ["l_orderkey", "l_linenumber"], "qty",
+        num_partitions=8,
+        methods=[("average", False, "avg_rank"),
+                 ("max", False, "max_rank"),
+                 ("dense", True, "dense_pct")])
+    return out.select("l_orderkey", "l_linenumber", "l_returnflag", "qty",
+                      "avg_rank", "max_rank",
+                      F.round("dense_pct", 9).alias("dense_pct"))
 
 
 def _q_group_cumminmax_scale(spark, sf):

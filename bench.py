@@ -89,10 +89,9 @@ HEADLINE = [
     "group_ffill_scale",
     "group_take_scale",
     "group_rolling_time_scale",
-    # group_rank_scale is registry-gated but NOT headlined: its three
-    # sequential rank passes are ~17 s of fixed stage overhead at sf0.1
-    # (the sf100 A/B in BASELINE.md is its scale evidence; one method on
-    # 100M rows runs 35.9 s)
+    # single-pass multi-method rank (was 17 s as three sequential
+    # operator pipelines; the methods= list shares one numbering pass)
+    "group_rank_scale",
 ]
 
 

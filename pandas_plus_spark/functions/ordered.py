@@ -608,6 +608,7 @@ def grouped_rank(
     pct: bool = False,
     out: str | None = None,
     num_partitions: int | None = None,
+    methods=None,
 ) -> DataFrame:
     """Per-group rank of ``value`` (pandas ``GroupBy.rank`` methods
     average/min/max/first/dense, na_option=keep) at few-huge-groups
@@ -619,66 +620,85 @@ def grouped_rank(
     frame can be corpus-sized under continuous values, so it gets the
     same no-funnel treatment) joined back. ``tiebreak`` columns make
     method='first' deterministic. pct divides by the group's non-null
-    count (dense: by its distinct count), as pandas does."""
-    if method not in ("average", "min", "max", "first", "dense"):
-        raise ValueError(f"unsupported rank method: {method}")
+    count (dense: by its distinct count), as pandas does.
+
+    ``methods`` computes SEVERAL ranks in one pass — a list of
+    ``(method, pct, out_name)`` triples sharing the single numbering
+    pass, tie frame and size frame (overrides method/pct/out; each
+    extra method is one more column expression, not another operator
+    pipeline)."""
     gnames = [group_by] if isinstance(group_by, str) else list(group_by)
-    out = out or f"{value}_rank"
+    if methods is None:
+        methods = [(method, pct, out or f"{value}_rank")]
+    else:
+        methods = [tuple(m) for m in methods]
+    for m, _, _ in methods:
+        if m not in ("average", "min", "max", "first", "dense"):
+            raise ValueError(f"unsupported rank method: {m}")
     v = F.col(value)
     vord = (v.asc_nulls_last() if ascending else v.desc_nulls_last())
     order = [vord] + _order_cols(tiebreak)
     rn = grouped_row_number(df, gnames, order, out="__rrn",
                             num_partitions=num_partitions)
     nnrows = rn.filter(v.isNotNull())
-    if method == "first" and not pct:
-        val = F.when(v.isNotNull(), F.col("__rrn").cast("double"))
-        return rn.withColumn(out, val).drop("__rrn")
+    if all(m == "first" and not p for m, p, _ in methods):
+        out_df = rn
+        for _, _, oname in methods:
+            out_df = out_df.withColumn(
+                oname, F.when(v.isNotNull(), F.col("__rrn").cast("double")))
+        return out_df.drop("__rrn")
+    need_dense = any(m == "dense" for m, _, _ in methods)
+    need_sizes = any(p for _, p, _ in methods)
     ties = nnrows.groupBy(*gnames, value).agg(
         F.min("__rrn").alias("__tmin"), F.max("__rrn").alias("__tmax"))
-    if method == "dense":
+    if need_dense:
         ties = grouped_row_number(
             ties, gnames, [vord], out="__tdense",
             num_partitions=num_partitions)
-    sizes = nnrows.groupBy(*gnames).agg(
-        F.count(F.lit(1)).alias("__gnn"),
-        F.count_distinct(v).alias("__gnd"))
     tsel = [*[F.col(g).alias(f"__tg_{i}") for i, g in enumerate(gnames)],
             F.col(value).alias("__tv"), "__tmin", "__tmax"]
-    if method == "dense":
+    if need_dense:
         tsel.append("__tdense")
     ties = ties.select(*tsel)
     cond = v == F.col("__tv")  # value non-null on both sides at matches
     for i, g in enumerate(gnames):
         cond = cond & F.col(g).eqNullSafe(F.col(f"__tg_{i}"))
     joined = rn.join(ties, cond, "left")
-    scond = None
-    for i, g in enumerate(gnames):
-        c = F.col(g).eqNullSafe(F.col(f"__sg_{i}"))
-        scond = c if scond is None else scond & c
-    joined = joined.join(
-        sizes.select(*[F.col(g).alias(f"__sg_{i}")
-                       for i, g in enumerate(gnames)], "__gnn", "__gnd"),
-        scond, "left")
-    if method == "min":
-        rank = F.col("__tmin").cast("double")
-    elif method == "max":
-        rank = F.col("__tmax").cast("double")
-    elif method == "average":
-        rank = (F.col("__tmin") + F.col("__tmax")) / F.lit(2.0)
-    elif method == "dense":
-        rank = F.col("__tdense").cast("double")
-    else:  # first (pct path)
-        rank = F.col("__rrn").cast("double")
-    if pct:
-        denom = F.col("__gnd") if method == "dense" else F.col("__gnn")
-        rank = rank / denom
-    drop = ["__rrn", "__tmin", "__tmax", "__tv", "__gnn", "__gnd",
-            *[f"__tg_{i}" for i in range(len(gnames))],
-            *[f"__sg_{i}" for i in range(len(gnames))]]
-    if method == "dense":
+    if need_sizes:
+        sizes = nnrows.groupBy(*gnames).agg(
+            F.count(F.lit(1)).alias("__gnn"),
+            F.count_distinct(v).alias("__gnd"))
+        scond = None
+        for i, g in enumerate(gnames):
+            c = F.col(g).eqNullSafe(F.col(f"__sg_{i}"))
+            scond = c if scond is None else scond & c
+        joined = joined.join(
+            sizes.select(*[F.col(g).alias(f"__sg_{i}")
+                           for i, g in enumerate(gnames)], "__gnn", "__gnd"),
+            scond, "left")
+    for m, p, oname in methods:
+        if m == "min":
+            rank = F.col("__tmin").cast("double")
+        elif m == "max":
+            rank = F.col("__tmax").cast("double")
+        elif m == "average":
+            rank = (F.col("__tmin") + F.col("__tmax")) / F.lit(2.0)
+        elif m == "dense":
+            rank = F.col("__tdense").cast("double")
+        else:  # first
+            rank = F.col("__rrn").cast("double")
+        if p:
+            denom = F.col("__gnd") if m == "dense" else F.col("__gnn")
+            rank = rank / denom
+        joined = joined.withColumn(oname, F.when(v.isNotNull(), rank))
+    drop = ["__rrn", "__tmin", "__tmax", "__tv",
+            *[f"__tg_{i}" for i in range(len(gnames))]]
+    if need_sizes:
+        drop += ["__gnn", "__gnd",
+                 *[f"__sg_{i}" for i in range(len(gnames))]]
+    if need_dense:
         drop.append("__tdense")
-    return (joined.withColumn(out, F.when(v.isNotNull(), rank))
-            .drop(*drop))
+    return joined.drop(*drop)
 
 
 def grouped_cumminmax(

@@ -601,3 +601,29 @@ class TestGlobalFillRolling:
                 assert got[k] is None, k
             else:
                 assert got[k] == pytest.approx(want[k], rel=1e-12), k
+
+
+class TestGroupedRankMultiMethod:
+    def test_methods_list_equals_individual_calls(self, spark):
+        from pandas_plus_spark.functions.ordered import grouped_rank
+        rows = [(i, ["a", "b"][i % 2], float((i * 7) % 6) if i % 5 else None)
+                for i in range(400)]
+        df = spark.createDataFrame(rows, "rid long, g string, v double")
+        one = grouped_rank(
+            df, ["g"], ["rid"], "v", num_partitions=8,
+            methods=[("average", False, "ra"), ("max", False, "rm"),
+                     ("dense", True, "rd"), ("first", False, "rf")])
+        got = {r.rid: (r.ra, r.rm, r.rd, r.rf) for r in one.collect()}
+        sep = {}
+        for m, p, o in (("average", False, "ra"), ("max", False, "rm"),
+                        ("dense", True, "rd"), ("first", False, "rf")):
+            res = grouped_rank(df, ["g"], ["rid"], "v", method=m, pct=p,
+                               out=o, num_partitions=8)
+            for r in res.collect():
+                sep.setdefault(r.rid, []).append(getattr(r, o))
+        for k, vals in sep.items():
+            for a, b in zip(got[k], vals):
+                if b is None:
+                    assert a is None, k
+                else:
+                    assert a == pytest.approx(b, rel=1e-12), k
