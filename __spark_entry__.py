@@ -1898,6 +1898,75 @@ def _q_image_header_meta(spark, sf):
     return feats.select("doc_id", "width", "height", "n_channels")
 
 
+_WAV_RATES = [8000, 16000, 22050, 44100]
+
+
+def _q_wav_header_meta(spark, sf):
+    """REAL audio decode through the multimodal seam: deterministic
+    RIFF/WAVE headers (fmt + data chunk declarations; every 7th doc gets
+    a leading JUNK chunk with an odd payload size, forcing the chunk walk
+    to skip by declared length + word alignment) are built per doc_id in
+    an Arrow-batched mapInPandas, then extract_audio_features parses
+    sample rate / channels / bits / frame count from the ACTUAL chunk
+    bytes (multimodal.decode_wav_header) — no codec library. The oracle
+    recomputes the expected params from the same doc_id arithmetic, so an
+    endianness, chunk-stride, or block-align bug fails the value hash."""
+    import pandas as _pd
+
+    from pandas_plus_spark.operators.multimodal import (
+        wav_header_bytes, wav_header_bytes_junk)
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 200).select("doc_id"))
+
+    def make(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                sr = _WAV_RATES[did % 4]
+                ch = did % 2 + 1
+                bits = 8 if did % 3 == 0 else 16
+                nf = sr * (did % 5)
+                gen = wav_header_bytes_junk if did % 7 == 0 else wav_header_bytes
+                blobs.append(gen(sr, ch, bits, nf))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs_df = docs.mapInPandas(make, "doc_id long, blob binary")
+    return multimodal.extract_audio_features(blobs_df, "blob", "doc_id")
+
+
+def _q_mp4_header_meta(spark, sf):
+    """REAL video-container decode through the multimodal seam:
+    deterministic MP4 heads (ftyp + moov(mvhd + trak(tkhd)); every 5th
+    doc uses the version-1 64-bit box layout) built per doc_id in
+    mapInPandas, then extract_video_meta walks the ISO-BMFF box tree for
+    width/height (16.16 fixed point) and timescale/duration
+    (multimodal.decode_mp4_header). Oracle recomputes from the same
+    doc_id arithmetic — a box-offset or fixed-point bug fails the hash."""
+    import pandas as _pd
+
+    from pandas_plus_spark.operators.multimodal import mp4_header_bytes
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 200).select("doc_id"))
+
+    def make(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = (did % 8 + 1) * 160, (did % 8 + 1) * 90
+                ts = 600 if did % 2 == 0 else 90000
+                blobs.append(mp4_header_bytes(
+                    w, h, ts * (did % 6), ts,
+                    version=1 if did % 5 == 0 else 0))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs_df = docs.mapInPandas(make, "doc_id long, blob binary")
+    return multimodal.extract_video_meta(blobs_df, "blob", "doc_id")
+
+
 def _q_stratified_sample(spark, sf):
     """Deterministic per-stratum downsampling (operators/sampling.py):
     membership is a pure affine-hash function of doc_id, so a pushed-down
@@ -3210,185 +3279,41 @@ def _q_global_sample(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Registry order matters: the driver's correctness gate samples the
-    # FIRST 50 entries. Rotation is least-recently-verified-first. The r7
-    # window = the 35 r4-era entries (two rounds stale — the whole
-    # cumulative/rolling/joins/utilities + text-signals tail), the
-    # new-in-r7 hll_merge_gate, the 10 re-verifications of operators whose
-    # code changed this round (similarity hot-bucket cap, Q18 build-side
-    # hint, plan-linter rules, JPEG decode), and a 4-entry r5-era buffer
-    # (minhash keep-list family) to shrink the r8 rotation debt. Seeded
-    # rows-only entries stay PINNED adjacent to their value-checked twins
-    # (hyperplane_lsh_buckets<->lsh_recall, minhash_neardup<->poly;
-    # simhash_candidates<->poly and ivf_knn<->ann_recall pinned in the
-    # tail). After r7, CORRECTNESS r7 u r6 u r5 covers all 128 queries
-    # with nothing older than two rounds (the invariant r6 established).
+    # FIRST 50 entries; rotation is least-recently-driver-verified-first.
+    # CADENCE INVARIANT (r8 restatement — the registry outgrew the old
+    # three-round union): with N entries and a 50-entry window, every
+    # entry gets a driver-side CORRECTNESS row at least every
+    # ceil(N / 50) rounds (N = 168 -> 4 rounds), the window head is
+    # always (new entries, then never-verified, then re-verifications of
+    # code changed this round, then the least-recently-verified), and the
+    # EVERY-round bridge is the full-registry local oracle gate
+    # (scripts/run_gate.py, 168/168 at sf0.01) + the pinned SUBSET in
+    # tests/test_oracle_gate.py. The invariant is MACHINE-CHECKED:
+    # scripts/check_rotation.py reads CORRECTNESS_r*.json history plus
+    # this dict's order and fails if any entry's staleness would exceed
+    # the cadence or the window head is not least-recently-verified-
+    # first; tests/test_oracle_gate.py runs it in pytest.
     #
-    # r8 ROTATION PLAN (for the next round's session — do the reorder at
-    # round START, never mid-round): window head = (a) the eleven r7-close
-    # additions (token_budget, quantile_calibration, leakage_split,
-    # leakage_split_lsh, filter_groups, group_idxminmax, pct_change,
-    # cumprod, group_prod_any_all, group_sem — plus the nine
-    # continuation-session additions: group_skew_kurt, ngroup, group_fill,
-    # group_ohlc, group_describe, group_nlargest, resample_agg,
-    # expanding_stats, ewm_mean —
-    # in-pytest-gated only so far), (b) re-verifications of the r7-close
-    # code changes (quality_score/lang_id/c4 de-regex family:
-    # quality_score, source_health, curation_pipeline, quality_classifier,
-    # lang_id_pred, c4_filter, quantile_calibration; bucketed/ref-index:
-    # segment_revenue_bucketed, incremental_dedup, incremental_dedup_indexed,
-    # minhash_neardup_poly, chunk_dedup, dedup_keep_list), then (c) the
-    # r5-era tail block (streaming_neardup .. vocab_top) which will be two
-    # rounds stale after r7, and (d) the r7-CLOSE scale/streaming block
-    # (qcut_deciles, pivot_table_mean, group_rank_methods, group_take,
-    # corrwith, duplicated_flags, group_ffill_scale, group_bfill_scale,
-    # group_take_scale, group_shift_scale, group_rolling_scale,
-    # group_expanding_scale, group_cumminmax_scale, group_rank_scale,
-    # group_rolling_time_scale, ewm_var_std, streaming_ewm — all
-    # in-pytest-gated; ewm_mean also re-verifies the scan-path rewrite).
+    # r8 WINDOW (first 50): the 2 new WAV/MP4 header-decode gates, the 36
+    # r7-close entries that have never had a driver row (pandas-parity
+    # sweep + the few-huge-groups *_scale family + streaming_ewm), the 3
+    # re-verifications of operators whose code changes this round
+    # (incremental_dedup_indexed + incremental_dedup: stage-count fusion;
+    # cosine_neardup: gate re-routed off the warned O(n^2) fallback), and
+    # a 9-entry r5-era fill (dup-graph/keep-list + streaming_neardup +
+    # pca/pack/asof_nearest/contamination/containment/ivf_index block).
+    # After r8: nothing in the registry is older than three rounds
+    # (r5-era remainder rotates into the r9 window head; the plan is the
+    # deterministic output of scripts/check_rotation.py --plan).
+    # Seeded rows-only entries stay PINNED adjacent to their
+    # value-checked twins (hyperplane_lsh_buckets<->lsh_recall,
+    # minhash_neardup<->poly, simhash_candidates<->poly,
+    # ivf_knn<->ann_recall).
     return {
-        # --- r7 window: r4-era entries, last driver-checked in r4 ---
-        "doc_chunks": _q_doc_chunks,
-        "embedding_quantize": _q_embedding_quantize,
-        "unigram_ppl": _q_unigram_ppl,
-        "frame_sample": _q_frame_sample,
-        "source_health": _q_source_health,
-        "cumsum": _q_cumsum,
-        "cummax": _q_cummax,
-        "cumcount": _q_cumcount,
-        "shift": _q_shift,
-        "diff": _q_diff,
-        "rolling_sum": _q_rolling_sum,
-        "rolling_mean": _q_rolling_mean,
-        "rolling_minmax": _q_rolling_minmax,
-        "rolling_sum_masked": _q_rolling_sum_masked,
-        "shift_masked": _q_shift_masked,
-        "observed_only_false": _q_observed_only_false,
-        "nation_revenue": _q_nation_revenue,
-        "asof_join": _q_asof_join,
-        "interval_join": _q_interval_join,
-        "apply_zscore": _q_apply_zscore,
-        "winnow_fingerprints": _q_winnow,
-        "sessionize": _q_sessionize,
-        "nanops_global": _q_nanops_global,
-        "pretty_cut_bins": _q_pretty_cut,
-        "bools_to_categorical": _q_bools_labels,
-        "linear_combination": _q_lincomb,
-        "scatter_bins": _q_scatter_bins,
-        "scatter_bins_approx": _q_scatter_bins_approx,
-        "linear_fit": _q_linear_fit,
-        "dedup_exact": _q_dedup_exact,
-        "doc_token_stats": _q_token_stats,
-        "lang_id_pred": _q_lang_pred,
-        "quality_score": _q_quality,
-        "trigram_jaccard_pairs": _q_trigram_jaccard,
-        "knn_cosine": _q_knn,
-        # --- new in round 7 ---
-        "hll_merge_gate": _q_hll_merge_gate,
-        "lsh_skew_uncapped": _q_lsh_skew_uncapped,
-        "lsh_skew_capped": _q_lsh_skew_capped,
-        # --- r7 code-change re-verification (similarity hot-bucket cap,
-        #     Q18 shuffle_hash build-side pin, plan-linter rule rewrite,
-        #     JPEG SOFn decode; hyperplane_lsh_buckets is the seeded
-        #     rows-only entry PINNED adjacent to its lsh_recall gate) ---
-        "semantic_keep_list_lsh": _q_semantic_keep_list_lsh,
-        "semantic_lsh_recall": _q_semantic_lsh_recall,
-        "semantic_keep_list": _q_semantic_keep_list,
-        "cosine_neardup": _q_cosine_neardup,
-        "hyperplane_lsh_buckets": _q_lsh_buckets,     # seeded (rows-only)
-        "lsh_recall": _q_lsh_recall,                  # its recall gate
-        "q18_large_orders": _q_q18_large_orders,
-        "plan_lint_gate": _q_plan_lint_gate,
-        "image_header_meta": _q_image_header_meta,
-        "multimodal_image_meta": _q_multimodal_meta,
-        # --- r5-era buffer filling the window to 50 (minhash seeded
-        #     entry + its pinned twin; shrinks the r8 rotation debt) ---
-        "minhash_neardup": _q_minhash_dedup,          # seeded (rows-only)
-        "minhash_neardup_poly": _q_minhash_poly,      # its ANSI twin
-        # --- tail: r6-verified block (outside the sampled window; their
-        #     r6 rows stay in the two-round union) ---
-        "dup_clusters": _q_dup_clusters,
-        "dedup_keep_list": _q_dedup_keep_list,
-        "oov_rate": _q_oov_rate,
-        "label_cohesion": _q_label_cohesion,
-        "nanops_rowwise": _q_nanops_rowwise,
-        "streaming_sessions": _q_streaming_sessions,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "masked_sum": _q_masked_sum,
-        "group_size": _q_size,
-        "group_minmax": _q_minmax,
-        "group_var_std": _q_var_std,
-        "agg_callable": _q_agg_callable,
-        "group_median": _q_median,
-        "group_mode": _q_group_mode,
-        "group_quantiles": _q_group_quantiles,
-        "group_corr_cov": _q_group_corr_cov,
-        "group_first_last": _q_first_last,
-        "ratio": _q_ratio,
-        "subset_ratio": _q_subset_ratio,
-        "density": _q_density,
-        "value_counts": _q_value_counts,
-        "value_counts_norm": _q_value_counts_norm,
-        "group_nunique": _q_nunique,
-        "margins_sum": _q_margins_sum,
-        "crosstab_pivot": _q_crosstab,
-        "transform_sum": _q_transform_sum,
-        "head_per_group": _q_head,
-        "nth_last_per_group": _q_nth_last,
-        "q5_local_supplier": _q_q5_local_supplier,
-        "bloom_dedup": _q_bloom_dedup,
-        "incremental_dedup_indexed": _q_incremental_dedup_indexed,
-        "incremental_dedup": _q_incremental_dedup,
-        "dedup_exact_canonical": _q_dedup_exact_canonical,
-        "streaming_tumbling": _q_streaming_tumbling,
-        "streaming_sliding": _q_streaming_sliding,
-        "streaming_dedup": _q_streaming_dedup,
-        "streaming_running": _q_streaming_running,
-        "rolling_time": _q_rolling_time,
-        "weighted_sample": _q_weighted_sample,
-        "group_rank": _q_group_rank,
-        "curation_pipeline": _q_curation_pipeline,
-        "chunk_dedup": _q_chunk_dedup,
-        # --- r5-verified block (freshest tail) ---
-        "streaming_neardup": _q_streaming_neardup,
-        "pca_gate": _q_pca_gate,
-        "pack_gate": _q_pack_gate,
-        "asof_nearest": _q_asof_nearest,
-        "semantic_contamination": _q_semantic_contamination,
-        "containment_pairs": _q_containment_pairs,
-        "ivf_index_gate": _q_ivf_index_gate,
-        "quality_classifier": _q_quality_classifier,
-        "bigram_ppl": _q_bigram_ppl,
-        "source_cap": _q_source_cap,
-        "global_sample": _q_global_sample,
-        "segment_revenue_bucketed": _q_segment_revenue_bucketed,
-        "q6_forecast": _q_q6_forecast,
-        "q3_shipping": _q_q3_shipping,
-        "temperature_mixture": _q_temperature_mixture,
-        "duplicated_spans": _q_duplicated_spans,
-        "span_excision": _q_span_excision,
-        "segment_revenue": _q_segment_revenue,
-        "simhash_candidates": _q_simhash_candidates,  # seeded (rows-only)
-        "simhash_poly": _q_simhash_poly,              # its ANSI twin
-        "skew_topn_salted": _q_skew_topn_salted,
-        "skew_topn_uniform": _q_skew_topn_uniform,
-        "ivf_knn": _q_ivf_knn,                        # seeded (rows-only)
-        "ann_recall": _q_ann_recall,                  # its recall gate
-        "stratified_sample": _q_stratified_sample,
-        "split_assign": _q_split_assign,
-        "sample_per_group": _q_sample_per_group,
-        "pack_chunks": _q_pack_chunks,
-        "repetition_signals": _q_repetition_signals,
-        "repetition_filter": _q_repetition_filter,
-        "global_cumsum": _q_global_cumsum,
-        "global_shift": _q_global_shift,
-        "pii_scan": _q_pii_scan,
-        "c4_filter": _q_c4_filter,
-        "contamination": _q_contamination,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "bm25_rank": _q_bm25_rank,
-        "vocab_top": _q_vocab_top,
-        # --- new in round 7 close (pinned in the in-pytest oracle subset;
-        #     rotate into the r8 driver window head) ---
+        # --- r8 window: new entries (this round) ---
+        "wav_header_meta": _q_wav_header_meta,
+        "mp4_header_meta": _q_mp4_header_meta,
+        # --- r8 window: 36 r7-close entries, first driver rows ---
         "token_budget": _q_token_budget,
         "quantile_calibration": _q_quantile_calibration,
         "leakage_split": _q_leakage_split,
@@ -3425,6 +3350,141 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_cumminmax_scale": _q_group_cumminmax_scale,
         "group_rank_scale": _q_group_rank_scale,
         "group_rolling_time_scale": _q_group_rolling_time_scale,
+        # --- r8 window: re-verification of r8 code changes ---
+        "incremental_dedup_indexed": _q_incremental_dedup_indexed,
+        "incremental_dedup": _q_incremental_dedup,
+        "cosine_neardup": _q_cosine_neardup,
+        # --- r8 window: r5-era fill (oldest driver rows) ---
+        "dup_clusters": _q_dup_clusters,
+        "dedup_keep_list": _q_dedup_keep_list,
+        "streaming_neardup": _q_streaming_neardup,
+        "pca_gate": _q_pca_gate,
+        "pack_gate": _q_pack_gate,
+        "asof_nearest": _q_asof_nearest,
+        "semantic_contamination": _q_semantic_contamination,
+        "containment_pairs": _q_containment_pairs,
+        "ivf_index_gate": _q_ivf_index_gate,
+        # --- tail: remaining r5-verified block (r9 window head) ---
+        "quality_classifier": _q_quality_classifier,
+        "bigram_ppl": _q_bigram_ppl,
+        "source_cap": _q_source_cap,
+        "global_sample": _q_global_sample,
+        "segment_revenue_bucketed": _q_segment_revenue_bucketed,
+        "q6_forecast": _q_q6_forecast,
+        "q3_shipping": _q_q3_shipping,
+        "temperature_mixture": _q_temperature_mixture,
+        "duplicated_spans": _q_duplicated_spans,
+        "span_excision": _q_span_excision,
+        "segment_revenue": _q_segment_revenue,
+        "simhash_candidates": _q_simhash_candidates,  # seeded (rows-only)
+        "simhash_poly": _q_simhash_poly,
+        "skew_topn_salted": _q_skew_topn_salted,
+        "skew_topn_uniform": _q_skew_topn_uniform,
+        "ivf_knn": _q_ivf_knn,  # seeded (rows-only)
+        "ann_recall": _q_ann_recall,
+        "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
+        "sample_per_group": _q_sample_per_group,
+        "pack_chunks": _q_pack_chunks,
+        "repetition_signals": _q_repetition_signals,
+        "repetition_filter": _q_repetition_filter,
+        "global_cumsum": _q_global_cumsum,
+        "global_shift": _q_global_shift,
+        "pii_scan": _q_pii_scan,
+        "c4_filter": _q_c4_filter,
+        "contamination": _q_contamination,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_rank": _q_bm25_rank,
+        "vocab_top": _q_vocab_top,
+        # --- tail: r6-verified block ---
+        "oov_rate": _q_oov_rate,
+        "label_cohesion": _q_label_cohesion,
+        "nanops_rowwise": _q_nanops_rowwise,
+        "streaming_sessions": _q_streaming_sessions,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "masked_sum": _q_masked_sum,
+        "group_size": _q_size,
+        "group_minmax": _q_minmax,
+        "group_var_std": _q_var_std,
+        "agg_callable": _q_agg_callable,
+        "group_median": _q_median,
+        "group_mode": _q_group_mode,
+        "group_quantiles": _q_group_quantiles,
+        "group_corr_cov": _q_group_corr_cov,
+        "group_first_last": _q_first_last,
+        "ratio": _q_ratio,
+        "subset_ratio": _q_subset_ratio,
+        "density": _q_density,
+        "value_counts": _q_value_counts,
+        "value_counts_norm": _q_value_counts_norm,
+        "group_nunique": _q_nunique,
+        "margins_sum": _q_margins_sum,
+        "crosstab_pivot": _q_crosstab,
+        "transform_sum": _q_transform_sum,
+        "head_per_group": _q_head,
+        "nth_last_per_group": _q_nth_last,
+        "q5_local_supplier": _q_q5_local_supplier,
+        "bloom_dedup": _q_bloom_dedup,
+        "dedup_exact_canonical": _q_dedup_exact_canonical,
+        "streaming_tumbling": _q_streaming_tumbling,
+        "streaming_sliding": _q_streaming_sliding,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_running": _q_streaming_running,
+        "rolling_time": _q_rolling_time,
+        "weighted_sample": _q_weighted_sample,
+        "group_rank": _q_group_rank,
+        "curation_pipeline": _q_curation_pipeline,
+        "chunk_dedup": _q_chunk_dedup,
+        # --- tail: r7-verified block (freshest) ---
+        "doc_chunks": _q_doc_chunks,
+        "embedding_quantize": _q_embedding_quantize,
+        "unigram_ppl": _q_unigram_ppl,
+        "frame_sample": _q_frame_sample,
+        "source_health": _q_source_health,
+        "cumsum": _q_cumsum,
+        "cummax": _q_cummax,
+        "cumcount": _q_cumcount,
+        "shift": _q_shift,
+        "diff": _q_diff,
+        "rolling_sum": _q_rolling_sum,
+        "rolling_mean": _q_rolling_mean,
+        "rolling_minmax": _q_rolling_minmax,
+        "rolling_sum_masked": _q_rolling_sum_masked,
+        "shift_masked": _q_shift_masked,
+        "observed_only_false": _q_observed_only_false,
+        "nation_revenue": _q_nation_revenue,
+        "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
+        "apply_zscore": _q_apply_zscore,
+        "winnow_fingerprints": _q_winnow,
+        "sessionize": _q_sessionize,
+        "nanops_global": _q_nanops_global,
+        "pretty_cut_bins": _q_pretty_cut,
+        "bools_to_categorical": _q_bools_labels,
+        "linear_combination": _q_lincomb,
+        "scatter_bins": _q_scatter_bins,
+        "scatter_bins_approx": _q_scatter_bins_approx,
+        "linear_fit": _q_linear_fit,
+        "dedup_exact": _q_dedup_exact,
+        "doc_token_stats": _q_token_stats,
+        "lang_id_pred": _q_lang_pred,
+        "quality_score": _q_quality,
+        "trigram_jaccard_pairs": _q_trigram_jaccard,
+        "knn_cosine": _q_knn,
+        "hll_merge_gate": _q_hll_merge_gate,
+        "lsh_skew_uncapped": _q_lsh_skew_uncapped,
+        "lsh_skew_capped": _q_lsh_skew_capped,
+        "semantic_keep_list_lsh": _q_semantic_keep_list_lsh,
+        "semantic_lsh_recall": _q_semantic_lsh_recall,
+        "semantic_keep_list": _q_semantic_keep_list,
+        "hyperplane_lsh_buckets": _q_lsh_buckets,  # seeded (rows-only)
+        "lsh_recall": _q_lsh_recall,
+        "q18_large_orders": _q_q18_large_orders,
+        "plan_lint_gate": _q_plan_lint_gate,
+        "image_header_meta": _q_image_header_meta,
+        "multimodal_image_meta": _q_multimodal_meta,
+        "minhash_neardup": _q_minhash_dedup,  # seeded (rows-only)
+        "minhash_neardup_poly": _q_minhash_poly,
     }
 
 
@@ -4270,6 +4330,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 8 = 4 THEN 4
                              WHEN doc_id % 8 = 3 THEN 1
                              ELSE 3 END AS INTEGER) AS n_channels
+            FROM documents WHERE doc_id < 200
+        """,
+        "wav_header_meta": """
+            SELECT doc_id,
+                   CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                             WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER)
+                       AS sample_rate,
+                   CAST(doc_id % 2 + 1 AS INTEGER) AS n_channels,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INTEGER)
+                       AS bits_per_sample,
+                   CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                             WHEN 2 THEN 22050 ELSE 44100 END
+                        * (doc_id % 5) AS BIGINT) AS n_frames,
+                   CAST((doc_id % 5) * 1000.0 AS DOUBLE) AS duration_ms
+            FROM documents WHERE doc_id < 200
+        """,
+        "mp4_header_meta": """
+            SELECT doc_id,
+                   CAST((doc_id % 8 + 1) * 160 AS INTEGER) AS width,
+                   CAST((doc_id % 8 + 1) * 90 AS INTEGER) AS height,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 90000 END
+                        AS BIGINT) AS timescale,
+                   CAST((doc_id % 6) * 1000.0 AS DOUBLE) AS duration_ms
             FROM documents WHERE doc_id < 200
         """,
         # minhash_neardup, simhash_candidates, hyperplane_lsh_buckets: xxhash64-

@@ -3,10 +3,14 @@
 Treat media as opaque ``binary`` columns plus a typed metadata struct.
 Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` — one
 Python worker per partition, whole record-batches across the boundary, never
-row-at-a-time. The actual codecs (PIL/ffmpeg/torchvision) are NOT installed
-in this environment, so the decode step is a clearly-marked stub with a
-deterministic fake; everything Spark-side — schema, partitioning, UDF
-signature, batch shape — is real and tested.
+row-at-a-time. Container-header metadata is parsed for REAL with pure byte
+arithmetic: image dimensions from PNG/BMP/GIF/JPEG headers
+(:func:`decode_image_header`), audio params from the RIFF/WAVE chunk list
+(:func:`decode_wav_header`), video dimensions/duration from the MP4
+ISO-BMFF box tree (:func:`decode_mp4_header`). Only FULL-PIXEL/sample
+decode (PIL/ffmpeg/torchvision — not installed in this environment) remains
+a clearly-marked deterministic-fake seam; everything Spark-side — schema,
+partitioning, UDF signature, batch shape — is real and tested.
 
 Scale notes: binary payloads make rows wide; keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a partition of blobs
@@ -196,6 +200,244 @@ def jpeg_header_bytes(width: int, height: int, n_channels: int = 3,
            + height.to_bytes(2, "big") + width.to_bytes(2, "big")
            + bytes([n_channels]) + comps)
     return b"\xff\xd8" + app0 + sof
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("bits_per_sample", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("duration_ms", T.DoubleType()),
+])
+
+VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("timescale", T.LongType()),
+    T.StructField("duration_ms", T.DoubleType()),
+])
+
+
+def decode_wav_header(blob: bytes) -> dict | None:
+    """Dependency-free REAL WAV header parse (RIFF spec): walk the chunk
+    list — every chunk is 4-byte id + 4-byte little-endian size, payloads
+    word-aligned — to the ``fmt `` chunk (channels, sample rate, block
+    align, bits/sample) and the ``data`` chunk (payload size → frame
+    count). Only the declared sizes are read, so a header-only blob (no
+    audio payload) parses fine. Returns ``{sample_rate, n_channels,
+    bits_per_sample, n_frames, duration_ms}`` or None on bad magic /
+    truncation / a zero block align. Mirrors reference multimodal
+    metadata extraction (pandas-plus has no media path; this is the
+    LLM-pipeline extension seam)."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(blob)
+    fmt: dict | None = None
+    data_size: int | None = None
+    while i + 8 <= n:
+        cid = blob[i:i + 4]
+        csz = int.from_bytes(blob[i + 4:i + 8], "little")
+        if cid == b"fmt " and csz >= 16 and i + 24 <= n:
+            fmt = {
+                "n_channels": int.from_bytes(blob[i + 10:i + 12], "little"),
+                "sample_rate": int.from_bytes(blob[i + 12:i + 16], "little"),
+                "block_align": int.from_bytes(blob[i + 20:i + 22], "little"),
+                "bits_per_sample": int.from_bytes(blob[i + 22:i + 24], "little"),
+            }
+        elif cid == b"data":
+            data_size = csz
+        if fmt is not None and data_size is not None:
+            break
+        i += 8 + csz + (csz & 1)         # chunk payloads are word-aligned
+    if fmt is None or not fmt["block_align"] or not fmt["sample_rate"]:
+        return None
+    n_frames = (data_size or 0) // fmt["block_align"]
+    return {
+        "sample_rate": fmt["sample_rate"],
+        "n_channels": fmt["n_channels"],
+        "bits_per_sample": fmt["bits_per_sample"],
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000.0 / fmt["sample_rate"],
+    }
+
+
+def _mp4_boxes(blob: bytes, start: int, end: int):
+    """Yield ``(type, payload_start, payload_end)`` for the ISO-BMFF boxes
+    in ``blob[start:end]``. Handles the 64-bit ``largesize`` escape
+    (size == 1) and ``size == 0`` (box extends to the end); stops on a
+    truncated or non-monotonic size rather than looping."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(blob[i:i + 4], "big")
+        btype = blob[i + 4:i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(blob[i + 8:i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def decode_mp4_header(blob: bytes) -> dict | None:
+    """Dependency-free REAL MP4/ISO-BMFF metadata parse: walk the
+    top-level boxes to ``moov``, read ``mvhd`` (timescale + movie
+    duration; version 0 and 1 layouts) and the first ``trak``/``tkhd``
+    with a nonzero width (16.16 fixed-point width/height). Returns
+    ``{width, height, timescale, duration_ms}`` or None when there is no
+    moov / mvhd (e.g. a streaming fragment or a truncated head). Pure box
+    arithmetic — no ffmpeg/pyav."""
+    if len(blob) < 12:
+        return None
+    meta: dict | None = None
+    for btype, ps, pe in _mp4_boxes(blob, 0, len(blob)):
+        if btype != b"moov":
+            continue
+        timescale = duration = None
+        width = height = None
+        for ctype, cs, ce in _mp4_boxes(blob, ps, pe):
+            if ctype == b"mvhd" and ce - cs >= 20:
+                ver = blob[cs]
+                if ver == 1 and ce - cs >= 28:
+                    timescale = int.from_bytes(blob[cs + 20:cs + 24], "big")
+                    duration = int.from_bytes(blob[cs + 24:cs + 32], "big")
+                else:
+                    timescale = int.from_bytes(blob[cs + 12:cs + 16], "big")
+                    duration = int.from_bytes(blob[cs + 16:cs + 20], "big")
+            elif ctype == b"trak" and width is None:
+                for ttype, ts_, te in _mp4_boxes(blob, cs, ce):
+                    if ttype != b"tkhd" or te - ts_ < 84:
+                        continue
+                    # after version/flags: v0 = 20 bytes of times/ids,
+                    # v1 = 32; then reserved(8) layer/alt/vol/res(8)
+                    # matrix(36), then 16.16 fixed width + height
+                    off = ts_ + 4 + (32 if blob[ts_] == 1 else 20) + 8 + 8 + 36
+                    if te - off < 8:
+                        continue
+                    w = int.from_bytes(blob[off:off + 4], "big") >> 16
+                    h = int.from_bytes(blob[off + 4:off + 8], "big") >> 16
+                    if w and width is None:
+                        width, height = w, h
+        if timescale:
+            meta = {
+                "width": width or 0,
+                "height": height or 0,
+                "timescale": timescale,
+                "duration_ms": (duration or 0) * 1000.0 / timescale,
+            }
+        break
+    return meta
+
+
+def wav_header_bytes(sample_rate: int, n_channels: int = 2, bits: int = 16,
+                     n_frames: int = 0) -> bytes:
+    """Minimal valid RIFF/WAVE header (fmt + data chunk declarations, no
+    audio payload) — the deterministic fixture generator for the audio
+    header-decode gates/tests. A leading JUNK chunk variant is exercised
+    by passing through :func:`wav_header_bytes_junk`."""
+    block_align = n_channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data_size = n_frames * block_align
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little")
+           + n_channels.to_bytes(2, "little")
+           + sample_rate.to_bytes(4, "little")
+           + byte_rate.to_bytes(4, "little")
+           + block_align.to_bytes(2, "little")
+           + bits.to_bytes(2, "little"))
+    data = b"data" + data_size.to_bytes(4, "little")
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + (len(body) + data_size).to_bytes(4, "little") + body
+
+
+def wav_header_bytes_junk(sample_rate: int, n_channels: int = 2,
+                          bits: int = 16, n_frames: int = 0) -> bytes:
+    """WAV fixture with a JUNK chunk before fmt (common in real encoders;
+    forces the chunk walk to skip by declared size, incl. odd-size
+    word-alignment padding)."""
+    base = wav_header_bytes(sample_rate, n_channels, bits, n_frames)
+    junk = b"JUNK" + (5).to_bytes(4, "little") + b"pad.." + b"\x00"
+    body = base[8:12] + junk + base[12:]
+    return b"RIFF" + (len(body)).to_bytes(4, "little") + body
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def mp4_header_bytes(width: int, height: int, duration: int,
+                     timescale: int = 1000, version: int = 0) -> bytes:
+    """Minimal valid MP4 head: ftyp + moov(mvhd + trak(tkhd)), no media
+    data — fixture generator covering both mvhd/tkhd box versions."""
+    ftyp = _mp4_box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomiso2")
+    matrix = ((0x00010000).to_bytes(4, "big") + bytes(12)
+              + (0x00010000).to_bytes(4, "big") + bytes(12)
+              + (0x40000000).to_bytes(4, "big"))
+    if version == 1:
+        mvhd_times = bytes(16) + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big")
+        tkhd_times = (bytes(16) + (1).to_bytes(4, "big") + bytes(4)
+                      + duration.to_bytes(8, "big"))
+    else:
+        mvhd_times = bytes(8) + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+        tkhd_times = (bytes(8) + (1).to_bytes(4, "big") + bytes(4)
+                      + duration.to_bytes(4, "big"))
+    mvhd = _mp4_box(b"mvhd", bytes([version, 0, 0, 0]) + mvhd_times
+                    + (0x00010000).to_bytes(4, "big") + (0x0100).to_bytes(2, "big")
+                    + bytes(10) + matrix + bytes(24) + (2).to_bytes(4, "big"))
+    tkhd = _mp4_box(b"tkhd", bytes([version, 0, 0, 7]) + tkhd_times
+                    + bytes(8) + bytes(8) + matrix
+                    + (width << 16).to_bytes(4, "big")
+                    + (height << 16).to_bytes(4, "big"))
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+    return ftyp + moov
+
+
+def extract_audio_features(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
+    """(id, sample_rate, n_channels, bits_per_sample, n_frames,
+    duration_ms) from WAV blobs via Arrow-batched mapInPandas — the REAL
+    RIFF chunk walk (:func:`decode_wav_header`), null row on non-WAV.
+    Map-side only, no shuffle; never carries the blob downstream."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + list(AUDIO_FEATURES_SCHEMA.fields))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+        for pdf in batches:
+            feats = [decode_wav_header(bytes(b)) or {} for b in pdf[blob_col]]
+            out = pd.DataFrame([[f.get(c) for c in cols] for f in feats],
+                               columns=cols)
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        decode_batches, schema=out_schema)
+
+
+def extract_video_meta(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
+    """(id, width, height, timescale, duration_ms) from MP4 blobs via
+    Arrow-batched mapInPandas — the REAL ISO-BMFF box walk
+    (:func:`decode_mp4_header`), null row when no moov/mvhd parses."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + list(VIDEO_META_SCHEMA.fields))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in VIDEO_META_SCHEMA.fields]
+        for pdf in batches:
+            feats = [decode_mp4_header(bytes(b)) or {} for b in pdf[blob_col]]
+            out = pd.DataFrame([[f.get(c) for c in cols] for f in feats],
+                               columns=cols)
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        decode_batches, schema=out_schema)
 
 
 FRAME_SCHEMA = T.StructType([

@@ -387,6 +387,91 @@ class TestMultimodal:
             n = len(s)
             assert decode_image_stub(s)["width"] == n % 640 + 1
 
+    def test_wav_header_roundtrip(self):
+        """WAV decode is a REAL RIFF chunk walk: fmt params + data-size
+        frame count read from the actual little-endian chunk bytes, JUNK
+        chunks (odd size → word-aligned) hopped by declared length."""
+        from pandas_plus_spark.operators.multimodal import (
+            decode_wav_header, wav_header_bytes, wav_header_bytes_junk)
+        for sr, ch, bits, nf in [(8000, 1, 8, 0), (44100, 2, 16, 44100 * 3),
+                                 (22050, 2, 16, 1), (16000, 1, 16, 999)]:
+            got = decode_wav_header(wav_header_bytes(sr, ch, bits, nf))
+            assert got == {
+                "sample_rate": sr, "n_channels": ch, "bits_per_sample": bits,
+                "n_frames": nf, "duration_ms": nf * 1000.0 / sr}
+            got_j = decode_wav_header(wav_header_bytes_junk(sr, ch, bits, nf))
+            assert got_j == got
+
+    def test_wav_malformed_returns_none(self):
+        from pandas_plus_spark.operators.multimodal import (
+            decode_wav_header, wav_header_bytes)
+        assert decode_wav_header(b"") is None
+        assert decode_wav_header(b"RIFF1234WAV?") is None     # bad form type
+        assert decode_wav_header(b"RIFFxxxxWAVE") is None     # no fmt chunk
+        assert decode_wav_header(b"plain text that is long enough") is None
+        # zero sample rate / zero block align must not divide-by-zero
+        assert decode_wav_header(wav_header_bytes(0, 2, 16, 10)) is None
+
+    def test_mp4_box_walk_roundtrip(self):
+        """MP4 decode is a REAL ISO-BMFF box walk: moov→mvhd (timescale,
+        duration; v0 AND v1 layouts) and moov→trak→tkhd (16.16
+        fixed-point width/height)."""
+        from pandas_plus_spark.operators.multimodal import (
+            decode_mp4_header, mp4_header_bytes)
+        for w, h, dur, ts in [(1920, 1080, 90000, 600), (640, 480, 0, 1000),
+                              (1, 1, 7, 90000)]:
+            for ver in (0, 1):
+                got = decode_mp4_header(mp4_header_bytes(w, h, dur, ts, version=ver))
+                assert got == {"width": w, "height": h, "timescale": ts,
+                               "duration_ms": dur * 1000.0 / ts}, (ver, got)
+
+    def test_mp4_largesize_and_free_boxes(self):
+        """Boxes the walk must handle structurally: a 64-bit largesize
+        ftyp (size == 1 escape) and a free box before moov."""
+        from pandas_plus_spark.operators.multimodal import (
+            decode_mp4_header, mp4_header_bytes)
+        base = mp4_header_bytes(320, 240, 5000, 1000)
+        ftyp_len = int.from_bytes(base[:4], "big")
+        ftyp, moov = base[:ftyp_len], base[ftyp_len:]
+        big_ftyp = ((1).to_bytes(4, "big") + b"ftyp"
+                    + (16 + len(ftyp) - 8).to_bytes(8, "big") + ftyp[8:])
+        free = (16).to_bytes(4, "big") + b"free" + bytes(8)
+        assert decode_mp4_header(big_ftyp + free + moov) == {
+            "width": 320, "height": 240, "timescale": 1000,
+            "duration_ms": 5000.0}
+
+    def test_mp4_malformed_returns_none(self):
+        from pandas_plus_spark.operators.multimodal import (
+            decode_mp4_header, mp4_header_bytes)
+        good = mp4_header_bytes(640, 480, 1000, 1000)
+        assert decode_mp4_header(b"") is None
+        assert decode_mp4_header(b"\x00\x00\x00\x08ftypisom") is None  # no moov
+        assert decode_mp4_header(good[:40]) is None           # truncated moov
+        assert decode_mp4_header(b"plain text, definitely not bmff") is None
+
+    def test_av_extract_through_spark(self, spark):
+        """The mapInPandas plumbing end-to-end: WAV + MP4 blobs round-trip
+        the Arrow boundary; non-parsing blobs yield null feature rows."""
+        from pandas_plus_spark.operators.multimodal import (
+            extract_audio_features, extract_video_meta, mp4_header_bytes,
+            wav_header_bytes)
+        wavs = spark.createDataFrame(
+            [(0, bytearray(wav_header_bytes(16000, 1, 16, 16000))),
+             (1, bytearray(b"not audio at all, just bytes"))],
+            "id long, blob binary")
+        out = {r["id"]: r for r in
+               extract_audio_features(wavs, "blob", "id").collect()}
+        assert out[0]["sample_rate"] == 16000 and out[0]["duration_ms"] == 1000.0
+        assert out[1]["sample_rate"] is None
+        vids = spark.createDataFrame(
+            [(0, bytearray(mp4_header_bytes(1280, 720, 2500, 1000))),
+             (1, bytearray(b"not video either"))],
+            "id long, blob binary")
+        vout = {r["id"]: r for r in
+                extract_video_meta(vids, "blob", "id").collect()}
+        assert vout[0]["width"] == 1280 and vout[0]["duration_ms"] == 2500.0
+        assert vout[1]["width"] is None
+
 
 class TestScaleShapes:
     """Plan-level guarantees from the round-1 verdict: no corpus-sized

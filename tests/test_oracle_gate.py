@@ -79,6 +79,10 @@ SUBSET = [
     "group_cumminmax_scale",
     "group_rank_scale",
     "group_rolling_time_scale",
+    # round-8 additions: real WAV/MP4 container-header decode through the
+    # multimodal mapInPandas seam
+    "wav_header_meta",
+    "mp4_header_meta",
 ]
 
 
@@ -104,3 +108,18 @@ def test_every_query_has_callable(spark):
     sqls = __spark_entry__.oracle_sql()
     assert len(qs) >= 40
     assert set(sqls) <= set(qs)
+
+
+def test_rotation_cadence_invariant():
+    """The registry-rotation cadence (scripts/check_rotation.py): every
+    entry gets a driver CORRECTNESS row at least every ceil(N/50) rounds,
+    never-verified entries sit inside the upcoming window, the greedy
+    forward schedule is feasible, and rows-only twins stay adjacent."""
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "scripts" / "check_rotation.py"
+    spec = importlib.util.spec_from_file_location("check_rotation", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.check() == []
