@@ -1733,8 +1733,21 @@ def _q_knn(spark, sf):
 
 
 def _q_cosine_neardup(spark, sf):
+    """Exact all-pairs cosine near-dup (similarity.cosine_neardup_pairs,
+    candidates=None): the VALIDATION-SCALE contract whose oracle is the
+    all-pairs SQL — deliberately not LSH-routed, because the gate's job
+    is to value-check the exact pair math (the LSH path has its own
+    gates: semantic_lsh_recall, lsh_recall). The operator's intentional
+    O(n²) RuntimeWarning is filtered HERE, at the gate that opted into
+    the fallback, so real warnings in pytest/bench output stay visible."""
+    import warnings
+
     emb = _cast_double_embeddings(spark, sf)
-    return similarity.cosine_neardup_pairs(emb, threshold=0.30)
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", message=".*cross-joins ALL pairs.*",
+            category=RuntimeWarning)
+        return similarity.cosine_neardup_pairs(emb, threshold=0.30)
 
 
 def _q_lsh_buckets(spark, sf):

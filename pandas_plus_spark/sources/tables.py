@@ -36,9 +36,25 @@ TABLES = (
 DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 
 
+# (appId, sf_dir, name) -> DataFrame. A DataFrame is an immutable logical
+# plan, so handing the same object to every caller is safe; re-reading
+# costs a driver-side file listing + footer/schema fetch (~70 ms per call,
+# measured r8) that per-query pipelines otherwise pay several times over.
+# Keyed by applicationId so a new session never sees another session's
+# plans. Fixture tables are immutable for a session's lifetime; callers
+# that rewrite a table mid-session (none in the repo) must clear_table_cache().
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_table_cache() -> None:
+    _TABLE_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one parquet table. Column pruning + predicate pushdown apply to
-    whatever the caller selects/filters afterwards — do not cache here.
+    whatever the caller selects/filters afterwards — the returned frame is
+    an un-materialized scan plan (memoized per session, see _TABLE_CACHE;
+    never ``.persist()``-ed here).
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
     rejects outright by default; we read nanos as long and convert to a
@@ -46,6 +62,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Set here, not in the session factory, because the driver's harness hands
     us an already-built session.
     """
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _read_table(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
