@@ -705,14 +705,24 @@ def duplicated_spans(
             F.transform(F.sequence(F.lit(0), n - k), fold)
         ).otherwise(F.array().cast("array<long>"))
 
+    from pyspark import StorageLevel
+
     from ..functions.text import let
 
-    grams = df.select(
+    # The gram pipeline (regex tokenize → per-token hash → k-gram fold) is
+    # the expensive pass, and TWO consumers explode it (the distinct-doc
+    # count and the position join-back). Pin the pre-explode array frame —
+    # one long per token plus the id, the narrowest form — DISK_ONLY
+    # (corpus-sized pins starve the execution pool if memory-resident at
+    # sf100, r7 finding); each consumer then pays only a posexplode over
+    # cached arrays. Handle released via release_cached like every other
+    # _pps_cached intermediate.
+    gram_arrays = df.select(
         F.col(id_col),
-        F.posexplode(
-            let(F.transform(tk, lambda t: base(t)), gram_hashes)
-        ).alias("pos", "__g"),
-    )
+        let(F.transform(tk, lambda t: base(t)), gram_hashes).alias("__gs"),
+    ).persist(StorageLevel.DISK_ONLY)
+    grams = gram_arrays.select(
+        F.col(id_col), F.posexplode("__gs").alias("pos", "__g"))
     repeated = (
         grams.groupBy("__g")
         .agg(F.countDistinct(id_col).alias("__df"))
@@ -734,7 +744,7 @@ def duplicated_spans(
              F.count(F.lit(1)).alias("n_grams"))
         .select(id_col, "span_start", "span_end", "n_grams")
     )
-    return spans
+    return attach_cached(spans, gram_arrays)
 
 
 def excise_spans(
@@ -770,7 +780,7 @@ def excise_spans(
         lambda t, i: ~F.exists(
             F.col("__spans"),
             lambda sp: (i >= sp["s"]) & (i < sp["e"])))
-    return (
+    out = (
         df.join(span_arr, id_col, "left")
         .select(
             F.col(id_col),
@@ -781,6 +791,10 @@ def excise_spans(
             .alias("n_removed"),
         )
     )
+    # propagate the spans frame's persisted intermediates (the gram-array
+    # pin from duplicated_spans) so release_cached on the composed output
+    # frees them
+    return attach_cached(out, *getattr(spans, "_pps_cached", ()))
 
 
 def chunk_dedup_stats(
@@ -807,8 +821,15 @@ def chunk_dedup_stats(
     duplicate counting (every empty doc would otherwise "duplicate" every
     other) but still count toward ``n_chunks``.
     """
+    from pyspark import StorageLevel
+
     from .packing import chunk_documents
 
+    # Pin the hashed-chunk frame: the corpus-wide count and the join-back
+    # both read it, and recomputing means chunking + sha2-ing every text
+    # byte twice. Narrow rows (id, len, 32 B hash) but corpus-proportional
+    # count → DISK_ONLY per the sf100 memory-pin finding; released via
+    # release_cached.
     chunks = chunk_documents(
         ensure_parallelism(df), text_col, id_col,
         chunk_size=chunk_size, overlap=0,
@@ -816,11 +837,11 @@ def chunk_dedup_stats(
         F.col(id_col),
         F.col("chunk_len"),
         F.sha2(F.col("chunk_text"), 256).alias("__h"),
-    )
+    ).persist(StorageLevel.DISK_ONLY)
     counts = (chunks.filter(F.col("chunk_len") > 0)
               .groupBy("__h").agg(F.count(F.lit(1)).alias("__n")))
     joined = chunks.join(counts, "__h", "left")
-    return (
+    out = (
         joined.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
@@ -834,6 +855,7 @@ def chunk_dedup_stats(
             .alias("dup_chunk_frac"),
         )
     )
+    return attach_cached(out, chunks)
 
 
 # --------------------------------------------------------------------- #

@@ -17,6 +17,7 @@ all consume term weights.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -193,10 +194,18 @@ def unigram_lm_score(
     ``H = ln(total) - mean(ln count(t))``, so the scalar joins once per
     doc, not per token.
     """
-    exploded = (
+    # Tokenize ONCE: the regex pass is the expensive part and both the
+    # count build and the per-doc join explode the same tokens. The token
+    # frame is corpus-sized, so the pin is DISK_ONLY — a MEMORY_AND_DISK
+    # corpus pin starves downstream hash aggregates' execution pool at
+    # 100M-row scale (r7 sf100 finding), while the OS page cache makes
+    # the disk round-trip nearly free at gate/bench SFs.
+    toks_df = (
         ensure_parallelism(docs)
-        .select(F.col(id_col), F.explode_outer(tx.simple_tokens(text_col)).alias("term"))
+        .select(F.col(id_col), tx.simple_tokens(text_col).alias("__toks"))
+        .persist(StorageLevel.DISK_ONLY)
     )
+    exploded = toks_df.select(id_col, F.explode_outer("__toks").alias("term"))
     counts = (
         exploded.filter(F.col("term").isNotNull())
         .groupBy("term").agg(F.count(F.lit(1)).alias("count")).persist()
@@ -215,7 +224,7 @@ def unigram_lm_score(
         .withColumn("ppl", F.exp("xent"))
         .select(id_col, "n_tokens", "xent", "ppl")
     )
-    return attach_cached(out, counts)
+    return attach_cached(out, counts, toks_df)
 
 
 def bm25_scores(
@@ -323,17 +332,24 @@ def bigram_lm_score(
     back to a shuffled join; the per-doc shape is unchanged. Release the
     persisted count frames with ``util.release_cached``.
     """
-    toks = tx.simple_tokens(text_col)
-    base = ensure_parallelism(docs)
+    # Tokenize ONCE (DISK_ONLY pin — same reasoning as unigram_lm_score:
+    # the regex pass dominates, three consumers explode the same tokens,
+    # and a corpus-sized MEMORY pin starves executors at sf100).
+    toks_df = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col), tx.simple_tokens(text_col).alias("__toks"))
+        .persist(StorageLevel.DISK_ONLY)
+    )
 
     uni = (
-        base.select(F.explode(toks).alias("term"))
+        toks_df.select(F.explode("__toks").alias("term"))
         .groupBy("term").agg(F.count(F.lit(1)).alias("ucnt")).persist()
     )
     total = uni.select(F.sum("ucnt").cast("double").alias("__total"))
 
-    bi_rows = base.select(
-        F.col(id_col), F.explode(tx.word_ngrams(toks, 2)).alias("gram"))
+    bi_rows = toks_df.select(
+        F.col(id_col),
+        F.explode(tx.word_ngrams(F.col("__toks"), 2)).alias("gram"))
     bi_counts = bi_rows.groupBy("gram").agg(
         F.count(F.lit(1)).alias("bcnt")).persist()
 
@@ -371,4 +387,4 @@ def bigram_lm_score(
             F.when(F.col("n_bigrams") > 0, F.exp(-F.col("__mlnp"))).alias("ppl"),
         )
     )
-    return attach_cached(out, uni, bi_counts)
+    return attach_cached(out, uni, bi_counts, toks_df)

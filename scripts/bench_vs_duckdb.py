@@ -36,24 +36,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as em
-    from bench import HEADLINE
+    from bench import HEADLINE, warm_session
     from oracle_harness import duck_connection
 
     qs, sqls = em.queries(), em.oracle_sql()
     names = sys.argv[2:] or [n for n in HEADLINE if n in sqls]
 
-    from pandas_plus_spark.sources import load_tables
-    for df in load_tables(spark, sf_dir).values():
-        df.count()
-    spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode(
-        "overwrite").save()
-    for warm_q in ("group_minmax", "shift"):
-        qs[warm_q](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the engine INFRASTRUCTURE only (JVM C2, Python worker pool,
+    # committer) — never a priced plan; see bench.warm_session. The timed
+    # pass below still pays every priced plan's own codegen compile + AQE.
+    warm_session(spark, sf_dir, qs)
     if "incremental_dedup_indexed" in names:
         qs["incremental_dedup_indexed"](spark, sf_dir).write.format(
             "noop").mode("overwrite").save()
 
     con = duck_connection(sf_dir)
+    # symmetric warm on the DuckDB side (negligible, kept for protocol
+    # fairness: both engines start their timed pass post-initialization)
+    con.sql("SELECT count(*) FROM lineitem").arrow()
     results: dict[str, dict] = {}
     for name in names:
         t0 = time.perf_counter()
