@@ -193,9 +193,12 @@ def _cap_bucket_entries(entries: DataFrame, key_cols: list[str],
     Oversized-bucket monitoring is the opt-in :func:`lsh_bucket_stats`.
 
     Recall note: a true near-dup pair inside a sampled bucket survives with
-    probability ~(cap/size)², per bucket — but near-dups share many of
-    their ``bands`` buckets, so the OR across bands keeps pair recall high
-    unless the corpus is pathological in *every* band at once."""
+    probability ~(cap/size)², per bucket; the OR across bands helps only
+    when the pair's buckets differ per band, which a single mega-cluster
+    defeats (identical members co-bucket everywhere). Entry-filtering is
+    therefore NOT the whole capped path: :func:`capped_pair_candidates`
+    adds linear-cost hub edges so dropped entries stay CONNECTED to their
+    cluster — the property dedup keep-lists actually need."""
     oversized = (
         entries.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bsz"))
         .where(F.col("__bsz") > cap)
@@ -204,6 +207,50 @@ def _cap_bucket_entries(entries: DataFrame, key_cols: list[str],
         F.pmod(F.xxhash64("id", *key_cols), F.col("__bsz")) < cap)
     return (entries.join(F.broadcast(oversized), list(key_cols), "left")
             .where(keep).drop("__bsz"))
+
+
+def capped_pair_candidates(entries: DataFrame,
+                           key_cols: list[str], cap: int) -> DataFrame:
+    """Candidate pairs ``(id_a < id_b)`` from a bucket self-join with the
+    oversized-bucket cap AND hub edges — the shared pair-generation stage
+    of the capped minhash and hyperplane LSH paths.
+
+    The cap alone (:func:`_cap_bucket_entries`) bounds the quadratic
+    clique but breaks CONNECTIVITY: an entry hash-sampled out of a hot
+    bucket in every table gets no candidate edge at all (at bucket 1000 /
+    cap 16 / 12 tables that is (1−16/1000)¹² ≈ 82% of the cluster —
+    measured r8, BASELINE.md), so a dedup keep-list wrongly keeps most of
+    a mega-cluster. Pairwise recall is the wrong target there — a
+    near-dup CLUSTER only needs to stay connected for the component step
+    to collapse it. So every DROPPED entry of an oversized bucket emits
+    one extra candidate edge to its bucket's HUB (the minimum-id kept
+    entry — deterministic): linear in bucket size, restores cluster
+    connectivity through the hub, and the verify stage still decides
+    whether each hub edge is a true near-dup. Healthy buckets are
+    untouched (same lazy broadcast split as the cap — a no-op plan when
+    nothing exceeds ``cap``)."""
+    capped = _cap_bucket_entries(entries, key_cols, cap)
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(b, on=list(key_cols))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    oversized = (
+        entries.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+        .where(F.col("__bsz") > cap)
+    )
+    tagged = entries.join(F.broadcast(oversized), list(key_cols), "inner")
+    kept = F.pmod(F.xxhash64("id", *key_cols), F.col("__bsz")) < cap
+    hubs = (tagged.where(kept)
+            .groupBy(*key_cols).agg(F.min("id").alias("__hub")))
+    hub_edges = (
+        tagged.where(~kept)
+        .join(hubs, list(key_cols))
+        .select(F.least("id", "__hub").alias("id_a"),
+                F.greatest("id", "__hub").alias("id_b"))
+    )
+    return pairs.unionByName(hub_edges)
 
 
 def lsh_bucket_stats(entries: DataFrame, cap: int,
@@ -257,18 +304,20 @@ def minhash_lsh_candidates(
         raise ValueError(f"hash_fn must be one of {_HASH_FNS}, got {hash_fn!r}")
     n = num_hashes if num_hashes is not None else sigs.select(F.size("sig")).first()[0]
     bucket_entries = _band_entries(sigs, bands, n, hash_fn).persist()
-    capped = bucket_entries
     if max_bucket_size is not None:
-        capped = _cap_bucket_entries(bucket_entries, ["band", "bhash"],
-                                     max_bucket_size)
-    a = capped.alias("a")
-    b = capped.alias("b")
-    out = (
-        a.join(b, on=["band", "bhash"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+        # cap + hub edges: quadratic cliques bounded, cluster
+        # connectivity preserved (see capped_pair_candidates)
+        out = capped_pair_candidates(bucket_entries, ["band", "bhash"],
+                                     max_bucket_size).distinct()
+    else:
+        a = bucket_entries.alias("a")
+        b = bucket_entries.alias("b")
+        out = (
+            a.join(b, on=["band", "bhash"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
     # caller frees the bucket cache via util.release_cached once materialized
     return attach_cached(out, bucket_entries)
 

@@ -268,7 +268,7 @@ def lsh_candidate_pairs(
     with ``dedup.lsh_bucket_stats(entries, cap, ["table", "bucket"])``.
     Recall under the cap survives via the multi-table OR — a true pair
     sampled out of one table's hot bucket usually co-buckets in another."""
-    from .dedup import _cap_bucket_entries
+    from .dedup import capped_pair_candidates
 
     entries = None
     for t in range(n_tables):
@@ -277,17 +277,19 @@ def lsh_candidate_pairs(
               .withColumn("table", F.lit(t)))
         entries = bt if entries is None else entries.unionByName(bt)
     buckets = entries.persist()
-    capped = buckets
     if max_bucket_size is not None:
-        capped = _cap_bucket_entries(buckets, ["table", "bucket"],
-                                     max_bucket_size)
-    a, b = capped.alias("a"), capped.alias("b")
-    cands = (
-        a.join(b, on=["table", "bucket"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+        # cap + hub edges: quadratic cliques bounded, cluster
+        # connectivity preserved (dedup.capped_pair_candidates)
+        cands = capped_pair_candidates(buckets, ["table", "bucket"],
+                                       max_bucket_size).distinct()
+    else:
+        a, b = buckets.alias("a"), buckets.alias("b")
+        cands = (
+            a.join(b, on=["table", "bucket"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
     return attach_cached(cands, buckets)
 
 

@@ -116,6 +116,32 @@ class TestHotBucketGuard:
         assert capped < clique
         assert capped <= 4 * self.CAP * self.CAP
 
+    def test_capped_hot_bucket_connectivity(self, hot_sigs):
+        """Hub edges (dedup.capped_pair_candidates): every member of an
+        oversized bucket — including the hash-dropped ones — must appear
+        in at least one candidate pair, and the whole cluster must form
+        ONE connected component, else a dedup keep-list wrongly keeps
+        the sampled-out members. Cost stays far below the clique."""
+        pairs = [(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(
+            hot_sigs, bands=4, num_hashes=8,
+            max_bucket_size=self.CAP).collect()]
+        covered = {i for p in pairs for i in p}
+        assert covered == set(range(self.N))       # no isolated member
+        # single component via union-find
+        parent = list(range(self.N))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(int(a))] = find(int(b))
+        assert len({find(i) for i in range(self.N)}) == 1
+        # still bounded: sampled clique + linear hub edges << full clique
+        assert len(pairs) < self.N * (self.N - 1) // 4
+
     def test_guard_keeps_recall_on_mixed_corpus(self, spark):
         # 100 boilerplate docs (one hot bucket) + one planted near-dup pair
         # with DISTINCT signatures — the pair must survive the guard because
