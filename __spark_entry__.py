@@ -2852,9 +2852,17 @@ def _q_semantic_keep_list(spark, sf):
     minimum. The semantic twin of dedup_keep_list — exact all-pairs
     verification here (validation scale per the operator contract; the
     scale path feeds LSH candidates). Oracle: the same pair graph + a
-    recursive-CTE transitive closure in DuckDB."""
+    recursive-CTE transitive closure in DuckDB. The operator's
+    intentional all-pairs RuntimeWarning is filtered HERE (the gate opts
+    into the fallback; same convention as cosine_neardup)."""
+    import warnings
+
     emb = _cast_double_embeddings(spark, sf)
-    return similarity.semantic_dedup_keep_list(emb, threshold=0.30)
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", message=".*cross-joins ALL pairs.*",
+            category=RuntimeWarning)
+        return similarity.semantic_dedup_keep_list(emb, threshold=0.30)
 
 
 def _q_semantic_keep_list_lsh(spark, sf):

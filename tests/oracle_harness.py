@@ -96,6 +96,14 @@ def run_gate(spark, sf_dir: str, only: list[str] | None = None,
         try:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
+            # free operator-pinned intermediates (the documented caller
+            # contract). Leaked EXECUTED cache entries also poison later
+            # plan-shape tests: the CacheManager substitutes them by plan
+            # equality, and an executed InMemoryRelation prints nested
+            # AQE "== Final Plan ==" dumps that break text-walking
+            # plan lint (r8 finding).
+            from pandas_plus_spark.util import release_cached
+            release_cached(sdf)
         except Exception as e:  # noqa: BLE001
             results[name] = f"SPARK FAIL: {type(e).__name__}: {str(e)[:200]}"
             continue

@@ -244,6 +244,13 @@ class TestFullRegistrySweep:
         import __spark_entry__ as entry_mod
         from pandas_plus_spark.plans import lint
 
+        # Plan text is cache-state-dependent: an EXECUTED InMemoryRelation
+        # left behind by an earlier test is substituted into these plans by
+        # plan equality and prints nested AQE dumps that break the lint
+        # walker's indentation model. Start from a clean cache so the sweep
+        # sees the same plans a fresh session would.
+        spark.catalog.clearCache()
+
         skip_prefixes = ("streaming_",)
         bad: dict[str, list] = {}
         checked = 0
