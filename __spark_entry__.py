@@ -1980,6 +1980,49 @@ def _q_mp4_header_meta(spark, sf):
     return multimodal.extract_video_meta(blobs_df, "blob", "doc_id")
 
 
+def _q_warc_ingest(spark, sf):
+    """REAL WARC ingestion through the crawl seam (sources/warc.py):
+    deterministic spec-layout WARC response records — every 3rd as its
+    own gzip member (the Common Crawl convention the parser must inflate
+    member-by-member), every 5th a text/plain body, every 9th an HTTP
+    404 — are built per doc_id in mapInPandas, then extract_warc_records
+    walks the record grammar (version line, CRLF headers,
+    Content-Length payload), splits the HTTP message, and tag-strips the
+    HTML body. The oracle recomputes every field from the same doc_id
+    arithmetic, so a header-offset, gzip-member, status-parse, or
+    entity/whitespace bug in the text extraction fails the value hash."""
+    import pandas as _pd
+
+    from pandas_plus_spark.sources import warc as warc_mod
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 150).select("doc_id"))
+
+    def make(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 5 == 0:
+                    body, ctype = f"plain {did}", "text/plain"
+                else:
+                    body = (f"<html><body><h1>Doc {did}</h1>"
+                            f"<p>token{did} &amp; tail</p></body></html>")
+                    ctype = "text/html"
+                blobs.append(warc_mod.warc_record_bytes(
+                    f"http://site{did % 7}.example/doc/{did}",
+                    f"2024-01-{did % 28 + 1:02d}T00:00:00Z",
+                    body,
+                    status=404 if did % 9 == 0 else 200,
+                    gzip_member=(did % 3 == 0),
+                    content_type=ctype,
+                    record_id=f"<urn:uuid:{did}>"))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs_df = docs.mapInPandas(make, "doc_id long, blob binary")
+    return warc_mod.extract_warc_records(blobs_df, "blob", "doc_id")
+
+
 def _q_stratified_sample(spark, sf):
     """Deterministic per-stratum downsampling (operators/sampling.py):
     membership is a pure affine-hash function of doc_id, so a pushed-down
@@ -3334,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r8 window: new entries (this round) ---
         "wav_header_meta": _q_wav_header_meta,
         "mp4_header_meta": _q_mp4_header_meta,
+        "warc_ingest": _q_warc_ingest,
         # --- r8 window: 36 r7-close entries, first driver rows ---
         "token_budget": _q_token_budget,
         "quantile_calibration": _q_quantile_calibration,
@@ -4375,6 +4419,30 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS timescale,
                    CAST((doc_id % 6) * 1000.0 AS DOUBLE) AS duration_ms
             FROM documents WHERE doc_id < 200
+        """,
+        "warc_ingest": """
+            SELECT doc_id,
+                   CAST(0 AS INTEGER) AS record_idx,
+                   'response' AS warc_type,
+                   '<urn:uuid:' || doc_id || '>' AS record_id,
+                   'http://site' || (doc_id % 7) || '.example/doc/' || doc_id
+                       AS target_uri,
+                   '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       || 'T00:00:00Z' AS warc_date,
+                   CAST(CASE WHEN doc_id % 9 = 0 THEN 404 ELSE 200 END
+                        AS INTEGER) AS http_status,
+                   CASE WHEN doc_id % 5 = 0 THEN 'text/plain'
+                        ELSE 'text/html' END AS content_type,
+                   CAST(length(CASE WHEN doc_id % 5 = 0
+                                    THEN 'plain ' || doc_id
+                                    ELSE '<html><body><h1>Doc ' || doc_id
+                                         || '</h1><p>token' || doc_id
+                                         || ' &amp; tail</p></body></html>'
+                               END) AS BIGINT) AS n_payload_bytes,
+                   CASE WHEN doc_id % 5 = 0 THEN 'plain ' || doc_id
+                        ELSE 'Doc ' || doc_id || ' token' || doc_id
+                             || ' & tail' END AS text
+            FROM documents WHERE doc_id < 150
         """,
         # minhash_neardup, simhash_candidates, hyperplane_lsh_buckets: xxhash64-
         # seeded — not reproducible in ANSI SQL; driver records rows-only

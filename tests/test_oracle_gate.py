@@ -80,9 +80,11 @@ SUBSET = [
     "group_rank_scale",
     "group_rolling_time_scale",
     # round-8 additions: real WAV/MP4 container-header decode through the
-    # multimodal mapInPandas seam
+    # multimodal mapInPandas seam; WARC crawl ingestion (record grammar,
+    # gzip members, HTTP split, tag-strip text)
     "wav_header_meta",
     "mp4_header_meta",
+    "warc_ingest",
 ]
 
 
