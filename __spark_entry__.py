@@ -1169,6 +1169,100 @@ def _ensure_ref_index(spark, sf):
 _REFIDX_CACHE: dict = {}
 
 
+def _ensure_ref_index_bucketed(spark, sf):
+    """The stored dedup index as BUCKETED catalog tables (once per
+    WAREHOUSE): content hashes bucketed+sorted on ``__h``, band entries
+    bucketed on ``(band, bhash)`` — so every increment's batch-vs-index
+    joins read the INDEX side's distribution straight from the layout.
+    At 100 TB this is the difference that matters: the reference index
+    is corpus-sized while the batch is small, and the plain parquet
+    index re-shuffles (and re-sorts) the whole index every increment;
+    the bucketed layout makes each increment's exact join exchange-free
+    AND sort-free on the index side (one Exchange total: the batch).
+    Same cross-session contract as the bucketed facts: files + a sidecar
+    JSON survive in the warehouse, and a fresh session re-registers them
+    with CLUSTERED BY DDL instead of rebuilding (the build is the
+    one-time cost; reattach is a DDL statement)."""
+    import json as _json
+    import os as _os
+    import re as _re
+    from urllib.parse import urlparse as _urlparse
+
+    from pandas_plus_spark.sources import write_bucketed
+
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf.rstrip("/").rsplit("/", 1)[-1])
+    h_t, b_t = f"pps_refidx_bkt_hashes_{tag}", f"pps_refidx_bkt_bands_{tag}"
+    wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    bw_p = f"{wh}/pps_refidx_bkt_bloom_{tag}"
+    meta_path = f"{wh}/pps_refidx_bkt_meta_{tag}.json"
+
+    def _reattach(table: str, keys: str, sort: str, cols, n_buckets) -> None:
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in cols)
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({keys}) SORTED BY ({sort}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{wh}/{table}'")
+
+    if not spark.catalog.tableExists(h_t):
+        if _os.path.exists(meta_path) and _os.path.isdir(f"{wh}/{h_t}"):
+            meta = _json.load(open(meta_path))
+            _reattach(h_t, "__h", "__h", T.StructType([
+                T.StructField("__h", T.StringType()),
+                T.StructField("ref_id", T.LongType())]), meta["n_buckets"])
+            _reattach(b_t, "band, bhash", "band, bhash", T.StructType([
+                T.StructField("id", T.LongType()),
+                T.StructField("band", T.IntegerType()),
+                T.StructField("bhash", T.LongType())]), meta["n_buckets"])
+            return h_t, b_t, bw_p, meta["bloom_bits"]
+        import math
+        import shutil
+        docs = load_table(spark, sf, "documents")
+        ref_df = docs.filter(F.col("doc_id") % 5 != 0)
+        n_ref = ref_df.count()
+        bloom_bits = 1 << max(17, math.ceil(math.log2(max(1, 10 * n_ref))))
+        n_buckets = max(8, n_ref // 500_000 + 1)
+        idx = dedup.build_ref_index(ref_df, "text", "doc_id", num_hashes=8,
+                                    bands=4, shingle_size=3, hash_fn="poly",
+                                    bloom_bits=bloom_bits)
+        for t in (h_t, b_t):
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        write_bucketed(idx.content_hashes, h_t, "__h", n_buckets,
+                       sort_by="__h", mode="overwrite")
+        write_bucketed(
+            idx.band_entries.select("id", F.col("band").cast("int"), "bhash"),
+            b_t, ["band", "bhash"], n_buckets, mode="overwrite")
+        idx.bloom_words.write.mode("overwrite").parquet(bw_p)
+        with open(meta_path, "w") as fh:
+            _json.dump({"bloom_bits": int(bloom_bits),
+                        "n_buckets": int(n_buckets)}, fh)
+    return h_t, b_t, bw_p, _json.load(open(meta_path))["bloom_bits"]
+
+
+def _q_incremental_dedup_bucketed(spark, sf):
+    """incremental_dedup against the BUCKETED stored index
+    (_ensure_ref_index_bucketed): identical results to
+    incremental_dedup / _indexed (the layout is pure precomputation,
+    same oracle SQL) — but the exact stage's index side satisfies its
+    join distribution from the bucket layout (exchange- and sort-free;
+    pinned in tests/test_sinks.py), which at a corpus-sized index is the
+    increment's dominant shuffle removed."""
+    h_t, b_t, bw_p, bloom_bits = _ensure_ref_index_bucketed(spark, sf)
+    docs = load_table(spark, sf, "documents")
+    new_df = docs.filter(F.col("doc_id") % 5 == 0)
+    ref_df = docs.filter(F.col("doc_id") % 5 != 0)
+    key = (spark.sparkContext.applicationId, h_t)
+    idx = _REFIDX_CACHE.get(key)
+    if idx is None:
+        idx = dedup.RefIndex(
+            spark.table(h_t), spark.table(b_t),
+            bloom_words=spark.read.parquet(bw_p), bloom_bits=bloom_bits)
+        _REFIDX_CACHE[key] = idx
+    return dedup.incremental_dedup(
+        new_df, ref_df, "text", "doc_id", threshold=0.3,
+        num_hashes=8, bands=4, shingle_size=3, hash_fn="poly",
+        ref_index=idx)
+
+
 def _q_incremental_dedup_indexed(spark, sf):
     """incremental_dedup's PRODUCTION shape: the reference corpus's index
     (content hashes + LSH band entries + Bloom bitmap) is read back from
@@ -3347,11 +3441,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CADENCE INVARIANT (r8 restatement — the registry outgrew the old
     # three-round union): with N entries and a 50-entry window, every
     # entry gets a driver-side CORRECTNESS row at least every
-    # ceil(N / 50) rounds (N = 168 -> 4 rounds), the window head is
+    # ceil(N / 50) rounds (N = 169 -> 4 rounds), the window head is
     # always (new entries, then never-verified, then re-verifications of
     # code changed this round, then the least-recently-verified), and the
     # EVERY-round bridge is the full-registry local oracle gate
-    # (scripts/run_gate.py, 168/168 at sf0.01) + the pinned SUBSET in
+    # (scripts/run_gate.py, 169/169 at sf0.01) + the pinned SUBSET in
     # tests/test_oracle_gate.py. The invariant is MACHINE-CHECKED:
     # scripts/check_rotation.py reads CORRECTNESS_r*.json history plus
     # this dict's order and fails if any entry's staleness would exceed
@@ -3417,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_rolling_time_scale": _q_group_rolling_time_scale,
         # --- r8 window: re-verification of r8 code changes ---
         "incremental_dedup_indexed": _q_incremental_dedup_indexed,
+        "incremental_dedup_bucketed": _q_incremental_dedup_bucketed,
         "incremental_dedup": _q_incremental_dedup,
         "cosine_neardup": _q_cosine_neardup,
         # --- r8 window: r5-era fill (oldest driver rows) ---
@@ -4689,6 +4784,9 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _sql_incremental_dedup(),
         # the stored-index variant is pure precomputation — identical result
         "incremental_dedup_indexed": _sql_incremental_dedup(),
+        # identical results by construction: the bucketed layout is pure
+        # precomputation of the same index
+        "incremental_dedup_bucketed": _sql_incremental_dedup(),
         # bloom_dedup: the Bloom pre-filter only removes definitive
         # non-members and survivors are exactly verified, so the oracle is
         # the PLAIN exact cross-corpus text join — no bloom math in SQL.

@@ -85,6 +85,7 @@ SUBSET = [
     "wav_header_meta",
     "mp4_header_meta",
     "warc_ingest",
+    "incremental_dedup_bucketed",
 ]
 
 

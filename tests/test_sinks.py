@@ -55,6 +55,50 @@ def test_cobucketed_fact_join_has_zero_exchange(spark):
         spark.sql(f"DROP TABLE IF EXISTS {ord_t}")
 
 
+def test_bucketed_ref_index_exact_join_index_side_shuffle_free(spark):
+    """The incremental_dedup_bucketed layout claim: a batch's exact join
+    against the BUCKETED stored content-hash index exchanges (and sorts)
+    ONLY the batch side — the corpus-sized index side's distribution
+    comes from the layout. With broadcast disabled (the 100 TB condition:
+    neither a corpus-sized index nor a large batch broadcasts), the plan
+    must show exactly one hashpartitioning exchange (the batch's)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+    h_t, b_t, _, _ = em._ensure_ref_index_bucketed(
+        spark, "/root/testdata/sf0.001")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from pandas_plus_spark.sources import load_table
+        batch = (load_table(spark, "/root/testdata/sf0.001", "documents")
+                 .filter(F.col("doc_id") % 5 == 0)
+                 .select("doc_id",
+                         F.sha2(F.col("text").cast("string"), 256)
+                         .alias("__h")))
+        joined = batch.join(spark.table(h_t), "__h")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        import re
+        exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+        assert len(exchanges) == 1 and "__h" in exchanges[0], plan
+        # index side is SORTED BY __h in the layout: exactly one Sort
+        # (the batch side's) feeds the merge join
+        assert plan.count("Sort [__h") + plan.count("Sort [_w") <= 2
+        # band-entry table likewise answers its (band, bhash) join from
+        # the layout
+        eb = spark.table(b_t)
+        probe = eb.limit(50).select(
+            F.col("id").alias("pid"), "band", "bhash")
+        bplan = (probe.join(eb, ["band", "bhash"])
+                 ._jdf.queryExecution().executedPlan().toString())
+        assert "Bucketed: true" in bplan, bplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {h_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {b_t}")
+
+
 def test_bucketed_table_skips_exchange(spark, tables):
     import uuid
     tbl = f"orders_bucketed_{uuid.uuid4().hex[:8]}"
