@@ -2117,6 +2117,73 @@ def _q_warc_ingest(spark, sf):
     return warc_mod.extract_warc_records(blobs_df, "blob", "doc_id")
 
 
+def _url_fixture(d):
+    """Deterministic messy-URL column off doc_id: mixed-case scheme/host,
+    default and non-default ports, bare and real paths, queries,
+    fragments, www prefixes, multi-part public suffixes."""
+    from pandas_plus_spark.functions import urls as _u  # noqa: F401
+
+    suffix = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("co.uk"), F.lit("io"),
+                F.lit("com.au")), (d % 5 + 1).cast("int"))
+    host = F.concat(
+        F.when(d % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("Site"), (d % 23).cast("string"), F.lit("."), suffix)
+    scheme = F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    port = (F.when(d % 6 == 0,
+                   F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")))
+            .when(d % 6 == 3, F.lit(":8080")).otherwise(F.lit("")))
+    path = F.when(d % 3 == 0, F.lit("/")).otherwise(
+        F.concat(F.lit("/p/"), d.cast("string")))
+    query = F.when(d % 5 == 0, F.concat(F.lit("?q="), d.cast("string"))
+                   ).otherwise(F.lit(""))
+    frag = F.when(d % 3 == 1, F.lit("#sec")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+
+def _q_url_normalize(spark, sf):
+    """URL curation column functions (functions/urls.py): host extraction
+    (JVM parse_url), exact-URL-dedup normalization (lower scheme/host,
+    default ports stripped, fragment dropped, bare path collapsed), and
+    the registrable-domain heuristic (last 2 labels; 3 over the
+    multi-part suffix families — co.uk, com.au here). The fixture URL is
+    doc_id arithmetic, so the oracle CONSTRUCTS every expected output
+    directly — the engine must PARSE its way to the same strings, which
+    value-checks parse_url plumbing, the port/fragment rules, and the
+    label slicing end to end."""
+    from pandas_plus_spark.functions import urls
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 400).select("doc_id"))
+    url = _url_fixture(F.col("doc_id"))
+    host = urls.url_host(url)
+    return docs.select(
+        "doc_id",
+        url.alias("raw_url"),
+        urls.url_normalize(url).alias("norm_url"),
+        host.alias("host"),
+        urls.registrable_domain(host).alias("domain"))
+
+
+def _q_crawl_domain_stats(spark, sf):
+    """The composed crawl-curation entry: WARC records (the warc_ingest
+    fixture pipeline) → target_uri → registrable domain → per-domain
+    corpus stats (doc count, HTTP-200 count, payload bytes) — the frame
+    the per-source guards (source_cap / temperature_mixture) consume.
+    One map-side parse + one domain-keyed aggregate; no other shuffle."""
+    from pandas_plus_spark.functions import urls
+
+    recs = _q_warc_ingest(spark, sf)
+    dom = urls.registrable_domain(urls.url_host(F.col("target_uri")))
+    return (recs.select(dom.alias("domain"), "http_status",
+                        "n_payload_bytes")
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("http_status") == 200).cast("long"))
+                 .alias("n_ok"),
+                 F.sum("n_payload_bytes").alias("total_bytes")))
+
+
 def _q_stratified_sample(spark, sf):
     """Deterministic per-stratum downsampling (operators/sampling.py):
     membership is a pure affine-hash function of doc_id, so a pushed-down
@@ -3472,6 +3539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_header_meta": _q_wav_header_meta,
         "mp4_header_meta": _q_mp4_header_meta,
         "warc_ingest": _q_warc_ingest,
+        "url_normalize": _q_url_normalize,
+        "crawl_domain_stats": _q_crawl_domain_stats,
         # --- r8 window: 36 r7-close entries, first driver rows ---
         "token_budget": _q_token_budget,
         "quantile_calibration": _q_quantile_calibration,
@@ -4538,6 +4607,69 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'Doc ' || doc_id || ' token' || doc_id
                              || ' & tail' END AS text
             FROM documents WHERE doc_id < 150
+        """,
+        "url_normalize": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
+                   || '://'
+                   || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+                   || 'Site' || (doc_id % 23) || '.'
+                   || CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                           WHEN 2 THEN 'co.uk' WHEN 3 THEN 'io'
+                           ELSE 'com.au' END
+                   || CASE WHEN doc_id % 6 = 0 THEN
+                            CASE WHEN doc_id % 2 = 0 THEN ':80'
+                                 ELSE ':443' END
+                           WHEN doc_id % 6 = 3 THEN ':8080' ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0 THEN '/'
+                           ELSE '/p/' || doc_id END
+                   || CASE WHEN doc_id % 5 = 0 THEN '?q=' || doc_id
+                           ELSE '' END
+                   || CASE WHEN doc_id % 3 = 1 THEN '#sec' ELSE '' END
+                       AS raw_url,
+                   CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+                   || '://'
+                   || lower(CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+                            || 'Site' || (doc_id % 23) || '.'
+                            || CASE doc_id % 5 WHEN 0 THEN 'com'
+                                    WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk'
+                                    WHEN 3 THEN 'io' ELSE 'com.au' END)
+                   || CASE WHEN doc_id % 6 = 3 THEN ':8080' ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0 THEN ''
+                           ELSE '/p/' || doc_id END
+                   || CASE WHEN doc_id % 5 = 0 THEN '?q=' || doc_id
+                           ELSE '' END AS norm_url,
+                   lower(CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+                         || 'Site' || (doc_id % 23) || '.'
+                         || CASE doc_id % 5 WHEN 0 THEN 'com'
+                                 WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk'
+                                 WHEN 3 THEN 'io' ELSE 'com.au' END)
+                       AS host,
+                   'site' || (doc_id % 23) || '.'
+                   || CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                           WHEN 2 THEN 'co.uk' WHEN 3 THEN 'io'
+                           ELSE 'com.au' END AS domain
+            FROM documents WHERE doc_id < 400
+        """,
+        "crawl_domain_stats": """
+            WITH r AS (
+                SELECT doc_id,
+                       'site' || (doc_id % 7) || '.example' AS domain,
+                       CASE WHEN doc_id % 9 = 0 THEN 404 ELSE 200 END AS st,
+                       length(CASE WHEN doc_id % 5 = 0
+                                   THEN 'plain ' || doc_id
+                                   ELSE '<html><body><h1>Doc ' || doc_id
+                                        || '</h1><p>token' || doc_id
+                                        || ' &amp; tail</p></body></html>'
+                              END) AS nb
+                FROM documents WHERE doc_id < 150
+            )
+            SELECT domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN st = 200 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_ok,
+                   CAST(sum(nb) AS BIGINT) AS total_bytes
+            FROM r GROUP BY domain
         """,
         # minhash_neardup, simhash_candidates, hyperplane_lsh_buckets: xxhash64-
         # seeded — not reproducible in ANSI SQL; driver records rows-only

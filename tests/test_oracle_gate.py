@@ -86,6 +86,8 @@ SUBSET = [
     "mp4_header_meta",
     "warc_ingest",
     "incremental_dedup_bucketed",
+    "url_normalize",
+    "crawl_domain_stats",
 ]
 
 
