@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pandas_plus_spark import GroupBy, crosstab, nanops
 from pandas_plus_spark.functions.binning import pretty_cut
@@ -3519,17 +3520,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the cadence or the window head is not least-recently-verified-
     # first; tests/test_oracle_gate.py runs it in pytest.
     #
-    # r8 WINDOW (first 50): the 2 new WAV/MP4 header-decode gates, the 36
-    # r7-close entries that have never had a driver row (pandas-parity
-    # sweep + the few-huge-groups *_scale family + streaming_ewm), the 3
-    # re-verifications of operators whose code changes this round
-    # (incremental_dedup_indexed + incremental_dedup: stage-count fusion;
-    # cosine_neardup: gate re-routed off the warned O(n^2) fallback), and
-    # a 9-entry r5-era fill (dup-graph/keep-list + streaming_neardup +
-    # pca/pack/asof_nearest/contamination/containment/ivf_index block).
-    # After r8: nothing in the registry is older than three rounds
-    # (r5-era remainder rotates into the r9 window head; the plan is the
-    # deterministic output of scripts/check_rotation.py --plan).
+    # r8 WINDOW (first 50): the 6 entries new this round (WAV/MP4 header
+    # decode, WARC crawl ingestion, URL normalize + crawl-domain stats,
+    # the bucketed stored dedup index), the 36 r7-close entries that have
+    # never had a driver row (pandas-parity sweep + the few-huge-groups
+    # *_scale family + streaming_ewm), the 3 re-verifications of
+    # operators whose code changed this round (incremental_dedup_indexed
+    # + incremental_dedup: stage fusion + hub-edge capped candidates;
+    # cosine_neardup: gate warning filtered), and an r5-era fill
+    # (dup-graph/keep-list + streaming_neardup + pca/pack block) to 50.
+    # The r5-era remainder rotates into the r9 window head; the plan is
+    # the deterministic output of scripts/check_rotation.py --plan.
     # Seeded rows-only entries stay PINNED adjacent to their
     # value-checked twins (hyperplane_lsh_buckets<->lsh_recall,
     # minhash_neardup<->poly, simhash_candidates<->poly,
