@@ -3536,65 +3536,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # minhash_neardup<->poly, simhash_candidates<->poly,
     # ivf_knn<->ann_recall).
     return {
-        # --- r8 window: new entries (this round) ---
-        "wav_header_meta": _q_wav_header_meta,
-        "mp4_header_meta": _q_mp4_header_meta,
-        "warc_ingest": _q_warc_ingest,
-        "url_normalize": _q_url_normalize,
-        "crawl_domain_stats": _q_crawl_domain_stats,
-        # --- r8 window: 36 r7-close entries, first driver rows ---
-        "token_budget": _q_token_budget,
-        "quantile_calibration": _q_quantile_calibration,
-        "leakage_split": _q_leakage_split,
-        "leakage_split_lsh": _q_leakage_split_lsh,
-        "filter_groups": _q_filter_groups,
-        "group_idxminmax": _q_group_idxminmax,
-        "pct_change": _q_pct_change,
-        "cumprod": _q_cumprod,
-        "group_prod_any_all": _q_group_prod_any_all,
-        "group_sem": _q_group_sem,
-        "group_skew_kurt": _q_group_skew_kurt,
-        "ngroup": _q_ngroup,
-        "group_fill": _q_group_fill,
-        "resample_agg": _q_resample_agg,
-        "qcut_deciles": _q_qcut_deciles,
-        "pivot_table_mean": _q_pivot_table_mean,
-        "group_rank_methods": _q_group_rank_methods,
-        "group_take": _q_group_take,
-        "corrwith": _q_corrwith,
-        "duplicated_flags": _q_duplicated_flags,
+        # --- r9 window head (driver samples the FIRST 50) ---
+        # 4 r8 hash-red re-verifications (decimal-exact float-shipping fix):
         "expanding_stats": _q_expanding_stats,
-        "ewm_mean": _q_ewm_mean,
-        "group_ohlc": _q_group_ohlc,
-        "group_describe": _q_group_describe,
-        "group_nlargest": _q_group_nlargest,
-        "group_ffill_scale": _q_group_ffill_scale,
-        "group_take_scale": _q_group_take_scale,
-        "ewm_var_std": _q_ewm_var_std,
-        "group_bfill_scale": _q_group_bfill_scale,
-        "streaming_ewm": _q_streaming_ewm,
         "group_rolling_scale": _q_group_rolling_scale,
-        "group_shift_scale": _q_group_shift_scale,
         "group_expanding_scale": _q_group_expanding_scale,
-        "group_cumminmax_scale": _q_group_cumminmax_scale,
-        "group_rank_scale": _q_group_rank_scale,
         "group_rolling_time_scale": _q_group_rolling_time_scale,
-        # --- r8 window: re-verification of r8 code changes ---
-        "incremental_dedup_indexed": _q_incremental_dedup_indexed,
-        "incremental_dedup_bucketed": _q_incremental_dedup_bucketed,
-        "incremental_dedup": _q_incremental_dedup,
-        "cosine_neardup": _q_cosine_neardup,
-        # --- r8 window: r5-era fill (oldest driver rows) ---
-        "dup_clusters": _q_dup_clusters,
-        "dedup_keep_list": _q_dedup_keep_list,
-        "streaming_neardup": _q_streaming_neardup,
-        "pca_gate": _q_pca_gate,
-        "pack_gate": _q_pack_gate,
+        # 35 entries at the 4-round cadence bound (last green r5):
         "asof_nearest": _q_asof_nearest,
         "semantic_contamination": _q_semantic_contamination,
         "containment_pairs": _q_containment_pairs,
         "ivf_index_gate": _q_ivf_index_gate,
-        # --- tail: remaining r5-verified block (r9 window head) ---
         "quality_classifier": _q_quality_classifier,
         "bigram_ppl": _q_bigram_ppl,
         "source_cap": _q_source_cap,
@@ -3606,11 +3558,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": _q_duplicated_spans,
         "span_excision": _q_span_excision,
         "segment_revenue": _q_segment_revenue,
-        "simhash_candidates": _q_simhash_candidates,  # seeded (rows-only)
+        "simhash_candidates": _q_simhash_candidates,
         "simhash_poly": _q_simhash_poly,
         "skew_topn_salted": _q_skew_topn_salted,
         "skew_topn_uniform": _q_skew_topn_uniform,
-        "ivf_knn": _q_ivf_knn,  # seeded (rows-only)
+        "ivf_knn": _q_ivf_knn,
         "ann_recall": _q_ann_recall,
         "stratified_sample": _q_stratified_sample,
         "split_assign": _q_split_assign,
@@ -3626,11 +3578,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "bm25_rank": _q_bm25_rank,
         "vocab_top": _q_vocab_top,
-        # --- tail: r6-verified block ---
+        # code-changed r9 re-verifications:
+        "incremental_dedup": _q_incremental_dedup,
+        "incremental_dedup_indexed": _q_incremental_dedup_indexed,
+        "incremental_dedup_bucketed": _q_incremental_dedup_bucketed,
+        "image_header_meta": _q_image_header_meta,
+        "group_rank_scale": _q_group_rank_scale,
+        # stalest r6-era fill (+2 slots reserved for new r9 entries):
         "oov_rate": _q_oov_rate,
         "label_cohesion": _q_label_cohesion,
         "nanops_rowwise": _q_nanops_rowwise,
         "streaming_sessions": _q_streaming_sessions,
+        # --- tail: least-recently-verified first ---
         "q1_pricing_summary": _q_q1_pricing_summary,
         "masked_sum": _q_masked_sum,
         "group_size": _q_size,
@@ -3665,7 +3624,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_rank": _q_group_rank,
         "curation_pipeline": _q_curation_pipeline,
         "chunk_dedup": _q_chunk_dedup,
-        # --- tail: r7-verified block (freshest) ---
         "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
         "unigram_ppl": _q_unigram_ppl,
@@ -3707,14 +3665,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_keep_list_lsh": _q_semantic_keep_list_lsh,
         "semantic_lsh_recall": _q_semantic_lsh_recall,
         "semantic_keep_list": _q_semantic_keep_list,
-        "hyperplane_lsh_buckets": _q_lsh_buckets,  # seeded (rows-only)
+        "hyperplane_lsh_buckets": _q_lsh_buckets,
         "lsh_recall": _q_lsh_recall,
         "q18_large_orders": _q_q18_large_orders,
         "plan_lint_gate": _q_plan_lint_gate,
-        "image_header_meta": _q_image_header_meta,
         "multimodal_image_meta": _q_multimodal_meta,
-        "minhash_neardup": _q_minhash_dedup,  # seeded (rows-only)
+        "minhash_neardup": _q_minhash_dedup,
         "minhash_neardup_poly": _q_minhash_poly,
+        "wav_header_meta": _q_wav_header_meta,
+        "mp4_header_meta": _q_mp4_header_meta,
+        "warc_ingest": _q_warc_ingest,
+        "url_normalize": _q_url_normalize,
+        "crawl_domain_stats": _q_crawl_domain_stats,
+        "token_budget": _q_token_budget,
+        "quantile_calibration": _q_quantile_calibration,
+        "leakage_split": _q_leakage_split,
+        "leakage_split_lsh": _q_leakage_split_lsh,
+        "filter_groups": _q_filter_groups,
+        "group_idxminmax": _q_group_idxminmax,
+        "pct_change": _q_pct_change,
+        "cumprod": _q_cumprod,
+        "group_prod_any_all": _q_group_prod_any_all,
+        "group_sem": _q_group_sem,
+        "group_skew_kurt": _q_group_skew_kurt,
+        "ngroup": _q_ngroup,
+        "group_fill": _q_group_fill,
+        "resample_agg": _q_resample_agg,
+        "qcut_deciles": _q_qcut_deciles,
+        "pivot_table_mean": _q_pivot_table_mean,
+        "group_rank_methods": _q_group_rank_methods,
+        "group_take": _q_group_take,
+        "corrwith": _q_corrwith,
+        "duplicated_flags": _q_duplicated_flags,
+        "ewm_mean": _q_ewm_mean,
+        "group_ohlc": _q_group_ohlc,
+        "group_describe": _q_group_describe,
+        "group_nlargest": _q_group_nlargest,
+        "group_ffill_scale": _q_group_ffill_scale,
+        "group_take_scale": _q_group_take_scale,
+        "ewm_var_std": _q_ewm_var_std,
+        "group_bfill_scale": _q_group_bfill_scale,
+        "streaming_ewm": _q_streaming_ewm,
+        "group_shift_scale": _q_group_shift_scale,
+        "group_cumminmax_scale": _q_group_cumminmax_scale,
+        "cosine_neardup": _q_cosine_neardup,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_keep_list": _q_dedup_keep_list,
+        "streaming_neardup": _q_streaming_neardup,
+        "pca_gate": _q_pca_gate,
+        "pack_gate": _q_pack_gate,
     }
 
 

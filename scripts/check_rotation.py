@@ -67,7 +67,12 @@ def last_verified() -> tuple[dict[str, int], int]:
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         latest = max(latest, rnd)
         for q, row in json.load(open(f)).items():
-            green = row.get("rows_match") and row.get("schema_match")
+            # hash_match must be affirmatively True: a row that matches on
+            # rows+schema but fails the value hash is NOT verified (the r8
+            # lesson — four hash-red rows would otherwise look green to the
+            # scheduler and be stranded for a full cadence)
+            green = (row.get("rows_match") and row.get("schema_match")
+                     and row.get("hash_match") is True)
             rows_only = row.get("err") and "no_oracle" in str(row["err"])
             if green or rows_only:
                 last[q] = max(last.get(q, 0), rnd)
