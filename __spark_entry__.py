@@ -1204,8 +1204,20 @@ def _ensure_ref_index_bucketed(spark, sf):
             f"CLUSTERED BY ({keys}) SORTED BY ({sort}) "
             f"INTO {n_buckets} BUCKETS LOCATION '{wh}/{table}'")
 
-    if not spark.catalog.tableExists(h_t):
-        if _os.path.exists(meta_path) and _os.path.isdir(f"{wh}/{h_t}"):
+    # reattach/exists decisions key on ALL artifacts together (both
+    # catalog entries, both table dirs, the bloom dir, the meta JSON) —
+    # partial warehouse state from an interrupted build (e.g. h_t written
+    # but b_t/meta missing) previously re-registered a nonexistent bands
+    # table or died on the final meta read; any incomplete state now
+    # drops the half-registered tables and rebuilds from scratch
+    files_ok = (_os.path.exists(meta_path) and _os.path.isdir(f"{wh}/{h_t}")
+                and _os.path.isdir(f"{wh}/{b_t}") and _os.path.isdir(bw_p))
+    tables_ok = (spark.catalog.tableExists(h_t)
+                 and spark.catalog.tableExists(b_t))
+    if not (files_ok and tables_ok):
+        for t in (h_t, b_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if files_ok:
             meta = _json.load(open(meta_path))
             _reattach(h_t, "__h", "__h", T.StructType([
                 T.StructField("__h", T.StringType()),
@@ -1229,9 +1241,15 @@ def _ensure_ref_index_bucketed(spark, sf):
             shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
         write_bucketed(idx.content_hashes, h_t, "__h", n_buckets,
                        sort_by="__h", mode="overwrite")
+        # sort_by MUST match the reattach DDL's SORTED BY: write_bucketed
+        # guarantees one file per bucket, the condition under which Spark
+        # trusts catalog sort metadata and elides the table-side sort in a
+        # sort-merge join — a reattached table written unsorted would make
+        # that SMJ silently drop matches
         write_bucketed(
             idx.band_entries.select("id", F.col("band").cast("int"), "bhash"),
-            b_t, ["band", "bhash"], n_buckets, mode="overwrite")
+            b_t, ["band", "bhash"], n_buckets, sort_by=["band", "bhash"],
+            mode="overwrite")
         idx.bloom_words.write.mode("overwrite").parquet(bw_p)
         with open(meta_path, "w") as fh:
             _json.dump({"bloom_bits": int(bloom_bits),
@@ -1972,12 +1990,16 @@ def _q_image_header_meta(spark, sf):
     byte arithmetic. The oracle recomputes the expected dimensions from
     the same doc_id arithmetic, so a parse-offset bug (endianness, chunk
     offset, color-type map, marker-walk stride) fails the hash, not just
-    a unit test."""
+    a unit test. r9: extended to all SIX shipped containers — WebP (RIFF
+    chunk walk; VP8X-alpha, lossy VP8 sync-code, lossless VP8L packed
+    sizes all exercised) and AVIF (ISO-BMFF meta/iprp/ipco/ispe chain) —
+    so decode_image_stub's fake seam is unreachable for every shipped
+    format."""
     import pandas as _pd
 
     from pandas_plus_spark.operators.multimodal import (
-        bmp_header_bytes, gif_header_bytes, jpeg_header_bytes,
-        png_header_bytes)
+        avif_header_bytes, bmp_header_bytes, gif_header_bytes,
+        jpeg_header_bytes, png_header_bytes, webp_header_bytes)
 
     docs = (load_table(spark, sf, "documents")
             .where(F.col("doc_id") < 200).select("doc_id"))
@@ -1988,17 +2010,30 @@ def _q_image_header_meta(spark, sf):
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = did % 300 + 1, (did * 3) % 200 + 1
-                if did % 4 == 0:
+                m6 = did % 6
+                if m6 == 0:
                     blobs.append(
-                        png_header_bytes(w, h, 6 if did % 8 == 4 else 2))
-                elif did % 4 == 1:
+                        png_header_bytes(w, h, 6 if did % 12 == 6 else 2))
+                elif m6 == 1:
                     blobs.append(bmp_header_bytes(w, h))
-                elif did % 4 == 2:
+                elif m6 == 2:
                     blobs.append(gif_header_bytes(w, h))
-                else:
+                elif m6 == 3:
                     blobs.append(jpeg_header_bytes(
-                        w, h, 1 if did % 8 == 3 else 3,
-                        progressive=(did % 8 == 7)))
+                        w, h, 1 if did % 12 == 3 else 3,
+                        progressive=(did % 12 == 9)))
+                elif m6 == 4:
+                    k = did % 18
+                    if k == 4:
+                        blobs.append(webp_header_bytes(
+                            w, h, alpha=True, kind="vp8x"))
+                    elif k == 10:
+                        blobs.append(webp_header_bytes(w, h, kind="vp8"))
+                    else:
+                        blobs.append(webp_header_bytes(
+                            w, h, alpha=True, kind="vp8l"))
+                else:
+                    blobs.append(avif_header_bytes(w, h))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     blobs_df = docs.mapInPandas(make, "doc_id long, blob binary")
@@ -2409,10 +2444,16 @@ def _q_group_rolling_scale(spark, sf):
     nulled values; num_partitions=8 forces windows to span partition
     boundaries at gate SF."""
     ev = load_table(spark, sf, "events")
+    # DECIMAL(18,6) input: the prefix sums are then EXACT, so the two-phase
+    # decomposition equals the oracle's direct window bit-for-bit and the
+    # driver's canonical-format hash cannot disagree (the r8 lesson:
+    # unrounded double prefix-difference stats drifted ~1e-13 vs DuckDB and
+    # flipped hash rounding boundaries). Divisions happen in double with
+    # the exact sums cast first — mirrored verbatim in the oracle SQL.
     base = ev.select(
         "event_id", "event_type",
         F.when(F.pmod(F.col("event_id"), F.lit(7)) >= 2,
-               F.col("value")).alias("v"))
+               F.round(F.col("value"), 6).cast("decimal(18,6)")).alias("v"))
     s = ordered.grouped_rolling_sum(base, ["event_type"], ["event_id"],
                                     "v", 25, min_periods=5, out="rsum",
                                     num_partitions=8)
@@ -2422,11 +2463,10 @@ def _q_group_rolling_scale(spark, sf):
     vr = ordered.grouped_rolling_var(m, ["event_type"], ["event_id"],
                                      "v", 25, min_periods=5, out="rvar",
                                      num_partitions=8)
-    # computed stats ship unrounded — round(x, 6) splits values on a
-    # rounding boundary; the harness rtol=1e-9 absorbs last-bit drift
     return vr.select("event_id", "event_type",
-                     F.round("v", 6).alias("v"),
-                     F.col("rsum"), F.col("rmean"), F.col("rvar"))
+                     F.col("v").cast("double").alias("v"),
+                     F.col("rsum").cast("double").alias("rsum"),
+                     F.col("rmean"), F.col("rvar"))
 
 
 def _q_group_shift_scale(spark, sf):
@@ -2454,18 +2494,18 @@ def _q_group_expanding_scale(spark, sf):
     with NO join — vs the window form's one-task-per-group unbounded
     frame. min_periods=4 like the expanding_stats twin."""
     ev = load_table(spark, sf, "events")
+    # DECIMAL(18,6) input → exact prefix sums → bit-identical to the
+    # oracle's window regardless of the two-phase decomposition (see
+    # group_rolling_scale); divisions in double, mirrored in the oracle
     base = ev.select(
         "event_id", "event_type",
         F.when(F.pmod(F.col("event_id"), F.lit(7)) >= 2,
-               F.col("value")).alias("v"))
+               F.round(F.col("value"), 6).cast("decimal(18,6)")).alias("v"))
     out = ordered.grouped_expanding(base, ["event_type"], ["event_id"],
                                     "v", stats=("mean", "var", "std"),
                                     min_periods=4, num_partitions=8)
-    # stats ship unrounded: the harness's rtol=1e-9 float compare absorbs
-    # last-bit prefix-sum drift, while round(x, 6) SPLITS values that sit
-    # on a rounding boundary (44.9184375 → .918438 vs .918437)
     return out.select("event_id", "event_type",
-                      F.round("v", 6).alias("v"),
+                      F.col("v").cast("double").alias("v"),
                       F.col("v_expanding_mean").alias("exp_mean"),
                       F.col("v_expanding_var").alias("exp_var"),
                       F.col("v_expanding_std").alias("exp_std"))
@@ -2480,16 +2520,20 @@ def _q_group_rolling_time_scale(spark, sf):
     [t−1000, t] on event_id as the time axis, sum/mean/count/var,
     min_periods=2."""
     ev = load_table(spark, sf, "events")
+    # DECIMAL(18,6) input → exact per-key totals and cumulative sums, so
+    # the anchor-asof decomposition equals the oracle's RANGE window
+    # bit-for-bit; divisions in double, mirrored in the oracle (see
+    # group_rolling_scale)
     base = ev.select(
         "event_id", "event_type",
         F.when(F.pmod(F.col("event_id"), F.lit(7)) >= 2,
-               F.col("value")).alias("v"))
+               F.round(F.col("value"), 6).cast("decimal(18,6)")).alias("v"))
     out = ordered.grouped_rolling_time(
         base, ["event_type"], "event_id", "v", 1000,
         funcs=("sum", "mean", "count", "var"), min_periods=2,
         num_partitions=8)
     return out.select("event_id", "event_type",
-                      F.round("v", 6).alias("v"),
+                      F.col("v").cast("double").alias("v"),
                       F.col("v_tsum"), F.col("v_tmean"),
                       F.col("v_tcount"), F.col("v_tvar"))
 
@@ -2677,7 +2721,12 @@ def _q_expanding_stats(spark, sf):
     and sample std of value in event_id order with min_periods=2 — the
     unbounded-preceding frame of the rolling machinery (one keyed sort,
     no join)."""
-    ev = load_table(spark, sf, "events").select("event_id", "user_id", "value")
+    # DECIMAL(18,6) input routes GroupBy._rolling to the exact-moment
+    # window path (sums exact → oracle-bit-identical; divisions in double,
+    # mirrored in the oracle SQL — see group_rolling_scale)
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value"), 6).cast("decimal(18,6)").alias("value"))
     g = GroupBy(ev, "user_id", order_by="event_id")
     m = g.expanding(min_periods=2).mean("value")
     s = (GroupBy(m, "user_id", order_by="event_id")
@@ -4556,8 +4605,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id % 300 + 1 AS INTEGER) AS width,
                    CAST((doc_id * 3) % 200 + 1 AS INTEGER) AS height,
-                   CAST(CASE WHEN doc_id % 8 = 4 THEN 4
-                             WHEN doc_id % 8 = 3 THEN 1
+                   CAST(CASE WHEN doc_id % 12 = 6 THEN 4        -- PNG RGBA
+                             WHEN doc_id % 12 = 3 THEN 1        -- JPEG gray
+                             WHEN doc_id % 6 = 4
+                                  AND doc_id % 18 IN (4, 16) THEN 4
+                                                       -- WebP VP8X/VP8L alpha
                              ELSE 3 END AS INTEGER) AS n_channels
             FROM documents WHERE doc_id < 200
         """,
@@ -5352,14 +5404,36 @@ def oracle_sql() -> dict[str, str]:
             FROM u GROUP BY source
         """,
         "expanding_stats": """
+            -- decimal-exact twin: windowed sums over DECIMAL(18,6) are
+            -- exact (association-order-independent), so they equal the
+            -- engine's decomposed prefix sums bit-for-bit; the double
+            -- division shapes below mirror GroupBy._window_stat verbatim.
+            -- Sums convert decimal->double via VARCHAR: DuckDB's direct
+            -- decimal cast double-rounds (hugeint->double, then /10^scale)
+            -- once the unscaled value exceeds 2^53, while Spark's
+            -- BigDecimal.doubleValue is correctly rounded; string->double
+            -- is correctly rounded in both engines.
+            WITH b AS (
+                SELECT event_id, user_id,
+                       CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+                FROM events WHERE user_id IS NOT NULL
+            ), r AS (
+                SELECT event_id, user_id,
+                       sum(v) OVER w AS c, sum(v*v) OVER w AS c2,
+                       count(v) OVER w AS nn
+                FROM b
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
             SELECT event_id, user_id,
-                   CASE WHEN row_number() OVER w >= 2
-                        THEN avg(value) OVER w END AS run_mean,
-                   CASE WHEN row_number() OVER w >= 2
-                        THEN stddev_samp(value) OVER w END AS run_std
-            FROM events WHERE user_id IS NOT NULL
-            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   CASE WHEN nn >= 2 THEN CAST(CAST(c AS VARCHAR) AS DOUBLE) / nn
+                   END AS run_mean,
+                   CASE WHEN nn >= 2 AND nn > 1 THEN
+                        sqrt(greatest(CAST(CAST(c2 AS VARCHAR) AS DOUBLE)
+                                      - CAST(CAST(c AS VARCHAR) AS DOUBLE) * CAST(CAST(c AS VARCHAR) AS DOUBLE)
+                                        / nn, 0.0) / (nn - 1))
+                   END AS run_std
+            FROM r
         """,
         "ewm_mean": """
             WITH r AS (
@@ -5492,23 +5566,33 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "group_rolling_time_scale": """
+            -- decimal-exact twin (see expanding_stats): exact RANGE-frame
+            -- sums == the engine's anchor-asof cumulative differences;
+            -- double division shapes mirror grouped_rolling_time verbatim
             WITH b AS (
                 SELECT event_id, event_type,
-                       CASE WHEN event_id % 7 >= 2 THEN value END AS v
+                       CASE WHEN event_id % 7 >= 2
+                            THEN CAST(round(value, 6) AS DECIMAL(18,6))
+                       END AS v
                 FROM events
             ), r AS (
                 SELECT event_id, event_type, v,
-                       sum(v) OVER w AS s, avg(v) OVER w AS m,
-                       var_samp(v) OVER w AS s2, count(v) OVER w AS nn
+                       sum(v) OVER w AS s, sum(v*v) OVER w AS s2,
+                       count(v) OVER w AS nn
                 FROM b
                 WINDOW w AS (PARTITION BY event_type ORDER BY event_id
                              RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
             )
-            SELECT event_id, event_type, round(v, 6) AS v,
-                   CASE WHEN nn >= 2 THEN s END AS v_tsum,
-                   CASE WHEN nn >= 2 THEN m END AS v_tmean,
+            SELECT event_id, event_type, CAST(v AS DOUBLE) AS v,
+                   CASE WHEN nn >= 2 THEN CAST(CAST(s AS VARCHAR) AS DOUBLE) END AS v_tsum,
+                   CASE WHEN nn >= 2 THEN CAST(CAST(s AS VARCHAR) AS DOUBLE) / nn
+                   END AS v_tmean,
                    nn AS v_tcount,
-                   CASE WHEN nn >= 2 AND nn > 1 THEN s2 END AS v_tvar
+                   CASE WHEN nn >= 2 AND nn > 1 THEN
+                        greatest(CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                                 - CAST(CAST(s AS VARCHAR) AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE) / nn,
+                                 0.0) / (nn - 1)
+                   END AS v_tvar
             FROM r
         """,
         "group_rank_scale": """
@@ -5540,22 +5624,36 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "group_expanding_scale": """
+            -- decimal-exact twin (see expanding_stats): exact expanding
+            -- sums == the engine's prefix sums; double division shapes
+            -- mirror grouped_expanding verbatim
             WITH b AS (
                 SELECT event_id, event_type,
-                       CASE WHEN event_id % 7 >= 2 THEN value END AS v
+                       CASE WHEN event_id % 7 >= 2
+                            THEN CAST(round(value, 6) AS DECIMAL(18,6))
+                       END AS v
                 FROM events
             ), r AS (
                 SELECT event_id, event_type, v,
-                       avg(v) OVER w AS m, var_samp(v) OVER w AS s2,
-                       stddev_samp(v) OVER w AS s, count(v) OVER w AS nn
+                       sum(v) OVER w AS c, sum(v*v) OVER w AS c2,
+                       count(v) OVER w AS nn
                 FROM b
                 WINDOW w AS (PARTITION BY event_type ORDER BY event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             )
-            SELECT event_id, event_type, round(v, 6) AS v,
-                   CASE WHEN nn >= 4 THEN m END AS exp_mean,
-                   CASE WHEN nn >= 4 THEN s2 END AS exp_var,
-                   CASE WHEN nn >= 4 THEN s END AS exp_std
+            SELECT event_id, event_type, CAST(v AS DOUBLE) AS v,
+                   CASE WHEN nn >= 4 THEN CAST(CAST(c AS VARCHAR) AS DOUBLE) / nn
+                   END AS exp_mean,
+                   CASE WHEN nn >= 4 AND nn > 1 THEN
+                        greatest(CAST(CAST(c2 AS VARCHAR) AS DOUBLE)
+                                 - CAST(CAST(c AS VARCHAR) AS DOUBLE) * CAST(CAST(c AS VARCHAR) AS DOUBLE) / nn,
+                                 0.0) / (nn - 1)
+                   END AS exp_var,
+                   CASE WHEN nn >= 4 AND nn > 1 THEN
+                        sqrt(greatest(CAST(CAST(c2 AS VARCHAR) AS DOUBLE)
+                                      - CAST(CAST(c AS VARCHAR) AS DOUBLE) * CAST(CAST(c AS VARCHAR) AS DOUBLE)
+                                        / nn, 0.0) / (nn - 1))
+                   END AS exp_std
             FROM r
         """,
         "group_shift_scale": """
@@ -5566,24 +5664,32 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
         """,
         "group_rolling_scale": """
+            -- decimal-exact twin (see expanding_stats): exact frame sums
+            -- == the engine's prefix differences; double division shapes
+            -- mirror grouped_rolling_sum/_mean/_var verbatim
             WITH b AS (
                 SELECT event_id, event_type,
-                       CASE WHEN event_id % 7 >= 2 THEN value END AS v
+                       CASE WHEN event_id % 7 >= 2
+                            THEN CAST(round(value, 6) AS DECIMAL(18,6))
+                       END AS v
                 FROM events
             ), r AS (
                 SELECT event_id, event_type, v,
-                       sum(v) OVER w AS rsum0,
-                       avg(v) OVER w AS rmean0,
-                       var_samp(v) OVER w AS rvar0,
+                       sum(v) OVER w AS s, sum(v*v) OVER w AS s2,
                        count(v) OVER w AS nn
                 FROM b
                 WINDOW w AS (PARTITION BY event_type ORDER BY event_id
                              ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
             )
-            SELECT event_id, event_type, round(v, 6) AS v,
-                   CASE WHEN nn >= 5 THEN rsum0 END AS rsum,
-                   CASE WHEN nn >= 5 THEN rmean0 END AS rmean,
-                   CASE WHEN nn >= 5 THEN rvar0 END AS rvar
+            SELECT event_id, event_type, CAST(v AS DOUBLE) AS v,
+                   CASE WHEN nn >= 5 THEN CAST(CAST(s AS VARCHAR) AS DOUBLE) END AS rsum,
+                   CASE WHEN nn >= 5 THEN CAST(CAST(s AS VARCHAR) AS DOUBLE) / nn
+                   END AS rmean,
+                   CASE WHEN nn >= 5 AND nn > 1 THEN
+                        greatest(CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                                 - CAST(CAST(s AS VARCHAR) AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE) / nn,
+                                 0.0) / (nn - 1)
+                   END AS rvar
             FROM r
         """,
         "group_take_scale": """

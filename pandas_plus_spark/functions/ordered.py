@@ -44,6 +44,24 @@ def _ranged(df: DataFrame, order_by, num_partitions: int | None):
     return rp.withColumn("__pid", F.spark_partition_id()), cols
 
 
+def _sum_zero(df: DataFrame, value: str) -> Column:
+    """Additive zero literal that preserves the SUM type of ``value``.
+
+    ``F.lit(0.0)`` (double) coerced against a DECIMAL running sum pulls the
+    whole expression to double and silently reintroduces the float drift
+    that the decimal path exists to eliminate (the r8 driver-hash lesson:
+    prefix-difference stats drifting ~1e-13 vs the oracle's direct window
+    aggregation flip rounding boundaries in the hash's canonical format).
+    A ``decimal(1,0)`` zero coerces to the wider decimal operand instead —
+    sums stay exact, and exact arithmetic is association-order-independent,
+    so the two-phase decomposition equals the oracle's single window
+    bit-for-bit after the final double conversion."""
+    from pyspark.sql.types import DecimalType
+    if isinstance(df.schema[value].dataType, DecimalType):
+        return F.lit(0).cast("decimal(1,0)")
+    return F.lit(0.0)
+
+
 def global_row_number(
     df: DataFrame,
     order_by,
@@ -375,11 +393,13 @@ def _grouped_running(df, gnames, order_by, value, num_partitions,
     for i, g in enumerate(gnames):
         cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{i}"))
 
+    zero = _sum_zero(df, value)
+
     def _null_aware(lc, oc):
         return F.when(
             F.col(lc).isNull() & F.col(oc).isNull(), F.lit(None)
         ).otherwise(
-            F.coalesce(lc, F.lit(0.0)) + F.coalesce(oc, F.lit(0.0)))
+            F.coalesce(F.col(lc), zero) + F.coalesce(F.col(oc), zero))
 
     out = (local.join(F.broadcast(offs), cond, "left")
            .withColumn("__rn", (F.col("__lrn") + F.col("__orows")).cast("long"))
@@ -434,11 +454,14 @@ def grouped_rolling_sum(
     cond = F.col("__rn") == F.col("__jrn")
     for i, g in enumerate(gnames):
         cond = cond & F.col(g).eqNullSafe(F.col(f"__jg_{i}"))
+    zero = _sum_zero(df, value)
     n_in = F.col("__N") - F.coalesce("__Np", F.lit(0))
-    val = (F.coalesce("__C", F.lit(0.0))
-           - F.coalesce("__Cp", F.lit(0.0)))
+    val = F.coalesce(F.col("__C"), zero) - F.coalesce(F.col("__Cp"), zero)
     if mean:
-        val = val / n_in
+        # divide in double with the exact sum cast first — the shape the
+        # DuckDB oracle mirrors (CAST(s AS DOUBLE) / n); a no-op when the
+        # input is already double
+        val = val.cast("double") / n_in
     guarded = F.when(n_in >= F.lit(max(mp, 1)), val)
     joined = (run.join(right, cond, "left")
               .withColumn(out, guarded)
@@ -483,11 +506,12 @@ def _grouped_multi_cumsum(df, gnames, order_by, pairs, num_partitions):
     for i, g in enumerate(gnames):
         cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{i}"))
     out = local.join(F.broadcast(offs), cond, "left")
-    for i, (_, oc) in enumerate(pairs):
+    for i, (vc, oc) in enumerate(pairs):
+        zero = _sum_zero(df, vc)
         lc, off = F.col(f"__mlc_{i}"), F.col(f"__mo_{i}")
         out = out.withColumn(oc, F.when(
             lc.isNull() & off.isNull(), F.lit(None)
-        ).otherwise(F.coalesce(lc, F.lit(0.0)) + F.coalesce(off, F.lit(0.0))))
+        ).otherwise(F.coalesce(lc, zero) + F.coalesce(off, zero)))
     out = out.drop("__pid", "__opid",
                    *[f"__og_{i}" for i in range(len(gnames))],
                    *[f"__mlc_{i}" for i in range(len(pairs))],
@@ -551,8 +575,12 @@ def grouped_rolling_time(
     anchors = agg.select(
         *gnames, (F.col(on) - F.lit(window)).alias("__key"),
         F.lit(0).alias("__isd"), F.col(on).alias("__src"),
-        F.lit(0.0).alias("__ts"), F.lit(0.0).alias("__tn"),
-        F.lit(0.0).alias("__ts2"))
+        # zeros typed to the aggregate sums so a DECIMAL input's union
+        # stays decimal (a double 0.0 would coerce the whole column and
+        # forfeit exactness); no-op for the double path
+        F.lit(0).cast(agg.schema["__ts"].dataType).alias("__ts"),
+        F.lit(0.0).alias("__tn"),
+        F.lit(0).cast(agg.schema["__ts2"].dataType).alias("__ts2"))
     union = data_rows.unionByName(anchors)
     run = _grouped_multi_cumsum(
         union, gnames, ["__key", "__isd"],
@@ -569,10 +597,16 @@ def grouped_rolling_time(
         F.max(F.when(~isd, F.col("__cn"))).alias("__bn"),
         F.max(F.when(~isd, F.col("__cs2"))).alias("__bs2"),
     ).withColumnRenamed("__src", on)
+    zs = F.lit(0).cast(stats.schema["__cs"].dataType)
+    zs2 = F.lit(0).cast(stats.schema["__cs2"].dataType)
     n_in = F.coalesce("__cn", F.lit(0.0)) - F.coalesce("__bn", F.lit(0.0))
-    s_in = F.coalesce("__cs", F.lit(0.0)) - F.coalesce("__bs", F.lit(0.0))
-    s2_in = (F.coalesce("__cs2", F.lit(0.0))
-             - F.coalesce("__bs2", F.lit(0.0)))
+    # frame sums are exact decimal differences on the decimal path; cast
+    # to double BEFORE any division so the stat expressions below are the
+    # canonical double shapes the DuckDB oracle mirrors (no-op for double)
+    s_in = (F.coalesce(F.col("__cs"), zs)
+            - F.coalesce(F.col("__bs"), zs)).cast("double")
+    s2_in = (F.coalesce(F.col("__cs2"), zs2)
+             - F.coalesce(F.col("__bs2"), zs2)).cast("double")
     guard = n_in >= F.lit(min_periods)
     outcols = []
     for func in funcs:
@@ -785,9 +819,15 @@ def grouped_rolling_var(
     cond = F.col("__rn") == F.col("__jrn")
     for i, g in enumerate(gnames):
         cond = cond & F.col(g).eqNullSafe(F.col(f"__jg_{i}"))
+    zero = _sum_zero(df, value)
     n_in = F.col("__N") - F.coalesce("__Np", F.lit(0))
-    s = (F.coalesce("__C", F.lit(0.0)) - F.coalesce("__Cp", F.lit(0.0)))
-    s2 = (F.coalesce("__C2", F.lit(0.0)) - F.coalesce("__C2p", F.lit(0.0)))
+    # frame sums are exact on the decimal path; all division/cancellation
+    # arithmetic happens in double with the sums cast FIRST — the canonical
+    # var shape (S2 − S·S/n)/(n − ddof) the DuckDB oracle reproduces
+    s = (F.coalesce(F.col("__C"), zero)
+         - F.coalesce(F.col("__Cp"), zero)).cast("double")
+    s2 = (F.coalesce(F.col("__C2"), zero)
+          - F.coalesce(F.col("__C2p"), zero)).cast("double")
     num = F.greatest(s2 - s * s / n_in, F.lit(0.0))
     val = num / (n_in - F.lit(ddof))
     if std:
@@ -830,6 +870,10 @@ def grouped_expanding(
                            want_sq=want_sq)
     n_obs = F.col("__N")
     guard = n_obs >= F.lit(max(min_periods, 1))
+    # prefix sums are exact on the decimal path; divisions happen in double
+    # with the sums cast FIRST, in the canonical (C2 − C·C/n)/(n − ddof)
+    # shape the DuckDB oracle reproduces (no-op casts when already double)
+    cd = F.col("__C").cast("double")
     out = run
     for stat in stats:
         if stat == "sum":
@@ -837,10 +881,10 @@ def grouped_expanding(
         elif stat == "count":
             val = n_obs.cast("double")
         elif stat == "mean":
-            val = F.col("__C") / n_obs
+            val = cd / n_obs
         else:  # var / std
-            m = F.col("__C") / n_obs
-            num = F.greatest(F.col("__C2") - F.col("__C") * m, F.lit(0.0))
+            num = F.greatest(F.col("__C2").cast("double") - cd * cd / n_obs,
+                             F.lit(0.0))
             val = F.when(n_obs > F.lit(ddof), num / (n_obs - F.lit(ddof)))
             if stat == "std":
                 val = F.sqrt(val)

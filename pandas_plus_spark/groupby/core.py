@@ -1300,6 +1300,31 @@ class GroupBy:
     _ROLLING_AGGS = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
                      "var": F.var_samp, "std": F.stddev_samp}
 
+    @staticmethod
+    def _window_stat(func: str, v: Column, w, decimal_input: bool) -> Column:
+        """Windowed stat expression. For DECIMAL inputs the arithmetic funcs
+        are computed from exact windowed sums (sum / sum-of-squares / count)
+        with the division done in double AFTER casting the exact sums — the
+        deterministic shape a SQL oracle can reproduce bit-for-bit (exact
+        sums are association-order-independent, so the engine's window and
+        the oracle's window agree exactly; the final double expressions are
+        identical IEEE operations on identical inputs). Doubles keep the
+        native aggregates (the r8 driver-hash lesson: see functions/ordered
+        `_sum_zero`)."""
+        if not decimal_input or func not in ("sum", "mean", "var", "std"):
+            return GroupBy._ROLLING_AGGS[func](v).over(w)
+        C = F.sum(v).over(w)
+        if func == "sum":
+            return C
+        n = F.count(v).over(w)
+        cd = C.cast("double")
+        if func == "mean":
+            return cd / n
+        num = F.greatest(F.sum(v * v).over(w).cast("double") - cd * cd / n,
+                         F.lit(0.0))
+        val = F.when(n > F.lit(1), num / (n - F.lit(1)))
+        return F.sqrt(val) if func == "std" else val
+
     def _rolling(self, func: str, values, window: int, mask, min_periods: int | None,
                  alias_suffix: str) -> DataFrame:
         """Fixed row-count trailing window per group. min_periods counts
@@ -1331,12 +1356,15 @@ class GroupBy:
             out = self._base()
             for c in cols:
                 v = F.col(c)
+                dec = isinstance(out.schema[c].dataType, T.DecimalType)
                 guard = F.count(v).over(w) >= min_periods
-                out = out.withColumn(f"{c}_{alias_suffix}", F.when(guard, agg(v).over(w)))
+                out = out.withColumn(
+                    f"{c}_{alias_suffix}",
+                    F.when(guard, self._window_stat(func, v, w, dec)))
             return out
-        return self._rolling_masked(agg, cols, window, mask, min_periods, alias_suffix)
+        return self._rolling_masked(func, cols, window, mask, min_periods, alias_suffix)
 
-    def _rolling_masked(self, agg, cols, window: int, mask, min_periods: int,
+    def _rolling_masked(self, func, cols, window: int, mask, min_periods: int,
                         alias_suffix: str) -> DataFrame:
         """Window over unmasked observations only, joined back to all rows.
 
@@ -1368,7 +1396,10 @@ class GroupBy:
             F.col("__obs_idx"),
             *[
                 F.when(F.count(F.col(c)).over(ow) >= min_periods,
-                       agg(F.col(c)).over(ow)).alias(f"__roll_{c}")
+                       self._window_stat(
+                           func, F.col(c), ow,
+                           isinstance(obs.schema[c].dataType, T.DecimalType))
+                       ).alias(f"__roll_{c}")
                 for c in cols
             ],
         )

@@ -242,11 +242,20 @@ def capped_pair_candidates(entries: DataFrame,
     )
     tagged = entries.join(F.broadcast(oversized), list(key_cols), "inner")
     kept = F.pmod(F.xxhash64("id", *key_cols), F.col("__bsz")) < cap
-    hubs = (tagged.where(kept)
-            .groupBy(*key_cols).agg(F.min("id").alias("__hub")))
+    # hub = min KEPT id, falling back to min id over ALL entries when the
+    # hash filter kept zero entries of the bucket (possible for a small
+    # cap with an unlucky hash) — without the fallback the inner join
+    # below leaves every member of exactly the mega-bucket the hub edges
+    # exist for isolated; the star around the fallback hub keeps the
+    # bucket connected even though the hub itself generated no pairs
+    hubs = (tagged.groupBy(*key_cols)
+            .agg(F.min(F.when(kept, F.col("id"))).alias("__khub"),
+                 F.min("id").alias("__ahub"))
+            .select(*key_cols, F.coalesce("__khub", "__ahub").alias("__hub")))
     hub_edges = (
         tagged.where(~kept)
         .join(hubs, list(key_cols))
+        .where(F.col("id") != F.col("__hub"))
         .select(F.least("id", "__hub").alias("id_a"),
                 F.greatest("id", "__hub").alias("id_b"))
     )
@@ -623,12 +632,16 @@ def incremental_dedup(
         new_df.select(id_col, text_col).unionByName(
             ref_df.select(id_col, text_col)),
         text_col, id_col, threshold, shingle_size, candidates=cands)
-    # best match = max Jaccard, min ref id tiebreak — a max_by hash
+    # best match = max Jaccard, min ref id tiebreak — a min_by hash
     # aggregate (map-side partial, no sort) instead of a rank window,
-    # whose per-group sort bought nothing for a 1-row-per-group pick
+    # whose per-group sort bought nothing for a 1-row-per-group pick.
+    # min_by on (-jaccard, id_b) negates the DOUBLE, not the id: unary
+    # minus on a string id fails under ANSI (and silently NULLs the
+    # tiebreak otherwise), while this form keeps max-jaccard/min-id
+    # semantics for any orderable id type
     near = (
         verified.groupBy("id_a")
-        .agg(F.max_by("id_b", F.struct(F.col("jaccard"), -F.col("id_b")))
+        .agg(F.min_by("id_b", F.struct(-F.col("jaccard"), F.col("id_b")))
              .alias("ref_id"),
              F.max("jaccard").alias("jaccard"))
         .select(F.col("id_a").alias(id_col), F.lit("near").alias("match_kind"),

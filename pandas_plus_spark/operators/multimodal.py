@@ -107,11 +107,13 @@ def _jpeg_sof_dims(blob: bytes) -> dict | None:
 
 
 def decode_image_header(blob: bytes) -> dict | None:
-    """Dependency-free REAL header parse for PNG / BMP / GIF / JPEG blobs:
-    ``{width, height, n_channels}`` straight from the container header
-    (JPEG via the SOFn marker scan, :func:`_jpeg_sof_dims`), or None for
-    formats that need a full codec (WebP/AVIF/...). Pure byte arithmetic
-    — no PIL/libjpeg — so it runs anywhere the engine runs."""
+    """Dependency-free REAL header parse for PNG / BMP / GIF / JPEG /
+    WebP / AVIF blobs: ``{width, height, n_channels}`` straight from the
+    container header (JPEG via the SOFn marker scan,
+    :func:`_jpeg_sof_dims`; WebP via the RIFF chunk walk,
+    :func:`_webp_dims`; AVIF via the ISO-BMFF box walk,
+    :func:`_avif_dims`), or None for unrecognized formats. Pure byte
+    arithmetic — no PIL/libjpeg — so it runs anywhere the engine runs."""
     if blob[:8] == _PNG_MAGIC and len(blob) >= 26 and blob[12:16] == b"IHDR":
         return {
             "width": int.from_bytes(blob[16:20], "big"),
@@ -135,16 +137,87 @@ def decode_image_header(blob: bytes) -> dict | None:
         }
     if blob[:2] == b"\xff\xd8":
         return _jpeg_sof_dims(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        return _webp_dims(blob)
+    if (len(blob) >= 12 and blob[4:8] == b"ftyp"
+            and blob[8:12] in (b"avif", b"avis")):
+        return _avif_dims(blob)
+    return None
+
+
+def _webp_dims(blob: bytes) -> dict | None:
+    """WebP dimensions from the RIFF container (the WAV chunk walk
+    generalized): ``VP8X`` carries the extended-format canvas size
+    (24-bit little-endian width−1/height−1, alpha flag bit 0x10),
+    ``VP8 `` (lossy) the 14-bit frame size after the 0x9D012A sync code,
+    ``VP8L`` (lossless) a 28-bit packed size + alpha bit after the 0x2F
+    signature. First recognized chunk wins (VP8X precedes the bitstream
+    chunks in extended files per spec)."""
+    i, n = 12, len(blob)
+    while i + 8 <= n:
+        cid = blob[i:i + 4]
+        csz = int.from_bytes(blob[i + 4:i + 8], "little")
+        ps = i + 8
+        if cid == b"VP8X" and csz >= 10 and ps + 10 <= n:
+            return {
+                "width": int.from_bytes(blob[ps + 4:ps + 7], "little") + 1,
+                "height": int.from_bytes(blob[ps + 7:ps + 10], "little") + 1,
+                "n_channels": 4 if blob[ps] & 0x10 else 3,
+            }
+        if cid == b"VP8 " and csz >= 10 and ps + 10 <= n:
+            if blob[ps + 3:ps + 6] != b"\x9d\x01\x2a":
+                return None                  # no keyframe sync: not a header
+            return {
+                "width": int.from_bytes(blob[ps + 6:ps + 8], "little") & 0x3FFF,
+                "height": int.from_bytes(blob[ps + 8:ps + 10], "little") & 0x3FFF,
+                "n_channels": 3,
+            }
+        if cid == b"VP8L" and csz >= 5 and ps + 5 <= n:
+            if blob[ps] != 0x2F:
+                return None
+            bits = int.from_bytes(blob[ps + 1:ps + 5], "little")
+            return {
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+                "n_channels": 4 if (bits >> 28) & 1 else 3,
+            }
+        i = ps + csz + (csz & 1)             # RIFF chunks are word-aligned
+    return None
+
+
+def _avif_dims(blob: bytes) -> dict | None:
+    """AVIF dimensions from the ISO-BMFF box tree (the MP4 box walk
+    reused): ``meta`` (a FullBox — children start 4 bytes in) → ``iprp``
+    → ``ipco`` → ``ispe`` (image spatial extents: version/flags then
+    32-bit big-endian width/height)."""
+    for btype, ps, pe in _mp4_boxes(blob, 0, len(blob)):
+        if btype != b"meta" or pe - ps < 4:
+            continue
+        for t2, p2, e2 in _mp4_boxes(blob, ps + 4, pe):
+            if t2 != b"iprp":
+                continue
+            for t3, p3, e3 in _mp4_boxes(blob, p2, e2):
+                if t3 != b"ipco":
+                    continue
+                for t4, p4, e4 in _mp4_boxes(blob, p3, e3):
+                    if t4 == b"ispe" and e4 - p4 >= 12:
+                        return {
+                            "width": int.from_bytes(blob[p4 + 4:p4 + 8], "big"),
+                            "height": int.from_bytes(blob[p4 + 8:p4 + 12], "big"),
+                            "n_channels": 3,
+                        }
     return None
 
 
 def decode_image_stub(blob: bytes) -> dict:
-    """PNG/BMP/GIF/JPEG dimensions are decoded for REAL (header parse,
-    :func:`decode_image_header`); other formats fall back to the
-    deterministic fake — full-pixel decode needs PIL/libjpeg, not present
-    in this container. The fake derives plausible dimensions from the
-    payload so the distributed pipeline (schema, batching, downstream
-    aggregation) is fully exercisable either way. Swap the fallback for
+    """PNG/BMP/GIF/JPEG/WebP/AVIF dimensions are decoded for REAL (header
+    parse, :func:`decode_image_header`) — every image container the
+    engine ships a generator for, so the fallback below is unreachable
+    for shipped formats. It remains for UNRECOGNIZED formats only:
+    full-pixel decode needs PIL/libjpeg, not present in this container.
+    The fake derives plausible dimensions from the payload so the
+    distributed pipeline (schema, batching, downstream aggregation) is
+    fully exercisable either way. Swap the fallback for
     ``PIL.Image.open(BytesIO(blob))`` in a real deployment.
     """
     n = len(blob)
@@ -200,6 +273,46 @@ def jpeg_header_bytes(width: int, height: int, n_channels: int = 3,
            + height.to_bytes(2, "big") + width.to_bytes(2, "big")
            + bytes([n_channels]) + comps)
     return b"\xff\xd8" + app0 + sof
+
+
+def webp_header_bytes(width: int, height: int, alpha: bool = False,
+                      kind: str = "vp8x") -> bytes:
+    """Minimal WebP container (no bitstream data): ``vp8x`` = extended
+    header with the canvas size, ``vp8`` = lossy keyframe header,
+    ``vp8l`` = lossless signature+size — the three size encodings
+    :func:`_webp_dims` reads."""
+    if kind == "vp8x":
+        payload = (bytes([0x10 if alpha else 0, 0, 0, 0])
+                   + (width - 1).to_bytes(3, "little")
+                   + (height - 1).to_bytes(3, "little"))
+        chunk = b"VP8X" + len(payload).to_bytes(4, "little") + payload
+    elif kind == "vp8":
+        payload = (bytes(3) + b"\x9d\x01\x2a"
+                   + width.to_bytes(2, "little")
+                   + height.to_bytes(2, "little"))
+        chunk = b"VP8 " + len(payload).to_bytes(4, "little") + payload
+    elif kind == "vp8l":
+        bits = ((width - 1) & 0x3FFF) | (((height - 1) & 0x3FFF) << 14)
+        if alpha:
+            bits |= 1 << 28
+        payload = bytes([0x2F]) + bits.to_bytes(4, "little")
+        chunk = (b"VP8L" + len(payload).to_bytes(4, "little") + payload
+                 + b"\x00")                  # odd size: exercise alignment
+    else:
+        raise ValueError(kind)
+    return (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little")
+            + b"WEBP" + chunk)
+
+
+def avif_header_bytes(width: int, height: int) -> bytes:
+    """Minimal AVIF: ``ftyp`` (brand avif) + ``meta``/``iprp``/``ipco``/
+    ``ispe`` box chain (no coded payload)."""
+    ispe = _mp4_box(b"ispe", bytes(4)
+                    + width.to_bytes(4, "big") + height.to_bytes(4, "big"))
+    meta = _mp4_box(b"meta",
+                    bytes(4) + _mp4_box(b"iprp", _mp4_box(b"ipco", ispe)))
+    ftyp = _mp4_box(b"ftyp", b"avif" + bytes(4) + b"avifmif1")
+    return ftyp + meta
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType([
@@ -303,7 +416,11 @@ def decode_mp4_header(blob: bytes) -> dict | None:
         for ctype, cs, ce in _mp4_boxes(blob, ps, pe):
             if ctype == b"mvhd" and ce - cs >= 20:
                 ver = blob[cs]
-                if ver == 1 and ce - cs >= 28:
+                # version-1 reads the 8-byte duration at cs+24..cs+32, so
+                # the guard must cover the full read — >= 28 let a 28-31
+                # byte malformed mvhd read past the box end into the next
+                # box and return a garbage duration
+                if ver == 1 and ce - cs >= 32:
                     timescale = int.from_bytes(blob[cs + 20:cs + 24], "big")
                     duration = int.from_bytes(blob[cs + 24:cs + 32], "big")
                 else:

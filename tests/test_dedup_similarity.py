@@ -353,6 +353,50 @@ class TestMultimodal:
         # top-down BMP: negative height decodes to its magnitude
         assert decode_image_header(bmp_header_bytes(10, -20))["height"] == 20
 
+    def test_webp_header_decode(self):
+        """WebP decode is a REAL RIFF chunk walk: VP8X 24-bit LE
+        canvas-minus-one + alpha flag, lossy VP8 14-bit dims behind the
+        keyframe sync code, lossless VP8L packed 28-bit dims + alpha bit
+        (with an odd-sized chunk exercising word alignment)."""
+        from pandas_plus_spark.operators.multimodal import (
+            decode_image_header, webp_header_bytes)
+        for w, h in [(1, 1), (640, 480), (16383, 16383)]:
+            assert decode_image_header(webp_header_bytes(w, h)) == {
+                "width": w, "height": h, "n_channels": 3}
+            assert decode_image_header(
+                webp_header_bytes(w, h, alpha=True)) == {
+                "width": w, "height": h, "n_channels": 4}
+            assert decode_image_header(webp_header_bytes(w, h, kind="vp8")) \
+                == {"width": w, "height": h, "n_channels": 3}
+            assert decode_image_header(
+                webp_header_bytes(w, h, alpha=True, kind="vp8l")) == {
+                "width": w, "height": h, "n_channels": 4}
+        # VP8X canvas reaches beyond the 14-bit bitstream limit
+        assert decode_image_header(webp_header_bytes(100000, 5)) == {
+            "width": 100000, "height": 5, "n_channels": 3}
+        # malformed: bad sync code / bad VP8L signature / truncation
+        from pandas_plus_spark.operators.multimodal import _webp_dims
+        good = webp_header_bytes(64, 64, kind="vp8")
+        assert decode_image_header(good[:14]) is None
+        bad_sync = bytearray(good)
+        bad_sync[23] = 0x00                  # clobber the 0x9D012A sync
+        assert decode_image_header(bytes(bad_sync)) is None
+        badl = bytearray(webp_header_bytes(64, 64, kind="vp8l"))
+        badl[20] = 0x30                      # clobber the 0x2F signature
+        assert decode_image_header(bytes(badl)) is None
+
+    def test_avif_header_decode(self):
+        """AVIF decode is a REAL ISO-BMFF walk to meta/iprp/ipco/ispe
+        (meta is a FullBox — children start 4 bytes into the payload)."""
+        from pandas_plus_spark.operators.multimodal import (
+            avif_header_bytes, decode_image_header)
+        for w, h in [(1, 1), (1920, 1080), (65536, 4)]:
+            assert decode_image_header(avif_header_bytes(w, h)) == {
+                "width": w, "height": h, "n_channels": 3}
+        good = avif_header_bytes(320, 240)
+        assert decode_image_header(good[:20]) is None    # ftyp only
+        assert decode_image_header(good[:-6]) is None    # truncated ispe
+
     def test_jpeg_sof_marker_walk(self):
         """JPEG decode is a REAL SOFn marker-segment scan: APP0 hopped by
         its length field, baseline SOF0 and progressive SOF2 both read,
