@@ -2161,7 +2161,8 @@ def _url_fixture(d):
 
     suffix = F.element_at(
         F.array(F.lit("com"), F.lit("org"), F.lit("co.uk"), F.lit("io"),
-                F.lit("com.au")), (d % 5 + 1).cast("int"))
+                F.lit("com.au"), F.lit("gob.mx"), F.lit("github.io"),
+                F.lit("ck")), (d % 8 + 1).cast("int"))
     host = F.concat(
         F.when(d % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
         F.lit("Site"), (d % 23).cast("string"), F.lit("."), suffix)
@@ -2181,24 +2182,28 @@ def _q_url_normalize(spark, sf):
     """URL curation column functions (functions/urls.py): host extraction
     (JVM parse_url), exact-URL-dedup normalization (lower scheme/host,
     default ports stripped, fragment dropped, bare path collapsed), and
-    the registrable-domain heuristic (last 2 labels; 3 over the
-    multi-part suffix families — co.uk, com.au here). The fixture URL is
-    doc_id arithmetic, so the oracle CONSTRUCTS every expected output
-    directly — the engine must PARSE its way to the same strings, which
-    value-checks parse_url plumbing, the port/fragment rules, and the
-    label slicing end to end."""
+    — r9 — the PSL-backed registrable domain (with_registrable_domain:
+    broadcast rule-table joins, publicsuffix.org longest-match/wildcard/
+    exception semantics). The fixture now covers suffixes the retired
+    heuristic mislabeled: gob.mx (outside its 7-family set), github.io
+    (private-section platform rule), and the *.ck wildcard (every
+    second-level label a public suffix — [www.]siteN.ck pass through
+    whole). The fixture URL is doc_id arithmetic, so the oracle
+    CONSTRUCTS every expected output directly — the engine must PARSE
+    its way to the same strings, which value-checks parse_url plumbing,
+    the port/fragment rules, and the PSL join end to end."""
     from pandas_plus_spark.functions import urls
 
     docs = (load_table(spark, sf, "documents")
             .where(F.col("doc_id") < 400).select("doc_id"))
     url = _url_fixture(F.col("doc_id"))
     host = urls.url_host(url)
-    return docs.select(
+    base = docs.select(
         "doc_id",
         url.alias("raw_url"),
         urls.url_normalize(url).alias("norm_url"),
-        host.alias("host"),
-        urls.registrable_domain(host).alias("domain"))
+        host.alias("host"))
+    return urls.with_registrable_domain(base, "host", out="domain")
 
 
 def _q_crawl_domain_stats(spark, sf):
@@ -2210,14 +2215,58 @@ def _q_crawl_domain_stats(spark, sf):
     from pandas_plus_spark.functions import urls
 
     recs = _q_warc_ingest(spark, sf)
-    dom = urls.registrable_domain(urls.url_host(F.col("target_uri")))
-    return (recs.select(dom.alias("domain"), "http_status",
-                        "n_payload_bytes")
+    base = recs.select(urls.url_host(F.col("target_uri")).alias("host"),
+                       "http_status", "n_payload_bytes")
+    # PSL path (r9): the fixture hosts (siteN.example) have no PSL rule,
+    # so the implicit * default applies and outputs are unchanged — this
+    # re-gates the join machinery on the composed pipeline
+    return (urls.with_registrable_domain(base, "host", out="domain")
+            .select("domain", "http_status", "n_payload_bytes")
             .groupBy("domain")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum((F.col("http_status") == 200).cast("long"))
                  .alias("n_ok"),
                  F.sum("n_payload_bytes").alias("total_bytes")))
+
+
+def _q_crawl_curation_pipeline(spark, sf):
+    """The crawl front door END TO END in one plan — the composed analog
+    of curation_pipeline for web data: WARC records (the warc_ingest
+    fixture: per-record gzip members, HTTP split, tag-stripped text) →
+    URL host → PSL registrable domain → per-doc disposition through the
+    full curation ladder: HTTP-status gate, text-quality gate (min
+    length), deterministic per-domain cap (cap_per_key, ≤12 docs), and
+    the temperature mixture (alpha=0.5, budget 0.8) over the capped
+    corpus. Every doc ships its verdict: keep / drop_status /
+    drop_short / drop_domain_cap / drop_mixture — the frame a crawl
+    curator actually materializes. Scale shape: the gates are map-side;
+    the cap is one hash shuffle + rank; the mixture is a broadcast-probs
+    map filter; the disposition joins are key-aligned with the cap's
+    exchange (AQE reuses it). Oracle reconstructs every stage from the
+    doc_id arithmetic + the affine-hash twins."""
+    from pandas_plus_spark.functions import urls
+
+    recs = _q_warc_ingest(spark, sf)
+    base = urls.with_registrable_domain(
+        recs.select("doc_id", "http_status", "text",
+                    urls.url_host(F.col("target_uri")).alias("host")),
+        "host", out="domain")
+    ok = base.filter((F.col("http_status") == 200)
+                     & (F.length("text") >= 12))
+    capped = sampling.cap_per_key(ok, "domain", 12, "doc_id", seed=11)
+    mixed = sampling.temperature_mixture(
+        capped, "domain", "doc_id", alpha=0.5, budget_frac=0.8, seed=7)
+    in_cap = capped.select("doc_id", F.lit(True).alias("__in_cap"))
+    in_mix = mixed.select("doc_id", F.lit(True).alias("__in_mix"))
+    return (base.join(in_cap, "doc_id", "left")
+            .join(in_mix, "doc_id", "left")
+            .select(
+                "doc_id", "domain",
+                F.when(F.col("http_status") != 200, F.lit("drop_status"))
+                .when(F.length("text") < 12, F.lit("drop_short"))
+                .when(F.col("__in_cap").isNull(), F.lit("drop_domain_cap"))
+                .when(F.col("__in_mix").isNull(), F.lit("drop_mixture"))
+                .otherwise(F.lit("keep")).alias("disposition")))
 
 
 def _q_stratified_sample(spark, sf):
@@ -3633,12 +3682,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_bucketed": _q_incremental_dedup_bucketed,
         "image_header_meta": _q_image_header_meta,
         "group_rank_scale": _q_group_rank_scale,
-        # stalest r6-era fill (+2 slots reserved for new r9 entries):
+        # new r9 entry + r9 code-changed re-verifications (PSL domain swap):
+        "crawl_curation_pipeline": _q_crawl_curation_pipeline,
+        "url_normalize": _q_url_normalize,
+        "crawl_domain_stats": _q_crawl_domain_stats,
+        # stalest r6-era fill:
         "oov_rate": _q_oov_rate,
         "label_cohesion": _q_label_cohesion,
         "nanops_rowwise": _q_nanops_rowwise,
-        "streaming_sessions": _q_streaming_sessions,
         # --- tail: least-recently-verified first ---
+        "streaming_sessions": _q_streaming_sessions,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "masked_sum": _q_masked_sum,
         "group_size": _q_size,
@@ -3724,8 +3777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_header_meta": _q_wav_header_meta,
         "mp4_header_meta": _q_mp4_header_meta,
         "warc_ingest": _q_warc_ingest,
-        "url_normalize": _q_url_normalize,
-        "crawl_domain_stats": _q_crawl_domain_stats,
         "token_budget": _q_token_budget,
         "quantile_calibration": _q_quantile_calibration,
         "leakage_split": _q_leakage_split,
@@ -4661,14 +4712,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 150
         """,
         "url_normalize": """
+            -- expected outputs CONSTRUCTED from the doc_id arithmetic;
+            -- domain encodes the PSL answers: exact/private rules keep
+            -- suffix+1 label (www stripped), *.ck makes [www.]siteN.ck
+            -- its own public suffix (host passes through whole)
+            WITH f AS (
+                SELECT doc_id,
+                       CASE doc_id % 8 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                            WHEN 2 THEN 'co.uk' WHEN 3 THEN 'io'
+                            WHEN 4 THEN 'com.au' WHEN 5 THEN 'gob.mx'
+                            WHEN 6 THEN 'github.io' ELSE 'ck' END AS sfx,
+                       CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+                           AS www
+                FROM documents WHERE doc_id < 400
+            )
             SELECT doc_id,
                    CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
-                   || '://'
-                   || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
-                   || 'Site' || (doc_id % 23) || '.'
-                   || CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
-                           WHEN 2 THEN 'co.uk' WHEN 3 THEN 'io'
-                           ELSE 'com.au' END
+                   || '://' || www || 'Site' || (doc_id % 23) || '.' || sfx
                    || CASE WHEN doc_id % 6 = 0 THEN
                             CASE WHEN doc_id % 2 = 0 THEN ':80'
                                  ELSE ':443' END
@@ -4681,27 +4741,19 @@ def oracle_sql() -> dict[str, str]:
                        AS raw_url,
                    CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
                    || '://'
-                   || lower(CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
-                            || 'Site' || (doc_id % 23) || '.'
-                            || CASE doc_id % 5 WHEN 0 THEN 'com'
-                                    WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk'
-                                    WHEN 3 THEN 'io' ELSE 'com.au' END)
+                   || lower(www || 'Site' || (doc_id % 23) || '.' || sfx)
                    || CASE WHEN doc_id % 6 = 3 THEN ':8080' ELSE '' END
                    || CASE WHEN doc_id % 3 = 0 THEN ''
                            ELSE '/p/' || doc_id END
                    || CASE WHEN doc_id % 5 = 0 THEN '?q=' || doc_id
                            ELSE '' END AS norm_url,
-                   lower(CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
-                         || 'Site' || (doc_id % 23) || '.'
-                         || CASE doc_id % 5 WHEN 0 THEN 'com'
-                                 WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk'
-                                 WHEN 3 THEN 'io' ELSE 'com.au' END)
+                   lower(www || 'Site' || (doc_id % 23) || '.' || sfx)
                        AS host,
-                   'site' || (doc_id % 23) || '.'
-                   || CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
-                           WHEN 2 THEN 'co.uk' WHEN 3 THEN 'io'
-                           ELSE 'com.au' END AS domain
-            FROM documents WHERE doc_id < 400
+                   CASE WHEN doc_id % 8 = 7
+                        THEN lower(www || 'Site' || (doc_id % 23) || '.ck')
+                        ELSE 'site' || (doc_id % 23) || '.' || sfx
+                   END AS domain
+            FROM f
         """,
         "crawl_domain_stats": """
             WITH r AS (
@@ -5130,6 +5182,42 @@ def oracle_sql() -> dict[str, str]:
                                                   threshold=0.3),
         "simhash_poly": _sql_simhash_poly(bits=24),
         "dup_clusters": _sql_dup_clusters(threshold=0.2),
+        "crawl_curation_pipeline": f"""
+            -- every stage reconstructed from the warc-fixture doc_id
+            -- arithmetic: status/text gates, the per-domain cap via the
+            -- affine-rank twin, the temperature probs over the CAPPED
+            -- frame, and the same strict u < p mixture draw
+            WITH base AS (
+                SELECT doc_id,
+                       'site' || (doc_id % 7) || '.example' AS domain,
+                       CASE WHEN doc_id % 9 = 0 THEN 404 ELSE 200 END
+                           AS status,
+                       CASE WHEN doc_id % 5 = 0 THEN 'plain ' || doc_id
+                            ELSE 'Doc ' || doc_id || ' token' || doc_id
+                                 || ' & tail' END AS text
+                FROM documents WHERE doc_id < 150
+            ), ranked AS (
+                SELECT doc_id, domain,
+                       row_number() OVER (PARTITION BY domain
+                                          ORDER BY {u11}, doc_id) AS rn
+                FROM base WHERE status = 200 AND length(text) >= 12
+            ), cap AS (
+                SELECT doc_id, domain FROM ranked WHERE rn <= 12
+            ), {sampling.sql_temperature_mixture_probs(
+                "domain", "cap", alpha=0.5, budget_frac=0.8)}
+            SELECT b.doc_id, b.domain,
+                   CASE WHEN b.status != 200 THEN 'drop_status'
+                        WHEN length(b.text) < 12 THEN 'drop_short'
+                        WHEN r.rn IS NULL OR r.rn > 12
+                             THEN 'drop_domain_cap'
+                        WHEN {sampling.sql_affine_uniform(
+                            "b.doc_id", seed=7)} >= p.p
+                             THEN 'drop_mixture'
+                        ELSE 'keep' END AS disposition
+            FROM base b
+            LEFT JOIN ranked r ON b.doc_id = r.doc_id
+            LEFT JOIN p ON b.domain = p.domain
+        """,
         "temperature_mixture": f"""
             WITH {sampling.sql_temperature_mixture_probs(
                 "lang", "documents", alpha=0.5, budget_frac=0.5)},

@@ -43,6 +43,15 @@ SUBSET = [
     # round-7 close additions (new queries; rotate into the r8 driver
     # window head): grouped-cumsum token budgets, percentile calibration,
     # dup-cluster-aware splits
+    # round-9 gates: decimal-exact float-shipping re-verifications, the
+    # PSL domain swap, 6-container image decode, the crawl front door
+    "group_rolling_scale",
+    "group_expanding_scale",
+    "group_rolling_time_scale",
+    "url_normalize",
+    "crawl_domain_stats",
+    "crawl_curation_pipeline",
+    "image_header_meta",
     "token_budget",
     "quantile_calibration",
     "leakage_split",

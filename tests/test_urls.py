@@ -63,3 +63,98 @@ class TestRegistrableDomain:
             urls.registrable_domain(urls.url_host(F.col("u"))).alias("d")
         ).collect()]
         assert got == ["site.co.uk", "x.org"]
+
+class TestRegistrableDomainPSL:
+    """with_registrable_domain — the REAL publicsuffix.org algorithm as
+    broadcast joins: longest matching rule, wildcards, exceptions,
+    private-section platform suffixes."""
+
+    def _run(self, spark, hosts, **kw):
+        df = spark.createDataFrame([(h,) for h in hosts], "h string")
+        out = urls.with_registrable_domain(df, "h", out="d", **kw)
+        return dict(out.select("h", "d").collect())
+
+    def test_exact_and_private_rules(self, spark):
+        got = self._run(spark, [
+            "www.example.com", "a.b.example.co.uk", "news.site.com.au",
+            "deep.sub.x.gob.mx", "user.github.io", "www.user.github.io",
+            "b.s3.amazonaws.com", "plain.org",
+        ])
+        assert got["www.example.com"] == "example.com"
+        assert got["a.b.example.co.uk"] == "example.co.uk"
+        assert got["news.site.com.au"] == "site.com.au"
+        # gob.mx: outside the heuristic's 7-family set, right under PSL
+        assert got["deep.sub.x.gob.mx"] == "x.gob.mx"
+        # private-section platform rule: user content is the registrable unit
+        assert got["user.github.io"] == "user.github.io"
+        assert got["www.user.github.io"] == "user.github.io"
+        assert got["b.s3.amazonaws.com"] == "b.s3.amazonaws.com"
+        assert got["plain.org"] == "plain.org"
+
+    def test_wildcard_and_exception(self, spark):
+        got = self._run(spark, [
+            "anything.ck", "www.anything.ck", "www.ck", "sub.www.ck",
+            "foo.bar.np", "ck",
+        ])
+        # *.ck: every second-level label is itself a public suffix
+        assert got["anything.ck"] == "anything.ck"     # host == suffix
+        assert got["www.anything.ck"] == "www.anything.ck"
+        # !www.ck exception: www.ck IS registrable
+        assert got["www.ck"] == "www.ck"
+        assert got["sub.www.ck"] == "www.ck"
+        assert got["foo.bar.np"] == "foo.bar.np"       # *.np
+        assert got["ck"] == "ck"                       # bare TLD
+
+    def test_passthrough_and_null(self, spark):
+        got = self._run(spark, ["10.1.2.3", "localhost", "co.uk", None])
+        assert got["10.1.2.3"] == "10.1.2.3"
+        assert got["localhost"] == "localhost"
+        assert got["co.uk"] == "co.uk"                 # host == public suffix
+        assert got[None] is None
+
+    def test_heuristic_divergence_documented(self, spark):
+        """The cases the retired heuristic got wrong, pinned."""
+        got = self._run(spark, ["www.x.gob.mx", "u.github.io"])
+        assert got["www.x.gob.mx"] == "x.gob.mx"
+        assert got["u.github.io"] == "u.github.io"
+        # heuristic answers for the same hosts (kept as the no-join fallback)
+        heur = dict(spark.createDataFrame(
+            [("www.x.gob.mx",), ("u.github.io",)], "h string").select(
+            "h", urls.registrable_domain(F.col("h")).alias("d")).collect())
+        assert heur["www.x.gob.mx"] == "gob.mx"        # wrong: suffix only
+        assert heur["u.github.io"] == "github.io"      # wrong: platform root
+
+    def test_full_dat_loader(self, spark, tmp_path):
+        """load_psl_rules parses the publicsuffix.org dat format: comments,
+        wildcards, exceptions, the private-section markers."""
+        dat = tmp_path / "psl.dat"
+        dat.write_text("\n".join([
+            "// ===BEGIN ICANN DOMAINS===",
+            "com", "uk", "co.uk",
+            "jp",
+            "*.kawasaki.jp",
+            "!city.kawasaki.jp",
+            "// ===END ICANN DOMAINS===",
+            "// ===BEGIN PRIVATE DOMAINS===",
+            "example-pages.dev",
+            "// ===END PRIVATE DOMAINS===",
+        ]))
+        rules = urls.load_psl_rules(str(dat))
+        assert ("co.uk", False, False) in rules
+        assert ("kawasaki.jp", True, False) in rules
+        assert ("city.kawasaki.jp", False, True) in rules
+        assert ("example-pages.dev", False, False) in rules
+        assert not any(k == "com" for k, _, _ in rules)  # bare TLD skipped
+        no_priv = urls.load_psl_rules(str(dat), include_private=False)
+        assert not any(k == "example-pages.dev" for k, _, _ in no_priv)
+        rdf = urls.psl_rules_df(spark, rules)
+        got = self._run(spark, [
+            "a.b.kawasaki.jp", "city.kawasaki.jp", "x.city.kawasaki.jp",
+            "shop.example-pages.dev",
+        ], rules_df=rdf)
+        # *.kawasaki.jp: b.kawasaki.jp is a public suffix
+        assert got["a.b.kawasaki.jp"] == "a.b.kawasaki.jp"
+        # !city.kawasaki.jp: the exception carves the city domain out
+        assert got["city.kawasaki.jp"] == "city.kawasaki.jp"
+        assert got["x.city.kawasaki.jp"] == "city.kawasaki.jp"
+        assert got["shop.example-pages.dev"] == "shop.example-pages.dev"
