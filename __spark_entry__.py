@@ -2503,15 +2503,12 @@ def _q_group_rolling_scale(spark, sf):
         "event_id", "event_type",
         F.when(F.pmod(F.col("event_id"), F.lit(7)) >= 2,
                F.round(F.col("value"), 6).cast("decimal(18,6)")).alias("v"))
-    s = ordered.grouped_rolling_sum(base, ["event_type"], ["event_id"],
-                                    "v", 25, min_periods=5, out="rsum",
-                                    num_partitions=8)
-    m = ordered.grouped_rolling_mean(s, ["event_type"], ["event_id"],
-                                     "v", 25, min_periods=5, out="rmean",
-                                     num_partitions=8)
-    vr = ordered.grouped_rolling_var(m, ["event_type"], ["event_id"],
-                                     "v", 25, min_periods=5, out="rvar",
-                                     num_partitions=8)
+    # ONE fused pass serves all three stats (grouped_rolling_stats) —
+    # the chained sum→mean→var form paid three range exchanges
+    vr = ordered.grouped_rolling_stats(
+        base, ["event_type"], ["event_id"], "v", 25,
+        stats=(("sum", "rsum"), ("mean", "rmean"), ("var", "rvar")),
+        min_periods=5, num_partitions=8)
     return vr.select("event_id", "event_type",
                      F.col("v").cast("double").alias("v"),
                      F.col("rsum").cast("double").alias("rsum"),
@@ -2577,10 +2574,12 @@ def _q_group_rolling_time_scale(spark, sf):
         "event_id", "event_type",
         F.when(F.pmod(F.col("event_id"), F.lit(7)) >= 2,
                F.round(F.col("value"), 6).cast("decimal(18,6)")).alias("v"))
+    # event_id is unique within the group: unique_on removes the per-key
+    # pre-aggregate and the join back (2 corpus exchanges)
     out = ordered.grouped_rolling_time(
         base, ["event_type"], "event_id", "v", 1000,
         funcs=("sum", "mean", "count", "var"), min_periods=2,
-        num_partitions=8)
+        num_partitions=8, unique_on=True)
     return out.select("event_id", "event_type",
                       F.col("v").cast("double").alias("v"),
                       F.col("v_tsum"), F.col("v_tmean"),

@@ -470,6 +470,79 @@ def grouped_rolling_sum(
     return joined
 
 
+def grouped_rolling_stats(
+    df: DataFrame,
+    group_by,
+    order_by,
+    value: str,
+    window: int,
+    stats=(("sum", None), ("mean", None), ("var", None)),
+    min_periods: int | None = None,
+    ddof: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Several trailing-window stats (sum/mean/var/std/count) from ONE
+    fused :func:`_grouped_running` pass and ONE narrow prefix self-join —
+    what chaining grouped_rolling_sum → _mean → _var pays three range
+    exchanges and three persists for (r9: the chained form re-partitions
+    the full frame per stat; this shares the running (C, N, C2) state).
+    ``stats`` is a list of ``(stat, out_name)`` pairs (out_name None →
+    ``{value}_rolling_{stat}``). Same semantics, guards and — on the
+    DECIMAL input path — the same canonical double expression shapes as
+    the single-stat operators, so oracles written against those match
+    this op bit-for-bit."""
+    if window is None or window < 1:
+        raise ValueError("window must be a positive int")
+    stats = [(s, o or f"{value}_rolling_{s}") for s, o in stats]
+    allowed = {"sum", "mean", "var", "std", "count"}
+    bad = {s for s, _ in stats} - allowed
+    if bad:
+        raise ValueError(f"unsupported rolling stats: {sorted(bad)}")
+    mp = window if min_periods is None else min_periods
+    gnames = [group_by] if isinstance(group_by, str) else list(group_by)
+    want_sq = bool({"var", "std"} & {s for s, _ in stats})
+    run = _grouped_running(df, gnames, order_by, value, num_partitions,
+                           want_sq=want_sq)
+    rsel = [*[F.col(g).alias(f"__jg_{i}") for i, g in enumerate(gnames)],
+            (F.col("__rn") + F.lit(window)).alias("__jrn"),
+            F.col("__C").alias("__Cp"), F.col("__N").alias("__Np")]
+    if want_sq:
+        rsel.append(F.col("__C2").alias("__C2p"))
+    right = run.select(*rsel)
+    cond = F.col("__rn") == F.col("__jrn")
+    for i, g in enumerate(gnames):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__jg_{i}"))
+    zero = _sum_zero(df, value)
+    n_in = F.col("__N") - F.coalesce("__Np", F.lit(0))
+    s_raw = F.coalesce(F.col("__C"), zero) - F.coalesce(F.col("__Cp"), zero)
+    sd = s_raw.cast("double")
+    if want_sq:
+        s2d = (F.coalesce(F.col("__C2"), zero)
+               - F.coalesce(F.col("__C2p"), zero)).cast("double")
+    guard = n_in >= F.lit(max(mp, 1))
+    out_df = run.join(right, cond, "left")
+    for stat, oname in stats:
+        if stat == "count":
+            expr = n_in.cast("long")
+        elif stat == "sum":
+            expr = F.when(guard, s_raw)
+        elif stat == "mean":
+            expr = F.when(guard, sd / n_in)
+        else:
+            num = F.greatest(s2d - sd * sd / n_in, F.lit(0.0))
+            val = num / (n_in - F.lit(ddof))
+            if stat == "std":
+                val = F.sqrt(val)
+            expr = F.when(guard & (n_in > F.lit(ddof)), val)
+        out_df = out_df.withColumn(oname, expr)
+    drop = ["__rn", "__C", "__N", "__jrn", "__Cp", "__Np",
+            *[f"__jg_{i}" for i in range(len(gnames))]]
+    if want_sq:
+        drop += ["__C2", "__C2p"]
+    return attach_cached(out_df.drop(*drop),
+                         *getattr(run, "_pps_cached", ()))
+
+
 def _grouped_multi_cumsum(df, gnames, order_by, pairs, num_partitions):
     """:func:`grouped_cumsum` over SEVERAL value columns in one fused
     range-partition pass (one exchange, one persist, one boundary frame
@@ -528,6 +601,7 @@ def grouped_rolling_time(
     funcs=("sum",),
     min_periods: int = 1,
     num_partitions: int | None = None,
+    unique_on: bool = False,
 ) -> DataFrame:
     """Time-based trailing window (``GroupBy.rolling_time`` semantics:
     the closed range frame ``[on − window, on]`` incl. ALL peer rows at
@@ -547,7 +621,18 @@ def grouped_rolling_time(
     (data, anchor) pair on (group, on) — frame stats are the cumulative
     differences — and joins back to the rows.
     min/max are not prefix-differenceable — use the window form or a
-    bucketed join for those. Rows with NULL ``on`` emit NULL outputs."""
+    bucketed join for those. Rows with NULL ``on`` emit NULL outputs.
+
+    ``unique_on=True`` asserts ``(group, on)`` is UNIQUE (the usual
+    time-series index contract) and removes TWO corpus shuffles: the
+    per-key pre-aggregate degenerates to a projection, and the raw value
+    rides the fused pass so the final join back to the input is
+    unnecessary — the collapse frame IS the result (r9: 2 of the 4
+    corpus-sized exchanges gone; measured below bar at sf1 while the
+    sf100 A/B shape is unchanged). Under this flag rows with NULL ``on``
+    are dropped (they carry no window) and the output columns are
+    exactly ``group + on + value + stats``; duplicate ``(group, on)``
+    keys would silently merge — callers own the uniqueness contract."""
     allowed = {"sum", "mean", "count", "var", "std"}
     bad = set(funcs) - allowed
     if bad:
@@ -561,11 +646,18 @@ def grouped_rolling_time(
     # distinct-timestamp frame (corpus-sized in the worst case — hence
     # ONE fused range-partition pass over all three columns, not a
     # per-group window and not three separate cumsum passes)
-    agg = (df.filter(F.col(on).isNotNull())
-           .groupBy(*gnames, on)
-           .agg(F.sum(v).alias("__ts"),
-                F.count(v).cast("double").alias("__tn"),
-                F.sum(v * v).alias("__ts2")))
+    if unique_on:
+        agg = (df.filter(F.col(on).isNotNull())
+               .select(*gnames, F.col(on),
+                       v.alias("__ts"),
+                       v.isNotNull().cast("double").alias("__tn"),
+                       (v * v).alias("__ts2")))
+    else:
+        agg = (df.filter(F.col(on).isNotNull())
+               .groupBy(*gnames, on)
+               .agg(F.sum(v).alias("__ts"),
+                    F.count(v).cast("double").alias("__tn"),
+                    F.sum(v * v).alias("__ts2")))
     # (2) one fused running pass over the data∪anchor union: anchors are
     # all-zero rows at key on − window, ordered before data rows at equal
     # keys, so their running totals ARE the strictly-before prefix
@@ -589,14 +681,20 @@ def grouped_rolling_time(
     # (3) collapse each (data, anchor) pair — exactly two rows per
     # (group, on) — into frame stats via the cumulative differences
     isd = F.col("__isd") == 1
-    stats = run.groupBy(*gnames, "__src").agg(
+    saggs = [
         F.max(F.when(isd, F.col("__cs"))).alias("__cs"),
         F.max(F.when(isd, F.col("__cn"))).alias("__cn"),
         F.max(F.when(isd, F.col("__cs2"))).alias("__cs2"),
         F.max(F.when(~isd, F.col("__cs"))).alias("__bs"),
         F.max(F.when(~isd, F.col("__cn"))).alias("__bn"),
         F.max(F.when(~isd, F.col("__cs2"))).alias("__bs2"),
-    ).withColumnRenamed("__src", on)
+    ]
+    if unique_on:
+        # the raw per-key value rides the pass so the result needs no
+        # join back to the input
+        saggs.append(F.max(F.when(isd, F.col("__ts"))).alias("__vraw"))
+    stats = (run.groupBy(*gnames, "__src").agg(*saggs)
+             .withColumnRenamed("__src", on))
     zs = F.lit(0).cast(stats.schema["__cs"].dataType)
     zs2 = F.lit(0).cast(stats.schema["__cs2"].dataType)
     n_in = F.coalesce("__cn", F.lit(0.0)) - F.coalesce("__bn", F.lit(0.0))
@@ -622,14 +720,20 @@ def grouped_rolling_time(
             e = F.when(guard & (n_in > 1), vb / (n_in - F.lit(1)))
             expr = F.sqrt(e) if func == "std" else e
         outcols.append(expr.alias(name))
+    cached = getattr(run, "_pps_cached", ())
+    if unique_on:
+        return attach_cached(
+            stats.select(*gnames, F.col(on),
+                         F.col("__vraw").alias(value), *outcols), *cached)
     per_key = stats.select(
         *[F.col(g).alias(f"__rg_{i}") for i, g in enumerate(gnames)],
         F.col(on).alias("__ron"), *outcols)
     jcond = F.col(on) == F.col("__ron")
     for i, g in enumerate(gnames):
         jcond = jcond & F.col(g).eqNullSafe(F.col(f"__rg_{i}"))
-    return (df.join(per_key, jcond, "left")
-            .drop("__ron", *[f"__rg_{i}" for i in range(len(gnames))]))
+    return attach_cached(
+        df.join(per_key, jcond, "left")
+        .drop("__ron", *[f"__rg_{i}" for i in range(len(gnames))]), *cached)
 
 
 def grouped_rank(
@@ -660,7 +764,17 @@ def grouped_rank(
     ``(method, pct, out_name)`` triples sharing the single numbering
     pass, tie frame and size frame (overrides method/pct/out; each
     extra method is one more column expression, not another operator
-    pipeline)."""
+    pipeline).
+
+    Fast path (r9): when NO method is 'first', per-ROW positions are
+    never needed — tmin/tmax/dense all derive from per-(group, value)
+    COUNTS: dense = the tie row's index in value order, tmax = the
+    running count sum, tmin = tmax − count + 1. The corpus then pays one
+    hash aggregate and one join ON THE SAME KEY (AQE reuses the
+    exchange), and the whole numbering machinery runs over the
+    (group, distinct-value) tie frame only — via the same fused
+    :func:`_grouped_running` two-phase pass, so a corpus-sized tie
+    frame (continuous values) still has no per-group funnel."""
     gnames = [group_by] if isinstance(group_by, str) else list(group_by)
     if methods is None:
         methods = [(method, pct, out or f"{value}_rank")]
@@ -671,6 +785,33 @@ def grouped_rank(
             raise ValueError(f"unsupported rank method: {m}")
     v = F.col(value)
     vord = (v.asc_nulls_last() if ascending else v.desc_nulls_last())
+    need_dense = any(m == "dense" for m, _, _ in methods)
+    need_sizes = any(p for _, p, _ in methods)
+    if not any(m == "first" for m, _, _ in methods):
+        cnt = (df.filter(v.isNotNull())
+               .groupBy(*gnames, value)
+               .agg(F.count(F.lit(1)).alias("__tcnt")))
+        run = _grouped_running(cnt, gnames, [vord], "__tcnt",
+                               num_partitions)
+        ties = run.select(
+            *[F.col(g).alias(f"__tg_{i}") for i, g in enumerate(gnames)],
+            F.col(value).alias("__tv"),
+            (F.col("__C") - F.col("__tcnt") + F.lit(1)).cast("long")
+            .alias("__tmin"),
+            F.col("__C").cast("long").alias("__tmax"),
+            F.col("__rn").alias("__tdense"))
+        cond = v == F.col("__tv")
+        for i, g in enumerate(gnames):
+            cond = cond & F.col(g).eqNullSafe(F.col(f"__tg_{i}"))
+        joined = df.join(ties, cond, "left")
+        joined = _rank_exprs(joined, ties, gnames, methods, v, need_sizes,
+                             rrn=None)
+        out_df = joined.drop(
+            "__tmin", "__tmax", "__tv", "__tdense",
+            *[f"__tg_{i}" for i in range(len(gnames))],
+            *([f"__sg_{i}" for i in range(len(gnames))] + ["__gnn", "__gnd"]
+              if need_sizes else []))
+        return attach_cached(out_df, *getattr(run, "_pps_cached", ()))
     order = [vord] + _order_cols(tiebreak)
     rn = grouped_row_number(df, gnames, order, out="__rrn",
                             num_partitions=num_partitions)
@@ -681,8 +822,6 @@ def grouped_rank(
             out_df = out_df.withColumn(
                 oname, F.when(v.isNotNull(), F.col("__rrn").cast("double")))
         return out_df.drop("__rrn")
-    need_dense = any(m == "dense" for m, _, _ in methods)
-    need_sizes = any(p for _, p, _ in methods)
     ties = nnrows.groupBy(*gnames, value).agg(
         F.min("__rrn").alias("__tmin"), F.max("__rrn").alias("__tmax"))
     if need_dense:
@@ -698,18 +837,41 @@ def grouped_rank(
     for i, g in enumerate(gnames):
         cond = cond & F.col(g).eqNullSafe(F.col(f"__tg_{i}"))
     joined = rn.join(ties, cond, "left")
+    joined = _rank_exprs(joined, ties, gnames, methods, v, need_sizes,
+                         rrn="__rrn")
+    drop = ["__rrn", "__tmin", "__tmax", "__tv",
+            *[f"__tg_{i}" for i in range(len(gnames))]]
     if need_sizes:
-        sizes = nnrows.groupBy(*gnames).agg(
-            F.count(F.lit(1)).alias("__gnn"),
-            F.count_distinct(v).alias("__gnd"))
+        drop += ["__gnn", "__gnd",
+                 *[f"__sg_{i}" for i in range(len(gnames))]]
+    if need_dense:
+        drop.append("__tdense")
+    return attach_cached(joined.drop(*drop),
+                         *getattr(rn, "_pps_cached", ()),
+                         *getattr(ties, "_pps_cached", ()))
+
+
+def _rank_exprs(joined, ties, gnames, methods, v, need_sizes, rrn):
+    """Shared tail of :func:`grouped_rank`: the per-group size frame and
+    the per-method rank expressions. Sizes derive from the TIE frame, not
+    another corpus-wide aggregate — Σ(tmax − tmin + 1) over tie rows is
+    the group's non-null count and count(*) its distinct count, so one
+    tiny agg replaces a full corpus scan + two-phase count_distinct (r9:
+    that corpus-side count_distinct was both the biggest codegen unit and
+    a second full-corpus exchange in this plan)."""
+    if need_sizes:
+        sizes = (ties.groupBy(*[F.col(f"__tg_{i}")
+                                for i in range(len(gnames))])
+                 .agg(F.sum(F.col("__tmax") - F.col("__tmin") + F.lit(1))
+                      .cast("long").alias("__gnn"),
+                      F.count(F.lit(1)).alias("__gnd"))
+                 .select(*[F.col(f"__tg_{i}").alias(f"__sg_{i}")
+                           for i in range(len(gnames))], "__gnn", "__gnd"))
         scond = None
         for i, g in enumerate(gnames):
             c = F.col(g).eqNullSafe(F.col(f"__sg_{i}"))
             scond = c if scond is None else scond & c
-        joined = joined.join(
-            sizes.select(*[F.col(g).alias(f"__sg_{i}")
-                           for i, g in enumerate(gnames)], "__gnn", "__gnd"),
-            scond, "left")
+        joined = joined.join(sizes, scond, "left")
     for m, p, oname in methods:
         if m == "min":
             rank = F.col("__tmin").cast("double")
@@ -720,19 +882,12 @@ def grouped_rank(
         elif m == "dense":
             rank = F.col("__tdense").cast("double")
         else:  # first
-            rank = F.col("__rrn").cast("double")
+            rank = F.col(rrn).cast("double")
         if p:
             denom = F.col("__gnd") if m == "dense" else F.col("__gnn")
             rank = rank / denom
         joined = joined.withColumn(oname, F.when(v.isNotNull(), rank))
-    drop = ["__rrn", "__tmin", "__tmax", "__tv",
-            *[f"__tg_{i}" for i in range(len(gnames))]]
-    if need_sizes:
-        drop += ["__gnn", "__gnd",
-                 *[f"__sg_{i}" for i in range(len(gnames))]]
-    if need_dense:
-        drop.append("__tdense")
-    return joined.drop(*drop)
+    return joined
 
 
 def grouped_cumminmax(

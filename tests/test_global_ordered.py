@@ -357,6 +357,39 @@ class TestGroupedRolling:
             else:
                 assert gm[k] == pytest.approx(wm[k], rel=1e-12, abs=1e-9), k
 
+    @pytest.mark.parametrize("n", PARTS)
+    def test_fused_stats_match_single_ops(self, rframe, n):
+        """grouped_rolling_stats = the chained single-stat operators from
+        ONE running pass: sum/mean/var/std/count all agree with the
+        window form."""
+        from pandas_plus_spark.functions.ordered import grouped_rolling_stats
+        got = grouped_rolling_stats(
+            rframe, ["g"], ["rid"], "v", 7,
+            stats=(("sum", "s"), ("mean", "m"), ("var", "vv"),
+                   ("std", "sd"), ("count", "c")),
+            min_periods=3, num_partitions=n)
+        w = (Window.partitionBy("g").orderBy("rid")
+             .rowsBetween(-6, Window.currentRow))
+        guard = F.count("v").over(w) >= 3
+        want = (rframe
+                .withColumn("s", F.when(guard, F.sum("v").over(w)))
+                .withColumn("m", F.when(guard, F.avg("v").over(w)))
+                .withColumn("vv", F.when(guard & (F.count("v").over(w) > 1),
+                                         F.var_samp("v").over(w)))
+                .withColumn("sd", F.when(guard & (F.count("v").over(w) > 1),
+                                         F.stddev_samp("v").over(w)))
+                .withColumn("c", F.count("v").over(w)))
+        gm = {r.rid: r for r in got.collect()}
+        wm = {r.rid: r for r in want.collect()}
+        assert set(gm) == set(wm)
+        for k in wm:
+            for c in ("s", "m", "vv", "sd", "c"):
+                a, b = gm[k][c], wm[k][c]
+                if b is None:
+                    assert a is None, (k, c)
+                else:
+                    assert a == pytest.approx(b, rel=1e-9, abs=1e-9), (k, c)
+
     def test_mean_matches_window_form(self, rframe):
         from pandas_plus_spark.functions.ordered import grouped_rolling_mean
         got = grouped_rolling_mean(rframe, ["g"], ["rid"], "v", 7,
