@@ -24,6 +24,22 @@ This script FAILS (exit 1) when the current registry order breaks that:
 50 stalest entries after the upcoming round is assumed green), which is
 the deterministic rotation plan for the next session.
 
+Sustainability policy (r9, the registry-growth decision): the registry
+may keep growing PAST 50 × 3 because the cadence K = ceil(N/50) grows
+with it — the driver-side window is a spot-check cadence, not the
+correctness gate. The every-round full gate is LOCAL: pytest runs the
+complete registry against DuckDB at sf0.001 (subset per-query at each
+run, full sweep via run_gate at round close), so every entry is
+value-checked every round regardless of its driver cadence. Growth
+budget per round = 50 − (due entries + code-changed re-verifications) —
+the checker's greedy simulation (2·K + 1 rounds ahead, i.e. through at
+least r18 from r9) FAILS the build when a planned order leaves any
+entry unable to meet its cadence, and that failure is the trigger to
+consolidate near-twin gates (fold multiple operators into one
+value-checked query where their oracles compose) in the NEXT session's
+first commit, exactly like the cadence trigger itself. Hash-failed rows
+count as UNVERIFIED (r8 lesson) and re-enter the head immediately.
+
 No Spark session is needed: the registry order is parsed from the
 ``queries()`` source and history from ``CORRECTNESS_r*.json``.
 """
