@@ -2994,6 +2994,73 @@ def _q_repetition_signals(spark, sf):
     return line_part.join(shares, "doc_id")
 
 
+def _q_boilerplate_removal(spark, sf):
+    """HTML boilerplate removal (operators/cleaning.py
+    remove_boilerplate): the Boilerpipe/JusText-lite two-signal block
+    classifier — block segmentation on block-level tags, per-block
+    tag-strip + entity decode, keep blocks with ≥25 chars and link-text
+    density ≤0.3 — run over deterministic per-doc HTML (link-dense nav +
+    short title + body prose + optional second paragraph with an
+    &amp; entity + link-dense footer). The oracle CONSTRUCTS the
+    expected clean text and block counts directly from the doc_id
+    arithmetic, so a split-boundary, link-density, entity-decode, or
+    whitespace-normalization bug fails the value hash. Pure Column
+    machinery (one regex split + HOF transform/filter — no UDF)."""
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 400).select("doc_id"))
+    d = F.col("doc_id").cast("string")
+    k7 = (F.col("doc_id") % 7).cast("string")
+    k5 = (F.col("doc_id") % 5).cast("string")
+    html = F.concat(
+        F.lit('<html><body><div class="nav"><a href="/">Home</a> | '
+              '<a href="/a">About</a> | <a href="/c">Contact</a></div>'),
+        F.lit("<h1>Title "), d, F.lit("</h1>"),
+        F.lit("<p>This is the main body of document "), d,
+        F.lit(". It talks about topic"), k7,
+        F.lit(" at length and has enough characters to pass the block"
+              " threshold.</p>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("<p>Second paragraph with more prose about"
+                              " topic"), k5,
+                        F.lit(" &amp; extra details.</p>")))
+        .otherwise(F.lit("")),
+        F.lit('<div class="footer"><a href="/tos">Terms</a> '
+              '<a href="/priv">Privacy</a></div></body></html>'))
+    bp = cleaning.remove_boilerplate(html)
+    return docs.select(
+        "doc_id",
+        bp["text"].alias("clean_text"),
+        bp["n_blocks"].cast("int").alias("n_blocks"),
+        bp["n_kept"].cast("int").alias("n_kept"))
+
+
+def _q_snapshot_diff(spark, sf):
+    """Dataset-version diff (operators/corpus.py snapshot_diff): two
+    snapshots derived from the documents table by doc_id arithmetic
+    (every 17th doc removed, every 11th's text changed, every 13th
+    re-added under a shifted id), statuses added/removed/changed/
+    unchanged per doc. The engine compares md5 content digests through
+    a narrow full-outer join; the oracle constructs every status
+    directly from the arithmetic — digest, join-shape, or null-handling
+    bugs fail row-level."""
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 3000)
+            .select("doc_id", "text", "lang"))
+    old = docs
+    kept = docs.filter(F.col("doc_id") % 17 != 0)
+    modified = kept.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+        "lang")
+    added = (docs.filter(F.col("doc_id") % 13 == 0)
+             .select((F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+                     "text", "lang"))
+    new = modified.unionByName(added)
+    return corpus.snapshot_diff(old, new, "doc_id", ["text", "lang"])
+
+
 def _q_repetition_filter(spark, sf):
     """End-to-end Gopher repetition gate over the injected corpus: which
     documents survive the dup-line/top-2-gram thresholds."""
@@ -3685,11 +3752,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_curation_pipeline": _q_crawl_curation_pipeline,
         "url_normalize": _q_url_normalize,
         "crawl_domain_stats": _q_crawl_domain_stats,
+        # r9 late additions (new -> must be in the window):
+        "boilerplate_removal": _q_boilerplate_removal,
+        "snapshot_diff": _q_snapshot_diff,
         # stalest r6-era fill:
         "oov_rate": _q_oov_rate,
+        # --- tail: least-recently-verified first ---
         "label_cohesion": _q_label_cohesion,
         "nanops_rowwise": _q_nanops_rowwise,
-        # --- tail: least-recently-verified first ---
         "streaming_sessions": _q_streaming_sessions,
         "q1_pricing_summary": _q_q1_pricing_summary,
         "masked_sum": _q_masked_sum,
@@ -5181,6 +5251,37 @@ def oracle_sql() -> dict[str, str]:
                                                   threshold=0.3),
         "simhash_poly": _sql_simhash_poly(bits=24),
         "dup_clusters": _sql_dup_clusters(threshold=0.2),
+        "boilerplate_removal": """
+            -- expected clean text / block counts CONSTRUCTED from the
+            -- fixture arithmetic: nav + footer are link-dense (dropped),
+            -- the title is under min_chars (dropped), body paragraphs
+            -- survive with the &amp; entity decoded
+            SELECT doc_id,
+                   'This is the main body of document ' || doc_id
+                   || '. It talks about topic' || (doc_id % 7)
+                   || ' at length and has enough characters to pass the'
+                   || ' block threshold.'
+                   || CASE WHEN doc_id % 3 = 0 THEN
+                        ' Second paragraph with more prose about topic'
+                        || (doc_id % 5) || ' & extra details.'
+                      ELSE '' END AS clean_text,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 4 END
+                        AS INTEGER) AS n_blocks,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END
+                        AS INTEGER) AS n_kept
+            FROM documents WHERE doc_id < 400
+        """,
+        "snapshot_diff": """
+            -- statuses constructed directly from the snapshot arithmetic
+            SELECT doc_id,
+                   CASE WHEN doc_id % 17 = 0 THEN 'removed'
+                        WHEN doc_id % 11 = 0 THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM documents WHERE doc_id < 3000
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, 'added' AS status
+            FROM documents WHERE doc_id < 3000 AND doc_id % 13 = 0
+        """,
         "crawl_curation_pipeline": f"""
             -- every stage reconstructed from the warc-fixture doc_id
             -- arithmetic: status/text gates, the per-domain cap via the

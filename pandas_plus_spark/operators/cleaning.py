@@ -106,6 +106,111 @@ def sql_redact_pii(expr: str, categories=PII_ORDER) -> str:
 _TERMINAL = (".", "!", "?", '"', "'")
 
 
+# --------------------------------------------------------------------- #
+# HTML boilerplate removal (Boilerpipe/JusText-lite)
+# --------------------------------------------------------------------- #
+
+# Java-regex ∩ RE2 patterns (the PII discipline: every pattern below runs
+# verbatim under DuckDB's RE2 in the oracle twins).
+# block-level tags delimit candidate content blocks; <br> too
+BLOCK_SPLIT_RE = (r"(?i)(?:</?(?:p|div|h[1-6]|li|td|tr|ul|ol|table|thead|"
+                  r"tbody|section|article|aside|nav|header|footer|"
+                  r"blockquote|main|form)(?:\s[^>]*)?>|<br\s*/?>)")
+ANCHOR_TEXT_RE = r"(?i)<a(?:\s[^>]*)?>([^<]*)</a>"
+ANY_TAG_RE = r"<[^>]*>"
+# minimal entity decode, &amp; LAST so decoded ampersands never re-decode
+HTML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
+
+
+def _block_text(seg: Column) -> Column:
+    """Tag-strip + whitespace-normalize + entity-decode one block segment."""
+    t = F.trim(F.regexp_replace(
+        F.regexp_replace(seg, ANY_TAG_RE, " "), r"\s+", " "))
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return t
+
+
+def boilerplate_blocks(col) -> Column:
+    """HTML split into candidate content blocks with the two classic
+    boilerplate signals per block — the Boilerpipe/JusText family's core
+    features, dependency-free: segments between BLOCK-level tags, each
+    carrying its tag-stripped text and its LINK-TEXT length (characters
+    inside ``<a>`` elements — navigation/footer chrome is link-dense,
+    body prose is not). Returns ``array<struct<txt string, alen int>>``
+    with empty segments dropped. Pure Column machinery: one regex split,
+    higher-order transform/filter — no UDF, no parser library (nested
+    anchors and scripted markup are out of scope; the contract is
+    crawl-scale triage, not DOM fidelity)."""
+    segs = F.split(_c(col), BLOCK_SPLIT_RE)
+    blocks = F.transform(
+        segs,
+        lambda s: tx.let(
+            _block_text(s),
+            lambda t: F.struct(
+                t.alias("txt"),
+                F.coalesce(
+                    F.aggregate(
+                        F.regexp_extract_all(s, F.lit(ANCHOR_TEXT_RE),
+                                             F.lit(1)),
+                        F.lit(0),
+                        lambda acc, x: acc + F.length(x)),
+                    F.lit(0)).alias("alen"))))
+    return F.filter(blocks, lambda b: F.length(b["txt"]) > 0)
+
+
+def remove_boilerplate(col, min_chars: int = 25,
+                       max_link_density: float = 0.3) -> dict[str, Column]:
+    """Main-content extraction: keep blocks with at least ``min_chars``
+    of stripped text whose link-text share is at most
+    ``max_link_density`` — the two-signal block classifier that removes
+    nav bars, footers, tag clouds and related-links chrome while keeping
+    body prose (the Boilerpipe NumWords/LinkDensity rule pair). Returns
+    ``{"text", "n_blocks", "n_kept"}`` Columns; ``text`` joins the kept
+    blocks with single spaces. All JVM-side column expressions — the
+    per-doc cost is one regex split + one pass over its blocks."""
+    blocks = boilerplate_blocks(col)
+    kept = F.filter(
+        blocks,
+        lambda b: (F.length(b["txt"]) >= F.lit(int(min_chars)))
+        & (b["alen"].cast("double")
+           <= F.lit(float(max_link_density))
+           * F.length(b["txt"]).cast("double")))
+    return {
+        "text": F.array_join(F.transform(kept, lambda b: b["txt"]), " "),
+        "n_blocks": F.size(blocks),
+        "n_kept": F.size(kept),
+    }
+
+
+def sql_remove_boilerplate(expr: str, min_chars: int = 25,
+                           max_link_density: float = 0.3) -> dict[str, str]:
+    """DuckDB twins of :func:`remove_boilerplate` (same patterns, RE2;
+    DuckDB's regexp_replace needs the explicit 'g' flag where Spark
+    replaces globally). Returns SQL snippets keyed like the Columns."""
+    strip = (f"regexp_replace(regexp_replace(s, '{ANY_TAG_RE}', ' ', 'g'),"
+             f" '\\s+', ' ', 'g')")
+    t = f"trim({strip})"
+    for ent, ch in HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        t = f"replace({t}, '{ent}', '{lit}')"
+    blocks = (
+        "list_filter(list_transform("
+        f"string_split_regex({expr}, '{BLOCK_SPLIT_RE}'), "
+        f"s -> struct_pack(txt := {t}, alen := coalesce(list_sum("
+        f"list_transform(regexp_extract_all(s, '{ANCHOR_TEXT_RE}', 1), "
+        "x -> length(x))), 0))), b -> length(b.txt) > 0)")
+    kept = (f"list_filter({blocks}, b -> length(b.txt) >= {int(min_chars)} "
+            f"AND CAST(b.alen AS DOUBLE) <= {float(max_link_density)} "
+            "* CAST(length(b.txt) AS DOUBLE))")
+    return {
+        "text": (f"array_to_string(list_transform({kept}, b -> b.txt), ' ')"),
+        "n_blocks": f"len({blocks})",
+        "n_kept": f"len({kept})",
+    }
+
+
 def c4_line_stats(col, min_words: int = 5) -> dict[str, Column]:
     """Line-level C4 statistics as pure Columns.
 

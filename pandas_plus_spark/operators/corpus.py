@@ -215,3 +215,42 @@ def source_health(
             (F.col("__tq") / F.col("n_docs").cast("double")).alias("avg_quality"),
         )
     )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    content_cols,
+    out: str = "status",
+) -> DataFrame:
+    """Dataset-version diff — the training-corpus release comparison:
+    every doc id in either snapshot labeled ``added`` / ``removed`` /
+    ``changed`` / ``unchanged``, comparing the listed content columns.
+
+    Scale shape: each side is PROJECTED to (id, md5-of-canonical-concat)
+    before the join — wide document rows never shuffle — then one
+    full-outer join keyed on the id; on bucketed snapshot layouts
+    (write_bucketed on the id) the join is exchange-free. The canonical
+    form joins columns with the 0x1f unit separator and maps NULL to
+    0x01, so column boundaries and nulls are unambiguous; md5 is
+    cross-engine (a DuckDB oracle reproduces the digest bit-for-bit —
+    chr(31)/chr(1) on that side). Numeric columns should be
+    canonicalized to strings by the CALLER (engine-native float
+    formatting differs across engines)."""
+    cols = ([content_cols] if isinstance(content_cols, str)
+            else list(content_cols))
+
+    def digest(df: DataFrame, alias: str) -> DataFrame:
+        canon = F.concat_ws(
+            "\u001f", *[F.coalesce(F.col(c).cast("string"), F.lit("\u0001"))
+                        for c in cols])
+        return df.select(F.col(id_col), F.md5(canon).alias(alias))
+
+    j = digest(old_df, "__ho").join(digest(new_df, "__hn"), id_col,
+                                    "full_outer")
+    status = (F.when(F.col("__ho").isNull(), F.lit("added"))
+              .when(F.col("__hn").isNull(), F.lit("removed"))
+              .when(F.col("__ho") == F.col("__hn"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select(F.col(id_col), status.alias(out))

@@ -170,3 +170,115 @@ class TestQuantileCalibrationDf:
         kept = quantile_threshold_filter(scored, "source", "q", 0.5,
                                          calibration_df=calib)
         assert sorted(r.doc_id for r in kept.collect()) == [1]
+
+
+class TestBoilerplate:
+    """remove_boilerplate: block segmentation, link-density, entity decode."""
+
+    def _run(self, spark, html, **kw):
+        from pandas_plus_spark.operators.cleaning import remove_boilerplate
+        df = spark.createDataFrame([(html,)], "h string")
+        bp = remove_boilerplate(F.col("h"), **kw)
+        return df.select(bp["text"].alias("t"), bp["n_blocks"].alias("nb"),
+                         bp["n_kept"].alias("nk")).first()
+
+    def test_nav_and_footer_dropped_body_kept(self, spark):
+        html = ('<div><a href="/">Home</a> <a href="/a">About</a></div>'
+                '<p>This paragraph is long enough to be kept as real body '
+                'prose by the classifier.</p>'
+                '<div class="f"><a href="/t">Terms</a></div>')
+        r = self._run(spark, html)
+        assert r.t.startswith("This paragraph is long enough")
+        assert r.nb == 3 and r.nk == 1
+
+    def test_entities_and_whitespace_normalized(self, spark):
+        html = ("<p>Fish &amp; chips &lt;with&gt;   salt &quot;daily&quot; "
+                "&#39;fresh&#39;&nbsp;today — a sentence long enough to "
+                "stay.</p>")
+        r = self._run(spark, html)
+        assert "Fish & chips <with> salt \"daily\" 'fresh' today" in r.t
+        assert "  " not in r.t
+
+    def test_link_density_threshold(self, spark):
+        # exactly at the threshold stays (<=), just above goes
+        body = "x" * 70
+        at = f'<p><a href="/">{"y" * 21}</a>{body}</p>'      # 21/91 < 0.3
+        over = f'<p><a href="/">{"y" * 40}</a>{body[:40]}</p>'  # 40/80 = 0.5
+        assert self._run(spark, at).nk == 1
+        assert self._run(spark, over).nk == 0
+
+    def test_br_and_case_insensitive_tags(self, spark):
+        html = ("<P>First block of prose that is clearly long enough to "
+                "keep.<BR/>Second block also clearly long enough to be "
+                "kept around.</P>")
+        r = self._run(spark, html)
+        assert r.nb == 2 and r.nk == 2
+        assert "First block" in r.t and "Second block" in r.t
+
+    def test_no_block_tags_whole_doc_one_block(self, spark):
+        r = self._run(spark, "just a plain string of sufficient length to "
+                             "pass the minimum character threshold")
+        assert r.nb == 1 and r.nk == 1
+
+    def test_empty_and_markup_only(self, spark):
+        assert self._run(spark, "").nb == 0
+        r = self._run(spark, "<div><p></p></div>")
+        assert r.nb == 0 and r.nk == 0 and r.t == ""
+
+    def test_duckdb_twin_matches(self, spark):
+        """sql_remove_boilerplate reproduces the engine on messy input."""
+        import duckdb
+        from pandas_plus_spark.operators.cleaning import (
+            remove_boilerplate, sql_remove_boilerplate)
+        htmls = [
+            '<div><a href="/">Home</a> | <a href="/x">X</a></div>'
+            '<h1>T</h1><p>Body paragraph number one with plenty of '
+            'characters to stay in.</p><ul><li>short</li><li>'
+            'A list item that happens to be long enough to stay too.'
+            '</li></ul><div><a href="/t">Terms</a></div>',
+            '<P>Fish &amp; chips&nbsp;&quot;daily&quot; and a tail long '
+            'enough to keep this block.</P><BR>short tail',
+        ]
+        df = spark.createDataFrame([(h,) for h in htmls], "h string")
+        bp = remove_boilerplate(F.col("h"))
+        got = [(r.t, r.nb, r.nk) for r in df.select(
+            bp["text"].alias("t"), bp["n_blocks"].alias("nb"),
+            bp["n_kept"].alias("nk")).collect()]
+        twins = sql_remove_boilerplate("h")
+        con = duckdb.connect()
+        want = []
+        for h in htmls:
+            con.execute("CREATE OR REPLACE TABLE t AS SELECT ? AS h", [h])
+            want.append(tuple(con.execute(
+                f"SELECT {twins['text']}, {twins['n_blocks']}, "
+                f"{twins['n_kept']} FROM t").fetchone()))
+        assert [(t, int(nb), int(nk)) for t, nb, nk in got] == \
+            [(t, int(nb), int(nk)) for t, nb, nk in want]
+
+
+class TestSnapshotDiff:
+    def test_statuses(self, spark):
+        from pandas_plus_spark.operators.corpus import snapshot_diff
+        old = spark.createDataFrame(
+            [(1, "a", "en"), (2, "b", "en"), (3, "c", "de"), (4, "d", "fr")],
+            "id long, text string, lang string")
+        new = spark.createDataFrame(
+            [(1, "a", "en"), (2, "B", "en"), (5, "e", "es")],
+            "id long, text string, lang string")
+        got = dict(snapshot_diff(old, new, "id", ["text", "lang"])
+                   .collect())
+        assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                       4: "removed", 5: "added"}
+
+    def test_null_vs_empty_and_column_boundaries(self, spark):
+        from pandas_plus_spark.operators.corpus import snapshot_diff
+        old = spark.createDataFrame(
+            [(1, None, "x"), (2, "ab", "c")],
+            "id long, a string, b string")
+        new = spark.createDataFrame(
+            [(1, "", "x"), (2, "a", "bc")],
+            "id long, a string, b string")
+        got = dict(snapshot_diff(old, new, "id", ["a", "b"]).collect())
+        # NULL != empty string; ("ab","c") != ("a","bc") thanks to the
+        # unit separator — both must read as changed
+        assert got == {1: "changed", 2: "changed"}

@@ -52,6 +52,8 @@ SUBSET = [
     "crawl_domain_stats",
     "crawl_curation_pipeline",
     "image_header_meta",
+    "boilerplate_removal",
+    "snapshot_diff",
     "token_budget",
     "quantile_calibration",
     "leakage_split",
