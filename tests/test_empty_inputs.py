@@ -187,3 +187,47 @@ class TestEmptyParitySweep:
         assert g.ewm_std("v", alpha=0.5, bias=True).count() == 0
         # alpha=1 special path
         assert g.ewm_mean("v", alpha=1.0).count() == 0
+
+
+class TestRound9Ops:
+    def test_boilerplate_null_and_empty_df(self, spark):
+        from pandas_plus_spark.operators.cleaning import remove_boilerplate
+        df = spark.createDataFrame([(None,), ("",)], "h string")
+        bp = remove_boilerplate(F.col("h"))
+        rows = {i: r for i, r in enumerate(
+            df.select(bp["text"].alias("t"), bp["n_blocks"].alias("nb"),
+                      bp["n_kept"].alias("nk")).collect())}
+        # NULL html -> NULL outputs (ANSI size(NULL) = NULL), empty -> 0
+        assert rows[0].t is None and rows[0].nb is None
+        assert rows[1].t == "" and rows[1].nb == 0 and rows[1].nk == 0
+        empty = spark.createDataFrame([], "h string")
+        assert empty.select(bp["text"]).count() == 0
+
+    def test_snapshot_diff_empty_sides(self, spark):
+        from pandas_plus_spark.operators.corpus import snapshot_diff
+        full = spark.createDataFrame([(1, "a")], "id long, t string")
+        empty = spark.createDataFrame([], "id long, t string")
+        assert dict(snapshot_diff(empty, full, "id", ["t"]).collect()) == \
+            {1: "added"}
+        assert dict(snapshot_diff(full, empty, "id", ["t"]).collect()) == \
+            {1: "removed"}
+        assert snapshot_diff(empty, empty, "id", ["t"]).count() == 0
+
+    def test_registrable_domain_empty_df(self, spark):
+        from pandas_plus_spark.functions import urls
+        empty = spark.createDataFrame([], "h string")
+        assert urls.with_registrable_domain(empty, "h", out="d").count() == 0
+
+    def test_rolling_stats_empty(self, spark):
+        from pandas_plus_spark.functions.ordered import grouped_rolling_stats
+        empty = spark.createDataFrame([], "rid long, g string, v double")
+        out = grouped_rolling_stats(empty, ["g"], ["rid"], "v", 5,
+                                    stats=(("sum", "s"), ("var", "vv")))
+        assert out.count() == 0
+
+    def test_rolling_time_unique_on_empty(self, spark):
+        from pandas_plus_spark.functions.ordered import grouped_rolling_time
+        empty = spark.createDataFrame([], "g string, t long, v double")
+        out = grouped_rolling_time(empty, ["g"], "t", "v", 10,
+                                   funcs=("sum", "count"), unique_on=True)
+        assert out.count() == 0
