@@ -2041,6 +2041,55 @@ def _q_image_header_meta(spark, sf):
     return feats.select("doc_id", "width", "height", "n_channels")
 
 
+def _q_image_phash_dedup(spark, sf):
+    """Perceptual image dedup over REAL pixels: deterministic 24-bit BMPs
+    (gradient (a·x + b·y) mod 200 + brightness c, params from doc_id; the
+    second hundred docs are brightness-shifted copies of the first) are
+    built in mapInPandas, pixel-DECODED from the actual BMP bytes
+    (bottom-up rows, stride padding — multimodal.decode_bmp_pixels), then
+    aHash/dHash (integer 8x8 / 8x9 nearest-neighbor grids) and banded
+    Hamming near-dup pairs (dedup.hamming_pairs: 16-bit bands, xor
+    bit_count ≤ 6). Ships per-doc (ahash, dhash, n_dups). The oracle
+    recomputes every hash bit CLOSED-FORM from the pixel arithmetic and
+    replays the banding/Hamming join in SQL — a decode-offset, row-order,
+    resample, threshold, bit-packing, band, or distance bug fails the
+    hash. aHash/dHash are brightness-shift invariant, so each shifted
+    copy pairs with its original at distance 0."""
+    import pandas as _pd
+
+    from pandas_plus_spark.operators.multimodal import bmp_pixel_bytes
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 200).select("doc_id"))
+
+    def make(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                a = 2 + (did % 100) % 9
+                b = 3 + (did % 100) % 7
+                c = 10 if did < 100 else 30
+
+                def fn(x, y, a=a, b=b, c=c):
+                    v = (a * x + b * y) % 200 + c
+                    return (v, v, v)
+
+                blobs.append(bmp_pixel_bytes(32, 20, fn))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs_df = docs.mapInPandas(make, "doc_id long, blob binary")
+    hashes = multimodal.extract_perceptual_hashes(blobs_df, "blob", "doc_id")
+    pairs = dedup.hamming_pairs(hashes, "ahash", "doc_id", max_dist=6)
+    cnt = (pairs.select(F.col("id_a").alias("doc_id"))
+           .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("__nd")))
+    out = (hashes.join(cnt, "doc_id", "left")
+           .select("doc_id", "ahash", "dhash",
+                   F.coalesce("__nd", F.lit(0)).cast("long").alias("n_dups")))
+    return attach_cached(out, *getattr(pairs, "_pps_cached", ()))
+
+
 _WAV_RATES = [8000, 16000, 22050, 44100]
 
 
@@ -3755,9 +3804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9 late additions (new -> must be in the window):
         "boilerplate_removal": _q_boilerplate_removal,
         "snapshot_diff": _q_snapshot_diff,
-        # stalest r6-era fill:
-        "oov_rate": _q_oov_rate,
+        "image_phash_dedup": _q_image_phash_dedup,
         # --- tail: least-recently-verified first ---
+        "oov_rate": _q_oov_rate,
         "label_cohesion": _q_label_cohesion,
         "nanops_rowwise": _q_nanops_rowwise,
         "streaming_sessions": _q_streaming_sessions,
@@ -5251,6 +5300,85 @@ def oracle_sql() -> dict[str, str]:
                                                   threshold=0.3),
         "simhash_poly": _sql_simhash_poly(bits=24),
         "dup_clusters": _sql_dup_clusters(threshold=0.2),
+        "image_phash_dedup": """
+            -- every hash bit recomputed CLOSED-FORM from the fixture's
+            -- pixel arithmetic (g(x,y) = (a*x+b*y) % 200 + c; gray ==
+            -- channel value; 8x8 / 8x9 nearest grids sample at
+            -- floor(j*W/8), floor(i*H/8) with W=32, H=20), then the same
+            -- 16-bit banding + Hamming<=6 join as the engine. Band
+            -- extraction masks with 65535 so arithmetic vs logical
+            -- right-shift agree on the sign-extended top band.
+            WITH params AS (
+                SELECT doc_id,
+                       2 + (doc_id % 100) % 9 AS a,
+                       3 + (doc_id % 100) % 7 AS b,
+                       CASE WHEN doc_id < 100 THEN 10 ELSE 30 END AS c
+                FROM documents WHERE doc_id < 200
+            ), grid8 AS (
+                SELECT i.generate_series AS i, j.generate_series AS j
+                FROM generate_series(0, 7) i, generate_series(0, 7) j
+            ), g8 AS (
+                SELECT p.doc_id, gr.i, gr.j,
+                       (p.a * ((gr.j * 32) // 8)
+                        + p.b * ((gr.i * 20) // 8)) % 200 + p.c AS g
+                FROM params p, grid8 gr
+            ), a8 AS (
+                SELECT doc_id, i * 8 + j AS k, g,
+                       sum(g) OVER (PARTITION BY doc_id) AS tot
+                FROM g8
+            ), ah AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN 64 * g >= tot THEN
+                                  CASE WHEN k = 0
+                                       THEN CAST(-9223372036854775808
+                                                 AS BIGINT)
+                                       ELSE (CAST(1 AS BIGINT) << (63 - k))
+                                  END ELSE 0 END) AS BIGINT) AS ahash
+                FROM a8 GROUP BY doc_id
+            ), grid9 AS (
+                SELECT i.generate_series AS i, j.generate_series AS j
+                FROM generate_series(0, 7) i, generate_series(0, 8) j
+            ), g9 AS (
+                SELECT p.doc_id, gr.i, gr.j,
+                       (p.a * ((gr.j * 32) // 9)
+                        + p.b * ((gr.i * 20) // 8)) % 200 + p.c AS g
+                FROM params p, grid9 gr
+            ), dh AS (
+                SELECT l.doc_id,
+                       CAST(sum(CASE WHEN r.g > l.g THEN
+                                  CASE WHEN l.i * 8 + l.j = 0
+                                       THEN CAST(-9223372036854775808
+                                                 AS BIGINT)
+                                       ELSE (CAST(1 AS BIGINT)
+                                             << (63 - (l.i * 8 + l.j)))
+                                  END ELSE 0 END) AS BIGINT) AS dhash
+                FROM g9 l JOIN g9 r
+                  ON l.doc_id = r.doc_id AND l.i = r.i AND r.j = l.j + 1
+                WHERE l.j < 8
+                GROUP BY l.doc_id
+            ), hashes AS (
+                SELECT ah.doc_id, ah.ahash, dh.dhash
+                FROM ah JOIN dh ON ah.doc_id = dh.doc_id
+            ), bands AS (
+                SELECT doc_id, ahash, q.generate_series AS band,
+                       (ahash >> (q.generate_series * 16)) & 65535 AS bval
+                FROM hashes, generate_series(0, 3) q
+            ), pairs AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.bval = y.bval
+                 AND x.doc_id < y.doc_id
+                WHERE bit_count(CAST(xor(x.ahash, y.ahash) AS BIGINT)) <= 6
+            ), cnt AS (
+                SELECT doc_id, count(*) AS nd FROM (
+                    SELECT id_a AS doc_id FROM pairs
+                    UNION ALL SELECT id_b FROM pairs
+                ) GROUP BY doc_id
+            )
+            SELECT h.doc_id, h.ahash, h.dhash,
+                   CAST(coalesce(c.nd, 0) AS BIGINT) AS n_dups
+            FROM hashes h LEFT JOIN cnt c ON h.doc_id = c.doc_id
+        """,
         "boilerplate_removal": """
             -- expected clean text / block counts CONSTRUCTED from the
             -- fixture arithmetic: nav + footer are link-dense (dropped),

@@ -998,6 +998,49 @@ def simhash_candidates(sig_df: DataFrame, quadrant_bits: int = 16,
     return attach_cached(out, entries)
 
 
+def hamming_pairs(hash_df: DataFrame, hash_col: str, id_col: str = "id",
+                  max_dist: int = 6, band_bits: int = 16,
+                  max_bucket_size: int | None = 1024) -> DataFrame:
+    """Near-dup pairs under HAMMING distance over a 64-bit hash column —
+    the candidate/verify shape for perceptual-image dedup
+    (multimodal.extract_perceptual_hashes) or any 64-bit signature:
+    candidates share at least one ``band_bits`` band of the hash (the
+    simhash quadrant trick — guaranteed recall for distance <
+    64/band_bits), verified by ``bit_count(a XOR b) <= max_dist``, all
+    JVM-side. Same hot-bucket cap as the other LSH families (flat-color
+    thumbnails all hash to 0 — a classic mega-bucket). NULL hashes
+    (undecodable blobs) are excluded. Output: (id_a, id_b, hamming).
+    """
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    src = hash_df.filter(F.col(hash_col).isNotNull())
+    entries = src.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("__h64"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(q).alias("band"),
+                F.shiftrightunsigned(hash_col, q * band_bits)
+                 .bitwiseAND(F.lit(mask)).alias("bval"))
+            for q in range(n_bands)
+        ])).alias("b"),
+    ).select("id", "__h64", "b.band", "b.bval").persist()
+    capped = entries
+    if max_bucket_size is not None:
+        capped = _cap_bucket_entries(entries, ["band", "bval"],
+                                     max_bucket_size)
+    a, b = capped.alias("a"), capped.alias("b")
+    ham = F.bit_count(F.col("a.__h64").bitwiseXOR(F.col("b.__h64")))
+    out = (
+        a.join(b, on=["band", "bval"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                ham.alias("hamming"))
+        .where(F.col("hamming") <= F.lit(int(max_dist)))
+        .distinct()
+    )
+    return attach_cached(out, entries)
+
+
 # --------------------------------------------------------------------- #
 # clustering the near-dup graph + keep-list selection
 # --------------------------------------------------------------------- #

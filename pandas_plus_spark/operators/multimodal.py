@@ -637,3 +637,147 @@ def extract_image_features(df: DataFrame, blob_col: str, id_col: str) -> DataFra
     return df.select(F.col(id_col).alias(id_col), F.col(blob_col)).mapInPandas(
         decode_batches, schema=out_schema
     )
+
+
+# --------------------------------------------------------------------- #
+# REAL pixel decode (BMP) + perceptual hashing
+# --------------------------------------------------------------------- #
+#
+# BMP (BI_RGB, 24-bit) carries RAW uncompressed pixels, so full-pixel
+# decode needs no codec library: pixel rows are BGR byte triples, padded
+# to 4-byte boundaries, stored BOTTOM-UP for positive heights (top-down
+# when the DIB height is negative). That makes the whole
+# decode -> grayscale -> resample -> perceptual-hash pipeline REAL here,
+# while JPEG/PNG pixel decode stays behind the documented stub seam.
+
+def bmp_pixel_bytes(width: int, height: int, pixel_fn,
+                    top_down: bool = False) -> bytes:
+    """Complete 24-bit BI_RGB BMP with pixel data from ``pixel_fn(x, y)``
+    -> (r, g, b); origin top-left. The fixture generator for the REAL
+    pixel-decode path (rows written bottom-up unless ``top_down``,
+    4-byte row padding per spec)."""
+    stride = (3 * width + 3) & ~3
+    img_size = stride * height
+    header = (b"BM" + (54 + img_size).to_bytes(4, "little") + bytes(4)
+              + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+              + width.to_bytes(4, "little", signed=True)
+              + (-height if top_down else height).to_bytes(
+                  4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + bytes(4)                       # BI_RGB
+              + img_size.to_bytes(4, "little") + bytes(16))
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            row += bytes((b & 0xFF, g & 0xFF, r & 0xFF))
+        row += bytes(stride - 3 * width)
+        rows.append(bytes(row))
+    if not top_down:
+        rows.reverse()
+    return header + b"".join(rows)
+
+
+def decode_bmp_pixels(blob: bytes):
+    """REAL 24-bit BI_RGB BMP pixel decode -> numpy (H, W, 3) RGB uint8
+    array (top-left origin), or None for non-BMP / unsupported variants.
+    Pure byte arithmetic per the spec: pixel-array offset from bfOffBits,
+    BGR triples, 4-byte row padding, bottom-up rows for positive DIB
+    heights, top-down for negative."""
+    import numpy as np
+    if blob[:2] != b"BM" or len(blob) < 54:
+        return None
+    dib = int.from_bytes(blob[14:18], "little")
+    if dib not in _BMP_DIB_SIZES:
+        return None
+    width = int.from_bytes(blob[18:22], "little", signed=True)
+    raw_h = int.from_bytes(blob[22:26], "little", signed=True)
+    bits = int.from_bytes(blob[28:30], "little")
+    compression = int.from_bytes(blob[30:34], "little")
+    if width <= 0 or raw_h == 0 or bits != 24 or compression != 0:
+        return None
+    height = abs(raw_h)
+    off = int.from_bytes(blob[10:14], "little")
+    stride = (3 * width + 3) & ~3
+    if off + stride * height > len(blob):
+        return None
+    arr = np.frombuffer(blob, dtype=np.uint8,
+                        count=stride * height, offset=off)
+    rows = arr.reshape(height, stride)[:, :3 * width].reshape(
+        height, width, 3)
+    if raw_h > 0:                               # bottom-up storage
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()              # BGR -> RGB
+
+
+def _gray_grid(px, gh: int, gw: int):
+    """Integer grayscale resample: nearest-neighbor sample at
+    (floor(i*H/gh), floor(j*W/gw)), gray = floor(mean of R,G,B) — all
+    integer arithmetic so an independent SQL oracle reproduces every
+    value exactly."""
+    import numpy as np
+    h, w = px.shape[:2]
+    ys = (np.arange(gh) * h) // gh
+    xs = (np.arange(gw) * w) // gw
+    sample = px[np.ix_(ys, xs)].astype(np.int64)
+    return sample.sum(axis=2) // 3
+
+
+def ahash64(px) -> int:
+    """Average hash: 8x8 grayscale grid, bit k (row-major, MSB first) set
+    when 64*g[k] >= sum(g) — the integer form of g[k] >= mean, exact in
+    any engine. Returns a SIGNED 64-bit int (two's complement), the form
+    a BIGINT column carries."""
+    g = _gray_grid(px, 8, 8).reshape(-1)
+    total = int(g.sum())
+    bits = [1 if 64 * int(v) >= total else 0 for v in g]
+    return _bits_to_i64(bits)
+
+
+def dhash64(px) -> int:
+    """Difference hash: 8x9 grayscale grid, bit (i,j) set when the right
+    neighbor is strictly brighter (g[i][j+1] > g[i][j]); brightness-shift
+    invariant like ahash. Signed 64-bit."""
+    g = _gray_grid(px, 8, 9)
+    bits = [1 if int(g[i][j + 1]) > int(g[i][j]) else 0
+            for i in range(8) for j in range(8)]
+    return _bits_to_i64(bits)
+
+
+def _bits_to_i64(bits) -> int:
+    val = 0
+    for b in bits:
+        val = (val << 1) | b
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("ahash", T.LongType()),
+    T.StructField("dhash", T.LongType()),
+])
+
+
+def extract_perceptual_hashes(df: DataFrame, blob_col: str,
+                              id_col: str) -> DataFrame:
+    """(id, ahash, dhash) from REAL pixel decode — Arrow-batched
+    mapInPandas, numpy per batch, no shuffle. Blobs that fail to decode
+    (non-BMP, truncated) yield NULL hashes and stay in the frame for the
+    caller to triage."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + list(PHASH_SCHEMA.fields))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                px = decode_bmp_pixels(bytes(blob))
+                if px is None:
+                    rows.append((rid, None, None))
+                else:
+                    rows.append((rid, ahash64(px), dhash64(px)))
+            yield pd.DataFrame(rows, columns=[id_col, "ahash", "dhash"])
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        batches, schema=out_schema)

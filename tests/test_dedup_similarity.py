@@ -1078,3 +1078,80 @@ class TestDuplicatedSpans:
         texts = {r["doc_id"]: r["clean_text"] for r in out.collect()}
         orig = {r["doc_id"]: r["text"] for r in span_docs.collect()}
         assert texts == orig
+
+
+class TestPerceptualHash:
+    """REAL BMP pixel decode + aHash/dHash + banded Hamming pairs."""
+
+    def test_decode_pins_spec_details(self):
+        """Asymmetric pattern pins bottom-up row order, BGR order and
+        stride padding (W=5 -> 16-byte rows); the top-down variant must
+        decode identically."""
+        import numpy as np
+        from pandas_plus_spark.operators.multimodal import (
+            bmp_pixel_bytes, decode_bmp_pixels)
+
+        def fn(x, y):
+            return ((7 * x + 13 * y + 3) % 256, (x + 1) % 256, (y + 2) % 256)
+
+        px = decode_bmp_pixels(bmp_pixel_bytes(5, 3, fn))
+        assert px.shape == (3, 5, 3)
+        for y in range(3):
+            for x in range(5):
+                assert tuple(px[y, x]) == fn(x, y), (x, y)
+        px2 = decode_bmp_pixels(bmp_pixel_bytes(5, 3, fn, top_down=True))
+        assert (px2 == px).all()
+
+    def test_decode_rejects_non_pixel_bmps(self):
+        from pandas_plus_spark.operators.multimodal import (
+            bmp_header_bytes, decode_bmp_pixels)
+        # header-only fixture (no pixel data) must return None, not junk
+        assert decode_bmp_pixels(bmp_header_bytes(10, 10)) is None
+        assert decode_bmp_pixels(b"BM" + bytes(20)) is None
+        assert decode_bmp_pixels(b"nope") is None
+
+    def test_hashes_brightness_invariant_and_sensitive(self):
+        from pandas_plus_spark.operators.multimodal import (
+            ahash64, bmp_pixel_bytes, decode_bmp_pixels, dhash64)
+
+        def grad(c):
+            return lambda x, y: (((3 * x + 5 * y) % 200 + c),) * 3
+
+        base = decode_bmp_pixels(bmp_pixel_bytes(32, 20, grad(10)))
+        shifted = decode_bmp_pixels(bmp_pixel_bytes(32, 20, grad(50)))
+        assert ahash64(base) == ahash64(shifted)
+        assert dhash64(base) == dhash64(shifted)
+        flipped = decode_bmp_pixels(bmp_pixel_bytes(
+            32, 20, lambda x, y: (((3 * (31 - x) + 5 * y) % 200 + 10),) * 3))
+        assert dhash64(base) != dhash64(flipped)
+        # signed 64-bit range
+        for h in (ahash64(base), dhash64(base)):
+            assert -(1 << 63) <= h < (1 << 63)
+
+    def test_hamming_pairs(self, spark):
+        from pandas_plus_spark.operators.dedup import hamming_pairs
+        rows = [
+            (1, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x0F0F0F0F0F0F0F0E),   # distance 1 from id 1
+            (3, -1),                    # 0xFFFF... distance 32 from id 1
+            (4, None),                  # undecodable: excluded
+            (5, 0x0F0F0F0F0F0F0F0F),   # identical to id 1
+        ]
+        df = spark.createDataFrame(rows, "id long, h long")
+        got = {(r.id_a, r.id_b): r.hamming
+               for r in hamming_pairs(df, "h", "id", max_dist=6).collect()}
+        assert got == {(1, 2): 1, (1, 5): 0, (2, 5): 1}
+
+    def test_extract_hashes_sparkside(self, spark):
+        import pandas as pd
+        from pandas_plus_spark.operators.multimodal import (
+            ahash64, bmp_pixel_bytes, decode_bmp_pixels, dhash64,
+            extract_perceptual_hashes)
+        blob = bmp_pixel_bytes(16, 12, lambda x, y: ((x * y) % 251,) * 3)
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [1, 2], "blob": [blob, b"junk"]}))
+        got = {r.id: (r.ahash, r.dhash) for r in
+               extract_perceptual_hashes(df, "blob", "id").collect()}
+        px = decode_bmp_pixels(blob)
+        assert got[1] == (ahash64(px), dhash64(px))
+        assert got[2] == (None, None)

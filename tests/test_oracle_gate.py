@@ -54,6 +54,7 @@ SUBSET = [
     "image_header_meta",
     "boilerplate_removal",
     "snapshot_diff",
+    "image_phash_dedup",
     "token_budget",
     "quantile_calibration",
     "leakage_split",
