@@ -287,8 +287,20 @@ def lsh_candidate_pairs(
         cands = (
             a.join(b, on=["table", "bucket"])
             .where(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            # cross-table dedup shuffles the (potentially quadratic) pair
+            # set — pack the pair into ONE long before the distinct so the
+            # exchange moves 8 bytes/row instead of 16 and hashes one
+            # column (r9: the uncapped Zipfian fixture's cost is exactly
+            # this exchange; salting was measured useless there, byte
+            # volume is the remaining lever). Requires ids < 2^32 — LSH
+            # vec ids are row numbers in every caller; the capped path is
+            # the production route regardless.
+            .select((F.shiftleft(F.col("a.id"), 32)
+                     .bitwiseOR(F.col("b.id"))).alias("__pk"))
             .distinct()
+            .select(F.shiftrightunsigned("__pk", 32).alias("id_a"),
+                    F.col("__pk").bitwiseAND(F.lit((1 << 32) - 1))
+                    .alias("id_b"))
         )
     return attach_cached(cands, buckets)
 
