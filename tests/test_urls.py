@@ -158,3 +158,56 @@ class TestRegistrableDomainPSL:
         assert got["city.kawasaki.jp"] == "city.kawasaki.jp"
         assert got["x.city.kawasaki.jp"] == "city.kawasaki.jp"
         assert got["shop.example-pages.dev"] == "shop.example-pages.dev"
+
+
+class TestPSLProperty:
+    def test_random_hosts_match_reference_algorithm(self, spark):
+        """with_registrable_domain == an independent pure-Python
+        implementation of the publicsuffix.org algorithm over the same
+        rules, on a randomized host corpus (labels drawn from rule
+        vocabulary + noise so exact, wildcard, exception, private and
+        default paths all fire)."""
+        import random
+        rules = urls.psl_rules()
+
+        def ref_domain(host):
+            if host is None:
+                return None
+            import re
+            if re.fullmatch(r"\d{1,3}(\.\d{1,3}){3}", host):
+                return host
+            labels = host.split(".")
+            n = len(labels)
+            ps = 1
+            exc = None
+            for key, wild, is_exc in rules:
+                klabels = key.split(".")
+                k = len(klabels)
+                if k > n or labels[n - k:] != klabels:
+                    continue
+                if is_exc:
+                    exc = max(exc or 0, k - 1)
+                elif wild:
+                    if n >= k + 1:
+                        ps = max(ps, k + 1)
+                else:
+                    ps = max(ps, k)
+            if exc is not None:
+                ps = exc
+            # registrable domain = public suffix + one label
+            return host if n <= ps else ".".join(labels[n - ps - 1:])
+
+        rng = random.Random(91)
+        vocab = ["www", "a", "blog", "shop", "deep", "co", "com", "gov",
+                 "uk", "au", "jp", "mx", "gob", "github", "io", "ck",
+                 "np", "kawasaki", "example", "x1", "localhost", "dev",
+                 "pages", "amazonaws", "s3"]
+        hosts = [".".join(rng.choice(vocab)
+                          for _ in range(rng.randint(1, 5)))
+                 for _ in range(300)]
+        hosts += ["10.0.0.1", "www.ck", "sub.www.ck", None]
+        df = spark.createDataFrame([(h,) for h in hosts], "h string")
+        got = {r.h: r.d for r in urls.with_registrable_domain(
+            df, "h", out="d").select("h", "d").distinct().collect()}
+        for h in set(hosts):
+            assert got[h] == ref_domain(h), h
