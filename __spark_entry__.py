@@ -663,13 +663,14 @@ def _q_density(spark, sf):
 
 
 def _q_value_counts(spark, sf):
+    """Compound gate (r10 registry consolidation): value_counts and its
+    normalize=True form in one frame — both operator paths still execute,
+    both columns are value-checked by the one oracle."""
     orders = load_table(spark, sf, "orders")
-    return GroupBy(orders, "o_orderpriority").value_counts()
-
-
-def _q_value_counts_norm(spark, sf):
-    orders = load_table(spark, sf, "orders")
-    return GroupBy(orders, "o_orderpriority").value_counts(normalize=True)
+    g = GroupBy(orders, "o_orderpriority")
+    vc = g.value_counts()
+    vn = g.value_counts(normalize=True)
+    return vc.join(vn, "o_orderpriority")
 
 
 def _q_nunique(spark, sf):
@@ -724,28 +725,27 @@ def _q_cumsum(spark, sf):
         "o_custkey", "o_orderkey", "o_totalprice", "o_totalprice_cumsum")
 
 
-def _q_cummax(spark, sf):
-    ev = load_table(spark, sf, "events")
-    g = GroupBy(ev, "user_id", order_by=["ts", "event_id"])
-    return g.cummax("value").select("event_id", "user_id", "value", "value_cummax")
-
-
-def _q_cumcount(spark, sf):
-    ev = load_table(spark, sf, "events")
-    g = GroupBy(ev, "user_id", order_by=["ts", "event_id"])
-    return g.cumcount().select("event_id", "user_id", "cumcount")
-
-
 def _q_shift(spark, sf):
+    # kept callable for bench.py's warm-up shapes; the registry gate is the
+    # cumulative_gate compound below
     ev = load_table(spark, sf, "events")
     g = GroupBy(ev, "user_id", order_by=["ts", "event_id"])
     return g.shift("value").select("event_id", "user_id", "value", "value_shift")
 
 
-def _q_diff(spark, sf):
+def _q_cumulative_gate(spark, sf):
+    """Compound gate (r10 registry consolidation — folds the former cummax
+    / cumcount / shift / diff entries): all four grouped-cumulative
+    operators over the same (user_id, ts, event_id) ordering in one frame,
+    each column value-checked by the one oracle. event_id is unique so the
+    equi-joins are lossless."""
     ev = load_table(spark, sf, "events")
     g = GroupBy(ev, "user_id", order_by=["ts", "event_id"])
-    return g.diff("value").select("event_id", "user_id", "value", "value_diff")
+    base = _q_shift(spark, sf)
+    cm = g.cummax("value").select("event_id", "value_cummax")
+    cc = g.cumcount().select("event_id", "cumcount")
+    d = g.diff("value").select("event_id", "value_diff")
+    return base.join(cm, "event_id").join(cc, "event_id").join(d, "event_id")
 
 
 def _q_rolling_sum(spark, sf):
@@ -755,20 +755,26 @@ def _q_rolling_sum(spark, sf):
         "event_id", "user_id", "value", "value_rolling_sum")
 
 
-def _q_rolling_mean(spark, sf):
+def _q_rolling_gate(spark, sf):
+    """Compound gate (r10 registry consolidation — folds the former
+    rolling_sum / rolling_mean / rolling_minmax / rolling_sum_masked
+    entries): the fixed-window rolling family plus the masked variant
+    (window spans the last w UNMASKED observations, reference
+    numba.py:1196-1246) in one frame."""
     ev = load_table(spark, sf, "events")
     g = GroupBy(ev, "user_id", order_by=["ts", "event_id"])
-    return g.rolling_mean("value", window=3, min_periods=1).select(
-        "event_id", "user_id", "value", "value_rolling_mean")
-
-
-def _q_rolling_minmax(spark, sf):
-    ev = load_table(spark, sf, "events")
-    g = GroupBy(ev, "user_id", order_by=["ts", "event_id"])
-    out = g.rolling_min("value", window=5, min_periods=2)
-    out = GroupBy(out, "user_id", order_by=["ts", "event_id"]).rolling_max(
-        "value", window=5, min_periods=2)
-    return out.select("event_id", "user_id", "value_rolling_min", "value_rolling_max")
+    base = _q_rolling_sum(spark, sf)
+    rm = g.rolling_mean("value", window=3, min_periods=1).select(
+        "event_id", "value_rolling_mean")
+    mn = g.rolling_min("value", window=5, min_periods=2)
+    mx = GroupBy(mn, "user_id", order_by=["ts", "event_id"]).rolling_max(
+        "value", window=5, min_periods=2).select(
+        "event_id", "value_rolling_min", "value_rolling_max")
+    msk = g.rolling_sum("value", window=3, mask=F.col("event_type") != "error",
+                        min_periods=1).select(
+        "event_id", F.col("value_rolling_sum").alias("value_rolling_sum_masked"))
+    return (base.join(rm, "event_id").join(mx, "event_id")
+                .join(msk, "event_id"))
 
 
 def _q_sessionize(spark, sf):
@@ -1110,13 +1116,27 @@ def _q_incremental_dedup(spark, sf):
     incremental_dedup): docs with doc_id % 5 = 0 are the "new batch", the
     rest the existing corpus. Poly hash family so the whole pipeline —
     exact sha match, LSH band join new x ref, Jaccard verify, best-match
-    pick — is value-checked against the SQL twin."""
+    pick — is value-checked against the SQL twin.
+
+    Compound gate (r10 registry consolidation — folds the former
+    incremental_dedup_indexed / incremental_dedup_bucketed entries): all
+    THREE forms run — recompute-from-scratch, the stored parquet index
+    (production shape: per-batch cost proportional to the new data, Bloom
+    bitmap probed map-side), and the bucketed stored index (exact stage's
+    index side exchange- and sort-free from the bucket layout). The
+    layouts are pure precomputation, so the three tag-unioned frames must
+    be identical; the oracle replays the SQL twin once per tag."""
     docs = load_table(spark, sf, "documents")
     new_df = docs.filter(F.col("doc_id") % 5 == 0)
     ref_df = docs.filter(F.col("doc_id") % 5 != 0)
-    return dedup.incremental_dedup(
+    a = dedup.incremental_dedup(
         new_df, ref_df, "text", "doc_id", threshold=0.3,
         num_hashes=8, bands=4, shingle_size=3, hash_fn="poly")
+    b = _q_incremental_dedup_indexed(spark, sf)
+    c = _q_incremental_dedup_bucketed(spark, sf)
+    return (a.withColumn("form", F.lit("recompute"))
+             .unionByName(b.withColumn("form", F.lit("indexed")))
+             .unionByName(c.withColumn("form", F.lit("bucketed"))))
 
 
 def _ensure_ref_index(spark, sf):
@@ -1426,42 +1446,30 @@ def _q_lincomb(spark, sf):
     ).alias("lincomb_sum"))
 
 
-def _q_scatter_bins(spark, sf):
+def _q_scatter_fit(spark, sf):
+    """Compound gate (r10 registry consolidation — folds the former
+    scatter_bins / scatter_bins_approx / linear_fit entries): GroupScatter's
+    exact ntile binning and its scale path (exact quantile cutpoints via
+    approxQuantile(relative_error=0) + map-side bucketing, no global sort;
+    ties bucket together — documented divergence from ntile) tag-unioned,
+    with the distributed-moments regression line (cov/var closed form, one
+    aggregation pass) cross-joined as constant columns so all three
+    operators stay value-checked by the one oracle."""
     li = load_table(spark, sf, "lineitem")
-    return binned_scatter_stats(li, "l_extendedprice", "l_quantity", n_bins=20,
-                                tiebreak=["l_orderkey", "l_linenumber"])
-
-
-def _q_scatter_bins_approx(spark, sf):
-    """Scale path for GroupScatter binning: exact quantile cutpoints
-    (approxQuantile, relative_error=0) + map-side bucketing — no global
-    sort. Ties bucket together (documented divergence from ntile)."""
-    li = load_table(spark, sf, "lineitem")
-    return binned_scatter_stats(li, "l_extendedprice", "l_quantity", n_bins=20,
-                                method="cutpoints")
-
-
-def _q_linear_fit(spark, sf):
-    """GroupScatter's regression line from distributed moments
-    (cov/var closed form — one aggregation pass)."""
-    li = load_table(spark, sf, "lineitem")
-    return li.agg(
+    ex = binned_scatter_stats(li, "l_extendedprice", "l_quantity", n_bins=20,
+                              tiebreak=["l_orderkey", "l_linenumber"]
+                              ).withColumn("method", F.lit("ntile"))
+    ap = binned_scatter_stats(li, "l_extendedprice", "l_quantity", n_bins=20,
+                              method="cutpoints"
+                              ).withColumn("method", F.lit("cutpoints"))
+    fit = li.agg(
         (F.avg("l_extendedprice") - (F.covar_samp("l_quantity", "l_extendedprice")
                                      / F.var_samp("l_quantity")) * F.avg("l_quantity")
          ).alias("intercept"),
         (F.covar_samp("l_quantity", "l_extendedprice")
          / F.var_samp("l_quantity")).alias("slope"),
     )
-
-
-def _q_rolling_sum_masked(spark, sf):
-    """Masked rolling: window spans the last w UNMASKED observations
-    (reference circular-buffer semantics, numba.py:1196-1246)."""
-    ev = load_table(spark, sf, "events")
-    g = GroupBy(ev, "user_id", order_by=["ts", "event_id"])
-    out = g.rolling_sum("value", window=3, mask=F.col("event_type") != "error",
-                        min_periods=1)
-    return out.select("event_id", "user_id", "value_rolling_sum")
+    return ex.unionByName(ap).crossJoin(F.broadcast(fit))
 
 
 def _q_shift_masked(spark, sf):
@@ -2048,19 +2056,25 @@ def _q_image_phash_dedup(spark, sf):
     built in mapInPandas, pixel-DECODED from the actual BMP bytes
     (bottom-up rows, stride padding — multimodal.decode_bmp_pixels), then
     aHash/dHash (integer 8x8 / 8x9 nearest-neighbor grids) and banded
-    Hamming near-dup pairs (dedup.hamming_pairs: 16-bit bands, xor
-    bit_count ≤ 6). Ships per-doc (ahash, dhash, n_dups). The oracle
-    recomputes every hash bit CLOSED-FORM from the pixel arithmetic and
-    replays the banding/Hamming join in SQL — a decode-offset, row-order,
-    resample, threshold, bit-packing, band, or distance bug fails the
-    hash. aHash/dHash are brightness-shift invariant, so each shifted
-    copy pairs with its original at distance 0."""
+    Hamming near-dup pairs (dedup.hamming_pairs: bands derived from
+    max_dist — 7 bands of 9 bits for the xor bit_count ≤ 6 contract, so
+    recall is guaranteed by pigeonhole). Ships per-doc
+    (ahash, dhash, n_dups). The oracle recomputes every hash bit
+    CLOSED-FORM from the pixel arithmetic and joins pairs EXHAUSTIVELY
+    (no banding) — a decode-offset, row-order, resample, threshold,
+    bit-packing, or distance bug fails the hash, and any banding
+    under-recall in the engine fails the pair counts. Three doc groups:
+    0-99 originals, 100-199 brightness-shifted copies (aHash/dHash are
+    brightness-shift invariant -> distance-0 pairs), 200-299 column-0
+    stripe perturbations of the originals (measured spread: Hamming 0-9,
+    43 pairs in the 4-6 boundary band the old fixed 16-bit banding
+    silently missed — r10 ADVICE fix)."""
     import pandas as _pd
 
     from pandas_plus_spark.operators.multimodal import bmp_pixel_bytes
 
     docs = (load_table(spark, sf, "documents")
-            .where(F.col("doc_id") < 200).select("doc_id"))
+            .where(F.col("doc_id") < 300).select("doc_id"))
 
     def make(batches):
         for pdf in batches:
@@ -2069,10 +2083,11 @@ def _q_image_phash_dedup(spark, sf):
                 did = int(did)
                 a = 2 + (did % 100) % 9
                 b = 3 + (did % 100) % 7
-                c = 10 if did < 100 else 30
+                c = 30 if 100 <= did < 200 else 10
+                stripe = 40 if did >= 200 else 0
 
-                def fn(x, y, a=a, b=b, c=c):
-                    v = (a * x + b * y) % 200 + c
+                def fn(x, y, a=a, b=b, c=c, stripe=stripe):
+                    v = (a * x + b * y) % 200 + c + (stripe if x == 0 else 0)
                     return (v, v, v)
 
                 blobs.append(bmp_pixel_bytes(32, 20, fn))
@@ -2208,10 +2223,17 @@ def _url_fixture(d):
     fragments, www prefixes, multi-part public suffixes."""
     from pandas_plus_spark.functions import urls as _u  # noqa: F401
 
+    # r10: suffixes 8-11 exist ONLY in the full packaged PSL (not the old
+    # curated subset): *.nagoya.jp wildcard, the !city.kawasaki.jp
+    # exception, a 5-label private-section rule (exercises the derived
+    # join depth — the old fixed max_suffix_labels=4 could never match
+    # it), and a ccTLD second-level outside the subset
     suffix = F.element_at(
         F.array(F.lit("com"), F.lit("org"), F.lit("co.uk"), F.lit("io"),
                 F.lit("com.au"), F.lit("gob.mx"), F.lit("github.io"),
-                F.lit("ck")), (d % 8 + 1).cast("int"))
+                F.lit("ck"), F.lit("nagoya.jp"), F.lit("city.kawasaki.jp"),
+                F.lit("s3.dualstack.eu-central-1.amazonaws.com"),
+                F.lit("co.bw")), (d % 12 + 1).cast("int"))
     host = F.concat(
         F.when(d % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
         F.lit("Site"), (d % 23).cast("string"), F.lit("."), suffix)
@@ -3733,79 +3755,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the cadence or the window head is not least-recently-verified-
     # first; tests/test_oracle_gate.py runs it in pytest.
     #
-    # r8 WINDOW (first 50): the 6 entries new this round (WAV/MP4 header
-    # decode, WARC crawl ingestion, URL normalize + crawl-domain stats,
-    # the bucketed stored dedup index), the 36 r7-close entries that have
-    # never had a driver row (pandas-parity sweep + the few-huge-groups
-    # *_scale family + streaming_ewm), the 3 re-verifications of
-    # operators whose code changed this round (incremental_dedup_indexed
-    # + incremental_dedup: stage fusion + hub-edge capped candidates;
-    # cosine_neardup: gate warning filtered), and an r5-era fill
-    # (dup-graph/keep-list + streaming_neardup + pca/pack block) to 50.
-    # The r5-era remainder rotates into the r9 window head; the plan is
-    # the deterministic output of scripts/check_rotation.py --plan.
-    # Seeded rows-only entries stay PINNED adjacent to their
-    # value-checked twins (hyperplane_lsh_buckets<->lsh_recall,
-    # minhash_neardup<->poly, simhash_candidates<->poly,
-    # ivf_knn<->ann_recall).
+    # r10 WINDOW (first 50): the 3 compound gates new this round (the
+    # registry consolidation the sustainability policy mandates —
+    # scatter_fit, rolling_gate, cumulative_gate fold 11 former entries
+    # into 3 without losing value checks), the folded incremental_dedup
+    # (now runs all three index forms — code changed, re-verify), the 7
+    # re-verifications of operators whose code changes this round
+    # (perceptual-hash banding fix, the full-PSL packaging, the
+    # rolling-time/bigram perf rewrites, the fused-stats count guard),
+    # the 37 entries at the 4-round cadence bound (last green r6), and 2
+    # r7-era fills. The r7-era remainder rotates into the r11 window
+    # head; the plan is the deterministic output of
+    # scripts/check_rotation.py --plan. Seeded rows-only entries stay
+    # PINNED adjacent to their value-checked twins
+    # (hyperplane_lsh_buckets<->lsh_recall, minhash_neardup<->poly,
+    # simhash_candidates<->poly, ivf_knn<->ann_recall).
     return {
-        # --- r9 window head (driver samples the FIRST 50) ---
-        # 4 r8 hash-red re-verifications (decimal-exact float-shipping fix):
-        "expanding_stats": _q_expanding_stats,
-        "group_rolling_scale": _q_group_rolling_scale,
-        "group_expanding_scale": _q_group_expanding_scale,
-        "group_rolling_time_scale": _q_group_rolling_time_scale,
-        # 35 entries at the 4-round cadence bound (last green r5):
-        "asof_nearest": _q_asof_nearest,
-        "semantic_contamination": _q_semantic_contamination,
-        "containment_pairs": _q_containment_pairs,
-        "ivf_index_gate": _q_ivf_index_gate,
-        "quality_classifier": _q_quality_classifier,
-        "bigram_ppl": _q_bigram_ppl,
-        "source_cap": _q_source_cap,
-        "global_sample": _q_global_sample,
-        "segment_revenue_bucketed": _q_segment_revenue_bucketed,
-        "q6_forecast": _q_q6_forecast,
-        "q3_shipping": _q_q3_shipping,
-        "temperature_mixture": _q_temperature_mixture,
-        "duplicated_spans": _q_duplicated_spans,
-        "span_excision": _q_span_excision,
-        "segment_revenue": _q_segment_revenue,
-        "simhash_candidates": _q_simhash_candidates,
-        "simhash_poly": _q_simhash_poly,
-        "skew_topn_salted": _q_skew_topn_salted,
-        "skew_topn_uniform": _q_skew_topn_uniform,
-        "ivf_knn": _q_ivf_knn,
-        "ann_recall": _q_ann_recall,
-        "stratified_sample": _q_stratified_sample,
-        "split_assign": _q_split_assign,
-        "sample_per_group": _q_sample_per_group,
-        "pack_chunks": _q_pack_chunks,
-        "repetition_signals": _q_repetition_signals,
-        "repetition_filter": _q_repetition_filter,
-        "global_cumsum": _q_global_cumsum,
-        "global_shift": _q_global_shift,
-        "pii_scan": _q_pii_scan,
-        "c4_filter": _q_c4_filter,
-        "contamination": _q_contamination,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "bm25_rank": _q_bm25_rank,
-        "vocab_top": _q_vocab_top,
-        # code-changed r9 re-verifications:
+        # --- r10 window head (driver samples the FIRST 50) ---
+        # new compound gates (r10 consolidation; never driver-verified):
+        "scatter_fit": _q_scatter_fit,
+        "rolling_gate": _q_rolling_gate,
+        "cumulative_gate": _q_cumulative_gate,
+        # code-changed r10 re-verifications:
         "incremental_dedup": _q_incremental_dedup,
-        "incremental_dedup_indexed": _q_incremental_dedup_indexed,
-        "incremental_dedup_bucketed": _q_incremental_dedup_bucketed,
-        "image_header_meta": _q_image_header_meta,
-        "group_rank_scale": _q_group_rank_scale,
-        # new r9 entry + r9 code-changed re-verifications (PSL domain swap):
-        "crawl_curation_pipeline": _q_crawl_curation_pipeline,
+        "image_phash_dedup": _q_image_phash_dedup,
         "url_normalize": _q_url_normalize,
         "crawl_domain_stats": _q_crawl_domain_stats,
-        # r9 late additions (new -> must be in the window):
-        "boilerplate_removal": _q_boilerplate_removal,
-        "snapshot_diff": _q_snapshot_diff,
-        "image_phash_dedup": _q_image_phash_dedup,
-        # --- tail: least-recently-verified first ---
+        "crawl_curation_pipeline": _q_crawl_curation_pipeline,
+        "group_rolling_time_scale": _q_group_rolling_time_scale,
+        "bigram_ppl": _q_bigram_ppl,
+        "group_rolling_scale": _q_group_rolling_scale,
+        # 37 entries at the 4-round cadence bound (last green r6):
         "oov_rate": _q_oov_rate,
         "label_cohesion": _q_label_cohesion,
         "nanops_rowwise": _q_nanops_rowwise,
@@ -3825,7 +3805,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subset_ratio": _q_subset_ratio,
         "density": _q_density,
         "value_counts": _q_value_counts,
-        "value_counts_norm": _q_value_counts_norm,
         "group_nunique": _q_nunique,
         "margins_sum": _q_margins_sum,
         "crosstab_pivot": _q_crosstab,
@@ -3844,20 +3823,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_rank": _q_group_rank,
         "curation_pipeline": _q_curation_pipeline,
         "chunk_dedup": _q_chunk_dedup,
+        # r7-era fills to 50:
         "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
+        # --- tail: least-recently-verified first ---
         "unigram_ppl": _q_unigram_ppl,
         "frame_sample": _q_frame_sample,
         "source_health": _q_source_health,
         "cumsum": _q_cumsum,
-        "cummax": _q_cummax,
-        "cumcount": _q_cumcount,
-        "shift": _q_shift,
-        "diff": _q_diff,
-        "rolling_sum": _q_rolling_sum,
-        "rolling_mean": _q_rolling_mean,
-        "rolling_minmax": _q_rolling_minmax,
-        "rolling_sum_masked": _q_rolling_sum_masked,
         "shift_masked": _q_shift_masked,
         "observed_only_false": _q_observed_only_false,
         "nation_revenue": _q_nation_revenue,
@@ -3870,9 +3843,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretty_cut_bins": _q_pretty_cut,
         "bools_to_categorical": _q_bools_labels,
         "linear_combination": _q_lincomb,
-        "scatter_bins": _q_scatter_bins,
-        "scatter_bins_approx": _q_scatter_bins_approx,
-        "linear_fit": _q_linear_fit,
         "dedup_exact": _q_dedup_exact,
         "doc_token_stats": _q_token_stats,
         "lang_id_pred": _q_lang_pred,
@@ -3932,6 +3902,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup": _q_streaming_neardup,
         "pca_gate": _q_pca_gate,
         "pack_gate": _q_pack_gate,
+        # r9-verified remainder (rotates into the r13 window):
+        "expanding_stats": _q_expanding_stats,
+        "group_expanding_scale": _q_group_expanding_scale,
+        "asof_nearest": _q_asof_nearest,
+        "semantic_contamination": _q_semantic_contamination,
+        "containment_pairs": _q_containment_pairs,
+        "ivf_index_gate": _q_ivf_index_gate,
+        "quality_classifier": _q_quality_classifier,
+        "source_cap": _q_source_cap,
+        "global_sample": _q_global_sample,
+        "segment_revenue_bucketed": _q_segment_revenue_bucketed,
+        "q6_forecast": _q_q6_forecast,
+        "q3_shipping": _q_q3_shipping,
+        "temperature_mixture": _q_temperature_mixture,
+        "duplicated_spans": _q_duplicated_spans,
+        "span_excision": _q_span_excision,
+        "segment_revenue": _q_segment_revenue,
+        "simhash_candidates": _q_simhash_candidates,
+        "simhash_poly": _q_simhash_poly,
+        "skew_topn_salted": _q_skew_topn_salted,
+        "skew_topn_uniform": _q_skew_topn_uniform,
+        "ivf_knn": _q_ivf_knn,
+        "ann_recall": _q_ann_recall,
+        "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
+        "sample_per_group": _q_sample_per_group,
+        "pack_chunks": _q_pack_chunks,
+        "repetition_signals": _q_repetition_signals,
+        "repetition_filter": _q_repetition_filter,
+        "global_cumsum": _q_global_cumsum,
+        "global_shift": _q_global_shift,
+        "pii_scan": _q_pii_scan,
+        "c4_filter": _q_c4_filter,
+        "contamination": _q_contamination,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_rank": _q_bm25_rank,
+        "vocab_top": _q_vocab_top,
+        "image_header_meta": _q_image_header_meta,
+        "group_rank_scale": _q_group_rank_scale,
+        "boilerplate_removal": _q_boilerplate_removal,
+        "snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -4268,10 +4279,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "value_counts": """
-            SELECT o_orderpriority, count(*) AS count FROM orders GROUP BY o_orderpriority
-        """,
-        "value_counts_norm": """
-            SELECT o_orderpriority,
+            SELECT o_orderpriority, count(*) AS count,
                    count(*) / sum(count(*)) OVER () AS proportion
             FROM orders GROUP BY o_orderpriority
         """,
@@ -4324,57 +4332,18 @@ def oracle_sql() -> dict[str, str]:
                      AS o_totalprice_cumsum
             FROM orders
         """,
-        "cummax": """
+        "cumulative_gate": """
             SELECT event_id, user_id, value,
-                   max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_cummax
+                   lag(value) OVER wo AS value_shift,
+                   max(value) OVER wr AS value_cummax,
+                   row_number() OVER wo - 1 AS cumcount,
+                   value - lag(value) OVER wo AS value_diff
             FROM events
+            WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
-        "cumcount": """
-            SELECT event_id, user_id,
-                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
-                     AS cumcount
-            FROM events
-        """,
-        "shift": """
-            SELECT event_id, user_id, value,
-                   lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                     AS value_shift
-            FROM events
-        """,
-        "diff": """
-            SELECT event_id, user_id, value,
-                   value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                     AS value_diff
-            FROM events
-        """,
-        "rolling_sum": """
-            SELECT event_id, user_id, value,
-                   CASE WHEN count(value) OVER w >= 3 THEN sum(value) OVER w END
-                     AS value_rolling_sum
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        """,
-        "rolling_mean": """
-            SELECT event_id, user_id, value,
-                   CASE WHEN count(value) OVER w >= 1 THEN avg(value) OVER w END
-                     AS value_rolling_mean
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        """,
-        "rolling_minmax": """
-            SELECT event_id, user_id,
-                   CASE WHEN count(value) OVER w >= 2 THEN min(value) OVER w END
-                     AS value_rolling_min,
-                   CASE WHEN count(value) OVER w >= 2 THEN max(value) OVER w END
-                     AS value_rolling_max
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-        """,
-        "rolling_sum_masked": """
+        "rolling_gate": """
             WITH base AS (
                 SELECT event_id, user_id, value, ts,
                        (event_type != 'error') AS m,
@@ -4390,9 +4359,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM base WHERE m
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ), plain AS (
+                SELECT event_id, user_id, value,
+                       CASE WHEN count(value) OVER w3 >= 3
+                            THEN sum(value) OVER w3 END AS value_rolling_sum,
+                       CASE WHEN count(value) OVER w3 >= 1
+                            THEN avg(value) OVER w3 END AS value_rolling_mean,
+                       CASE WHEN count(value) OVER w5 >= 2
+                            THEN min(value) OVER w5 END AS value_rolling_min,
+                       CASE WHEN count(value) OVER w5 >= 2
+                            THEN max(value) OVER w5 END AS value_rolling_max
+                FROM events
+                WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                       w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
             )
-            SELECT b.event_id, b.user_id, o.roll AS value_rolling_sum
-            FROM base b LEFT JOIN obs o
+            SELECT p.event_id, p.user_id, p.value, p.value_rolling_sum,
+                   p.value_rolling_mean, p.value_rolling_min,
+                   p.value_rolling_max,
+                   o.roll AS value_rolling_sum_masked
+            FROM plain p
+            JOIN base b ON p.event_id = b.event_id
+            LEFT JOIN obs o
               ON b.user_id = o.user_id AND b.obs_idx = o.obs_idx
         """,
         "shift_masked": """
@@ -4596,36 +4585,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT sum(l_quantity * 2.0 + l_discount * (-1.0)) AS lincomb_sum
             FROM lineitem
         """,
-        "scatter_bins": """
+        "scatter_fit": f"""
             WITH b AS (
                 SELECT CAST(ntile(20) OVER (ORDER BY l_extendedprice, l_orderkey,
                                             l_linenumber) AS INTEGER) AS bin,
                        l_extendedprice, l_quantity
                 FROM lineitem
-            )
-            SELECT bin, avg(l_extendedprice) AS x_mean, avg(l_quantity) AS y_mean,
-                   count(*) AS n
-            FROM b GROUP BY bin
-        """,
-        "scatter_bins_approx": f"""
-            WITH cl AS (
-                SELECT quantile_disc(l_extendedprice,
-                    [{', '.join(str(i / 20) for i in range(1, 20))}]) AS cuts
-                FROM lineitem
-            ), b AS (
+            ), exact AS (
+                SELECT bin, avg(l_extendedprice) AS x_mean,
+                       avg(l_quantity) AS y_mean, count(*) AS n,
+                       'ntile' AS method
+                FROM b GROUP BY bin
+            ), cl AS (
+                -- Spark approxQuantile(relative_error=0) picks the element
+                -- at 1-based rank ceil(q*n) (QuantileSummaries.query);
+                -- quantile_disc uses a different index rule that diverges
+                -- by one rank when q*n lands on an integer (double
+                -- arithmetic is identical IEEE on both engines, so the
+                -- ceil reproduces Spark's boundary behavior exactly)
+                -- CAST q to DOUBLE: DuckDB parses 0.55 as DECIMAL, whose
+                -- exact q*n misses the double-rounding boundary Spark hits
+                SELECT list_transform(
+                           [{', '.join(str(i / 20) for i in range(1, 20))}],
+                           q -> xs[CAST(ceil(CAST(q AS DOUBLE) * n)
+                                        AS BIGINT)]) AS cuts
+                FROM (SELECT list(l_extendedprice ORDER BY l_extendedprice)
+                             AS xs,
+                             count(*) AS n
+                      FROM lineitem)
+            ), b2 AS (
                 SELECT CAST(1 + len(list_filter(cl.cuts,
                                 c -> li.l_extendedprice > c)) AS INTEGER) AS bin,
                        li.l_extendedprice, li.l_quantity
                 FROM lineitem li CROSS JOIN cl
+            ), approx AS (
+                SELECT bin, avg(l_extendedprice) AS x_mean,
+                       avg(l_quantity) AS y_mean, count(*) AS n,
+                       'cutpoints' AS method
+                FROM b2 GROUP BY bin
+            ), fit AS (
+                SELECT regr_intercept(l_extendedprice, l_quantity) AS intercept,
+                       regr_slope(l_extendedprice, l_quantity) AS slope
+                FROM lineitem
             )
-            SELECT bin, avg(l_extendedprice) AS x_mean, avg(l_quantity) AS y_mean,
-                   count(*) AS n
-            FROM b GROUP BY bin
-        """,
-        "linear_fit": """
-            SELECT regr_intercept(l_extendedprice, l_quantity) AS intercept,
-                   regr_slope(l_extendedprice, l_quantity) AS slope
-            FROM lineitem
+            SELECT u.bin, u.x_mean, u.y_mean, u.n, u.method,
+                   f.intercept, f.slope
+            FROM (SELECT * FROM exact UNION ALL SELECT * FROM approx) u
+            CROSS JOIN fit f
         """,
         "dedup_exact": """
             SELECT sha256(text) AS content_hash,
@@ -4831,15 +4837,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_normalize": """
             -- expected outputs CONSTRUCTED from the doc_id arithmetic;
-            -- domain encodes the PSL answers: exact/private rules keep
-            -- suffix+1 label (www stripped), *.ck makes [www.]siteN.ck
-            -- its own public suffix (host passes through whole)
+            -- domain encodes the full-PSL answers: exact/private rules
+            -- keep suffix+1 label (www stripped); *.ck and *.nagoya.jp
+            -- make [www.]siteN.<sfx> its own public suffix (host passes
+            -- through whole); the !city.kawasaki.jp exception collapses
+            -- every host under it to city.kawasaki.jp; the 5-label
+            -- s3.dualstack rule keeps 6 labels
             WITH f AS (
                 SELECT doc_id,
-                       CASE doc_id % 8 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                       CASE doc_id % 12 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
                             WHEN 2 THEN 'co.uk' WHEN 3 THEN 'io'
                             WHEN 4 THEN 'com.au' WHEN 5 THEN 'gob.mx'
-                            WHEN 6 THEN 'github.io' ELSE 'ck' END AS sfx,
+                            WHEN 6 THEN 'github.io' WHEN 7 THEN 'ck'
+                            WHEN 8 THEN 'nagoya.jp'
+                            WHEN 9 THEN 'city.kawasaki.jp'
+                            WHEN 10 THEN
+                              's3.dualstack.eu-central-1.amazonaws.com'
+                            ELSE 'co.bw' END AS sfx,
                        CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
                            AS www
                 FROM documents WHERE doc_id < 400
@@ -4867,8 +4881,10 @@ def oracle_sql() -> dict[str, str]:
                            ELSE '' END AS norm_url,
                    lower(www || 'Site' || (doc_id % 23) || '.' || sfx)
                        AS host,
-                   CASE WHEN doc_id % 8 = 7
-                        THEN lower(www || 'Site' || (doc_id % 23) || '.ck')
+                   CASE WHEN doc_id % 12 IN (7, 8)
+                        THEN lower(www || 'Site' || (doc_id % 23)
+                                   || '.' || sfx)
+                        WHEN doc_id % 12 = 9 THEN 'city.kawasaki.jp'
                         ELSE 'site' || (doc_id % 23) || '.' || sfx
                    END AS domain
             FROM f
@@ -4959,7 +4975,9 @@ def oracle_sql() -> dict[str, str]:
                    value,
                    sum(value) OVER w AS value_tsum,
                    avg(value) OVER w AS value_tmean,
-                   CAST(count(value) OVER w AS BIGINT) AS value_tcount
+                   CASE WHEN count(value) OVER w >= 1
+                        THEN CAST(count(value) OVER w AS BIGINT)
+                   END AS value_tcount
             FROM events
             WINDOW w AS (PARTITION BY user_id
                          ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
@@ -5135,12 +5153,15 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN pd ON d.doc_id = pd.doc_id
             CROSS JOIN tot
         """,
-        "incremental_dedup": _sql_incremental_dedup(),
-        # the stored-index variant is pure precomputation — identical result
-        "incremental_dedup_indexed": _sql_incremental_dedup(),
-        # identical results by construction: the bucketed layout is pure
-        # precomputation of the same index
-        "incremental_dedup_bucketed": _sql_incremental_dedup(),
+        # compound (r10 consolidation): the recompute / stored-index /
+        # bucketed-index forms are pure precomputation of the same result,
+        # so the oracle replays the one SQL twin once per tag
+        "incremental_dedup": f"""
+            WITH one AS ({_sql_incremental_dedup()})
+            SELECT *, 'recompute' AS form FROM one
+            UNION ALL SELECT *, 'indexed' AS form FROM one
+            UNION ALL SELECT *, 'bucketed' AS form FROM one
+        """,
         # bloom_dedup: the Bloom pre-filter only removes definitive
         # non-members and survivors are exactly verified, so the oracle is
         # the PLAIN exact cross-corpus text join — no bloom math in SQL.
@@ -5302,25 +5323,29 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _sql_dup_clusters(threshold=0.2),
         "image_phash_dedup": """
             -- every hash bit recomputed CLOSED-FORM from the fixture's
-            -- pixel arithmetic (g(x,y) = (a*x+b*y) % 200 + c; gray ==
-            -- channel value; 8x8 / 8x9 nearest grids sample at
-            -- floor(j*W/8), floor(i*H/8) with W=32, H=20), then the same
-            -- 16-bit banding + Hamming<=6 join as the engine. Band
-            -- extraction masks with 65535 so arithmetic vs logical
-            -- right-shift agree on the sign-extended top band.
+            -- pixel arithmetic (g(x,y) = (a*x+b*y) % 200 + c + stripe at
+            -- x=0 for the third doc group; gray == channel value; 8x8 /
+            -- 8x9 nearest grids sample at floor(j*W/8), floor(i*H/8) with
+            -- W=32, H=20; x=0 is sampled only at grid column j=0 in both
+            -- grids), then an EXHAUSTIVE Hamming<=6 pair join — no
+            -- banding, so any under-recall in the engine's banded join
+            -- fails the n_dups counts (r10 ADVICE fix).
             WITH params AS (
                 SELECT doc_id,
                        2 + (doc_id % 100) % 9 AS a,
                        3 + (doc_id % 100) % 7 AS b,
-                       CASE WHEN doc_id < 100 THEN 10 ELSE 30 END AS c
-                FROM documents WHERE doc_id < 200
+                       CASE WHEN doc_id >= 100 AND doc_id < 200
+                            THEN 30 ELSE 10 END AS c,
+                       CASE WHEN doc_id >= 200 THEN 40 ELSE 0 END AS stripe
+                FROM documents WHERE doc_id < 300
             ), grid8 AS (
                 SELECT i.generate_series AS i, j.generate_series AS j
                 FROM generate_series(0, 7) i, generate_series(0, 7) j
             ), g8 AS (
                 SELECT p.doc_id, gr.i, gr.j,
                        (p.a * ((gr.j * 32) // 8)
-                        + p.b * ((gr.i * 20) // 8)) % 200 + p.c AS g
+                        + p.b * ((gr.i * 20) // 8)) % 200 + p.c
+                       + CASE WHEN gr.j = 0 THEN p.stripe ELSE 0 END AS g
                 FROM params p, grid8 gr
             ), a8 AS (
                 SELECT doc_id, i * 8 + j AS k, g,
@@ -5341,7 +5366,8 @@ def oracle_sql() -> dict[str, str]:
             ), g9 AS (
                 SELECT p.doc_id, gr.i, gr.j,
                        (p.a * ((gr.j * 32) // 9)
-                        + p.b * ((gr.i * 20) // 8)) % 200 + p.c AS g
+                        + p.b * ((gr.i * 20) // 8)) % 200 + p.c
+                       + CASE WHEN gr.j = 0 THEN p.stripe ELSE 0 END AS g
                 FROM params p, grid9 gr
             ), dh AS (
                 SELECT l.doc_id,
@@ -5359,15 +5385,9 @@ def oracle_sql() -> dict[str, str]:
             ), hashes AS (
                 SELECT ah.doc_id, ah.ahash, dh.dhash
                 FROM ah JOIN dh ON ah.doc_id = dh.doc_id
-            ), bands AS (
-                SELECT doc_id, ahash, q.generate_series AS band,
-                       (ahash >> (q.generate_series * 16)) & 65535 AS bval
-                FROM hashes, generate_series(0, 3) q
             ), pairs AS (
-                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-                FROM bands x JOIN bands y
-                  ON x.band = y.band AND x.bval = y.bval
-                 AND x.doc_id < y.doc_id
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM hashes x JOIN hashes y ON x.doc_id < y.doc_id
                 WHERE bit_count(CAST(xor(x.ahash, y.ahash) AS BIGINT)) <= 6
             ), cnt AS (
                 SELECT doc_id, count(*) AS nd FROM (
@@ -5903,7 +5923,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN nn >= 2 THEN CAST(CAST(s AS VARCHAR) AS DOUBLE) END AS v_tsum,
                    CASE WHEN nn >= 2 THEN CAST(CAST(s AS VARCHAR) AS DOUBLE) / nn
                    END AS v_tmean,
-                   nn AS v_tcount,
+                   CASE WHEN nn >= 2 THEN nn END AS v_tcount,
                    CASE WHEN nn >= 2 AND nn > 1 THEN
                         greatest(CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
                                  - CAST(CAST(s AS VARCHAR) AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE) / nn,

@@ -157,12 +157,23 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    qs = entry_mod.queries()
+    registry = entry_mod.queries()
+
+    # The r10 registry consolidation folded some former entries into
+    # compound gates; the bench keeps pricing the original query shapes
+    # (name continuity across BENCH_r*.json) via the module-level
+    # callables, which the compounds themselves still execute.
+    def q(name):
+        return registry.get(name) or getattr(entry_mod, "_q_" + name)
+
+    qs = {name: q(name) for name in HEADLINE}
+    qs["group_minmax"] = registry["group_minmax"]
+    qs["shift"] = q("shift")
 
     warm_session(spark, sf_dir, qs)
     # layout-backed queries: build the standing artifact (stored dedup
     # index) during warmup so the timed run measures the steady state
-    qs["incremental_dedup_indexed"](spark, sf_dir).write.format("noop").mode(
+    q("incremental_dedup_indexed")(spark, sf_dir).write.format("noop").mode(
         "overwrite").save()
 
     from pandas_plus_spark.util import release_cached

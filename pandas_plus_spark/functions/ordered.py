@@ -523,7 +523,11 @@ def grouped_rolling_stats(
     out_df = run.join(right, cond, "left")
     for stat, oname in stats:
         if stat == "count":
-            expr = n_in.cast("long")
+            # pandas rolling().count() respects min_periods (NaN below);
+            # NULL below the guard keeps that parity (r10 ADVICE fix —
+            # was emitted unguarded, diverging from the docstring's
+            # same-guards claim)
+            expr = F.when(guard, n_in.cast("long"))
         elif stat == "sum":
             expr = F.when(guard, s_raw)
         elif stat == "mean":
@@ -710,7 +714,9 @@ def grouped_rolling_time(
     for func in funcs:
         name = f"{value}_t{func}"
         if func == "count":
-            expr = n_in.cast("long")  # the fused cumsum coalesces in double
+            # guarded like the other stats: pandas rolling(...).count()
+            # is NaN below min_periods (r10 ADVICE fix)
+            expr = F.when(guard, n_in.cast("long"))
         elif func == "sum":
             expr = F.when(guard, s_in)
         elif func == "mean":

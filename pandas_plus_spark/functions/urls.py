@@ -207,10 +207,37 @@ _PSL_PRIVATE_SUBSET = (
 )
 
 
-def psl_rules(include_private: bool = True) -> list[tuple[str, bool, bool]]:
-    """The packaged PSL subset as ``(key, is_wildcard, is_exception)``
-    rows — ``key`` is the rule text without the ``*.``/``!`` marker.
-    Swap in :func:`load_psl_rules` output for the full list."""
+def packaged_psl_path() -> str:
+    """Path of the packaged full Public Suffix List (publicsuffix.org
+    data, MPL-2.0 — pandas_plus_spark/data/public_suffix_list.dat)."""
+    import os
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "public_suffix_list.dat")
+
+
+_PSL_FULL_CACHE: dict[bool, list] = {}
+
+
+def psl_rules(include_private: bool = True,
+              full: bool = True) -> list[tuple[str, bool, bool]]:
+    """PSL rules as ``(key, is_wildcard, is_exception)`` rows — ``key``
+    is the rule text without the ``*.``/``!`` marker.
+
+    ``full=True`` (default since r10) parses the PACKAGED full list
+    (~8k multi-label rules; one-time parse per process, cached) —
+    hosts under rules outside the old curated ~250-rule subset
+    (newer ccTLD second-levels, most of the private section) previously
+    fell back to the implicit ``*`` rule and mislabeled. ``full=False``
+    (or a missing data file) returns the curated subset."""
+    if full:
+        import os
+        path = packaged_psl_path()
+        if os.path.exists(path):
+            got = _PSL_FULL_CACHE.get(include_private)
+            if got is None:
+                got = load_psl_rules(path, include_private=include_private)
+                _PSL_FULL_CACHE[include_private] = got
+            return list(got)
     rules = [(k, False, False) for k in _PSL_EXACT_SUBSET]
     if include_private:
         rules += [(k, False, False) for k in _PSL_PRIVATE_SUBSET]
@@ -273,7 +300,7 @@ def with_registrable_domain(
     host,
     out: str = "reg_domain",
     rules_df: DataFrame | None = None,
-    max_suffix_labels: int = 4,
+    max_suffix_labels: int | None = None,
 ) -> DataFrame:
     """Registrable domain by the REAL Public Suffix List algorithm
     (publicsuffix.org): the prevailing rule is the matching exception
@@ -288,10 +315,27 @@ def with_registrable_domain(
     frame is ≤ ~10k rows even for the full PSL). Hosts that ARE a public
     suffix (and IP literals) pass through unchanged — curation caps then
     treat them as their own source, which beats dropping them. NULL host
-    → NULL."""
+    → NULL.
+
+    ``max_suffix_labels=None`` (default) derives the join depth from the
+    LONGEST key actually present in the rules frame (one scalar agg on
+    the tiny broadcast side — r10 ADVICE fix: a fixed depth silently
+    never matched deeper rules, e.g. the 5-label s3.dualstack private
+    suffixes, breaking longest-match with no warning). An explicit
+    value smaller than the deepest rule WARNS."""
     h = F.col(host) if isinstance(host, str) else host
     sp = df.sparkSession
     rules = psl_rules_df(sp) if rules_df is None else rules_df
+    deepest = rules.agg(F.max("n_labels")).first()[0] or 1
+    if max_suffix_labels is None:
+        max_suffix_labels = int(deepest)
+    elif max_suffix_labels < deepest:
+        import warnings
+        warnings.warn(
+            f"with_registrable_domain: rules_df contains keys up to "
+            f"{deepest} labels but max_suffix_labels={max_suffix_labels} — "
+            f"deeper rules can never match (longest-match broken for "
+            f"hosts under them)", stacklevel=2)
     df = df.withColumn("__rd_host", h)
     labels = F.split(F.col("__rd_host"), r"\.")
     n = F.size(labels)

@@ -1463,9 +1463,13 @@ class GroupBy:
         out = self._base()
         for func in funcs:
             if func == "count":
+                # guarded like every other stat: pandas rolling().count()
+                # is NaN below min_periods (r10 ADVICE fix)
                 for c in cols:
-                    out = out.withColumn(f"{c}_tcount",
-                                         F.count(F.col(c)).over(w))
+                    cnt = F.count(F.col(c)).over(w)
+                    out = out.withColumn(
+                        f"{c}_tcount",
+                        F.when(cnt >= min_periods, cnt))
                 continue
             agg = self._ROLLING_AGGS.get(func)
             if agg is None:

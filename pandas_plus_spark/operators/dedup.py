@@ -999,19 +999,37 @@ def simhash_candidates(sig_df: DataFrame, quadrant_bits: int = 16,
 
 
 def hamming_pairs(hash_df: DataFrame, hash_col: str, id_col: str = "id",
-                  max_dist: int = 6, band_bits: int = 16,
+                  max_dist: int = 6, band_bits: int | None = None,
                   max_bucket_size: int | None = 1024) -> DataFrame:
     """Near-dup pairs under HAMMING distance over a 64-bit hash column —
     the candidate/verify shape for perceptual-image dedup
     (multimodal.extract_perceptual_hashes) or any 64-bit signature:
     candidates share at least one ``band_bits`` band of the hash (the
-    simhash quadrant trick — guaranteed recall for distance <
-    64/band_bits), verified by ``bit_count(a XOR b) <= max_dist``, all
-    JVM-side. Same hot-bucket cap as the other LSH families (flat-color
-    thumbnails all hash to 0 — a classic mega-bucket). NULL hashes
-    (undecodable blobs) are excluded. Output: (id_a, id_b, hamming).
-    """
+    simhash quadrant trick), verified by ``bit_count(a XOR b) <=
+    max_dist``, all JVM-side. Same hot-bucket cap as the other LSH
+    families (flat-color thumbnails all hash to 0 — a classic
+    mega-bucket). NULL hashes (undecodable blobs) are excluded.
+    Output: (id_a, id_b, hamming).
+
+    Recall contract: two hashes at distance d share an untouched band
+    whenever the band COUNT exceeds d (pigeonhole over 64//band_bits
+    bands). ``band_bits=None`` (default) derives the widest band that
+    honors it: ``64 // (max_dist + 1)`` (max_dist=6 -> 9-bit bands, 7
+    bands). An explicit ``band_bits`` with too few bands for ``max_dist``
+    is accepted for cost control but WARNS — pairs at distance >=
+    64//band_bits are then found only if they coincidentally share a
+    band."""
+    if band_bits is None:
+        band_bits = max(1, 64 // (int(max_dist) + 1))
     n_bands = 64 // band_bits
+    if max_dist >= n_bands:
+        import warnings
+        warnings.warn(
+            f"hamming_pairs: {n_bands} bands of {band_bits} bits only "
+            f"guarantee recall for distance < {n_bands}, but max_dist="
+            f"{max_dist} — pairs at distance {n_bands}..{max_dist} may be "
+            f"missed; pass band_bits<=64//(max_dist+1) for full recall",
+            stacklevel=2)
     mask = (1 << band_bits) - 1
     src = hash_df.filter(F.col(hash_col).isNotNull())
     entries = src.select(

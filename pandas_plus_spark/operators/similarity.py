@@ -283,6 +283,7 @@ def lsh_candidate_pairs(
         cands = capped_pair_candidates(buckets, ["table", "bucket"],
                                        max_bucket_size).distinct()
     else:
+        id_type = buckets.schema["id"].dataType.simpleString()
         a, b = buckets.alias("a"), buckets.alias("b")
         cands = (
             a.join(b, on=["table", "bucket"])
@@ -292,15 +293,27 @@ def lsh_candidate_pairs(
             # exchange moves 8 bytes/row instead of 16 and hashes one
             # column (r9: the uncapped Zipfian fixture's cost is exactly
             # this exchange; salting was measured useless there, byte
-            # volume is the remaining lever). Requires ids < 2^32 — LSH
-            # vec ids are row numbers in every caller; the capped path is
-            # the production route regardless.
-            .select((F.shiftleft(F.col("a.id"), 32)
-                     .bitwiseOR(F.col("b.id"))).alias("__pk"))
+            # volume is the remaining lever). Packing requires
+            # 0 <= id < 2^32 (LSH vec ids are row numbers in every
+            # caller); out-of-range ids would silently cross-link
+            # unrelated pairs, so the domain is ENFORCED row-wise with a
+            # raise_error branch (r10 ADVICE fix) — a map-side comparison,
+            # no extra pass. Output ids are cast back to the input id
+            # type.
+            .select(F.when(
+                (F.col("a.id") >= 0) & (F.col("a.id") < F.lit(1 << 32))
+                & (F.col("b.id") >= 0) & (F.col("b.id") < F.lit(1 << 32)),
+                F.shiftleft(F.col("a.id").cast("long"), 32)
+                 .bitwiseOR(F.col("b.id").cast("long")))
+             .otherwise(F.raise_error(F.lit(
+                 "lsh_candidate_pairs: pair packing requires "
+                 "0 <= id < 2^32; repartition ids or use the capped path")))
+             .alias("__pk"))
             .distinct()
-            .select(F.shiftrightunsigned("__pk", 32).alias("id_a"),
+            .select(F.shiftrightunsigned("__pk", 32).cast(id_type)
+                    .alias("id_a"),
                     F.col("__pk").bitwiseAND(F.lit((1 << 32) - 1))
-                    .alias("id_b"))
+                    .cast(id_type).alias("id_b"))
         )
     return attach_cached(cands, buckets)
 

@@ -59,7 +59,12 @@ def main() -> None:
 def run_dir(spark, sf_dir: str, names: list[str]) -> None:
     import __spark_entry__ as entry_mod
 
-    qs = entry_mod.queries()
+    registry = entry_mod.queries()
+    # folded compound gates (r10 consolidation): resolve the original
+    # query shapes via module-level callables for timing continuity
+    qs = {n: registry.get(n) or getattr(entry_mod, "_q_" + n)
+          for n in set(names) | {"segment_revenue_bucketed",
+                                 "incremental_dedup_indexed"}}
 
     from pandas_plus_spark.sources import load_tables
     for df in load_tables(spark, sf_dir).values():

@@ -29,6 +29,20 @@ sys.path.insert(0, os.path.join(
 from pandas_plus_spark.session import get_spark  # noqa: E402
 from pandas_plus_spark.util import release_cached  # noqa: E402
 
+# Oracle twins for query shapes whose registry entries were folded into
+# compound gates by the r10 consolidation (the compounds' oracles cover
+# these columns; the bench keeps pricing the original narrow shapes).
+FOLDED_SQL = {
+    "rolling_sum": """
+        SELECT event_id, user_id, value,
+               CASE WHEN count(value) OVER w >= 3 THEN sum(value) OVER w END
+                 AS value_rolling_sum
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+}
+
 
 def main() -> None:
     sf_dir = sys.argv[1]
@@ -39,15 +53,30 @@ def main() -> None:
     from bench import HEADLINE, warm_session
     from oracle_harness import duck_connection
 
-    qs, sqls = em.queries(), em.oracle_sql()
-    names = sys.argv[2:] or [n for n in HEADLINE if n in sqls]
+    registry, sqls = em.queries(), em.oracle_sql()
+    # the stored-index form is pure precomputation — same twin as the fold
+    FOLDED_SQL.setdefault("incremental_dedup_indexed",
+                          em._sql_incremental_dedup())
+
+    # folded compound gates (r10 consolidation): price the original query
+    # shapes via module-level callables for BENCH name continuity; their
+    # oracle SQL twins live in FOLDED_SQL below.
+    def q(name):
+        return registry.get(name) or getattr(em, "_q_" + name)
+
+    names = sys.argv[2:] or [n for n in HEADLINE
+                             if n in sqls or n in FOLDED_SQL]
+    qs = {n: q(n) for n in names}
+    for n in ("group_minmax", "shift"):
+        qs.setdefault(n, q(n))
+    sqls = {**FOLDED_SQL, **sqls}
 
     # Warm the engine INFRASTRUCTURE only (JVM C2, Python worker pool,
     # committer) — never a priced plan; see bench.warm_session. The timed
     # pass below still pays every priced plan's own codegen compile + AQE.
     warm_session(spark, sf_dir, qs)
     if "incremental_dedup_indexed" in names:
-        qs["incremental_dedup_indexed"](spark, sf_dir).write.format(
+        q("incremental_dedup_indexed")(spark, sf_dir).write.format(
             "noop").mode("overwrite").save()
 
     con = duck_connection(sf_dir)

@@ -60,8 +60,22 @@ def audit_one(spark, con, em, name: str, sf_dir: str) -> dict:
     cols = sorted(sdf.columns)
     if sorted(odf.columns) != cols or len(sdf) != len(odf):
         return {"status": "ROWS/SCHEMA", "s": len(sdf), "o": len(odf)}
-    sdf = sdf[cols].sort_values(cols, na_position="first").reset_index(drop=True)
-    odf = odf[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+    # Row pairing must be drift-insensitive (r10 ADVICE fix): sorting on
+    # raw float columns can misalign rows when a float sort key itself
+    # drifts between engines, inflating max_rel or reporting spurious
+    # NULL_MISMATCH. Sort on the non-float (key) columns first, with
+    # floats rounded to 6dp as tiebreakers only.
+    keys = [c for c in cols if not pd.api.types.is_float_dtype(sdf[c])]
+    fcols = [c for c in cols if pd.api.types.is_float_dtype(sdf[c])]
+    sdf, odf = sdf[cols].copy(), odf[cols].copy()
+    for d in (sdf, odf):
+        for c in fcols:
+            d["__r_" + c] = d[c].astype(float).round(6)
+    order = keys + ["__r_" + c for c in fcols]
+    sdf = (sdf.sort_values(order, na_position="first")
+              .reset_index(drop=True).drop(columns=["__r_" + c for c in fcols]))
+    odf = (odf.sort_values(order, na_position="first")
+              .reset_index(drop=True).drop(columns=["__r_" + c for c in fcols]))
     mx = 0.0
     mass = 0.0
     n_neq = 0

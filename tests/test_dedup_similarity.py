@@ -1142,6 +1142,28 @@ class TestPerceptualHash:
                for r in hamming_pairs(df, "h", "id", max_dist=6).collect()}
         assert got == {(1, 2): 1, (1, 5): 0, (2, 5): 1}
 
+    def test_hamming_pairs_recall_contract(self, spark):
+        """Distance 4-6 pairs whose differing bits touch EVERY 16-bit band
+        must still be found: the default banding derives from max_dist
+        (7 bands of 9 bits for max_dist=6), so by pigeonhole one band is
+        clean. The old fixed 16-bit banding (4 bands) missed these."""
+        import warnings
+
+        from pandas_plus_spark.operators.dedup import hamming_pairs
+        # 5 differing bits, at least one in each 16-bit quadrant
+        h2 = (1 << 2) | (1 << 18) | (1 << 34) | (1 << 50) | (1 << 60)
+        df = spark.createDataFrame([(1, 0), (2, h2)], "id long, h long")
+        got = {(r.id_a, r.id_b): r.hamming
+               for r in hamming_pairs(df, "h", "id", max_dist=6).collect()}
+        assert got == {(1, 2): 5}
+        # explicit under-banding warns and (here) misses the pair
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            lossy = hamming_pairs(df, "h", "id", max_dist=6,
+                                  band_bits=16).collect()
+        assert any("guarantee recall" in str(x.message) for x in w)
+        assert lossy == []
+
     def test_extract_hashes_sparkside(self, spark):
         import pandas as pd
         from pandas_plus_spark.operators.multimodal import (

@@ -378,7 +378,7 @@ class TestGroupedRolling:
                                          F.var_samp("v").over(w)))
                 .withColumn("sd", F.when(guard & (F.count("v").over(w) > 1),
                                          F.stddev_samp("v").over(w)))
-                .withColumn("c", F.count("v").over(w)))
+                .withColumn("c", F.when(guard, F.count("v").over(w))))
         gm = {r.rid: r for r in got.collect()}
         wm = {r.rid: r for r in want.collect()}
         assert set(gm) == set(wm)

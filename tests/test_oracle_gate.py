@@ -14,7 +14,6 @@ SUBSET = [
     "margins_sum",
     "crosstab_pivot",
     "cumsum",
-    "rolling_sum",
     "sessionize",
     "pretty_cut_bins",
     "dedup_exact",
@@ -37,8 +36,6 @@ SUBSET = [
     # round-7 code-change gates: bucketed rollup-first join + reattach,
     # corpus-sized ref-index Bloom, candidate-pruned verify shingling
     "segment_revenue_bucketed",
-    "incremental_dedup",
-    "incremental_dedup_indexed",
     "minhash_neardup_poly",
     # round-7 close additions (new queries; rotate into the r8 driver
     # window head): grouped-cumsum token budgets, percentile calibration,
@@ -97,9 +94,16 @@ SUBSET = [
     "wav_header_meta",
     "mp4_header_meta",
     "warc_ingest",
-    "incremental_dedup_bucketed",
     "url_normalize",
     "crawl_domain_stats",
+    # round-10 consolidation: the compound gates (each value-checks every
+    # folded operator) + the folded incremental_dedup (all three index
+    # forms in one tag-unioned frame)
+    "value_counts",
+    "scatter_fit",
+    "rolling_gate",
+    "cumulative_gate",
+    "incremental_dedup",
 ]
 
 

@@ -166,9 +166,12 @@ class TestPSLProperty:
         implementation of the publicsuffix.org algorithm over the same
         rules, on a randomized host corpus (labels drawn from rule
         vocabulary + noise so exact, wildcard, exception, private and
-        default paths all fire)."""
+        default paths all fire). Since r10 ``psl_rules()`` returns the
+        FULL packaged list (~8k rules), so the property samples the
+        complete rule set, including 5-label private rules."""
         import random
         rules = urls.psl_rules()
+        assert len(rules) > 5000  # the full packaged list, not the subset
 
         def ref_domain(host):
             if host is None:
@@ -201,11 +204,18 @@ class TestPSLProperty:
         vocab = ["www", "a", "blog", "shop", "deep", "co", "com", "gov",
                  "uk", "au", "jp", "mx", "gob", "github", "io", "ck",
                  "np", "kawasaki", "example", "x1", "localhost", "dev",
-                 "pages", "amazonaws", "s3"]
+                 "pages", "amazonaws", "s3", "dualstack", "city",
+                 "nagoya", "bw"]
         hosts = [".".join(rng.choice(vocab)
                           for _ in range(rng.randint(1, 5)))
                  for _ in range(300)]
-        hosts += ["10.0.0.1", "www.ck", "sub.www.ck", None]
+        hosts += ["10.0.0.1", "www.ck", "sub.www.ck", None,
+                  # full-list-only rules: 5-label private suffix (derived
+                  # join depth), wildcard+exception jp city domains, a
+                  # ccTLD second-level outside the old curated subset
+                  "x.s3.dualstack.eu-central-1.amazonaws.com",
+                  "www.city.kawasaki.jp", "foo.city.nagoya.jp",
+                  "pix.akita.jp", "a.co.bw"]
         df = spark.createDataFrame([(h,) for h in hosts], "h string")
         got = {r.h: r.d for r in urls.with_registrable_domain(
             df, "h", out="d").select("h", "d").distinct().collect()}
