@@ -2143,6 +2143,51 @@ def _q_wav_header_meta(spark, sf):
     return multimodal.extract_audio_features(blobs_df, "blob", "doc_id")
 
 
+def _q_audio_pcm_features(spark, sf):
+    """REAL audio SAMPLE decode (r10 — retires the header-only audio
+    seam with the BMP-pixel pattern): deterministic 16-bit PCM WAV files
+    are built per doc_id in mapInPandas — channel 0 a square wave
+    (amplitude 1000+did, half-period 8+did%5), channel 1 an integer
+    modular ramp ((i*k) % (2*A)) − A — then decode_wav_pcm reinterprets
+    the actual interleaved little-endian payload bytes and
+    extract_audio_pcm_features computes RMS/peak/ZCR per channel with an
+    EXACT int64 squared-sample sum (one correctly-rounded double divide
+    + sqrt). The waveforms are pure integer arithmetic, so the oracle
+    recomputes every sample closed-form in SQL and replays the identical
+    float expression shapes — an interleave, endianness, data-offset,
+    sign, or accumulation bug fails the value hash. Every 11th doc is a
+    non-PCM (8-bit) container: decode must drop it, not null-fill."""
+    import numpy as _np
+    import pandas as _pd
+
+    from pandas_plus_spark.operators.multimodal import (
+        wav_header_bytes, wav_pcm_bytes)
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 100).select("doc_id"))
+
+    def make(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 11 == 10:
+                    blobs.append(wav_header_bytes(8000, 1, 8, 16))
+                    continue
+                n = 256 + (did % 7) * 16
+                sr = 8000 + (did % 4) * 4000
+                i = _np.arange(n)
+                h, a0 = 8 + did % 5, 1000 + did
+                s0 = _np.where((i // h) % 2 == 0, a0, -a0)
+                k, a1 = 3 + did % 4, 500 + did
+                s1 = (i * k) % (2 * a1) - a1
+                blobs.append(wav_pcm_bytes(sr, _np.column_stack([s0, s1])))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs_df = docs.mapInPandas(make, "doc_id long, blob binary")
+    return multimodal.extract_audio_pcm_features(blobs_df, "blob", "doc_id")
+
+
 def _q_mp4_header_meta(spark, sf):
     """REAL video-container decode through the multimodal seam:
     deterministic MP4 heads (ftyp + moov(mvhd + trak(tkhd)); every 5th
@@ -3772,6 +3817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # simhash_candidates<->poly, ivf_knn<->ann_recall).
     return {
         # --- r10 window head (driver samples the FIRST 50) ---
+        # new r10 entry: REAL PCM sample decode (audio seam retired)
+        "audio_pcm_features": _q_audio_pcm_features,
         # new compound gates (r10 consolidation; never driver-verified):
         "scatter_fit": _q_scatter_fit,
         "rolling_gate": _q_rolling_gate,
@@ -3823,10 +3870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_rank": _q_group_rank,
         "curation_pipeline": _q_curation_pipeline,
         "chunk_dedup": _q_chunk_dedup,
-        # r7-era fills to 50:
+        # r7-era fill to 50:
         "doc_chunks": _q_doc_chunks,
-        "embedding_quantize": _q_embedding_quantize,
         # --- tail: least-recently-verified first ---
+        "embedding_quantize": _q_embedding_quantize,
         "unigram_ppl": _q_unigram_ppl,
         "frame_sample": _q_frame_sample,
         "source_health": _q_source_health,
@@ -4787,6 +4834,56 @@ def oracle_sql() -> dict[str, str]:
                                                        -- WebP VP8X/VP8L alpha
                              ELSE 3 END AS INTEGER) AS n_channels
             FROM documents WHERE doc_id < 200
+        """,
+        "audio_pcm_features": """
+            -- every SAMPLE recomputed closed-form from the fixture's
+            -- integer waveform arithmetic (square wave + modular ramp),
+            -- then the identical float shapes as the engine: exact int64
+            -- squared-sample sum -> one double divide -> sqrt; ZCR =
+            -- sign-boundary crossings / (n-1). The 8-bit every-11th doc
+            -- must be ABSENT (decode drops non-16-bit-PCM containers).
+            WITH p AS (
+                SELECT doc_id,
+                       256 + (doc_id % 7) * 16 AS n,
+                       CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sr,
+                       8 + doc_id % 5 AS h, 1000 + doc_id AS a0,
+                       3 + doc_id % 4 AS k, 500 + doc_id AS a1
+                FROM documents WHERE doc_id < 100 AND doc_id % 11 <> 10
+            ), s AS (
+                SELECT p.doc_id, p.n, p.sr, i.generate_series AS i,
+                       CASE WHEN ((i.generate_series // p.h) % 2) = 0
+                            THEN p.a0 ELSE -p.a0 END AS s0,
+                       ((i.generate_series * p.k) % (2 * p.a1)) - p.a1 AS s1
+                FROM p, generate_series(0, 351) i
+                WHERE i.generate_series < p.n
+            ), l AS (
+                SELECT doc_id, n, sr, i, s0, s1,
+                       lag(s0) OVER w AS p0, lag(s1) OVER w AS p1
+                FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ), ag AS (
+                SELECT doc_id, any_value(n) AS n, any_value(sr) AS sr,
+                       max(abs(s0)) AS peak0,
+                       sum(CAST(s0 AS BIGINT) * s0) AS ss0,
+                       sum(CASE WHEN p0 IS NOT NULL AND ((p0 < 0) <> (s0 < 0))
+                                THEN 1 ELSE 0 END) AS c0,
+                       max(abs(s1)) AS peak1,
+                       sum(CAST(s1 AS BIGINT) * s1) AS ss1,
+                       sum(CASE WHEN p1 IS NOT NULL AND ((p1 < 0) <> (s1 < 0))
+                                THEN 1 ELSE 0 END) AS c1
+                FROM l GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(0 AS INTEGER) AS channel, sr AS sample_rate,
+                   CAST(n AS BIGINT) AS n_frames,
+                   CAST(peak0 AS INTEGER) AS peak,
+                   sqrt(CAST(ss0 AS DOUBLE) / n) AS rms,
+                   CAST(c0 AS DOUBLE) / (n - 1) AS zcr
+            FROM ag
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INTEGER), sr, CAST(n AS BIGINT),
+                   CAST(peak1 AS INTEGER),
+                   sqrt(CAST(ss1 AS DOUBLE) / n),
+                   CAST(c1 AS DOUBLE) / (n - 1)
+            FROM ag
         """,
         "wav_header_meta": """
             SELECT doc_id,

@@ -7,10 +7,14 @@ row-at-a-time. Container-header metadata is parsed for REAL with pure byte
 arithmetic: image dimensions from PNG/BMP/GIF/JPEG headers
 (:func:`decode_image_header`), audio params from the RIFF/WAVE chunk list
 (:func:`decode_wav_header`), video dimensions/duration from the MP4
-ISO-BMFF box tree (:func:`decode_mp4_header`). Only FULL-PIXEL/sample
-decode (PIL/ffmpeg/torchvision — not installed in this environment) remains
-a clearly-marked deterministic-fake seam; everything Spark-side — schema,
-partitioning, UDF signature, batch shape — is real and tested.
+ISO-BMFF box tree (:func:`decode_mp4_header`). Pixel/sample decode is
+REAL for uncompressed containers: BMP pixels (:func:`decode_bmp_pixels`,
+feeding the perceptual-hash dedup path) and 16-bit PCM WAV samples
+(:func:`decode_wav_pcm`, feeding RMS/ZCR/peak audio features). Only
+compressed-codec decode (JPEG/PNG/WebP pixels, MP3/AAC samples, video
+frames — PIL/ffmpeg/torchvision are not installed in this environment)
+remains a clearly-marked deterministic-fake seam; everything Spark-side —
+schema, partitioning, UDF signature, batch shape — is real and tested.
 
 Scale notes: binary payloads make rows wide; keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a partition of blobs
@@ -483,6 +487,125 @@ def wav_header_bytes_junk(sample_rate: int, n_channels: int = 2,
     return b"RIFF" + (len(body)).to_bytes(4, "little") + body
 
 
+def wav_pcm_bytes(sample_rate: int, samples) -> bytes:
+    """Complete RIFF/WAVE file with a REAL 16-bit LE PCM payload —
+    ``samples`` is an int array shaped (n_frames, n_channels) (or 1-D for
+    mono); frames are interleaved little-endian per the spec. The
+    deterministic fixture generator for the PCM sample-decode gates."""
+    import numpy as np
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_frames, n_channels = arr.shape
+    header = wav_header_bytes(sample_rate, n_channels=n_channels,
+                              bits=16, n_frames=n_frames)
+    return header + arr.astype("<i2").tobytes()
+
+
+def decode_wav_pcm(blob: bytes):
+    """REAL PCM sample decode (the BMP-pixel pattern applied to audio —
+    retires the header-only seam): walk the RIFF chunk list to the
+    ``fmt `` and ``data`` chunks, then reinterpret the data payload as
+    interleaved 16-bit little-endian PCM. Returns ``(samples, sample_rate)``
+    with ``samples`` an int16 ndarray shaped (n_frames, n_channels), or
+    None for non-WAV blobs, non-PCM/no-16-bit formats, or a truncated
+    payload. Only the declared data size is read."""
+    import numpy as np
+    if blob is None or len(blob) < 12 or blob[:4] != b"RIFF" \
+            or blob[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(blob)
+    fmt = None
+    data_off = data_size = None
+    while i + 8 <= n:
+        cid = blob[i:i + 4]
+        csz = int.from_bytes(blob[i + 4:i + 8], "little")
+        if cid == b"fmt " and csz >= 16 and i + 24 <= n:
+            fmt = {
+                "audio_format": int.from_bytes(blob[i + 8:i + 10], "little"),
+                "n_channels": int.from_bytes(blob[i + 10:i + 12], "little"),
+                "sample_rate": int.from_bytes(blob[i + 12:i + 16], "little"),
+                "bits": int.from_bytes(blob[i + 22:i + 24], "little"),
+            }
+        elif cid == b"data":
+            data_off, data_size = i + 8, csz
+        if fmt is not None and data_off is not None:
+            break
+        i += 8 + csz + (csz & 1)
+    if (fmt is None or data_off is None
+            or fmt["audio_format"] != 1 or fmt["bits"] != 16
+            or fmt["n_channels"] < 1 or not fmt["sample_rate"]
+            or data_off + data_size > n):
+        return None
+    frame_bytes = 2 * fmt["n_channels"]
+    n_frames = data_size // frame_bytes
+    raw = blob[data_off:data_off + n_frames * frame_bytes]
+    arr = np.frombuffer(raw, dtype="<i2").reshape(n_frames,
+                                                  fmt["n_channels"])
+    return arr, fmt["sample_rate"]
+
+
+AUDIO_PCM_FEATURES_SCHEMA = T.StructType([
+    T.StructField("channel", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("peak", T.IntegerType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zcr", T.DoubleType()),
+])
+
+
+def extract_audio_pcm_features(df: DataFrame, blob_col: str,
+                               id_col: str) -> DataFrame:
+    """(id, channel, sample_rate, n_frames, peak, rms, zcr) — one row per
+    channel — from REAL decoded PCM samples (:func:`decode_wav_pcm`) via
+    Arrow-batched mapInPandas. Map-side only, no shuffle, blob never
+    carried downstream; undecodable blobs contribute no rows.
+
+    Numeric discipline (the decimal-exact lesson applied to int audio):
+    the squared-sample sum is accumulated EXACTLY in int64, so
+    ``rms = sqrt(double(sum_sq) / n)`` is one correctly-rounded double
+    division + sqrt — bit-equal to any engine computing the same integer
+    sum (an oracle can replay it closed-form). ``zcr`` counts sign-bit
+    boundary crossings ``(prev < 0) != (cur < 0)`` over n−1 steps —
+    integer count, zero-sample robust; ``peak = max |s|``."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + list(AUDIO_PCM_FEATURES_SCHEMA.fields))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[blob_col]):
+                got = decode_wav_pcm(bytes(b)) if b is not None else None
+                if got is None:
+                    continue
+                arr, sr = got
+                n = arr.shape[0]
+                if n == 0:
+                    continue
+                s64 = arr.astype(np.int64)
+                for ch in range(arr.shape[1]):
+                    s = s64[:, ch]
+                    sum_sq = int(np.dot(s, s))        # exact in int64
+                    rms = float(np.sqrt(sum_sq / n))
+                    peak = int(np.abs(s).max())
+                    if n > 1:
+                        neg = s < 0
+                        zcr = int(np.sum(neg[:-1] != neg[1:])) / (n - 1)
+                    else:
+                        zcr = 0.0
+                    rows.append((rid, ch, int(sr), n, peak, rms, zcr))
+            yield pd.DataFrame(rows, columns=[id_col, "channel",
+                                              "sample_rate", "n_frames",
+                                              "peak", "rms", "zcr"])
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        decode_batches, schema=out_schema)
+
+
 def _mp4_box(btype: bytes, payload: bytes) -> bytes:
     return (8 + len(payload)).to_bytes(4, "big") + btype + payload
 
@@ -518,7 +641,9 @@ def extract_audio_features(df: DataFrame, blob_col: str, id_col: str) -> DataFra
     """(id, sample_rate, n_channels, bits_per_sample, n_frames,
     duration_ms) from WAV blobs via Arrow-batched mapInPandas — the REAL
     RIFF chunk walk (:func:`decode_wav_header`), null row on non-WAV.
-    Map-side only, no shuffle; never carries the blob downstream."""
+    Map-side only, no shuffle; never carries the blob downstream.
+    For SAMPLE-level features (RMS/ZCR/peak from real decoded PCM) use
+    :func:`extract_audio_pcm_features`."""
     out_schema = T.StructType(
         [T.StructField(id_col, df.schema[id_col].dataType)]
         + list(AUDIO_FEATURES_SCHEMA.fields))

@@ -472,6 +472,66 @@ class TestMultimodal:
             got_j = decode_wav_header(wav_header_bytes_junk(sr, ch, bits, nf))
             assert got_j == got
 
+    def test_wav_pcm_roundtrip(self):
+        """decode_wav_pcm reads back the EXACT int16 samples wav_pcm_bytes
+        wrote — interleaving, channel split, negative values, and the
+        declared-data-size bound all byte-real."""
+        import numpy as np
+
+        from pandas_plus_spark.operators.multimodal import (
+            decode_wav_pcm, wav_pcm_bytes)
+        rng = np.random.default_rng(7)
+        for ch in (1, 2, 3):
+            want = rng.integers(-32768, 32768, size=(41, ch), dtype=np.int16)
+            got, sr = decode_wav_pcm(wav_pcm_bytes(22050, want))
+            assert sr == 22050
+            assert got.shape == (41, ch)
+            assert (got == want).all()
+        # mono 1-D input
+        got, _ = decode_wav_pcm(wav_pcm_bytes(8000, np.array([1, -2, 3])))
+        assert got.tolist() == [[1], [-2], [3]]
+        # trailing junk beyond the declared data size is ignored
+        blob = wav_pcm_bytes(8000, np.array([5, 6])) + b"EXTRA"
+        got, _ = decode_wav_pcm(blob)
+        assert got.tolist() == [[5], [6]]
+
+    def test_wav_pcm_rejects(self):
+        import numpy as np
+
+        from pandas_plus_spark.operators.multimodal import (
+            decode_wav_pcm, wav_header_bytes, wav_pcm_bytes)
+        assert decode_wav_pcm(None) is None
+        assert decode_wav_pcm(b"not audio at all........") is None
+        # 8-bit format is not 16-bit PCM
+        assert decode_wav_pcm(wav_header_bytes(8000, 1, 8, 4)) is None
+        # truncated payload: data chunk declares more than is present
+        full = wav_pcm_bytes(8000, np.arange(10, dtype=np.int16))
+        assert decode_wav_pcm(full[:-4]) is None
+
+    def test_pcm_features_sparkside(self, spark):
+        """extract_audio_pcm_features: closed-form square wave (RMS == A,
+        peak == A, ZCR == crossings/(n-1)) per channel via mapInPandas."""
+        import numpy as np
+        import pandas as pd
+
+        from pandas_plus_spark.operators.multimodal import (
+            extract_audio_pcm_features, wav_pcm_bytes)
+        n, h, amp = 64, 8, 1000
+        sq = np.where((np.arange(n) // h) % 2 == 0, amp, -amp)
+        const = np.full(n, 7)
+        blob = wav_pcm_bytes(16000, np.column_stack([sq, const]))
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [1, 2], "blob": [blob, b"junk"]}))
+        rows = {(r.id, r.channel): r for r in
+                extract_audio_pcm_features(df, "blob", "id").collect()}
+        assert set(rows) == {(1, 0), (1, 1)}   # undecodable id 2 dropped
+        r0 = rows[(1, 0)]
+        assert (r0.sample_rate, r0.n_frames, r0.peak) == (16000, n, amp)
+        assert r0.rms == float(amp)
+        assert r0.zcr == ((n - 1) // h) / (n - 1)
+        r1 = rows[(1, 1)]
+        assert (r1.peak, r1.rms, r1.zcr) == (7, 7.0, 0.0)
+
     def test_wav_malformed_returns_none(self):
         from pandas_plus_spark.operators.multimodal import (
             decode_wav_header, wav_header_bytes)

@@ -100,6 +100,7 @@ SUBSET = [
     # folded operator) + the folded incremental_dedup (all three index
     # forms in one tag-unioned frame)
     "value_counts",
+    "audio_pcm_features",
     "scatter_fit",
     "rolling_gate",
     "cumulative_gate",
