@@ -2063,18 +2063,22 @@ def _q_image_phash_dedup(spark, sf):
     CLOSED-FORM from the pixel arithmetic and joins pairs EXHAUSTIVELY
     (no banding) — a decode-offset, row-order, resample, threshold,
     bit-packing, or distance bug fails the hash, and any banding
-    under-recall in the engine fails the pair counts. Three doc groups:
-    0-99 originals, 100-199 brightness-shifted copies (aHash/dHash are
-    brightness-shift invariant -> distance-0 pairs), 200-299 column-0
-    stripe perturbations of the originals (measured spread: Hamming 0-9,
-    43 pairs in the 4-6 boundary band the old fixed 16-bit banding
-    silently missed — r10 ADVICE fix)."""
+    under-recall in the engine fails the pair counts. Four doc groups:
+    0-99 BMP originals, 100-199 brightness-shifted BMP copies
+    (aHash/dHash are brightness-shift invariant -> distance-0 pairs),
+    200-299 column-0 stripe perturbations of the originals (measured
+    spread: Hamming 0-9, 43 pairs in the 4-6 boundary band the old fixed
+    16-bit banding silently missed — r10 ADVICE fix), and 300-399 PNG
+    re-encodings of the originals (zlib + per-doc filter type,
+    multimodal.decode_png_pixels — the second REAL pixel path, r10) that
+    must land at distance 0 from their BMP twins."""
     import pandas as _pd
 
-    from pandas_plus_spark.operators.multimodal import bmp_pixel_bytes
+    from pandas_plus_spark.operators.multimodal import (bmp_pixel_bytes,
+                                                        png_pixel_bytes)
 
     docs = (load_table(spark, sf, "documents")
-            .where(F.col("doc_id") < 300).select("doc_id"))
+            .where(F.col("doc_id") < 400).select("doc_id"))
 
     def make(batches):
         for pdf in batches:
@@ -2084,13 +2088,17 @@ def _q_image_phash_dedup(spark, sf):
                 a = 2 + (did % 100) % 9
                 b = 3 + (did % 100) % 7
                 c = 30 if 100 <= did < 200 else 10
-                stripe = 40 if did >= 200 else 0
+                stripe = 40 if 200 <= did < 300 else 0
 
                 def fn(x, y, a=a, b=b, c=c, stripe=stripe):
                     v = (a * x + b * y) % 200 + c + (stripe if x == 0 else 0)
                     return (v, v, v)
 
-                blobs.append(bmp_pixel_bytes(32, 20, fn))
+                if did >= 300:
+                    blobs.append(png_pixel_bytes(32, 20, fn,
+                                                 filters=did % 5))
+                else:
+                    blobs.append(bmp_pixel_bytes(32, 20, fn))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     blobs_df = docs.mapInPandas(make, "doc_id long, blob binary")
@@ -5427,14 +5435,19 @@ def oracle_sql() -> dict[str, str]:
             -- grids), then an EXHAUSTIVE Hamming<=6 pair join — no
             -- banding, so any under-recall in the engine's banded join
             -- fails the n_dups counts (r10 ADVICE fix).
+            -- group 300-399 are PNG re-encodings of the 0-99 gradients
+            -- (c=10, no stripe): same closed-form pixels, so the same
+            -- hash arithmetic covers them — the engine must decode the
+            -- zlib/filtered PNG bytes to the identical values
             WITH params AS (
                 SELECT doc_id,
                        2 + (doc_id % 100) % 9 AS a,
                        3 + (doc_id % 100) % 7 AS b,
                        CASE WHEN doc_id >= 100 AND doc_id < 200
                             THEN 30 ELSE 10 END AS c,
-                       CASE WHEN doc_id >= 200 THEN 40 ELSE 0 END AS stripe
-                FROM documents WHERE doc_id < 300
+                       CASE WHEN doc_id >= 200 AND doc_id < 300
+                            THEN 40 ELSE 0 END AS stripe
+                FROM documents WHERE doc_id < 400
             ), grid8 AS (
                 SELECT i.generate_series AS i, j.generate_series AS j
                 FROM generate_series(0, 7) i, generate_series(0, 7) j

@@ -217,8 +217,10 @@ def decode_image_stub(blob: bytes) -> dict:
     """PNG/BMP/GIF/JPEG/WebP/AVIF dimensions are decoded for REAL (header
     parse, :func:`decode_image_header`) — every image container the
     engine ships a generator for, so the fallback below is unreachable
-    for shipped formats. It remains for UNRECOGNIZED formats only:
-    full-pixel decode needs PIL/libjpeg, not present in this container.
+    for shipped formats. FULL-PIXEL decode is also real for BMP
+    (:func:`decode_bmp_pixels`) and PNG (:func:`decode_png_pixels`, r10);
+    this stub remains for UNRECOGNIZED formats only: lossy-codec pixel
+    decode needs PIL/libjpeg, not present in this container.
     The fake derives plausible dimensions from the payload so the
     distributed pipeline (schema, batching, downstream aggregation) is
     fully exercisable either way. Swap the fallback for
@@ -836,6 +838,171 @@ def decode_bmp_pixels(blob: bytes):
     return rows[:, :, ::-1].copy()              # BGR -> RGB
 
 
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import zlib
+    return (len(payload).to_bytes(4, "big") + ctype + payload
+            + zlib.crc32(ctype + payload).to_bytes(4, "big"))
+
+
+def png_pixel_bytes(width: int, height: int, pixel_fn, *,
+                    color_type: int = 2, filters=None) -> bytes:
+    """Complete spec-valid PNG (8-bit, non-interlaced) with pixels from
+    ``pixel_fn(x, y) -> (r, g, b)``; ``color_type`` 0 (gray — the mean of
+    the tuple), 2 (RGB) or 6 (RGBA, alpha 255). ``filters`` selects the
+    per-row filter type (int for all rows, or a per-row list) so every
+    one of the five PNG filters (None/Sub/Up/Average/Paeth) can be
+    exercised; default cycles 0-4. Scanlines are filtered then
+    zlib-compressed into one IDAT — the fixture generator for the REAL
+    PNG pixel-decode path."""
+    import zlib
+
+    import numpy as np
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
+    px = np.zeros((height, width, bpp), dtype=np.int64)
+    for y in range(height):
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            if color_type == 0:
+                px[y, x, 0] = (r + g + b) // 3
+            elif color_type == 2:
+                px[y, x] = (r, g, b)
+            else:
+                px[y, x] = (r, g, b, 255)
+    px = (px & 0xFF).astype(np.uint8)
+    if filters is None:
+        filters = [y % 5 for y in range(height)]
+    elif isinstance(filters, int):
+        filters = [filters] * height
+    raw = bytearray()
+    prior = np.zeros(width * bpp, dtype=np.int64)
+    for y in range(height):
+        line = px[y].reshape(-1).astype(np.int64)
+        f = filters[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), line[:-bpp]])
+        pl = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]])
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line - left
+        elif f == 2:
+            enc = line - prior
+        elif f == 3:
+            enc = line - (left + prior) // 2
+        else:
+            p = left + prior - pl
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prior),
+                          np.abs(p - pl))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, pl))
+            enc = line - pred
+        raw += bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes()
+        prior = line
+    ihdr = (width.to_bytes(4, "big") + height.to_bytes(4, "big")
+            + bytes([8, color_type, 0, 0, 0]))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png_pixels(blob: bytes):
+    """REAL PNG pixel decode — no codec library: chunk walk (IHDR +
+    concatenated IDAT), zlib inflate, then the five PNG filter
+    reconstructions (None/Sub/Up/Average/Paeth — the byte-exact spec
+    arithmetic; Sub/Average/Paeth carry an in-row dependency, resolved
+    byte-sequentially). Supports 8-bit gray/RGB/RGBA, non-interlaced.
+    Returns numpy (H, W, 3) RGB uint8 (gray replicated, alpha dropped)
+    or None for non-PNG / unsupported variants (16-bit, palette, Adam7)
+    / corrupt streams — extends the perceptual-dedup path to the
+    dominant lossless web format; lossy codecs stay behind the
+    documented stub seam."""
+    import zlib
+
+    import numpy as np
+    if blob is None or len(blob) < 8 or blob[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, n = 8, len(blob)
+    ihdr = None
+    idat = bytearray()
+    while i + 8 <= n:
+        clen = int.from_bytes(blob[i:i + 4], "big")
+        ctype = blob[i + 4:i + 8]
+        payload = blob[i + 8:i + 8 + clen]
+        if len(payload) < clen:
+            return None
+        if ctype == b"IHDR":
+            ihdr = payload
+        elif ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen                      # len + type + payload + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    bpp = {0: 1, 2: 3, 6: 4}.get(color)
+    if (width <= 0 or height <= 0 or depth != 8 or bpp is None
+            or interlace != 0):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * bpp
+    if len(raw) != height * (1 + stride):
+        return None
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        row = raw[y * (1 + stride):(y + 1) * (1 + stride)]
+        f = row[0]
+        cur = np.frombuffer(row[1:], dtype=np.uint8).astype(np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 2:
+            rec = (cur + prior) & 0xFF
+        else:
+            rec = np.zeros(stride, dtype=np.int64)
+            for k in range(stride):
+                a = rec[k - bpp] if k >= bpp else 0     # left
+                b = prior[k]                            # up
+                c = prior[k - bpp] if k >= bpp else 0   # up-left
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                else:
+                    return None
+                rec[k] = (cur[k] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+        prior = rec
+    px = out.reshape(height, width, bpp)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 6:
+        return px[:, :, :3].copy()
+    return px
+
+
+def decode_image_pixels(blob: bytes):
+    """Dispatch full-pixel decode by container magic: BMP
+    (:func:`decode_bmp_pixels`) and PNG (:func:`decode_png_pixels`) are
+    REAL; anything else returns None (the lossy-codec stub seam)."""
+    if blob is None or len(blob) < 8:
+        return None
+    if blob[:2] == b"BM":
+        return decode_bmp_pixels(blob)
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(blob)
+    return None
+
+
 def _gray_grid(px, gh: int, gw: int):
     """Integer grayscale resample: nearest-neighbor sample at
     (floor(i*H/gh), floor(j*W/gw)), gray = floor(mean of R,G,B) — all
@@ -885,10 +1052,11 @@ PHASH_SCHEMA = T.StructType([
 
 def extract_perceptual_hashes(df: DataFrame, blob_col: str,
                               id_col: str) -> DataFrame:
-    """(id, ahash, dhash) from REAL pixel decode — Arrow-batched
-    mapInPandas, numpy per batch, no shuffle. Blobs that fail to decode
-    (non-BMP, truncated) yield NULL hashes and stay in the frame for the
-    caller to triage."""
+    """(id, ahash, dhash) from REAL pixel decode (BMP and PNG via
+    :func:`decode_image_pixels`) — Arrow-batched mapInPandas, numpy per
+    batch, no shuffle. Blobs that fail to decode (unsupported container,
+    truncated) yield NULL hashes and stay in the frame for the caller to
+    triage."""
     out_schema = T.StructType(
         [T.StructField(id_col, df.schema[id_col].dataType)]
         + list(PHASH_SCHEMA.fields))
@@ -897,7 +1065,7 @@ def extract_perceptual_hashes(df: DataFrame, blob_col: str,
         for pdf in it:
             rows = []
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
-                px = decode_bmp_pixels(bytes(blob))
+                px = decode_image_pixels(bytes(blob))
                 if px is None:
                     rows.append((rid, None, None))
                 else:

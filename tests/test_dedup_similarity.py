@@ -1202,6 +1202,58 @@ class TestPerceptualHash:
                for r in hamming_pairs(df, "h", "id", max_dist=6).collect()}
         assert got == {(1, 2): 1, (1, 5): 0, (2, 5): 1}
 
+    def test_png_pixel_roundtrip_all_filters(self):
+        """decode_png_pixels reconstructs the EXACT source pixels through
+        zlib + each of the five PNG filter types, for RGB/RGBA/gray."""
+        import numpy as np
+
+        from pandas_plus_spark.operators.multimodal import (
+            decode_png_pixels, png_pixel_bytes)
+        rng = np.random.default_rng(11)
+        arr = rng.integers(0, 256, size=(13, 9, 3))
+
+        def fn(x, y):
+            return tuple(int(v) for v in arr[y, x])
+
+        for filt in (0, 1, 2, 3, 4, None):      # None cycles all five
+            px = decode_png_pixels(png_pixel_bytes(9, 13, fn, filters=filt))
+            assert (px == arr).all(), filt
+        # RGBA decodes to RGB (alpha dropped); gray replicates channels
+        assert (decode_png_pixels(
+            png_pixel_bytes(9, 13, fn, color_type=6, filters=4)) == arr).all()
+        gray = (arr.astype(np.int64).sum(axis=2) // 3)[:, :, None]
+        assert (decode_png_pixels(
+            png_pixel_bytes(9, 13, fn, color_type=0, filters=3))
+            == gray.repeat(3, 2)).all()
+
+    def test_png_rejects_unsupported(self):
+        from pandas_plus_spark.operators.multimodal import (
+            decode_png_pixels, png_header_bytes)
+        assert decode_png_pixels(None) is None
+        assert decode_png_pixels(b"nope") is None
+        assert decode_png_pixels(b"\x89PNG\r\n\x1a\njunkjunk") is None
+        # header-only fixture (no IDAT) is not pixel-decodable
+        assert decode_png_pixels(png_header_bytes(8, 8)) is None
+
+    def test_png_bmp_same_pixels_same_hashes(self):
+        """The two REAL pixel paths agree: the same pixel function
+        encoded as BMP and as PNG decodes to identical arrays and
+        identical perceptual hashes — so PNG copies dedup against BMP
+        originals at Hamming distance 0."""
+        from pandas_plus_spark.operators.multimodal import (
+            ahash64, bmp_pixel_bytes, decode_bmp_pixels,
+            decode_image_pixels, dhash64, png_pixel_bytes)
+
+        def grad(x, y):
+            v = (3 * x + 5 * y) % 200 + 10
+            return (v, v, v)
+
+        b = decode_bmp_pixels(bmp_pixel_bytes(32, 20, grad))
+        p = decode_image_pixels(png_pixel_bytes(32, 20, grad))
+        assert (b == p).all()
+        assert ahash64(b) == ahash64(p)
+        assert dhash64(b) == dhash64(p)
+
     def test_hamming_pairs_recall_contract(self, spark):
         """Distance 4-6 pairs whose differing bits touch EVERY 16-bit band
         must still be found: the default banding derives from max_dist
