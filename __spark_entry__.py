@@ -2068,17 +2068,20 @@ def _q_image_phash_dedup(spark, sf):
     (aHash/dHash are brightness-shift invariant -> distance-0 pairs),
     200-299 column-0 stripe perturbations of the originals (measured
     spread: Hamming 0-9, 43 pairs in the 4-6 boundary band the old fixed
-    16-bit banding silently missed — r10 ADVICE fix), and 300-399 PNG
+    16-bit banding silently missed — r10 ADVICE fix), 300-399 PNG
     re-encodings of the originals (zlib + per-doc filter type,
-    multimodal.decode_png_pixels — the second REAL pixel path, r10) that
-    must land at distance 0 from their BMP twins."""
+    multimodal.decode_png_pixels — the second REAL pixel path, r10) and
+    400-499 GIF re-encodings (real LZW decode + 4-pass de-interlacing,
+    multimodal.decode_gif_pixels — the third, r10); both re-encoded
+    groups must land at distance 0 from their BMP twins."""
     import pandas as _pd
 
     from pandas_plus_spark.operators.multimodal import (bmp_pixel_bytes,
+                                                        gif_pixel_bytes,
                                                         png_pixel_bytes)
 
     docs = (load_table(spark, sf, "documents")
-            .where(F.col("doc_id") < 400).select("doc_id"))
+            .where(F.col("doc_id") < 500).select("doc_id"))
 
     def make(batches):
         for pdf in batches:
@@ -2094,7 +2097,10 @@ def _q_image_phash_dedup(spark, sf):
                     v = (a * x + b * y) % 200 + c + (stripe if x == 0 else 0)
                     return (v, v, v)
 
-                if did >= 300:
+                if did >= 400:
+                    blobs.append(gif_pixel_bytes(32, 20, fn,
+                                                 interlace=did % 2 == 0))
+                elif did >= 300:
                     blobs.append(png_pixel_bytes(32, 20, fn,
                                                  filters=did % 5))
                 else:
@@ -5435,10 +5441,11 @@ def oracle_sql() -> dict[str, str]:
             -- grids), then an EXHAUSTIVE Hamming<=6 pair join — no
             -- banding, so any under-recall in the engine's banded join
             -- fails the n_dups counts (r10 ADVICE fix).
-            -- group 300-399 are PNG re-encodings of the 0-99 gradients
-            -- (c=10, no stripe): same closed-form pixels, so the same
-            -- hash arithmetic covers them — the engine must decode the
-            -- zlib/filtered PNG bytes to the identical values
+            -- groups 300-399 / 400-499 are PNG / GIF re-encodings of the
+            -- 0-99 gradients (c=10, no stripe): same closed-form pixels,
+            -- so the same hash arithmetic covers them — the engine must
+            -- decode the zlib/filtered PNG bytes and the LZW-compressed
+            -- (half interlaced) GIF bytes to the identical values
             WITH params AS (
                 SELECT doc_id,
                        2 + (doc_id % 100) % 9 AS a,
@@ -5447,7 +5454,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN 30 ELSE 10 END AS c,
                        CASE WHEN doc_id >= 200 AND doc_id < 300
                             THEN 40 ELSE 0 END AS stripe
-                FROM documents WHERE doc_id < 400
+                FROM documents WHERE doc_id < 500
             ), grid8 AS (
                 SELECT i.generate_series AS i, j.generate_series AS j
                 FROM generate_series(0, 7) i, generate_series(0, 7) j

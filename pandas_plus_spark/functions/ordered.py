@@ -32,11 +32,17 @@ from ..util import attach_cached
 
 
 # persist placement for _grouped_multi_cumsum (r10 A/B knob): True pins
-# the pre-window exchanged frame (halves the persist write; the window's
-# wide cumulative columns stream instead of hitting disk), False pins the
-# post-window frame (the pre-r10 shape). Kept runtime-flippable for
-# same-boot A/Bs.
-_MC_PERSIST_PREWINDOW = True
+# the pre-window exchanged frame (halves the persist write volume — the
+# window's wide cumulative columns stream instead of hitting disk),
+# False pins the post-window frame. MEASURED (BASELINE.md r10): the
+# halved-write hypothesis did NOT cash out as wall-clock — sf1 same-boot
+# steady is equal (1.44 vs 1.61 s medians, identical once warm) and
+# sf100 reads post 186.7/179.4 s vs pre 195.3/185.1 s (post ~4% better,
+# inside noise): the cost lives in the 8-partition window funnel and the
+# exchange, not the persist IO the OS page cache absorbs. Default False
+# (the measured-marginally-better pre-r10 shape); the knob stays for
+# reproducing the A/B.
+_MC_PERSIST_PREWINDOW = False
 
 # r10 measured decision (same-boot 4-round A/B at sf1, BASELINE.md): the
 # deterministic-literal-bounds pipeline (no persist, totals from the

@@ -8,10 +8,13 @@ arithmetic: image dimensions from PNG/BMP/GIF/JPEG headers
 (:func:`decode_image_header`), audio params from the RIFF/WAVE chunk list
 (:func:`decode_wav_header`), video dimensions/duration from the MP4
 ISO-BMFF box tree (:func:`decode_mp4_header`). Pixel/sample decode is
-REAL for uncompressed containers: BMP pixels (:func:`decode_bmp_pixels`,
-feeding the perceptual-hash dedup path) and 16-bit PCM WAV samples
+REAL wherever the format needs no external codec: BMP pixels
+(:func:`decode_bmp_pixels`), PNG pixels (:func:`decode_png_pixels` —
+zlib + the five filter reconstructions), GIF pixels
+(:func:`decode_gif_pixels` — full variable-width LZW + de-interlacing),
+all feeding the perceptual-hash dedup path, and 16-bit PCM WAV samples
 (:func:`decode_wav_pcm`, feeding RMS/ZCR/peak audio features). Only
-compressed-codec decode (JPEG/PNG/WebP pixels, MP3/AAC samples, video
+lossy-codec decode (JPEG/WebP/AVIF pixels, MP3/AAC samples, video
 frames — PIL/ffmpeg/torchvision are not installed in this environment)
 remains a clearly-marked deterministic-fake seam; everything Spark-side —
 schema, partitioning, UDF signature, batch shape — is real and tested.
@@ -218,9 +221,10 @@ def decode_image_stub(blob: bytes) -> dict:
     parse, :func:`decode_image_header`) — every image container the
     engine ships a generator for, so the fallback below is unreachable
     for shipped formats. FULL-PIXEL decode is also real for BMP
-    (:func:`decode_bmp_pixels`) and PNG (:func:`decode_png_pixels`, r10);
-    this stub remains for UNRECOGNIZED formats only: lossy-codec pixel
-    decode needs PIL/libjpeg, not present in this container.
+    (:func:`decode_bmp_pixels`), PNG (:func:`decode_png_pixels`) and GIF
+    (:func:`decode_gif_pixels`) — every lossless container; this stub
+    remains for UNRECOGNIZED formats only: lossy-codec pixel decode
+    needs PIL/libjpeg, not present in this container.
     The fake derives plausible dimensions from the payload so the
     distributed pipeline (schema, batching, downstream aggregation) is
     fully exercisable either way. Swap the fallback for
@@ -990,16 +994,225 @@ def decode_png_pixels(blob: bytes):
     return px
 
 
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """Textbook GIF-flavor LZW over palette indices: variable code width
+    starting min+1, CLEAR resets the table, widths grow at table size
+    2^width up to 12 bits (then CLEAR). Little-endian bit packing per the
+    GIF spec."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table = {(i,): i for i in range(1 << min_code_size)}
+    nxt = eoi + 1
+    emit(clear, width)
+    seq = ()
+    for px in indices:
+        cand = seq + (int(px),)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = nxt
+        nxt += 1
+        if nxt > (1 << width) and width < 12:
+            width += 1
+        elif nxt >= (1 << 12):
+            emit(clear, width)
+            table = {(i,): i for i in range(1 << min_code_size)}
+            nxt = eoi + 1
+            width = min_code_size + 1
+        seq = (int(px),)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_pixel_bytes(width: int, height: int, pixel_fn,
+                    interlace: bool = False) -> bytes:
+    """Complete spec-valid GIF89a with pixels from ``pixel_fn(x, y) ->
+    (r, g, b)`` (≤ 256 distinct colors — a global color table is built
+    from the distinct values), REAL LZW-compressed (dictionary growth,
+    width escalation, 255-byte sub-block framing), optionally
+    interlaced — the fixture generator for the GIF pixel-decode path."""
+    px = [[tuple(v & 0xFF for v in pixel_fn(x, y)) for x in range(width)]
+          for y in range(height)]
+    palette = sorted({c for row in px for c in row})
+    if len(palette) > 256:
+        raise ValueError("gif_pixel_bytes: more than 256 distinct colors")
+    pidx = {c: i for i, c in enumerate(palette)}
+    gct_bits = max(1, (max(1, len(palette) - 1)).bit_length())
+    gct = bytearray()
+    for i in range(1 << gct_bits):
+        gct += bytes(palette[i] if i < len(palette) else (0, 0, 0))
+    rows = list(range(height))
+    if interlace:
+        rows = ([*range(0, height, 8)] + [*range(4, height, 8)]
+                + [*range(2, height, 4)] + [*range(1, height, 2)])
+    indices = [pidx[px[y][x]] for y in rows for x in range(width)]
+    min_code = max(2, gct_bits)
+    lzw = _gif_lzw_encode(indices, min_code)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        sub += bytes([len(chunk)]) + chunk
+    sub += b"\x00"
+    screen = (width.to_bytes(2, "little") + height.to_bytes(2, "little")
+              + bytes([0x80 | (gct_bits - 1)]) + b"\x00\x00")
+    img = (b"\x2c" + bytes(4) + width.to_bytes(2, "little")
+           + height.to_bytes(2, "little")
+           + bytes([0x40 if interlace else 0x00])
+           + bytes([min_code]) + bytes(sub))
+    return b"GIF89a" + screen + bytes(gct) + img + b"\x3b"
+
+
+def decode_gif_pixels(blob: bytes):
+    """REAL GIF pixel decode — no codec library: logical-screen /
+    image-descriptor parse, global+local color tables, sub-block
+    reassembly, and a full variable-width LZW decoder (CLEAR/EOI codes,
+    dictionary growth with the KwKwK case, width escalation to 12 bits),
+    plus 4-pass de-interlacing. Decodes the FIRST image frame to a numpy
+    (H, W, 3) RGB uint8 array; returns None for non-GIF / truncated /
+    corrupt streams. LZW is pure arithmetic, so — like BMP and PNG — the
+    dominant legacy web image format needs no external codec."""
+    import numpy as np
+    if blob is None or len(blob) < 13 or blob[:4] != b"GIF8" \
+            or blob[4:6] not in (b"7a", b"9a"):
+        return None
+    packed = blob[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = blob[i:i + n]
+        if len(gct) < n:
+            return None
+        i += n
+    n_total = len(blob)
+    while i < n_total:
+        b0 = blob[i]
+        if b0 == 0x3B:                         # trailer
+            return None
+        if b0 == 0x21:                         # extension: skip sub-blocks
+            i += 2
+            while i < n_total and blob[i] != 0:
+                i += 1 + blob[i]
+            i += 1
+            continue
+        if b0 != 0x2C:
+            return None
+        # image descriptor
+        if i + 10 > n_total:
+            return None
+        w = int.from_bytes(blob[i + 5:i + 7], "little")
+        h = int.from_bytes(blob[i + 7:i + 9], "little")
+        ipacked = blob[i + 9]
+        interlace = bool(ipacked & 0x40)
+        i += 10
+        table = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            table = blob[i:i + n]
+            if len(table) < n:
+                return None
+            i += n
+        if table is None or w <= 0 or h <= 0:
+            return None
+        min_code = blob[i]
+        i += 1
+        data = bytearray()
+        while i < n_total and blob[i] != 0:
+            ln = blob[i]
+            data += blob[i + 1:i + 1 + ln]
+            i += 1 + ln
+        if i >= n_total:
+            return None
+        # --- LZW decode ---
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        base = [(j,) for j in range(1 << min_code)]
+        dict_ = base + [(), ()]
+        width_bits = min_code + 1
+        acc = nbits = pos = 0
+        prev = None
+        out = []
+        need = w * h
+        while len(out) < need:
+            while nbits < width_bits:
+                if pos >= len(data):
+                    return None
+                acc |= data[pos] << nbits
+                pos += 1
+                nbits += 8
+            code = acc & ((1 << width_bits) - 1)
+            acc >>= width_bits
+            nbits -= width_bits
+            if code == clear:
+                dict_ = base + [(), ()]
+                width_bits = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= len(dict_):
+                    return None
+                entry = dict_[code]
+            elif code < len(dict_):
+                entry = dict_[code]
+                dict_.append(prev + (entry[0],))
+            elif code == len(dict_):               # the KwKwK case
+                entry = prev + (prev[0],)
+                dict_.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            prev = entry
+            if len(dict_) >= (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+        if len(out) < need:
+            return None
+        idx = np.asarray(out[:need], dtype=np.int64)
+        n_colors = len(table) // 3
+        if int(idx.max()) >= n_colors:
+            return None
+        pal = np.frombuffer(bytes(table), dtype=np.uint8).reshape(-1, 3)
+        px = pal[idx].reshape(h, w, 3)
+        if interlace:
+            rows = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                    + [*range(2, h, 4)] + [*range(1, h, 2)])
+            de = np.zeros_like(px)
+            de[rows] = px
+            px = de
+        return px.copy()
+    return None
+
+
 def decode_image_pixels(blob: bytes):
     """Dispatch full-pixel decode by container magic: BMP
-    (:func:`decode_bmp_pixels`) and PNG (:func:`decode_png_pixels`) are
-    REAL; anything else returns None (the lossy-codec stub seam)."""
+    (:func:`decode_bmp_pixels`), PNG (:func:`decode_png_pixels`) and GIF
+    (:func:`decode_gif_pixels`) are REAL; anything else returns None
+    (the lossy-codec stub seam)."""
     if blob is None or len(blob) < 8:
         return None
     if blob[:2] == b"BM":
         return decode_bmp_pixels(blob)
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(blob)
+    if blob[:4] == b"GIF8":
+        return decode_gif_pixels(blob)
     return None
 
 

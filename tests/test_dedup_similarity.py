@@ -1254,6 +1254,58 @@ class TestPerceptualHash:
         assert ahash64(b) == ahash64(p)
         assert dhash64(b) == dhash64(p)
 
+    def test_gif_pixel_roundtrip(self):
+        """decode_gif_pixels reconstructs the EXACT source pixels through
+        the variable-width LZW stream (dictionary growth, KwKwK,
+        sub-block framing) for both scan orders."""
+        import numpy as np
+
+        from pandas_plus_spark.operators.multimodal import (
+            decode_gif_pixels, gif_pixel_bytes)
+        rng = np.random.default_rng(13)
+        vals = rng.integers(0, 256, size=11)
+        arr = np.array(vals[rng.integers(0, 11, size=(17, 9))],
+                       dtype=np.uint8)
+        arr3 = np.stack([arr, (arr * 3) % 256, 255 - arr], axis=2)
+
+        def fn(x, y):
+            return tuple(int(v) for v in arr3[y, x])
+
+        for interlace in (False, True):
+            px = decode_gif_pixels(
+                gif_pixel_bytes(9, 17, fn, interlace=interlace))
+            assert (px == arr3).all(), interlace
+        # large image: width escalation past the initial code size
+        big = (np.add.outer(np.arange(60) * 7,
+                            np.arange(70) * 13) % 251).astype(np.uint8)
+        px = decode_gif_pixels(gif_pixel_bytes(
+            70, 60, lambda x, y: (int(big[y, x]),) * 3))
+        assert (px[:, :, 0] == big).all()
+
+    def test_gif_rejects(self):
+        from pandas_plus_spark.operators.multimodal import (
+            decode_gif_pixels, gif_header_bytes)
+        assert decode_gif_pixels(None) is None
+        assert decode_gif_pixels(b"GIF8") is None
+        assert decode_gif_pixels(b"notagif.........") is None
+        # header-only fixture (no image data) is not pixel-decodable
+        assert decode_gif_pixels(gif_header_bytes(8, 8)) is None
+
+    def test_gif_bmp_same_pixels_same_hashes(self):
+        from pandas_plus_spark.operators.multimodal import (
+            ahash64, bmp_pixel_bytes, decode_bmp_pixels,
+            decode_image_pixels, dhash64, gif_pixel_bytes)
+
+        def grad(x, y):
+            v = (3 * x + 5 * y) % 200 + 10
+            return (v, v, v)
+
+        b = decode_bmp_pixels(bmp_pixel_bytes(32, 20, grad))
+        g = decode_image_pixels(gif_pixel_bytes(32, 20, grad,
+                                                interlace=True))
+        assert (b == g).all()
+        assert ahash64(b) == ahash64(g) and dhash64(b) == dhash64(g)
+
     def test_hamming_pairs_recall_contract(self, spark):
         """Distance 4-6 pairs whose differing bits touch EVERY 16-bit band
         must still be found: the default banding derives from max_dist
