@@ -2119,6 +2119,44 @@ def _q_image_phash_dedup(spark, sf):
     return attach_cached(out, *getattr(pairs, "_pps_cached", ()))
 
 
+def _q_video_frame_sample(spark, sf):
+    """REAL video frame sampling (r10 — retires the byte-window fake for
+    RIFF video): deterministic AVI/MJPEG containers (spec hdrl/strl/movi
+    layout, 5-10 frames of 52-byte JPEG payloads each) are built per
+    doc_id in mapInPandas, then sample_avi_frames walks the ACTUAL RIFF
+    chunk tree to the true frame boundaries, samples 3 evenly spaced
+    frames, parses each REAL frame's JPEG SOF dimensions, and md5-hashes
+    the exact payload bytes. The oracle rebuilds every sampled frame's
+    bytes in SQL (hex-literal JPEG prelude + computed dims + the ASCII
+    tail) and applies DuckDB's md5 — a chunk-walk offset, alignment,
+    sampling-schedule, or extraction bug fails the hash."""
+    import pandas as _pd
+
+    from pandas_plus_spark.operators.multimodal import (avi_mjpeg_bytes,
+                                                        jpeg_header_bytes)
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 120).select("doc_id"))
+
+    def make(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n_f = 5 + did % 6
+                w = 64 + (did % 8) * 16
+                h = 48 + (did % 5) * 16
+                frames = [jpeg_header_bytes(w, h)
+                          + f"FRAME-{did:04d}-{i:02d}".encode()
+                          for i in range(n_f)]
+                blobs.append(avi_mjpeg_bytes(w, h, frames))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs_df = docs.mapInPandas(make, "doc_id long, blob binary")
+    return multimodal.sample_avi_frames(blobs_df, "blob", "doc_id",
+                                        n_frames=3)
+
+
 _WAV_RATES = [8000, 16000, 22050, 44100]
 
 
@@ -3831,8 +3869,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # simhash_candidates<->poly, ivf_knn<->ann_recall).
     return {
         # --- r10 window head (driver samples the FIRST 50) ---
-        # new r10 entry: REAL PCM sample decode (audio seam retired)
+        # new r10 entries: REAL PCM sample decode (audio seam retired),
+        # REAL AVI/MJPEG frame sampling (video byte-window fake retired)
         "audio_pcm_features": _q_audio_pcm_features,
+        "video_frame_sample": _q_video_frame_sample,
         # new compound gates (r10 consolidation; never driver-verified):
         "scatter_fit": _q_scatter_fit,
         "rolling_gate": _q_rolling_gate,
@@ -3884,9 +3924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_rank": _q_group_rank,
         "curation_pipeline": _q_curation_pipeline,
         "chunk_dedup": _q_chunk_dedup,
-        # r7-era fill to 50:
-        "doc_chunks": _q_doc_chunks,
         # --- tail: least-recently-verified first ---
+        "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
         "unigram_ppl": _q_unigram_ppl,
         "frame_sample": _q_frame_sample,
@@ -4848,6 +4887,42 @@ def oracle_sql() -> dict[str, str]:
                                                        -- WebP VP8X/VP8L alpha
                              ELSE 3 END AS INTEGER) AS n_channels
             FROM documents WHERE doc_id < 200
+        """,
+        "video_frame_sample": """
+            -- every sampled frame's BYTES rebuilt in SQL: the fixed JPEG
+            -- prelude as a hex literal, the SOF height/width big-endian
+            -- at their spec positions, the ASCII tail — md5 over the
+            -- reassembled blob must equal the engine's hash of the bytes
+            -- it extracted from the real RIFF walk. Frame payloads are
+            -- 52 bytes (even, no pad), the movi payload region starts at
+            -- the writer's constant offset 232, chunks stride 60.
+            WITH p AS (
+                SELECT doc_id,
+                       5 + doc_id % 6 AS n_f,
+                       CAST(64 + (doc_id % 8) * 16 AS INTEGER) AS w,
+                       CAST(48 + (doc_id % 5) * 16 AS INTEGER) AS h
+                FROM documents WHERE doc_id < 120
+            ), sel AS (
+                SELECT DISTINCT doc_id, n_f, w, h,
+                       CAST((g.generate_series * (n_f - 1)) // 2
+                            AS INTEGER) AS frame_idx
+                FROM p, generate_series(0, 2) g
+            )
+            SELECT doc_id, frame_idx,
+                   CAST(232 + 60 * frame_idx AS BIGINT) AS byte_offset,
+                   CAST(52 AS BIGINT) AS n_bytes,
+                   w AS jpeg_width, h AS jpeg_height,
+                   md5(upper(
+                       'ffd8ffe000104a46494600010100000100010000'
+                       || 'ffc0001108'
+                       || lpad(to_hex(h), 4, '0') || lpad(to_hex(w), 4, '0')
+                       || '03011100021100031100'
+                       || hex(encode('FRAME-'
+                                     || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                                     || '-'
+                                     || lpad(CAST(frame_idx AS VARCHAR),
+                                             2, '0'))))) AS frame_sig
+            FROM sel
         """,
         "audio_pcm_features": """
             -- every SAMPLE recomputed closed-form from the fixture's

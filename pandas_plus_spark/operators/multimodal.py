@@ -695,6 +695,151 @@ FRAME_SCHEMA = T.StructType([
 ])
 
 
+def avi_mjpeg_bytes(width: int, height: int, frames: list,
+                    us_per_frame: int = 33333) -> bytes:
+    """Complete spec-layout AVI (RIFF) holding an MJPEG video stream:
+    hdrl LIST (avih main header + strl(strh 'vids'/'MJPG' + strf
+    BITMAPINFOHEADER)) followed by the movi LIST with one ``00dc`` chunk
+    per frame payload (word-aligned per RIFF). ``frames`` is a list of
+    JPEG byte strings — the deterministic fixture generator for the REAL
+    video-frame walk."""
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return (cid + len(payload).to_bytes(4, "little") + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+
+    def lst(ltype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", ltype + payload)
+
+    avih = (us_per_frame.to_bytes(4, "little") + bytes(4) + bytes(4)
+            + bytes(4) + len(frames).to_bytes(4, "little") + bytes(4)
+            + (1).to_bytes(4, "little") + bytes(4)
+            + width.to_bytes(4, "little") + height.to_bytes(4, "little")
+            + bytes(16))
+    strh = (b"vids" + b"MJPG" + bytes(4) + bytes(2) + bytes(2) + bytes(4)
+            + us_per_frame.to_bytes(4, "little")
+            + (1_000_000).to_bytes(4, "little") + bytes(4)
+            + len(frames).to_bytes(4, "little") + bytes(4) + bytes(4)
+            + bytes(4) + bytes(8))
+    strf = ((40).to_bytes(4, "little")
+            + width.to_bytes(4, "little", signed=True)
+            + height.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + b"MJPG" + bytes(20))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_avi_frames(blob: bytes):
+    """REAL AVI container walk — no codec library (the RIFF chunk walk a
+    third time: WAV, WebP, now AVI): reads the avih main header
+    (frame interval, declared frame count, canvas dims) and collects the
+    movi LIST's video chunks (``##dc``/``##db``) as ``(payload_offset,
+    size)`` pairs — the seek table a real frame sampler drives. Returns
+    ``{width, height, n_frames, us_per_frame, frames: [(off, size)]}``
+    or None for non-AVI / truncated blobs. Frame PAYLOAD decode stays
+    format-specific (MJPEG frames are plain JPEGs — their dimensions
+    parse with the real SOF scan; pixel decode needs libjpeg)."""
+    if blob is None or len(blob) < 12 or blob[:4] != b"RIFF" \
+            or blob[8:12] != b"AVI ":
+        return None
+    n = len(blob)
+    meta = None
+    frames: list = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal meta
+        i = start
+        while i + 8 <= end:
+            cid = blob[i:i + 4]
+            csz = int.from_bytes(blob[i + 4:i + 8], "little")
+            ps, pe = i + 8, min(i + 8 + csz, end)
+            if cid == b"LIST" and pe - ps >= 4:
+                walk(ps + 4, pe)
+            elif cid == b"avih" and csz >= 40:
+                meta = {
+                    "us_per_frame": int.from_bytes(blob[ps:ps + 4], "little"),
+                    "n_frames": int.from_bytes(blob[ps + 16:ps + 20], "little"),
+                    "width": int.from_bytes(blob[ps + 32:ps + 36], "little"),
+                    "height": int.from_bytes(blob[ps + 36:ps + 40], "little"),
+                }
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append((ps, csz))
+            i = ps + csz + (csz & 1)
+
+    walk(12, n)
+    if meta is None or not frames:
+        return None
+    return {**meta, "frames": frames}
+
+
+AVI_FRAME_SCHEMA = T.StructType([
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("byte_offset", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("jpeg_width", T.IntegerType()),
+    T.StructField("jpeg_height", T.IntegerType()),
+    T.StructField("frame_sig", T.StringType()),
+])
+
+
+def sample_avi_frames(df: DataFrame, blob_col: str, id_col: str,
+                      n_frames: int = 4) -> DataFrame:
+    """REAL video frame sampling over AVI/MJPEG blobs (retires the
+    byte-window fake for RIFF video): the container walk
+    (:func:`decode_avi_frames`) yields true frame boundaries; ``n_frames``
+    evenly spaced frames are extracted — ``frame_idx`` over the declared
+    schedule ``floor(i*(F-1)/(n-1))`` — and each REAL frame payload is
+    parsed for its JPEG dimensions (:func:`_jpeg_sof_dims`) and hashed
+    so downstream rows never carry the blob. ``frame_sig`` = md5 of the
+    UPPERCASE hex of the payload (not of the raw bytes): DuckDB's md5
+    only accepts VARCHAR, and ``hex()`` is its canonical blob-to-text —
+    so an oracle reproduces the digest as ``md5(hex(blob))``.
+    Arrow-batched mapInPandas, map-side only; undecodable blobs
+    contribute no rows."""
+    import hashlib
+
+    if n_frames < 1:
+        raise ValueError("n_frames must be >= 1")
+    out_schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType)]
+        + list(AVI_FRAME_SCHEMA.fields))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, b in zip(pdf[id_col], pdf[blob_col]):
+                blob = bytes(b) if b is not None else None
+                got = decode_avi_frames(blob)
+                if got is None:
+                    continue
+                fr = got["frames"]
+                nf = len(fr)
+                if n_frames == 1 or nf == 1:
+                    idxs = [0]
+                else:
+                    k = min(n_frames, nf)
+                    idxs = sorted({(i * (nf - 1)) // (k - 1)
+                                   for i in range(k)})
+                for fi in idxs:
+                    off, sz = fr[fi]
+                    payload = blob[off:off + sz]
+                    dims = _jpeg_sof_dims(payload) or {}
+                    sig = hashlib.md5(
+                        payload.hex().upper().encode()).hexdigest()
+                    rows.append((rid, fi, off, sz,
+                                 dims.get("width"), dims.get("height"),
+                                 sig))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "frame_idx", "byte_offset", "n_bytes",
+                "jpeg_width", "jpeg_height", "frame_sig"])
+
+    return df.select(F.col(id_col), F.col(blob_col)).mapInPandas(
+        extract, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     blob_col: str,
@@ -712,7 +857,9 @@ def sample_frames(
     Extraction runs in Arrow-batched ``mapInPandas`` — the seam where a real
     pipeline calls ffmpeg/pyav per batch (not installed here, so the "frame"
     is the raw byte window, surfaced as its uppercase hex signature —
-    deterministic, so the whole pipeline is oracle-checkable).
+    deterministic, so the whole pipeline is oracle-checkable). For RIFF
+    video the fake is RETIRED: :func:`sample_avi_frames` walks real
+    AVI/MJPEG frame boundaries (r10).
 
     Scale: pure map-side work, no shuffle; output rows carry ``frame_bytes``
     hex chars, never the blob, so downstream frames are narrow. Partitions

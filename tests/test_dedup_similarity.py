@@ -1254,6 +1254,48 @@ class TestPerceptualHash:
         assert ahash64(b) == ahash64(p)
         assert dhash64(b) == dhash64(p)
 
+    def test_avi_walk_roundtrip(self):
+        """decode_avi_frames returns the EXACT frame payload boundaries
+        through the RIFF list tree, including odd-size word alignment."""
+        from pandas_plus_spark.operators.multimodal import (
+            avi_mjpeg_bytes, decode_avi_frames, jpeg_header_bytes)
+        frames = [jpeg_header_bytes(32, 24) + b"x" * (i % 3)
+                  for i in range(5)]
+        blob = avi_mjpeg_bytes(32, 24, frames, us_per_frame=40000)
+        got = decode_avi_frames(blob)
+        assert (got["width"], got["height"]) == (32, 24)
+        assert got["n_frames"] == 5 and got["us_per_frame"] == 40000
+        for (off, sz), f in zip(got["frames"], frames):
+            assert blob[off:off + sz] == f
+        assert decode_avi_frames(b"RIFFxxxxWAVE") is None
+        assert decode_avi_frames(None) is None
+
+    def test_sample_avi_frames_sparkside(self, spark):
+        """sample_avi_frames: true frame boundaries, evenly spaced
+        schedule, real JPEG dims from the extracted payload, hex-md5
+        signature; undecodable blobs dropped."""
+        import hashlib
+
+        import pandas as pd
+
+        from pandas_plus_spark.operators.multimodal import (
+            avi_mjpeg_bytes, jpeg_header_bytes, sample_avi_frames)
+        frames = [jpeg_header_bytes(160, 120) + f"f{i}".encode()
+                  for i in range(7)]
+        blob = avi_mjpeg_bytes(160, 120, frames)
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [1, 2], "blob": [blob, b"junk"]}))
+        rows = {r.frame_idx: r for r in
+                sample_avi_frames(df, "blob", "id", n_frames=3).collect()}
+        assert set(rows) == {0, 3, 6}          # floor(i*6/2)
+        for fi, r in rows.items():
+            assert r.id == 1
+            assert (r.jpeg_width, r.jpeg_height) == (160, 120)
+            assert r.n_bytes == len(frames[fi])
+            assert blob[r.byte_offset:r.byte_offset + r.n_bytes] == frames[fi]
+            assert r.frame_sig == hashlib.md5(
+                frames[fi].hex().upper().encode()).hexdigest()
+
     def test_gif_pixel_roundtrip(self):
         """decode_gif_pixels reconstructs the EXACT source pixels through
         the variable-width LZW stream (dictionary growth, KwKwK,

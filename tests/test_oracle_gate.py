@@ -101,6 +101,7 @@ SUBSET = [
     # forms in one tag-unioned frame)
     "value_counts",
     "audio_pcm_features",
+    "video_frame_sample",
     "scatter_fit",
     "rolling_gate",
     "cumulative_gate",
