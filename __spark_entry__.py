@@ -1032,15 +1032,17 @@ def _q_curation_pipeline(spark, sf):
     (three-valued logic on empty docs matches ANSI — both engines agree).
     Demonstrates that the engine's operators compose without extra
     shuffles: one scan, one hash join, zero Python."""
-    from pandas_plus_spark.operators.corpus import _top_gram_run_max
+    from pandas_plus_spark.operators.corpus import max_equal_run_count
 
     docs = ensure_parallelism(load_table(spark, sf, "documents"))
     ls = corpus.line_stats(F.col("text"))
     toks = tx.simple_tokens(F.col("text"))
+    # count-only run max (corpus.max_equal_run_count — r10): the gate
+    # never reads the argmax gram, and the boundary-index formulation is
+    # ~15% cheaper than the struct fold on the pipeline's dominant term
     frac = tx.let(
-        _top_gram_run_max(tx.word_ngrams(toks, 2)),
-        lambda b: F.when(b.getField("best_cnt") > 0,
-                         b.getField("best_cnt") * 2 / F.size(toks))
+        max_equal_run_count(tx.word_ngrams(toks, 2)),
+        lambda c: F.when(c > 0, c * 2 / F.size(toks))
         .otherwise(F.lit(0.0)))
     flags = docs.select(
         "doc_id",

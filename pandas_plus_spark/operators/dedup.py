@@ -859,6 +859,13 @@ def excise_spans(
     return attach_cached(out, *getattr(spans, "_pps_cached", ()))
 
 
+# r10 A/B knob: True computes the corpus-wide chunk multiplicity as a
+# count window over the hash (one linear pipeline, no persist) instead
+# of a count aggregate joined back (two hash exchanges + a pinned chunk
+# frame). Flippable for same-boot A/Bs; measured numbers in BASELINE.md.
+_CHUNK_DEDUP_WINDOW = True
+
+
 def chunk_dedup_stats(
     df: DataFrame,
     text_col: str,
@@ -887,11 +894,6 @@ def chunk_dedup_stats(
 
     from .packing import chunk_documents
 
-    # Pin the hashed-chunk frame: the corpus-wide count and the join-back
-    # both read it, and recomputing means chunking + sha2-ing every text
-    # byte twice. Narrow rows (id, len, 32 B hash) but corpus-proportional
-    # count → DISK_ONLY per the sf100 memory-pin finding; released via
-    # release_cached.
     chunks = chunk_documents(
         ensure_parallelism(df), text_col, id_col,
         chunk_size=chunk_size, overlap=0,
@@ -899,7 +901,40 @@ def chunk_dedup_stats(
         F.col(id_col),
         F.col("chunk_len"),
         F.sha2(F.col("chunk_text"), 256).alias("__h"),
-    ).persist(StorageLevel.DISK_ONLY)
+    )
+    if _CHUNK_DEDUP_WINDOW:
+        # ONE linear pipeline (r10): the corpus-wide multiplicity is a
+        # COUNT WINDOW over the hash — exchange(__h) + streaming count —
+        # instead of a separate count aggregate joined back, which cost a
+        # second hash exchange plus a corpus-sized persist so the two
+        # consumers shared the chunk+sha2 work. Duplicate-hash groups are
+        # multiplicity-sized (the hot boilerplate hash is one task's
+        # worth of 32 B rows), so no funnel; empty chunks (all sharing
+        # sha2('')) count NULL votes only.
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("__h")
+        nz = F.count(F.when(F.col("chunk_len") > 0, 1)).over(w)
+        flagged = chunks.select(
+            F.col(id_col), F.col("chunk_len"),
+            ((F.col("chunk_len") > 0) & (nz > 1)).alias("__dup"))
+        out = (
+            flagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(F.col("__dup").cast("int")).alias("n_dup_chunks"))
+            .select(
+                id_col, "n_chunks",
+                F.col("n_dup_chunks").cast("long").alias("n_dup_chunks"),
+                (F.col("n_dup_chunks").cast("double") / F.col("n_chunks"))
+                .alias("dup_chunk_frac"),
+            )
+        )
+        return out
+    # Pin the hashed-chunk frame: the corpus-wide count and the join-back
+    # both read it, and recomputing means chunking + sha2-ing every text
+    # byte twice. Narrow rows (id, len, 32 B hash) but corpus-proportional
+    # count → DISK_ONLY per the sf100 memory-pin finding; released via
+    # release_cached.
+    chunks = chunks.persist(StorageLevel.DISK_ONLY)
     counts = (chunks.filter(F.col("chunk_len") > 0)
               .groupBy("__h").agg(F.count(F.lit(1)).alias("__n")))
     joined = chunks.join(counts, "__h", "left")

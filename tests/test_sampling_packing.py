@@ -582,6 +582,31 @@ class TestQuantileThresholdFilter:
         assert abs(exact - approx) <= 0.1 * exact + 5
 
 
+class TestMaxEqualRunCount:
+    def test_matches_struct_fold(self, spark):
+        """max_equal_run_count == the struct fold's best_cnt on randomized
+        gram arrays (the count-only r10 formulation used by the curation
+        gate), including empty and single-element arrays."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from pandas_plus_spark.operators.corpus import (
+            _top_gram_run_max, max_equal_run_count)
+        rng = random.Random(17)
+        vocab = ["a b", "b c", "c d", "d e"]
+        rows = [(i, [rng.choice(vocab) for _ in range(rng.randint(0, 12))])
+                for i in range(200)]
+        rows += [(200, []), (201, ["a b"])]
+        df = spark.createDataFrame(rows, "id long, g array<string>")
+        got = df.select(
+            "id",
+            _top_gram_run_max(F.col("g")).getField("best_cnt").alias("f"),
+            max_equal_run_count(F.col("g")).alias("b")).collect()
+        for r in got:
+            assert r.f == r.b, r.id
+
+
 class TestCacheHandles:
     """The release_cached contract on the new operators: .select()/union
     must not orphan operator-pinned persists (r7-continuation review)."""
