@@ -288,6 +288,41 @@ def lsh_bucket_stats(entries: DataFrame, cap: int,
     return stats
 
 
+# r10, DEFAULT OFF — the r9 similarity.py pair-packing lever applied to
+# the minhash/simhash candidate distinct, then MEASURED NEGATIVE here
+# (same-boot sf1 A/B, BASELINE.md: plain 6.53 s vs packed 6.98 s median
+# on minhash_neardup): these pipelines' pair sets are SMALL relative to
+# the signature/shingle work, so shrinking the distinct's exchange buys
+# nothing — the lever pays only where quadratic pair OUTPUT dominates
+# (the lsh_skew fixtures it came from). Kept as a knob with the
+# row-wise id-domain guard for corpora where the pair set does blow up.
+_PAIR_PACK_DISTINCT = False
+
+
+def _packed_pair_distinct(pairs: DataFrame) -> DataFrame:
+    """DISTINCT over an (id_a, id_b) pair frame via one packed 64-bit
+    key. Requires 0 <= id < 2^32, ENFORCED row-wise with a raise_error
+    branch (out-of-range ids would silently cross-link unrelated pairs);
+    the output id columns are cast back to the input type."""
+    id_type = pairs.schema["id_a"].dataType.simpleString()
+    ok = ((F.col("id_a") >= 0) & (F.col("id_a") < F.lit(1 << 32))
+          & (F.col("id_b") >= 0) & (F.col("id_b") < F.lit(1 << 32)))
+    packed = (F.when(ok, F.shiftleft(F.col("id_a").cast("long"), 32)
+                         .bitwiseOR(F.col("id_b").cast("long")))
+              .otherwise(F.raise_error(F.lit(
+                  "pair packing requires 0 <= id < 2^32"))))
+    return (pairs.select(packed.alias("__pk")).distinct()
+            .select(F.shiftrightunsigned("__pk", 32).cast(id_type)
+                    .alias("id_a"),
+                    F.col("__pk").bitwiseAND(F.lit((1 << 32) - 1))
+                    .cast(id_type).alias("id_b")))
+
+
+def _pair_distinct(pairs: DataFrame) -> DataFrame:
+    return (_packed_pair_distinct(pairs) if _PAIR_PACK_DISTINCT
+            else pairs.distinct())
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     bands: int = 8,
@@ -316,16 +351,15 @@ def minhash_lsh_candidates(
     if max_bucket_size is not None:
         # cap + hub edges: quadratic cliques bounded, cluster
         # connectivity preserved (see capped_pair_candidates)
-        out = capped_pair_candidates(bucket_entries, ["band", "bhash"],
-                                     max_bucket_size).distinct()
+        out = _pair_distinct(capped_pair_candidates(
+            bucket_entries, ["band", "bhash"], max_bucket_size))
     else:
         a = bucket_entries.alias("a")
         b = bucket_entries.alias("b")
-        out = (
+        out = _pair_distinct(
             a.join(b, on=["band", "bhash"])
             .where(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct()
         )
     # caller frees the bucket cache via util.release_cached once materialized
     return attach_cached(out, bucket_entries)
@@ -1024,11 +1058,10 @@ def simhash_candidates(sig_df: DataFrame, quadrant_bits: int = 16,
         capped = _cap_bucket_entries(entries, ["quadrant", "qval"],
                                      max_bucket_size)
     a, b = capped.alias("a"), capped.alias("b")
-    out = (
+    out = _pair_distinct(
         a.join(b, on=["quadrant", "qval"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
     return attach_cached(out, entries)
 
