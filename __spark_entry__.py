@@ -3134,6 +3134,18 @@ def _q_global_shift(spark, sf):
     return out.select("event_id", "value", "value_shift")
 
 
+def _q_global_ordered(spark, sf):
+    """Compound gate (r11 registry consolidation — folds the former
+    global_cumsum / global_shift entries): both distributed GLOBAL ordered
+    operators over the same (ts, event_id) total order in one frame, each
+    column value-checked by the one oracle. event_id is unique so the
+    equi-join is lossless. The folded shapes remain priced individually
+    via the module-level _q_global_cumsum/_q_global_shift callables."""
+    cs = _q_global_cumsum(spark, sf)
+    sh = _q_global_shift(spark, sf)
+    return sh.join(cs, "event_id")
+
+
 def _with_injected_repetition(docs):
     """The synthetic corpus is single-line, near-repetition-free text; the
     repetition-signal queries inject duplication DETERMINISTICALLY (every
@@ -3432,6 +3444,25 @@ def _q_semantic_lsh_recall(spark, sf):
                                      hash_fn="poly")
     return rec.select("n_exact", "n_hit",
                       F.round("recall", 6).alias("recall"))
+
+
+def _q_semantic_gate(spark, sf):
+    """Compound gate (r11 registry consolidation — folds the former
+    semantic_keep_list / semantic_keep_list_lsh / semantic_lsh_recall
+    entries): the exact all-pairs keep-list (validation form), the LSH
+    scale path's keep-list (the candidates= contract you'd deploy at
+    100 TB), and the recall of the LSH candidate graph against the exact
+    graph, all at the same operating point (threshold 0.30, poly planes
+    3 x 12). One row per vector with keep_exact / keep_lsh flags plus the
+    recall scalars broadcast onto every row — every former value check
+    survives in the one oracle. The folded shapes remain priced
+    individually via the module-level _q_semantic_* callables."""
+    ex = _q_semantic_keep_list(spark, sf).withColumnRenamed(
+        "keep", "keep_exact")
+    lsh = _q_semantic_keep_list_lsh(spark, sf).withColumnRenamed(
+        "keep", "keep_lsh")
+    rec = _q_semantic_lsh_recall(spark, sf)
+    return ex.join(lsh, "id").crossJoin(F.broadcast(rec))
 
 
 def _skewed_embeddings(spark, sf):
@@ -3854,41 +3885,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the cadence or the window head is not least-recently-verified-
     # first; tests/test_oracle_gate.py runs it in pytest.
     #
-    # r10 WINDOW (first 50): the 3 compound gates new this round (the
-    # registry consolidation the sustainability policy mandates —
-    # scatter_fit, rolling_gate, cumulative_gate fold 11 former entries
-    # into 3 without losing value checks), the folded incremental_dedup
-    # (now runs all three index forms — code changed, re-verify), the 7
-    # re-verifications of operators whose code changes this round
-    # (perceptual-hash banding fix, the full-PSL packaging, the
-    # rolling-time/bigram perf rewrites, the fused-stats count guard),
-    # the 37 entries at the 4-round cadence bound (last green r6), and 2
-    # r7-era fills. The r7-era remainder rotates into the r11 window
-    # head; the plan is the deterministic output of
-    # scripts/check_rotation.py --plan. Seeded rows-only entries stay
-    # PINNED adjacent to their value-checked twins
-    # (hyperplane_lsh_buckets<->lsh_recall, minhash_neardup<->poly,
-    # simhash_candidates<->poly, ivf_knn<->ann_recall).
+    # r11 WINDOW (first 50): the 2 compound gates new this round (the
+    # ongoing registry consolidation — semantic_gate folds the
+    # semantic_keep_list / semantic_keep_list_lsh / semantic_lsh_recall
+    # triple, global_ordered folds global_cumsum / global_shift; 5 former
+    # entries -> 2 without losing value checks, registry 167 -> 164), the
+    # 5 re-verifications of operators whose code changes this round
+    # (detbounds flag gating, the bigram scoring-pass fusion, curation
+    # term fusion, JPEG pixel decode, MP4 true frame sampling), the 34
+    # entries at the 4-round cadence bound (last green r7), and 9 r8-era
+    # fills. The r8-era remainder rotates into the r12 window head; the
+    # plan is the deterministic output of scripts/check_rotation.py
+    # --plan. Seeded rows-only entries stay PINNED adjacent to their
+    # value-checked twins (hyperplane_lsh_buckets<->lsh_recall,
+    # minhash_neardup<->poly, simhash_candidates<->poly,
+    # ivf_knn<->ann_recall).
     return {
-        # --- r10 window head (driver samples the FIRST 50) ---
-        # new r10 entries: REAL PCM sample decode (audio seam retired),
-        # REAL AVI/MJPEG frame sampling (video byte-window fake retired)
-        "audio_pcm_features": _q_audio_pcm_features,
+        # --- r11 window head (driver samples the FIRST 50) ---
+        # new compound gates (r11 consolidation; never driver-verified):
+        # semantic_gate folds semantic_keep_list/keep_list_lsh/lsh_recall,
+        # global_ordered folds global_cumsum/global_shift
+        "semantic_gate": _q_semantic_gate,
+        "global_ordered": _q_global_ordered,
+        # code-changed r11 re-verifications (detbounds flag gating, the
+        # bigram scoring-pass fusion, curation term fusion, JPEG pixel
+        # decode dispatch, MP4 frame-sample dispatch):
+        "group_rolling_time_scale": _q_group_rolling_time_scale,
+        "bigram_ppl": _q_bigram_ppl,
+        "curation_pipeline": _q_curation_pipeline,
+        "image_phash_dedup": _q_image_phash_dedup,
         "video_frame_sample": _q_video_frame_sample,
-        # new compound gates (r10 consolidation; never driver-verified):
+        # 34 entries at the 4-round cadence bound (last green r7):
+        "doc_chunks": _q_doc_chunks,
+        "embedding_quantize": _q_embedding_quantize,
+        "unigram_ppl": _q_unigram_ppl,
+        "frame_sample": _q_frame_sample,
+        "source_health": _q_source_health,
+        "cumsum": _q_cumsum,
+        "shift_masked": _q_shift_masked,
+        "observed_only_false": _q_observed_only_false,
+        "nation_revenue": _q_nation_revenue,
+        "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
+        "apply_zscore": _q_apply_zscore,
+        "winnow_fingerprints": _q_winnow,
+        "sessionize": _q_sessionize,
+        "nanops_global": _q_nanops_global,
+        "pretty_cut_bins": _q_pretty_cut,
+        "bools_to_categorical": _q_bools_labels,
+        "linear_combination": _q_lincomb,
+        "dedup_exact": _q_dedup_exact,
+        "doc_token_stats": _q_token_stats,
+        "lang_id_pred": _q_lang_pred,
+        "quality_score": _q_quality,
+        "trigram_jaccard_pairs": _q_trigram_jaccard,
+        "knn_cosine": _q_knn,
+        "hll_merge_gate": _q_hll_merge_gate,
+        "lsh_skew_uncapped": _q_lsh_skew_uncapped,
+        "lsh_skew_capped": _q_lsh_skew_capped,
+        "hyperplane_lsh_buckets": _q_lsh_buckets,
+        "lsh_recall": _q_lsh_recall,
+        "q18_large_orders": _q_q18_large_orders,
+        "plan_lint_gate": _q_plan_lint_gate,
+        "multimodal_image_meta": _q_multimodal_meta,
+        "minhash_neardup": _q_minhash_dedup,
+        "minhash_neardup_poly": _q_minhash_poly,
+        # r8-era fills (stalest non-due; rotate forward the r12 head):
+        "wav_header_meta": _q_wav_header_meta,
+        "mp4_header_meta": _q_mp4_header_meta,
+        "warc_ingest": _q_warc_ingest,
+        "token_budget": _q_token_budget,
+        "quantile_calibration": _q_quantile_calibration,
+        "leakage_split": _q_leakage_split,
+        "leakage_split_lsh": _q_leakage_split_lsh,
+        "filter_groups": _q_filter_groups,
+        "group_idxminmax": _q_group_idxminmax,
+        # --- tail: least-recently-verified first ---
+        "audio_pcm_features": _q_audio_pcm_features,
         "scatter_fit": _q_scatter_fit,
         "rolling_gate": _q_rolling_gate,
         "cumulative_gate": _q_cumulative_gate,
-        # code-changed r10 re-verifications:
         "incremental_dedup": _q_incremental_dedup,
-        "image_phash_dedup": _q_image_phash_dedup,
         "url_normalize": _q_url_normalize,
         "crawl_domain_stats": _q_crawl_domain_stats,
         "crawl_curation_pipeline": _q_crawl_curation_pipeline,
-        "group_rolling_time_scale": _q_group_rolling_time_scale,
-        "bigram_ppl": _q_bigram_ppl,
         "group_rolling_scale": _q_group_rolling_scale,
-        # 37 entries at the 4-round cadence bound (last green r6):
         "oov_rate": _q_oov_rate,
         "label_cohesion": _q_label_cohesion,
         "nanops_rowwise": _q_nanops_rowwise,
@@ -3924,55 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_time": _q_rolling_time,
         "weighted_sample": _q_weighted_sample,
         "group_rank": _q_group_rank,
-        "curation_pipeline": _q_curation_pipeline,
         "chunk_dedup": _q_chunk_dedup,
-        # --- tail: least-recently-verified first ---
-        "doc_chunks": _q_doc_chunks,
-        "embedding_quantize": _q_embedding_quantize,
-        "unigram_ppl": _q_unigram_ppl,
-        "frame_sample": _q_frame_sample,
-        "source_health": _q_source_health,
-        "cumsum": _q_cumsum,
-        "shift_masked": _q_shift_masked,
-        "observed_only_false": _q_observed_only_false,
-        "nation_revenue": _q_nation_revenue,
-        "asof_join": _q_asof_join,
-        "interval_join": _q_interval_join,
-        "apply_zscore": _q_apply_zscore,
-        "winnow_fingerprints": _q_winnow,
-        "sessionize": _q_sessionize,
-        "nanops_global": _q_nanops_global,
-        "pretty_cut_bins": _q_pretty_cut,
-        "bools_to_categorical": _q_bools_labels,
-        "linear_combination": _q_lincomb,
-        "dedup_exact": _q_dedup_exact,
-        "doc_token_stats": _q_token_stats,
-        "lang_id_pred": _q_lang_pred,
-        "quality_score": _q_quality,
-        "trigram_jaccard_pairs": _q_trigram_jaccard,
-        "knn_cosine": _q_knn,
-        "hll_merge_gate": _q_hll_merge_gate,
-        "lsh_skew_uncapped": _q_lsh_skew_uncapped,
-        "lsh_skew_capped": _q_lsh_skew_capped,
-        "semantic_keep_list_lsh": _q_semantic_keep_list_lsh,
-        "semantic_lsh_recall": _q_semantic_lsh_recall,
-        "semantic_keep_list": _q_semantic_keep_list,
-        "hyperplane_lsh_buckets": _q_lsh_buckets,
-        "lsh_recall": _q_lsh_recall,
-        "q18_large_orders": _q_q18_large_orders,
-        "plan_lint_gate": _q_plan_lint_gate,
-        "multimodal_image_meta": _q_multimodal_meta,
-        "minhash_neardup": _q_minhash_dedup,
-        "minhash_neardup_poly": _q_minhash_poly,
-        "wav_header_meta": _q_wav_header_meta,
-        "mp4_header_meta": _q_mp4_header_meta,
-        "warc_ingest": _q_warc_ingest,
-        "token_budget": _q_token_budget,
-        "quantile_calibration": _q_quantile_calibration,
-        "leakage_split": _q_leakage_split,
-        "leakage_split_lsh": _q_leakage_split_lsh,
-        "filter_groups": _q_filter_groups,
-        "group_idxminmax": _q_group_idxminmax,
         "pct_change": _q_pct_change,
         "cumprod": _q_cumprod,
         "group_prod_any_all": _q_group_prod_any_all,
@@ -4004,7 +4037,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup": _q_streaming_neardup,
         "pca_gate": _q_pca_gate,
         "pack_gate": _q_pack_gate,
-        # r9-verified remainder (rotates into the r13 window):
         "expanding_stats": _q_expanding_stats,
         "group_expanding_scale": _q_group_expanding_scale,
         "asof_nearest": _q_asof_nearest,
@@ -4033,8 +4065,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": _q_pack_chunks,
         "repetition_signals": _q_repetition_signals,
         "repetition_filter": _q_repetition_filter,
-        "global_cumsum": _q_global_cumsum,
-        "global_shift": _q_global_shift,
         "pii_scan": _q_pii_scan,
         "c4_filter": _q_c4_filter,
         "contamination": _q_contamination,
@@ -5672,55 +5702,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT) AS id_checksum
             FROM k GROUP BY lang
         """,
-        "semantic_keep_list": """
-            WITH RECURSIVE e0 AS (
-                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                FROM embeddings
-            ), n AS (
-                SELECT vec_id, v,
-                       sqrt(list_reduce(list_prepend(0.0,
-                            list_transform(v, x -> x * x)), (a, x) -> a + x)) AS nrm
-                FROM e0
-            ), p AS (
-                SELECT a.vec_id AS id_a, b.vec_id AS id_b
-                FROM n a, n b
-                WHERE a.vec_id < b.vec_id
-                  AND list_reduce(list_prepend(0.0,
-                        list_transform(range(1, len(a.v) + 1),
-                                       i -> a.v[i] * b.v[i])), (a2, x) -> a2 + x)
-                        / (a.nrm * b.nrm) >= 0.30
-            ), e AS (
-                SELECT id_a AS src, id_b AS dst FROM p
-                UNION SELECT id_b AS src, id_a AS dst FROM p
-            ),
-            reach(src, dst) AS (
-                SELECT src, src FROM e
-                UNION
-                SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
-            ),
-            cl AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)
-            SELECT emb.vec_id AS id,
-                   COALESCE(cl.cluster_id = emb.vec_id, TRUE) AS keep
-            FROM embeddings emb LEFT JOIN cl ON cl.id = emb.vec_id
-        """,
-        "semantic_keep_list_lsh": f"""
+        # compound r11 gate: exact keep-list + LSH keep-list + recall in
+        # one result — nv/vp come from the shared poly-LSH CTEs, the exact
+        # pair graph reuses nv, and each graph gets its own recursive
+        # transitive closure (reach_e / reach_l).
+        "semantic_gate": f"""
             WITH RECURSIVE {_sql_semantic_lsh_ctes(3, 12, 0.30)},
-            e AS (
-                SELECT id_a AS src, id_b AS dst FROM vp
-                UNION SELECT id_b AS src, id_a AS dst FROM vp
-            ),
-            reach(src, dst) AS (
-                SELECT src, src FROM e
-                UNION
-                SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
-            ),
-            cl AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)
-            SELECT emb.vec_id AS id,
-                   COALESCE(cl.cluster_id = emb.vec_id, TRUE) AS keep
-            FROM embeddings emb LEFT JOIN cl ON cl.id = emb.vec_id
-        """,
-        "semantic_lsh_recall": f"""
-            WITH {_sql_semantic_lsh_ctes(3, 12, 0.30)},
             exact AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b
                 FROM nv a, nv b
@@ -5730,18 +5717,50 @@ def oracle_sql() -> dict[str, str]:
                                        i -> a.v[i] * b.v[i])),
                         (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.30
             ),
+            ee AS (
+                SELECT id_a AS src, id_b AS dst FROM exact
+                UNION SELECT id_b AS src, id_a AS dst FROM exact
+            ),
+            reach_e(src, dst) AS (
+                SELECT src, src FROM ee
+                UNION
+                SELECT r.src, e2.dst FROM reach_e r JOIN ee e2 ON r.dst = e2.src
+            ),
+            cle AS (SELECT src AS id, min(dst) AS cluster_id
+                    FROM reach_e GROUP BY src),
+            el AS (
+                SELECT id_a AS src, id_b AS dst FROM vp
+                UNION SELECT id_b AS src, id_a AS dst FROM vp
+            ),
+            reach_l(src, dst) AS (
+                SELECT src, src FROM el
+                UNION
+                SELECT r.src, e2.dst FROM reach_l r JOIN el e2 ON r.dst = e2.src
+            ),
+            cll AS (SELECT src AS id, min(dst) AS cluster_id
+                    FROM reach_l GROUP BY src),
             j AS (
                 SELECT e.id_a,
                        CASE WHEN v.id_a IS NULL THEN 0 ELSE 1 END AS hit
                 FROM exact e
                 LEFT JOIN vp v ON v.id_a = e.id_a AND v.id_b = e.id_b
+            ),
+            rec AS (
+                SELECT count(*) AS n_exact,
+                       CAST(COALESCE(sum(hit), 0) AS BIGINT) AS n_hit,
+                       round(CASE WHEN count(*) > 0
+                                  THEN sum(hit) * 1.0 / count(*)
+                                  ELSE 1.0 END, 6) AS recall
+                FROM j
             )
-            SELECT count(*) AS n_exact,
-                   CAST(COALESCE(sum(hit), 0) AS BIGINT) AS n_hit,
-                   round(CASE WHEN count(*) > 0
-                              THEN sum(hit) * 1.0 / count(*)
-                              ELSE 1.0 END, 6) AS recall
-            FROM j
+            SELECT emb.vec_id AS id,
+                   COALESCE(cle.cluster_id = emb.vec_id, TRUE) AS keep_exact,
+                   COALESCE(cll.cluster_id = emb.vec_id, TRUE) AS keep_lsh,
+                   rec.n_exact, rec.n_hit, rec.recall
+            FROM embeddings emb
+            LEFT JOIN cle ON cle.id = emb.vec_id
+            LEFT JOIN cll ON cll.id = emb.vec_id
+            CROSS JOIN rec
         """,
         "q6_forecast": """
             SELECT sum(l_extendedprice * l_discount) AS revenue,
@@ -6414,17 +6433,14 @@ def oracle_sql() -> dict[str, str]:
               AND lstats.dup_line_char_frac <= 0.20
               AND COALESCE(top.cnt * 2.0 / tk.n_tokens, 0.0) <= 0.20
         """,
-        "global_cumsum": """
-            SELECT event_id,
+        # compound r11 gate: both global ordered operators in one window SQL
+        "global_ordered": """
+            SELECT event_id, value,
+                   lag(value) OVER (ORDER BY ts, event_id) AS value_shift,
                    CAST(sum(CAST(value AS DECIMAL(27,6)))
                         OVER (ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS DOUBLE) AS running_total
-            FROM events
-        """,
-        "global_shift": """
-            SELECT event_id, value,
-                   lag(value) OVER (ORDER BY ts, event_id) AS value_shift
             FROM events
         """,
         "pii_scan": f"""

@@ -220,7 +220,9 @@ class TestFullRegistrySweep:
         # recall gates NEED the exact ground truth: brute-force by design
         "lsh_recall": "brute-force ground truth for the recall gate",
         "ann_recall": "brute-force ground truth for the recall gate",
-        "semantic_lsh_recall": "brute-force ground truth for the recall gate",
+        # r11 compound gate: contains the exact all-pairs keep-list +
+        # recall ground truth alongside the LSH scale path
+        "semantic_gate": "brute-force ground truth for the recall gate",
         # IVF: vectors x k-centroid frame (k = constant, broadcast);
         # centroid side is a k-row parquet scan the plan can't bound
         "ivf_knn": "k-centroid broadcast assignment",
