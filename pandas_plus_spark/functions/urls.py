@@ -218,6 +218,11 @@ def packaged_psl_path() -> str:
 _PSL_FULL_CACHE: dict[bool, list] = {}
 
 
+# deepest-key cache for the packaged PSL (driver-side, r11 — see
+# with_registrable_domain's depth derivation)
+_PSL_DEFAULT_DEPTH: dict = {}
+
+
 def psl_rules(include_private: bool = True,
               full: bool = True) -> list[tuple[str, bool, bool]]:
     """PSL rules as ``(key, is_wildcard, is_exception)`` rows — ``key``
@@ -318,15 +323,36 @@ def with_registrable_domain(
     → NULL.
 
     ``max_suffix_labels=None`` (default) derives the join depth from the
-    LONGEST key actually present in the rules frame (one scalar agg on
-    the tiny broadcast side — r10 ADVICE fix: a fixed depth silently
-    never matched deeper rules, e.g. the 5-label s3.dualstack private
-    suffixes, breaking longest-match with no warning). An explicit
-    value smaller than the deepest rule WARNS."""
+    LONGEST key actually present in the rules frame (r10 ADVICE fix: a
+    fixed depth silently never matched deeper rules, e.g. the 5-label
+    s3.dualstack private suffixes, breaking longest-match with no
+    warning). An explicit value smaller than the deepest rule WARNS.
+
+    The depth derivation is plan-construction cost, so it never runs a
+    Spark job on the default path (r11 ADVICE fix — it used to fire an
+    eager scalar agg per invocation): for the packaged PSL the deepest
+    key is computed driver-side from :func:`psl_rules` and cached; for a
+    user-supplied ``rules_df`` the one scalar agg result is memoized on
+    the frame object so repeated plan builds over the same rules pay it
+    once."""
     h = F.col(host) if isinstance(host, str) else host
     sp = df.sparkSession
-    rules = psl_rules_df(sp) if rules_df is None else rules_df
-    deepest = rules.agg(F.max("n_labels")).first()[0] or 1
+    if rules_df is None:
+        rules = psl_rules_df(sp)
+        deepest = _PSL_DEFAULT_DEPTH.get(True)
+        if deepest is None:
+            deepest = max((k.count(".") + 1 for k, _, _ in psl_rules()),
+                          default=1)
+            _PSL_DEFAULT_DEPTH[True] = deepest
+    else:
+        rules = rules_df
+        deepest = getattr(rules_df, "_pps_psl_deepest", None)
+        if deepest is None:
+            deepest = rules.agg(F.max("n_labels")).first()[0] or 1
+            try:
+                rules_df._pps_psl_deepest = deepest
+            except AttributeError:
+                pass
     if max_suffix_labels is None:
         max_suffix_labels = int(deepest)
     elif max_suffix_labels < deepest:
