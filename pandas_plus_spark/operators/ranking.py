@@ -383,9 +383,19 @@ def bigram_lm_score(
         cached = (uni, bi_counts)
     total = uni.select(F.sum("ucnt").cast("double").alias("__total"))
 
+    # Scoring rows = bigrams PLUS one sentinel row ('' — never a token,
+    # tokens are non-empty and bigrams contain the space joiner) per doc
+    # (r11): every document emits at least one row, so the per-doc
+    # aggregate below covers ALL docs directly and the former final
+    # left-join back to the id list (a whole extra corpus-pin read +
+    # join stage) disappears. Same-boot 4-round A/B at sf1: median
+    # 1.61 s vs 1.96 s, first run 1.51 vs 1.56 (BASELINE.md r11).
+    sentinel = F.array(F.lit(""))
     bi_rows = toks_df.select(
         F.col(id_col),
-        F.explode(tx.word_ngrams(F.col("__toks"), 2)).alias("gram"))
+        F.explode(F.concat(sentinel, F.coalesce(
+            tx.word_ngrams(F.col("__toks"), 2),
+            F.array().cast("array<string>")))).alias("gram"))
 
     # whitespace tokens cannot contain the joiner — split is exact
     lam = float(lam)
@@ -404,21 +414,18 @@ def bigram_lm_score(
         .crossJoin(F.broadcast(total))
         .select("gram", F.log(p).alias("__lnp"))
     )
-    per_doc = (
-        bi_rows
-        .join(F.broadcast(gram_model), "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_bigrams"),
-             F.avg("__lnp").alias("__mlnp"))
-    )
+    # LEFT join: every observed bigram matches the model (trained on the
+    # same corpus), only the sentinel rows miss — count(__lnp) is the
+    # exact bigram count and avg skips the sentinel's NULL.
     out = (
-        # the persisted token pin carries one row per doc — reusing it
-        # for the left side saves re-scanning the docs source
-        toks_df.select(id_col)
-        .join(per_doc, id_col, "left")
+        bi_rows
+        .join(F.broadcast(gram_model), "gram", "left")
+        .groupBy(id_col)
+        .agg(F.count("__lnp").cast("long").alias("n_bigrams"),
+             F.avg("__lnp").alias("__mlnp"))
         .select(
             id_col,
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            "n_bigrams",
             F.when(F.col("n_bigrams") > 0, -F.col("__mlnp")).alias("xent"),
             F.when(F.col("n_bigrams") > 0, F.exp(-F.col("__mlnp"))).alias("ppl"),
         )
