@@ -2083,39 +2083,65 @@ def _q_image_phash_dedup(spark, sf):
     multimodal.decode_png_pixels — the second REAL pixel path, r10) and
     400-499 GIF re-encodings (real LZW decode + 4-pass de-interlacing,
     multimodal.decode_gif_pixels — the third, r10); both re-encoded
-    groups must land at distance 0 from their BMP twins."""
+    groups must land at distance 0 from their BMP twins. r11 adds the
+    fourth and final REAL pixel path — baseline JPEG (entropy-coded
+    streams from the real encoder: canonical Huffman, byte stuffing,
+    Huffman decode + dequant + numpy IDCT on the way back,
+    multimodal.decode_jpeg_pixels): 500-599 are JPEG originals over an
+    8x8-BLOCK-snapped gradient (block-constant + gray-valued, so the
+    flat-DC-8 quant table roundtrips bit-exactly — the closed form the
+    oracle recomputes), cycling all three encode modes
+    (gray / 4:4:4 / 4:2:0 per doc_id % 3), and 600-699 are
+    brightness-shifted JPEG copies that must land at distance 0 from
+    their 500-group twins. The documents table only carries 500 ids at
+    the gate SF, so the two JPEG groups are FANNED OUT by the blob
+    builder (mapInPandas emits doc_id+500 and doc_id+600 rows for each
+    doc_id < 100); the oracle mirrors with UNION ALL id shifts."""
     import pandas as _pd
 
     from pandas_plus_spark.operators.multimodal import (bmp_pixel_bytes,
                                                         gif_pixel_bytes,
+                                                        jpeg_pixel_bytes,
                                                         png_pixel_bytes)
 
     docs = (load_table(spark, sf, "documents")
             .where(F.col("doc_id") < 500).select("doc_id"))
 
+    def _blob(did: int) -> bytes:
+        a = 2 + (did % 100) % 9
+        b = 3 + (did % 100) % 7
+        c = 30 if 100 <= did < 200 or did >= 600 else 10
+        stripe = 40 if 200 <= did < 300 else 0
+        snap = 8 if did >= 500 else 1
+
+        def fn(x, y, a=a, b=b, c=c, stripe=stripe, snap=snap):
+            xs = snap * (x // snap)
+            ys = snap * (y // snap)
+            v = (a * xs + b * ys) % 200 + c + (stripe if x == 0 else 0)
+            return (v, v, v)
+
+        if did >= 500:
+            return jpeg_pixel_bytes(
+                32, 20, fn, mode=("gray", "444", "420")[did % 3])
+        if did >= 400:
+            return gif_pixel_bytes(32, 20, fn, interlace=did % 2 == 0)
+        if did >= 300:
+            return png_pixel_bytes(32, 20, fn, filters=did % 5)
+        return bmp_pixel_bytes(32, 20, fn)
+
     def make(batches):
         for pdf in batches:
-            blobs = []
+            ids, blobs = [], []
             for did in pdf["doc_id"]:
                 did = int(did)
-                a = 2 + (did % 100) % 9
-                b = 3 + (did % 100) % 7
-                c = 30 if 100 <= did < 200 else 10
-                stripe = 40 if 200 <= did < 300 else 0
-
-                def fn(x, y, a=a, b=b, c=c, stripe=stripe):
-                    v = (a * x + b * y) % 200 + c + (stripe if x == 0 else 0)
-                    return (v, v, v)
-
-                if did >= 400:
-                    blobs.append(gif_pixel_bytes(32, 20, fn,
-                                                 interlace=did % 2 == 0))
-                elif did >= 300:
-                    blobs.append(png_pixel_bytes(32, 20, fn,
-                                                 filters=did % 5))
-                else:
-                    blobs.append(bmp_pixel_bytes(32, 20, fn))
-            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+                ids.append(did)
+                blobs.append(_blob(did))
+                if did < 100:                    # JPEG fan-out groups
+                    for shift in (500, 600):
+                        ids.append(did + shift)
+                        blobs.append(_blob(did + shift))
+            yield _pd.DataFrame({"doc_id": _pd.Series(ids, dtype="int64"),
+                                 "blob": blobs})
 
     blobs_df = docs.mapInPandas(make, "doc_id long, blob binary")
     hashes = multimodal.extract_perceptual_hashes(blobs_df, "blob", "doc_id")
@@ -5560,23 +5586,41 @@ def oracle_sql() -> dict[str, str]:
             -- 0-99 gradients (c=10, no stripe): same closed-form pixels,
             -- so the same hash arithmetic covers them — the engine must
             -- decode the zlib/filtered PNG bytes and the LZW-compressed
-            -- (half interlaced) GIF bytes to the identical values
-            WITH params AS (
+            -- (half interlaced) GIF bytes to the identical values.
+            -- groups 500-599 / 600-699 (r11) are REAL baseline JPEGs
+            -- (gray / 4:4:4 / 4:2:0 per doc_id % 3) over the same
+            -- gradient SNAPPED to 8x8 blocks (snap=1 flag): block-
+            -- constant gray content roundtrips the DC-8 flat quant
+            -- table bit-exactly, so the closed form below is the exact
+            -- decoded pixel; 600-699 are brightness-shifted (c=30)
+            -- copies that must pair with 500-599 at Hamming distance 0.
+            -- the table holds 500 ids at this SF, so the JPEG groups
+            -- are id-shifted fan-outs of doc_id < 100 (as in the engine)
+            WITH ids AS (
+                SELECT doc_id FROM documents WHERE doc_id < 500
+                UNION ALL
+                SELECT doc_id + 500 FROM documents WHERE doc_id < 100
+                UNION ALL
+                SELECT doc_id + 600 FROM documents WHERE doc_id < 100
+            ), params AS (
                 SELECT doc_id,
                        2 + (doc_id % 100) % 9 AS a,
                        3 + (doc_id % 100) % 7 AS b,
-                       CASE WHEN doc_id >= 100 AND doc_id < 200
+                       CASE WHEN (doc_id >= 100 AND doc_id < 200)
+                              OR doc_id >= 600
                             THEN 30 ELSE 10 END AS c,
                        CASE WHEN doc_id >= 200 AND doc_id < 300
-                            THEN 40 ELSE 0 END AS stripe
-                FROM documents WHERE doc_id < 500
+                            THEN 40 ELSE 0 END AS stripe,
+                       CASE WHEN doc_id >= 500 THEN 8 ELSE 1 END AS snap
+                FROM ids
             ), grid8 AS (
                 SELECT i.generate_series AS i, j.generate_series AS j
                 FROM generate_series(0, 7) i, generate_series(0, 7) j
             ), g8 AS (
                 SELECT p.doc_id, gr.i, gr.j,
-                       (p.a * ((gr.j * 32) // 8)
-                        + p.b * ((gr.i * 20) // 8)) % 200 + p.c
+                       (p.a * (p.snap * (((gr.j * 32) // 8) // p.snap))
+                        + p.b * (p.snap * (((gr.i * 20) // 8) // p.snap)))
+                       % 200 + p.c
                        + CASE WHEN gr.j = 0 THEN p.stripe ELSE 0 END AS g
                 FROM params p, grid8 gr
             ), a8 AS (
@@ -5597,8 +5641,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM generate_series(0, 7) i, generate_series(0, 8) j
             ), g9 AS (
                 SELECT p.doc_id, gr.i, gr.j,
-                       (p.a * ((gr.j * 32) // 9)
-                        + p.b * ((gr.i * 20) // 8)) % 200 + p.c
+                       (p.a * (p.snap * (((gr.j * 32) // 9) // p.snap))
+                        + p.b * (p.snap * (((gr.i * 20) // 8) // p.snap)))
+                       % 200 + p.c
                        + CASE WHEN gr.j = 0 THEN p.stripe ELSE 0 END AS g
                 FROM params p, grid9 gr
             ), dh AS (

@@ -12,10 +12,11 @@ REAL wherever the format needs no external codec: BMP pixels
 (:func:`decode_bmp_pixels`), PNG pixels (:func:`decode_png_pixels` —
 zlib + the five filter reconstructions), GIF pixels
 (:func:`decode_gif_pixels` — full variable-width LZW + de-interlacing),
-all feeding the perceptual-hash dedup path, and 16-bit PCM WAV samples
-(:func:`decode_wav_pcm`, feeding RMS/ZCR/peak audio features). Only
-lossy-codec decode (JPEG/WebP/AVIF pixels, MP3/AAC samples, video
-frames — PIL/ffmpeg/torchvision are not installed in this environment)
+baseline-sequential JPEG pixels (:func:`decode_jpeg_pixels` — Huffman +
+dequant + numpy IDCT, r11), all feeding the perceptual-hash dedup path,
+and 16-bit PCM WAV samples (:func:`decode_wav_pcm`, feeding RMS/ZCR/peak
+audio features). Only true external-codec decode (WebP/AVIF pixels,
+MP3/AAC samples — PIL/ffmpeg are not installed in this environment)
 remains a clearly-marked deterministic-fake seam; everything Spark-side —
 schema, partitioning, UDF signature, batch shape — is real and tested.
 
@@ -221,10 +222,11 @@ def decode_image_stub(blob: bytes) -> dict:
     parse, :func:`decode_image_header`) — every image container the
     engine ships a generator for, so the fallback below is unreachable
     for shipped formats. FULL-PIXEL decode is also real for BMP
-    (:func:`decode_bmp_pixels`), PNG (:func:`decode_png_pixels`) and GIF
-    (:func:`decode_gif_pixels`) — every lossless container; this stub
-    remains for UNRECOGNIZED formats only: lossy-codec pixel decode
-    needs PIL/libjpeg, not present in this container.
+    (:func:`decode_bmp_pixels`), PNG (:func:`decode_png_pixels`), GIF
+    (:func:`decode_gif_pixels`) and baseline JPEG
+    (:func:`decode_jpeg_pixels`, r11); this stub remains for
+    UNRECOGNIZED formats only: WebP/AVIF pixel decode needs external
+    codec libraries, not present in this container.
     The fake derives plausible dimensions from the payload so the
     distributed pipeline (schema, batching, downstream aggregation) is
     fully exercisable either way. Swap the fallback for
@@ -926,7 +928,8 @@ def extract_image_features(df: DataFrame, blob_col: str, id_col: str) -> DataFra
 # to 4-byte boundaries, stored BOTTOM-UP for positive heights (top-down
 # when the DIB height is negative). That makes the whole
 # decode -> grayscale -> resample -> perceptual-hash pipeline REAL here,
-# while JPEG/PNG pixel decode stays behind the documented stub seam.
+# PNG/GIF (r10) and baseline JPEG (r11) pixel decode are real too —
+# see their sections below; only WebP/AVIF stay behind the stub seam.
 
 def bmp_pixel_bytes(width: int, height: int, pixel_fn,
                     top_down: bool = False) -> bytes:
@@ -1347,11 +1350,622 @@ def decode_gif_pixels(blob: bytes):
     return None
 
 
+# --------------------------------------------------------------------- #
+# REAL baseline JPEG pixel decode (ITU-T T.81 sequential DCT) — r11
+# --------------------------------------------------------------------- #
+#
+# No libjpeg: the marker-segment walk collects DQT / DHT / SOF0 / DRI /
+# SOS, the entropy-coded scan is Huffman-decoded bit-by-bit (0xFF00
+# unstuffing, RSTn restart handling), coefficients are dequantized and
+# de-zigzagged, each 8x8 block goes through a numpy orthonormal IDCT
+# (f = A.T @ S @ A), chroma planes are box-replicated up to full
+# resolution and YCbCr converts back to RGB with the JFIF constants.
+# The matching fixture generator (:func:`jpeg_pixel_bytes`) is a REAL
+# baseline encoder (forward DCT, quantize, canonical Huffman built from
+# the image's own symbol frequencies, byte stuffing, optional restart
+# markers), so tests and driver gates exercise genuine entropy-coded
+# streams. Only true lossy *codec* seams remain: WebP/AVIF bitstreams
+# and MP3/AAC audio (reference parity: pandas-plus has no media decode
+# at all — this whole family is beyond-reference plumbing).
+
+def _jpeg_zigzag():
+    """The 64 (row, col) positions in zigzag scan order, derived from the
+    boustrophedon walk (spec Figure A.6) rather than transcribed."""
+    order, r, c = [], 0, 0
+    for _ in range(64):
+        order.append((r, c))
+        if (r + c) % 2 == 0:                     # heading up-right
+            if c == 7:
+                r += 1
+            elif r == 0:
+                c += 1
+            else:
+                r -= 1
+                c += 1
+        else:                                    # heading down-left
+            if r == 7:
+                c += 1
+            elif c == 0:
+                r += 1
+            else:
+                r += 1
+                c -= 1
+    return order
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix A: forward S = A @ f @ A.T, inverse
+    f = A.T @ S @ A (A[u,x] = c(u) cos((2x+1)u*pi/16))."""
+    import numpy as np
+    x = np.arange(8)
+    u = x.reshape(-1, 1)
+    a = np.cos((2 * x + 1) * u * np.pi / 16) * np.sqrt(0.25)
+    a[0] *= np.sqrt(0.5)
+    return a
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """EXTEND (spec F.2.2.1): map the s received magnitude bits to the
+    signed coefficient value."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+class _JpegBits:
+    """Entropy-segment bit reader: MSB-first, 0xFF00 unstuffed; stops at
+    any real marker (exposes it for RSTn handling)."""
+
+    def __init__(self, blob: bytes, pos: int):
+        self.blob = blob
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker = None
+
+    def bit(self):
+        if self.n == 0:
+            b = self.blob[self.pos] if self.pos < len(self.blob) else None
+            if b is None:
+                return None
+            self.pos += 1
+            if b == 0xFF:
+                nxt = (self.blob[self.pos] if self.pos < len(self.blob)
+                       else None)
+                if nxt == 0x00:
+                    self.pos += 1
+                else:                            # a real marker: stop
+                    self.marker = nxt
+                    self.pos -= 1
+                    return None
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int):
+        v = 0
+        for _ in range(k):
+            b = self.bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+    def decode(self, table):
+        """Walk a canonical Huffman table {(length, code): value}."""
+        code = 0
+        for ln in range(1, 17):
+            b = self.bit()
+            if b is None:
+                return None
+            code = (code << 1) | b
+            got = table.get((ln, code))
+            if got is not None:
+                return got
+        return None
+
+    def restart(self, which: int) -> bool:
+        """Byte-align and consume the expected RSTn marker."""
+        self.n = 0
+        p = self.pos
+        if (p + 2 > len(self.blob) or self.blob[p] != 0xFF
+                or self.blob[p + 1] != 0xD0 + (which & 7)):
+            return False
+        self.pos = p + 2
+        self.marker = None
+        return True
+
+
+def _dht_table(counts, values):
+    """Canonical Huffman decode table from DHT BITS/HUFFVAL
+    (spec C.2): {(length, code): symbol}."""
+    table, code, vi = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = values[vi]
+            vi += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def decode_jpeg_pixels(blob: bytes):
+    """REAL baseline-sequential JPEG pixel decode — no codec library.
+    Supports 8-bit precision, 1 (grayscale) or 3 (YCbCr) components,
+    arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2, ...), multiple
+    DQT/DHT segments, restart intervals, and 0xFF byte unstuffing.
+    Returns numpy (H, W, 3) RGB uint8 (gray replicated; chroma
+    upsampled by sample replication, the box/nearest kernel) or None
+    for progressive (SOF2) / arithmetic / 12-bit / truncated streams.
+    Extends the perceptual-dedup path to the dominant *web* image
+    format, completing decode_image_pixels' four-container dispatch."""
+    import numpy as np
+    if blob is None or len(blob) < 4 or blob[:2] != b"\xff\xd8":
+        return None
+    qt: dict = {}
+    huff: dict = {}
+    frame = None
+    dri = 0
+    i, n = 2, len(blob)
+    while i + 4 <= n:
+        if blob[i] != 0xFF:
+            return None
+        m = blob[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:
+            return None                          # EOI before any scan
+        seglen = int.from_bytes(blob[i + 2:i + 4], "big")
+        ps, pe = i + 4, i + 2 + seglen
+        if seglen < 2 or pe > n:
+            return None
+        if m == 0xDB:                            # DQT (1+ tables)
+            p = ps
+            while p < pe:
+                pq, tq = blob[p] >> 4, blob[p] & 15
+                p += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        blob[p:p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                else:
+                    qt[tq] = np.frombuffer(
+                        blob[p:p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+        elif m == 0xC4:                          # DHT (1+ tables)
+            p = ps
+            while p + 17 <= pe:
+                tc, th = blob[p] >> 4, blob[p] & 15
+                counts = blob[p + 1:p + 17]
+                nv = sum(counts)
+                values = blob[p + 17:p + 17 + nv]
+                if len(values) < nv:
+                    return None
+                huff[(tc, th)] = _dht_table(counts, values)
+                p += 17 + nv
+        elif m == 0xC0 or m == 0xC1:             # baseline / ext. seq.
+            if blob[ps] != 8:
+                return None                      # 12-bit precision
+            h = int.from_bytes(blob[ps + 1:ps + 3], "big")
+            w = int.from_bytes(blob[ps + 3:ps + 5], "big")
+            nc = blob[ps + 5]
+            if h <= 0 or w <= 0 or nc not in (1, 3):
+                return None
+            comps = []
+            for k in range(nc):
+                o = ps + 6 + 3 * k
+                comps.append((blob[o], blob[o + 1] >> 4,
+                              blob[o + 1] & 15, blob[o + 2]))
+            frame = {"h": h, "w": w, "comps": comps}
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None                          # progressive/arith/...
+        elif m == 0xDD:                          # DRI
+            dri = int.from_bytes(blob[ps:ps + 2], "big")
+        elif m == 0xDA:                          # SOS: decode the scan
+            if frame is None:
+                return None
+            ns = blob[ps]
+            stabs = {}
+            for k in range(ns):
+                cs = blob[ps + 1 + 2 * k]
+                stabs[cs] = (blob[ps + 2 + 2 * k] >> 4,
+                             blob[ps + 2 + 2 * k] & 15)
+            return _jpeg_decode_scan(blob, pe, frame, stabs, qt, huff, dri)
+        i = pe
+    return None
+
+
+def _jpeg_decode_scan(blob, pos, frame, stabs, qt, huff, dri):
+    import numpy as np
+    A = _dct_matrix()
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1:
+        return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {cid: np.zeros((mcuy * vs * 8, mcux * hs * 8))
+              for cid, hs, vs, _tq in comps}
+    br = _JpegBits(blob, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    zz = _JPEG_ZZ
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_i and mcu_i % dri == 0:
+                if not br.restart(mcu_i // dri - 1):
+                    return None
+                pred = {cid: 0 for cid, *_ in comps}
+            mcu_i += 1
+            for cid, hs, vs, tq in comps:
+                td_ta = stabs.get(cid)
+                qtab = qt.get(tq)
+                if td_ta is None or qtab is None:
+                    return None
+                dct = huff.get((0, td_ta[0]))
+                act = huff.get((1, td_ta[1]))
+                if dct is None or act is None:
+                    return None
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = np.zeros(64, dtype=np.int64)
+                        s = br.decode(dct)
+                        if s is None or s > 11:
+                            return None
+                        diff = 0
+                        if s:
+                            v = br.bits(s)
+                            if v is None:
+                                return None
+                            diff = _jpeg_extend(v, s)
+                        pred[cid] += diff
+                        coef[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode(act)
+                            if rs is None:
+                                return None
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:      # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break            # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            v = br.bits(s)
+                            if v is None:
+                                return None
+                            coef[k] = _jpeg_extend(v, s)
+                            k += 1
+                        block = np.zeros((8, 8))
+                        dq = coef * qtab
+                        for j in range(64):
+                            block[zz[j]] = dq[j]
+                        px = A.T @ block @ A
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = px
+    full = []
+    for cid, hs, vs, _tq in comps:
+        p = planes[cid] + 128.0
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    out = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _jpeg_category(v: int) -> int:
+    return abs(int(v)).bit_length()
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing; pads with 1s
+    (spec F.1.2.3) at flush/restart boundaries."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, k: int) -> None:
+        for j in range(k - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> j) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def pad(self) -> None:
+        while self.n:
+            self.write(1, 1)
+
+
+def _huffman_lengths(freqs: dict) -> dict:
+    """Optimal Huffman code lengths via pairwise merge; includes the
+    libjpeg-style reserved dummy symbol so the all-ones code is never
+    assigned to a real symbol. Returns {symbol: length}."""
+    import heapq
+    heap = [(f, (sym,)) for sym, f in freqs.items()]
+    heap.append((0, (-1,)))                      # reserved codepoint
+    heapq.heapify(heap)
+    depth = {s: 0 for _, grp in heap for s in grp}
+    while len(heap) > 1:
+        f1, g1 = heapq.heappop(heap)
+        f2, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, g1 + g2))
+    depth.pop(-1, None)
+    return depth
+
+
+def _build_dht(freqs: dict):
+    """Canonical (BITS, HUFFVAL) from symbol frequencies. Falls back to a
+    flat fixed-length code if the optimal tree exceeds JPEG's 16-bit
+    ceiling (unreachable for fixture-scale inputs, kept for safety)."""
+    if not freqs:
+        freqs = {0: 1}
+    depth = _huffman_lengths(freqs)
+    if max(depth.values()) > 16:
+        ln = max((len(freqs) + 1).bit_length(), 1)
+        depth = {s: ln for s in freqs}
+    counts = [0] * 16
+    order = sorted(freqs, key=lambda s: (depth[s], s))
+    for s in order:
+        counts[depth[s] - 1] += 1
+    table, code, vi = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[order[vi]] = (ln, code)
+            vi += 1
+            code += 1
+        code <<= 1
+    return counts, order, table
+
+
+def _jpeg_forward_blocks(plane, qtab64):
+    """plane (H, W) already level-shifted padded to 8-multiples ->
+    (by, bx, 64) quantized zigzag coefficients."""
+    import numpy as np
+    A = _dct_matrix()
+    hh, ww = plane.shape
+    bys, bxs = hh // 8, ww // 8
+    out = np.zeros((bys, bxs, 64), dtype=np.int64)
+    zz = _JPEG_ZZ
+    for by in range(bys):
+        for bx in range(bxs):
+            s = A @ plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] @ A.T
+            for j in range(64):
+                out[by, bx, j] = int(np.round(s[zz[j]] / qtab64[j]))
+    return out
+
+
+def _pad_replicate(plane, hh: int, ww: int):
+    """Edge-replicate a (h, w) array up to (hh, ww)."""
+    import numpy as np
+    h, w = plane.shape
+    if h < hh:
+        plane = np.vstack([plane, np.repeat(plane[-1:], hh - h, axis=0)])
+    if w < ww:
+        plane = np.hstack([plane, np.repeat(plane[:, -1:], ww - w, axis=1)])
+    return plane
+
+
+def _block_symbols(coef, prev_dc: int):
+    """(dc_symbol, dc_bits) + [(ac_symbol, ac_bits)] run-length encoding
+    of one quantized zigzag block (spec F.1.2). bits = (value, nbits)."""
+    diff = int(coef[0]) - prev_dc
+    s = _jpeg_category(diff)
+    dc = (s, ((diff if diff >= 0 else diff + (1 << s) - 1), s))
+    acs = []
+    run = 0
+    last_nz = max([j for j in range(1, 64) if coef[j]], default=0)
+    for k in range(1, last_nz + 1):
+        v = int(coef[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            acs.append((0xF0, (0, 0)))           # ZRL
+            run -= 16
+        sz = _jpeg_category(v)
+        acs.append(((run << 4) | sz,
+                    ((v if v >= 0 else v + (1 << sz) - 1), sz)))
+        run = 0
+    if last_nz < 63:
+        acs.append((0x00, (0, 0)))               # EOB
+    return dc, acs, int(coef[0])
+
+
+def _jpeg_assemble(width, height, comp_coefs, samp, quants,
+                   restart_interval=0):
+    """Assemble a complete baseline JPEG from per-component quantized
+    zigzag coefficient arrays (by, bx, 64). comp_coefs/samp/quants are
+    parallel lists; component 0 uses quant/huff slot 0, the rest share
+    slot 1 (the real-world two-table layout)."""
+    ncomp = len(comp_coefs)
+    hmax = max(hs for hs, _ in samp)
+    vmax = max(vs for _, vs in samp)
+    mcux = comp_coefs[0].shape[1] // samp[0][0]
+    mcuy = comp_coefs[0].shape[0] // samp[0][1]
+    # Pass 1: symbol statistics per table class.
+    seq = []                                     # (slot, dc, acs) per block
+    preds = [0] * ncomp
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                preds = [0] * ncomp
+                seq.append(("RST", mcu_i // restart_interval - 1, None))
+            mcu_i += 1
+            for ci in range(ncomp):
+                hs, vs = samp[ci]
+                slot = 0 if ci == 0 else 1
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = comp_coefs[ci][my * vs + by, mx * hs + bx]
+                        dc, acs, preds[ci] = _block_symbols(coef, preds[ci])
+                        seq.append((slot, dc, acs))
+    dcf = {0: {}, 1: {}}
+    acf = {0: {}, 1: {}}
+    for slot, dc, acs in seq:
+        if slot == "RST":
+            continue
+        dcf[slot][dc[0]] = dcf[slot].get(dc[0], 0) + 1
+        for sym, _bits in acs:
+            acf[slot][sym] = acf[slot].get(sym, 0) + 1
+    nslots = 1 if ncomp == 1 else 2
+    dhts, dctab, actab = [], {}, {}
+    for slot in range(nslots):
+        cnt, vals, dctab[slot] = _build_dht(dcf[slot])
+        dhts.append(bytes([slot]) + bytes(cnt) + bytes(vals))
+        cnt, vals, actab[slot] = _build_dht(acf[slot])
+        dhts.append(bytes([0x10 | slot]) + bytes(cnt) + bytes(vals))
+    # Pass 2: emit.
+    bw = _JpegBitWriter()
+    for slot, dc, acs in seq:
+        if slot == "RST":
+            bw.pad()
+            bw.out += bytes([0xFF, 0xD0 + (dc & 7)])
+            continue
+        ln, code = dctab[slot][dc[0]]
+        bw.write(code, ln)
+        if dc[1][1]:
+            bw.write(*dc[1])
+        for sym, bits in acs:
+            ln, code = actab[slot][sym]
+            bw.write(code, ln)
+            if bits[1]:
+                bw.write(*bits)
+    bw.pad()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    app0 = (b"JFIF\x00\x01\x01\x00" + (1).to_bytes(2, "big")
+            + (1).to_bytes(2, "big") + bytes(2))
+    out = b"\xff\xd8" + seg(0xE0, app0)
+    for slot in range(nslots):
+        out += seg(0xDB, bytes([slot]) + bytes(int(q) for q in quants[slot]))
+    sof = (bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+           + bytes([ncomp]))
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    for d in dhts:
+        out += seg(0xC4, d)
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        slot = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (slot << 4) | slot])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos) + bytes(bw.out) + b"\xff\xd9"
+    return out
+
+
+#: Flat default quant table: DC step 8 (so block-constant fixtures
+#: roundtrip bit-exactly: quantized DC = pixel - 128), AC step 16.
+JPEG_QUANT_FLAT = [8] + [16] * 63
+
+
+def jpeg_pixel_bytes(width: int, height: int, pixel_fn, *,
+                     mode: str = "gray", quant=None,
+                     restart_interval: int = 0) -> bytes:
+    """Complete baseline-sequential JPEG with REAL entropy-coded pixel
+    data from ``pixel_fn(x, y) -> (r, g, b)`` — the fixture generator
+    for :func:`decode_jpeg_pixels`. ``mode``: ``gray`` (one component),
+    ``444`` (YCbCr, no subsampling) or ``420`` (2x2-subsampled chroma,
+    box-mean downsample). Huffman tables are canonical codes built from
+    the image's own symbol frequencies (two-pass, libjpeg-optimize
+    style), so streams carry multi-length codes, byte stuffing, ZRL/EOB
+    runs and (optionally) restart markers. Encoding is lossy in general;
+    images constant within each 8x8 block (and gray-valued, so chroma
+    is exactly 128) roundtrip bit-exactly under the default
+    :data:`JPEG_QUANT_FLAT` table — the property the closed-form driver
+    oracle relies on."""
+    import numpy as np
+    q = list(quant) if quant is not None else list(JPEG_QUANT_FLAT)
+    rgb = np.array([[pixel_fn(x, y) for x in range(width)]
+                    for y in range(height)], dtype=np.float64)
+    if mode == "gray":
+        ypl = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+               + 0.114 * rgb[:, :, 2])
+        pl = _pad_replicate(ypl - 128.0, -(-height // 8) * 8,
+                            -(-width // 8) * 8)
+        coefs = [_jpeg_forward_blocks(pl, q)]
+        return _jpeg_assemble(width, height, coefs, [(1, 1)], [q],
+                              restart_interval)
+    if mode not in ("444", "420"):
+        raise ValueError(mode)
+    ypl = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = (128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1]
+          + 0.5 * rgb[:, :, 2])
+    cr = (128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1]
+          - 0.081312 * rgb[:, :, 2])
+    if mode == "444":
+        hh, ww = -(-height // 8) * 8, -(-width // 8) * 8
+        planes = [_pad_replicate(p - 128.0, hh, ww) for p in (ypl, cb, cr)]
+        samp = [(1, 1)] * 3
+    else:
+        hh, ww = -(-height // 16) * 16, -(-width // 16) * 16
+        ypad = _pad_replicate(ypl - 128.0, hh, ww)
+        ce = [_pad_replicate(p, -(-height // 2) * 2, -(-width // 2) * 2)
+              for p in (cb, cr)]
+        down = [(p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2]
+                 + p[1::2, 1::2]) / 4.0 - 128.0 for p in ce]
+        planes = [ypad] + [_pad_replicate(p, hh // 2, ww // 2)
+                           for p in down]
+        samp = [(2, 2), (1, 1), (1, 1)]
+    coefs = [_jpeg_forward_blocks(p, q) for p in planes]
+    return _jpeg_assemble(width, height, coefs, samp, [q, q],
+                          restart_interval)
+
+
+def jpeg_from_quantized(coef_blocks, blocks_x: int, blocks_y: int, *,
+                        quant=None, width: int | None = None,
+                        height: int | None = None,
+                        restart_interval: int = 0) -> bytes:
+    """Grayscale baseline JPEG from EXPLICIT quantized zigzag
+    coefficient blocks (``coef_blocks``: raster-order list of 64-int
+    sequences) — the coefficient-level fixture generator: a test can
+    choose coefficients, compute the expected pixels with its own
+    dequant + IDCT, and any Huffman / zigzag / stuffing / restart bug
+    in either direction breaks the comparison."""
+    import numpy as np
+    q = list(quant) if quant is not None else list(JPEG_QUANT_FLAT)
+    arr = np.array(coef_blocks,
+                   dtype=np.int64).reshape(blocks_y, blocks_x, 64)
+    return _jpeg_assemble(width or blocks_x * 8, height or blocks_y * 8,
+                          [arr], [(1, 1)], [q], restart_interval)
+
+
 def decode_image_pixels(blob: bytes):
     """Dispatch full-pixel decode by container magic: BMP
-    (:func:`decode_bmp_pixels`), PNG (:func:`decode_png_pixels`) and GIF
-    (:func:`decode_gif_pixels`) are REAL; anything else returns None
-    (the lossy-codec stub seam)."""
+    (:func:`decode_bmp_pixels`), PNG (:func:`decode_png_pixels`), GIF
+    (:func:`decode_gif_pixels`) and baseline JPEG
+    (:func:`decode_jpeg_pixels`) are all REAL; anything else returns
+    None (the remaining lossy-codec stub seam: WebP/AVIF)."""
     if blob is None or len(blob) < 8:
         return None
     if blob[:2] == b"BM":
@@ -1360,6 +1974,8 @@ def decode_image_pixels(blob: bytes):
         return decode_png_pixels(blob)
     if blob[:4] == b"GIF8":
         return decode_gif_pixels(blob)
+    if blob[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(blob)
     return None
 
 
@@ -1412,8 +2028,8 @@ PHASH_SCHEMA = T.StructType([
 
 def extract_perceptual_hashes(df: DataFrame, blob_col: str,
                               id_col: str) -> DataFrame:
-    """(id, ahash, dhash) from REAL pixel decode (BMP and PNG via
-    :func:`decode_image_pixels`) — Arrow-batched mapInPandas, numpy per
+    """(id, ahash, dhash) from REAL pixel decode (BMP/PNG/GIF/baseline
+    JPEG via :func:`decode_image_pixels`) — Arrow-batched mapInPandas, numpy per
     batch, no shuffle. Blobs that fail to decode (unsupported container,
     truncated) yield NULL hashes and stay in the frame for the caller to
     triage."""

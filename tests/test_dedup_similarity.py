@@ -1383,3 +1383,169 @@ class TestPerceptualHash:
         px = decode_bmp_pixels(blob)
         assert got[1] == (ahash64(px), dhash64(px))
         assert got[2] == (None, None)
+
+
+class TestJpegCodec:
+    """REAL baseline JPEG: encoder fixtures, full entropy decode, and the
+    independence checks that pin the codec to the public spec rather than
+    to itself (hardcoded zigzag, test-side IDCT)."""
+
+    # ITU-T T.81 Figure A.6, transcribed as a literal so the module's
+    # derived walk is checked against the spec, not against itself.
+    SPEC_ZIGZAG = [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+
+    def test_zigzag_matches_spec_table(self):
+        from pandas_plus_spark.operators.multimodal import _JPEG_ZZ
+        got = [r * 8 + c for r, c in _JPEG_ZZ]
+        assert got == self.SPEC_ZIGZAG
+
+    def test_block_constant_roundtrip_exact_all_modes(self):
+        """Gray-valued images constant within each 8x8 block roundtrip
+        bit-exactly (quantized DC = v - 128 under the flat table; chroma
+        is exactly 128 so 4:2:0 subsampling is lossless too)."""
+        import numpy as np
+        from pandas_plus_spark.operators.multimodal import (
+            decode_jpeg_pixels, jpeg_pixel_bytes)
+
+        def fn(x, y):
+            v = (5 * 8 * (x // 8) + 3 * 8 * (y // 8)) % 200 + 10
+            return (v, v, v)
+
+        exp = np.array([[fn(x, y) for x in range(32)] for y in range(20)],
+                       dtype=np.uint8)
+        for mode in ("gray", "444", "420"):
+            px = decode_jpeg_pixels(jpeg_pixel_bytes(32, 20, fn, mode=mode))
+            assert px is not None and (px == exp).all(), mode
+
+    def test_restart_markers_roundtrip(self):
+        """DRI + RSTn: byte-aligned padding, marker sequence n mod 8,
+        DC predictor reset — all exercised by a 4x3-block gray image
+        with a 2-MCU restart interval."""
+        import numpy as np
+        from pandas_plus_spark.operators.multimodal import (
+            decode_jpeg_pixels, jpeg_pixel_bytes)
+
+        def fn(x, y):
+            v = (40 * (x // 8) + 24 * (y // 8)) % 230 + 10
+            return (v, v, v)
+
+        exp = np.array([[fn(x, y)[0] for x in range(32)]
+                        for y in range(24)], dtype=np.uint8)
+        blob = jpeg_pixel_bytes(32, 24, fn, mode="gray",
+                                restart_interval=2)
+        assert blob.count(b"\xff\xd0") >= 1      # markers actually present
+        px = decode_jpeg_pixels(blob)
+        assert px is not None and (px[:, :, 0] == exp).all()
+
+    def test_coefficient_level_against_independent_idct(self):
+        """Random quantized coefficients -> encoder entropy stream ->
+        decoder, compared against an IDCT computed HERE with explicit
+        cosine loops (no shared matrix helper): a Huffman, zigzag,
+        EXTEND-sign, ZRL/EOB, dequant or stuffing bug in either
+        direction breaks the equality."""
+        import math
+
+        import numpy as np
+        from pandas_plus_spark.operators.multimodal import (
+            JPEG_QUANT_FLAT, decode_jpeg_pixels, jpeg_from_quantized)
+        rng = np.random.RandomState(42)
+        blocks = rng.randint(-70, 70, size=(6, 64))
+        blocks[:, 0] = rng.randint(-120, 120, size=6)
+        blocks[0, 1:] = 0                        # DC-only block (pure EOB)
+        blocks[1, 1:40] = 0                      # long zero run (ZRL path)
+        blob = jpeg_from_quantized([list(b) for b in blocks], 3, 2)
+        px = decode_jpeg_pixels(blob)
+        assert px is not None and px.shape == (16, 24, 3)
+
+        def cu(u):
+            return math.sqrt(0.5) if u == 0 else 1.0
+
+        for bi, coef in enumerate(blocks):
+            by, bx = divmod(bi, 3)
+            S = np.zeros((8, 8))
+            for j, zz in enumerate(self.SPEC_ZIGZAG):
+                S[zz // 8][zz % 8] = coef[j] * JPEG_QUANT_FLAT[j]
+            # T.81 A.3.3: s_yx = 1/4 sum_u sum_v C(u)C(v) S_vu
+            #   cos((2x+1)u pi/16) cos((2y+1)v pi/16)
+            # u = horizontal frequency = S's COLUMN index, pairs with x.
+            for y in range(8):
+                for x in range(8):
+                    acc = 0.0
+                    for u in range(8):
+                        for v in range(8):
+                            acc += (cu(u) * cu(v) * S[v][u]
+                                    * math.cos((2 * x + 1) * u
+                                               * math.pi / 16)
+                                    * math.cos((2 * y + 1) * v
+                                               * math.pi / 16))
+                    want = min(max(round(acc / 4 + 128), 0), 255)
+                    assert px[by * 8 + y, bx * 8 + x, 0] == want, (bi, y, x)
+
+    def test_byte_stuffing_occurs_and_decodes(self):
+        """Coefficient patterns that force 0xFF bytes into the entropy
+        stream must be stuffed (FF 00) and decode back exactly."""
+        import numpy as np
+        from pandas_plus_spark.operators.multimodal import (
+            decode_jpeg_pixels, jpeg_from_quantized)
+        rng = np.random.RandomState(3)
+        found = False
+        for trial in range(30):
+            blocks = rng.randint(-200, 200, size=(4, 64))
+            blob = jpeg_from_quantized([list(b) for b in blocks], 2, 2)
+            scan = blob[blob.rindex(b"\xff\xda"):]
+            if b"\xff\x00" in scan:
+                found = True
+                assert decode_jpeg_pixels(blob) is not None
+        assert found
+
+    def test_lossy_roundtrip_bounded_and_rejects(self):
+        """Smooth non-block-constant images survive the default table
+        within quantization error; progressive/truncated/header-only
+        streams return None instead of junk."""
+        import math
+
+        import numpy as np
+        from pandas_plus_spark.operators.multimodal import (
+            decode_jpeg_pixels, jpeg_header_bytes, jpeg_pixel_bytes)
+
+        def smooth(x, y):
+            v = int(128 + 100 * math.sin(x / 5.0) * math.cos(y / 7.0))
+            return (v, v, v)
+
+        blob = jpeg_pixel_bytes(40, 24, smooth, mode="420")
+        px = decode_jpeg_pixels(blob)
+        exp = np.array([[smooth(x, y)[0] for x in range(40)]
+                        for y in range(24)], dtype=np.float64)
+        assert np.abs(px[:, :, 0].astype(float) - exp).max() <= 24
+        assert decode_jpeg_pixels(None) is None
+        assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+        # header-only fixture (no scan) and progressive SOF2 both bail
+        assert decode_jpeg_pixels(jpeg_header_bytes(16, 16)) is None
+        assert decode_jpeg_pixels(
+            jpeg_header_bytes(16, 16, progressive=True)) is None
+        assert decode_jpeg_pixels(blob[:len(blob) // 2]) is None
+
+    def test_jpeg_bmp_same_pixels_same_hashes(self):
+        """The fourth REAL pixel path agrees with the other three on
+        block-constant content: BMP/PNG/GIF/JPEG encodings of the same
+        snapped gradient produce identical arrays and hashes — the
+        property the extended image_phash_dedup gate value-checks."""
+        from pandas_plus_spark.operators.multimodal import (
+            ahash64, bmp_pixel_bytes, decode_bmp_pixels,
+            decode_image_pixels, dhash64, jpeg_pixel_bytes)
+
+        def grad(x, y):
+            v = (3 * 8 * (x // 8) + 5 * 8 * (y // 8)) % 200 + 10
+            return (v, v, v)
+
+        b = decode_bmp_pixels(bmp_pixel_bytes(32, 20, grad))
+        for mode in ("gray", "444", "420"):
+            j = decode_image_pixels(jpeg_pixel_bytes(32, 20, grad,
+                                                     mode=mode))
+            assert (b == j).all(), mode
+            assert ahash64(b) == ahash64(j) and dhash64(b) == dhash64(j)
