@@ -2156,23 +2156,29 @@ def _q_image_phash_dedup(spark, sf):
 
 
 def _q_video_frame_sample(spark, sf):
-    """REAL video frame sampling (r10 — retires the byte-window fake for
-    RIFF video): deterministic AVI/MJPEG containers (spec hdrl/strl/movi
-    layout, 5-10 frames of 52-byte JPEG payloads each) are built per
-    doc_id in mapInPandas, then sample_avi_frames walks the ACTUAL RIFF
-    chunk tree to the true frame boundaries, samples 3 evenly spaced
-    frames, parses each REAL frame's JPEG SOF dimensions, and md5-hashes
-    the exact payload bytes. The oracle rebuilds every sampled frame's
-    bytes in SQL (hex-literal JPEG prelude + computed dims + the ASCII
-    tail) and applies DuckDB's md5 — a chunk-walk offset, alignment,
-    sampling-schedule, or extraction bug fails the hash."""
+    """REAL video frame sampling (r10 AVI + r11 MP4 — both byte-window
+    fakes retired): doc_id < 120 builds deterministic AVI/MJPEG
+    containers (spec hdrl/strl/movi layout) and 120-239 builds
+    deterministic MP4s (ftyp + mdat + trailing moov whose
+    stsd/stts/stsc/stsz/stco sample tables index the frames, packed 3
+    samples per chunk so the stsc run expansion is exercised), each
+    holding 5-10 frames of 52-byte JPEG payloads. sample_video_frames
+    dispatches on container magic, walks the ACTUAL RIFF chunk tree /
+    ISO-BMFF sample tables to true frame boundaries, samples 3 evenly
+    spaced frames, parses each REAL frame's JPEG SOF dimensions, and
+    md5-hashes the exact payload bytes. The oracle rebuilds every
+    sampled frame's bytes in SQL (hex-literal JPEG prelude + computed
+    dims + the ASCII tail) and applies DuckDB's md5 — a chunk-walk /
+    sample-table offset, alignment, sampling-schedule, or extraction
+    bug fails the hash."""
     import pandas as _pd
 
     from pandas_plus_spark.operators.multimodal import (avi_mjpeg_bytes,
-                                                        jpeg_header_bytes)
+                                                        jpeg_header_bytes,
+                                                        mp4_mjpeg_bytes)
 
     docs = (load_table(spark, sf, "documents")
-            .where(F.col("doc_id") < 120).select("doc_id"))
+            .where(F.col("doc_id") < 240).select("doc_id"))
 
     def make(batches):
         for pdf in batches:
@@ -2185,12 +2191,13 @@ def _q_video_frame_sample(spark, sf):
                 frames = [jpeg_header_bytes(w, h)
                           + f"FRAME-{did:04d}-{i:02d}".encode()
                           for i in range(n_f)]
-                blobs.append(avi_mjpeg_bytes(w, h, frames))
+                gen = mp4_mjpeg_bytes if did >= 120 else avi_mjpeg_bytes
+                blobs.append(gen(w, h, frames))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     blobs_df = docs.mapInPandas(make, "doc_id long, blob binary")
-    return multimodal.sample_avi_frames(blobs_df, "blob", "doc_id",
-                                        n_frames=3)
+    return multimodal.sample_video_frames(blobs_df, "blob", "doc_id",
+                                          n_frames=3)
 
 
 _WAV_RATES = [8000, 16000, 22050, 44100]
@@ -4959,15 +4966,20 @@ def oracle_sql() -> dict[str, str]:
             -- prelude as a hex literal, the SOF height/width big-endian
             -- at their spec positions, the ASCII tail — md5 over the
             -- reassembled blob must equal the engine's hash of the bytes
-            -- it extracted from the real RIFF walk. Frame payloads are
-            -- 52 bytes (even, no pad), the movi payload region starts at
-            -- the writer's constant offset 232, chunks stride 60.
+            -- it extracted from the real RIFF walk (doc_id < 120) or the
+            -- real MP4 stsz/stco/stsc sample-table walk (120-239, r11).
+            -- Frame payloads are 52 bytes (even, no pad); AVI movi
+            -- payloads start at the writer's constant offset 232 with
+            -- chunk stride 60; MP4 samples start at ftyp(24) + mdat
+            -- header(8) = 32 and pack back-to-back (the 3-per-chunk stsc
+            -- grouping never gaps constant-size samples), so the offset
+            -- closed form is 32 + 52*idx.
             WITH p AS (
                 SELECT doc_id,
                        5 + doc_id % 6 AS n_f,
                        CAST(64 + (doc_id % 8) * 16 AS INTEGER) AS w,
                        CAST(48 + (doc_id % 5) * 16 AS INTEGER) AS h
-                FROM documents WHERE doc_id < 120
+                FROM documents WHERE doc_id < 240
             ), sel AS (
                 SELECT DISTINCT doc_id, n_f, w, h,
                        CAST((g.generate_series * (n_f - 1)) // 2
@@ -4975,7 +4987,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM p, generate_series(0, 2) g
             )
             SELECT doc_id, frame_idx,
-                   CAST(232 + 60 * frame_idx AS BIGINT) AS byte_offset,
+                   CAST(CASE WHEN doc_id < 120
+                             THEN 232 + 60 * frame_idx
+                             ELSE 32 + 52 * frame_idx END
+                        AS BIGINT) AS byte_offset,
                    CAST(52 AS BIGINT) AS n_bytes,
                    w AS jpeg_width, h AS jpeg_height,
                    md5(upper(

@@ -1549,3 +1549,67 @@ class TestJpegCodec:
                                                      mode=mode))
             assert (b == j).all(), mode
             assert ahash64(b) == ahash64(j) and dhash64(b) == dhash64(j)
+
+
+class TestMp4FrameWalk:
+    """REAL MP4 frame sampling: stsz/stco/stsc sample-table arithmetic."""
+
+    def test_mp4_walk_roundtrip_exact(self):
+        """decode_mp4_frames returns the EXACT frame payload boundaries
+        through the sample tables, for variable-size frames and every
+        chunking shape (1-per-chunk, all-in-one, ragged trailing run)."""
+        from pandas_plus_spark.operators.multimodal import (
+            decode_mp4_frames, jpeg_header_bytes, mp4_mjpeg_bytes)
+        frames = [jpeg_header_bytes(64, 48) + b"x" * (i % 5)
+                  for i in range(7)]
+        for spc in (1, 3, 4, 7, 100):
+            blob = mp4_mjpeg_bytes(64, 48, frames, samples_per_chunk=spc)
+            got = decode_mp4_frames(blob)
+            assert (got["width"], got["height"]) == (64, 48), spc
+            assert got["n_frames"] == 7
+            assert got["us_per_frame"] == 40000   # 40 ticks @ 1000 Hz
+            for (off, sz), f in zip(got["frames"], frames):
+                assert blob[off:off + sz] == f, spc
+
+    def test_mp4_walk_rejects(self):
+        from pandas_plus_spark.operators.multimodal import (
+            decode_mp4_frames, decode_video_frames, mp4_header_bytes)
+        assert decode_mp4_frames(None) is None
+        assert decode_mp4_frames(b"0123456789abcdef") is None
+        # header-only fixture (moov without mdia/stbl) has no sample
+        # tables -> not frame-walkable
+        assert decode_mp4_frames(mp4_header_bytes(64, 48, 1000)) is None
+        assert decode_video_frames(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+    def test_sample_video_frames_dispatches_both_containers(self, spark):
+        """One sample_video_frames call over a mixed AVI + MP4 + junk
+        frame: both real walks engage, schedules and signatures match,
+        junk contributes no rows."""
+        import hashlib
+
+        import pandas as pd
+
+        from pandas_plus_spark.operators.multimodal import (
+            avi_mjpeg_bytes, jpeg_header_bytes, mp4_mjpeg_bytes,
+            sample_video_frames)
+        frames = [jpeg_header_bytes(160, 120) + f"f{i}".encode()
+                  for i in range(7)]
+        avi = avi_mjpeg_bytes(160, 120, frames)
+        mp4 = mp4_mjpeg_bytes(160, 120, frames)
+        df = spark.createDataFrame(pd.DataFrame(
+            {"id": [1, 2, 3], "blob": [avi, mp4, b"junk" * 5]}))
+        rows = [(r.id, r.frame_idx, r.byte_offset) for r in
+                sample_video_frames(df, "blob", "id", n_frames=3)
+                .orderBy("id", "frame_idx").collect()]
+        assert [r[0] for r in rows] == [1, 1, 1, 2, 2, 2]
+        assert [r[1] for r in rows] == [0, 3, 6, 0, 3, 6]
+        got = {(r.id, r.frame_idx): r for r in
+               sample_video_frames(df, "blob", "id", n_frames=3).collect()}
+        for src, blob in ((1, avi), (2, mp4)):
+            for fi in (0, 3, 6):
+                r = got[(src, fi)]
+                payload = blob[r.byte_offset:r.byte_offset + r.n_bytes]
+                assert payload == frames[fi]
+                assert (r.jpeg_width, r.jpeg_height) == (160, 120)
+                assert r.frame_sig == hashlib.md5(
+                    payload.hex().upper().encode()).hexdigest()
