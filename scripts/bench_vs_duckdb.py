@@ -2,7 +2,17 @@
 """Engine-vs-DuckDB wall-clock at an arbitrary SF dir — the reproducible
 source of BASELINE.md's oracle-priced comparison tables.
 
-Usage: python scripts/bench_vs_duckdb.py SF_DIR [query ...]
+Usage: python scripts/bench_vs_duckdb.py SF_DIR [--passes N] [query ...]
+
+--passes N (default 1) codifies the graded x3 protocol in one
+invocation: N back-to-back sweeps of the full query set in ONE boot,
+one JSON line per pass (each the same shape as a single run), then a
+summary line carrying, per query, the pass-1 (cold-grain,
+driver-comparable) and STEADY (median of passes 2..N) timings for both
+engines — the first-run/steady split VERDICT r10 asked to make a
+number instead of a judgment call. The graded ratio stays the per-pass
+engine/duck ratio median; the steady columns price the re-execution
+floor that the weak-query floor decompositions cite.
 
 Default query set = the headline queries that have a SQL oracle (DuckDB
 can only price those). Engine protocol matches bench.py (warm session,
@@ -64,8 +74,14 @@ def main() -> None:
     def q(name):
         return registry.get(name) or getattr(em, "_q_" + name)
 
-    names = sys.argv[2:] or [n for n in HEADLINE
-                             if n in sqls or n in FOLDED_SQL]
+    argv = sys.argv[2:]
+    passes = 1
+    if "--passes" in argv:
+        i = argv.index("--passes")
+        passes = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    names = argv or [n for n in HEADLINE
+                     if n in sqls or n in FOLDED_SQL]
     qs = {n: q(n) for n in names}
     for n in ("group_minmax", "shift"):
         qs.setdefault(n, q(n))
@@ -83,28 +99,64 @@ def main() -> None:
     # symmetric warm on the DuckDB side (negligible, kept for protocol
     # fairness: both engines start their timed pass post-initialization)
     con.sql("SELECT count(*) FROM lineitem").arrow()
-    results: dict[str, dict] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        eng = round(time.perf_counter() - t0, 4)
-        release_cached(df)
-        t0 = time.perf_counter()
-        con.sql(sqls[name]).arrow()
-        duck = round(time.perf_counter() - t0, 4)
-        results[name] = {"engine": eng, "duck": duck}
-        print(f"# {name}: engine {eng:.2f}s duck {duck:.2f}s", file=sys.stderr)
-    te = round(sum(r["engine"] for r in results.values()), 2)
-    td = round(sum(r["duck"] for r in results.values()), 2)
-    print(json.dumps({
-        "metric": "engine_vs_duckdb",
-        "engine_total": te,
-        "duck_total": td,
-        "ratio": round(te / td, 3) if td else None,
-        "queries": results,
-        "sf_dir": sf_dir,
-    }))
+    all_passes: list[dict] = []
+    for pass_no in range(1, passes + 1):
+        results: dict[str, dict] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            eng = round(time.perf_counter() - t0, 4)
+            release_cached(df)
+            t0 = time.perf_counter()
+            con.sql(sqls[name]).arrow()
+            duck = round(time.perf_counter() - t0, 4)
+            results[name] = {"engine": eng, "duck": duck}
+            print(f"# p{pass_no} {name}: engine {eng:.2f}s "
+                  f"duck {duck:.2f}s", file=sys.stderr)
+        all_passes.append(results)
+        te = round(sum(r["engine"] for r in results.values()), 2)
+        td = round(sum(r["duck"] for r in results.values()), 2)
+        print(json.dumps({
+            "metric": "engine_vs_duckdb",
+            "pass": pass_no,
+            "engine_total": te,
+            "duck_total": td,
+            "ratio": round(te / td, 3) if td else None,
+            "queries": results,
+            "sf_dir": sf_dir,
+        }), flush=True)
+    if passes > 1:
+        def med(vals):
+            s = sorted(vals)
+            mid = len(s) // 2
+            return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+        summary = {
+            name: {
+                "engine_p1": all_passes[0][name]["engine"],
+                "duck_p1": all_passes[0][name]["duck"],
+                "engine_steady": round(med(
+                    [p[name]["engine"] for p in all_passes[1:]]), 4),
+                "duck_steady": round(med(
+                    [p[name]["duck"] for p in all_passes[1:]]), 4),
+            } for name in names
+        }
+        tes = round(sum(s["engine_steady"] for s in summary.values()), 2)
+        tds = round(sum(s["duck_steady"] for s in summary.values()), 2)
+        print(json.dumps({
+            "metric": "engine_vs_duckdb_steady_split",
+            "passes": passes,
+            "ratio_per_pass": [
+                round(sum(r["engine"] for r in p.values())
+                      / sum(r["duck"] for r in p.values()), 3)
+                for p in all_passes],
+            "engine_steady_total": tes,
+            "duck_steady_total": tds,
+            "steady_ratio": round(tes / tds, 3) if tds else None,
+            "queries": summary,
+            "sf_dir": sf_dir,
+        }))
 
 
 if __name__ == "__main__":
