@@ -2091,12 +2091,17 @@ def _q_image_phash_dedup(spark, sf):
     8x8-BLOCK-snapped gradient (block-constant + gray-valued, so the
     flat-DC-8 quant table roundtrips bit-exactly — the closed form the
     oracle recomputes), cycling all three encode modes
-    (gray / 4:4:4 / 4:2:0 per doc_id % 3), and 600-699 are
+    (gray / 4:4:4 / 4:2:0 per doc_id % 3), 600-699 are
     brightness-shifted JPEG copies that must land at distance 0 from
-    their 500-group twins. The documents table only carries 500 ids at
-    the gate SF, so the two JPEG groups are FANNED OUT by the blob
-    builder (mapInPandas emits doc_id+500 and doc_id+600 rows for each
-    doc_id < 100); the oracle mirrors with UNION ALL id shifts."""
+    their 500-group twins, and 700-799 are PROGRESSIVE (SOF2: spectral
+    selection + successive approximation, DC/AC refinement scans, EOB
+    runs) re-encodings of the 500 content — progressive re-encodes the
+    same quantized coefficients, so they must decode pixel-identical
+    and pair with the 500s at distance 0. The documents table only
+    carries 500 ids at the gate SF, so the three JPEG groups are FANNED
+    OUT by the blob builder (mapInPandas emits doc_id+500/600/700 rows
+    for each doc_id < 100); the oracle mirrors with UNION ALL id
+    shifts."""
     import pandas as _pd
 
     from pandas_plus_spark.operators.multimodal import (bmp_pixel_bytes,
@@ -2122,7 +2127,8 @@ def _q_image_phash_dedup(spark, sf):
 
         if did >= 500:
             return jpeg_pixel_bytes(
-                32, 20, fn, mode=("gray", "444", "420")[did % 3])
+                32, 20, fn, mode=("gray", "444", "420")[did % 3],
+                progressive=did >= 700)
         if did >= 400:
             return gif_pixel_bytes(32, 20, fn, interlace=did % 2 == 0)
         if did >= 300:
@@ -2137,7 +2143,7 @@ def _q_image_phash_dedup(spark, sf):
                 ids.append(did)
                 blobs.append(_blob(did))
                 if did < 100:                    # JPEG fan-out groups
-                    for shift in (500, 600):
+                    for shift in (500, 600, 700):
                         ids.append(did + shift)
                         blobs.append(_blob(did + shift))
             yield _pd.DataFrame({"doc_id": _pd.Series(ids, dtype="int64"),
@@ -5608,7 +5614,10 @@ def oracle_sql() -> dict[str, str]:
             -- constant gray content roundtrips the DC-8 flat quant
             -- table bit-exactly, so the closed form below is the exact
             -- decoded pixel; 600-699 are brightness-shifted (c=30)
-            -- copies that must pair with 500-599 at Hamming distance 0.
+            -- copies that must pair with 500-599 at Hamming distance 0;
+            -- 700-799 (r11) are PROGRESSIVE (SOF2) re-encodings of the
+            -- 500 content — same quantized coefficients, so the same
+            -- closed form (c=10, snap) and distance-0 pairs again.
             -- the table holds 500 ids at this SF, so the JPEG groups
             -- are id-shifted fan-outs of doc_id < 100 (as in the engine)
             WITH ids AS (
@@ -5617,6 +5626,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id + 500 FROM documents WHERE doc_id < 100
                 UNION ALL
                 SELECT doc_id + 600 FROM documents WHERE doc_id < 100
+                UNION ALL
+                SELECT doc_id + 700 FROM documents WHERE doc_id < 100
             ), params AS (
                 SELECT doc_id,
                        2 + (doc_id % 100) % 9 AS a,

@@ -1715,21 +1715,29 @@ def _dht_table(counts, values):
 
 
 def decode_jpeg_pixels(blob: bytes):
-    """REAL baseline-sequential JPEG pixel decode — no codec library.
-    Supports 8-bit precision, 1 (grayscale) or 3 (YCbCr) components,
-    arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2, ...), multiple
-    DQT/DHT segments, restart intervals, and 0xFF byte unstuffing.
+    """REAL JPEG pixel decode — no codec library. Supports BASELINE
+    sequential (SOF0/SOF1) and PROGRESSIVE (SOF2, r11: spectral
+    selection + successive approximation, DC/AC first and refinement
+    scans, EOB runs) Huffman coding; 8-bit precision, 1 (grayscale) or
+    3 (YCbCr) components, arbitrary sampling factors (4:4:4, 4:2:0,
+    4:2:2, ...), multiple DQT/DHT segments, restart intervals, and 0xFF
+    byte unstuffing. Coefficients accumulate across scans in a
+    per-component store; one dequant + numpy IDCT render at the end.
     Returns numpy (H, W, 3) RGB uint8 (gray replicated; chroma
     upsampled by sample replication, the box/nearest kernel) or None
-    for progressive (SOF2) / arithmetic / 12-bit / truncated streams.
+    for arithmetic / hierarchical / 12-bit / truncated streams.
     Extends the perceptual-dedup path to the dominant *web* image
-    format, completing decode_image_pixels' four-container dispatch."""
+    format — including the progressive variant most web JPEGs use —
+    completing decode_image_pixels' four-container dispatch."""
     import numpy as np
     if blob is None or len(blob) < 4 or blob[:2] != b"\xff\xd8":
         return None
     qt: dict = {}
     huff: dict = {}
     frame = None
+    store = None
+    progressive = False
+    any_scan = False
     dri = 0
     i, n = 2, len(blob)
     while i + 4 <= n:
@@ -1739,8 +1747,8 @@ def decode_jpeg_pixels(blob: bytes):
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             i += 2
             continue
-        if m == 0xD9:
-            return None                          # EOI before any scan
+        if m == 0xD9:                            # EOI
+            break
         seglen = int.from_bytes(blob[i + 2:i + 4], "big")
         ps, pe = i + 4, i + 2 + seglen
         if seglen < 2 or pe > n:
@@ -1769,9 +1777,10 @@ def decode_jpeg_pixels(blob: bytes):
                     return None
                 huff[(tc, th)] = _dht_table(counts, values)
                 p += 17 + nv
-        elif m == 0xC0 or m == 0xC1:             # baseline / ext. seq.
+        elif m in (0xC0, 0xC1, 0xC2):            # baseline / ext. / prog.
             if blob[ps] != 8:
                 return None                      # 12-bit precision
+            progressive = m == 0xC2
             h = int.from_bytes(blob[ps + 1:ps + 3], "big")
             w = int.from_bytes(blob[ps + 3:ps + 5], "big")
             nc = blob[ps + 5]
@@ -1783,68 +1792,122 @@ def decode_jpeg_pixels(blob: bytes):
                 comps.append((blob[o], blob[o + 1] >> 4,
                               blob[o + 1] & 15, blob[o + 2]))
             frame = {"h": h, "w": w, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None                          # progressive/arith/...
+            return None                          # lossless/arith/hier.
         elif m == 0xDD:                          # DRI
             dri = int.from_bytes(blob[ps:ps + 2], "big")
-        elif m == 0xDA:                          # SOS: decode the scan
+        elif m == 0xDA:                          # SOS
             if frame is None:
                 return None
+            if store is None:
+                store = _jpeg_alloc_store(frame)
+                if store is None:
+                    return None
             ns = blob[ps]
-            stabs = {}
+            scomps = []
             for k in range(ns):
-                cs = blob[ps + 1 + 2 * k]
-                stabs[cs] = (blob[ps + 2 + 2 * k] >> 4,
-                             blob[ps + 2 + 2 * k] & 15)
-            return _jpeg_decode_scan(blob, pe, frame, stabs, qt, huff, dri)
+                scomps.append((blob[ps + 1 + 2 * k],
+                               blob[ps + 2 + 2 * k] >> 4,
+                               blob[ps + 2 + 2 * k] & 15))
+            o = ps + 1 + 2 * ns
+            ss, se, ahal = blob[o], blob[o + 1], blob[o + 2]
+            if not progressive:
+                if not _jpeg_baseline_scan(blob, pe, frame, scomps,
+                                           huff, dri, store):
+                    return None
+                return _jpeg_render(frame, store, qt)
+            nxt = _jpeg_prog_scan(blob, pe, frame, scomps, huff, dri,
+                                  store, ss, se, ahal >> 4, ahal & 15)
+            if nxt is None:
+                return None
+            any_scan = True
+            i = nxt
+            while i < n and blob[i] != 0xFF:     # tolerate pad bytes
+                i += 1
+            continue
         i = pe
+    if progressive and any_scan:
+        return _jpeg_render(frame, store, qt)
     return None
 
 
-def _jpeg_decode_scan(blob, pos, frame, stabs, qt, huff, dri):
-    import numpy as np
-    A = _dct_matrix()
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
+def _jpeg_geom(frame):
+    comps = frame["comps"]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax < 1 or vmax < 1:
         return None
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = {cid: np.zeros((mcuy * vs * 8, mcux * hs * 8))
-              for cid, hs, vs, _tq in comps}
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _jpeg_alloc_store(frame):
+    """Per-component quantized-coefficient store (MCU-padded block grid,
+    zigzag index space) that scans fill and :func:`_jpeg_render` reads —
+    baseline fills it in one scan, progressive accumulates over many."""
+    import numpy as np
+    g = _jpeg_geom(frame)
+    if g is None:
+        return None
+    _hmax, _vmax, mcux, mcuy = g
+    return {cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+            for cid, hs, vs, _tq in frame["comps"]}
+
+
+def _jpeg_comp_grid(frame, cid):
+    """Non-interleaved (single-component-scan) block grid: ceil of the
+    COMPONENT's own sample dimensions, NOT padded to the MCU grid
+    (T.81 A.2.2)."""
+    hmax, vmax, _mcux, _mcuy = _jpeg_geom(frame)
+    for c, hs, vs, _tq in frame["comps"]:
+        if c == cid:
+            cw = -(-frame["w"] * hs // hmax)
+            ch = -(-frame["h"] * vs // vmax)
+            return -(-ch // 8), -(-cw // 8), hs, vs
+    return None
+
+
+def _jpeg_baseline_scan(blob, pos, frame, scomps, huff, dri, store):
+    """Decode the single interleaved baseline scan into ``store``.
+    Returns True on success."""
+    import numpy as np
+    comps = frame["comps"]
+    g = _jpeg_geom(frame)
+    if g is None:
+        return False
+    _hmax, _vmax, mcux, mcuy = g
+    stabs = {cid: (td, ta) for cid, td, ta in scomps}
     br = _JpegBits(blob, pos)
     pred = {cid: 0 for cid, *_ in comps}
-    zz = _JPEG_ZZ
     mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if dri and mcu_i and mcu_i % dri == 0:
                 if not br.restart(mcu_i // dri - 1):
-                    return None
+                    return False
                 pred = {cid: 0 for cid, *_ in comps}
             mcu_i += 1
-            for cid, hs, vs, tq in comps:
+            for cid, hs, vs, _tq in comps:
                 td_ta = stabs.get(cid)
-                qtab = qt.get(tq)
-                if td_ta is None or qtab is None:
-                    return None
+                if td_ta is None:
+                    return False
                 dct = huff.get((0, td_ta[0]))
                 act = huff.get((1, td_ta[1]))
                 if dct is None or act is None:
-                    return None
+                    return False
                 for by in range(vs):
                     for bx in range(hs):
                         coef = np.zeros(64, dtype=np.int64)
                         s = br.decode(dct)
                         if s is None or s > 11:
-                            return None
+                            return False
                         diff = 0
                         if s:
                             v = br.bits(s)
                             if v is None:
-                                return None
+                                return False
                             diff = _jpeg_extend(v, s)
                         pred[cid] += diff
                         coef[0] = pred[cid]
@@ -1852,7 +1915,7 @@ def _jpeg_decode_scan(blob, pos, frame, stabs, qt, huff, dri):
                         while k < 64:
                             rs = br.decode(act)
                             if rs is None:
-                                return None
+                                return False
                             r, s = rs >> 4, rs & 15
                             if s == 0:
                                 if r == 15:      # ZRL: 16 zeros
@@ -1861,33 +1924,235 @@ def _jpeg_decode_scan(blob, pos, frame, stabs, qt, huff, dri):
                                 break            # EOB
                             k += r
                             if k > 63:
-                                return None
+                                return False
                             v = br.bits(s)
                             if v is None:
-                                return None
+                                return False
                             coef[k] = _jpeg_extend(v, s)
                             k += 1
-                        block = np.zeros((8, 8))
-                        dq = coef * qtab
-                        for j in range(64):
-                            block[zz[j]] = dq[j]
-                        px = A.T @ block @ A
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = px
+                        store[cid][my * vs + by, mx * hs + bx] = coef
+    return True
+
+
+def _jpeg_prog_scan(blob, pos, frame, scomps, huff, dri, store,
+                    ss, se, ah, al):
+    """Decode ONE progressive scan (T.81 Annex G, Huffman) into
+    ``store`` and return the byte position just past its entropy data.
+    Handles all four scan kinds — DC first (interleaved or single), DC
+    refinement (raw bits), AC first (EOB runs, ZRL, point transform)
+    and AC refinement (correction bits) — plus restart markers (DC
+    predictors AND the EOB run reset)."""
+    comps = {cid: (hs, vs, tq) for cid, hs, vs, tq in frame["comps"]}
+    br = _JpegBits(blob, pos)
+    preds = {cid: 0 for cid, _td, _ta in scomps}
+    state = {"eob": 0}
+    p1 = 1 << al
+    m1 = -p1
+
+    def dc_block(coef, cid, dct):
+        if ah == 0:                              # DC first
+            s = br.decode(dct)
+            if s is None or s > 11:
+                return False
+            diff = 0
+            if s:
+                v = br.bits(s)
+                if v is None:
+                    return False
+                diff = _jpeg_extend(v, s)
+            preds[cid] += diff
+            coef[0] = preds[cid] << al
+        else:                                    # DC refinement: raw bit
+            b = br.bit()
+            if b is None:
+                return False
+            if b:
+                coef[0] |= p1
+        return True
+
+    def ac_first(coef, act):
+        if state["eob"] > 0:
+            state["eob"] -= 1
+            return True
+        k = ss
+        while k <= se:
+            rs = br.decode(act)
+            if rs is None:
+                return False
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:                      # ZRL
+                    k += 16
+                    continue
+                state["eob"] = (1 << r) - 1
+                if r:
+                    v = br.bits(r)
+                    if v is None:
+                        return False
+                    state["eob"] += v
+                break
+            k += r
+            if k > se:
+                return False
+            v = br.bits(s)
+            if v is None:
+                return False
+            coef[k] = _jpeg_extend(v, s) << al
+            k += 1
+        return True
+
+    def refine_nonzero(coef, k):
+        """Consume one correction bit for an already-nonzero coef."""
+        b = br.bit()
+        if b is None:
+            return False
+        if b and (int(coef[k]) & p1) == 0:
+            coef[k] += p1 if coef[k] >= 0 else m1
+        return True
+
+    def ac_refine(coef, act):
+        k = ss
+        if state["eob"] == 0:
+            while k <= se:
+                rs = br.decode(act)
+                if rs is None:
+                    return False
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:                   # EOB run
+                        state["eob"] = 1 << r
+                        if r:
+                            v = br.bits(r)
+                            if v is None:
+                                return False
+                            state["eob"] += v
+                        break
+                    val = 0                      # ZRL: 16 zero-history
+                else:
+                    if s != 1:
+                        return False
+                    b = br.bit()
+                    if b is None:
+                        return False
+                    val = p1 if b else m1
+                while k <= se:                   # advance, correcting
+                    if coef[k] != 0:
+                        if not refine_nonzero(coef, k):
+                            return False
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    coef[k] = val
+                k += 1
+        if state["eob"] > 0:                     # EOB region corrections
+            while k <= se:
+                if coef[k] != 0:
+                    if not refine_nonzero(coef, k):
+                        return False
+                k += 1
+            state["eob"] -= 1
+        return True
+
+    def run_block(coef, cid, td, ta):
+        if ss == 0:
+            if se != 0:
+                return False
+            dct = huff.get((0, td)) if ah == 0 else None
+            if ah == 0 and dct is None:
+                return False
+            return dc_block(coef, cid, dct)
+        if len(scomps) != 1:
+            return False                         # AC scans: 1 component
+        act = huff.get((1, ta))
+        if act is None:
+            return False
+        return ac_first(coef, act) if ah == 0 else ac_refine(coef, act)
+
+    mcu_i = 0
+
+    def restart_if_due():
+        nonlocal mcu_i
+        if dri and mcu_i and mcu_i % dri == 0:
+            if not br.restart(mcu_i // dri - 1):
+                return False
+            for c in preds:
+                preds[c] = 0
+            state["eob"] = 0
+        mcu_i += 1
+        return True
+
+    if len(scomps) > 1:                          # interleaved (DC only)
+        g = _jpeg_geom(frame)
+        _hmax, _vmax, mcux, mcuy = g
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if not restart_if_due():
+                    return None
+                for cid, td, ta in scomps:
+                    hs, vs, _tq = comps[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            coef = store[cid][my * vs + by, mx * hs + bx]
+                            if not run_block(coef, cid, td, ta):
+                                return None
+    else:
+        cid, td, ta = scomps[0]
+        grid = _jpeg_comp_grid(frame, cid)
+        if grid is None:
+            return None
+        bh, bw, _hs, _vs = grid
+        for by in range(bh):
+            for bx in range(bw):
+                if not restart_if_due():
+                    return None
+                coef = store[cid][by, bx]
+                if not run_block(coef, cid, td, ta):
+                    return None
+    br.n = 0                                     # discard pad bits
+    return br.pos
+
+
+def _jpeg_render(frame, store, qt):
+    """Dequantize + de-zigzag + IDCT every stored block, upsample chroma
+    by replication, convert to RGB."""
+    import numpy as np
+    A = _dct_matrix()
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    g = _jpeg_geom(frame)
+    if g is None:
+        return None
+    hmax, vmax, _mcux, _mcuy = g
+    zz = _JPEG_ZZ
     full = []
-    for cid, hs, vs, _tq in comps:
-        p = planes[cid] + 128.0
+    for cid, hs, vs, tq in comps:
+        qtab = qt.get(tq)
+        coefs = store.get(cid)
+        if qtab is None or coefs is None:
+            return None
+        bys, bxs = coefs.shape[:2]
+        plane = np.zeros((bys * 8, bxs * 8))
+        for by in range(bys):
+            for bx in range(bxs):
+                dq = coefs[by, bx] * qtab
+                block = np.zeros((8, 8))
+                for j in range(64):
+                    block[zz[j]] = dq[j]
+                plane[by * 8:(by + 1) * 8,
+                      bx * 8:(bx + 1) * 8] = A.T @ block @ A
+        p = plane + 128.0
         p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-        return np.repeat(g[:, :, None], 3, axis=2)
+        gray = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
-    out = np.stack([r, g, b], axis=2)
+    out = np.stack([r, gg, b], axis=2)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
@@ -2111,10 +2376,262 @@ def _jpeg_assemble(width, height, comp_coefs, samp, quants,
 #: roundtrip bit-exactly: quantized DC = pixel - 128), AC step 16.
 JPEG_QUANT_FLAT = [8] + [16] * 63
 
+#: Progressive scan scripts (comp list, Ss, Se, Ah, Al) — the
+#: libjpeg-style standard shapes: spectral selection + two-level
+#: successive approximation on luma AC, one level on DC and chroma AC.
+JPEG_PROG_SCRIPT_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+JPEG_PROG_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([1], 1, 63, 0, 1),
+    ([2], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+class _ProgWriter:
+    """Dual-pass scan emitter: with no table it counts symbol
+    frequencies (pass 1, feeds _build_dht); with a table it writes the
+    entropy stream (pass 2). Raw bits (signs, corrections, EOB
+    extensions, DC refinements) only exist in pass 2."""
+
+    def __init__(self, table=None):
+        self.freq: dict = {}
+        self.table = table
+        self.bw = _JpegBitWriter() if table is not None else None
+
+    def sym(self, s):
+        if self.bw is None:
+            self.freq[s] = self.freq.get(s, 0) + 1
+        else:
+            ln, code = self.table[s]
+            self.bw.write(code, ln)
+
+    def bits(self, v, n):
+        if self.bw is not None and n:
+            self.bw.write(v, n)
+
+
+def _emit_prog_scan(comp_coefs, samp, dims, scan, pw):
+    """Run one progressive scan over the coefficient arrays through a
+    :class:`_ProgWriter` — T.81 G.1.2 encoding procedures, the encode
+    mirror of :func:`_jpeg_prog_scan` (EOB-run accumulation with
+    buffered correction bits, ZRL folding, point transforms: arithmetic
+    shift for DC, truncate-toward-zero for AC)."""
+    comp_idxs, ss, se, ah, al = scan
+    width, height = dims
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+
+    def comp_grid(ci):
+        hs, vs = samp[ci]
+        cw = -(-width * hs // hmax)
+        ch = -(-height * vs // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    if ss == 0:                                  # DC scan
+        preds = {ci: 0 for ci in comp_idxs}
+        if len(comp_idxs) > 1:                   # interleaved MCU order
+            mcux = comp_coefs[0].shape[1] // samp[0][0]
+            mcuy = comp_coefs[0].shape[0] // samp[0][1]
+
+            def blocks():
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in comp_idxs:
+                            hs, vs = samp[ci]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    yield ci, comp_coefs[ci][
+                                        my * vs + by, mx * hs + bx]
+        else:
+            ci0 = comp_idxs[0]
+            bh, bw_ = comp_grid(ci0)
+
+            def blocks():
+                for by in range(bh):
+                    for bx in range(bw_):
+                        yield ci0, comp_coefs[ci0][by, bx]
+
+        for ci, coef in blocks():
+            v = int(coef[0]) >> al               # arithmetic shift (G.1.2.1)
+            if ah == 0:
+                diff = v - preds[ci]
+                preds[ci] = v
+                s = _jpeg_category(diff)
+                pw.sym(s)
+                if s:
+                    pw.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            else:                                # refinement: raw bit
+                pw.bits(v & 1, 1)
+        return
+
+    ci0 = comp_idxs[0]                           # AC scans: one component
+    bh, bw_ = comp_grid(ci0)
+    eobrun = 0
+    bebuf: list = []
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            pw.sym(r << 4)
+            if r:
+                pw.bits(eobrun - (1 << r), r)
+            for b in bebuf:
+                pw.bits(b, 1)
+            bebuf.clear()
+            eobrun = 0
+
+    for by in range(bh):
+        for bx in range(bw_):
+            coef = comp_coefs[ci0][by, bx]
+            if ah == 0:                          # AC first scan
+                tv = [0] * 64
+                last = None
+                for k in range(ss, se + 1):
+                    v = int(coef[k])
+                    t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                    tv[k] = t                    # truncate toward zero
+                    if t:
+                        last = k
+                if last is None:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                for k in range(ss, last + 1):
+                    t = tv[k]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        pw.sym(0xF0)
+                        r -= 16
+                    s = _jpeg_category(t)
+                    pw.sym((r << 4) | s)
+                    pw.bits(t if t >= 0 else t + (1 << s) - 1, s)
+                    r = 0
+                if last < se:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            else:                                # AC refinement scan
+                absv = [abs(int(coef[k])) >> al for k in range(64)]
+                last_new = max((k for k in range(ss, se + 1)
+                                if absv[k] == 1), default=None)
+                if last_new is None:             # corrections only
+                    eobrun += 1
+                    bebuf.extend(absv[k] & 1 for k in range(ss, se + 1)
+                                 if absv[k] > 1)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                r = 0
+                brb: list = []
+                for k in range(ss, last_new + 1):
+                    t = absv[k]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:                # ZRL with its bits
+                        flush_eob()
+                        pw.sym(0xF0)
+                        r -= 16
+                        for b in brb:
+                            pw.bits(b, 1)
+                        brb = []
+                    if t > 1:                    # history: correction bit
+                        brb.append(t & 1)
+                        continue
+                    flush_eob()                  # newly significant
+                    pw.sym((r << 4) | 1)
+                    pw.bits(1 if int(coef[k]) > 0 else 0, 1)
+                    for b in brb:
+                        pw.bits(b, 1)
+                    brb = []
+                    r = 0
+                if last_new < se:                # tail folds into EOB
+                    eobrun += 1
+                    bebuf.extend(absv[k] & 1
+                                 for k in range(last_new + 1, se + 1)
+                                 if absv[k] > 1)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+    flush_eob()
+
+
+def _jpeg_assemble_progressive(width, height, comp_coefs, samp, quants,
+                               script=None):
+    """Assemble a PROGRESSIVE (SOF2) JPEG from the same per-component
+    quantized coefficient arrays :func:`_jpeg_assemble` takes — a
+    lossless re-encoding of identical coefficients, so decoding the
+    progressive and baseline forms must give bit-identical pixels (the
+    property the tests pin). Every scan carries its own canonical
+    Huffman table in slot 0 (re-declared per scan — spec-legal and what
+    keeps the table bookkeeping trivial)."""
+    ncomp = len(comp_coefs)
+    if script is None:
+        script = (JPEG_PROG_SCRIPT_GRAY if ncomp == 1
+                  else JPEG_PROG_SCRIPT_COLOR)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) \
+            + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    app0 = (b"JFIF\x00\x01\x01\x00" + (1).to_bytes(2, "big")
+            + (1).to_bytes(2, "big") + bytes(2))
+    out = b"\xff\xd8" + seg(0xE0, app0)
+    nslots = 1 if ncomp == 1 else 2
+    for slot in range(nslots):
+        out += seg(0xDB, bytes([slot]) + bytes(int(q) for q in quants[slot]))
+    sof = (bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+           + bytes([ncomp]))
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += seg(0xC2, sof)
+    for scan in script:
+        comp_idxs, ss, se, ah, al = scan
+        pw = _ProgWriter()
+        _emit_prog_scan(comp_coefs, samp, (width, height), scan, pw)
+        if pw.freq:                              # DC refine has no syms
+            cls = 0 if ss == 0 else 1
+            cnt, vals, table = _build_dht(pw.freq)
+            out += seg(0xC4, bytes([(cls << 4) | 0]) + bytes(cnt)
+                       + bytes(vals))
+            wr = _ProgWriter(table)
+        else:
+            wr = _ProgWriter({})
+            wr.bw = _JpegBitWriter()
+        _emit_prog_scan(comp_coefs, samp, (width, height), scan, wr)
+        wr.bw.pad()
+        sos = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            sos += bytes([ci + 1, 0])            # both table ids = slot 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos) + bytes(wr.bw.out)
+    return out + b"\xff\xd9"
+
 
 def jpeg_pixel_bytes(width: int, height: int, pixel_fn, *,
                      mode: str = "gray", quant=None,
-                     restart_interval: int = 0) -> bytes:
+                     restart_interval: int = 0,
+                     progressive: bool = False) -> bytes:
     """Complete baseline-sequential JPEG with REAL entropy-coded pixel
     data from ``pixel_fn(x, y) -> (r, g, b)`` — the fixture generator
     for :func:`decode_jpeg_pixels`. ``mode``: ``gray`` (one component),
@@ -2126,8 +2643,14 @@ def jpeg_pixel_bytes(width: int, height: int, pixel_fn, *,
     images constant within each 8x8 block (and gray-valued, so chroma
     is exactly 128) roundtrip bit-exactly under the default
     :data:`JPEG_QUANT_FLAT` table — the property the closed-form driver
-    oracle relies on."""
+    oracle relies on. ``progressive=True`` (r11) re-encodes the SAME
+    quantized coefficients as a SOF2 progressive stream (spectral
+    selection + successive approximation per the standard scan script)
+    — lossless relative to baseline, so both forms decode to identical
+    pixels; restart intervals are a baseline-only knob here."""
     import numpy as np
+    if progressive and restart_interval:
+        raise ValueError("restart_interval is baseline-only here")
     q = list(quant) if quant is not None else list(JPEG_QUANT_FLAT)
     rgb = np.array([[pixel_fn(x, y) for x in range(width)]
                     for y in range(height)], dtype=np.float64)
@@ -2137,6 +2660,9 @@ def jpeg_pixel_bytes(width: int, height: int, pixel_fn, *,
         pl = _pad_replicate(ypl - 128.0, -(-height // 8) * 8,
                             -(-width // 8) * 8)
         coefs = [_jpeg_forward_blocks(pl, q)]
+        if progressive:
+            return _jpeg_assemble_progressive(width, height, coefs,
+                                              [(1, 1)], [q])
         return _jpeg_assemble(width, height, coefs, [(1, 1)], [q],
                               restart_interval)
     if mode not in ("444", "420"):
@@ -2161,6 +2687,9 @@ def jpeg_pixel_bytes(width: int, height: int, pixel_fn, *,
                            for p in down]
         samp = [(2, 2), (1, 1), (1, 1)]
     coefs = [_jpeg_forward_blocks(p, q) for p in planes]
+    if progressive:
+        return _jpeg_assemble_progressive(width, height, coefs, samp,
+                                          [q, q])
     return _jpeg_assemble(width, height, coefs, samp, [q, q],
                           restart_interval)
 
@@ -2168,7 +2697,8 @@ def jpeg_pixel_bytes(width: int, height: int, pixel_fn, *,
 def jpeg_from_quantized(coef_blocks, blocks_x: int, blocks_y: int, *,
                         quant=None, width: int | None = None,
                         height: int | None = None,
-                        restart_interval: int = 0) -> bytes:
+                        restart_interval: int = 0,
+                        progressive: bool = False) -> bytes:
     """Grayscale baseline JPEG from EXPLICIT quantized zigzag
     coefficient blocks (``coef_blocks``: raster-order list of 64-int
     sequences) — the coefficient-level fixture generator: a test can
@@ -2179,6 +2709,10 @@ def jpeg_from_quantized(coef_blocks, blocks_x: int, blocks_y: int, *,
     q = list(quant) if quant is not None else list(JPEG_QUANT_FLAT)
     arr = np.array(coef_blocks,
                    dtype=np.int64).reshape(blocks_y, blocks_x, 64)
+    if progressive:
+        return _jpeg_assemble_progressive(
+            width or blocks_x * 8, height or blocks_y * 8,
+            [arr], [(1, 1)], [q])
     return _jpeg_assemble(width or blocks_x * 8, height or blocks_y * 8,
                           [arr], [(1, 1)], [q], restart_interval)
 

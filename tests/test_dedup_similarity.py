@@ -1613,3 +1613,77 @@ class TestMp4FrameWalk:
                 assert (r.jpeg_width, r.jpeg_height) == (160, 120)
                 assert r.frame_sig == hashlib.md5(
                     payload.hex().upper().encode()).hexdigest()
+
+
+class TestJpegProgressive:
+    """Progressive (SOF2) JPEG: spectral selection + successive
+    approximation, both directions. The load-bearing property: the
+    progressive form re-encodes the SAME quantized coefficients, so its
+    decode must be BIT-IDENTICAL to the baseline decode — any EOB-run,
+    correction-bit, point-transform or scan-script bug breaks equality."""
+
+    def test_block_constant_exact_all_modes(self):
+        import numpy as np
+        from pandas_plus_spark.operators.multimodal import (
+            decode_jpeg_pixels, jpeg_pixel_bytes)
+
+        def fn(x, y):
+            v = (5 * 8 * (x // 8) + 3 * 8 * (y // 8)) % 200 + 10
+            return (v, v, v)
+
+        exp = np.array([[fn(x, y) for x in range(32)] for y in range(20)],
+                       dtype=np.uint8)
+        for mode in ("gray", "444", "420"):
+            px = decode_jpeg_pixels(jpeg_pixel_bytes(
+                32, 20, fn, mode=mode, progressive=True))
+            assert px is not None and (px == exp).all(), mode
+
+    def test_coefficient_fuzz_progressive_equals_baseline(self):
+        """Random sparse/dense coefficient blocks: the progressive
+        stream must decode to exactly the baseline pixels (EOB runs
+        spanning blocks, ZRL-with-correction-bits, newly-significant
+        insertion, negative DC refinement all covered by the draws)."""
+        import numpy as np
+        from pandas_plus_spark.operators.multimodal import (
+            decode_jpeg_pixels, jpeg_from_quantized)
+        rng = np.random.RandomState(99)
+        for trial in range(15):
+            by, bx = rng.randint(1, 5), rng.randint(1, 5)
+            blocks = rng.randint(-300, 300, size=(by * bx, 64))
+            blocks = blocks * (rng.rand(by * bx, 64) < rng.rand())
+            base = decode_jpeg_pixels(jpeg_from_quantized(
+                [list(b) for b in blocks], bx, by))
+            prog = decode_jpeg_pixels(jpeg_from_quantized(
+                [list(b) for b in blocks], bx, by, progressive=True))
+            assert prog is not None and (prog == base).all(), trial
+
+    def test_pixel_images_all_modes_odd_dims(self):
+        """Noise images at non-8-multiple dims: the non-interleaved
+        component grids (ceil of COMPONENT dims, not the MCU-padded
+        store grid) must line up between encoder and decoder."""
+        import numpy as np
+        from pandas_plus_spark.operators.multimodal import (
+            decode_jpeg_pixels, jpeg_pixel_bytes)
+        rng = np.random.RandomState(5)
+        arr = rng.randint(0, 256, size=(21, 13, 3))
+
+        def fn(x, y):
+            return tuple(int(v) for v in arr[y, x])
+
+        for mode in ("gray", "444", "420"):
+            b1 = decode_jpeg_pixels(jpeg_pixel_bytes(13, 21, fn, mode=mode))
+            b2 = decode_jpeg_pixels(jpeg_pixel_bytes(
+                13, 21, fn, mode=mode, progressive=True))
+            assert b2 is not None and (b1 == b2).all(), mode
+
+    def test_progressive_is_sof2_and_restart_rejected(self):
+        from pandas_plus_spark.operators.multimodal import jpeg_pixel_bytes
+        import pytest
+
+        blob = jpeg_pixel_bytes(16, 16, lambda x, y: (50, 50, 50),
+                                progressive=True)
+        assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+        assert blob.count(b"\xff\xda") >= 6       # multi-scan script
+        with pytest.raises(ValueError):
+            jpeg_pixel_bytes(16, 16, lambda x, y: (0, 0, 0),
+                             progressive=True, restart_interval=2)
