@@ -779,7 +779,9 @@ def decode_avi_frames(blob: bytes):
 
 def mp4_mjpeg_bytes(width: int, height: int, frames: list, *,
                     timescale: int = 1000, sample_delta: int = 40,
-                    samples_per_chunk: int = 3) -> bytes:
+                    samples_per_chunk: int = 3,
+                    wide_offsets: bool = False,
+                    fixed_size_stsz: bool = False) -> bytes:
     """Complete spec-layout MP4 (ISO-BMFF) holding an MJPEG video track:
     ftyp + mdat (the frame payloads) + trailing moov whose stbl sample
     tables (stsd/stts/stsc/stsz/stco) index every frame by ABSOLUTE file
@@ -789,7 +791,11 @@ def mp4_mjpeg_bytes(width: int, height: int, frames: list, *,
     it doesn't divide), so the stsc chunk-run expansion is genuinely
     exercised, and stsz carries true per-sample sizes so variable-size
     frames work. moov intentionally FOLLOWS mdat (the common
-    non-faststart layout), forcing readers to walk past media data."""
+    non-faststart layout), forcing readers to walk past media data.
+    ``wide_offsets`` writes co64 (64-bit chunk offsets, the >4 GiB
+    form) instead of stco; ``fixed_size_stsz`` writes the
+    constant-sample-size stsz form (requires equal-length frames) —
+    both real-world table variants the walker must read."""
     ftyp = _mp4_box(b"ftyp", b"isom" + (512).to_bytes(4, "big")
                     + b"isomiso2")
     mdat = _mp4_box(b"mdat", b"".join(frames))
@@ -846,10 +852,19 @@ def mp4_mjpeg_bytes(width: int, height: int, frames: list, *,
                     + b"".join(fc.to_bytes(4, "big") + n.to_bytes(4, "big")
                                + (1).to_bytes(4, "big")
                                for fc, n in stsc_runs))
-    stsz = _mp4_box(b"stsz", bytes(4) + bytes(4) + nf.to_bytes(4, "big")
-                    + b"".join(s.to_bytes(4, "big") for s in sizes))
-    stco = _mp4_box(b"stco", bytes(4) + len(chunk_offs).to_bytes(4, "big")
-                    + b"".join(o.to_bytes(4, "big") for o in chunk_offs))
+    if fixed_size_stsz:
+        if len(set(sizes)) > 1:
+            raise ValueError("fixed_size_stsz requires equal-size frames")
+        stsz = _mp4_box(b"stsz", bytes(4) + sizes[0].to_bytes(4, "big")
+                        + nf.to_bytes(4, "big"))
+    else:
+        stsz = _mp4_box(b"stsz", bytes(4) + bytes(4)
+                        + nf.to_bytes(4, "big")
+                        + b"".join(s.to_bytes(4, "big") for s in sizes))
+    cw = 8 if wide_offsets else 4
+    stco = _mp4_box(b"co64" if wide_offsets else b"stco",
+                    bytes(4) + len(chunk_offs).to_bytes(4, "big")
+                    + b"".join(o.to_bytes(cw, "big") for o in chunk_offs))
     stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
     minf = _mp4_box(b"minf", vmhd + _mp4_box(b"dinf", dref) + stbl)
     mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)

@@ -1581,6 +1581,27 @@ class TestMp4FrameWalk:
         assert decode_mp4_frames(mp4_header_bytes(64, 48, 1000)) is None
         assert decode_video_frames(b"RIFF\x04\x00\x00\x00WAVE") is None
 
+
+    def test_mp4_co64_and_fixed_stsz_variants(self):
+        """The walker reads both chunk-offset widths (stco/co64) and
+        both stsz forms (per-sample list / constant sample size)."""
+        import pytest
+
+        from pandas_plus_spark.operators.multimodal import (
+            decode_mp4_frames, jpeg_header_bytes, mp4_mjpeg_bytes)
+        frames = [jpeg_header_bytes(32, 24) + b"PAY-%02d" % i
+                  for i in range(6)]                  # equal 45-byte frames
+        for kw in ({"wide_offsets": True}, {"fixed_size_stsz": True},
+                   {"wide_offsets": True, "fixed_size_stsz": True}):
+            blob = mp4_mjpeg_bytes(32, 24, frames, **kw)
+            got = decode_mp4_frames(blob)
+            assert got is not None and got["n_frames"] == 6, kw
+            for (off, sz), f in zip(got["frames"], frames):
+                assert blob[off:off + sz] == f, kw
+        ragged = [jpeg_header_bytes(32, 24) + b"x" * i for i in range(3)]
+        with pytest.raises(ValueError):
+            mp4_mjpeg_bytes(32, 24, ragged, fixed_size_stsz=True)
+
     def test_sample_video_frames_dispatches_both_containers(self, spark):
         """One sample_video_frames call over a mixed AVI + MP4 + junk
         frame: both real walks engage, schedules and signatures match,
@@ -1687,3 +1708,4 @@ class TestJpegProgressive:
         with pytest.raises(ValueError):
             jpeg_pixel_bytes(16, 16, lambda x, y: (0, 0, 0),
                              progressive=True, restart_interval=2)
+
