@@ -943,6 +943,8 @@ def decode_mp4_frames(blob: bytes) -> dict | None:
         nf = int.from_bytes(blob[p + 8:p + 12], "big")
         if nf == 0:
             continue
+        if nf > n:                               # corrupt count: more
+            return None                          # samples than bytes
         if fixed:
             sizes = [fixed] * nf
         else:
@@ -1520,6 +1522,8 @@ def decode_gif_pixels(blob: bytes):
         if table is None or w <= 0 or h <= 0:
             return None
         min_code = blob[i]
+        if not 1 <= min_code <= 11:              # corrupt LZW root size:
+            return None                          # 1<<255 base table bomb
         i += 1
         data = bytearray()
         while i < n_total and blob[i] != 0:
@@ -1773,6 +1777,9 @@ def decode_jpeg_pixels(blob: bytes):
             while p < pe:
                 pq, tq = blob[p] >> 4, blob[p] & 15
                 p += 1
+                width_q = 128 if pq else 64      # truncated table: bail
+                if p + width_q > pe:
+                    return None
                 if pq == 0:
                     qt[tq] = np.frombuffer(
                         blob[p:p + 64], dtype=np.uint8).astype(np.int64)
@@ -1820,13 +1827,22 @@ def decode_jpeg_pixels(blob: bytes):
                 if store is None:
                     return None
             ns = blob[ps]
+            # corrupt component counts must not overread the segment
+            if ns < 1 or ns > 4 or ps + 1 + 2 * ns + 3 > pe:
+                return None
+            fcids = {c[0] for c in frame["comps"]}
             scomps = []
             for k in range(ns):
-                scomps.append((blob[ps + 1 + 2 * k],
+                cid = blob[ps + 1 + 2 * k]
+                if cid not in fcids:
+                    return None                  # unknown component id
+                scomps.append((cid,
                                blob[ps + 2 + 2 * k] >> 4,
                                blob[ps + 2 + 2 * k] & 15))
             o = ps + 1 + 2 * ns
             ss, se, ahal = blob[o], blob[o + 1], blob[o + 2]
+            if ss > 63 or se > 63 or ss > se:
+                return None                      # corrupt spectral band
             if not progressive:
                 if not _jpeg_baseline_scan(blob, pe, frame, scomps,
                                            huff, dri, store):
@@ -1858,13 +1874,21 @@ def _jpeg_geom(frame):
     return hmax, vmax, mcux, mcuy
 
 
+#: Decode size cap: a corrupted (or adversarial) SOF can declare up to
+#: 65535x65535 and the coefficient store would be allocated BEFORE any
+#: entropy data validates it — a 34 GiB memory bomb per task. Real web
+#: images sit far below this; oversized frames return None like any
+#: other unsupported stream.
+_JPEG_MAX_PIXELS = 1 << 25                       # ~33.5 MP
+
+
 def _jpeg_alloc_store(frame):
     """Per-component quantized-coefficient store (MCU-padded block grid,
     zigzag index space) that scans fill and :func:`_jpeg_render` reads —
     baseline fills it in one scan, progressive accumulates over many."""
     import numpy as np
     g = _jpeg_geom(frame)
-    if g is None:
+    if g is None or frame["h"] * frame["w"] > _JPEG_MAX_PIXELS:
         return None
     _hmax, _vmax, mcux, mcuy = g
     return {cid: np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)

@@ -1709,3 +1709,66 @@ class TestJpegProgressive:
             jpeg_pixel_bytes(16, 16, lambda x, y: (0, 0, 0),
                              progressive=True, restart_interval=2)
 
+
+
+class TestDecodeRobustness:
+    """Decoders run inside mapInPandas over UNTRUSTED corpus bytes — an
+    uncaught exception kills the Spark task and a corrupt size field
+    must not become a memory bomb. Contract: every decode returns a
+    value or None, never raises, and never allocates from unvalidated
+    declared dimensions."""
+
+    def test_mutation_fuzz_never_raises(self):
+        import numpy as np
+
+        from pandas_plus_spark.operators import multimodal as mm
+
+        def fn(x, y):
+            v = (3 * x + 5 * y) % 200 + 10
+            return (v, v, v)
+
+        seeds = [
+            mm.bmp_pixel_bytes(16, 12, fn),
+            mm.png_pixel_bytes(16, 12, fn),
+            mm.gif_pixel_bytes(16, 12, fn),
+            mm.jpeg_pixel_bytes(16, 12, fn, mode="420"),
+            mm.jpeg_pixel_bytes(16, 12, fn, mode="444", progressive=True),
+            mm.avi_mjpeg_bytes(32, 24, [mm.jpeg_header_bytes(32, 24)
+                                        for _ in range(4)]),
+            mm.mp4_mjpeg_bytes(32, 24, [mm.jpeg_header_bytes(32, 24)
+                                        for _ in range(4)]),
+            mm.wav_header_bytes(8000, 1, 16, 100),
+        ]
+        rng = np.random.RandomState(7)
+        for seed in seeds:
+            for t in range(60):
+                b = bytearray(seed)
+                for _ in range(rng.randint(1, 8)):
+                    b[rng.randint(len(b))] = rng.randint(256)
+                if t % 3 == 0:
+                    b = b[:rng.randint(1, len(b) + 1)]
+                blob = bytes(b)
+                mm.decode_image_pixels(blob)      # must not raise
+                mm.decode_video_frames(blob)
+                mm.decode_wav_header(blob)
+                mm.decode_image_header(blob)
+
+    def test_declared_size_bombs_rejected(self):
+        """A 65500x65500 SOF or a 2^31-sample fixed stsz must return
+        None fast instead of allocating gigabytes."""
+        import time
+
+        from pandas_plus_spark.operators import multimodal as mm
+        jb = bytearray(mm.jpeg_pixel_bytes(
+            16, 12, lambda x, y: (9, 9, 9), mode="420"))
+        i = jb.index(b"\xff\xc0")
+        jb[i + 5:i + 9] = (65500).to_bytes(2, "big") * 2
+        t0 = time.perf_counter()
+        assert mm.decode_jpeg_pixels(bytes(jb)) is None
+        m4 = bytearray(mm.mp4_mjpeg_bytes(
+            32, 24, [mm.jpeg_header_bytes(32, 24)] * 4,
+            fixed_size_stsz=True))
+        i = m4.index(b"stsz")
+        m4[i + 12:i + 16] = (0x7FFFFFFF).to_bytes(4, "big")
+        assert mm.decode_mp4_frames(bytes(m4)) is None
+        assert time.perf_counter() - t0 < 1.0
