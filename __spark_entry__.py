@@ -2256,8 +2256,16 @@ def _q_audio_pcm_features(spark, sf):
     + sqrt). The waveforms are pure integer arithmetic, so the oracle
     recomputes every sample closed-form in SQL and replays the identical
     float expression shapes — an interleave, endianness, data-offset,
-    sign, or accumulation bug fails the value hash. Every 11th doc is a
-    non-PCM (8-bit) container: decode must drop it, not null-fill."""
+    sign, or accumulation bug fails the value hash. Every 11th doc below
+    100 is a TRUNCATED container (header declares 16 frames, carries no
+    payload): decode must drop it, not null-fill. r11 extends the gate
+    to every PCM width the decoder now reads, as mono groups: 100-111
+    8-bit unsigned (decoded centered, sample-128), 112-124 24-bit
+    (3-byte sign-extended; amplitudes above the 16-bit range), 125-137
+    32-bit int (5e7-amplitude square waves — the exact-int64
+    accumulation guard territory), 138-149 IEEE float32 (dyadic m/64-1
+    samples, so even the float64 accumulation is order-independent and
+    the SQL oracle reproduces it bit-exactly)."""
     import numpy as _np
     import pandas as _pd
 
@@ -2265,24 +2273,48 @@ def _q_audio_pcm_features(spark, sf):
         wav_header_bytes, wav_pcm_bytes)
 
     docs = (load_table(spark, sf, "documents")
-            .where(F.col("doc_id") < 100).select("doc_id"))
+            .where(F.col("doc_id") < 150).select("doc_id"))
 
     def make(batches):
         for pdf in batches:
             blobs = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                if did % 11 == 10:
+                if did < 100 and did % 11 == 10:
                     blobs.append(wav_header_bytes(8000, 1, 8, 16))
                     continue
-                n = 256 + (did % 7) * 16
                 sr = 8000 + (did % 4) * 4000
+                if did < 100:
+                    n = 256 + (did % 7) * 16
+                    i = _np.arange(n)
+                    h, a0 = 8 + did % 5, 1000 + did
+                    s0 = _np.where((i // h) % 2 == 0, a0, -a0)
+                    k, a1 = 3 + did % 4, 500 + did
+                    s1 = (i * k) % (2 * a1) - a1
+                    blobs.append(wav_pcm_bytes(
+                        sr, _np.column_stack([s0, s1])))
+                    continue
+                n = 200 + (did % 5) * 16
                 i = _np.arange(n)
-                h, a0 = 8 + did % 5, 1000 + did
-                s0 = _np.where((i // h) % 2 == 0, a0, -a0)
-                k, a1 = 3 + did % 4, 500 + did
-                s1 = (i * k) % (2 * a1) - a1
-                blobs.append(wav_pcm_bytes(sr, _np.column_stack([s0, s1])))
+                if did < 112:                    # 8-bit unsigned mono
+                    k = 3 + did % 5
+                    s = (i * k + did) % 256 - 128
+                    blobs.append(wav_pcm_bytes(sr, s, bits=8))
+                elif did < 125:                  # 24-bit mono
+                    a = 100000 + did * 37
+                    k = 3 + did % 4
+                    s = (i * k * 997) % (2 * a) - a
+                    blobs.append(wav_pcm_bytes(sr, s, bits=24))
+                elif did < 138:                  # 32-bit int mono
+                    a = 50000000 + did
+                    h = 8 + did % 5
+                    s = _np.where((i // h) % 2 == 0, a, -a)
+                    blobs.append(wav_pcm_bytes(sr, s, bits=32))
+                else:                            # float32 mono (dyadic)
+                    k = 3 + did % 4
+                    s = ((i * k) % 129) / 64.0 - 1.0
+                    blobs.append(wav_pcm_bytes(sr, s, bits=32,
+                                               float_fmt=True))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     blobs_df = docs.mapInPandas(make, "doc_id long, blob binary")
@@ -5016,8 +5048,14 @@ def oracle_sql() -> dict[str, str]:
             -- integer waveform arithmetic (square wave + modular ramp),
             -- then the identical float shapes as the engine: exact int64
             -- squared-sample sum -> one double divide -> sqrt; ZCR =
-            -- sign-boundary crossings / (n-1). The 8-bit every-11th doc
-            -- must be ABSENT (decode drops non-16-bit-PCM containers).
+            -- sign-boundary crossings / (n-1). The every-11th doc below
+            -- 100 is TRUNCATED (no payload) and must be ABSENT. r11 mono
+            -- groups cover every decoded PCM width: 100-111 8-bit
+            -- (centered), 112-124 24-bit, 125-137 32-bit int (exact
+            -- HUGEINT sum -> one double cast, matching the engine's
+            -- exact int64 path), 138-149 float32 with dyadic m/64-1
+            -- samples (sum of 4096ths is order-independent in float64,
+            -- so DuckDB's sequential sum == numpy's pairwise dot).
             WITH p AS (
                 SELECT doc_id,
                        256 + (doc_id % 7) * 16 AS n,
@@ -5050,16 +5088,75 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(0 AS INTEGER) AS channel, sr AS sample_rate,
                    CAST(n AS BIGINT) AS n_frames,
-                   CAST(peak0 AS INTEGER) AS peak,
+                   CAST(peak0 AS DOUBLE) AS peak,
                    sqrt(CAST(ss0 AS DOUBLE) / n) AS rms,
                    CAST(c0 AS DOUBLE) / (n - 1) AS zcr
             FROM ag
             UNION ALL
             SELECT doc_id, CAST(1 AS INTEGER), sr, CAST(n AS BIGINT),
-                   CAST(peak1 AS INTEGER),
+                   CAST(peak1 AS DOUBLE),
                    sqrt(CAST(ss1 AS DOUBLE) / n),
                    CAST(c1 AS DOUBLE) / (n - 1)
             FROM ag
+            UNION ALL
+            SELECT doc_id, CAST(0 AS INTEGER), sr, CAST(n AS BIGINT),
+                   CASE WHEN is_f THEN peak_f ELSE CAST(peak_i AS DOUBLE)
+                        END,
+                   sqrt(CASE WHEN is_f THEN ss_f
+                             ELSE CAST(ss_i AS DOUBLE) END / n),
+                   CAST(cm AS DOUBLE) / (n - 1)
+            FROM (
+                SELECT doc_id, any_value(n) AS n, any_value(sr) AS sr,
+                       any_value(is_f) AS is_f,
+                       max(abs(si)) AS peak_i, sum(si * si) AS ss_i,
+                       max(abs(sf)) AS peak_f, sum(sf * sf) AS ss_f,
+                       sum(CASE WHEN pm IS NOT NULL AND pm <> (sm < 0)
+                                THEN 1 ELSE 0 END) AS cm
+                FROM (
+                    SELECT doc_id, n, sr, is_f, si, sf,
+                           coalesce(CAST(si AS DOUBLE), sf) AS sm,
+                           lag(coalesce(CAST(si AS DOUBLE), sf) < 0)
+                               OVER (PARTITION BY doc_id
+                                     ORDER BY i) AS pm
+                    FROM (
+                        SELECT pm.doc_id, pm.n, pm.sr, pm.is_f,
+                               i.generate_series AS i,
+                               CASE WHEN pm.is_f THEN NULL
+                                    WHEN pm.doc_id < 112 THEN
+                                      CAST((i.generate_series * pm.k
+                                            + pm.doc_id) % 256 - 128
+                                           AS BIGINT)
+                                    WHEN pm.doc_id < 125 THEN
+                                      CAST((i.generate_series * pm.k * 997)
+                                           % (2 * pm.a) - pm.a AS BIGINT)
+                                    ELSE CAST(CASE WHEN
+                                           ((i.generate_series // pm.h) % 2)
+                                           = 0 THEN pm.a ELSE -pm.a END
+                                           AS BIGINT) END AS si,
+                               CASE WHEN pm.is_f THEN
+                                      CAST((i.generate_series * pm.k) % 129
+                                           AS DOUBLE) / 64 - 1
+                                    ELSE NULL END AS sf
+                        FROM (
+                            SELECT doc_id,
+                                   200 + (doc_id % 5) * 16 AS n,
+                                   CAST(8000 + (doc_id % 4) * 4000
+                                        AS INTEGER) AS sr,
+                                   doc_id >= 138 AS is_f,
+                                   CASE WHEN doc_id < 112
+                                        THEN 3 + doc_id % 5
+                                        ELSE 3 + doc_id % 4 END AS k,
+                                   CASE WHEN doc_id < 125
+                                        THEN 100000 + doc_id * 37
+                                        ELSE 50000000 + doc_id END AS a,
+                                   8 + doc_id % 5 AS h
+                            FROM documents
+                            WHERE doc_id >= 100 AND doc_id < 150
+                        ) pm, generate_series(0, 263) i
+                        WHERE i.generate_series < pm.n
+                    )
+                ) GROUP BY doc_id
+            )
         """,
         "wav_header_meta": """
             SELECT doc_id,

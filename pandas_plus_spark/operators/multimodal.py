@@ -464,16 +464,17 @@ def decode_mp4_header(blob: bytes) -> dict | None:
 
 
 def wav_header_bytes(sample_rate: int, n_channels: int = 2, bits: int = 16,
-                     n_frames: int = 0) -> bytes:
+                     n_frames: int = 0, audio_format: int = 1) -> bytes:
     """Minimal valid RIFF/WAVE header (fmt + data chunk declarations, no
     audio payload) — the deterministic fixture generator for the audio
     header-decode gates/tests. A leading JUNK chunk variant is exercised
-    by passing through :func:`wav_header_bytes_junk`."""
+    by passing through :func:`wav_header_bytes_junk`. ``audio_format``:
+    1 = integer PCM, 3 = IEEE float."""
     block_align = n_channels * bits // 8
     byte_rate = sample_rate * block_align
     data_size = n_frames * block_align
     fmt = (b"fmt " + (16).to_bytes(4, "little")
-           + (1).to_bytes(2, "little")
+           + audio_format.to_bytes(2, "little")
            + n_channels.to_bytes(2, "little")
            + sample_rate.to_bytes(4, "little")
            + byte_rate.to_bytes(4, "little")
@@ -495,29 +496,64 @@ def wav_header_bytes_junk(sample_rate: int, n_channels: int = 2,
     return b"RIFF" + (len(body)).to_bytes(4, "little") + body
 
 
-def wav_pcm_bytes(sample_rate: int, samples) -> bytes:
-    """Complete RIFF/WAVE file with a REAL 16-bit LE PCM payload —
-    ``samples`` is an int array shaped (n_frames, n_channels) (or 1-D for
-    mono); frames are interleaved little-endian per the spec. The
-    deterministic fixture generator for the PCM sample-decode gates."""
+def wav_pcm_bytes(sample_rate: int, samples, bits: int = 16,
+                  float_fmt: bool = False) -> bytes:
+    """Complete RIFF/WAVE file with a REAL LE PCM payload — ``samples``
+    is an array shaped (n_frames, n_channels) (or 1-D for mono); frames
+    interleave little-endian per the spec. ``bits`` selects the
+    container width: integer 8 (unsigned, stored as sample+128),
+    16/24/32 (signed), or with ``float_fmt`` IEEE float 32/64 (format
+    code 3). The deterministic fixture generator for the PCM
+    sample-decode gates across every width the decoder reads."""
     import numpy as np
     arr = np.asarray(samples)
     if arr.ndim == 1:
         arr = arr[:, None]
     n_frames, n_channels = arr.shape
+    if float_fmt:
+        if bits not in (32, 64):
+            raise ValueError("float WAV is 32- or 64-bit")
+        payload = arr.astype("<f4" if bits == 32 else "<f8").tobytes()
+        afmt = 3
+    elif bits == 8:
+        payload = (arr.astype(np.int64) + 128).astype("u1").tobytes()
+        afmt = 1
+    elif bits == 16:
+        payload = arr.astype("<i2").tobytes()
+        afmt = 1
+    elif bits == 24:
+        v = arr.astype(np.int64).ravel() & 0xFFFFFF
+        b = np.zeros((v.size, 3), dtype=np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        payload = b.tobytes()
+        afmt = 1
+    elif bits == 32:
+        payload = arr.astype("<i4").tobytes()
+        afmt = 1
+    else:
+        raise ValueError(bits)
     header = wav_header_bytes(sample_rate, n_channels=n_channels,
-                              bits=16, n_frames=n_frames)
-    return header + arr.astype("<i2").tobytes()
+                              bits=bits, n_frames=n_frames,
+                              audio_format=afmt)
+    return header + payload
 
 
 def decode_wav_pcm(blob: bytes):
     """REAL PCM sample decode (the BMP-pixel pattern applied to audio —
     retires the header-only seam): walk the RIFF chunk list to the
     ``fmt `` and ``data`` chunks, then reinterpret the data payload as
-    interleaved 16-bit little-endian PCM. Returns ``(samples, sample_rate)``
-    with ``samples`` an int16 ndarray shaped (n_frames, n_channels), or
-    None for non-WAV blobs, non-PCM/no-16-bit formats, or a truncated
-    payload. Only the declared data size is read."""
+    interleaved little-endian PCM. Reads every self-describing PCM
+    width (r11 — previously 16-bit only): integer 8-bit (unsigned,
+    returned centered as sample−128), 16-, 24- (3-byte sign-extended)
+    and 32-bit, IEEE float 32/64 (format 3), and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) resolving either sub-format from the GUID head. Returns
+    ``(samples, sample_rate)`` — samples shaped (n_frames, n_channels),
+    integer dtype for integer PCM, float64 for float PCM — or None for
+    non-WAV blobs, compressed formats (MP3/AAC stay the documented
+    codec seam), or a truncated payload. Only the declared data size is
+    read."""
     import numpy as np
     if blob is None or len(blob) < 12 or blob[:4] != b"RIFF" \
             or blob[8:12] != b"WAVE":
@@ -535,31 +571,57 @@ def decode_wav_pcm(blob: bytes):
                 "sample_rate": int.from_bytes(blob[i + 12:i + 16], "little"),
                 "bits": int.from_bytes(blob[i + 22:i + 24], "little"),
             }
+            if (fmt["audio_format"] == 0xFFFE and csz >= 40
+                    and i + 8 + 26 <= n):
+                # EXTENSIBLE: the sub-format GUID's leading 2 bytes are
+                # the effective format code (1 = int PCM, 3 = float)
+                fmt["audio_format"] = int.from_bytes(
+                    blob[i + 8 + 24:i + 8 + 26], "little")
         elif cid == b"data":
             data_off, data_size = i + 8, csz
         if fmt is not None and data_off is not None:
             break
         i += 8 + csz + (csz & 1)
     if (fmt is None or data_off is None
-            or fmt["audio_format"] != 1 or fmt["bits"] != 16
             or fmt["n_channels"] < 1 or not fmt["sample_rate"]
             or data_off + data_size > n):
         return None
-    frame_bytes = 2 * fmt["n_channels"]
+    afmt, bits = fmt["audio_format"], fmt["bits"]
+    if afmt == 1 and bits in (8, 16, 24, 32):
+        pass
+    elif afmt == 3 and bits in (32, 64):
+        pass
+    else:
+        return None                              # compressed / exotic
+    frame_bytes = (bits // 8) * fmt["n_channels"]
     n_frames = data_size // frame_bytes
     raw = blob[data_off:data_off + n_frames * frame_bytes]
-    arr = np.frombuffer(raw, dtype="<i2").reshape(n_frames,
-                                                  fmt["n_channels"])
-    return arr, fmt["sample_rate"]
+    if len(raw) < n_frames * frame_bytes:
+        return None
+    if afmt == 3:
+        arr = np.frombuffer(
+            raw, dtype="<f4" if bits == 32 else "<f8").astype(np.float64)
+    elif bits == 8:
+        arr = np.frombuffer(raw, dtype="u1").astype(np.int16) - 128
+    elif bits == 16:
+        arr = np.frombuffer(raw, dtype="<i2")
+    elif bits == 24:
+        b = np.frombuffer(raw, dtype="u1").reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        arr = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.int32)
+    else:
+        arr = np.frombuffer(raw, dtype="<i4")
+    return (arr.reshape(n_frames, fmt["n_channels"]),
+            fmt["sample_rate"])
 
 
 AUDIO_PCM_FEATURES_SCHEMA = T.StructType([
     T.StructField("channel", T.IntegerType()),
     T.StructField("sample_rate", T.IntegerType()),
     T.StructField("n_frames", T.LongType()),
-    T.StructField("peak", T.IntegerType()),
-    T.StructField("rms", T.DoubleType()),
-    T.StructField("zcr", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),       # double since r11: the
+    T.StructField("rms", T.DoubleType()),        # float-PCM path's peak
+    T.StructField("zcr", T.DoubleType()),        # is fractional
 ])
 
 
@@ -571,12 +633,17 @@ def extract_audio_pcm_features(df: DataFrame, blob_col: str,
     carried downstream; undecodable blobs contribute no rows.
 
     Numeric discipline (the decimal-exact lesson applied to int audio):
-    the squared-sample sum is accumulated EXACTLY in int64, so
-    ``rms = sqrt(double(sum_sq) / n)`` is one correctly-rounded double
-    division + sqrt — bit-equal to any engine computing the same integer
-    sum (an oracle can replay it closed-form). ``zcr`` counts sign-bit
-    boundary crossings ``(prev < 0) != (cur < 0)`` over n−1 steps —
-    integer count, zero-sample robust; ``peak = max |s|``."""
+    for integer PCM the squared-sample sum is accumulated EXACTLY in
+    int64 whenever ``n · peak² < 2⁶³`` (true for every real container:
+    even 32-bit full-scale needs >2 samples to overflow — a Python-int
+    fallback covers the rest), so ``rms = sqrt(double(sum_sq) / n)`` is
+    one correctly-rounded double division + sqrt — bit-equal to any
+    engine computing the same integer sum (an oracle can replay it
+    closed-form). Float PCM accumulates in float64 (dyadic fixture
+    values keep even that path oracle-exact). ``zcr`` counts sign
+    boundary crossings ``(prev < 0) != (cur < 0)`` over n−1 steps;
+    ``peak = max |s|`` (a DOUBLE column — fractional for float PCM,
+    exact for integers below 2⁵³)."""
     import numpy as np
 
     out_schema = T.StructType(
@@ -594,12 +661,18 @@ def extract_audio_pcm_features(df: DataFrame, blob_col: str,
                 n = arr.shape[0]
                 if n == 0:
                     continue
-                s64 = arr.astype(np.int64)
+                is_float = np.issubdtype(arr.dtype, np.floating)
+                s2 = arr.astype(np.float64 if is_float else np.int64)
                 for ch in range(arr.shape[1]):
-                    s = s64[:, ch]
-                    sum_sq = int(np.dot(s, s))        # exact in int64
+                    s = s2[:, ch]
+                    peak = float(np.abs(s).max())
+                    if is_float:
+                        sum_sq = float(np.dot(s, s))
+                    elif n * peak * peak < float(1 << 63):
+                        sum_sq = int(np.dot(s, s))    # exact in int64
+                    else:                             # exact, arbitrary
+                        sum_sq = sum(int(v) * int(v) for v in s)
                     rms = float(np.sqrt(sum_sq / n))
-                    peak = int(np.abs(s).max())
                     if n > 1:
                         neg = s < 0
                         zcr = int(np.sum(neg[:-1] != neg[1:])) / (n - 1)

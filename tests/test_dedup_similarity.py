@@ -502,7 +502,8 @@ class TestMultimodal:
             decode_wav_pcm, wav_header_bytes, wav_pcm_bytes)
         assert decode_wav_pcm(None) is None
         assert decode_wav_pcm(b"not audio at all........") is None
-        # 8-bit format is not 16-bit PCM
+        # 8-bit is DECODABLE since r11 — this header-only fixture is
+        # rejected for its missing payload (declares 4 frames, carries 0)
         assert decode_wav_pcm(wav_header_bytes(8000, 1, 8, 4)) is None
         # truncated payload: data chunk declares more than is present
         full = wav_pcm_bytes(8000, np.arange(10, dtype=np.int16))
@@ -1772,3 +1773,87 @@ class TestDecodeRobustness:
         m4[i + 12:i + 16] = (0x7FFFFFFF).to_bytes(4, "big")
         assert mm.decode_mp4_frames(bytes(m4)) is None
         assert time.perf_counter() - t0 < 1.0
+
+
+class TestPcmWidths:
+    """decode_wav_pcm across every self-describing PCM width (r11 —
+    previously 16-bit only), plus the WAVE_FORMAT_EXTENSIBLE wrapper."""
+
+    def test_all_widths_roundtrip_exact(self):
+        import numpy as np
+
+        from pandas_plus_spark.operators.multimodal import (
+            decode_wav_pcm, wav_pcm_bytes)
+        i = np.arange(216)
+        cases = [
+            ((i * 5 + 103) % 256 - 128, dict(bits=8), "int16"),
+            ((i * 7) % 3000 - 1500, dict(bits=16), "int16"),
+            ((i * 4 * 997) % (2 * 104144) - 104144, dict(bits=24),
+             "int32"),                           # beyond 16-bit range
+            (np.where((i // 9) % 2 == 0, 50000130, -50000130),
+             dict(bits=32), "int32"),
+            (((i * 5) % 129) / 64.0 - 1.0, dict(bits=32, float_fmt=True),
+             "float64"),
+            (((i * 3) % 129) / 64.0 - 1.0, dict(bits=64, float_fmt=True),
+             "float64"),
+        ]
+        for s, kw, dt in cases:
+            arr, sr = decode_wav_pcm(wav_pcm_bytes(8000, s, **kw))
+            assert sr == 8000 and str(arr.dtype) == dt, kw
+            assert (arr[:, 0] == s).all(), kw
+
+    def test_extensible_wrapper_and_rejects(self):
+        """WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves the effective code
+        from the SubFormat GUID head; compressed formats and truncated
+        payloads return None."""
+        import numpy as np
+
+        from pandas_plus_spark.operators.multimodal import (
+            decode_wav_pcm, wav_header_bytes, wav_pcm_bytes)
+        i = np.arange(64)
+        s = (i * 7) % 2000 - 1000
+        base = wav_pcm_bytes(16000, s, bits=16)
+        # rebuild with an extensible fmt chunk (16 base + 24 extension)
+        ext = (b"fmt " + (40).to_bytes(4, "little")
+               + (0xFFFE).to_bytes(2, "little")
+               + (1).to_bytes(2, "little") + (16000).to_bytes(4, "little")
+               + (32000).to_bytes(4, "little") + (2).to_bytes(2, "little")
+               + (16).to_bytes(2, "little")
+               + (22).to_bytes(2, "little") + (16).to_bytes(2, "little")
+               + (4).to_bytes(4, "little")
+               + (1).to_bytes(2, "little")      # SubFormat head: PCM
+               + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71")
+        data = b"data" + (128).to_bytes(4, "little") \
+            + base[-128:]
+        body = b"WAVE" + ext + data
+        blob = b"RIFF" + len(body).to_bytes(4, "little") + body
+        arr, sr = decode_wav_pcm(blob)
+        assert sr == 16000 and (arr[:, 0] == s).all()
+        # compressed format code (e.g. 85 = MP3) -> None
+        mp3ish = bytearray(base)
+        mp3ish[20:22] = (85).to_bytes(2, "little")
+        assert decode_wav_pcm(bytes(mp3ish)) is None
+        # declared frames but no payload (the gate's every-11th doc)
+        assert decode_wav_pcm(wav_header_bytes(8000, 1, 8, 16)) is None
+
+    def test_extractor_float_and_wide_paths(self, spark):
+        """Float PCM flows through the float64 path (fractional peak);
+        32-bit int stays on the exact int64 path."""
+        import numpy as np
+        import pandas as pd
+
+        from pandas_plus_spark.operators.multimodal import (
+            extract_audio_pcm_features, wav_pcm_bytes)
+        i = np.arange(128)
+        sf = ((i * 5) % 129) / 64.0 - 1.0
+        si = np.where((i // 4) % 2 == 0, 50000000, -50000000)
+        df = spark.createDataFrame(pd.DataFrame({
+            "id": [1, 2],
+            "blob": [wav_pcm_bytes(8000, sf, bits=32, float_fmt=True),
+                     wav_pcm_bytes(8000, si, bits=32)]}))
+        rows = {r.id: r for r in
+                extract_audio_pcm_features(df, "blob", "id").collect()}
+        assert abs(rows[1].peak - max(abs(sf))) < 1e-15
+        assert rows[1].rms == float(np.sqrt(np.dot(sf, sf) / 128))
+        assert rows[2].peak == 50000000.0
+        assert rows[2].rms == 50000000.0         # square wave: rms == A
