@@ -2161,6 +2161,56 @@ def _q_image_phash_dedup(spark, sf):
     return attach_cached(out, *getattr(pairs, "_pps_cached", ()))
 
 
+
+def _q_robots_filter(spark, sf):
+    """robots.txt compliance filtering (r11 — RFC 9309 semantics through
+    the crawl-curation family): deterministic per-domain robots bodies
+    (7 fixture domains; d % 3 == 0 gets a Disallow-prefix +
+    longer-Allow-override pair, d % 3 == 1 gets a wildcard + end-anchor
+    pattern, d % 3 == 2 publishes no robots at all — the RFC
+    fully-allowed default) are broadcast-joined to 400 URLs whose paths
+    cycle five shapes, then functions.robots.filter_robots parses each
+    body once per domain and longest-matches each path in one
+    Arrow-batched mapInPandas. The oracle recomputes every verdict
+    closed-form from the same doc_id arithmetic — a group-selection,
+    longest-match precedence, wildcard, anchor, or missing-robots
+    default bug flips a flag and fails the hash."""
+    import pandas as _pd
+
+    from pandas_plus_spark.functions.robots import filter_robots
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 400).select("doc_id"))
+    d = F.col("doc_id") % 7
+    pc = F.col("doc_id") % 5
+    path = (F.when(pc == 0, F.concat(F.lit("/p"), d, F.lit("/a"),
+                                     F.col("doc_id")))
+            .when(pc == 1, F.concat(F.lit("/p"), d, F.lit("/ok/b"),
+                                    F.col("doc_id")))
+            .when(pc == 2, F.concat(F.lit("/qq"), F.col("doc_id"),
+                                    F.lit("z")))
+            .when(pc == 3, F.concat(F.lit("/qq"), F.col("doc_id")))
+            .otherwise(F.concat(F.lit("/plain/"), F.col("doc_id"))))
+    host = F.concat(F.lit("site"), d, F.lit(".example"))
+    urls = docs.select(
+        "doc_id", host.alias("host"),
+        F.concat(F.lit("http://"), host, path).alias("url"))
+    rob_rows = []
+    for dd in range(7):
+        if dd % 3 == 0:
+            rob_rows.append((f"site{dd}.example",
+                             f"User-agent: *\nDisallow: /p{dd}/\n"
+                             f"Allow: /p{dd}/ok/\n"))
+        elif dd % 3 == 1:
+            rob_rows.append((f"site{dd}.example",
+                             "User-agent: specialbot\nDisallow: /\n\n"
+                             "User-agent: *\nDisallow: /qq*z$\n"))
+    robots = spark.createDataFrame(
+        _pd.DataFrame(rob_rows, columns=["host", "robots_txt"]))
+    out = filter_robots(urls, robots, keep_disallowed=True)
+    return out.select("doc_id", "url", "robots_allowed")
+
+
 def _q_video_frame_sample(spark, sf):
     """REAL video frame sampling (r10 AVI + r11 MP4 — both byte-window
     fakes retired): doc_id < 120 builds deterministic AVI/MJPEG
@@ -3994,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "image_phash_dedup": _q_image_phash_dedup,
         "video_frame_sample": _q_video_frame_sample,
+        "robots_filter": _q_robots_filter,
         # 34 entries at the 4-round cadence bound (last green r7):
         "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
@@ -4998,6 +5049,29 @@ def oracle_sql() -> dict[str, str]:
                                                        -- WebP VP8X/VP8L alpha
                              ELSE 3 END AS INTEGER) AS n_channels
             FROM documents WHERE doc_id < 200
+        """,
+        "robots_filter": """
+            -- every robots verdict recomputed closed-form: domain
+            -- d = doc_id % 7 and path shape pc = doc_id % 5 determine
+            -- the outcome — d%3=0 disallows the /p{d}/ prefix (pc=0)
+            -- but the LONGER /p{d}/ok/ Allow overrides it (pc=1);
+            -- d%3=1 publishes a specialbot group (must NOT apply to
+            -- the default agent) and a /qq*z$ wildcard+anchor pattern
+            -- (matches pc=2, not the unanchored pc=3); d%3=2 has no
+            -- robots row at all = fully allowed
+            SELECT doc_id,
+                   'http://site' || (doc_id % 7) || '.example'
+                   || CASE doc_id % 5
+                        WHEN 0 THEN '/p' || (doc_id % 7) || '/a' || doc_id
+                        WHEN 1 THEN '/p' || (doc_id % 7) || '/ok/b'
+                                    || doc_id
+                        WHEN 2 THEN '/qq' || doc_id || 'z'
+                        WHEN 3 THEN '/qq' || doc_id
+                        ELSE '/plain/' || doc_id END AS url,
+                   CAST(NOT ((doc_id % 7) % 3 = 0 AND doc_id % 5 = 0
+                             OR (doc_id % 7) % 3 = 1 AND doc_id % 5 = 2)
+                        AS BOOLEAN) AS robots_allowed
+            FROM documents WHERE doc_id < 400
         """,
         "video_frame_sample": """
             -- every sampled frame's BYTES rebuilt in SQL: the fixed JPEG

@@ -221,3 +221,63 @@ class TestPSLProperty:
             df, "h", out="d").select("h", "d").distinct().collect()}
         for h in set(hosts):
             assert got[h] == ref_domain(h), h
+
+
+class TestRobots:
+    """RFC 9309 robots.txt semantics: group selection, longest-match
+    precedence, wildcards/anchors, and the Spark-side broadcast flow."""
+
+    def test_group_selection_longest_ua_and_star_fallback(self):
+        from pandas_plus_spark.functions.robots import parse_robots_rules
+        body = ("User-agent: bot\nDisallow: /a\n\n"
+                "User-agent: bot-special\nAllow: /a\n\n"
+                "User-agent: *\nDisallow: /\n")
+        # longest matching UA token wins; '*' only when nothing matches
+        assert parse_robots_rules(body, "bot-special/1.0") == [(True, "/a")]
+        assert parse_robots_rules(body, "bot/2") == [(False, "/a")]
+        assert parse_robots_rules(body, "unrelated") == [(False, "/")]
+        # adjacent UA lines share one group
+        multi = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+        assert parse_robots_rules(multi, "b") == [(False, "/x")]
+        assert parse_robots_rules(None, "b") == []
+
+    def test_longest_match_wildcard_anchor_and_ties(self):
+        from pandas_plus_spark.functions.robots import (parse_robots_rules,
+                                                        robots_allowed)
+        rules = parse_robots_rules(
+            "User-agent: *\n"
+            "Disallow: /p/\nAllow: /p/ok/\n"
+            "Disallow: /q*z$\n"
+            "Allow: /tie\nDisallow: /tie\n"     # equal length: Allow wins
+            "Disallow:\n")                       # empty = no restriction
+        assert not robots_allowed(rules, "/p/x")
+        assert robots_allowed(rules, "/p/ok/deep")
+        assert not robots_allowed(rules, "/q-anything-z")
+        assert robots_allowed(rules, "/q-anything-z-more")  # anchor
+        assert robots_allowed(rules, "/tie")                # tie -> allow
+        assert robots_allowed(rules, "/other")
+
+    def test_filter_robots_sparkside(self, spark):
+        import pandas as pd
+
+        from pandas_plus_spark.functions.robots import filter_robots
+        urls = spark.createDataFrame(pd.DataFrame({
+            "url": ["http://a.com/private/x", "http://a.com/private/ok/y",
+                    "http://b.com/tmp/q", "http://nobots.com/z"],
+            "host": ["a.com", "a.com", "b.com", "nobots.com"]}))
+        robots = spark.createDataFrame(pd.DataFrame({
+            "host": ["a.com", "b.com"],
+            "robots_txt": [
+                "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n",
+                "User-agent: *\nDisallow: /tmp/*\n"]}))
+        got = {r.url: r.robots_allowed for r in
+               filter_robots(urls, robots, keep_disallowed=True).collect()}
+        assert got == {"http://a.com/private/x": False,
+                       "http://a.com/private/ok/y": True,
+                       "http://b.com/tmp/q": False,
+                       "http://nobots.com/z": True}  # missing = allowed
+        kept = filter_robots(urls, robots)
+        assert kept.count() == 2
+        # the broadcast-joined flow is shuffle-free for the URL table
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
