@@ -2211,6 +2211,53 @@ def _q_robots_filter(spark, sf):
     return out.select("doc_id", "url", "robots_allowed")
 
 
+
+def _q_pdf_text_extract(spark, sf):
+    """PDF text-layer extraction (r11 — the document-corpus front door,
+    operators/pdftext): complete spec-layout PDFs (catalog -> pages ->
+    page -> content streams, valid xref) are built per doc_id with
+    1-3 pages x 2-3 lines, rotating the real-world show forms — hex
+    strings (doc_id % 4 == 1), kerned TJ arrays (% 4 == 2), literal
+    strings with escaped parens + backslash (every line 1) — and
+    FlateDecode compression on 4 of 5 docs. extract_pdf_text walks the
+    objects, inflates the streams with stdlib zlib, tokenizes the full
+    string syntax and assembles Tj/TJ show text with Td/T* line breaks.
+    The oracle rebuilds the canonical text closed-form from the same
+    arithmetic — an escape, hex, TJ-array, inflate, line-break, or
+    page-count bug fails the hash."""
+    import pandas as _pd
+
+    from pandas_plus_spark.operators.pdftext import (
+        extract_pdf_text_features, pdf_bytes)
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 300).select("doc_id"))
+
+    def make(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                npg, nln = 1 + did % 3, 2 + did % 2
+                pages = []
+                for pg in range(npg):
+                    lines = []
+                    for ln in range(nln):
+                        if ln == 1:
+                            lines.append(f"see (ref {did}) \\ end on"
+                                         f" page {pg}")
+                        else:
+                            lines.append(f"Doc {did} page {pg} line {ln}")
+                    pages.append(lines)
+                blobs.append(pdf_bytes(
+                    pages, compress=did % 5 != 0,
+                    use_hex=did % 4 == 1, use_tj_array=did % 4 == 2))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs_df = docs.mapInPandas(make, "doc_id long, blob binary")
+    return extract_pdf_text_features(blobs_df, "blob", "doc_id")
+
+
 def _q_video_frame_sample(spark, sf):
     """REAL video frame sampling (r10 AVI + r11 MP4 — both byte-window
     fakes retired): doc_id < 120 builds deterministic AVI/MJPEG
@@ -4045,6 +4092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dedup": _q_image_phash_dedup,
         "video_frame_sample": _q_video_frame_sample,
         "robots_filter": _q_robots_filter,
+        "pdf_text_extract": _q_pdf_text_extract,
         # 34 entries at the 4-round cadence bound (last green r7):
         "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
@@ -5049,6 +5097,33 @@ def oracle_sql() -> dict[str, str]:
                                                        -- WebP VP8X/VP8L alpha
                              ELSE 3 END AS INTEGER) AS n_channels
             FROM documents WHERE doc_id < 200
+        """,
+        "pdf_text_extract": """
+            -- the canonical text rebuilt closed-form: same page/line
+            -- arithmetic, lines joined by chr(10) in (page, line)
+            -- order; n_objects = 2*n_pages + 3 (contents + page objects
+            -- + font + pages + catalog)
+            WITH p AS (
+                SELECT doc_id, 1 + doc_id % 3 AS npg, 2 + doc_id % 2 AS nln
+                FROM documents WHERE doc_id < 300
+            ), lines AS (
+                SELECT p.doc_id, p.npg,
+                       pg.generate_series AS pg, ln.generate_series AS ln,
+                       CASE WHEN ln.generate_series = 1
+                            THEN 'see (ref ' || p.doc_id || ') \\ end on'
+                                 || ' page ' || pg.generate_series
+                            ELSE 'Doc ' || p.doc_id || ' page '
+                                 || pg.generate_series || ' line '
+                                 || ln.generate_series END AS txt
+                FROM p, generate_series(0, 2) pg, generate_series(0, 2) ln
+                WHERE pg.generate_series < p.npg
+                  AND ln.generate_series < p.nln
+            )
+            SELECT doc_id,
+                   string_agg(txt, chr(10) ORDER BY pg, ln) AS text,
+                   CAST(any_value(npg) AS INTEGER) AS n_pages,
+                   CAST(2 * any_value(npg) + 3 AS INTEGER) AS n_objects
+            FROM lines GROUP BY doc_id
         """,
         "robots_filter": """
             -- every robots verdict recomputed closed-form: domain

@@ -282,3 +282,62 @@ class TestSnapshotDiff:
         # NULL != empty string; ("ab","c") != ("a","bc") thanks to the
         # unit separator — both must read as changed
         assert got == {1: "changed", 2: "changed"}
+
+
+class TestPdfText:
+    """PDF text-layer extraction: object walk, FlateDecode, full string
+    syntax, show operators, canonicalization."""
+
+    def test_all_show_forms_extract_exactly(self):
+        from pandas_plus_spark.operators.pdftext import (extract_pdf_text,
+                                                         pdf_bytes)
+        pages = [["Doc 1 page 0 line 0", "Has (parens) \\ backslash"],
+                 ["Page two line", "Kerned pair line"]]
+        exp = "\n".join(ln for pg in pages for ln in pg)
+        for kw in ({}, {"compress": False}, {"use_hex": True},
+                   {"use_tj_array": True},
+                   {"use_hex": True, "use_tj_array": True}):
+            got = extract_pdf_text(pdf_bytes(pages, **kw))
+            assert got["text"] == exp, kw
+            assert got["n_pages"] == 2 and got["n_objects"] == 7, kw
+
+    def test_string_syntax_corners(self):
+        """Nested parens, octal escapes, line continuations, hex with
+        odd digit count and embedded whitespace — the spec string forms
+        a hand-assembled content stream exercises directly."""
+        from pandas_plus_spark.operators.pdftext import _pdf_stream_text
+        data = (b"BT (a (nested) b) Tj "
+                b"(\\110\\151!) Tj "                 # octal: Hi!
+                b"(cont\\\ninued) Tj "               # line continuation
+                b"<4 86 9> Tj "                      # 'Hi' odd hex + ws
+                b"[(x) -120 (y) 3 (z)] TJ ET")
+        assert _pdf_stream_text(data).replace("\n", "") \
+            == "a (nested) bHi!continuedHixyz"
+
+    def test_rejects_and_degrades(self):
+        from pandas_plus_spark.operators.pdftext import (extract_pdf_text,
+                                                         pdf_bytes)
+        assert extract_pdf_text(None) is None
+        assert extract_pdf_text(b"not a pdf at all") is None
+        assert extract_pdf_text(b"%PDF-1.4\njunk") is None  # no objects
+        blob = pdf_bytes([["only line"]])
+        # corrupt the deflate payload: stream skipped, no crash
+        broken = bytearray(blob)
+        i = blob.index(b"stream\n") + 10
+        broken[i:i + 4] = b"\x00\x00\x00\x00"
+        got = extract_pdf_text(bytes(broken))
+        assert got is not None and got["text"] == ""
+
+    def test_sparkside_extraction(self, spark):
+        import pandas as pd
+
+        from pandas_plus_spark.operators.pdftext import (
+            extract_pdf_text_features, pdf_bytes)
+        df = spark.createDataFrame(pd.DataFrame({
+            "id": [1, 2],
+            "blob": [pdf_bytes([["alpha", "beta"], ["gamma"]]),
+                     b"not a pdf"]}))
+        rows = extract_pdf_text_features(df, "blob", "id").collect()
+        assert len(rows) == 1
+        assert rows[0].text == "alpha\nbeta\ngamma"
+        assert rows[0].n_pages == 2
