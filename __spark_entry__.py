@@ -2258,6 +2258,52 @@ def _q_pdf_text_extract(spark, sf):
     return extract_pdf_text_features(blobs_df, "blob", "doc_id")
 
 
+
+def _q_sitemap_urls(spark, sf):
+    """sitemap.xml URL discovery (r11 — the third crawl front-door leg,
+    sources/sitemaps): per doc_id, every 7th doc is a <sitemapindex>
+    (2-4 child sitemap locs) and the rest are <urlset> leaves (3-6 URLs
+    with lastmod/changefreq/priority), gzipped as sitemap.xml.gz on
+    every 3rd doc (magic-detected, stdlib-zlib inflated), with &
+    characters in locs exercising XML escaping. extract_sitemap_entries
+    tag-scans each blob in one Arrow-batched mapInPandas. The oracle
+    rebuilds every entry closed-form — a gzip, escaping, field, kind,
+    or fan-out bug fails the hash."""
+    import pandas as _pd
+
+    from pandas_plus_spark.sources.sitemaps import (
+        extract_sitemap_entries, sitemap_bytes)
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 200).select("doc_id"))
+
+    def make(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                gz = did % 3 == 0
+                if did % 7 == 0:
+                    kids = [f"http://site{did % 5}.example/sm{j}.xml"
+                            for j in range(2 + did % 3)]
+                    blobs.append(sitemap_bytes(kids, index=True,
+                                               gzipped=gz))
+                else:
+                    urls = [{
+                        "loc": (f"http://site{did % 5}.example/page"
+                                f"{did}/{j}?a={j}&b={did}"),
+                        "lastmod": f"2026-0{1 + j % 9}-15",
+                        "changefreq": ("daily", "weekly",
+                                       "monthly")[j % 3],
+                        "priority": (j % 11) / 10.0,
+                    } for j in range(3 + did % 4)]
+                    blobs.append(sitemap_bytes(urls, gzipped=gz))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs_df = docs.mapInPandas(make, "doc_id long, blob binary")
+    return extract_sitemap_entries(blobs_df, "blob", "doc_id")
+
+
 def _q_video_frame_sample(spark, sf):
     """REAL video frame sampling (r10 AVI + r11 MP4 — both byte-window
     fakes retired): doc_id < 120 builds deterministic AVI/MJPEG
@@ -4093,6 +4139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": _q_video_frame_sample,
         "robots_filter": _q_robots_filter,
         "pdf_text_extract": _q_pdf_text_extract,
+        "sitemap_urls": _q_sitemap_urls,
         # 34 entries at the 4-round cadence bound (last green r7):
         "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
@@ -5097,6 +5144,33 @@ def oracle_sql() -> dict[str, str]:
                                                        -- WebP VP8X/VP8L alpha
                              ELSE 3 END AS INTEGER) AS n_channels
             FROM documents WHERE doc_id < 200
+        """,
+        "sitemap_urls": """
+            -- every sitemap entry rebuilt closed-form from the doc_id
+            -- arithmetic: index docs (doc_id % 7 = 0) fan out child
+            -- sitemap locs, leaves carry lastmod/changefreq/priority;
+            -- priority (j % 11)/10 parses to the identical double
+            SELECT doc_id, 'sitemap' AS kind,
+                   'http://site' || (doc_id % 5) || '.example/sm'
+                   || j.generate_series || '.xml' AS loc,
+                   CAST(NULL AS VARCHAR) AS lastmod,
+                   CAST(NULL AS VARCHAR) AS changefreq,
+                   CAST(NULL AS DOUBLE) AS priority
+            FROM documents, generate_series(0, 4) j
+            WHERE doc_id < 200 AND doc_id % 7 = 0
+              AND j.generate_series < 2 + doc_id % 3
+            UNION ALL
+            SELECT doc_id, 'url' AS kind,
+                   'http://site' || (doc_id % 5) || '.example/page'
+                   || doc_id || '/' || j.generate_series
+                   || '?a=' || j.generate_series || '&b=' || doc_id,
+                   '2026-0' || (1 + j.generate_series % 9) || '-15',
+                   CASE j.generate_series % 3 WHEN 0 THEN 'daily'
+                        WHEN 1 THEN 'weekly' ELSE 'monthly' END,
+                   CAST(j.generate_series % 11 AS DOUBLE) / 10
+            FROM documents, generate_series(0, 6) j
+            WHERE doc_id < 200 AND doc_id % 7 <> 0
+              AND j.generate_series < 3 + doc_id % 4
         """,
         "pdf_text_extract": """
             -- the canonical text rebuilt closed-form: same page/line

@@ -281,3 +281,49 @@ class TestRobots:
         # the broadcast-joined flow is shuffle-free for the URL table
         plan = kept._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+class TestSitemaps:
+    """sitemap.xml parsing: urlset/sitemapindex, gzip, escaping."""
+
+    def test_urlset_and_index_roundtrip(self):
+        from pandas_plus_spark.sources.sitemaps import (parse_sitemap,
+                                                        sitemap_bytes)
+        urls = [{"loc": "http://a.com/x?q=1&r=2", "lastmod": "2026-01-02",
+                 "changefreq": "daily", "priority": 0.8},
+                "http://a.com/plain"]
+        for gz in (False, True):
+            got = parse_sitemap(sitemap_bytes(urls, gzipped=gz))
+            assert got[0] == {"kind": "url",
+                              "loc": "http://a.com/x?q=1&r=2",
+                              "lastmod": "2026-01-02",
+                              "changefreq": "daily", "priority": 0.8}, gz
+            assert got[1]["loc"] == "http://a.com/plain"
+            assert got[1]["priority"] is None
+        idx = parse_sitemap(sitemap_bytes(
+            ["http://a.com/s1.xml", "http://a.com/s2.xml.gz"], index=True))
+        assert [e["kind"] for e in idx] == ["sitemap", "sitemap"]
+        assert idx[1]["loc"] == "http://a.com/s2.xml.gz"
+
+    def test_rejects_non_sitemaps(self):
+        from pandas_plus_spark.sources.sitemaps import parse_sitemap
+        assert parse_sitemap(None) is None
+        assert parse_sitemap(b"<html>nope</html>") is None
+        assert parse_sitemap(b"\x1f\x8bcorrupt gzip....") is None
+
+    def test_sparkside_fanout(self, spark):
+        import pandas as pd
+
+        from pandas_plus_spark.sources.sitemaps import (
+            extract_sitemap_entries, sitemap_bytes)
+        df = spark.createDataFrame(pd.DataFrame({
+            "id": [1, 2, 3],
+            "blob": [sitemap_bytes(["http://a/1", "http://a/2"]),
+                     sitemap_bytes(["http://a/sm.xml"], index=True,
+                                   gzipped=True),
+                     b"junk"]}))
+        rows = extract_sitemap_entries(df, "blob", "id") \
+            .orderBy("id", "loc").collect()
+        assert [(r.id, r.kind, r.loc) for r in rows] == [
+            (1, "url", "http://a/1"), (1, "url", "http://a/2"),
+            (2, "sitemap", "http://a/sm.xml")]
