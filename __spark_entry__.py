@@ -2304,6 +2304,47 @@ def _q_sitemap_urls(spark, sf):
     return extract_sitemap_entries(blobs_df, "blob", "doc_id")
 
 
+
+def _q_unicode_nfc(spark, sf):
+    """Unicode NFC normalization (r11 — UAX #15 through an Arrow-batched
+    pandas_udf seam, functions.text.unicode_normalize) with a fully
+    INDEPENDENT oracle: the engine side runs Python's unicodedata (UCD
+    tables), the oracle runs DuckDB's ICU-backed nfc_normalize — two
+    implementations of the same standard that must agree bit-for-bit.
+    Fixtures cycle composition shapes: combining acute, combining ring,
+    Hangul jamo -> syllable composition, double-diacritic canonical
+    ordering, and an already-composed idempotence case."""
+    import pandas as _pd
+
+    from pandas_plus_spark.functions.text import unicode_normalize
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 500).select("doc_id"))
+
+    def make(batches):
+        for pdf in batches:
+            texts = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                c = did % 5
+                if c == 0:
+                    mid = "Cafe" + chr(0x301)
+                elif c == 1:
+                    mid = "A" + chr(0x30A) + "ngstrom"
+                elif c == 2:
+                    mid = chr(0x1100) + chr(0x1161) + chr(0x11A8)
+                elif c == 3:
+                    mid = "o" + chr(0x308) + chr(0x304)
+                else:
+                    mid = chr(0xE9) + "tude"
+                texts.append(f"Doc {did} {mid} end")
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "raw": texts})
+
+    raw = docs.mapInPandas(make, "doc_id long, raw string")
+    return raw.select("doc_id",
+                      unicode_normalize("raw").alias("nfc_text"))
+
+
 def _q_video_frame_sample(spark, sf):
     """REAL video frame sampling (r10 AVI + r11 MP4 — both byte-window
     fakes retired): doc_id < 120 builds deterministic AVI/MJPEG
@@ -4140,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots_filter,
         "pdf_text_extract": _q_pdf_text_extract,
         "sitemap_urls": _q_sitemap_urls,
+        "unicode_nfc": _q_unicode_nfc,
         # 34 entries at the 4-round cadence bound (last green r7):
         "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
@@ -5144,6 +5186,24 @@ def oracle_sql() -> dict[str, str]:
                                                        -- WebP VP8X/VP8L alpha
                              ELSE 3 END AS INTEGER) AS n_channels
             FROM documents WHERE doc_id < 200
+        """,
+        "unicode_nfc": """
+            -- the SAME denormalized construction rebuilt with chr()
+            -- code points, normalized by DuckDB's ICU nfc_normalize —
+            -- an implementation of UAX #15 fully independent of the
+            -- engine's Python-UCD path; any composition-table,
+            -- canonical-ordering or Hangul-LVT bug on either side
+            -- breaks the bit-for-bit agreement
+            SELECT doc_id,
+                   nfc_normalize('Doc ' || doc_id || ' ' ||
+                     CASE doc_id % 5
+                          WHEN 0 THEN 'Cafe' || chr(769)
+                          WHEN 1 THEN 'A' || chr(778) || 'ngstrom'
+                          WHEN 2 THEN chr(4352) || chr(4449) || chr(4520)
+                          WHEN 3 THEN 'o' || chr(776) || chr(772)
+                          ELSE chr(233) || 'tude' END
+                     || ' end') AS nfc_text
+            FROM documents WHERE doc_id < 500
         """,
         "sitemap_urls": """
             -- every sitemap entry rebuilt closed-form from the doc_id

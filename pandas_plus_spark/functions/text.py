@@ -15,6 +15,8 @@ correctness can be verified bit-for-bit against an independent SQL engine.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -281,3 +283,45 @@ def normalize_text(col) -> Column:
 def sql_normalize_text(expr: str) -> str:
     """DuckDB twin of :func:`normalize_text`."""
     return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+
+
+def unicode_normalize(col, form: str = "NFC", *,
+                      strip_controls: bool = False,
+                      collapse_whitespace: bool = False) -> Column:
+    """Unicode normalization (UAX #15) for corpus canonicalization —
+    the step real pipelines run BEFORE tokenize/dedup so that composed
+    and decomposed spellings (e + U+0301 vs e-acute, Hangul jamo vs
+    syllables) hash and tokenize identically. ``form``: NFC (default),
+    NFD, NFKC (also folds compatibility forms: ligatures, fullwidth,
+    superscripts), NFKD. Optional cleanup: ``strip_controls`` drops
+    Unicode category-C characters except newline/tab,
+    ``collapse_whitespace`` folds runs to one space and trims.
+
+    This is an Arrow-batched ``pandas_udf`` seam — whole-stage codegen
+    cannot express the UCD composition tables — not a row-at-a-time
+    UDF. The NFC form has a fully INDEPENDENT oracle: DuckDB's
+    ICU-backed ``nfc_normalize`` (two implementations of UAX #15 must
+    agree bit-for-bit), which the ``unicode_nfc`` driver gate checks;
+    NFKC/NFKD are pytest-pinned against the stdlib UCD."""
+    import re
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(form)
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            y = unicodedata.normalize(form, x)
+            if strip_controls:
+                y = "".join(ch for ch in y if ch in "\n\t"
+                            or not unicodedata.category(ch).startswith("C"))
+            if collapse_whitespace:
+                y = ws.sub(" ", y).strip()
+            return y
+        return s.map(one)
+
+    return _norm(_c(col))

@@ -157,3 +157,48 @@ class TestPivotTable:
                         aggfunc="sum", margins=True)
         rows = {r.r: r for r in m.collect()}
         assert rows["All"].All == 18.0
+
+
+class TestUnicodeNormalize:
+    """UAX #15 normalization through the Arrow-batched pandas_udf seam,
+    pinned against the stdlib UCD (the driver gate independently checks
+    NFC against DuckDB's ICU implementation)."""
+
+    def test_forms_match_stdlib_ucd(self, spark):
+        import unicodedata
+
+        import pandas as pd
+
+        from pandas_plus_spark.functions.text import unicode_normalize
+        vals = ["Cafe" + chr(0x301),              # combining acute
+                chr(0x1100) + chr(0x1161) + chr(0x11A8),  # Hangul jamo
+                "o" + chr(0x308) + chr(0x304),    # canonical ordering
+                chr(0xFB01) + "ne " + chr(0xFF21),  # fi-ligature + wide A
+                None, ""]
+        df = spark.createDataFrame(pd.DataFrame({"t": vals}))
+        for form in ("NFC", "NFD", "NFKC", "NFKD"):
+            got = [r[0] for r in
+                   df.select(unicode_normalize("t", form)).collect()]
+            want = [None if v is None else unicodedata.normalize(form, v)
+                    for v in vals]
+            assert got == want, form
+        # NFKC folds compatibility forms; NFC must NOT
+        nfkc = df.select(unicode_normalize("t", "NFKC")).collect()[3][0]
+        nfc = df.select(unicode_normalize("t", "NFC")).collect()[3][0]
+        assert nfkc == "fine A" and nfc != "fine A"
+
+    def test_cleanup_options_and_bad_form(self, spark):
+        import pandas as pd
+        import pytest
+
+        from pandas_plus_spark.functions.text import unicode_normalize
+        df = spark.createDataFrame(pd.DataFrame(
+            {"t": ["a b\t\tc" + chr(7) + "  d\n\ne "]}))
+        got = df.select(unicode_normalize(
+            "t", strip_controls=True, collapse_whitespace=True)).collect()
+        assert got[0][0] == "a b c d e"
+        kept = df.select(unicode_normalize("t", strip_controls=True))
+        assert chr(7) not in kept.collect()[0][0]      # bell dropped
+        assert "\t" in kept.collect()[0][0]            # tab kept
+        with pytest.raises(ValueError):
+            unicode_normalize("t", "NFX")
