@@ -2345,6 +2345,52 @@ def _q_unicode_nfc(spark, sf):
                       unicode_normalize("raw").alias("nfc_text"))
 
 
+
+def _q_mojibake_repair(spark, sf):
+    """Mojibake repair (r11 — functions.text.fix_mojibake, the
+    conservative cp1252/UTF-8 roundtrip heuristic): per doc_id the
+    fixture builds the BROKEN form of a closed-form clean string by
+    actually round-tripping its UTF-8 bytes through cp1252 (the real
+    corruption path), double-encoding every 9th affected doc; plain
+    ASCII and genuinely-accented docs are passed through raw and must
+    come back UNTOUCHED (the false-positive guard). The oracle is the
+    clean closed form — an over-eager or under-eager repair fails the
+    hash."""
+    import pandas as _pd
+
+    from pandas_plus_spark.functions.text import fix_mojibake
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 500).select("doc_id"))
+
+    def make(batches):
+        for pdf in batches:
+            raws = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                c = did % 5
+                if c == 0:
+                    clean = "caf" + chr(233)
+                elif c == 1:
+                    clean = "it" + chr(8217) + "s"
+                elif c == 2:
+                    clean = chr(252) + "ber"
+                elif c == 3:
+                    clean = "plain"
+                else:
+                    clean = chr(233) + "tude"
+                raw = f"Doc {did} {clean}"
+                if c < 3:
+                    raw = raw.encode("utf-8").decode("cp1252")
+                    if did % 9 == 0:
+                        raw = raw.encode("utf-8").decode("cp1252")
+                raws.append(raw)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "raw": raws})
+
+    raw = docs.mapInPandas(make, "doc_id long, raw string")
+    return raw.select("doc_id", fix_mojibake("raw").alias("fixed"))
+
+
 def _q_video_frame_sample(spark, sf):
     """REAL video frame sampling (r10 AVI + r11 MP4 — both byte-window
     fakes retired): doc_id < 120 builds deterministic AVI/MJPEG
@@ -4182,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_text_extract": _q_pdf_text_extract,
         "sitemap_urls": _q_sitemap_urls,
         "unicode_nfc": _q_unicode_nfc,
+        "mojibake_repair": _q_mojibake_repair,
         # 34 entries at the 4-round cadence bound (last green r7):
         "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
@@ -5186,6 +5233,21 @@ def oracle_sql() -> dict[str, str]:
                                                        -- WebP VP8X/VP8L alpha
                              ELSE 3 END AS INTEGER) AS n_channels
             FROM documents WHERE doc_id < 200
+        """,
+        "mojibake_repair": """
+            -- the clean closed form every repaired (or untouched) doc
+            -- must equal: the fixture corrupted docs c<3 by the REAL
+            -- utf8->cp1252 path (double for every 9th) and left c=3
+            -- (ASCII) and c=4 (genuine accents) raw
+            SELECT doc_id,
+                   'Doc ' || doc_id || ' ' ||
+                   CASE doc_id % 5
+                        WHEN 0 THEN 'caf' || chr(233)
+                        WHEN 1 THEN 'it' || chr(8217) || 's'
+                        WHEN 2 THEN chr(252) || 'ber'
+                        WHEN 3 THEN 'plain'
+                        ELSE chr(233) || 'tude' END AS fixed
+            FROM documents WHERE doc_id < 500
         """,
         "unicode_nfc": """
             -- the SAME denormalized construction rebuilt with chr()

@@ -325,3 +325,46 @@ def unicode_normalize(col, form: str = "NFC", *,
         return s.map(one)
 
     return _norm(_c(col))
+
+
+def fix_mojibake(col, *, max_passes: int = 2) -> Column:
+    """Repair double-encoded UTF-8 mojibake — the classic web-corpus
+    disease where UTF-8 bytes were re-decoded as cp1252/latin-1 so
+    e-acute surfaces as 'A-tilde copyright' and the right quote as an
+    'a-circumflex euro trademark' triple. The conservative roundtrip
+    heuristic: if the string's non-ASCII characters all map back
+    through cp1252 (latin-1 fallback) AND those bytes decode as valid
+    multibyte UTF-8, apply the roundtrip; repeat up to ``max_passes``
+    (triple-encoding exists in the wild). Clean text is untouched:
+    genuine single-encoded accents produce invalid UTF-8 byte
+    sequences under the roundtrip and fail the decode, so they pass
+    through. Arrow-batched pandas_udf seam like unicode_normalize."""
+    if max_passes < 1:
+        raise ValueError("max_passes must be >= 1")
+
+    @F.pandas_udf("string")
+    def _fix(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            for _ in range(max_passes):
+                if x.isascii():
+                    break
+                try:
+                    b = x.encode("cp1252")
+                except UnicodeEncodeError:
+                    try:
+                        b = x.encode("latin-1")
+                    except UnicodeEncodeError:
+                        break
+                try:
+                    y = b.decode("utf-8")
+                except UnicodeDecodeError:
+                    break
+                if y == x or len(y) >= len(x):
+                    break
+                x = y
+            return x
+        return s.map(one)
+
+    return _fix(_c(col))

@@ -202,3 +202,26 @@ class TestUnicodeNormalize:
         assert "\t" in kept.collect()[0][0]            # tab kept
         with pytest.raises(ValueError):
             unicode_normalize("t", "NFX")
+
+
+class TestMojibake:
+    """Conservative double-encoded-UTF-8 repair: fixes the corruption,
+    never touches clean text."""
+
+    def test_repairs_and_preserves(self, spark):
+        import pandas as pd
+
+        from pandas_plus_spark.functions.text import fix_mojibake
+        clean = ["caf" + chr(233), "it" + chr(8217) + "s",
+                 chr(252) + "ber"]
+        moji = [c.encode("utf-8").decode("cp1252") for c in clean]
+        double = clean[0].encode("utf-8").decode("cp1252") \
+            .encode("utf-8").decode("cp1252")
+        passthrough = ["plain ascii", chr(233) + "tude", "", None]
+        df = spark.createDataFrame(pd.DataFrame(
+            {"t": moji + [double] + passthrough}))
+        got = [r[0] for r in df.select(fix_mojibake("t")).collect()]
+        assert got == clean + [clean[0]] + passthrough
+        import pytest
+        with pytest.raises(ValueError):
+            fix_mojibake("t", max_passes=0)
