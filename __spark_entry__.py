@@ -2391,6 +2391,31 @@ def _q_mojibake_repair(spark, sf):
     return raw.select("doc_id", fix_mojibake("raw").alias("fixed"))
 
 
+
+def _q_bpe_roundtrip(spark, sf):
+    """Real byte-level BPE tokenizer (r11 — functions/bpe, the trained
+    replacement for the bpe_ish regex stand-in): merges are learned
+    from the documents corpus itself (deterministic greedy pair
+    merging, lexicographic tie-break, bounded hash-deterministic
+    sample collect — the one documented driver-side step, as in real
+    tokenizer training), then encoding and decoding run as
+    Arrow-batched pandas_udfs over the full table. The gate checks the
+    LOSSLESSNESS CONTRACT: the pre-tokenizer partitions the string
+    (letter/digit/whitespace runs + single others, nothing dropped)
+    and tokens are byte sequences within segments, so
+    decode(encode(text)) must equal the original text byte-for-byte —
+    the oracle is simply the text column. Token-id/count properties
+    are pytest-pinned (not SQL-expressible)."""
+    from pandas_plus_spark.functions.bpe import (bpe_decode, bpe_encode,
+                                                 train_bpe)
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    merges = train_bpe(docs, "text", vocab_size=384)
+    return docs.select(
+        "doc_id",
+        bpe_decode(bpe_encode("text", merges), merges).alias("roundtrip"))
+
+
 def _q_video_frame_sample(spark, sf):
     """REAL video frame sampling (r10 AVI + r11 MP4 — both byte-window
     fakes retired): doc_id < 120 builds deterministic AVI/MJPEG
@@ -4229,6 +4254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_urls": _q_sitemap_urls,
         "unicode_nfc": _q_unicode_nfc,
         "mojibake_repair": _q_mojibake_repair,
+        "bpe_roundtrip": _q_bpe_roundtrip,
         # 34 entries at the 4-round cadence bound (last green r7):
         "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
@@ -5233,6 +5259,11 @@ def oracle_sql() -> dict[str, str]:
                                                        -- WebP VP8X/VP8L alpha
                              ELSE 3 END AS INTEGER) AS n_channels
             FROM documents WHERE doc_id < 200
+        """,
+        "bpe_roundtrip": """
+            -- the losslessness contract: whatever merge table training
+            -- produced at this SF, decode(encode(text)) == text
+            SELECT doc_id, text AS roundtrip FROM documents
         """,
         "mojibake_repair": """
             -- the clean closed form every repaired (or untouched) doc

@@ -1,0 +1,179 @@
+"""Byte-level BPE tokenizer: train on a bounded corpus sample, encode
+at scale.
+
+The real version of the ``bpe_ish_token_count`` stand-in (reference
+parity: none — LLM-pipeline surface): a GPT-2-style byte-pair encoder
+whose base vocabulary is the 256 bytes, with merges learned greedily
+from pair frequencies. Training follows the shape real pipelines use —
+tokenizers are trained on a SAMPLE (here a deterministic hash-filtered,
+hard-capped collect, the one documented driver-side materialization in
+this module), then the merge table (a few thousand tiny entries)
+broadcasts to executors and encoding runs as an Arrow-batched
+``pandas_udf`` over the full corpus, map-side only.
+
+Losslessness: the pre-tokenizer splits text into letter runs, digit
+runs, whitespace runs and single other-characters — a partition of the
+string, nothing dropped — and tokens are byte sequences within a
+segment, so concatenating every token's bytes restores the exact UTF-8
+stream: ``decode(encode(text)) == text`` for ANY input. That property
+is the driver gate (``bpe_roundtrip``): the oracle is simply the
+original text column.
+
+Determinism: pair counts tie-break lexicographically and the sampling
+knob is a hash condition, so the same SAMPLE always yields the same
+merge table; the ``max_sample_docs`` safety cap is a ``limit()``
+(partition-order dependent) — size ``sample_mod`` so the hash filter
+lands UNDER the cap when reproducible training matters. Either way the
+roundtrip contract holds for any merge table.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Partition of any string: letter runs, digit runs, whitespace runs,
+#: single other characters (DOTALL '.' sweeps the remainder).
+_PRETOK = re.compile(r"[^\W\d_]+|\d+|\s+|.", re.DOTALL)
+
+
+def pretokenize(text: str) -> list[str]:
+    """Lossless segmentation — ``''.join(pretokenize(t)) == t``."""
+    return _PRETOK.findall(text)
+
+
+def train_bpe(docs: DataFrame, text_col: str = "text", *,
+              vocab_size: int = 512, max_sample_docs: int = 100_000,
+              sample_mod: int = 1) -> list[tuple[bytes, bytes]]:
+    """Learn a BPE merge table from the corpus. ``sample_mod`` > 1
+    hash-samples ~1/mod of the docs DETERMINISTICALLY before the
+    bounded collect (``max_sample_docs`` hard cap — the documented
+    driver-side materialization: tokenizer training is sample-based in
+    real pipelines; everything downstream stays distributed). Returns
+    ``vocab_size - 256`` merges at most (fewer when pair counts dry
+    up); ties break on the lexicographically smallest pair so the
+    table is reproducible."""
+    if vocab_size < 257:
+        raise ValueError("vocab_size must exceed the 256 byte base")
+    src = docs.select(F.col(text_col).alias("__t")).where(
+        F.col("__t").isNotNull())
+    if sample_mod > 1:
+        src = src.where(F.pmod(F.xxhash64("__t"),
+                               F.lit(sample_mod)) == 0)
+    rows = src.limit(max_sample_docs).collect()
+    word_freq: Counter = Counter()
+    for r in rows:
+        for seg in pretokenize(r[0]):
+            word_freq[seg] += 1
+    # word type -> current symbol sequence (tuple of bytes objects)
+    seqs = {w: tuple(bytes([b]) for b in w.encode("utf-8"))
+            for w in word_freq}
+    merges: list[tuple[bytes, bytes]] = []
+    for _ in range(vocab_size - 256):
+        pair_counts: Counter = Counter()
+        for w, seq in seqs.items():
+            f = word_freq[w]
+            for a, b in zip(seq, seq[1:]):
+                pair_counts[(a, b)] += f
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break                                # nothing worth merging
+        pa, pb = best[0]
+        merged = pa + pb
+        merges.append((pa, pb))
+        new_seqs = {}
+        for w, seq in seqs.items():
+            out = []
+            i = 0
+            while i < len(seq):
+                if (i + 1 < len(seq) and seq[i] == pa
+                        and seq[i + 1] == pb):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs[w] = tuple(out)
+        seqs = new_seqs
+    return merges
+
+
+def bpe_vocab(merges: list[tuple[bytes, bytes]]) -> list[bytes]:
+    """id -> token bytes: 256 single bytes then one entry per merge."""
+    return [bytes([i]) for i in range(256)] + [a + b for a, b in merges]
+
+
+def _encode_segment(seg_bytes: bytes, ranks: dict) -> list[bytes]:
+    """Greedy lowest-rank merging of one pre-token's byte sequence."""
+    seq = [bytes([b]) for b in seg_bytes]
+    while len(seq) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_i = i
+        if best_rank is None:
+            break
+        seq[best_i:best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+    return seq
+
+
+def bpe_encode(col, merges: list[tuple[bytes, bytes]]) -> Column:
+    """Token ids (array<int>) for a text column under the trained merge
+    table — Arrow-batched pandas_udf, merge ranks captured in the UDF
+    closure (a few-thousand-entry dict; Spark ships it once per task
+    like a broadcast). NULL text -> NULL ids."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    ids = {tok: i for i, tok in enumerate(bpe_vocab(merges))}
+
+    @F.pandas_udf("array<int>")
+    def _enc(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            out = []
+            for seg in pretokenize(x):
+                for tok in _encode_segment(seg.encode("utf-8"), ranks):
+                    out.append(ids[tok])
+            return out
+        return s.map(one)
+
+    return _enc(_c(col))
+
+
+def bpe_decode(col, merges: list[tuple[bytes, bytes]]) -> Column:
+    """Text from token ids — exact inverse of :func:`bpe_encode`:
+    concatenate every token's bytes and UTF-8-decode (strict: segments
+    never split characters across pre-token boundaries, and within a
+    segment the byte stream is contiguous)."""
+    vocab = bpe_vocab(merges)
+
+    @F.pandas_udf("string")
+    def _dec(s: pd.Series) -> pd.Series:
+        def one(ids):
+            if ids is None:
+                return None
+            return b"".join(vocab[i] for i in ids).decode("utf-8")
+        return s.map(one)
+
+    return _dec(_c(col))
+
+
+def bpe_token_count(col, merges: list[tuple[bytes, bytes]]) -> Column:
+    """Exact token count under the trained tokenizer — the real version
+    of ``text.bpe_ish_token_count`` for token-budget sampling and
+    packing decisions."""
+    return F.size(bpe_encode(col, merges))
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col

@@ -225,3 +225,58 @@ class TestMojibake:
         import pytest
         with pytest.raises(ValueError):
             fix_mojibake("t", max_passes=0)
+
+
+class TestBpe:
+    """Trained byte-level BPE: determinism, merge semantics, lossless
+    roundtrip, token counting."""
+
+    def test_training_deterministic_and_sensible(self, spark):
+        import pandas as pd
+
+        from pandas_plus_spark.functions.bpe import bpe_vocab, train_bpe
+        corpus = ["the cat sat on the mat"] * 30 + ["the dog"] * 20
+        df = spark.createDataFrame(pd.DataFrame({"text": corpus}))
+        m1 = train_bpe(df, vocab_size=280)
+        m2 = train_bpe(df, vocab_size=280)
+        assert m1 == m2 and len(m1) > 0          # reproducible
+        toks = [t.decode() for t in bpe_vocab(m1)[256:]]
+        assert "the" in toks                     # dominant word merged
+        import pytest
+        with pytest.raises(ValueError):
+            train_bpe(df, vocab_size=256)
+
+    def test_roundtrip_lossless_any_input(self, spark):
+        import pandas as pd
+
+        from pandas_plus_spark.functions.bpe import (bpe_decode,
+                                                     bpe_encode,
+                                                     train_bpe)
+        train = spark.createDataFrame(pd.DataFrame(
+            {"text": ["english text with words"] * 10}))
+        merges = train_bpe(train, vocab_size=300)
+        hard = ["h\u00e9llo w\u00f6rld \uac01",   # accents + Hangul
+                "tabs\t and\n\nnewlines  ",
+                "digits 12345 mix3d",
+                "\U0001f642 emoji", "", None,
+                "unseen ZZZXQJ bytes \u00ff"]
+        df = spark.createDataFrame(pd.DataFrame({"t": hard}))
+        out = df.select("t", bpe_decode(bpe_encode("t", merges),
+                                        merges).alias("rt")).collect()
+        for r in out:
+            assert r.rt == r.t, (r.t, r.rt)
+
+    def test_token_count_and_compression(self, spark):
+        import pandas as pd
+
+        from pandas_plus_spark.functions.bpe import (bpe_token_count,
+                                                     train_bpe)
+        corpus = ["repeat repeat repeat repeat"] * 50
+        df = spark.createDataFrame(pd.DataFrame({"text": corpus}))
+        merges = train_bpe(df, vocab_size=300)
+        n = df.select(bpe_token_count("text", merges)).first()[0]
+        raw_bytes = len(corpus[0].encode())
+        assert 0 < n < raw_bytes                 # merges compress
+        # the fully-merged dominant word should be very few tokens
+        one = spark.createDataFrame(pd.DataFrame({"text": ["repeat"]}))
+        assert one.select(bpe_token_count("text", merges)).first()[0] <= 2
