@@ -368,3 +368,27 @@ def fix_mojibake(col, *, max_passes: int = 2) -> Column:
         return s.map(one)
 
     return _fix(_c(col))
+
+
+def compression_ratio(col, *, level: int = 6) -> Column:
+    """zlib compression ratio (compressed/raw bytes) — the classic
+    cheap quality/repetition signal corpus filters use alongside the
+    rule-based scores: boilerplate, templated spam and repeated
+    n-grams compress far below natural prose, so a LOW ratio flags
+    low-information text (pair with max_equal_run_count /
+    top_ngram_share from operators/corpus for the curation gate).
+    NULL/empty text -> NULL. Arrow-batched pandas_udf seam (zlib is
+    not expressible in codegen); deterministic for a fixed level, so
+    thresholds learned once stay stable across runs."""
+    import zlib
+
+    @F.pandas_udf("double")
+    def _cr(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None or len(x) == 0:
+                return None
+            raw = x.encode("utf-8")
+            return len(zlib.compress(raw, level)) / len(raw)
+        return s.map(one)
+
+    return _cr(_c(col))

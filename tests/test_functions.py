@@ -280,3 +280,22 @@ class TestBpe:
         # the fully-merged dominant word should be very few tokens
         one = spark.createDataFrame(pd.DataFrame({"text": ["repeat"]}))
         assert one.select(bpe_token_count("text", merges)).first()[0] <= 2
+
+
+class TestCompressionRatio:
+    def test_repetition_compresses_below_prose(self, spark):
+        import pandas as pd
+
+        from pandas_plus_spark.functions.text import compression_ratio
+        import random
+        rng = random.Random(7)
+        prose = " ".join("".join(rng.choice("abcdefghijklmnop")
+                                 for _ in range(rng.randint(3, 9)))
+                         for _ in range(200))
+        spam = "buy now " * 200
+        df = spark.createDataFrame(pd.DataFrame(
+            {"t": [prose, spam, None, ""]}))
+        got = [r[0] for r in df.select(compression_ratio("t")).collect()]
+        assert got[0] > 2 * got[1]               # spam compresses hard
+        assert got[2] is None and got[3] is None
+        assert 0 < got[1] < got[0] <= 1.2
