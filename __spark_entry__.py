@@ -2416,6 +2416,36 @@ def _q_bpe_roundtrip(spark, sf):
         bpe_decode(bpe_encode("text", merges), merges).alias("roundtrip"))
 
 
+
+def _q_outlink_graph(spark, sf):
+    """Outlink extraction + RFC 3986 resolution (r11 — the crawl
+    frontier / link-graph builder, functions.urls.extract_links): per
+    doc the fixture HTML embeds six href shapes — absolute
+    (double-quoted), rooted (single-quoted), relative,
+    protocol-relative, javascript: and a bare fragment — built
+    JVM-side with concat; extraction (regexp_extract_all), per-element
+    resolution (transform + try_parse_url CASE logic) and the explode
+    are ALL whole-stage codegen, no Python anywhere. The oracle
+    rebuilds the four expected resolved links per doc closed-form (the
+    two non-navigational shapes must be dropped) — a quoting, base-
+    directory, origin, scheme-inherit or filter bug changes the rows."""
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 400).select("doc_id"))
+    did = F.col("doc_id")
+    base = F.concat(F.lit("https://site"), did % 7, F.lit(".example/dir"),
+                    did % 4, F.lit("/page.html"))
+    html = F.concat(
+        F.lit('<a href="http://ext'), did % 3, F.lit(".org/a"), did,
+        F.lit('">x</a> <a href=\'/r'), did, F.lit("\'>y</a> "),
+        F.lit('<a href="sub/p'), did, F.lit('.html">z</a> '),
+        F.lit('<a href="//cdn'), did % 2, F.lit('.example/c">w</a> '),
+        F.lit('<a href="javascript:void(0)">j</a> '),
+        F.lit('<a href="#top">f</a>'))
+    pages = docs.select("doc_id", base.alias("url"), html.alias("html"))
+    from pandas_plus_spark.functions.urls import extract_links
+    return extract_links(pages, "html", "url", "doc_id")
+
+
 def _q_video_frame_sample(spark, sf):
     """REAL video frame sampling (r10 AVI + r11 MP4 — both byte-window
     fakes retired): doc_id < 120 builds deterministic AVI/MJPEG
@@ -4255,6 +4285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": _q_unicode_nfc,
         "mojibake_repair": _q_mojibake_repair,
         "bpe_roundtrip": _q_bpe_roundtrip,
+        "outlink_graph": _q_outlink_graph,
         # 34 entries at the 4-round cadence bound (last green r7):
         "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
@@ -5259,6 +5290,23 @@ def oracle_sql() -> dict[str, str]:
                                                        -- WebP VP8X/VP8L alpha
                              ELSE 3 END AS INTEGER) AS n_channels
             FROM documents WHERE doc_id < 200
+        """,
+        "outlink_graph": """
+            -- the four resolvable links per doc rebuilt closed-form
+            -- (javascript: and #fragment hrefs must NOT appear)
+            SELECT doc_id,
+                   CASE g.generate_series
+                        WHEN 0 THEN 'http://ext' || (doc_id % 3)
+                                    || '.org/a' || doc_id
+                        WHEN 1 THEN 'https://site' || (doc_id % 7)
+                                    || '.example/dir' || (doc_id % 4)
+                                    || '/sub/p' || doc_id || '.html'
+                        WHEN 2 THEN 'https://cdn' || (doc_id % 2)
+                                    || '.example/c'
+                        ELSE 'https://site' || (doc_id % 7)
+                             || '.example/r' || doc_id END AS link
+            FROM documents, generate_series(0, 3) g
+            WHERE doc_id < 400
         """,
         "bpe_roundtrip": """
             -- the losslessness contract: whatever merge table training

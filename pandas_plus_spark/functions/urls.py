@@ -417,3 +417,56 @@ def registrable_domain(host) -> Column:
     return F.when(h.isNull(), F.lit(None).cast("string")).otherwise(
         F.when(is_ip | (n <= 2), h)
         .otherwise(F.concat_ws(".", tail)))
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def extract_hrefs(html) -> Column:
+    """All ``href`` attribute values in an HTML column, in document
+    order (double- then single-quoted forms) — pure JVM
+    ``regexp_extract_all``, whole-stage codegen, no Python. Raw values:
+    resolve against the page URL with :func:`resolve_link` before
+    feeding the crawl frontier / link graph."""
+    h = _c(html)
+    dq = F.regexp_extract_all(h, F.lit(r'href\s*=\s*"([^"]+)"'), F.lit(1))
+    sq = F.regexp_extract_all(h, F.lit(r"href\s*=\s*'([^']+)'"), F.lit(1))
+    return F.concat(dq, sq)
+
+
+def resolve_link(href, base_url) -> Column:
+    """Resolve one href against its page URL (RFC 3986 subset — the
+    shapes crawl corpora actually contain): absolute URLs pass through,
+    ``//host/...`` inherits the base scheme, ``/rooted`` paths join the
+    base origin, relative paths join the base directory, and
+    non-navigational schemes (javascript:/mailto:/tel:/data:) and bare
+    fragments resolve to NULL so a ``filter(isNotNull)`` drops them.
+    Pure column CASE logic over try_parse_url — JVM end to end."""
+    u = _c(href)
+    b = _c(base_url)
+    scheme = F.lower(F.try_parse_url(b, F.lit("PROTOCOL")))
+    authority = F.try_parse_url(b, F.lit("AUTHORITY"))
+    origin = F.concat(scheme, F.lit("://"), authority)
+    bpath = F.coalesce(F.try_parse_url(b, F.lit("PATH")), F.lit("/"))
+    bdir = F.regexp_replace(bpath, r"[^/]*$", "")
+    bdir = F.when(bdir == "", F.lit("/")).otherwise(bdir)
+    return (
+        F.when(u.rlike(r"^(javascript|mailto|tel|data):")
+               | u.startswith("#"), F.lit(None).cast("string"))
+        .when(u.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), u)
+        .when(u.startswith("//"), F.concat(scheme, F.lit(":"), u))
+        .when(u.startswith("/"), F.concat(origin, u))
+        .otherwise(F.concat(origin, bdir, u)))
+
+
+def extract_links(df, html_col: str, url_col: str, id_col: str):
+    """(id, link) — every resolvable outlink of every page, exploded:
+    the crawl-frontier / link-graph builder. One JVM projection
+    (extract + per-element resolve inside ``transform``) + one explode;
+    no shuffle, no Python."""
+    links = F.filter(
+        F.transform(extract_hrefs(F.col(html_col)),
+                    lambda h: resolve_link(h, F.col(url_col))),
+        lambda x: x.isNotNull())
+    return (df.select(F.col(id_col), F.explode(links).alias("link")))

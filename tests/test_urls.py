@@ -327,3 +327,49 @@ class TestSitemaps:
         assert [(r.id, r.kind, r.loc) for r in rows] == [
             (1, "url", "http://a/1"), (1, "url", "http://a/2"),
             (2, "sitemap", "http://a/sm.xml")]
+
+
+class TestExtractLinks:
+    """href harvesting + RFC 3986 resolution, all JVM column logic."""
+
+    def test_resolution_shapes(self, spark):
+        import pandas as pd
+
+        from pandas_plus_spark.functions.urls import extract_links
+        html = ("<a href=\"http://ext.com/abs\">x</a> "
+                "<a href=\'/rooted\'>y</a> "
+                "<a href=\"rel/page.html\">z</a> "
+                "<a href=\"//cdn.com/p\">w</a> "
+                "<a href=\"javascript:void(0)\">j</a> "
+                "<a href=\"#frag\">f</a> "
+                "<a href=\"mailto:a@b.c\">m</a> "
+                "<a href=\"tel:12345\">t</a>")
+        df = spark.createDataFrame(pd.DataFrame({
+            "id": [1, 2],
+            "url": ["https://site.org/dir/page.html",
+                    "http://root.org"],
+            "html": [html, "<a href=\"x.html\">r</a>"]}))
+        got = sorted((r.id, r.link) for r in
+                     extract_links(df, "html", "url", "id").collect())
+        assert got == [
+            (1, "http://ext.com/abs"),
+            (1, "https://cdn.com/p"),
+            (1, "https://site.org/dir/rel/page.html"),
+            (1, "https://site.org/rooted"),
+            (2, "http://root.org/x.html"),       # bare-origin base
+        ]
+
+    def test_plan_is_pure_codegen(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        import pandas as pd
+
+        from pandas_plus_spark.functions.urls import extract_links
+        df = spark.createDataFrame(pd.DataFrame(
+            {"id": [1], "url": ["http://a.com/"], "html": ["<a></a>"]}))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            extract_links(df, "html", "url", "id").explain()
+        plan = buf.getvalue()
+        assert "EvalPython" not in plan          # no Python in the path
