@@ -4249,81 +4249,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the cadence or the window head is not least-recently-verified-
     # first; tests/test_oracle_gate.py runs it in pytest.
     #
-    # r11 WINDOW (first 50): the 2 compound gates new this round (the
-    # ongoing registry consolidation — semantic_gate folds the
-    # semantic_keep_list / semantic_keep_list_lsh / semantic_lsh_recall
-    # triple, global_ordered folds global_cumsum / global_shift; 5 former
-    # entries -> 2 without losing value checks, registry 167 -> 164), the
-    # 5 re-verifications of operators whose code changes this round
-    # (detbounds flag gating, the bigram scoring-pass fusion, curation
-    # term fusion, JPEG pixel decode, MP4 true frame sampling), the 34
-    # entries at the 4-round cadence bound (last green r7), and 9 r8-era
-    # fills. The r8-era remainder rotates into the r12 window head; the
-    # plan is the deterministic output of scripts/check_rotation.py
-    # --plan. Seeded rows-only entries stay PINNED adjacent to their
-    # value-checked twins (hyperplane_lsh_buckets<->lsh_recall,
-    # minhash_neardup<->poly, simhash_candidates<->poly,
-    # ivf_knn<->ann_recall).
+    # r12 WINDOW (first 50): the 38 entries at the 4-round cadence bound
+    # (last green r8 — the deterministic due list from
+    # scripts/check_rotation.py --plan at r11 close), plus 12 r9-era
+    # fills (stalest non-due). New entries added later this round insert
+    # at the head and displace fills, never due entries. Seeded
+    # rows-only entries stay PINNED adjacent to their value-checked
+    # twins (hyperplane_lsh_buckets<->lsh_recall, minhash_neardup<->poly,
+    # simhash_candidates<->poly, ivf_knn<->ann_recall).
     return {
-        # --- r11 window head (driver samples the FIRST 50) ---
-        # new compound gates (r11 consolidation; never driver-verified):
-        # semantic_gate folds semantic_keep_list/keep_list_lsh/lsh_recall,
-        # global_ordered folds global_cumsum/global_shift
-        "semantic_gate": _q_semantic_gate,
-        "global_ordered": _q_global_ordered,
-        # code-changed r11 re-verifications (detbounds flag gating, the
-        # bigram scoring-pass fusion, curation term fusion, JPEG pixel
-        # decode dispatch, MP4 frame-sample dispatch):
-        "group_rolling_time_scale": _q_group_rolling_time_scale,
-        "bigram_ppl": _q_bigram_ppl,
-        "curation_pipeline": _q_curation_pipeline,
-        "image_phash_dedup": _q_image_phash_dedup,
-        "video_frame_sample": _q_video_frame_sample,
-        "robots_filter": _q_robots_filter,
-        "pdf_text_extract": _q_pdf_text_extract,
-        "sitemap_urls": _q_sitemap_urls,
-        "unicode_nfc": _q_unicode_nfc,
-        "mojibake_repair": _q_mojibake_repair,
-        "bpe_roundtrip": _q_bpe_roundtrip,
-        "outlink_graph": _q_outlink_graph,
-        # 34 entries at the 4-round cadence bound (last green r7):
-        "doc_chunks": _q_doc_chunks,
-        "embedding_quantize": _q_embedding_quantize,
-        "unigram_ppl": _q_unigram_ppl,
-        "frame_sample": _q_frame_sample,
-        "source_health": _q_source_health,
-        "cumsum": _q_cumsum,
-        "shift_masked": _q_shift_masked,
-        "observed_only_false": _q_observed_only_false,
-        "nation_revenue": _q_nation_revenue,
-        "asof_join": _q_asof_join,
-        "interval_join": _q_interval_join,
-        "apply_zscore": _q_apply_zscore,
-        "winnow_fingerprints": _q_winnow,
-        "sessionize": _q_sessionize,
-        "nanops_global": _q_nanops_global,
-        "pretty_cut_bins": _q_pretty_cut,
-        "bools_to_categorical": _q_bools_labels,
-        "linear_combination": _q_lincomb,
-        "dedup_exact": _q_dedup_exact,
-        "doc_token_stats": _q_token_stats,
-        "lang_id_pred": _q_lang_pred,
-        "quality_score": _q_quality,
-        "trigram_jaccard_pairs": _q_trigram_jaccard,
-        "knn_cosine": _q_knn,
-        "hll_merge_gate": _q_hll_merge_gate,
-        "lsh_skew_uncapped": _q_lsh_skew_uncapped,
-        "lsh_skew_capped": _q_lsh_skew_capped,
-        "hyperplane_lsh_buckets": _q_lsh_buckets,
-        "lsh_recall": _q_lsh_recall,
-        "q18_large_orders": _q_q18_large_orders,
-        "plan_lint_gate": _q_plan_lint_gate,
-        "multimodal_image_meta": _q_multimodal_meta,
-        "minhash_neardup": _q_minhash_dedup,
-        "minhash_neardup_poly": _q_minhash_poly,
-        # r8-era fills (stalest non-due; rotate forward the r12 head):
-        "wav_header_meta": _q_wav_header_meta,
-        "mp4_header_meta": _q_mp4_header_meta,
+        # --- r12 window head (driver samples the FIRST 50) ---
+        # the 38 entries at the 4-round cadence bound (last green r8):
         "warc_ingest": _q_warc_ingest,
         "token_budget": _q_token_budget,
         "quantile_calibration": _q_quantile_calibration,
@@ -4331,7 +4267,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split_lsh": _q_leakage_split_lsh,
         "filter_groups": _q_filter_groups,
         "group_idxminmax": _q_group_idxminmax,
+        "pct_change": _q_pct_change,
+        "cumprod": _q_cumprod,
+        "group_prod_any_all": _q_group_prod_any_all,
+        "group_sem": _q_group_sem,
+        "group_skew_kurt": _q_group_skew_kurt,
+        "ngroup": _q_ngroup,
+        "group_fill": _q_group_fill,
+        "resample_agg": _q_resample_agg,
+        "qcut_deciles": _q_qcut_deciles,
+        "pivot_table_mean": _q_pivot_table_mean,
+        "group_rank_methods": _q_group_rank_methods,
+        "group_take": _q_group_take,
+        "corrwith": _q_corrwith,
+        "duplicated_flags": _q_duplicated_flags,
+        "ewm_mean": _q_ewm_mean,
+        "group_ohlc": _q_group_ohlc,
+        "group_describe": _q_group_describe,
+        "group_nlargest": _q_group_nlargest,
+        "group_ffill_scale": _q_group_ffill_scale,
+        "group_take_scale": _q_group_take_scale,
+        "ewm_var_std": _q_ewm_var_std,
+        "group_bfill_scale": _q_group_bfill_scale,
+        "streaming_ewm": _q_streaming_ewm,
+        "group_shift_scale": _q_group_shift_scale,
+        "group_cumminmax_scale": _q_group_cumminmax_scale,
+        "cosine_neardup": _q_cosine_neardup,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_keep_list": _q_dedup_keep_list,
+        "streaming_neardup": _q_streaming_neardup,
+        "pca_gate": _q_pca_gate,
+        "pack_gate": _q_pack_gate,
+        # r9-era fills (stalest non-due; rotate forward the r13 head):
+        "expanding_stats": _q_expanding_stats,
+        "group_expanding_scale": _q_group_expanding_scale,
+        "asof_nearest": _q_asof_nearest,
+        "semantic_contamination": _q_semantic_contamination,
+        "containment_pairs": _q_containment_pairs,
+        "ivf_index_gate": _q_ivf_index_gate,
+        "quality_classifier": _q_quality_classifier,
+        "source_cap": _q_source_cap,
+        "global_sample": _q_global_sample,
+        "segment_revenue_bucketed": _q_segment_revenue_bucketed,
+        "q6_forecast": _q_q6_forecast,
+        "q3_shipping": _q_q3_shipping,
         # --- tail: least-recently-verified first ---
+        "temperature_mixture": _q_temperature_mixture,
+        "duplicated_spans": _q_duplicated_spans,
+        "span_excision": _q_span_excision,
+        "segment_revenue": _q_segment_revenue,
+        "simhash_candidates": _q_simhash_candidates,
+        "simhash_poly": _q_simhash_poly,
+        "skew_topn_salted": _q_skew_topn_salted,
+        "skew_topn_uniform": _q_skew_topn_uniform,
+        "ivf_knn": _q_ivf_knn,
+        "ann_recall": _q_ann_recall,
+        "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
+        "sample_per_group": _q_sample_per_group,
+        "pack_chunks": _q_pack_chunks,
+        "repetition_signals": _q_repetition_signals,
+        "repetition_filter": _q_repetition_filter,
+        "pii_scan": _q_pii_scan,
+        "c4_filter": _q_c4_filter,
+        "contamination": _q_contamination,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_rank": _q_bm25_rank,
+        "vocab_top": _q_vocab_top,
+        "image_header_meta": _q_image_header_meta,
+        "group_rank_scale": _q_group_rank_scale,
+        "boilerplate_removal": _q_boilerplate_removal,
+        "snapshot_diff": _q_snapshot_diff,
         "audio_pcm_features": _q_audio_pcm_features,
         "scatter_fit": _q_scatter_fit,
         "rolling_gate": _q_rolling_gate,
@@ -4377,75 +4383,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "group_rank": _q_group_rank,
         "chunk_dedup": _q_chunk_dedup,
-        "pct_change": _q_pct_change,
-        "cumprod": _q_cumprod,
-        "group_prod_any_all": _q_group_prod_any_all,
-        "group_sem": _q_group_sem,
-        "group_skew_kurt": _q_group_skew_kurt,
-        "ngroup": _q_ngroup,
-        "group_fill": _q_group_fill,
-        "resample_agg": _q_resample_agg,
-        "qcut_deciles": _q_qcut_deciles,
-        "pivot_table_mean": _q_pivot_table_mean,
-        "group_rank_methods": _q_group_rank_methods,
-        "group_take": _q_group_take,
-        "corrwith": _q_corrwith,
-        "duplicated_flags": _q_duplicated_flags,
-        "ewm_mean": _q_ewm_mean,
-        "group_ohlc": _q_group_ohlc,
-        "group_describe": _q_group_describe,
-        "group_nlargest": _q_group_nlargest,
-        "group_ffill_scale": _q_group_ffill_scale,
-        "group_take_scale": _q_group_take_scale,
-        "ewm_var_std": _q_ewm_var_std,
-        "group_bfill_scale": _q_group_bfill_scale,
-        "streaming_ewm": _q_streaming_ewm,
-        "group_shift_scale": _q_group_shift_scale,
-        "group_cumminmax_scale": _q_group_cumminmax_scale,
-        "cosine_neardup": _q_cosine_neardup,
-        "dup_clusters": _q_dup_clusters,
-        "dedup_keep_list": _q_dedup_keep_list,
-        "streaming_neardup": _q_streaming_neardup,
-        "pca_gate": _q_pca_gate,
-        "pack_gate": _q_pack_gate,
-        "expanding_stats": _q_expanding_stats,
-        "group_expanding_scale": _q_group_expanding_scale,
-        "asof_nearest": _q_asof_nearest,
-        "semantic_contamination": _q_semantic_contamination,
-        "containment_pairs": _q_containment_pairs,
-        "ivf_index_gate": _q_ivf_index_gate,
-        "quality_classifier": _q_quality_classifier,
-        "source_cap": _q_source_cap,
-        "global_sample": _q_global_sample,
-        "segment_revenue_bucketed": _q_segment_revenue_bucketed,
-        "q6_forecast": _q_q6_forecast,
-        "q3_shipping": _q_q3_shipping,
-        "temperature_mixture": _q_temperature_mixture,
-        "duplicated_spans": _q_duplicated_spans,
-        "span_excision": _q_span_excision,
-        "segment_revenue": _q_segment_revenue,
-        "simhash_candidates": _q_simhash_candidates,
-        "simhash_poly": _q_simhash_poly,
-        "skew_topn_salted": _q_skew_topn_salted,
-        "skew_topn_uniform": _q_skew_topn_uniform,
-        "ivf_knn": _q_ivf_knn,
-        "ann_recall": _q_ann_recall,
-        "stratified_sample": _q_stratified_sample,
-        "split_assign": _q_split_assign,
-        "sample_per_group": _q_sample_per_group,
-        "pack_chunks": _q_pack_chunks,
-        "repetition_signals": _q_repetition_signals,
-        "repetition_filter": _q_repetition_filter,
-        "pii_scan": _q_pii_scan,
-        "c4_filter": _q_c4_filter,
-        "contamination": _q_contamination,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "bm25_rank": _q_bm25_rank,
-        "vocab_top": _q_vocab_top,
-        "image_header_meta": _q_image_header_meta,
-        "group_rank_scale": _q_group_rank_scale,
-        "boilerplate_removal": _q_boilerplate_removal,
-        "snapshot_diff": _q_snapshot_diff,
+        "semantic_gate": _q_semantic_gate,
+        "global_ordered": _q_global_ordered,
+        "group_rolling_time_scale": _q_group_rolling_time_scale,
+        "bigram_ppl": _q_bigram_ppl,
+        "curation_pipeline": _q_curation_pipeline,
+        "image_phash_dedup": _q_image_phash_dedup,
+        "video_frame_sample": _q_video_frame_sample,
+        "robots_filter": _q_robots_filter,
+        "pdf_text_extract": _q_pdf_text_extract,
+        "sitemap_urls": _q_sitemap_urls,
+        "unicode_nfc": _q_unicode_nfc,
+        "mojibake_repair": _q_mojibake_repair,
+        "bpe_roundtrip": _q_bpe_roundtrip,
+        "outlink_graph": _q_outlink_graph,
+        "doc_chunks": _q_doc_chunks,
+        "embedding_quantize": _q_embedding_quantize,
+        "unigram_ppl": _q_unigram_ppl,
+        "frame_sample": _q_frame_sample,
+        "source_health": _q_source_health,
+        "cumsum": _q_cumsum,
+        "shift_masked": _q_shift_masked,
+        "observed_only_false": _q_observed_only_false,
+        "nation_revenue": _q_nation_revenue,
+        "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
+        "apply_zscore": _q_apply_zscore,
+        "winnow_fingerprints": _q_winnow,
+        "sessionize": _q_sessionize,
+        "nanops_global": _q_nanops_global,
+        "pretty_cut_bins": _q_pretty_cut,
+        "bools_to_categorical": _q_bools_labels,
+        "linear_combination": _q_lincomb,
+        "dedup_exact": _q_dedup_exact,
+        "doc_token_stats": _q_token_stats,
+        "lang_id_pred": _q_lang_pred,
+        "quality_score": _q_quality,
+        "trigram_jaccard_pairs": _q_trigram_jaccard,
+        "knn_cosine": _q_knn,
+        "hll_merge_gate": _q_hll_merge_gate,
+        "lsh_skew_uncapped": _q_lsh_skew_uncapped,
+        "lsh_skew_capped": _q_lsh_skew_capped,
+        "hyperplane_lsh_buckets": _q_lsh_buckets,
+        "lsh_recall": _q_lsh_recall,
+        "q18_large_orders": _q_q18_large_orders,
+        "plan_lint_gate": _q_plan_lint_gate,
+        "multimodal_image_meta": _q_multimodal_meta,
+        "minhash_neardup": _q_minhash_dedup,
+        "minhash_neardup_poly": _q_minhash_poly,
+        "wav_header_meta": _q_wav_header_meta,
+        "mp4_header_meta": _q_mp4_header_meta,
     }
 
 
