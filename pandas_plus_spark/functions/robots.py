@@ -38,16 +38,29 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _ua_token(val: str) -> str:
+    """Product token of a ``User-agent:`` line value: the leading
+    ``[a-zA-Z0-9_-]`` run, lowercased — ``FooBot/1.2`` -> ``foobot``
+    (RFC 9309 §2.2.1: crawlers match their product token against the
+    line value, ignoring any trailing version)."""
+    m = re.match(r"[a-zA-Z0-9_-]+", val)
+    return m.group(0).lower() if m else ""
+
+
 def parse_robots_rules(body: str, agent: str = "*") -> list[tuple[bool, str]]:
-    """Parse a robots.txt body into the rule list of the group that RFC
-    9309 selects for ``agent``: ``[(allow?, pattern), ...]``. Longest
-    user-agent token match picks the group; ``*`` is the fallback;
+    """Parse a robots.txt body into the rule list RFC 9309 selects for
+    ``agent``: ``[(allow?, pattern), ...]``. A group matches when its
+    ``User-agent`` line's PRODUCT TOKEN (leading alnum/-/_ run, so
+    ``FooBot/1.2`` matches agent ``foobot``) equals the agent
+    case-insensitively; rules from ALL matching groups are combined
+    (§2.2.1: "the matching groups' rules MUST be combined"); the ``*``
+    groups (also combined) apply only when no named group matched;
     adjacent ``User-agent`` lines share a group; unknown directives and
     comments are skipped. Returns ``[]`` when nothing applies (allowed).
     """
     if body is None:
         return []
-    agent = agent.lower()
+    agent = _ua_token(agent) or agent.lower()
     groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[bool, str]] = []
@@ -74,21 +87,20 @@ def parse_robots_rules(body: str, agent: str = "*") -> list[tuple[bool, str]]:
             in_agents = False                    # crawl-delay, sitemap…
     if cur_agents:
         groups.append((cur_agents, cur_rules))
-    best_len = -1
-    best_rules: list[tuple[bool, str]] = []
-    star_rules: list[tuple[bool, str]] | None = None
+    named_rules: list[tuple[bool, str]] = []
+    named_hit = False
+    star_rules: list[tuple[bool, str]] = []
+    star_hit = False
     for agents, rules in groups:
-        for ua in agents:
-            if ua == "*":
-                if star_rules is None:
-                    star_rules = rules
-            elif ua in agent:                    # line value is a (sub)
-                if len(ua) > best_len:           # token of the product
-                    best_len = len(ua)
-                    best_rules = rules
-    if best_len >= 0:
-        return best_rules
-    return star_rules if star_rules is not None else []
+        if agent in {_ua_token(ua) for ua in agents}:
+            named_hit = True                     # combine ALL matches
+            named_rules.extend(rules)
+        if any(ua.strip() == "*" for ua in agents):
+            star_hit = True
+            star_rules.extend(rules)
+    if named_hit:                                # a matched-but-empty
+        return named_rules                       # group = unrestricted
+    return star_rules if star_hit else []
 
 
 def _pattern_regex(pattern: str) -> re.Pattern:

@@ -424,15 +424,21 @@ def _c(col) -> Column:
 
 
 def extract_hrefs(html) -> Column:
-    """All ``href`` attribute values in an HTML column, in document
-    order (double- then single-quoted forms) — pure JVM
-    ``regexp_extract_all``, whole-stage codegen, no Python. Raw values:
-    resolve against the page URL with :func:`resolve_link` before
-    feeding the crawl frontier / link graph."""
+    """All ``href`` attribute values in an HTML column, in TRUE document
+    order — one alternation regex (double-quoted | single-quoted |
+    unquoted-per-HTML5, value ending at whitespace/``>``) so mixed
+    quoting styles interleave as written instead of grouping by quote
+    kind; surrounding quotes stripped and empty values dropped JVM-side
+    (``regexp_extract_all`` + ``transform`` + ``filter``, whole-stage
+    codegen, no Python). Raw values: resolve against the page URL with
+    :func:`resolve_link` before feeding the crawl frontier / link
+    graph."""
     h = _c(html)
-    dq = F.regexp_extract_all(h, F.lit(r'href\s*=\s*"([^"]+)"'), F.lit(1))
-    sq = F.regexp_extract_all(h, F.lit(r"href\s*=\s*'([^']+)'"), F.lit(1))
-    return F.concat(dq, sq)
+    pat = r"""href\s*=\s*("[^"]*"|'[^']*'|[^\s"'=<>`]+)"""
+    raw = F.regexp_extract_all(h, F.lit(pat), F.lit(1))
+    vals = F.transform(
+        raw, lambda m: F.regexp_replace(m, r"^[\"']|[\"']$", ""))
+    return F.filter(vals, lambda v: v != "")
 
 
 def resolve_link(href, base_url) -> Column:

@@ -668,7 +668,10 @@ def extract_audio_pcm_features(df: DataFrame, blob_col: str,
                     peak = float(np.abs(s).max())
                     if is_float:
                         sum_sq = float(np.dot(s, s))
-                    elif n * peak * peak < float(1 << 63):
+                    # exact Python-int bound: a float64 compare is within
+                    # one ULP of 2^63 for 32-bit peaks and could let an
+                    # int64 np.dot silently wrap
+                    elif n * int(peak) * int(peak) < (1 << 63):
                         sum_sq = int(np.dot(s, s))    # exact in int64
                     else:                             # exact, arbitrary
                         sum_sq = sum(int(v) * int(v) for v in s)
@@ -1942,6 +1945,13 @@ def _jpeg_geom(frame):
     vmax = max(c[2] for c in comps)
     if hmax < 1 or vmax < 1:
         return None
+    # Fractional subsampling ratios (e.g. Y=3x3 with C=2x2) are legal per
+    # T.81 but rejected by libjpeg ("fractional sampling not implemented");
+    # the replication upsampler in _jpeg_render needs integer hmax/hs and
+    # vmax/vs, so reject them the same way instead of crashing mid-render.
+    for _cid, hs, vs, _tq in comps:
+        if hs < 1 or vs < 1 or hmax % hs or vmax % vs:
+            return None
     mcux = -(-frame["w"] // (8 * hmax))
     mcuy = -(-frame["h"] // (8 * vmax))
     return hmax, vmax, mcux, mcuy
@@ -2837,14 +2847,20 @@ def decode_image_pixels(blob: bytes):
     None (the remaining lossy-codec stub seam: WebP/AVIF)."""
     if blob is None or len(blob) < 8:
         return None
-    if blob[:2] == b"BM":
-        return decode_bmp_pixels(blob)
-    if blob[:8] == b"\x89PNG\r\n\x1a\n":
-        return decode_png_pixels(blob)
-    if blob[:4] == b"GIF8":
-        return decode_gif_pixels(blob)
-    if blob[:2] == b"\xff\xd8":
-        return decode_jpeg_pixels(blob)
+    # Backstop for the never-raise-over-untrusted-blobs contract: any
+    # decoder bug on a crafted stream degrades to None (undecodable),
+    # never a task-killing exception inside mapInPandas.
+    try:
+        if blob[:2] == b"BM":
+            return decode_bmp_pixels(blob)
+        if blob[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png_pixels(blob)
+        if blob[:4] == b"GIF8":
+            return decode_gif_pixels(blob)
+        if blob[:2] == b"\xff\xd8":
+            return decode_jpeg_pixels(blob)
+    except Exception:
+        return None
     return None
 
 

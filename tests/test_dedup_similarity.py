@@ -1754,6 +1754,21 @@ class TestDecodeRobustness:
                 mm.decode_wav_header(blob)
                 mm.decode_image_header(blob)
 
+    def test_fractional_subsampling_rejected_not_crashed(self):
+        """r12 advisor fix: spec-legal non-integer sampling ratios
+        (Y=3x3 with C=2x2) previously crashed _jpeg_render with a numpy
+        broadcast error mid-mapInPandas; libjpeg rejects fractional
+        sampling, and so do we — decode returns None, never raises."""
+        from pandas_plus_spark.operators import multimodal as mm
+        blob = bytearray(mm.jpeg_pixel_bytes(
+            24, 24, lambda x, y: (60, 60, 60), mode="420"))
+        i = blob.index(b"\xff\xc0")
+        blob[i + 11] = 0x33                      # Y sampling 3x3
+        blob[i + 14] = 0x22                      # Cb 2x2
+        blob[i + 17] = 0x22                      # Cr 2x2
+        assert mm.decode_jpeg_pixels(bytes(blob)) is None
+        assert mm.decode_image_pixels(bytes(blob)) is None
+
     def test_declared_size_bombs_rejected(self):
         """A 65500x65500 SOF or a 2^31-sample fixed stsz must return
         None fast instead of allocating gigabytes."""

@@ -232,7 +232,8 @@ class TestRobots:
         body = ("User-agent: bot\nDisallow: /a\n\n"
                 "User-agent: bot-special\nAllow: /a\n\n"
                 "User-agent: *\nDisallow: /\n")
-        # longest matching UA token wins; '*' only when nothing matches
+        # exact product-token match picks the group ('bot' does NOT
+        # absorb 'bot-special'); '*' only when nothing matches
         assert parse_robots_rules(body, "bot-special/1.0") == [(True, "/a")]
         assert parse_robots_rules(body, "bot/2") == [(False, "/a")]
         assert parse_robots_rules(body, "unrelated") == [(False, "/")]
@@ -240,6 +241,32 @@ class TestRobots:
         multi = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
         assert parse_robots_rules(multi, "b") == [(False, "/x")]
         assert parse_robots_rules(None, "b") == []
+
+    def test_versioned_ua_and_multi_group_merge(self):
+        """r12 advisor fixes: a 'User-agent: FooBot/1.2' line matches
+        product token 'foobot' (RFC 9309 strips the version), and rules
+        from ALL groups matching the agent are COMBINED, not just one."""
+        from pandas_plus_spark.functions.robots import (parse_robots_rules,
+                                                        robots_allowed)
+        body = ("User-agent: FooBot/1.2\nDisallow: /a\n\n"
+                "User-agent: foobot\nDisallow: /b\n\n"
+                "User-agent: *\nDisallow: /c\n")
+        rules = parse_robots_rules(body, "FooBot")
+        # both foobot groups merged; star group NOT mixed in
+        assert rules == [(False, "/a"), (False, "/b")]
+        assert not robots_allowed(rules, "/a/x")
+        assert not robots_allowed(rules, "/b/x")
+        assert robots_allowed(rules, "/c/x")
+        # a matched group with directive-terminated empty rules means
+        # unrestricted — no fallback to '*'
+        empty = ("User-agent: foobot\nCrawl-delay: 5\n\n"
+                 "User-agent: *\nDisallow: /\n")
+        assert parse_robots_rules(empty, "foobot") == []
+        # star groups combine too
+        stars = ("User-agent: *\nDisallow: /x\n\n"
+                 "User-agent: *\nDisallow: /y\n")
+        assert parse_robots_rules(stars, "any") == [(False, "/x"),
+                                                    (False, "/y")]
 
     def test_longest_match_wildcard_anchor_and_ties(self):
         from pandas_plus_spark.functions.robots import (parse_robots_rules,
@@ -358,6 +385,20 @@ class TestExtractLinks:
             (1, "https://site.org/rooted"),
             (2, "http://root.org/x.html"),       # bare-origin base
         ]
+
+    def test_hrefs_document_order_and_unquoted(self, spark):
+        """r12 advisor fix: one alternation regex keeps TRUE document
+        order for mixed quoting (previously all double-quoted came
+        first) and harvests unquoted href values."""
+        import pandas as pd
+
+        from pandas_plus_spark.functions.urls import extract_hrefs
+        html = ("<a href='s1'>a</a> <a href=\"d1\">b</a> "
+                "<a href=u1.html>c</a> <a href='s2'>d</a> "
+                "<a href=\"\">empty</a>")
+        df = spark.createDataFrame(pd.DataFrame({"html": [html]}))
+        [row] = df.select(extract_hrefs("html").alias("h")).collect()
+        assert row.h == ["s1", "d1", "u1.html", "s2"]
 
     def test_plan_is_pure_codegen(self, spark):
         import io
