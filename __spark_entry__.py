@@ -974,8 +974,10 @@ def _q_lsh_recall(spark, sf):
     recall at 3 planes x 12 tables on this corpus — the single-table path
     measured 0.002, which is why the gate exists. The 0.8 bar leaves drift
     headroom; a broken bucket join scores near the candidate fraction
-    (~0.2) and fails loudly. Makes hyperplane_lsh_buckets' rows-only
-    correctness row meaningful."""
+    (~0.2) and fails loudly. r12: this gate IS the registry coverage for
+    the seeded hyperplane-LSH path — lsh_pair_recall runs
+    hyperplane_lsh_buckets per table inside lsh_candidate_pairs, so the
+    former rows-only hyperplane_lsh_buckets entry retired."""
     emb = _cast_double_embeddings(spark, sf)
     rec = similarity.lsh_pair_recall(emb, 0.30, n_planes=3, n_tables=12)
     return rec.select("n_exact", (F.col("recall") >= 0.8).alias("recall_ok"))
@@ -1815,6 +1817,83 @@ def _q_minhash_dedup(spark, sf):
                                num_hashes=16, bands=8)
 
 
+# bench.py prices the seeded pipeline under its historical headline name
+_q_minhash_neardup = _q_minhash_dedup
+
+
+def _q_minhash_gate(spark, sf):
+    """Compound gate (r12 registry consolidation — folds the former
+    minhash_neardup rows-only entry into its value-checked poly twin, so
+    every driver window row is value-checked): the ANSI-poly MinHash
+    pipeline's verified pair rows (the exact oracle) PLUS invariants of
+    the production xxhash64-seeded pipeline broadcast onto every row —
+    seeded_recall_ok pins recall >= 0.5 of the seeded pairs against the
+    exact trigram-Jaccard graph between exact-dup representatives
+    (measured 1.0 at sf0.001 and sf0.01, r12), and seeded_verified_ok
+    pins that every seeded pair really passed the exact-Jaccard verify
+    stage. A broken seeded hash family, band join, or verify filter
+    flips a flag and fails the hash; the seeded pipeline still executes
+    in full every gate run. bench.py keeps pricing the seeded shape
+    alone via the module-level _q_minhash_neardup callable."""
+    docs = load_table(spark, sf, "documents")
+    poly = _q_minhash_poly(spark, sf)
+    seeded = _q_minhash_dedup(spark, sf)
+    reps = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    exact = dedup.ngram_jaccard_pairs(reps, "text", "doc_id", 0.3)
+    hits = (exact.select("id_a", "id_b")
+            .join(seeded.select("id_a", "id_b").withColumn("__hit", F.lit(1)),
+                  ["id_a", "id_b"], "left")
+            .agg(F.count(F.lit(1)).alias("__n_exact"),
+                 F.sum(F.coalesce("__hit", F.lit(0))).alias("__n_hit")))
+    sstats = seeded.agg(F.min("jaccard").alias("__mn"))
+    flags = hits.crossJoin(sstats).select(
+        (F.col("__n_hit") * 2 >= F.col("__n_exact"))
+        .alias("seeded_recall_ok"),
+        F.coalesce(F.col("__mn") >= 0.3, F.lit(True))
+        .alias("seeded_verified_ok"))
+    out = poly.crossJoin(F.broadcast(flags))
+    return attach_cached(out,
+                         *getattr(poly, "_pps_cached", ()),
+                         *getattr(seeded, "_pps_cached", ()),
+                         *getattr(exact, "_pps_cached", ()))
+
+
+def _q_simhash_gate(spark, sf):
+    """Compound gate (r12 consolidation — folds the former
+    simhash_candidates rows-only entry into its value-checked poly
+    twin): the 24-bit ANSI-poly per-doc signatures (exact oracle rows)
+    PLUS invariants of the seeded 64-bit simhash -> quadrant-bucket
+    candidate join broadcast onto every row — cands_nonempty (measured
+    ~14k candidate pairs at sf0.001, ~12k at sf0.01, r12),
+    cands_quadrant_ok (every emitted pair re-verified to share a 16-bit
+    quadrant when recomputed from the signatures — catches bucket-join
+    key bugs, NOT a tautology because the check re-derives the quadrant
+    values independently of the join keys), and cands_ordered_ok
+    (id_a < id_b). The seeded signature + candidate pipeline executes in
+    full every gate run."""
+    docs = load_table(spark, sf, "documents")
+    poly = _q_simhash_poly(spark, sf)
+    sigs = dedup.simhash(docs, "text", "doc_id")
+    cands = dedup.simhash_candidates(sigs)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("__sa"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("__sb"))
+    joined = cands.join(sa, "id_a").join(sb, "id_b")
+    mask = F.lit((1 << 16) - 1)
+    shares = None
+    for q in range(4):
+        eq = (F.shiftrightunsigned("__sa", q * 16).bitwiseAND(mask)
+              == F.shiftrightunsigned("__sb", q * 16).bitwiseAND(mask))
+        shares = eq if shares is None else (shares | eq)
+    flags = joined.agg(
+        (F.count(F.lit(1)) > 0).alias("cands_nonempty"),
+        F.coalesce(F.min(shares.cast("int")) == 1, F.lit(True))
+        .alias("cands_quadrant_ok"),
+        F.coalesce(F.min((F.col("id_a") < F.col("id_b")).cast("int")) == 1,
+                   F.lit(True)).alias("cands_ordered_ok"))
+    out = poly.crossJoin(F.broadcast(flags))
+    return attach_cached(out, *getattr(cands, "_pps_cached", ()))
+
+
 def _q_minhash_poly(spark, sf):
     """Oracle-checkable LSH: identical pipeline to minhash_neardup but every
     hash is the ANSI poly hash, so DuckDB reproduces the exact values."""
@@ -1948,7 +2027,9 @@ def _q_ivf_index_gate(spark, sf):
 def _q_ann_recall(spark, sf):
     """ANN quality gate: recall@10 of ivf_knn vs brute_force_knn, computed
     in-engine (both sides deterministic — seeded IVF, id-tiebroken top-k).
-    This is what makes ivf_knn's rows-only correctness row meaningful: the
+    r12: this gate IS the registry coverage for the IVF path — the former
+    rows-only ivf_knn entry retired because ann_recall_at_k executes
+    ivf_knn in full every run; the
     oracle hash-checks that EVERY query meets the recall bar (measured
     0.80–1.0 per query at sf0.01 with 4/16 probes; the 0.5 gate leaves
     headroom for data drift without ever passing a broken index, which
@@ -4259,6 +4340,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # simhash_candidates<->poly, ivf_knn<->ann_recall).
     return {
         # --- r12 window head (driver samples the FIRST 50) ---
+        # new compound gates (r12 consolidation; never driver-verified):
+        # minhash_gate folds minhash_neardup into minhash_neardup_poly,
+        # simhash_gate folds simhash_candidates into simhash_poly;
+        # hyperplane_lsh_buckets and ivf_knn retire as entries (their
+        # seeded pipelines already execute inside lsh_recall /
+        # ann_recall) — zero rows-only rows remain, registry 171 -> 167
+        "minhash_gate": _q_minhash_gate,
+        "simhash_gate": _q_simhash_gate,
         # the 38 entries at the 4-round cadence bound (last green r8):
         "warc_ingest": _q_warc_ingest,
         "token_budget": _q_token_budget,
@@ -4316,11 +4405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": _q_duplicated_spans,
         "span_excision": _q_span_excision,
         "segment_revenue": _q_segment_revenue,
-        "simhash_candidates": _q_simhash_candidates,
-        "simhash_poly": _q_simhash_poly,
         "skew_topn_salted": _q_skew_topn_salted,
         "skew_topn_uniform": _q_skew_topn_uniform,
-        "ivf_knn": _q_ivf_knn,
         "ann_recall": _q_ann_recall,
         "stratified_sample": _q_stratified_sample,
         "split_assign": _q_split_assign,
@@ -4424,13 +4510,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge_gate": _q_hll_merge_gate,
         "lsh_skew_uncapped": _q_lsh_skew_uncapped,
         "lsh_skew_capped": _q_lsh_skew_capped,
-        "hyperplane_lsh_buckets": _q_lsh_buckets,
         "lsh_recall": _q_lsh_recall,
         "q18_large_orders": _q_q18_large_orders,
         "plan_lint_gate": _q_plan_lint_gate,
         "multimodal_image_meta": _q_multimodal_meta,
-        "minhash_neardup": _q_minhash_dedup,
-        "minhash_neardup_poly": _q_minhash_poly,
         "wav_header_meta": _q_wav_header_meta,
         "mp4_header_meta": _q_mp4_header_meta,
     }
@@ -6098,9 +6181,14 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 10
         """,
-        "minhash_neardup_poly": _sql_minhash_poly(num_hashes=8, bands=4,
-                                                  threshold=0.3),
-        "simhash_poly": _sql_simhash_poly(bits=24),
+        "minhash_gate": (
+            "SELECT p.*, TRUE AS seeded_recall_ok, TRUE AS seeded_verified_ok"
+            " FROM (" + _sql_minhash_poly(num_hashes=8, bands=4,
+                                          threshold=0.3) + ") p"),
+        "simhash_gate": (
+            "SELECT p.*, TRUE AS cands_nonempty, TRUE AS cands_quadrant_ok,"
+            " TRUE AS cands_ordered_ok"
+            " FROM (" + _sql_simhash_poly(bits=24) + ") p"),
         "dup_clusters": _sql_dup_clusters(threshold=0.2),
         "image_phash_dedup": """
             -- every hash bit recomputed CLOSED-FORM from the fixture's

@@ -55,12 +55,11 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
-TWINS = [
-    ("hyperplane_lsh_buckets", "lsh_recall"),
-    ("minhash_neardup", "minhash_neardup_poly"),
-    ("simhash_candidates", "simhash_poly"),
-    ("ivf_knn", "ann_recall"),
-]
+# r12: the four seeded rows-only entries were folded into value-checked
+# compounds (minhash_gate, simhash_gate) or retired in favor of the recall
+# gates that already execute them (lsh_recall, ann_recall) — the registry
+# carries zero rows-only entries, so no adjacency pins remain.
+TWINS: list[tuple[str, str]] = []
 
 
 def registry_order() -> list[str]:

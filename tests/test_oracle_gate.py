@@ -36,7 +36,7 @@ SUBSET = [
     # round-7 code-change gates: bucketed rollup-first join + reattach,
     # corpus-sized ref-index Bloom, candidate-pruned verify shingling
     "segment_revenue_bucketed",
-    "minhash_neardup_poly",
+    "minhash_gate",
     # round-7 close additions (new queries; rotate into the r8 driver
     # window head): grouped-cumsum token budgets, percentile calibration,
     # dup-cluster-aware splits

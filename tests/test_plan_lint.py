@@ -226,6 +226,11 @@ class TestFullRegistrySweep:
         # IVF: vectors x k-centroid frame (k = constant, broadcast);
         # centroid side is a k-row parquet scan the plan can't bound
         "ivf_knn": "k-centroid broadcast assignment",
+        # r12 compound gates: 1-row invariant-flag frame broadcast onto
+        # the value-checked poly rows (+ exact ground truth inside
+        # minhash_gate's seeded-recall check)
+        "minhash_gate": "1-row flag broadcast + exact recall ground truth",
+        "simhash_gate": "1-row flag broadcast",
         "ivf_index_gate": "k-centroid broadcast assignment (x2 variants)",
         # documented all-pairs fallbacks (warn at runtime; LSH-candidate
         # variants are the scale path and lint clean)
