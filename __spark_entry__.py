@@ -1377,6 +1377,39 @@ def _q_duplicated_spans(spark, sf):
                                   hash_fn="poly")
 
 
+def _q_exact_substring_spans(spark, sf):
+    """ARBITRARY-LENGTH exact-substring dedup (r12 —
+    operators/dedup.py exact_substring_spans, the suffix-array
+    ExactSubstr grain of Lee et al. 2022 via winnowing anchors +
+    bidirectional extension): 400 fixture docs built as unique filler
+    around PLANTED runs — docs (2i, 2i+1) share the verbatim run
+    p{i}x0..p{i}x{m-1} of m = 12 + i%7 tokens at prefix offset
+    3 + doc_id%5, every other token unique to its doc. The operator
+    must recover each planted span EXACTLY (anchor detection guarantee:
+    min_len=12 >= w + k - 1 with k=6, w=7), and nothing else; the
+    oracle rebuilds every (doc, span_start, span_end) closed-form from
+    the doc_id arithmetic — an anchor-selection, pairing, extension, or
+    interval-merge bug shifts a boundary and fails the hash."""
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 400).select("doc_id"))
+    did = F.col("doc_id")
+    pair = F.floor(did / 2)
+
+    def toks(prefix, idc, n):
+        return F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: F.concat(F.lit(prefix), idc.cast("string"),
+                               F.lit("x"), j.cast("string")))
+
+    text = F.concat_ws(" ", F.concat(
+        toks("f", did, F.lit(3) + did % 5),
+        toks("p", pair, F.lit(12) + pair % 7),
+        toks("g", did, F.lit(4) + did % 3)))
+    fixture = docs.select("doc_id", text.alias("text"))
+    return dedup.exact_substring_spans(fixture, "text", "doc_id",
+                                       min_len=12, k=6, hash_fn="poly")
+
+
 def _q_span_excision(spark, sf):
     """duplicated_spans → excise_spans composed (operators/dedup.py):
     the full exact-substring dedup pipeline — detect cross-document
@@ -4348,6 +4381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_recall) — zero rows-only rows remain, registry 171 -> 167
         "minhash_gate": _q_minhash_gate,
         "simhash_gate": _q_simhash_gate,
+        # new operator gate (r12): arbitrary-length ExactSubstr spans
+        "exact_substring_spans": _q_exact_substring_spans,
         # the 38 entries at the 4-round cadence bound (last green r8):
         "warc_ingest": _q_warc_ingest,
         "token_budget": _q_token_budget,
@@ -6180,6 +6215,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10 AS BIGINT) AS n_exact,
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 10
+        """,
+        "exact_substring_spans": """
+            -- every planted span rebuilt closed-form: docs (2i, 2i+1)
+            -- share m = 12 + i%7 tokens planted after 3 + doc_id%5
+            -- unique-filler tokens; nothing else repeats cross-doc
+            SELECT doc_id,
+                   CAST(3 + doc_id % 5 AS BIGINT) AS span_start,
+                   CAST(3 + doc_id % 5 + 12 + (doc_id // 2) % 7
+                        AS BIGINT) AS span_end
+            FROM documents WHERE doc_id < 400
         """,
         "minhash_gate": (
             "SELECT p.*, TRUE AS seeded_recall_ok, TRUE AS seeded_verified_ok"

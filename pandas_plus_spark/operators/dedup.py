@@ -893,6 +893,182 @@ def excise_spans(
     return attach_cached(out, *getattr(spans, "_pps_cached", ()))
 
 
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_len: int = 12,
+    k: int = 6,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """ARBITRARY-LENGTH exact-substring spans shared verbatim between
+    ≥ 2 documents: ``(id_col, span_start, span_end)`` — every maximal
+    token interval of length ≥ ``min_len`` whose exact token sequence
+    also occurs in another document (token-index half-open spans,
+    per-doc overlapping matches merged).
+
+    The suffix-array ExactSubstr grain of Lee et al. 2022
+    (arXiv:2107.06499) — :func:`duplicated_spans` detects regions whose
+    every k-gram is repeated SOMEWHERE in the corpus (the grams of one
+    span may match different partners), while this operator requires a
+    single verbatim partner per match, which is the semantics the
+    suffix-array formulation computes. Distributed approximation via
+    winnowing anchors + bidirectional extension:
+
+    1. per-position k-gram hashes (one JVM array pass, as in
+       :func:`duplicated_spans`);
+    2. winnowing anchor selection (Schleimer et al. 2003) with a gram
+       window of ``w = min_len - k + 1``: each window's minimum gram is
+       an anchor, so selection is CONTENT-DEFINED and any substring of
+       ``>= w + k - 1 = min_len`` tokens shared by two documents
+       contains an anchor selected in BOTH — the detection guarantee
+       that mod-``p`` hash sampling lacks. Anchors are a ~1/w sample of
+       gram positions, so the exploded frame is corpus-tokens/w rows;
+    3. anchor-occurrence pairing by gram hash — an equi-self-join on the
+       hash with the standard oversized-bucket cap
+       (:func:`_cap_bucket_entries`): a boilerplate anchor shared by b
+       documents costs min(b, cap)² pairs, never b². NO all-pairs stage
+       anywhere;
+    4. bidirectional extension: each anchor pair joins its two token
+       arrays and extends left/right while tokens match EXACTLY (a JVM
+       ``zip_with``/``array_position`` scan — the extension IS the
+       verification, so gram-hash collisions cannot produce false
+       spans), keeping extents with total length ≥ ``min_len``;
+    5. per-document interval merge of surviving spans (one keyed
+       window), yielding maximal spans for :func:`excise_spans`.
+
+    Approximation vs a true suffix array: a capped hot anchor can drop
+    pair coverage for massively repeated boilerplate (the span usually
+    survives via its other anchors — each window of the span
+    contributes one), and extension costs O(match length + anchor's
+    doc-suffix scan) per pair rather than amortized O(1). Corpus cost
+    is otherwise linear: tokenize+hash map pass, anchors/w explode, one
+    hash-keyed shuffle for pairing, pair-bounded extension joins, one
+    doc-keyed shuffle to merge. ``hash_fn="poly"`` makes every hash
+    ANSI-reproducible for the oracle gate."""
+    if hash_fn not in _HASH_FNS:
+        raise ValueError(f"hash_fn must be one of {_HASH_FNS}")
+    if k < 1 or min_len < k:
+        raise ValueError("need min_len >= k >= 1")
+    base = _base_hash(hash_fn)
+    w = min_len - k + 1
+    tk = simple_tokens(F.col(text_col))
+
+    def gram_hashes(th):
+        n = F.size(th)
+        if hash_fn == "poly":
+            from ..functions.text import POLY_MOD, POLY_MUL
+            fold = lambda i: F.aggregate(  # noqa: E731
+                F.slice(th, i + 1, k), F.lit(0).cast("long"),
+                lambda acc, x: (acc * F.lit(POLY_MUL) + x) % F.lit(POLY_MOD))
+        else:
+            fold = lambda i: F.xxhash64(F.slice(th, i + 1, k))  # noqa: E731
+        return F.when(
+            n >= k,
+            F.transform(F.sequence(F.lit(0), n - k), fold)
+        ).otherwise(F.array().cast("array<long>"))
+
+    from pyspark import StorageLevel
+
+    from ..functions.text import let
+
+    # token arrays + gram hashes, pinned once (the anchor explode AND the
+    # two extension joins read it) — same DISK_ONLY rationale as
+    # duplicated_spans' gram pin
+    arr = df.select(
+        F.col(id_col).alias("id"),
+        tk.alias("__tk"),
+        let(F.transform(tk, lambda t: base(t)), gram_hashes).alias("__gs"),
+    ).persist(StorageLevel.DISK_ONLY)
+
+    def anchor_positions(gs):
+        ng = F.size(gs)
+
+        def win_anchor(i):
+            sl = F.slice(gs, i + 1, w)
+            # leftmost minimum of the window — content-defined, so the
+            # same window content selects the same relative position in
+            # every document containing it
+            return i + F.array_position(sl, F.array_min(sl)) - 1
+
+        return (
+            F.when(ng >= w, F.array_distinct(
+                F.transform(F.sequence(F.lit(0), ng - w), win_anchor)))
+            .when(ng > 0,
+                  F.array(F.array_position(gs, F.array_min(gs)) - 1))
+            .otherwise(F.array().cast("array<long>")))
+
+    pos_structs = F.transform(
+        anchor_positions(F.col("__gs")),
+        lambda p: F.struct(
+            p.alias("pos"),
+            F.element_at("__gs", p.cast("int") + 1).alias("g")))
+    entries = (arr.select("id", F.explode(pos_structs).alias("__a"))
+               .select("id", F.col("__a.pos").alias("pos"),
+                       F.col("__a.g").alias("__g")))
+    capped = _cap_bucket_entries(entries, ["__g"], max_bucket_size)
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(b, on="__g")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("a.pos").alias("pa"),
+                F.col("b.id").alias("id_b"), F.col("b.pos").alias("pb"))
+        .distinct())
+
+    def match_len(xs, ys):
+        # tokens matched before the first mismatch; zip_with pads the
+        # shorter side with nulls, which coalesce to a mismatch, so the
+        # scan self-terminates at either array's end
+        eqs = F.zip_with(xs, ys,
+                         lambda x, y: F.coalesce(x == y, F.lit(False)))
+        p = F.array_position(eqs, F.lit(False))
+        return (F.when(p == 0, F.least(F.size(xs), F.size(ys)))
+                .otherwise(p - 1).cast("long"))
+
+    pa_i, pb_i = F.col("pa").cast("int"), F.col("pb").cast("int")
+    ext = (pairs
+           .join(arr.select(F.col("id").alias("id_a"),
+                            F.col("__tk").alias("__ta")), "id_a")
+           .join(arr.select(F.col("id").alias("id_b"),
+                            F.col("__tk").alias("__tb")), "id_b")
+           .select(
+               "id_a", "id_b", "pa", "pb",
+               match_len(
+                   F.reverse(F.slice("__ta", 1, pa_i)),
+                   F.reverse(F.slice("__tb", 1, pb_i))).alias("__l"),
+               match_len(
+                   F.slice("__ta", pa_i + 1, F.size("__ta") - pa_i),
+                   F.slice("__tb", pb_i + 1, F.size("__tb") - pb_i))
+               .alias("__r"))
+           .where(F.col("__l") + F.col("__r") >= min_len))
+    spans_raw = (
+        ext.select(F.col("id_a").alias("id"),
+                   (F.col("pa") - F.col("__l")).alias("span_start"),
+                   (F.col("pa") + F.col("__r")).alias("span_end"))
+        .unionByName(
+            ext.select(F.col("id_b").alias("id"),
+                       (F.col("pb") - F.col("__l")).alias("span_start"),
+                       (F.col("pb") + F.col("__r")).alias("span_end")))
+        .distinct())
+    # maximal spans: merge overlapping/touching intervals per document
+    wo = Window.partitionBy("id").orderBy("span_start", "span_end")
+    prev_max = F.max("span_end").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(F.coalesce(prev_max, F.lit(-1)) >= F.col("span_start"),
+                 F.lit(0)).otherwise(F.lit(1))
+    merged = (
+        spans_raw.withColumn("__brk", brk)
+        .withColumn("__lbl", F.sum("__brk").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("id", "__lbl")
+        .agg(F.min("span_start").cast("long").alias("span_start"),
+             F.max("span_end").cast("long").alias("span_end"))
+        .select(F.col("id").alias(id_col), "span_start", "span_end"))
+    return attach_cached(merged, arr)
+
+
 # r10 A/B knob: True computes the corpus-wide chunk multiplicity as a
 # count window over the hash (one linear pipeline, no persist) instead
 # of a count aggregate joined back (two hash exchanges + a pinned chunk

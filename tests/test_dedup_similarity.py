@@ -1141,6 +1141,108 @@ class TestDuplicatedSpans:
         assert texts == orig
 
 
+class TestExactSubstringSpans:
+    """Arbitrary-length ExactSubstr spans (r12): winnowing anchors +
+    bidirectional extension recover PLANTED shared substrings exactly."""
+
+    def _planted(self, spark, n_pairs=20, min_len=12):
+        rows = []
+        for i in range(n_pairs):
+            m = min_len + i % 7
+            planted = [f"p{i}x{j}" for j in range(m)]
+            for d in (2 * i, 2 * i + 1):
+                toks = ([f"f{d}x{j}" for j in range(3 + d % 5)] + planted
+                        + [f"g{d}x{j}" for j in range(4 + d % 3)])
+                rows.append((d, " ".join(toks)))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_spans_recovered_exactly(self, spark):
+        docs = self._planted(spark)
+        for hf in ("xxhash64", "poly"):
+            out = dedup.exact_substring_spans(
+                docs, "text", "doc_id", min_len=12, k=6, hash_fn=hf)
+            got = {r.doc_id: (r.span_start, r.span_end)
+                   for r in out.collect()}
+            from pandas_plus_spark.util import release_cached
+            release_cached(out)
+            assert len(got) == 40, hf
+            for i in range(20):
+                m = 12 + i % 7
+                for d in (2 * i, 2 * i + 1):
+                    a = 3 + d % 5
+                    assert got[d] == (a, a + m), (hf, d)
+
+    def test_below_min_len_not_flagged(self, spark):
+        # an 8-token shared run under min_len=12 must not appear, and
+        # neither must a doc with no cross-doc repetition at all
+        rows = [
+            (0, " ".join([f"a{j}" for j in range(6)]
+                         + [f"q{j}" for j in range(8)] + ["t0"])),
+            (1, " ".join([f"b{j}" for j in range(3)]
+                         + [f"q{j}" for j in range(8)] + ["t1"])),
+            (2, " ".join(f"u{j}" for j in range(40))),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.exact_substring_spans(docs, "text", "doc_id",
+                                          min_len=12, k=6)
+        assert out.count() == 0
+
+    def test_min_len_boundary_and_three_way(self, spark):
+        # exactly min_len tokens shared -> flagged (the winnowing
+        # guarantee bound); a run shared by THREE docs flags all three
+        run = [f"r{j}" for j in range(12)]
+        rows = [(d, " ".join([f"h{d}x{j}" for j in range(2 + d)]
+                             + run + [f"e{d}x{j}" for j in range(3)]))
+                for d in range(3)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.exact_substring_spans(docs, "text", "doc_id",
+                                          min_len=12, k=6)
+        got = {r.doc_id: (r.span_start, r.span_end) for r in out.collect()}
+        assert got == {0: (2, 14), 1: (3, 15), 2: (4, 16)}
+
+    def test_overlapping_matches_merge_maximal(self, spark):
+        # doc 0 shares its FULL 20-token run; docs 1 and 2 each carry a
+        # 14-token half (overlapping by 8 in doc 0) -> doc 0 must report
+        # ONE merged maximal span covering the union
+        run = [f"s{j}" for j in range(20)]
+        rows = [
+            (0, " ".join(["z00"] + run + ["z01"])),
+            (1, " ".join([f"k1x{j}" for j in range(4)] + run[:14])),
+            (2, " ".join(run[6:] + [f"k2x{j}" for j in range(5)])),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.exact_substring_spans(docs, "text", "doc_id",
+                                          min_len=12, k=6)
+        got = {r.doc_id: (r.span_start, r.span_end) for r in out.collect()}
+        assert got[0] == (1, 21)
+        assert got[1] == (4, 18)
+        assert got[2] == (0, 14)
+
+    def test_excision_composes(self, spark):
+        docs = self._planted(spark, n_pairs=3)
+        spans = dedup.exact_substring_spans(docs, "text", "doc_id",
+                                            min_len=12, k=6)
+        out = {r.doc_id: r.n_removed
+               for r in dedup.excise_spans(docs, spans, "text",
+                                           "doc_id").collect()}
+        for i in range(3):
+            m = 12 + i % 7
+            assert out[2 * i] == m and out[2 * i + 1] == m
+
+    def test_validation_and_empty(self, spark):
+        docs = spark.createDataFrame([(0, ""), (1, None)],
+                                     "doc_id long, text string")
+        out = dedup.exact_substring_spans(docs, "text", "doc_id")
+        assert out.count() == 0
+        assert out.columns == ["doc_id", "span_start", "span_end"]
+        with pytest.raises(ValueError):
+            dedup.exact_substring_spans(docs, "text", "doc_id",
+                                        min_len=4, k=6)
+        with pytest.raises(ValueError):
+            dedup.exact_substring_spans(docs, "text", "doc_id",
+                                        hash_fn="md5")
+
+
 class TestPerceptualHash:
     """REAL BMP pixel decode + aHash/dHash + banded Hamming pairs."""
 
