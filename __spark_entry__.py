@@ -2333,12 +2333,20 @@ def _q_pdf_text_extract(spark, sf):
     1-3 pages x 2-3 lines, rotating the real-world show forms — hex
     strings (doc_id % 4 == 1), kerned TJ arrays (% 4 == 2), literal
     strings with escaped parens + backslash (every line 1) — and
-    FlateDecode compression on 4 of 5 docs. extract_pdf_text walks the
-    objects, inflates the streams with stdlib zlib, tokenizes the full
-    string syntax and assembles Tj/TJ show text with Td/T* line breaks.
-    The oracle rebuilds the canonical text closed-form from the same
-    arithmetic — an escape, hex, TJ-array, inflate, line-break, or
-    page-count bug fails the hash."""
+    FlateDecode compression on 4 of 5 docs. r12 adds embedded-font
+    character mapping: doc_id % 4 == 3 writes every show string in a
+    CUSTOM 1-byte code space ((ord+13)%256) and % 4 == 0 in a 2-byte
+    code space (0x0400+ord), each with the /ToUnicode CMap
+    (bfchar+bfrange, Flate-compressed stream) that maps the codes back
+    — only a CMap-aware extractor recovers the text, and the oracle's
+    closed form is UNCHANGED, so a CMap parse, font-resolution, Tf
+    tracking, or code-width bug garbles half the corpus and fails the
+    hash. extract_pdf_text walks the objects, inflates the streams
+    with stdlib zlib, tokenizes the full string syntax and assembles
+    Tj/TJ show text with Td/T* line breaks. The oracle rebuilds the
+    canonical text closed-form from the same arithmetic — an escape,
+    hex, TJ-array, inflate, line-break, or page-count bug fails the
+    hash."""
     import pandas as _pd
 
     from pandas_plus_spark.operators.pdftext import (
@@ -2365,7 +2373,8 @@ def _q_pdf_text_extract(spark, sf):
                     pages.append(lines)
                 blobs.append(pdf_bytes(
                     pages, compress=did % 5 != 0,
-                    use_hex=did % 4 == 1, use_tj_array=did % 4 == 2))
+                    use_hex=did % 4 == 1, use_tj_array=did % 4 == 2,
+                    tounicode={3: "bytes1", 0: "wide2"}.get(did % 4)))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     blobs_df = docs.mapInPandas(make, "doc_id long, blob binary")
@@ -4383,6 +4392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_gate": _q_simhash_gate,
         # new operator gate (r12): arbitrary-length ExactSubstr spans
         "exact_substring_spans": _q_exact_substring_spans,
+        # code-changed r12 re-verification (ToUnicode CMap decode):
+        "pdf_text_extract": _q_pdf_text_extract,
         # the 38 entries at the 4-round cadence bound (last green r8):
         "warc_ingest": _q_warc_ingest,
         "token_budget": _q_token_budget,
@@ -4512,7 +4523,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dedup": _q_image_phash_dedup,
         "video_frame_sample": _q_video_frame_sample,
         "robots_filter": _q_robots_filter,
-        "pdf_text_extract": _q_pdf_text_extract,
         "sitemap_urls": _q_sitemap_urls,
         "unicode_nfc": _q_unicode_nfc,
         "mojibake_repair": _q_mojibake_repair,
@@ -5482,7 +5492,9 @@ def oracle_sql() -> dict[str, str]:
             -- the canonical text rebuilt closed-form: same page/line
             -- arithmetic, lines joined by chr(10) in (page, line)
             -- order; n_objects = 2*n_pages + 3 (contents + page objects
-            -- + font + pages + catalog)
+            -- + font + pages + catalog), +1 for the ToUnicode CMap
+            -- stream on doc_id % 4 in (0, 3) (the r12 embedded-font
+            -- code-space docs)
             WITH p AS (
                 SELECT doc_id, 1 + doc_id % 3 AS npg, 2 + doc_id % 2 AS nln
                 FROM documents WHERE doc_id < 300
@@ -5502,7 +5514,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    string_agg(txt, chr(10) ORDER BY pg, ln) AS text,
                    CAST(any_value(npg) AS INTEGER) AS n_pages,
-                   CAST(2 * any_value(npg) + 3 AS INTEGER) AS n_objects
+                   CAST(2 * any_value(npg) + 3
+                        + CASE WHEN doc_id % 4 IN (0, 3) THEN 1 ELSE 0 END
+                        AS INTEGER) AS n_objects
             FROM lines GROUP BY doc_id
         """,
         "robots_filter": """

@@ -328,6 +328,49 @@ class TestPdfText:
         got = extract_pdf_text(bytes(broken))
         assert got is not None and got["text"] == ""
 
+    def test_tounicode_cmap_decode(self):
+        """r12: show strings in custom code spaces recover the text only
+        through the embedded /ToUnicode CMap — 1-byte scrambled codes,
+        2-byte wide codes, both with Flate-compressed CMap streams."""
+        from pandas_plus_spark.operators.pdftext import (extract_pdf_text,
+                                                         pdf_bytes)
+        pages = [["Doc 9 page 0 line 0", "see (ref 9) \\ end on page 0"],
+                 ["Another page here", "with a second line"]]
+        exp = "\n".join(ln for pg in pages for ln in pg)
+        for mode in ("bytes1", "wide2"):
+            got = extract_pdf_text(pdf_bytes(pages, tounicode=mode))
+            assert got["text"] == exp, mode
+            assert got["n_pages"] == 2
+        # WITHOUT CMap awareness the bytes1 stream is garbage — prove the
+        # scramble is real by checking the raw latin-1 read differs
+        blob = pdf_bytes(pages, tounicode="bytes1")
+        got_nofont = extract_pdf_text(
+            blob.replace(b"/ToUnicode", b"/XoUnicode"))
+        assert got_nofont["text"] != exp
+
+    def test_tounicode_spec_corners(self):
+        """bfrange increment semantics, multi-code-unit (ligature)
+        destinations, array-form bfrange, unmapped codes -> U+FFFD,
+        indirect /Resources objects."""
+        from pandas_plus_spark.operators.pdftext import (_decode_show,
+                                                         _parse_tounicode)
+        cm = (b"begincodespacerange <00> <ff> endcodespacerange\n"
+              b"1 beginbfrange <41> <43> <0061> endbfrange\n"
+              b"1 beginbfchar <50> <006600660069> endbfchar\n"
+              b"1 beginbfrange <60> <61> [<0058> <0059>] endbfrange\n")
+        width, m = _parse_tounicode(cm)
+        assert width == 1
+        assert (m[0x41], m[0x42], m[0x43]) == ("a", "b", "c")
+        assert m[0x50] == "ffi"                  # ligature, 3 units
+        assert (m[0x60], m[0x61]) == ("X", "Y")  # array form
+        assert _decode_show(b"\x41\x99\x50", (width, m)) == "a�ffi"
+        # 2-byte width from the codespace
+        w2, m2 = _parse_tounicode(
+            b"begincodespacerange <0000> <ffff> endcodespacerange\n"
+            b"1 beginbfchar <0404> <0041> endbfchar\n")
+        assert w2 == 2 and m2[0x0404] == "A"
+        assert _decode_show(b"\x04\x04\x04\x04", (w2, m2)) == "AA"
+
     def test_sparkside_extraction(self, spark):
         import pandas as pd
 
