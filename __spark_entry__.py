@@ -383,6 +383,57 @@ def _sql_incremental_dedup(num_hashes: int = 8, bands: int = 4,
     """
 
 
+def _sql_pagerank_unrolled(n_iters: int = 3) -> str:
+    """DuckDB twin of _q_link_graph_rank: the exact_mass integer
+    PageRank recurrence unrolled (one contribution/dangling/update CTE
+    trio per iteration — same floor divisions, same 85/100 damping)
+    plus the degree joins."""
+    mass = 10 ** 12
+    base = mass - mass * 85 // 100
+    ctes = [f"""
+        e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT doc_id AS src, (doc_id * 7 + 3) % 500 AS dst
+                FROM documents WHERE doc_id < 500 AND doc_id % 17 <> 0
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 5) % 500
+                FROM documents
+                WHERE doc_id < 500 AND doc_id % 17 <> 0
+                  AND doc_id % 3 <> 0)
+        ), nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        ), prm AS (SELECT COUNT(*) AS n FROM nodes),
+        outd AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+        ind AS (SELECT dst, COUNT(*) AS idg FROM e GROUP BY dst),
+        r0 AS (SELECT node, CAST({mass} // n AS BIGINT) AS m
+               FROM nodes, prm)"""]
+    for i in range(n_iters):
+        ctes.append(f"""
+        c{i} AS (
+            SELECT e.dst AS node, SUM(r.m // o.od) AS cm
+            FROM e JOIN r{i} r ON r.node = e.src
+                   JOIN outd o ON o.src = e.src
+            GROUP BY e.dst),
+        g{i} AS (
+            SELECT COALESCE(SUM(m), 0) AS dang FROM r{i}
+            WHERE node NOT IN (SELECT src FROM outd)),
+        r{i + 1} AS (
+            SELECT nodes.node,
+                   {base} // n
+                   + (COALESCE(c.cm, 0) + dang // n) * 85 // 100 AS m
+            FROM nodes CROSS JOIN prm CROSS JOIN g{i}
+            LEFT JOIN c{i} c ON c.node = nodes.node)""")
+    return ("WITH " + ",".join(ctes) + f"""
+        SELECT r.node, CAST(r.m AS BIGINT) AS mass,
+               CAST(COALESCE(o.od, 0) AS BIGINT) AS out_degree,
+               CAST(COALESCE(i.idg, 0) AS BIGINT) AS in_degree
+        FROM r{n_iters} r
+        LEFT JOIN outd o ON o.src = r.node
+        LEFT JOIN ind i ON i.dst = r.node
+    """)
+
+
 def _sql_simhash_poly(bits: int = 24) -> str:
     """DuckDB twin of simhash(hash_fn="poly", bits<=30)."""
     poly_t = tx.sql_poly_hash("t")
@@ -1408,6 +1459,35 @@ def _q_exact_substring_spans(spark, sf):
     fixture = docs.select("doc_id", text.alias("text"))
     return dedup.exact_substring_spans(fixture, "text", "doc_id",
                                        min_len=12, k=6, hash_fn="poly")
+
+
+def _q_link_graph_rank(spark, sf):
+    """Link-graph analytics (r12 — operators/graph.py): PageRank +
+    degree stats over a synthetic 500-node web graph built from doc_id
+    arithmetic (edges d -> (7d+3)%500 and, for d%3 != 0, d ->
+    (13d+5)%500; d%17 == 0 emits nothing = dangling nodes; d=83/333
+    emit the same edge twice = the duplicate-edge dedup case). The gate
+    runs the exact_mass integer-arithmetic twin (3 iterations, mass
+    10^12, floor division, 85/100 damping — bit-reproducible in any
+    engine, the float path's poly-hash analog) joined with
+    degree_stats; the oracle unrolls the same three power iterations in
+    SQL — a contribution join, dangling redistribution, damping, or
+    degree bug changes a mass and fails the hash."""
+    from pandas_plus_spark.operators.graph import degree_stats, pagerank
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 500).select("doc_id"))
+    did = F.col("doc_id")
+    e1 = docs.where(did % 17 != 0).select(
+        did.alias("src"), ((did * 7 + 3) % 500).alias("dst"))
+    e2 = docs.where((did % 17 != 0) & (did % 3 != 0)).select(
+        did.alias("src"), ((did * 13 + 5) % 500).alias("dst"))
+    edges = e1.unionByName(e2)
+    pr = pagerank(edges, n_iters=3, exact_mass=True)
+    deg = degree_stats(edges.distinct())
+    out = pr.join(deg, "node").select("node", "mass", "out_degree",
+                                      "in_degree")
+    return attach_cached(out, *getattr(pr, "_pps_cached", ()))
 
 
 def _q_span_excision(spark, sf):
@@ -4390,8 +4470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_recall) — zero rows-only rows remain, registry 171 -> 167
         "minhash_gate": _q_minhash_gate,
         "simhash_gate": _q_simhash_gate,
-        # new operator gate (r12): arbitrary-length ExactSubstr spans
+        # new operator gates (r12): arbitrary-length ExactSubstr spans,
+        # link-graph PageRank/degrees
         "exact_substring_spans": _q_exact_substring_spans,
+        "link_graph_rank": _q_link_graph_rank,
         # code-changed r12 re-verification (ToUnicode CMap decode):
         "pdf_text_extract": _q_pdf_text_extract,
         # the 38 entries at the 4-round cadence bound (last green r8):
@@ -6230,6 +6312,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 10
         """,
+        "link_graph_rank": _sql_pagerank_unrolled(n_iters=3),
         "exact_substring_spans": """
             -- every planted span rebuilt closed-form: docs (2i, 2i+1)
             -- share m = 12 + i%7 tokens planted after 3 + doc_id%5

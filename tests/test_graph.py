@@ -1,0 +1,113 @@
+"""Link-graph analytics: pagerank (float + exact integer mass twin),
+degree_stats, lineage truncation across iterations."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandas_plus_spark.operators import graph as G
+from pandas_plus_spark.util import release_cached
+
+EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 4)]
+
+
+def py_pagerank(edges, n_iters, d=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, set()).add(t)
+    r = dict.fromkeys(nodes, 1.0 / n)
+    for _ in range(n_iters):
+        dang = sum(r[v] for v in nodes if v not in out)
+        nr = dict.fromkeys(nodes, (1 - d) / n)
+        for s, ts in out.items():
+            for t in ts:
+                nr[t] += d * r[s] / len(ts)
+        for v in nodes:
+            nr[v] += d * dang / n
+        r = nr
+    return r
+
+
+def py_pagerank_int(edges, n_iters, S=G.PAGERANK_MASS):
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, set()).add(t)
+    m = dict.fromkeys(nodes, S // n)
+    base = (S - S * 85 // 100) // n
+    for _ in range(n_iters):
+        dang = sum(m[v] for v in nodes if v not in out)
+        nm = dict.fromkeys(nodes, 0)
+        for s, ts in out.items():
+            for t in ts:
+                nm[t] += m[s] // len(ts)
+        m = {v: base + (nm[v] + dang // n) * 85 // 100 for v in nodes}
+    return m
+
+
+class TestPageRank:
+
+    def _edges_df(self, spark, edges=EDGES):
+        import pandas as pd
+        return spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src", "dst"]))
+
+    def test_float_matches_reference(self, spark):
+        out = G.pagerank(self._edges_df(spark), n_iters=10)
+        got = {r.node: r.rank for r in out.collect()}
+        release_cached(out)
+        ref = py_pagerank(EDGES, 10)
+        assert got.keys() == ref.keys()
+        assert max(abs(got[v] - ref[v]) for v in ref) < 1e-12
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+    def test_exact_mass_bit_identical(self, spark):
+        out = G.pagerank(self._edges_df(spark), n_iters=4,
+                         exact_mass=True)
+        got = {r.node: r.mass for r in out.collect()}
+        release_cached(out)
+        assert got == py_pagerank_int(EDGES, 4)
+
+    def test_duplicate_edges_count_once(self, spark):
+        out = G.pagerank(self._edges_df(spark, EDGES + EDGES[:3]),
+                         n_iters=4, exact_mass=True)
+        got = {r.node: r.mass for r in out.collect()}
+        release_cached(out)
+        assert got == py_pagerank_int(EDGES, 4)
+
+    def test_dangling_mass_redistributed(self, spark):
+        # node 1 is a pure sink: without dangling handling its inflow
+        # leaks and total float mass decays below 1
+        out = G.pagerank(self._edges_df(spark, [(0, 1), (2, 1), (2, 0)]),
+                         n_iters=8)
+        got = {r.node: r.rank for r in out.collect()}
+        release_cached(out)
+        ref = py_pagerank([(0, 1), (2, 1), (2, 0)], 8)
+        assert max(abs(got[v] - ref[v]) for v in ref) < 1e-12
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_many_iterations_lineage_bounded(self, spark):
+        # the rank frame feeds two consumers per round — without the
+        # eager localCheckpoint the plan doubles per iteration and 12
+        # rounds OOM the driver on plan-string generation (r12 finding)
+        out = G.pagerank(self._edges_df(spark), n_iters=12)
+        assert abs(sum(r.rank for r in out.collect()) - 1.0) < 1e-9
+        release_cached(out)
+
+    def test_empty_and_validation(self, spark):
+        empty = self._edges_df(spark).where(F.lit(False))
+        out = G.pagerank(empty, n_iters=2)
+        assert out.count() == 0
+        release_cached(out)
+        with pytest.raises(ValueError):
+            G.pagerank(self._edges_df(spark), exact_mass=True,
+                       damping=0.9)
+
+    def test_degree_stats(self, spark):
+        got = {r.node: (r.out_degree, r.in_degree)
+               for r in G.degree_stats(self._edges_df(spark)).collect()}
+        assert got == {0: (2, 1), 1: (1, 1), 2: (1, 3), 3: (2, 0),
+                       4: (0, 1)}

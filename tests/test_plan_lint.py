@@ -231,6 +231,9 @@ class TestFullRegistrySweep:
         # minhash_gate's seeded-recall check)
         "minhash_gate": "1-row flag broadcast + exact recall ground truth",
         "simhash_gate": "1-row flag broadcast",
+        # PageRank: the 1-row dangling-mass scalar broadcasts onto the
+        # node frame every iteration (a checkpointed node-sized plan)
+        "link_graph_rank": "1-row dangling-mass broadcast per iteration",
         "ivf_index_gate": "k-centroid broadcast assignment (x2 variants)",
         # documented all-pairs fallbacks (warn at runtime; LSH-candidate
         # variants are the scale path and lint clean)
