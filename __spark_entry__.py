@@ -1490,6 +1490,41 @@ def _q_link_graph_rank(spark, sf):
     return attach_cached(out, *getattr(pr, "_pps_cached", ()))
 
 
+def _q_anchor_text_graph(spark, sf):
+    """Anchor-text link graph (r12 — functions.urls.extract_anchor_links
+    + per-target aggregation): per doc the fixture HTML carries an
+    absolute-href anchor with plain text, a rooted-href anchor whose
+    text embeds inner markup (must be stripped) around whitespace runs
+    (must collapse), and a javascript: anchor (must drop); extraction,
+    resolution and the explode are pure JVM, then one groupBy on the
+    resolved target builds the classic web-corpus signal — reference
+    count, referring-doc count, and the DISTINCT anchor texts
+    sort-concatenated (deterministic). The oracle rebuilds the link and
+    anchor strings from the same doc_id arithmetic and aggregates in
+    SQL — a tag-match, markup-strip, resolution, or aggregation bug
+    changes a row."""
+    from pandas_plus_spark.functions.urls import extract_anchor_links
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 400).select("doc_id"))
+    did = F.col("doc_id")
+    base = F.concat(F.lit("http://site"), did % 7,
+                    F.lit(".example/dir/p.html"))
+    html = F.concat(
+        F.lit('<a href="http://t'), did % 5, F.lit('.org/page">desc '),
+        did % 7, F.lit(" term</a> "),
+        F.lit("<a href='/local"), did % 3, F.lit("'><b>alt "), did % 4,
+        F.lit("</b>  x</a> "),
+        F.lit('<a href="javascript:void(0)">drop</a>'))
+    pages = docs.select("doc_id", base.alias("url"), html.alias("html"))
+    links = extract_anchor_links(pages, "html", "url", "doc_id")
+    return (links.groupBy("link")
+            .agg(F.count(F.lit(1)).alias("n_refs"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.concat_ws("|", F.sort_array(F.collect_set("anchor")))
+                 .alias("anchors")))
+
+
 def _q_span_excision(spark, sf):
     """duplicated_spans → excise_spans composed (operators/dedup.py):
     the full exact-substring dedup pipeline — detect cross-document
@@ -4474,6 +4509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # link-graph PageRank/degrees
         "exact_substring_spans": _q_exact_substring_spans,
         "link_graph_rank": _q_link_graph_rank,
+        "anchor_text_graph": _q_anchor_text_graph,
         # code-changed r12 re-verification (ToUnicode CMap decode):
         "pdf_text_extract": _q_pdf_text_extract,
         # the 38 entries at the 4-round cadence bound (last green r8):
@@ -6313,6 +6349,32 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id < 10
         """,
         "link_graph_rank": _sql_pagerank_unrolled(n_iters=3),
+        "anchor_text_graph": """
+            -- link + anchor strings rebuilt from the same doc_id
+            -- arithmetic (markup stripped, whitespace collapsed, the
+            -- javascript: anchor absent), aggregated per target
+            WITH l AS (
+                SELECT doc_id,
+                       'http://t' || (doc_id % 5) || '.org/page' AS link,
+                       'desc ' || (doc_id % 7) || ' term' AS anchor
+                FROM documents WHERE doc_id < 400
+                UNION ALL
+                SELECT doc_id,
+                       'http://site' || (doc_id % 7) || '.example/local'
+                           || (doc_id % 3),
+                       'alt ' || (doc_id % 4) || ' x'
+                FROM documents WHERE doc_id < 400
+            ), la AS (SELECT DISTINCT link, anchor FROM l),
+            ag AS (
+                SELECT link, string_agg(anchor, '|' ORDER BY anchor)
+                       AS anchors
+                FROM la GROUP BY link)
+            SELECT l.link, COUNT(*) AS n_refs,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   any_value(ag.anchors) AS anchors
+            FROM l JOIN ag ON ag.link = l.link
+            GROUP BY l.link
+        """,
         "exact_substring_spans": """
             -- every planted span rebuilt closed-form: docs (2i, 2i+1)
             -- share m = 12 + i%7 tokens planted after 3 + doc_id%5

@@ -476,3 +476,37 @@ def extract_links(df, html_col: str, url_col: str, id_col: str):
                     lambda h: resolve_link(h, F.col(url_col))),
         lambda x: x.isNotNull())
     return (df.select(F.col(id_col), F.explode(links).alias("link")))
+
+
+def extract_anchor_links(df, html_col: str, url_col: str, id_col: str):
+    """(id, link, anchor) — every resolvable ``<a href>`` outlink WITH
+    its anchor text: the classic web-corpus relevance signal (anchor
+    text describes the TARGET page — link-graph aggregation of it gives
+    per-URL descriptions no on-page feature provides). Whole anchor
+    elements are matched with one dotall regex, href and inner text
+    re-extracted per element, inner markup stripped and whitespace
+    collapsed, hrefs resolved via :func:`resolve_link` —
+    ``regexp_extract_all`` + ``transform`` + one explode, pure JVM, no
+    shuffle. Anchors with unresolvable hrefs (javascript:/#fragment)
+    are dropped like in :func:`extract_links`; empty anchor text (image
+    links) survives as ``''`` — filter or keep per use case."""
+    h = _c(html_col) if not isinstance(html_col, str) else F.col(html_col)
+    tag_pat = r"""(?si)<a\s[^>]*href\s*=\s*("[^"]*"|'[^']*'|[^\s"'=<>`]+)[^>]*>(.*?)</a\s*>"""
+    tags = F.regexp_extract_all(h, F.lit(tag_pat), F.lit(0))
+
+    def parse(tag):
+        href = F.regexp_replace(
+            F.regexp_extract(tag, tag_pat, 1), r"^[\"']|[\"']$", "")
+        text = F.trim(F.regexp_replace(
+            F.regexp_replace(F.regexp_extract(tag, tag_pat, 2),
+                             r"(?s)<[^>]*>", " "),
+            r"\s+", " "))
+        return F.struct(
+            resolve_link(href, F.col(url_col)).alias("link"),
+            text.alias("anchor"))
+
+    pairs = F.filter(F.transform(tags, parse),
+                     lambda s: s["link"].isNotNull())
+    return (df.select(F.col(id_col), F.explode(pairs).alias("__p"))
+            .select(F.col(id_col), F.col("__p.link").alias("link"),
+                    F.col("__p.anchor").alias("anchor")))

@@ -386,6 +386,34 @@ class TestExtractLinks:
             (2, "http://root.org/x.html"),       # bare-origin base
         ]
 
+    def test_anchor_links_text_and_markup(self, spark):
+        """r12: anchor-text extraction — inner markup stripped,
+        whitespace collapsed, non-navigational hrefs dropped, empty
+        (image) anchors preserved, unquoted hrefs read."""
+        import pandas as pd
+
+        from pandas_plus_spark.functions.urls import extract_anchor_links
+        html = ('<a href="http://x.org/a">Plain text</a> '
+                "<a class='z' href='/rooted'><b>Bold</b>\n  spaced</a> "
+                "<a href=bare.html>bare</a> "
+                '<a href="#frag">skip me</a> '
+                '<a href="javascript:void(0)">also skip</a> '
+                '<a href="http://y.org/img"><img src="i.png"/></a>')
+        df = spark.createDataFrame(pd.DataFrame({
+            "id": [1], "url": ["https://s.org/d/p.html"], "html": [html]}))
+        got = [(r.link, r.anchor) for r in
+               extract_anchor_links(df, "html", "url", "id").collect()]
+        assert got == [
+            ("http://x.org/a", "Plain text"),
+            ("https://s.org/rooted", "Bold spaced"),
+            ("https://s.org/d/bare.html", "bare"),
+            ("http://y.org/img", ""),
+        ]
+        # pure JVM path — no Python in the plan
+        plan = (extract_anchor_links(df, "html", "url", "id")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "EvalPython" not in plan
+
     def test_hrefs_document_order_and_unquoted(self, spark):
         """r12 advisor fix: one alternation regex keeps TRUE document
         order for mixed quoting (previously all double-quoted came
