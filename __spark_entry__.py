@@ -2875,6 +2875,22 @@ def _q_mp4_header_meta(spark, sf):
     return multimodal.extract_video_meta(blobs_df, "blob", "doc_id")
 
 
+def _q_media_meta(spark, sf):
+    """Compound gate (r12 registry consolidation — folds the former
+    wav_header_meta / mp4_header_meta near-twin entries, both the same
+    build-blobs -> walk-container-bytes -> closed-form-oracle shape):
+    one row per doc joining the REAL RIFF/WAVE chunk-walk audio params
+    (JUNK-chunk skip, 8/16-bit, word alignment) with the REAL ISO-BMFF
+    box-walk video params (16.16 fixed point, version-1 64-bit boxes).
+    Both value checks survive in the one oracle; the folded shapes stay
+    callable individually via the module-level _q_*_header_meta."""
+    wav = _q_wav_header_meta(spark, sf).withColumnRenamed(
+        "duration_ms", "wav_duration_ms")
+    mp4 = _q_mp4_header_meta(spark, sf).withColumnRenamed(
+        "duration_ms", "mp4_duration_ms")
+    return wav.join(mp4, "doc_id")
+
+
 def _q_warc_ingest(spark, sf):
     """REAL WARC ingestion through the crawl seam (sources/warc.py):
     deterministic spec-layout WARC response records — every 3rd as its
@@ -4510,6 +4526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_spans": _q_exact_substring_spans,
         "link_graph_rank": _q_link_graph_rank,
         "anchor_text_graph": _q_anchor_text_graph,
+        # r12 consolidation: wav/mp4 header gates fold into one
+        "media_meta": _q_media_meta,
         # code-changed r12 re-verification (ToUnicode CMap decode):
         "pdf_text_extract": _q_pdf_text_extract,
         # the 38 entries at the 4-round cadence bound (last green r8):
@@ -4677,8 +4695,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q_q18_large_orders,
         "plan_lint_gate": _q_plan_lint_gate,
         "multimodal_image_meta": _q_multimodal_meta,
-        "wav_header_meta": _q_wav_header_meta,
-        "mp4_header_meta": _q_mp4_header_meta,
     }
 
 
@@ -5819,7 +5835,9 @@ def oracle_sql() -> dict[str, str]:
                 ) GROUP BY doc_id
             )
         """,
-        "wav_header_meta": """
+        "media_meta": """
+            -- both container walks' closed forms joined per doc
+            WITH w AS (
             SELECT doc_id,
                    CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
                              WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER)
@@ -5832,8 +5850,7 @@ def oracle_sql() -> dict[str, str]:
                         * (doc_id % 5) AS BIGINT) AS n_frames,
                    CAST((doc_id % 5) * 1000.0 AS DOUBLE) AS duration_ms
             FROM documents WHERE doc_id < 200
-        """,
-        "mp4_header_meta": """
+        ), m AS (
             SELECT doc_id,
                    CAST((doc_id % 8 + 1) * 160 AS INTEGER) AS width,
                    CAST((doc_id % 8 + 1) * 90 AS INTEGER) AS height,
@@ -5841,6 +5858,13 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS timescale,
                    CAST((doc_id % 6) * 1000.0 AS DOUBLE) AS duration_ms
             FROM documents WHERE doc_id < 200
+        )
+            SELECT w.doc_id, w.sample_rate, w.n_channels,
+                   w.bits_per_sample, w.n_frames,
+                   w.duration_ms AS wav_duration_ms,
+                   m.width, m.height, m.timescale,
+                   m.duration_ms AS mp4_duration_ms
+            FROM w JOIN m ON m.doc_id = w.doc_id
         """,
         "warc_ingest": """
             SELECT doc_id,

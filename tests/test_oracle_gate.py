@@ -91,8 +91,7 @@ SUBSET = [
     # round-8 additions: real WAV/MP4 container-header decode through the
     # multimodal mapInPandas seam; WARC crawl ingestion (record grammar,
     # gzip members, HTTP split, tag-strip text)
-    "wav_header_meta",
-    "mp4_header_meta",
+    "media_meta",
     "warc_ingest",
     "url_normalize",
     "crawl_domain_stats",
