@@ -4503,14 +4503,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the cadence or the window head is not least-recently-verified-
     # first; tests/test_oracle_gate.py runs it in pytest.
     #
-    # r12 WINDOW (first 50): the 38 entries at the 4-round cadence bound
-    # (last green r8 — the deterministic due list from
-    # scripts/check_rotation.py --plan at r11 close), plus 12 r9-era
-    # fills (stalest non-due). New entries added later this round insert
-    # at the head and displace fills, never due entries. Seeded
-    # rows-only entries stay PINNED adjacent to their value-checked
-    # twins (hyperplane_lsh_buckets<->lsh_recall, minhash_neardup<->poly,
-    # simhash_candidates<->poly, ivf_knn<->ann_recall).
+    # r12 WINDOW (first 50): the 6 never-driver-verified entries new
+    # this round (the compound-gate consolidations minhash_gate /
+    # simhash_gate / media_meta — registry 171 -> 169 with ZERO
+    # rows-only rows left — plus the new operators
+    # exact_substring_spans / link_graph_rank / anchor_text_graph), the
+    # pdf_text_extract re-verification (ToUnicode CMap code change),
+    # the 36 surviving entries at the 4-round cadence bound (last green
+    # r8; wav/mp4_header_meta folded away), and r9-era fills. The
+    # rows-only twin pins are GONE: lsh_recall / ann_recall execute the
+    # seeded hyperplane-LSH / IVF pipelines internally, and the
+    # minhash/simhash seeded pipelines run inside their compound gates
+    # as pinned invariant flags.
     return {
         # --- r12 window head (driver samples the FIRST 50) ---
         # new compound gates (r12 consolidation; never driver-verified):

@@ -1242,6 +1242,76 @@ class TestExactSubstringSpans:
             dedup.exact_substring_spans(docs, "text", "doc_id",
                                         hash_fn="md5")
 
+    def test_random_corpora_match_brute_force(self, spark):
+        """Property sweep: on small random corpora over a TINY alphabet
+        (dense incidental repeats — the adversarial case for anchor
+        selection and interval merge), the operator must equal the
+        brute-force union of all maximal cross-doc matching intervals
+        of length >= min_len, merged with the same touching rule."""
+        import numpy as np
+
+        def brute(docs, min_len):
+            marks = {d: [] for d, _ in docs}
+            toks = {d: t.split() for d, t in docs}
+            for da, ta in toks.items():
+                for db, tb in toks.items():
+                    if da == db:
+                        continue
+                    for i in range(len(ta)):
+                        for j in range(len(tb)):
+                            # maximal: not extendable left
+                            if i and j and ta[i - 1] == tb[j - 1]:
+                                continue
+                            m = 0
+                            while (i + m < len(ta) and j + m < len(tb)
+                                   and ta[i + m] == tb[j + m]):
+                                m += 1
+                            if m >= min_len:
+                                marks[da].append((i, i + m))
+            out = {}
+            for d, iv in marks.items():
+                merged = []
+                for s, e in sorted(set(iv)):
+                    if merged and s <= merged[-1][1]:
+                        merged[-1] = (merged[-1][0],
+                                      max(merged[-1][1], e))
+                    else:
+                        merged.append((s, e))
+                if merged:
+                    out[d] = merged
+            return out
+
+        rng = np.random.RandomState(29)
+        min_len = 12
+        for case in range(6):
+            n_docs, length = 6, 40 + 5 * case
+            alpha = 6 + case % 3
+            rows = []
+            for d in range(n_docs):
+                t = [f"w{rng.randint(alpha)}" for _ in range(length)]
+                rows.append((d, " ".join(t)))
+            # plant one guaranteed long run in a random doc pair
+            src, dst = (int(x) for x in
+                        rng.choice(n_docs, 2, replace=False))
+            run = rows[src][1].split()[5:5 + min_len + 3]
+            td = rows[dst][1].split()
+            pos = rng.randint(len(td) - len(run))
+            td[pos:pos + len(run)] = run
+            rows[dst] = (dst, " ".join(td))
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            out = dedup.exact_substring_spans(
+                df, "text", "doc_id", min_len=min_len, k=6)
+            got = {}
+            for r in out.collect():
+                got.setdefault(r.doc_id, []).append(
+                    (r.span_start, r.span_end))
+            release_cached_ = __import__(
+                "pandas_plus_spark.util", fromlist=["release_cached"]
+            ).release_cached
+            release_cached_(out)
+            got = {d: sorted(v) for d, v in got.items()}
+            assert got == brute(rows, min_len), f"case {case}"
+
 
 class TestPerceptualHash:
     """REAL BMP pixel decode + aHash/dHash + banded Hamming pairs."""
