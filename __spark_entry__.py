@@ -3226,14 +3226,14 @@ def _q_group_ffill_scale(spark, sf):
     Window.partitionBy(event_type) funnels ~1/5 of the corpus through one
     task (measured superlinear at sf100: exponent 1.23, fixed to 35 s vs
     48 s steady — BASELINE.md third-decade + A/B tables).
-    num_partitions=8 forces real cross-partition carries at gate SF."""
+    num_partitions=None tracks defaultParallelism (r12 — the pinned 8 left 24 of 32 cores idle in the range pass, measured -17..-57% steady at sf1; groups still span many partitions at every gate SF, so cross-partition carries stay exercised)."""
     ev = load_table(spark, sf, "events")
     base = ev.select(
         "event_id", "event_type",
         F.when(F.pmod(F.col("event_id"), F.lit(7)) >= 2,
                F.col("value")).alias("v"))
     out = ordered.grouped_ffill(base, ["event_type"], ["event_id"], "v",
-                                out="v_f", num_partitions=8)
+                                out="v_f", num_partitions=None)
     return out.select("event_id", "event_type",
                       F.round("v", 6).alias("v"),
                       F.round("v_f", 6).alias("v_f"))
@@ -3249,7 +3249,7 @@ def _q_group_bfill_scale(spark, sf):
         F.when(F.pmod(F.col("event_id"), F.lit(7)) >= 2,
                F.col("value")).alias("v"))
     out = ordered.grouped_ffill(base, ["event_type"], ["event_id"], "v",
-                                out="v_b", num_partitions=8, backward=True)
+                                out="v_b", num_partitions=None, backward=True)
     return out.select("event_id", "event_type",
                       F.round("v", 6).alias("v"),
                       F.round("v_b", 6).alias("v_b"))
@@ -3266,7 +3266,7 @@ def _q_group_take_scale(spark, sf):
     ev = load_table(spark, sf, "events")
     out = ordered.grouped_take(
         ev.select("event_id", "event_type", "value"),
-        ["event_type"], ["event_id"], [0, 2, -1], num_partitions=8)
+        ["event_type"], ["event_id"], [0, 2, -1], num_partitions=None)
     return out.select("event_id", "event_type",
                       F.round("value", 6).alias("value"))
 
@@ -3278,7 +3278,7 @@ def _q_group_rolling_scale(spark, sf):
     non-null count), then a NARROW (group, rn−w) self-join supplies the
     window-start prefix; parallelism = partition count (the window form
     is one task per group). window=25, min_periods=5, deterministically
-    nulled values; num_partitions=8 forces windows to span partition
+    nulled values; num_partitions=None tracks defaultParallelism (r12); windows still span partition
     boundaries at gate SF."""
     ev = load_table(spark, sf, "events")
     # DECIMAL(18,6) input: the prefix sums are then EXACT, so the two-phase
@@ -3296,7 +3296,7 @@ def _q_group_rolling_scale(spark, sf):
     vr = ordered.grouped_rolling_stats(
         base, ["event_type"], ["event_id"], "v", 25,
         stats=(("sum", "rsum"), ("mean", "rmean"), ("var", "rvar")),
-        min_periods=5, num_partitions=8)
+        min_periods=5, num_partitions=None)
     return vr.select("event_id", "event_type",
                      F.col("v").cast("double").alias("v"),
                      F.col("rsum").cast("double").alias("rsum"),
@@ -3311,9 +3311,9 @@ def _q_group_shift_scale(spark, sf):
     ev = load_table(spark, sf, "events").select(
         "event_id", "event_type", "value")
     s = ordered.grouped_shift(ev, ["event_type"], ["event_id"], "value",
-                              n=3, out="lag3", num_partitions=8)
+                              n=3, out="lag3", num_partitions=None)
     s = ordered.grouped_shift(s, ["event_type"], ["event_id"], "value",
-                              n=-2, out="lead2", num_partitions=8)
+                              n=-2, out="lead2", num_partitions=None)
     return s.select("event_id", "event_type",
                     F.round("value", 6).alias("value"),
                     F.round("lag3", 6).alias("lag3"),
@@ -3337,7 +3337,7 @@ def _q_group_expanding_scale(spark, sf):
                F.round(F.col("value"), 6).cast("decimal(18,6)")).alias("v"))
     out = ordered.grouped_expanding(base, ["event_type"], ["event_id"],
                                     "v", stats=("mean", "var", "std"),
-                                    min_periods=4, num_partitions=8)
+                                    min_periods=4, num_partitions=None)
     return out.select("event_id", "event_type",
                       F.col("v").cast("double").alias("v"),
                       F.col("v_expanding_mean").alias("exp_mean"),
@@ -3367,7 +3367,7 @@ def _q_group_rolling_time_scale(spark, sf):
     out = ordered.grouped_rolling_time(
         base, ["event_type"], "event_id", "v", 1000,
         funcs=("sum", "mean", "count", "var"), min_periods=2,
-        num_partitions=8, unique_on=True)
+        num_partitions=None, unique_on=True)
     return out.select("event_id", "event_type",
                       F.col("v").cast("double").alias("v"),
                       F.col("v_tsum"), F.col("v_tmean"),
@@ -3386,7 +3386,7 @@ def _q_group_rank_scale(spark, sf):
     base = li.withColumn("qty", F.col("l_quantity").cast("double"))
     out = ordered.grouped_rank(
         base, ["l_returnflag"], ["l_orderkey", "l_linenumber"], "qty",
-        num_partitions=8,
+        num_partitions=None,
         methods=[("average", False, "avg_rank"),
                  ("max", False, "max_rank"),
                  ("dense", True, "dense_pct")])
@@ -3406,9 +3406,9 @@ def _q_group_cumminmax_scale(spark, sf):
         F.when(F.pmod(F.col("event_id"), F.lit(7)) >= 2,
                F.col("value")).alias("v"))
     a = ordered.grouped_cumminmax(base, ["event_type"], ["event_id"], "v",
-                                  op="min", out="cmin", num_partitions=8)
+                                  op="min", out="cmin", num_partitions=None)
     b = ordered.grouped_cumminmax(a, ["event_type"], ["event_id"], "v",
-                                  op="max", out="cmax", num_partitions=8)
+                                  op="max", out="cmax", num_partitions=None)
     return b.select("event_id", "event_type",
                     F.round("v", 6).alias("v"),
                     F.round("cmin", 6).alias("cmin"),
@@ -4534,6 +4534,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         # code-changed r12 re-verification (ToUnicode CMap decode):
         "pdf_text_extract": _q_pdf_text_extract,
+        # code-changed r12 re-verifications (num_partitions=None —
+        # the range-pass parallelism now tracks defaultParallelism):
+        "group_rolling_time_scale": _q_group_rolling_time_scale,
+        "group_rolling_scale": _q_group_rolling_scale,
+        "group_rank_scale": _q_group_rank_scale,
         # the 38 entries at the 4-round cadence bound (last green r8):
         "warc_ingest": _q_warc_ingest,
         "token_budget": _q_token_budget,
@@ -4607,7 +4612,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": _q_bm25_rank,
         "vocab_top": _q_vocab_top,
         "image_header_meta": _q_image_header_meta,
-        "group_rank_scale": _q_group_rank_scale,
         "boilerplate_removal": _q_boilerplate_removal,
         "snapshot_diff": _q_snapshot_diff,
         "audio_pcm_features": _q_audio_pcm_features,
@@ -4618,7 +4622,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _q_url_normalize,
         "crawl_domain_stats": _q_crawl_domain_stats,
         "crawl_curation_pipeline": _q_crawl_curation_pipeline,
-        "group_rolling_scale": _q_group_rolling_scale,
         "oov_rate": _q_oov_rate,
         "label_cohesion": _q_label_cohesion,
         "nanops_rowwise": _q_nanops_rowwise,
@@ -4657,7 +4660,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": _q_chunk_dedup,
         "semantic_gate": _q_semantic_gate,
         "global_ordered": _q_global_ordered,
-        "group_rolling_time_scale": _q_group_rolling_time_scale,
         "bigram_ppl": _q_bigram_ppl,
         "curation_pipeline": _q_curation_pipeline,
         "image_phash_dedup": _q_image_phash_dedup,
