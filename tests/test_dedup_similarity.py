@@ -1900,6 +1900,10 @@ class TestDecodeRobustness:
             v = (3 * x + 5 * y) % 200 + 10
             return (v, v, v)
 
+        from pandas_plus_spark.operators.pdftext import (extract_pdf_text,
+                                                         pdf_bytes)
+        pdf_pages = [["Doc 1 page 0 line 0", "see (ref 1) \\ end"],
+                     ["second page line", "more"]]
         seeds = [
             mm.bmp_pixel_bytes(16, 12, fn),
             mm.png_pixel_bytes(16, 12, fn),
@@ -1911,6 +1915,11 @@ class TestDecodeRobustness:
             mm.mp4_mjpeg_bytes(32, 24, [mm.jpeg_header_bytes(32, 24)
                                         for _ in range(4)]),
             mm.wav_header_bytes(8000, 1, 16, 100),
+            # r12: the PDF extractor walks far more attacker-controlled
+            # structure now (object graph, font dicts, CMap streams)
+            pdf_bytes(pdf_pages),
+            pdf_bytes(pdf_pages, tounicode="bytes1"),
+            pdf_bytes(pdf_pages, tounicode="wide2"),
         ]
         rng = np.random.RandomState(7)
         for seed in seeds:
@@ -1925,6 +1934,7 @@ class TestDecodeRobustness:
                 mm.decode_video_frames(blob)
                 mm.decode_wav_header(blob)
                 mm.decode_image_header(blob)
+                extract_pdf_text(blob)
 
     def test_fractional_subsampling_rejected_not_crashed(self):
         """r12 advisor fix: spec-legal non-integer sampling ratios
