@@ -4539,6 +4539,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_rolling_time_scale": _q_group_rolling_time_scale,
         "group_rolling_scale": _q_group_rolling_scale,
         "group_rank_scale": _q_group_rank_scale,
+        # code-changed r12 re-verifications whose GATE-EXERCISED semantics
+        # changed (RFC 9309 UA-token matching + multi-group merge;
+        # document-order/unquoted href extraction):
+        "robots_filter": _q_robots_filter,
+        "outlink_graph": _q_outlink_graph,
         # the 38 entries at the 4-round cadence bound (last green r8):
         "warc_ingest": _q_warc_ingest,
         "token_budget": _q_token_budget,
@@ -4578,6 +4583,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup": _q_streaming_neardup,
         "pca_gate": _q_pca_gate,
         "pack_gate": _q_pack_gate,
+        # decoder-guard re-verifications deferred to the r13 window
+        # head (gate fixtures unaffected by the r12 guards; local
+        # full gate re-verified both green this round):
+        "image_phash_dedup": _q_image_phash_dedup,
+        "audio_pcm_features": _q_audio_pcm_features,
         # r9-era fills (stalest non-due; rotate forward the r13 head):
         "expanding_stats": _q_expanding_stats,
         "group_expanding_scale": _q_group_expanding_scale,
@@ -4614,7 +4624,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_header_meta": _q_image_header_meta,
         "boilerplate_removal": _q_boilerplate_removal,
         "snapshot_diff": _q_snapshot_diff,
-        "audio_pcm_features": _q_audio_pcm_features,
         "scatter_fit": _q_scatter_fit,
         "rolling_gate": _q_rolling_gate,
         "cumulative_gate": _q_cumulative_gate,
@@ -4662,14 +4671,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_ordered": _q_global_ordered,
         "bigram_ppl": _q_bigram_ppl,
         "curation_pipeline": _q_curation_pipeline,
-        "image_phash_dedup": _q_image_phash_dedup,
         "video_frame_sample": _q_video_frame_sample,
-        "robots_filter": _q_robots_filter,
         "sitemap_urls": _q_sitemap_urls,
         "unicode_nfc": _q_unicode_nfc,
         "mojibake_repair": _q_mojibake_repair,
         "bpe_roundtrip": _q_bpe_roundtrip,
-        "outlink_graph": _q_outlink_graph,
         "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
         "unigram_ppl": _q_unigram_ppl,
