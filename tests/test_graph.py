@@ -106,6 +106,37 @@ class TestPageRank:
             G.pagerank(self._edges_df(spark), exact_mass=True,
                        damping=0.9)
 
+    def test_random_graphs_match_reference(self, spark):
+        """Property sweep: seeded random digraphs (dangling nodes,
+        multi-edges, self-loop-free) — float pagerank must match the
+        pure-python reference to 1e-12 and the integer twin bit-exactly."""
+        import numpy as np
+        import pandas as pd
+        rng = np.random.RandomState(17)
+        for case in range(4):
+            n = 12 + 4 * case
+            m = 3 * n
+            edges = set()
+            while len(edges) < m:
+                a, b = int(rng.randint(n)), int(rng.randint(n))
+                if a != b:
+                    edges.add((a, b))
+            # knock out some sources entirely -> dangling nodes
+            drop = {int(x) for x in rng.choice(n, 3, replace=False)}
+            edges = sorted((a, b) for a, b in edges if a not in drop)
+            df = spark.createDataFrame(
+                pd.DataFrame(edges, columns=["src", "dst"]))
+            out = G.pagerank(df, n_iters=6)
+            got = {r.node: r.rank for r in out.collect()}
+            release_cached(out)
+            ref = py_pagerank(edges, 6)
+            assert got.keys() == ref.keys(), case
+            assert max(abs(got[v] - ref[v]) for v in ref) < 1e-12, case
+            out2 = G.pagerank(df, n_iters=3, exact_mass=True)
+            got2 = {r.node: r.mass for r in out2.collect()}
+            release_cached(out2)
+            assert got2 == py_pagerank_int(edges, 3), case
+
     def test_degree_stats(self, spark):
         got = {r.node: (r.out_degree, r.in_degree)
                for r in G.degree_stats(self._edges_df(spark)).collect()}
