@@ -371,6 +371,40 @@ class TestPdfText:
         assert w2 == 2 and m2[0x0404] == "A"
         assert _decode_show(b"\x04\x04\x04\x04", (w2, m2)) == "AA"
 
+    def test_indirect_resources_font_resolution(self):
+        """A page whose /Resources is an INDIRECT object (common in real
+        PDFs; the fixture generator always inlines) must still resolve
+        its font's ToUnicode CMap through the extra hop."""
+        import zlib
+
+        from pandas_plus_spark.operators.pdftext import (
+            extract_pdf_text, tounicode_cmap_bytes)
+        cm = zlib.compress(tounicode_cmap_bytes(
+            {(ord(c) + 13) % 256: c for c in "Helo"}, width=1))
+        codes = bytes((ord(c) + 13) % 256 for c in "Hello")
+        content = (b"BT /F9 12 Tf 72 720 Td <" + codes.hex().encode()
+                   + b"> Tj ET")
+        objs = [
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream",
+            b"<< /Filter /FlateDecode /Length " + str(len(cm)).encode()
+            + b" >>\nstream\n" + cm + b"\nendstream",
+            b"<< /Type /Font /Subtype /Type1 /ToUnicode 2 0 R "
+            b"/BaseFont /Helvetica >>",
+            b"<< /Font << /F9 3 0 R >> >>",       # indirect resources
+            b"<< /Type /Page /Parent 6 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 1 0 R /Resources 4 0 R >>",
+            b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+            b"<< /Type /Catalog /Pages 6 0 R >>",
+        ]
+        blob = bytearray(b"%PDF-1.4\n")
+        for i, body in enumerate(objs):
+            blob += (str(i + 1).encode() + b" 0 obj\n" + body
+                     + b"\nendobj\n")
+        blob += b"trailer\n<< /Size 8 /Root 7 0 R >>\n%%EOF\n"
+        got = extract_pdf_text(bytes(blob))
+        assert got["text"] == "Hello" and got["n_pages"] == 1
+
     def test_sparkside_extraction(self, spark):
         import pandas as pd
 

