@@ -1465,8 +1465,10 @@ def _q_link_graph_rank(spark, sf):
     """Link-graph analytics (r12 — operators/graph.py): PageRank +
     degree stats over a synthetic 500-node web graph built from doc_id
     arithmetic (edges d -> (7d+3)%500 and, for d%3 != 0, d ->
-    (13d+5)%500; d%17 == 0 emits nothing = dangling nodes; d=83/333
-    emit the same edge twice = the duplicate-edge dedup case). The gate
+    (13d+5)%500; d%17 == 0 emits nothing = dangling nodes; d=83 emits
+    the same edge twice = the duplicate-edge dedup case — the other
+    7d+3 == 13d+5 solution, d=333, fails the d%3 != 0 filter on the
+    second family, so only d=83 exercises dedup). The gate
     runs the exact_mass integer-arithmetic twin (3 iterations, mass
     10^12, floor division, 85/100 damping — bit-reproducible in any
     engine, the float path's poly-hash analog) joined with
@@ -4503,48 +4505,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the cadence or the window head is not least-recently-verified-
     # first; tests/test_oracle_gate.py runs it in pytest.
     #
-    # r12 WINDOW (first 50): the 6 never-driver-verified entries new
-    # this round (the compound-gate consolidations minhash_gate /
-    # simhash_gate / media_meta — registry 171 -> 169 with ZERO
-    # rows-only rows left — plus the new operators
-    # exact_substring_spans / link_graph_rank / anchor_text_graph), the
-    # pdf_text_extract re-verification (ToUnicode CMap code change),
-    # the 36 surviving entries at the 4-round cadence bound (last green
-    # r8; wav/mp4_header_meta folded away), and r9-era fills. The
-    # rows-only twin pins are GONE: lsh_recall / ann_recall execute the
-    # seeded hyperplane-LSH / IVF pipelines internally, and the
-    # minhash/simhash seeded pipelines run inside their compound gates
-    # as pinned invariant flags.
+    # r13 WINDOW (first 50): the 34 entries at the 4-round cadence
+    # bound (last driver-green r9) plus the 16 stalest r10 entries —
+    # pure rotation, no consolidations needed (greedy sim slack >= 20
+    # slots per window through r17). New r13 entries are inserted at
+    # the head as they land, displacing the newest r10 fills into the
+    # r14 window.
     return {
-        # --- r12 window head (driver samples the FIRST 50) ---
-        # new compound gates (r12 consolidation; never driver-verified):
-        # minhash_gate folds minhash_neardup into minhash_neardup_poly,
-        # simhash_gate folds simhash_candidates into simhash_poly;
-        # hyperplane_lsh_buckets and ivf_knn retire as entries (their
-        # seeded pipelines already execute inside lsh_recall /
-        # ann_recall) — zero rows-only rows remain, registry 171 -> 167
+        # --- r13 window head (driver samples the FIRST 50) ---
+        # r13 rotation: the 34 r9-era entries at the 4-round cadence
+        # bound plus the 16 stalest r10 entries (includes the staged
+        # decoder-guard re-verification audio_pcm_features). No new
+        # consolidations this round; registry holds at 169 with zero
+        # rows-only rows (the r12 consolidation took it 171 -> 169).
+        # last driver-green r9:
+        "expanding_stats": _q_expanding_stats,
+        "group_expanding_scale": _q_group_expanding_scale,
+        "asof_nearest": _q_asof_nearest,
+        "semantic_contamination": _q_semantic_contamination,
+        "containment_pairs": _q_containment_pairs,
+        "ivf_index_gate": _q_ivf_index_gate,
+        "quality_classifier": _q_quality_classifier,
+        "source_cap": _q_source_cap,
+        "global_sample": _q_global_sample,
+        "segment_revenue_bucketed": _q_segment_revenue_bucketed,
+        "q6_forecast": _q_q6_forecast,
+        "q3_shipping": _q_q3_shipping,
+        "temperature_mixture": _q_temperature_mixture,
+        "duplicated_spans": _q_duplicated_spans,
+        "span_excision": _q_span_excision,
+        "segment_revenue": _q_segment_revenue,
+        "skew_topn_salted": _q_skew_topn_salted,
+        "skew_topn_uniform": _q_skew_topn_uniform,
+        "ann_recall": _q_ann_recall,
+        "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
+        "sample_per_group": _q_sample_per_group,
+        "pack_chunks": _q_pack_chunks,
+        "repetition_signals": _q_repetition_signals,
+        "repetition_filter": _q_repetition_filter,
+        "pii_scan": _q_pii_scan,
+        "c4_filter": _q_c4_filter,
+        "contamination": _q_contamination,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_rank": _q_bm25_rank,
+        "vocab_top": _q_vocab_top,
+        "image_header_meta": _q_image_header_meta,
+        "boilerplate_removal": _q_boilerplate_removal,
+        "snapshot_diff": _q_snapshot_diff,
+        # last driver-green r10:
+        "audio_pcm_features": _q_audio_pcm_features,
+        "scatter_fit": _q_scatter_fit,
+        "rolling_gate": _q_rolling_gate,
+        "cumulative_gate": _q_cumulative_gate,
+        "incremental_dedup": _q_incremental_dedup,
+        "url_normalize": _q_url_normalize,
+        "crawl_domain_stats": _q_crawl_domain_stats,
+        "crawl_curation_pipeline": _q_crawl_curation_pipeline,
+        "oov_rate": _q_oov_rate,
+        "label_cohesion": _q_label_cohesion,
+        "nanops_rowwise": _q_nanops_rowwise,
+        "streaming_sessions": _q_streaming_sessions,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "masked_sum": _q_masked_sum,
+        "group_size": _q_size,
+        "group_minmax": _q_minmax,
+        # --- rotation tail (driver window ends above; full local
+        # oracle gate still runs every entry below each round) ---
         "minhash_gate": _q_minhash_gate,
         "simhash_gate": _q_simhash_gate,
-        # new operator gates (r12): arbitrary-length ExactSubstr spans,
-        # link-graph PageRank/degrees
         "exact_substring_spans": _q_exact_substring_spans,
         "link_graph_rank": _q_link_graph_rank,
         "anchor_text_graph": _q_anchor_text_graph,
-        # r12 consolidation: wav/mp4 header gates fold into one
         "media_meta": _q_media_meta,
-        # code-changed r12 re-verification (ToUnicode CMap decode):
         "pdf_text_extract": _q_pdf_text_extract,
-        # code-changed r12 re-verifications (num_partitions=None —
-        # the range-pass parallelism now tracks defaultParallelism):
         "group_rolling_time_scale": _q_group_rolling_time_scale,
         "group_rolling_scale": _q_group_rolling_scale,
         "group_rank_scale": _q_group_rank_scale,
-        # code-changed r12 re-verifications whose GATE-EXERCISED semantics
-        # changed (RFC 9309 UA-token matching + multi-group merge;
-        # document-order/unquoted href extraction):
         "robots_filter": _q_robots_filter,
         "outlink_graph": _q_outlink_graph,
-        # the 38 entries at the 4-round cadence bound (last green r8):
         "warc_ingest": _q_warc_ingest,
         "token_budget": _q_token_budget,
         "quantile_calibration": _q_quantile_calibration,
@@ -4583,62 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup": _q_streaming_neardup,
         "pca_gate": _q_pca_gate,
         "pack_gate": _q_pack_gate,
-        # decoder-guard re-verifications deferred to the r13 window
-        # head (gate fixtures unaffected by the r12 guards; local
-        # full gate re-verified both green this round):
         "image_phash_dedup": _q_image_phash_dedup,
-        "audio_pcm_features": _q_audio_pcm_features,
-        # r9-era fills (stalest non-due; rotate forward the r13 head):
-        "expanding_stats": _q_expanding_stats,
-        "group_expanding_scale": _q_group_expanding_scale,
-        "asof_nearest": _q_asof_nearest,
-        "semantic_contamination": _q_semantic_contamination,
-        "containment_pairs": _q_containment_pairs,
-        "ivf_index_gate": _q_ivf_index_gate,
-        "quality_classifier": _q_quality_classifier,
-        "source_cap": _q_source_cap,
-        "global_sample": _q_global_sample,
-        "segment_revenue_bucketed": _q_segment_revenue_bucketed,
-        "q6_forecast": _q_q6_forecast,
-        "q3_shipping": _q_q3_shipping,
-        # --- tail: least-recently-verified first ---
-        "temperature_mixture": _q_temperature_mixture,
-        "duplicated_spans": _q_duplicated_spans,
-        "span_excision": _q_span_excision,
-        "segment_revenue": _q_segment_revenue,
-        "skew_topn_salted": _q_skew_topn_salted,
-        "skew_topn_uniform": _q_skew_topn_uniform,
-        "ann_recall": _q_ann_recall,
-        "stratified_sample": _q_stratified_sample,
-        "split_assign": _q_split_assign,
-        "sample_per_group": _q_sample_per_group,
-        "pack_chunks": _q_pack_chunks,
-        "repetition_signals": _q_repetition_signals,
-        "repetition_filter": _q_repetition_filter,
-        "pii_scan": _q_pii_scan,
-        "c4_filter": _q_c4_filter,
-        "contamination": _q_contamination,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "bm25_rank": _q_bm25_rank,
-        "vocab_top": _q_vocab_top,
-        "image_header_meta": _q_image_header_meta,
-        "boilerplate_removal": _q_boilerplate_removal,
-        "snapshot_diff": _q_snapshot_diff,
-        "scatter_fit": _q_scatter_fit,
-        "rolling_gate": _q_rolling_gate,
-        "cumulative_gate": _q_cumulative_gate,
-        "incremental_dedup": _q_incremental_dedup,
-        "url_normalize": _q_url_normalize,
-        "crawl_domain_stats": _q_crawl_domain_stats,
-        "crawl_curation_pipeline": _q_crawl_curation_pipeline,
-        "oov_rate": _q_oov_rate,
-        "label_cohesion": _q_label_cohesion,
-        "nanops_rowwise": _q_nanops_rowwise,
-        "streaming_sessions": _q_streaming_sessions,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "masked_sum": _q_masked_sum,
-        "group_size": _q_size,
-        "group_minmax": _q_minmax,
         "group_var_std": _q_var_std,
         "agg_callable": _q_agg_callable,
         "group_median": _q_median,
