@@ -11,11 +11,14 @@ dedup/crawl front door):
   redistribution, the standard crawl-frontier priority score.
 
 Scale shape: the edge list is re-shuffled ONCE onto its source key and
-persisted; every iteration then joins the (node-sized) rank frame
-against the co-partitioned edges, aggregates contributions on the
-destination key, and eagerly ``localCheckpoint``s the new ranks (the
-rank frame feeds both the contribution join and the dangling
-anti-join, so un-truncated lineage would double per round). Iteration count
+persisted, and the (iteration-invariant) dangling node set is
+materialized ONCE up front; every iteration then joins the
+(node-sized) rank frame against the co-partitioned edges, aggregates
+contributions on the destination key, semi-joins ranks against the
+persisted dangling set for the redistribution mass, and eagerly
+``localCheckpoint``s the new ranks (the rank frame feeds both the
+contribution join and the dangling semi-join, so un-truncated lineage
+would double per round). Iteration count
 is fixed (power iteration converges geometrically at rate ``damping``),
 so lineage stays linear and no driver-side convergence ``collect()`` is
 needed; per-iteration cost is one node-frame shuffle + one edge-sized
@@ -67,6 +70,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     exact_mass: bool = False,
+    tol: float | None = None,
 ) -> DataFrame:
     """PageRank over an edge list: ``(node, rank)`` after ``n_iters``
     damped power iterations from the uniform start, dangling mass
@@ -85,6 +89,18 @@ def pagerank(
     node per step, i.e. ≤ 1e-12 relative of total mass per edge) —
     remainders are NOT redistributed, so total mass decays by a few
     units per iteration; the gate's oracle reproduces this exactly.
+
+    ``tol`` (optional) adds a convergence early exit: after each
+    iteration one scalar aggregation computes ``max |Δrank|`` between
+    the old and new (checkpointed, node-sized) rank frames, and the
+    loop stops once it drops below ``tol`` — so crawl-scale users can
+    set ``n_iters`` as a CAP instead of guessing the iteration count
+    (power iteration converges geometrically at rate ``damping``, but
+    the constant depends on graph structure). In ``exact_mass`` units
+    the threshold is ``tol * PAGERANK_MASS``; the exit decision is
+    integer-exact there, so early exit stays bit-reproducible. The
+    fixed-count form (``tol=None``, the default) remains the oracle
+    twin — no per-iteration action is issued in that mode.
     """
     if exact_mass and damping != 0.85:
         raise ValueError("exact_mass supports the damping=0.85 rational "
@@ -101,13 +117,20 @@ def pagerank(
     # persisted — every iteration's join reuses this layout
     ej = e.join(out_d, "src").persist()
     base = nodes.persist()
+    # the dangling node SET is iteration-invariant — materialize it once
+    # (r12 advisor: the per-iteration anti-join against unpersisted out_d
+    # re-executed the whole edge-dedup pipeline at every eager
+    # localCheckpoint; a persisted node-sized set makes the per-iteration
+    # cost genuinely one node-frame shuffle + one edge-sized aggregation)
+    dangling = base.join(out_d.withColumnRenamed("src", "node"),
+                         "node", "left_anti").persist()
     n = base.count()                             # node count (scalar)
     if n == 0:
         typ = "long" if exact_mass else "double"
         empty = base.select(
             "node", F.lit(None).cast(typ).alias("rank" if not exact_mass
                                                 else "mass"))
-        return attach_cached(empty, ej, base)
+        return attach_cached(empty, ej, base, dangling)
 
     if exact_mass:
         init = F.lit(PAGERANK_MASS // n).cast("long")
@@ -120,8 +143,7 @@ def pagerank(
                 .select("dst", F.expr("__m div __outd").alias("__c"))
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum("__c").alias("__in")))
-            dang = (ranks.join(out_d.withColumnRenamed("src", "node"),
-                               "node", "left_anti")
+            dang = (ranks.join(dangling, "node", "left_semi")
                     .agg(F.coalesce(F.sum("__m"),
                                     F.lit(0).cast("long")).alias("__d")))
             new = (base.join(contrib, "node", "left").crossJoin(
@@ -132,13 +154,16 @@ def pagerank(
                         "(coalesce(__in, 0L) + __d div %d) * 85 div 100"
                         % n)).alias("__m")))
             # localCheckpoint: the rank frame is referenced TWICE per
-            # iteration (contribution join + dangling anti-join), so the
+            # iteration (contribution join + dangling semi-join), so the
             # logical plan would double each round — eager checkpoint
             # truncates lineage to the node-sized materialized frame
             # (same pattern as dedup.dup_clusters' label propagation)
-            ranks = new.localCheckpoint(eager=True)
+            prev, ranks = ranks, new.localCheckpoint(eager=True)
+            if tol is not None and _max_abs_delta(
+                    prev, ranks, "__m") < tol * PAGERANK_MASS:
+                break
         out = ranks.select("node", F.col("__m").alias("mass"))
-        return attach_cached(out, ej, base, ranks)
+        return attach_cached(out, ej, base, dangling, ranks)
 
     ranks = base.select("node", F.lit(1.0 / n).alias("__r"))
     for _ in range(n_iters):
@@ -147,8 +172,7 @@ def pagerank(
             .select("dst", (F.col("__r") / F.col("__outd")).alias("__c"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("__c").alias("__in")))
-        dang = (ranks.join(out_d.withColumnRenamed("src", "node"),
-                           "node", "left_anti")
+        dang = (ranks.join(dangling, "node", "left_semi")
                 .agg(F.coalesce(F.sum("__r"), F.lit(0.0)).alias("__d")))
         new = (base.join(contrib, "node", "left").crossJoin(
             F.broadcast(dang))
@@ -157,6 +181,19 @@ def pagerank(
                 + F.lit(damping) * (F.coalesce("__in", F.lit(0.0))
                                     + F.col("__d") / F.lit(float(n))))
                 .alias("__r")))
-        ranks = new.localCheckpoint(eager=True)  # see exact_mass note
+        prev, ranks = ranks, new.localCheckpoint(eager=True)  # see above
+        if tol is not None and _max_abs_delta(prev, ranks, "__r") < tol:
+            break
     out = ranks.select("node", F.col("__r").alias("rank"))
-    return attach_cached(out, ej, base, ranks)
+    return attach_cached(out, ej, base, dangling, ranks)
+
+
+def _max_abs_delta(prev: DataFrame, cur: DataFrame, col: str) -> float:
+    """``max |cur - prev|`` over the shared node key — ONE scalar
+    aggregation per iteration for the ``tol=`` early exit. Both inputs
+    are the eagerly-checkpointed node-sized rank frames, so the join
+    reads two materialized RDDs, never the edge pipeline."""
+    row = (cur.select("node", F.col(col).alias("__cur"))
+           .join(prev.select("node", F.col(col).alias("__prev")), "node")
+           .agg(F.max(F.abs(F.col("__cur") - F.col("__prev")))).first())
+    return float(row[0]) if row[0] is not None else 0.0

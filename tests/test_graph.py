@@ -137,6 +137,48 @@ class TestPageRank:
             release_cached(out2)
             assert got2 == py_pagerank_int(edges, 3), case
 
+    def test_tol_early_exit(self, spark, monkeypatch):
+        """tol= stops the loop at the first iteration whose max |Δrank|
+        drops below tol (verified by counting delta aggregations), and
+        the early-exited result matches the python reference run for
+        exactly that many iterations."""
+        calls = []
+        real = G._max_abs_delta
+
+        def spy(prev, cur, col):
+            d = real(prev, cur, col)
+            calls.append(d)
+            return d
+
+        monkeypatch.setattr(G, "_max_abs_delta", spy)
+        out = G.pagerank(self._edges_df(spark), n_iters=50, tol=1e-4)
+        got = {r.node: r.rank for r in out.collect()}
+        release_cached(out)
+        iters = len(calls)
+        assert iters < 50                       # the cap was not hit
+        assert calls[-1] < 1e-4                 # exit condition held
+        assert all(d >= 1e-4 for d in calls[:-1])
+        ref = py_pagerank(EDGES, iters)
+        assert max(abs(got[v] - ref[v]) for v in ref) < 1e-12
+
+    def test_tol_early_exit_exact_mass(self, spark, monkeypatch):
+        """In exact_mass units the exit compares integer deltas against
+        tol * PAGERANK_MASS, so the stop iteration is bit-deterministic;
+        the result equals the integer reference at that iteration."""
+        calls = []
+        real = G._max_abs_delta
+        monkeypatch.setattr(
+            G, "_max_abs_delta",
+            lambda p, c, col: calls.append(real(p, c, col)) or calls[-1])
+        out = G.pagerank(self._edges_df(spark), n_iters=50,
+                         exact_mass=True, tol=1e-4)
+        got = {r.node: r.mass for r in out.collect()}
+        release_cached(out)
+        iters = len(calls)
+        assert 0 < iters < 50
+        assert calls[-1] < 1e-4 * G.PAGERANK_MASS
+        assert got == py_pagerank_int(EDGES, iters)
+
     def test_degree_stats(self, spark):
         got = {r.node: (r.out_degree, r.in_degree)
                for r in G.degree_stats(self._edges_df(spark)).collect()}
