@@ -3228,7 +3228,11 @@ def _q_group_ffill_scale(spark, sf):
     Window.partitionBy(event_type) funnels ~1/5 of the corpus through one
     task (measured superlinear at sf100: exponent 1.23, fixed to 35 s vs
     48 s steady — BASELINE.md third-decade + A/B tables).
-    num_partitions=None tracks defaultParallelism (r12 — the pinned 8 left 24 of 32 cores idle in the range pass, measured -17..-57% steady at sf1; groups still span many partitions at every gate SF, so cross-partition carries stay exercised)."""
+    num_partitions=None auto-resolves from Catalyst's size estimate (r13 —
+    ~256 KiB/partition floor-2, capped at defaultParallelism until
+    partitions would exceed ~512 MiB; preserves the r12 sf1/sf10 wide-range
+    wins and drops the near-empty task dispatches at driver grain; the
+    floor of 2 keeps cross-partition carries exercised at every gate SF)."""
     ev = load_table(spark, sf, "events")
     base = ev.select(
         "event_id", "event_type",
@@ -3280,7 +3284,7 @@ def _q_group_rolling_scale(spark, sf):
     non-null count), then a NARROW (group, rn−w) self-join supplies the
     window-start prefix; parallelism = partition count (the window form
     is one task per group). window=25, min_periods=5, deterministically
-    nulled values; num_partitions=None tracks defaultParallelism (r12); windows still span partition
+    nulled values; num_partitions=None auto-resolves from data size (r13); windows still span partition
     boundaries at gate SF."""
     ev = load_table(spark, sf, "events")
     # DECIMAL(18,6) input: the prefix sums are then EXACT, so the two-phase

@@ -62,9 +62,55 @@ def _order_cols(order_by) -> list[Column]:
     return [F.col(order_by) if isinstance(order_by, str) else order_by]
 
 
+#: Auto-parallelism targets (r13 driver-grain A/B, BASELINE.md): the range
+#: pass wants ~256 KiB of Catalyst-estimated input per partition at the
+#: small end (below that, task dispatch dominates the per-partition sort)
+#: and at most ~512 MiB per partition at the large end (above that, a
+#: partition no longer fits comfortably in executor memory for the
+#: in-partition window sort).
+_RANGE_TARGET_BYTES = 256 << 10
+_RANGE_MAX_PARTITION_BYTES = 512 << 20
+
+
+def _resolve_partitions(df: DataFrame, num_partitions: int | None) -> int:
+    """Resolve ``num_partitions=None`` so parallelism tracks DATA, not just
+    cores, at BOTH ends (r13 — the r12 ``defaultParallelism`` resolution
+    paid ~24 near-empty task dispatches per range stage at driver grain,
+    and on a real cluster it would under-partition a 100 TB frame).
+
+    ``ceil(size / 256 KiB)`` from Catalyst's optimized-plan size estimate,
+    clamped below by 2 (cross-partition carry paths stay exercised even on
+    tiny inputs) and above by ``max(defaultParallelism,
+    ceil(size / 512 MiB))`` — i.e. the cap is core count until partitions
+    would exceed ~512 MiB, after which partition count grows with the data.
+    Catalyst OVER-estimates (join products, unknown selectivities) degrade
+    gracefully to the old ``defaultParallelism`` behavior; any stats
+    failure falls back likewise."""
+    if num_partitions:
+        return num_partitions
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        # analyzed (NOT optimized) plan stats: the basic size-only visitor
+        # gives the same estimate through Project/Filter nodes, and skips
+        # re-running the optimizer driver-side per operator call
+        # (measured 1–2 ms vs 10–270 ms per call at sf0.1)
+        size = int(df._jdf.queryExecution().analyzed()
+                   .stats().sizeInBytes())
+    except Exception:
+        return par
+    if size <= 0 or size >= (1 << 50):
+        # no estimate (empty local relation) or the "unknown" sentinel
+        # (spark.sql.defaultSizeInBytes = Long.MAX propagates through
+        # plans Catalyst can't size) — old behavior
+        return par
+    want = max(2, -(-size // _RANGE_TARGET_BYTES))
+    cap = max(par, -(-size // _RANGE_MAX_PARTITION_BYTES))
+    return min(want, cap)
+
+
 def _ranged(df: DataFrame, order_by, num_partitions: int | None):
     cols = _order_cols(order_by)
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n = _resolve_partitions(df, num_partitions)
     rp = df.repartitionByRange(n, *cols)
     return rp.withColumn("__pid", F.spark_partition_id()), cols
 
@@ -182,7 +228,7 @@ def grouped_cumsum(
     gnames = [group_by] if isinstance(group_by, str) else list(group_by)
     gcols = [F.col(c) for c in gnames]  # group_by: column NAMES (join keys)
     ocols = _order_cols(order_by)
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n = _resolve_partitions(df, num_partitions)
     rp = df.repartitionByRange(n, *gcols, *ocols).withColumn(
         "__pid", F.spark_partition_id())
     v = F.col(value) if isinstance(value, str) else value
@@ -239,7 +285,7 @@ def grouped_row_number(
     gnames = [group_by] if isinstance(group_by, str) else list(group_by)
     gcols = [F.col(c) for c in gnames]
     ocols = _order_cols(order_by)
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n = _resolve_partitions(df, num_partitions)
     rp = df.repartitionByRange(n, *gcols, *ocols).withColumn(
         "__pid", F.spark_partition_id())
     # pinned: the rows and the per-(pid, group) counts must see the SAME
@@ -337,7 +383,7 @@ def grouped_ffill(
     gnames = [group_by] if isinstance(group_by, str) else list(group_by)
     gcols = [F.col(c) for c in gnames]
     ocols = _order_cols(order_by)
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n = _resolve_partitions(df, num_partitions)
     out = out or f"{value}_{'bfill' if backward else 'ffill'}"
     rp = df.repartitionByRange(n, *gcols, *ocols).withColumn(
         "__pid", F.spark_partition_id())
@@ -384,7 +430,7 @@ def _grouped_running(df, gnames, order_by, value, num_partitions,
     two-phase shape and pinning rationale as :func:`grouped_cumsum`."""
     gcols = [F.col(c) for c in gnames]
     ocols = _order_cols(order_by)
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n = _resolve_partitions(df, num_partitions)
     rp = df.repartitionByRange(n, *gcols, *ocols).withColumn(
         "__pid", F.spark_partition_id())
     v = F.col(value)
@@ -673,7 +719,7 @@ def _grouped_multi_cumsum_detbounds(df, gnames, order_by, pairs,
     whose sums equal df's per-bucket sums (rolling_time's anchor rows
     are all-zero, so the pre-explode frame aggregates the same totals
     from half the rows with no explode)."""
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n = _resolve_partitions(df, num_partitions)
     plan = _literal_bucket_plan(plan_df if plan_df is not None else df,
                                 gnames,
                                 plan_key if plan_key is not None else key,
@@ -725,7 +771,7 @@ def _grouped_multi_cumsum(df, gnames, order_by, pairs, num_partitions):
     Same null semantics per column as grouped_cumsum."""
     gcols = [F.col(c) for c in gnames]
     ocols = _order_cols(order_by)
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n = _resolve_partitions(df, num_partitions)
     rp = df.repartitionByRange(n, *gcols, *ocols).withColumn(
         "__pid", F.spark_partition_id())
     # pinned for the two-branch boundary hazard (grouped_cumsum's note).
@@ -1121,7 +1167,7 @@ def grouped_cumminmax(
     gnames = [group_by] if isinstance(group_by, str) else list(group_by)
     gcols = [F.col(c) for c in gnames]
     ocols = _order_cols(order_by)
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n = _resolve_partitions(df, num_partitions)
     out = out or f"{value}_cum{op}"
     rp = df.repartitionByRange(n, *gcols, *ocols).withColumn(
         "__pid", F.spark_partition_id())

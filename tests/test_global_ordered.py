@@ -688,3 +688,44 @@ class TestGroupedRankMultiMethod:
                     assert a is None, k
                 else:
                     assert a == pytest.approx(b, rel=1e-12), k
+
+
+class TestResolvePartitions:
+    """num_partitions=None tracks DATA at both ends (r13): small frames
+    get few range partitions (task dispatch dominated below ~256 KiB per
+    partition), mid frames cap at defaultParallelism, and frames whose
+    per-core share would exceed ~512 MiB grow past core count."""
+
+    def test_explicit_passthrough(self, spark):
+        from pandas_plus_spark.functions import ordered as O
+        df = spark.range(10)
+        assert O._resolve_partitions(df, 7) == 7
+
+    def test_small_frame_floors_at_two(self, spark):
+        from pandas_plus_spark.functions import ordered as O
+        # ~80 bytes estimated — carries must still cross a boundary
+        assert O._resolve_partitions(spark.range(10), None) == 2
+
+    def test_tracks_bytes_then_caps_at_cores(self, spark):
+        from pandas_plus_spark.functions import ordered as O
+        par = spark.sparkContext.defaultParallelism
+        # spark.range rows are 8 bytes each in Catalyst's estimate:
+        # 100k rows ≈ 800 KiB -> ceil(800K/256K) = 4 partitions
+        assert O._resolve_partitions(spark.range(100_000), None) == 4
+        # 1e8 rows ≈ 800 MB -> want is huge but 800 MB / par stays under
+        # the 512 MiB per-partition bound, so cap = defaultParallelism
+        assert O._resolve_partitions(spark.range(100_000_000), None) == par
+
+    def test_huge_frame_outgrows_core_cap(self, spark):
+        from pandas_plus_spark.functions import ordered as O
+        # 10^12 rows ≈ 8 TB estimated: 512 MiB partitions need far more
+        # than defaultParallelism tasks
+        n = O._resolve_partitions(spark.range(1_000_000_000_000), None)
+        assert n == -(-8_000_000_000_000 // O._RANGE_MAX_PARTITION_BYTES)
+        assert n > spark.sparkContext.defaultParallelism
+
+    def test_unknown_stats_fall_back_to_cores(self, spark):
+        from pandas_plus_spark.functions import ordered as O
+        e = spark.createDataFrame([], "rid long, v double")
+        assert O._resolve_partitions(e, None) == \
+            spark.sparkContext.defaultParallelism
