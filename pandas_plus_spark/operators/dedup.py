@@ -928,9 +928,14 @@ def exact_substring_spans(
        gram positions, so the exploded frame is corpus-tokens/w rows;
     3. anchor-occurrence pairing by gram hash — an equi-self-join on the
        hash with the standard oversized-bucket cap
-       (:func:`_cap_bucket_entries`): a boilerplate anchor shared by b
-       documents costs min(b, cap)² pairs, never b². NO all-pairs stage
-       anywhere;
+       (:func:`_cap_bucket_entries`) PLUS hub edges (r13): a boilerplate
+       anchor shared by b documents costs min(b, cap)² sampled pairs
+       plus b − cap linear hub pairs (every dropped entry pairs with the
+       bucket's min-(id, pos) kept entry), never b². The hub edges are
+       what keep DOC-LEVEL span recall at 1.0 when a hot sentence is a
+       document's only duplicated content (measured: 7.4% recall without
+       them at b=10k / cap=256, 100% with — BASELINE.md r13). NO
+       all-pairs stage anywhere;
     4. bidirectional extension: each anchor pair joins its two token
        arrays and extends left/right while tokens match EXACTLY (a JVM
        ``zip_with``/``array_position`` scan — the extension IS the
@@ -939,11 +944,13 @@ def exact_substring_spans(
     5. per-document interval merge of surviving spans (one keyed
        window), yielding maximal spans for :func:`excise_spans`.
 
-    Approximation vs a true suffix array: a capped hot anchor can drop
-    pair coverage for massively repeated boilerplate (the span usually
-    survives via its other anchors — each window of the span
-    contributes one), and extension costs O(match length + anchor's
-    doc-suffix scan) per pair rather than amortized O(1). Corpus cost
+    Approximation vs a true suffix array: a capped hot anchor samples
+    its pair coverage, but every dropped entry keeps one hub edge, so
+    each document still reports every qualifying span (the r13
+    adversarial fixture pinned this; before hub edges the "span survives
+    via its other anchors" argument failed exactly when all the span's
+    anchors were the same hot gram). Extension costs O(match length +
+    anchor's doc-suffix scan) per pair rather than amortized O(1). Corpus cost
     is otherwise linear: tokenize+hash map pass, anchors/w explode, one
     hash-keyed shuffle for pairing, pair-bounded extension joins, one
     doc-keyed shuffle to merge. ``hash_fn="poly"`` makes every hash
@@ -1008,14 +1015,57 @@ def exact_substring_spans(
     entries = (arr.select("id", F.explode(pos_structs).alias("__a"))
                .select("id", F.col("__a.pos").alias("pos"),
                        F.col("__a.g").alias("__g")))
-    capped = _cap_bucket_entries(entries, ["__g"], max_bucket_size)
+    # Oversized-bucket frame computed ONCE and persisted (bounded by
+    # n_entries/cap rows by construction) — it feeds the cap filter AND
+    # the hub-edge branch below; without the pin each consumer re-runs
+    # the aggregate over the anchor frame (+35% healthy-corpus
+    # wall-clock at sf1, measured r13).
+    oversized = (entries.groupBy("__g")
+                 .agg(F.count(F.lit(1)).alias("__bsz"))
+                 .where(F.col("__bsz") > max_bucket_size)
+                 .persist())
+    kept = (F.pmod(F.xxhash64("id", "__g"), F.col("__bsz"))
+            < max_bucket_size)
+    capped = (entries.join(F.broadcast(oversized), "__g", "left")
+              .where(F.col("__bsz").isNull() | kept).drop("__bsz"))
     a, b = capped.alias("a"), capped.alias("b")
     pairs = (
         a.join(b, on="__g")
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("a.pos").alias("pa"),
-                F.col("b.id").alias("id_b"), F.col("b.pos").alias("pb"))
-        .distinct())
+                F.col("b.id").alias("id_b"), F.col("b.pos").alias("pb")))
+    # Hub edges (r13 — the capped_pair_candidates pattern, carrying
+    # POSITIONS): the cap alone collapses recall when a span's anchors
+    # all live in ONE hot bucket (a boilerplate sentence shared by b
+    # docs keeps ~cap entries, so b − cap docs get NO pair and lose the
+    # span — measured 7.4% doc recall at b=10k/cap=256, BASELINE.md r13;
+    # the "span survives via its other anchors" argument only holds when
+    # the anchors differ). Every DROPPED entry of an oversized bucket
+    # pairs with the bucket's hub (min (id, pos) KEPT entry,
+    # min-over-all fallback): linear in bucket size, and the extension
+    # stage still verifies every hub pair token-exactly, so no false
+    # span can enter. Healthy buckets: the oversized pin is empty and
+    # the whole branch is a no-op probe against an empty broadcast.
+    tagged = entries.join(F.broadcast(oversized), "__g", "inner")
+    hubs = (tagged.groupBy("__g")
+            .agg(F.min(F.when(kept, F.struct("id", "pos"))).alias("__kh"),
+                 F.min(F.struct("id", "pos")).alias("__ah"))
+            .select("__g", F.coalesce("__kh", "__ah").alias("__hub")))
+    first = F.col("id") < F.col("__hub.id")
+    hub_edges = (
+        tagged.where(~kept)
+        .join(hubs, "__g")
+        .where(F.col("id") != F.col("__hub.id"))
+        .select(
+            F.when(first, F.col("id")).otherwise(F.col("__hub.id"))
+            .alias("id_a"),
+            F.when(first, F.col("pos")).otherwise(F.col("__hub.pos"))
+            .alias("pa"),
+            F.when(first, F.col("__hub.id")).otherwise(F.col("id"))
+            .alias("id_b"),
+            F.when(first, F.col("__hub.pos")).otherwise(F.col("pos"))
+            .alias("pb")))
+    pairs = pairs.unionByName(hub_edges).distinct()
 
     def match_len(xs, ys):
         # tokens matched before the first mismatch; zip_with pads the
@@ -1066,7 +1116,7 @@ def exact_substring_spans(
         .agg(F.min("span_start").cast("long").alias("span_start"),
              F.max("span_end").cast("long").alias("span_end"))
         .select(F.col("id").alias(id_col), "span_start", "span_end"))
-    return attach_cached(merged, arr)
+    return attach_cached(merged, arr, oversized)
 
 
 # r10 A/B knob: True computes the corpus-wide chunk multiplicity as a

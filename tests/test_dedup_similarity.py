@@ -1229,6 +1229,40 @@ class TestExactSubstringSpans:
             m = 12 + i % 7
             assert out[2 * i] == m and out[2 * i + 1] == m
 
+    def test_hot_anchor_recall_via_hub_edges(self, spark):
+        """Adversarial hot-anchor fixture (VERDICT r12 item 4): ONE
+        boilerplate sentence is every document's only duplicated
+        content, so all of the span's anchors land in the SAME oversized
+        bucket. The cap alone collapses doc-level recall to ~cap/b
+        (measured 7.4% at b=10k/cap=256, BASELINE.md r13); the hub edges
+        must keep it at 1.0, with the planted rare pair untouched and no
+        false spans anywhere."""
+        n = 600
+        s_run = [f"b{j}" for j in range(15)]
+        rows = []
+        for i in range(n):
+            toks = ([f"u{i}x{j}" for j in range(5)] + s_run
+                    + [f"u{i}y{j}" for j in range(3)])
+            if i < 2:  # one planted rare pair, healthy bucket
+                toks += [f"p0q{j}" for j in range(14)]
+            rows.append((i, " ".join(toks)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.exact_substring_spans(
+            docs, "text", "doc_id", min_len=12, k=6,
+            max_bucket_size=32)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_end))
+        from pandas_plus_spark.util import release_cached
+        release_cached(out)
+        assert len(got) == n          # EVERY doc reports the hot span
+        for i in range(n):
+            want = [(5, 20)]
+            if i < 2:
+                want.append((23, 37))
+            assert sorted(got[i]) == want, i
+
     def test_validation_and_empty(self, spark):
         docs = spark.createDataFrame([(0, ""), (1, None)],
                                      "doc_id long, text string")
