@@ -1461,6 +1461,37 @@ def _q_exact_substring_spans(spark, sf):
                                        min_len=12, k=6, hash_fn="poly")
 
 
+def _q_ess_excision(spark, sf):
+    """exact_substring_spans → excise_spans composed END-TO-END (r13,
+    VERDICT r12 item 5 — the two composed on paper via the dedup.py
+    docstring but no gate ran excision over ESS output; span_excision
+    exercises the duplicated_spans detector instead): the same planted
+    400-doc fixture as exact_substring_spans, spans detected by
+    winnowing-anchor ESS, then cut out. Closed-form oracle: every doc's
+    clean_text is exactly its unique filler (the planted run excised
+    verbatim), n_removed = 12 + (doc_id//2)%7 — a span boundary off by
+    one token leaves or removes a filler token and fails the hash."""
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 400).select("doc_id"))
+    did = F.col("doc_id")
+    pair = F.floor(did / 2)
+
+    def toks(prefix, idc, n):
+        return F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: F.concat(F.lit(prefix), idc.cast("string"),
+                               F.lit("x"), j.cast("string")))
+
+    text = F.concat_ws(" ", F.concat(
+        toks("f", did, F.lit(3) + did % 5),
+        toks("p", pair, F.lit(12) + pair % 7),
+        toks("g", did, F.lit(4) + did % 3)))
+    fixture = docs.select("doc_id", text.alias("text"))
+    spans = dedup.exact_substring_spans(fixture, "text", "doc_id",
+                                        min_len=12, k=6, hash_fn="poly")
+    return dedup.excise_spans(fixture, spans, "text", "doc_id")
+
+
 def _q_link_graph_rank(spark, sf):
     """Link-graph analytics (r12 — operators/graph.py): PageRank +
     degree stats over a synthetic 500-node web graph built from doc_id
@@ -4498,11 +4529,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CADENCE INVARIANT (r8 restatement — the registry outgrew the old
     # three-round union): with N entries and a 50-entry window, every
     # entry gets a driver-side CORRECTNESS row at least every
-    # ceil(N / 50) rounds (N = 169 -> 4 rounds), the window head is
+    # ceil(N / 50) rounds (N = 170 -> 4 rounds), the window head is
     # always (new entries, then never-verified, then re-verifications of
     # code changed this round, then the least-recently-verified), and the
     # EVERY-round bridge is the full-registry local oracle gate
-    # (scripts/run_gate.py, 169/169 at sf0.01) + the pinned SUBSET in
+    # (scripts/run_gate.py, 170/170 at sf0.01) + the pinned SUBSET in
     # tests/test_oracle_gate.py. The invariant is MACHINE-CHECKED:
     # scripts/check_rotation.py reads CORRECTNESS_r*.json history plus
     # this dict's order and fails if any entry's staleness would exceed
@@ -4517,11 +4548,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r14 window.
     return {
         # --- r13 window head (driver samples the FIRST 50) ---
+        # new r13 entries (never driver-verified — must sit in the
+        # window):
+        "ess_excision": _q_ess_excision,
         # r13 rotation: the 34 r9-era entries at the 4-round cadence
         # bound plus the 16 stalest r10 entries (includes the staged
         # decoder-guard re-verification audio_pcm_features). No new
-        # consolidations this round; registry holds at 169 with zero
-        # rows-only rows (the r12 consolidation took it 171 -> 169).
+        # consolidations this round; registry 169 -> 170 (ess_excision),
+        # zero rows-only rows (the r12 consolidation took it 171 -> 169).
         # last driver-green r9:
         "expanding_stats": _q_expanding_stats,
         "group_expanding_scale": _q_group_expanding_scale,
@@ -6407,6 +6441,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 + doc_id % 5 AS BIGINT) AS span_start,
                    CAST(3 + doc_id % 5 + 12 + (doc_id // 2) % 7
                         AS BIGINT) AS span_end
+            FROM documents WHERE doc_id < 400
+        """,
+        "ess_excision": """
+            -- composed ESS -> excision, closed-form: the planted run is
+            -- each doc's ONLY cross-doc content, so clean_text is the
+            -- unique filler rebuilt verbatim and n_removed the planted
+            -- run length
+            SELECT doc_id,
+                   array_to_string(
+                     list_transform(range(0, CAST(3 + doc_id % 5 AS BIGINT)),
+                       j -> 'f' || doc_id || 'x' || j)
+                     || list_transform(range(0, CAST(4 + doc_id % 3 AS BIGINT)),
+                       j -> 'g' || doc_id || 'x' || j),
+                     ' ') AS clean_text,
+                   CAST(12 + (doc_id // 2) % 7 AS BIGINT) AS n_removed
             FROM documents WHERE doc_id < 400
         """,
         "minhash_gate": (
