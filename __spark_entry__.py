@@ -434,6 +434,65 @@ def _sql_pagerank_unrolled(n_iters: int = 3) -> str:
     """)
 
 
+def _sql_ppr_unrolled(n_iters: int = 3) -> str:
+    """DuckDB twin of _q_personalized_pagerank: the exact_mass
+    PERSONALIZED recurrence unrolled over the link_graph_rank fixture
+    graph with seeds doc_id % 50 == 0 (weight 1 + doc_id % 3). Same
+    floor divisions, same 85/100 damping, and the same H = 10**6
+    split identity for tele·dang // MASS (graph._personalized_pagerank
+    docstring) — a teleport, dangling-share, or damping bug changes a
+    mass and fails the hash."""
+    mass, H = 10 ** 12, 10 ** 6
+    share = (f"((t.t // {H}) * dang) // {H}"
+             f" + ((((t.t // {H}) * dang) % {H}) * {H}"
+             f" + (t.t % {H}) * dang) // {mass}")
+    ctes = [f"""
+        e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT doc_id AS src, (doc_id * 7 + 3) % 500 AS dst
+                FROM documents WHERE doc_id < 500 AND doc_id % 17 <> 0
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 5) % 500
+                FROM documents
+                WHERE doc_id < 500 AND doc_id % 17 <> 0
+                  AND doc_id % 3 <> 0)
+        ), nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        ), seeds AS (
+            SELECT doc_id AS node, CAST(1 + doc_id % 3 AS BIGINT) AS w
+            FROM documents WHERE doc_id < 500 AND doc_id % 50 = 0
+        ), wt AS (
+            SELECT SUM(s.w) AS wtot FROM seeds s
+            JOIN nodes n ON n.node = s.node
+        ), outd AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+        tele AS (
+            SELECT n.node, CAST({mass} * COALESCE(s.w, 0) // wt.wtot
+                                AS BIGINT) AS t
+            FROM nodes n CROSS JOIN wt
+            LEFT JOIN seeds s ON s.node = n.node
+        ), r0 AS (SELECT node, t AS m FROM tele)"""]
+    for i in range(n_iters):
+        ctes.append(f"""
+        c{i} AS (
+            SELECT e.dst AS node, SUM(r.m // o.od) AS cm
+            FROM e JOIN r{i} r ON r.node = e.src
+                   JOIN outd o ON o.src = e.src
+            GROUP BY e.dst),
+        g{i} AS (
+            SELECT COALESCE(SUM(m), 0) AS dang FROM r{i}
+            WHERE node NOT IN (SELECT src FROM outd)),
+        r{i + 1} AS (
+            SELECT t.node,
+                   t.t * 15 // 100
+                   + (COALESCE(c.cm, 0) + {share}) * 85 // 100 AS m
+            FROM tele t CROSS JOIN g{i}
+            LEFT JOIN c{i} c ON c.node = t.node)""")
+    return ("WITH " + ",".join(ctes) + f"""
+        SELECT node, CAST(m AS BIGINT) AS mass FROM r{n_iters}
+    """)
+
+
 def _sql_simhash_poly(bits: int = 24) -> str:
     """DuckDB twin of simhash(hash_fn="poly", bits<=30)."""
     poly_t = tx.sql_poly_hash("t")
@@ -1490,6 +1549,33 @@ def _q_ess_excision(spark, sf):
     spans = dedup.exact_substring_spans(fixture, "text", "doc_id",
                                         min_len=12, k=6, hash_fn="poly")
     return dedup.excise_spans(fixture, spans, "text", "doc_id")
+
+
+def _q_personalized_pagerank(spark, sf):
+    """Personalized (TrustRank-style) PageRank (r13 —
+    operators/graph.py pagerank(personalize=)): teleport and dangling
+    mass flow to SEED nodes in proportion to their weights instead of
+    uniformly — the crawl-curation scorer that propagates trust (or
+    spam) outward from a labeled seed set (Gyöngyi et al. 2004). Same
+    500-node arithmetic web graph as link_graph_rank; seeds are
+    doc_id % 50 == 0 with weight 1 + doc_id % 3. The gate runs the
+    exact_mass integer twin (3 iterations, mass 10^12, floor division,
+    85/100 damping, the H=10^6 split identity for tele·dang // mass);
+    the oracle unrolls the identical recurrence in SQL."""
+    from pandas_plus_spark.operators.graph import pagerank
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 500).select("doc_id"))
+    did = F.col("doc_id")
+    e1 = docs.where(did % 17 != 0).select(
+        did.alias("src"), ((did * 7 + 3) % 500).alias("dst"))
+    e2 = docs.where((did % 17 != 0) & (did % 3 != 0)).select(
+        did.alias("src"), ((did * 13 + 5) % 500).alias("dst"))
+    edges = e1.unionByName(e2)
+    seeds = docs.where(did % 50 == 0).select(
+        did.alias("node"), (F.lit(1) + did % 3).alias("weight"))
+    return pagerank(edges, n_iters=3, exact_mass=True,
+                    personalize=seeds)
 
 
 def _q_link_graph_rank(spark, sf):
@@ -4529,11 +4615,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CADENCE INVARIANT (r8 restatement — the registry outgrew the old
     # three-round union): with N entries and a 50-entry window, every
     # entry gets a driver-side CORRECTNESS row at least every
-    # ceil(N / 50) rounds (N = 170 -> 4 rounds), the window head is
+    # ceil(N / 50) rounds (N = 171 -> 4 rounds), the window head is
     # always (new entries, then never-verified, then re-verifications of
     # code changed this round, then the least-recently-verified), and the
     # EVERY-round bridge is the full-registry local oracle gate
-    # (scripts/run_gate.py, 170/170 at sf0.01) + the pinned SUBSET in
+    # (scripts/run_gate.py, 171/171 at sf0.01) + the pinned SUBSET in
     # tests/test_oracle_gate.py. The invariant is MACHINE-CHECKED:
     # scripts/check_rotation.py reads CORRECTNESS_r*.json history plus
     # this dict's order and fails if any entry's staleness would exceed
@@ -4551,10 +4637,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r13 entries (never driver-verified — must sit in the
         # window):
         "ess_excision": _q_ess_excision,
+        "personalized_pagerank": _q_personalized_pagerank,
         # r13 rotation: the 34 r9-era entries at the 4-round cadence
         # bound plus the 16 stalest r10 entries (includes the staged
         # decoder-guard re-verification audio_pcm_features). No new
-        # consolidations this round; registry 169 -> 170 (ess_excision),
+        # consolidations this round; registry 169 -> 171 (ess_excision,
+        # personalized_pagerank),
         # zero rows-only rows (the r12 consolidation took it 171 -> 169).
         # last driver-green r9:
         "expanding_stats": _q_expanding_stats,
@@ -6407,6 +6495,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id < 10
         """,
         "link_graph_rank": _sql_pagerank_unrolled(n_iters=3),
+        "personalized_pagerank": _sql_ppr_unrolled(n_iters=3),
         "anchor_text_graph": """
             -- link + anchor strings rebuilt from the same doc_id
             -- arithmetic (markup stripped, whitespace collapsed, the

@@ -71,6 +71,7 @@ def pagerank(
     dst_col: str = "dst",
     exact_mass: bool = False,
     tol: float | None = None,
+    personalize: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over an edge list: ``(node, rank)`` after ``n_iters``
     damped power iterations from the uniform start, dangling mass
@@ -101,10 +102,31 @@ def pagerank(
     integer-exact there, so early exit stays bit-reproducible. The
     fixed-count form (``tol=None``, the default) remains the oracle
     twin — no per-iteration action is issued in that mode.
+
+    ``personalize`` (optional) switches to PERSONALIZED PageRank — the
+    TrustRank-family crawl-curation scorer (Gyöngyi et al. 2004): a
+    ``(node, weight)`` DataFrame of seed nodes; teleport AND dangling
+    mass go to the seeds in proportion to their weights instead of
+    uniformly, so rank flows outward from trusted (or spam) seeds::
+
+        rank = (1 − d)·tele(v) + d·(Σ contribs + dangling_mass·tele(v))
+
+    with ``tele`` the weight vector normalized over the seeds present
+    in the graph; non-seed nodes get teleport 0 and unknown seed nodes
+    are ignored. Initial ranks = ``tele``. In ``exact_mass`` mode the
+    weights must be non-negative integers with total ≤ 10**6 (keeps
+    every intermediate product inside int64 — see
+    :func:`_personalized_pagerank` for the split-division identity) and
+    the recurrence is bit-reproducible like the uniform twin.
     """
     if exact_mass and damping != 0.85:
         raise ValueError("exact_mass supports the damping=0.85 rational "
                          "(85/100) only")
+    if personalize is not None:
+        return _personalized_pagerank(
+            edges, personalize, n_iters=n_iters, damping=damping,
+            src_col=src_col, dst_col=dst_col, exact_mass=exact_mass,
+            tol=tol)
     e = (ensure_parallelism(edges)
          .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
          .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -197,3 +219,127 @@ def _max_abs_delta(prev: DataFrame, cur: DataFrame, col: str) -> float:
            .join(prev.select("node", F.col(col).alias("__prev")), "node")
            .agg(F.max(F.abs(F.col("__cur") - F.col("__prev")))).first())
     return float(row[0]) if row[0] is not None else 0.0
+
+
+def _personalized_pagerank(
+    edges: DataFrame,
+    personalize: DataFrame,
+    *,
+    n_iters: int,
+    damping: float,
+    src_col: str,
+    dst_col: str,
+    exact_mass: bool,
+    tol: float | None,
+) -> DataFrame:
+    """Personalized-teleport recurrence behind ``pagerank(personalize=)``
+    (see its docstring for semantics). Scale shape matches the uniform
+    path — the teleport column rides ON the persisted node frame, so per
+    iteration there is still exactly one node-frame shuffle + one
+    edge-sized aggregation; the uniform path's code is left untouched so
+    its oracle-pinned arithmetic cannot drift.
+
+    exact_mass arithmetic: ``tele_m(v) = MASS·w(v) // Σw`` (weights are
+    validated to non-negative longs with Σw ≤ 10**6, so ``MASS·w`` ≤
+    10**18 stays in int64), and the per-iteration dangling share
+    ``tele_m·dang // MASS`` — whose direct product reaches 10**24 —
+    uses the exact split identity with ``H = 10**6`` (``MASS = H²``)::
+
+        a = tele_m div H;  b = tele_m mod H     # tele_m = a·H + b
+        A = a·dang;        B = b·dang           # each ≤ 10**18
+        tele_m·dang // H²  =  A div H + ((A mod H)·H + B) div H²
+
+    every term int64, mirrored verbatim in the gate's SQL oracle."""
+    if exact_mass and damping != 0.85:
+        raise ValueError("exact_mass supports the damping=0.85 rational "
+                         "(85/100) only")
+    e = (ensure_parallelism(edges)
+         .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    out_d = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outd"))
+    ej = e.join(out_d, "src").persist()
+    dangling = (nodes.join(out_d.withColumnRenamed("src", "node"),
+                           "node", "left_anti").persist())
+
+    if exact_mass:
+        pzw = personalize.select(
+            "node", F.col("weight").cast("long").alias("__w"))
+        wrow = (nodes.join(pzw, "node", "inner")
+                .agg(F.sum("__w").alias("__wt"),
+                     F.min("__w").alias("__wmin")).first())
+        wtot = wrow["__wt"]
+        if not wtot or wtot <= 0:
+            raise ValueError("personalize has no positive-weight seed "
+                             "present in the graph")
+        if wrow["__wmin"] < 0 or wtot > 10 ** 6:
+            raise ValueError("exact_mass personalization needs "
+                             "non-negative integer weights with total "
+                             "<= 10**6")
+        H = 10 ** 6
+        tele = (nodes.join(pzw, "node", "left")
+                .select("node", F.expr(
+                    f"{PAGERANK_MASS}L * coalesce(__w, 0L) div {wtot}L")
+                    .alias("__t"))
+                .persist())
+        ranks = tele.select("node", F.col("__t").alias("__m"))
+        # split identity for tele_m * dang // MASS (docstring above)
+        share = (f"((__t div {H}L) * __dg) div {H}L"
+                 f" + ((((__t div {H}L) * __dg) % {H}L) * {H}L"
+                 f" + (__t % {H}L) * __dg) div {PAGERANK_MASS}L")
+        for _ in range(n_iters):
+            contrib = (
+                ej.join(ranks.withColumnRenamed("node", "src"), "src")
+                .select("dst", F.expr("__m div __outd").alias("__c"))
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("__c").alias("__in")))
+            dang = (ranks.join(dangling, "node", "left_semi")
+                    .agg(F.coalesce(F.sum("__m"),
+                                    F.lit(0).cast("long")).alias("__dg")))
+            new = (tele.join(contrib, "node", "left").crossJoin(
+                F.broadcast(dang))
+                .select("node", F.expr(
+                    f"__t * 15 div 100"
+                    f" + (coalesce(__in, 0L) + {share}) * 85 div 100")
+                    .alias("__m")))
+            prev, ranks = ranks, new.localCheckpoint(eager=True)
+            if tol is not None and _max_abs_delta(
+                    prev, ranks, "__m") < tol * PAGERANK_MASS:
+                break
+        out = ranks.select("node", F.col("__m").alias("mass"))
+        return attach_cached(out, ej, dangling, tele, ranks)
+
+    pzw = personalize.select(
+        "node", F.col("weight").cast("double").alias("__w"))
+    wtot = nodes.join(pzw, "node", "inner").agg(F.sum("__w")).first()[0]
+    if not wtot or wtot <= 0:
+        raise ValueError("personalize has no positive-weight seed "
+                         "present in the graph")
+    tele = (nodes.join(pzw, "node", "left")
+            .select("node", (F.coalesce("__w", F.lit(0.0))
+                             / F.lit(float(wtot))).alias("__t"))
+            .persist())
+    ranks = tele.select("node", F.col("__t").alias("__r"))
+    for _ in range(n_iters):
+        contrib = (
+            ej.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", (F.col("__r") / F.col("__outd")).alias("__c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("__c").alias("__in")))
+        dang = (ranks.join(dangling, "node", "left_semi")
+                .agg(F.coalesce(F.sum("__r"), F.lit(0.0)).alias("__dg")))
+        new = (tele.join(contrib, "node", "left").crossJoin(
+            F.broadcast(dang))
+            .select("node", (
+                F.lit(1.0 - damping) * F.col("__t")
+                + F.lit(damping) * (F.coalesce("__in", F.lit(0.0))
+                                    + F.col("__dg") * F.col("__t")))
+                .alias("__r")))
+        prev, ranks = ranks, new.localCheckpoint(eager=True)
+        if tol is not None and _max_abs_delta(prev, ranks, "__r") < tol:
+            break
+    out = ranks.select("node", F.col("__r").alias("rank"))
+    return attach_cached(out, ej, dangling, tele, ranks)

@@ -184,3 +184,126 @@ class TestPageRank:
                for r in G.degree_stats(self._edges_df(spark)).collect()}
         assert got == {0: (2, 1), 1: (1, 1), 2: (1, 3), 3: (2, 0),
                        4: (0, 1)}
+
+
+def py_ppr(edges, seeds, n_iters, d=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, set()).add(t)
+    wtot = sum(w for v, w in seeds.items() if v in set(nodes))
+    tele = {v: seeds.get(v, 0.0) / wtot for v in nodes}
+    r = dict(tele)
+    for _ in range(n_iters):
+        dang = sum(r[v] for v in nodes if v not in out)
+        nr = {v: (1 - d) * tele[v] + d * dang * tele[v] for v in nodes}
+        for s, ts in out.items():
+            for t in ts:
+                nr[t] += d * r[s] / len(ts)
+        r = nr
+    return r
+
+
+def py_ppr_int(edges, seeds, n_iters, S=G.PAGERANK_MASS):
+    nodes = sorted({x for e in edges for x in e})
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, set()).add(t)
+    wtot = sum(w for v, w in seeds.items() if v in set(nodes))
+    tele = {v: S * seeds.get(v, 0) // wtot for v in nodes}
+    m = dict(tele)
+    for _ in range(n_iters):
+        dang = sum(m[v] for v in nodes if v not in out)
+        nm = dict.fromkeys(nodes, 0)
+        for s, ts in out.items():
+            for t in ts:
+                nm[t] += m[s] // len(ts)
+        m = {v: tele[v] * 15 // 100
+             + (nm[v] + tele[v] * dang // S) * 85 // 100 for v in nodes}
+    return m
+
+
+class TestPersonalizedPageRank:
+
+    def _dfs(self, spark, edges, seeds):
+        import pandas as pd
+        e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+        s = spark.createDataFrame(
+            pd.DataFrame(list(seeds.items()), columns=["node", "weight"]))
+        return e, s
+
+    def test_float_matches_reference(self, spark):
+        seeds = {0: 2.0, 3: 1.0}
+        e, s = self._dfs(spark, EDGES, seeds)
+        out = G.pagerank(e, n_iters=8, personalize=s)
+        got = {r.node: r.rank for r in out.collect()}
+        release_cached(out)
+        ref = py_ppr(EDGES, seeds, 8)
+        assert got.keys() == ref.keys()
+        assert max(abs(got[v] - ref[v]) for v in ref) < 1e-12
+        assert abs(sum(got.values()) - 1.0) < 1e-9   # mass conserved
+
+    def test_exact_mass_bit_identical(self, spark):
+        seeds = {0: 2, 3: 1}
+        e, s = self._dfs(spark, EDGES, seeds)
+        out = G.pagerank(e, n_iters=4, exact_mass=True, personalize=s)
+        got = {r.node: r.mass for r in out.collect()}
+        release_cached(out)
+        assert got == py_ppr_int(EDGES, seeds, 4)
+
+    def test_unknown_seed_ignored_and_validation(self, spark):
+        seeds = {0: 1.0, 999: 5.0}          # 999 not in the graph
+        e, s = self._dfs(spark, EDGES, seeds)
+        out = G.pagerank(e, n_iters=3, personalize=s)
+        got = {r.node: r.rank for r in out.collect()}
+        release_cached(out)
+        ref = py_ppr(EDGES, {0: 1.0}, 3)
+        assert max(abs(got[v] - ref[v]) for v in ref) < 1e-12
+        import pytest as _pt
+        e2, s2 = self._dfs(spark, EDGES, {999: 1.0})
+        with _pt.raises(ValueError, match="seed"):
+            G.pagerank(e2, n_iters=2, personalize=s2)
+        e3, s3 = self._dfs(spark, EDGES, {0: 2 * 10 ** 6})
+        with _pt.raises(ValueError, match="10"):
+            G.pagerank(e3, n_iters=2, exact_mass=True, personalize=s3)
+
+    def test_trust_flows_from_seed(self, spark):
+        # chain 0 -> 1 -> 2 and isolated pair 3 -> 4: seeding node 0
+        # must rank the chain above the unseeded pair
+        edges = [(0, 1), (1, 2), (3, 4)]
+        e, s = self._dfs(spark, edges, {0: 1.0})
+        out = G.pagerank(e, n_iters=12, personalize=s)
+        got = {r.node: r.rank for r in out.collect()}
+        release_cached(out)
+        assert got[0] > got[3] and got[1] > got[4] and got[2] > got[4]
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_random_graphs_match_reference(self, spark):
+        import numpy as np
+        import pandas as pd
+        rng = np.random.RandomState(23)
+        for case in range(3):
+            n = 14 + 4 * case
+            edges = set()
+            while len(edges) < 3 * n:
+                a, b = int(rng.randint(n)), int(rng.randint(n))
+                if a != b:
+                    edges.add((a, b))
+            drop = {int(x) for x in rng.choice(n, 3, replace=False)}
+            edges = sorted((a, b) for a, b in edges if a not in drop)
+            seeds = {int(v): int(rng.randint(1, 9))
+                     for v in rng.choice(n, 4, replace=False)}
+            e = spark.createDataFrame(
+                pd.DataFrame(edges, columns=["src", "dst"]))
+            s = spark.createDataFrame(
+                pd.DataFrame(list(seeds.items()),
+                             columns=["node", "weight"]))
+            out = G.pagerank(e, n_iters=5, personalize=s)
+            got = {r.node: r.rank for r in out.collect()}
+            release_cached(out)
+            ref = py_ppr(edges, {k: float(v) for k, v in seeds.items()}, 5)
+            assert max(abs(got[v] - ref[v]) for v in ref) < 1e-12, case
+            out2 = G.pagerank(e, n_iters=3, exact_mass=True, personalize=s)
+            got2 = {r.node: r.mass for r in out2.collect()}
+            release_cached(out2)
+            assert got2 == py_ppr_int(edges, seeds, 3), case
