@@ -1551,6 +1551,32 @@ def _q_ess_excision(spark, sf):
     return dedup.excise_spans(fixture, spans, "text", "doc_id")
 
 
+def _q_fuzzy_join(spark, sf):
+    """Edit-distance join (r13 — operators/joins.py fuzzy_join):
+    SymSpell deletion-neighborhood blocking + JVM levenshtein verify,
+    exact ed<=1 semantics without a cross join. Fixture: left keys
+    'k'||doc_id for doc_id < 300; right keys typo'd by doc_id % 3
+    (exact / leading-char substitution / trailing insertion) plus
+    unmatched 'zz' rows — digit-sharing ids also legitimately match
+    within distance 1 (k11 vs k1), which the oracle's brute-force
+    cross join prices identically."""
+    from pandas_plus_spark.operators.joins import fuzzy_join
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 300).select("doc_id"))
+    did = F.col("doc_id").cast("string")
+    left = docs.select(F.col("doc_id").alias("id"),
+                       F.concat(F.lit("k"), did).alias("name"))
+    right = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("k"), did))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("x"), did))
+        .otherwise(F.concat(F.lit("k"), did, F.lit("z"))).alias("name"))
+    extra = docs.select((F.col("doc_id") + 1000).alias("id"),
+                        F.concat(F.lit("zz"), did).alias("name"))
+    return fuzzy_join(left, right.unionByName(extra), "name", max_dist=1)
+
+
 def _q_personalized_pagerank(spark, sf):
     """Personalized (TrustRank-style) PageRank (r13 —
     operators/graph.py pagerank(personalize=)): teleport and dangling
@@ -4615,11 +4641,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CADENCE INVARIANT (r8 restatement — the registry outgrew the old
     # three-round union): with N entries and a 50-entry window, every
     # entry gets a driver-side CORRECTNESS row at least every
-    # ceil(N / 50) rounds (N = 171 -> 4 rounds), the window head is
+    # ceil(N / 50) rounds (N = 172 -> 4 rounds), the window head is
     # always (new entries, then never-verified, then re-verifications of
     # code changed this round, then the least-recently-verified), and the
     # EVERY-round bridge is the full-registry local oracle gate
-    # (scripts/run_gate.py, 171/171 at sf0.01) + the pinned SUBSET in
+    # (scripts/run_gate.py, 172/172 at sf0.01) + the pinned SUBSET in
     # tests/test_oracle_gate.py. The invariant is MACHINE-CHECKED:
     # scripts/check_rotation.py reads CORRECTNESS_r*.json history plus
     # this dict's order and fails if any entry's staleness would exceed
@@ -4638,11 +4664,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window):
         "ess_excision": _q_ess_excision,
         "personalized_pagerank": _q_personalized_pagerank,
+        "fuzzy_join": _q_fuzzy_join,
         # r13 rotation: the 34 r9-era entries at the 4-round cadence
         # bound plus the 16 stalest r10 entries (includes the staged
         # decoder-guard re-verification audio_pcm_features). No new
-        # consolidations this round; registry 169 -> 171 (ess_excision,
-        # personalized_pagerank),
+        # consolidations this round; registry 169 -> 172 (ess_excision,
+        # personalized_pagerank, fuzzy_join),
         # zero rows-only rows (the r12 consolidation took it 171 -> 169).
         # last driver-green r9:
         "expanding_stats": _q_expanding_stats,
@@ -6496,6 +6523,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_graph_rank": _sql_pagerank_unrolled(n_iters=3),
         "personalized_pagerank": _sql_ppr_unrolled(n_iters=3),
+        "fuzzy_join": """
+            -- brute-force oracle: the fixture is 300x600 strings, so the
+            -- cross join + levenshtein is cheap for DuckDB while the
+            -- engine must reproduce EXACT ed<=1 semantics through its
+            -- deletion-neighborhood blocking
+            WITH l AS (
+                SELECT doc_id AS id, 'k' || CAST(doc_id AS VARCHAR) AS name
+                FROM documents WHERE doc_id < 300
+            ), r AS (
+                SELECT doc_id AS id,
+                       CASE doc_id % 3
+                         WHEN 0 THEN 'k' || CAST(doc_id AS VARCHAR)
+                         WHEN 1 THEN 'x' || CAST(doc_id AS VARCHAR)
+                         ELSE 'k' || CAST(doc_id AS VARCHAR) || 'z'
+                       END AS name
+                FROM documents WHERE doc_id < 300
+                UNION ALL
+                SELECT doc_id + 1000, 'zz' || CAST(doc_id AS VARCHAR)
+                FROM documents WHERE doc_id < 300
+            )
+            SELECT l.id AS left_id, r.id AS right_id,
+                   l.name AS left_key, r.name AS right_key,
+                   CAST(levenshtein(l.name, r.name) AS BIGINT)
+                     AS edit_distance
+            FROM l CROSS JOIN r
+            WHERE levenshtein(l.name, r.name) <= 1
+        """,
         "anchor_text_graph": """
             -- link + anchor strings rebuilt from the same doc_id
             -- arithmetic (markup stripped, whitespace collapsed, the

@@ -157,3 +157,102 @@ def interval_join(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
     )
     return joined.drop("__bucket")
+
+
+def _deletion_variants(c: Column, max_dist: int) -> Column:
+    """All strings reachable from ``c`` by deleting up to ``max_dist``
+    characters (the SymSpell blocking key set), as a distinct array.
+    Pure column expressions — substring splice per position; the
+    sequence is guarded because Spark's ``sequence(1, 0)`` DESCENDS
+    instead of returning empty."""
+    empty = F.array().cast("array<string>")
+
+    def dels(s: Column) -> Column:
+        n = F.length(s)
+        return F.when(n > 0, F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(
+                F.substring(s, F.lit(1), i - 1),
+                F.substring(s, i + 1, n)))).otherwise(empty)
+
+    out = F.array(c)
+    d1 = dels(c)
+    if max_dist >= 1:
+        out = F.concat(out, d1)
+    if max_dist >= 2:
+        out = F.concat(out, F.flatten(F.transform(d1, dels)))
+    return F.array_distinct(out)
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    *,
+    left_id: str = "id",
+    right_id: str = "id",
+    max_dist: int = 1,
+    max_len: int = 128,
+) -> DataFrame:
+    """Edit-distance join: every (left, right) row pair whose ``key_col``
+    strings are within Levenshtein distance ``max_dist`` — the entity /
+    benchmark-title normalization step of a curation pipeline, without a
+    cross join.
+
+    Returns ``(left_id, right_id, left_key, right_key, edit_distance)``
+    (fixed output names — the inputs' id columns may collide).
+
+    Scale shape (SymSpell blocking, Garbe's deletion-neighborhood
+    adaptation of Bocek et al. 2007): ``ed(a, b) <= k`` implies the
+    k-deletion neighborhoods of ``a`` and ``b`` intersect (align an
+    optimal edit script; delete from each side every character an edit
+    touches — each of the <= k ops touches at most one character per
+    side — and both sides reach the same subsequence). So an equi-join
+    on exploded deletion variants has PERFECT recall as a candidate
+    generator, and the single ``F.levenshtein`` verify (JVM-side,
+    whole-stage codegen) removes false candidates — exact semantics,
+    never a cross join. Exact-duplicate keys are collapsed per side
+    BEFORE the variant explode (the minhash pre-collapse pattern:
+    d copies of one hot string cost d join-back rows, not d·variants
+    shuffle rows), and the candidate join runs at DISTINCT-string grain.
+
+    Cost: a string of length L explodes to 1 + L variants at
+    ``max_dist=1`` and O(L²/2) at 2 (the supported range) — designed
+    for SHORT keys (names, titles, hosts); keys longer than ``max_len``
+    or NULL are excluded from matching entirely (raise ``max_len`` for
+    long-key corpora consciously). Shared-variant hot buckets (many
+    DISTINCT near-identical keys) amplify the candidate join the same
+    way any blocking join amplifies; normalize keys first if the corpus
+    is adversarial."""
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2 (deletion-neighborhood "
+                         "blocking degrades combinatorially beyond)")
+    ls = left.select(F.col(left_id).alias("left_id"),
+                     F.col(key_col).alias("left_key"))
+    rs = right.select(F.col(right_id).alias("right_id"),
+                      F.col(key_col).alias("right_key"))
+    ld = (ls.select("left_key").where(
+        F.col("left_key").isNotNull()
+        & (F.length("left_key") <= max_len)).distinct())
+    rd = (rs.select("right_key").where(
+        F.col("right_key").isNotNull()
+        & (F.length("right_key") <= max_len)).distinct())
+    lv = ld.select(
+        "left_key",
+        F.explode(_deletion_variants(F.col("left_key"), max_dist))
+        .alias("__v"))
+    rv = rd.select(
+        "right_key",
+        F.explode(_deletion_variants(F.col("right_key"), max_dist))
+        .alias("__v"))
+    verified = (
+        lv.join(rv, "__v")
+        .select("left_key", "right_key").distinct()
+        .withColumn("edit_distance",
+                    F.levenshtein("left_key", "right_key"))
+        .where(F.col("edit_distance") <= max_dist))
+    return (ls.join(verified, "left_key")
+            .join(rs, "right_key")
+            .select("left_id", "right_id", "left_key", "right_key",
+                    F.col("edit_distance").cast("long")
+                    .alias("edit_distance")))

@@ -400,3 +400,74 @@ def test_facade_forwards_parity_extras(spark):
     assert gb["v"].nlargest(1, "v").count() == 2
     assert "v_expanding_mean" in gb["v"].expanding().mean("v").columns
     assert "v_ewm" in gb["v"].ewm_mean(alpha=0.5).columns
+
+
+def _py_lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (ca != cb))
+    return dp[len(b)]
+
+
+class TestFuzzyJoin:
+    """Edit-distance join (r13): SymSpell deletion-neighborhood blocking
+    + levenshtein verify must equal the brute-force cross join."""
+
+    def test_planted_and_edges(self, spark):
+        from pandas_plus_spark.operators.joins import fuzzy_join
+        L = [(1, "apple"), (2, "banana"), (3, "cherry"), (4, "kiwi"),
+             (5, None), (6, "a")]
+        R = [(10, "appel"), (11, "banana"), (12, "chery"), (13, "melon"),
+             (14, "ki"), (15, "")]
+        ldf = spark.createDataFrame(L, "id long, name string")
+        rdf = spark.createDataFrame(R, "id long, name string")
+        for k in (1, 2):
+            got = sorted((x.left_id, x.right_id, x.edit_distance)
+                         for x in fuzzy_join(ldf, rdf, "name",
+                                             max_dist=k).collect())
+            want = sorted((a, b, _py_lev(sa, sb))
+                          for a, sa in L for b, sb in R
+                          if sa is not None and sb is not None
+                          and _py_lev(sa, sb) <= k)
+            assert got == want, k
+
+    def test_random_strings_match_brute_force(self, spark):
+        import numpy as np
+        from pandas_plus_spark.operators.joins import fuzzy_join
+        rng = np.random.RandomState(41)
+        alpha = "abc"
+        def rand_s():
+            return "".join(alpha[rng.randint(3)]
+                           for _ in range(rng.randint(0, 7)))
+        L = [(i, rand_s()) for i in range(60)]
+        R = [(i, rand_s()) for i in range(60)]
+        ldf = spark.createDataFrame(L, "id long, name string")
+        rdf = spark.createDataFrame(R, "id long, name string")
+        for k in (1, 2):
+            got = sorted((x.left_id, x.right_id, x.edit_distance)
+                         for x in fuzzy_join(ldf, rdf, "name",
+                                             max_dist=k).collect())
+            want = sorted((a, b, _py_lev(sa, sb))
+                          for a, sa in L for b, sb in R
+                          if _py_lev(sa, sb) <= k)
+            assert got == want, k
+
+    def test_duplicates_max_len_and_validation(self, spark):
+        import pytest as _pt
+        from pandas_plus_spark.operators.joins import fuzzy_join
+        # duplicate keys on both sides: every id pair must appear
+        ldf = spark.createDataFrame([(1, "abc"), (2, "abc")],
+                                    "id long, name string")
+        rdf = spark.createDataFrame([(7, "abd"), (8, "abd")],
+                                    "id long, name string")
+        got = sorted((x.left_id, x.right_id)
+                     for x in fuzzy_join(ldf, rdf, "name").collect())
+        assert got == [(1, 7), (1, 8), (2, 7), (2, 8)]
+        # keys over max_len are excluded entirely
+        big = spark.createDataFrame([(1, "x" * 300)], "id long, name string")
+        assert fuzzy_join(big, big, "name").count() == 0
+        with _pt.raises(ValueError, match="max_dist"):
+            fuzzy_join(ldf, rdf, "name", max_dist=3)
