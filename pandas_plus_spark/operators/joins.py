@@ -193,6 +193,7 @@ def fuzzy_join(
     right_id: str = "id",
     max_dist: int = 1,
     max_len: int = 128,
+    block_on: list[str] | str | None = None,
 ) -> DataFrame:
     """Edit-distance join: every (left, right) row pair whose ``key_col``
     strings are within Levenshtein distance ``max_dist`` — the entity /
@@ -223,36 +224,46 @@ def fuzzy_join(
     long-key corpora consciously). Shared-variant hot buckets (many
     DISTINCT near-identical keys) amplify the candidate join the same
     way any blocking join amplifies; normalize keys first if the corpus
-    is adversarial."""
+    is adversarial — or pass ``block_on``: equality column(s) required
+    to match EXACTLY (record-linkage blocking, e.g. join names within
+    edit distance 1 only inside the same registrable domain). The
+    variant equi-join then keys on ``(variant, *block_on)``, so a hot
+    variant shared across blocks never meets itself; blocked rows with
+    NULL block values never match (SQL equality semantics). The block
+    columns must exist under the same names on both sides and are
+    returned in the output."""
     if max_dist not in (1, 2):
         raise ValueError("max_dist must be 1 or 2 (deletion-neighborhood "
                          "blocking degrades combinatorially beyond)")
+    blk = ([block_on] if isinstance(block_on, str)
+           else list(block_on or ()))
     ls = left.select(F.col(left_id).alias("left_id"),
-                     F.col(key_col).alias("left_key"))
+                     F.col(key_col).alias("left_key"), *blk)
     rs = right.select(F.col(right_id).alias("right_id"),
-                      F.col(key_col).alias("right_key"))
-    ld = (ls.select("left_key").where(
+                      F.col(key_col).alias("right_key"), *blk)
+    ld = (ls.select("left_key", *blk).where(
         F.col("left_key").isNotNull()
         & (F.length("left_key") <= max_len)).distinct())
-    rd = (rs.select("right_key").where(
+    rd = (rs.select("right_key", *blk).where(
         F.col("right_key").isNotNull()
         & (F.length("right_key") <= max_len)).distinct())
     lv = ld.select(
-        "left_key",
+        "left_key", *blk,
         F.explode(_deletion_variants(F.col("left_key"), max_dist))
         .alias("__v"))
     rv = rd.select(
-        "right_key",
+        "right_key", *blk,
         F.explode(_deletion_variants(F.col("right_key"), max_dist))
         .alias("__v"))
     verified = (
-        lv.join(rv, "__v")
-        .select("left_key", "right_key").distinct()
+        lv.join(rv, ["__v", *blk])
+        .select("left_key", "right_key", *blk).distinct()
         .withColumn("edit_distance",
                     F.levenshtein("left_key", "right_key"))
         .where(F.col("edit_distance") <= max_dist))
-    return (ls.join(verified, "left_key")
-            .join(rs, "right_key")
-            .select("left_id", "right_id", "left_key", "right_key",
+    return (ls.join(verified, ["left_key", *blk])
+            .join(rs, ["right_key", *blk])
+            .select("left_id", "right_id", *blk,
+                    "left_key", "right_key",
                     F.col("edit_distance").cast("long")
                     .alias("edit_distance")))

@@ -471,3 +471,20 @@ class TestFuzzyJoin:
         assert fuzzy_join(big, big, "name").count() == 0
         with _pt.raises(ValueError, match="max_dist"):
             fuzzy_join(ldf, rdf, "name", max_dist=3)
+
+    def test_block_on_restricts_matches(self, spark):
+        from pandas_plus_spark.operators.joins import fuzzy_join
+        ldf = spark.createDataFrame(
+            [(1, "abc", "x.com"), (2, "abc", "y.com"), (3, "zzz", "x.com")],
+            "id long, name string, host string")
+        rdf = spark.createDataFrame(
+            [(7, "abd", "x.com"), (8, "abd", "y.com"), (9, "abd", None)],
+            "id long, name string, host string")
+        got = sorted((x.left_id, x.right_id, x.host)
+                     for x in fuzzy_join(ldf, rdf, "name",
+                                         block_on="host").collect())
+        # abc~abd only within the SAME host; NULL host never matches
+        assert got == [(1, 7, "x.com"), (2, 8, "y.com")]
+        # without blocking, all four cross-host pairs match
+        assert fuzzy_join(ldf.drop("host"), rdf.drop("host"),
+                          "name").count() == 6
