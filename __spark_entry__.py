@@ -887,6 +887,33 @@ def _q_rolling_gate(spark, sf):
                 .join(msk, "event_id"))
 
 
+def _q_rolling_quantile(spark, sf):
+    """Trailing-window exact median + quantile (r13 —
+    GroupBy.rolling_median / rolling_quantile, windowed `percentile`
+    with linear interpolation, the pandas rolling().quantile /
+    DuckDB quantile_cont convention). The fixture values are DYADIC
+    (floor(value·64)/64) and the window is 25 rows with q ∈ {0.5,
+    0.25}, so every interpolation weight and every interpolated value
+    is an exact binary rational — both engines compute bit-identical
+    doubles regardless of how each factors lo + f·(hi − lo), and no
+    rounding is shipped. Deterministic NULLs occupy window slots but
+    are skipped by the stat and by min_periods, the pandas
+    convention."""
+    ev = load_table(spark, sf, "events")
+    base = ev.select(
+        "event_id", "event_type",
+        F.when(F.pmod(F.col("event_id"), F.lit(7)) >= 2,
+               F.floor(F.col("value") * 64) / 64).alias("v"))
+    g = GroupBy(base, "event_type", order_by="event_id")
+    med = g.rolling_median("v", window=25, min_periods=5).select(
+        "event_id", "event_type", "v",
+        F.col("v_rolling_median").alias("rmed"))
+    q25 = g.rolling_quantile(0.25, "v", window=25, min_periods=5).select(
+        "event_id", F.col("v_rolling_quantile").alias("rq25"))
+    return med.join(q25, "event_id").select(
+        "event_id", "event_type", "v", "rmed", "rq25")
+
+
 def _q_sessionize(spark, sf):
     # cast handles TIMESTAMP_NTZ sources (e.g. DuckDB-written parquet);
     # gap-based sessions are invariant under the constant tz shift.
@@ -4641,11 +4668,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CADENCE INVARIANT (r8 restatement — the registry outgrew the old
     # three-round union): with N entries and a 50-entry window, every
     # entry gets a driver-side CORRECTNESS row at least every
-    # ceil(N / 50) rounds (N = 172 -> 4 rounds), the window head is
+    # ceil(N / 50) rounds (N = 173 -> 4 rounds), the window head is
     # always (new entries, then never-verified, then re-verifications of
     # code changed this round, then the least-recently-verified), and the
     # EVERY-round bridge is the full-registry local oracle gate
-    # (scripts/run_gate.py, 172/172 at sf0.01) + the pinned SUBSET in
+    # (scripts/run_gate.py, 173/173 at sf0.01) + the pinned SUBSET in
     # tests/test_oracle_gate.py. The invariant is MACHINE-CHECKED:
     # scripts/check_rotation.py reads CORRECTNESS_r*.json history plus
     # this dict's order and fails if any entry's staleness would exceed
@@ -4665,11 +4692,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ess_excision": _q_ess_excision,
         "personalized_pagerank": _q_personalized_pagerank,
         "fuzzy_join": _q_fuzzy_join,
+        "rolling_quantile": _q_rolling_quantile,
         # r13 rotation: the 34 r9-era entries at the 4-round cadence
         # bound plus the 16 stalest r10 entries (includes the staged
         # decoder-guard re-verification audio_pcm_features). No new
-        # consolidations this round; registry 169 -> 172 (ess_excision,
-        # personalized_pagerank, fuzzy_join),
+        # consolidations this round; registry 169 -> 173 (ess_excision,
+        # personalized_pagerank, fuzzy_join, rolling_quantile),
         # zero rows-only rows (the r12 consolidation took it 171 -> 169).
         # last driver-green r9:
         "expanding_stats": _q_expanding_stats,
@@ -6523,6 +6551,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_graph_rank": _sql_pagerank_unrolled(n_iters=3),
         "personalized_pagerank": _sql_ppr_unrolled(n_iters=3),
+        "rolling_quantile": """
+            -- dyadic values => linear interpolation exact in both
+            -- engines (no rounding shipped); NULLs occupy window rows
+            -- but are skipped by the stat and min_periods
+            WITH base AS (
+                SELECT event_id, event_type,
+                       CASE WHEN event_id % 7 >= 2
+                            THEN floor(value * 64) / 64 END AS v
+                FROM events
+            )
+            SELECT event_id, event_type, v,
+                   CASE WHEN count(v) OVER w >= 5
+                        THEN quantile_cont(v, 0.5) OVER w END AS rmed,
+                   CASE WHEN count(v) OVER w >= 5
+                        THEN quantile_cont(v, 0.25) OVER w END AS rq25
+            FROM base
+            WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                         ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+        """,
         "fuzzy_join": """
             -- brute-force oracle: the fixture is 300x600 strings, so the
             -- cross join + levenshtein is cheap for DuckDB while the

@@ -1311,6 +1311,16 @@ class GroupBy:
         identical IEEE operations on identical inputs). Doubles keep the
         native aggregates (the r8 driver-hash lesson: see functions/ordered
         `_sum_zero`)."""
+        if func.startswith("quantile:"):
+            # exact windowed quantile with LINEAR interpolation — the
+            # pandas rolling().quantile(interpolation='linear') and
+            # DuckDB quantile_cont convention. Computed in double (the
+            # interpolation is float arithmetic regardless of input
+            # type); O(window log window) per row via the window
+            # aggregate buffer — the window form only, no prefix
+            # decomposition exists for order statistics.
+            q = float(func.split(":", 1)[1])
+            return F.percentile(v.cast("double"), F.lit(q)).over(w)
         if not decimal_input or func not in ("sum", "mean", "var", "std"):
             return GroupBy._ROLLING_AGGS[func](v).over(w)
         C = F.sum(v).over(w)
@@ -1341,8 +1351,8 @@ class GroupBy:
         if min_periods is None:
             min_periods = 1 if window is None else window
         cols = self._numeric_values(values)
-        agg = self._ROLLING_AGGS.get(func)
-        if agg is None:
+        if (self._ROLLING_AGGS.get(func) is None
+                and not func.startswith("quantile:")):
             raise ValueError(func)
 
         # window=None = the expanding (unbounded-preceding) frame
@@ -1429,6 +1439,27 @@ class GroupBy:
     def rolling_std(self, values=None, window: int = 2, mask=None,
                     min_periods: int | None = None) -> DataFrame:
         return self._rolling("std", values, window, mask, min_periods, "rolling_std")
+
+    def rolling_median(self, values=None, window: int = 2, mask=None,
+                       min_periods: int | None = None) -> DataFrame:
+        """Trailing-window exact median (linear interpolation at even
+        counts — the pandas/DuckDB continuous convention; beyond the
+        reference's rolling kernels, same window/mask machinery)."""
+        return self._rolling("quantile:0.5", values, window, mask,
+                             min_periods, "rolling_median")
+
+    def rolling_quantile(self, q: float, values=None, window: int = 2,
+                         mask=None,
+                         min_periods: int | None = None) -> DataFrame:
+        """Trailing-window exact quantile with linear interpolation
+        (pandas rolling().quantile analog). No prefix decomposition
+        exists for order statistics, so this is the window form only:
+        cost is O(window log window) per row inside each group's
+        window buffer — fine for the bounded windows rolling is for."""
+        if not 0.0 <= float(q) <= 1.0:
+            raise ValueError("q must be in [0, 1]")
+        return self._rolling(f"quantile:{float(q)}", values, window, mask,
+                             min_periods, "rolling_quantile")
 
     def rolling_max(self, values=None, window: int = 2, mask=None,
                     min_periods: int | None = None) -> DataFrame:
@@ -2086,6 +2117,14 @@ class GroupByRolling:
     def max(self, values=None, mask=None) -> DataFrame:
         return self._call("max", values, mask)
 
+    def median(self, values=None, mask=None) -> DataFrame:
+        return self._call("median", values, mask)
+
+    def quantile(self, q: float, values=None, mask=None) -> DataFrame:
+        return self._gb.rolling_quantile(q, values, window=self._window,
+                                         mask=mask,
+                                         min_periods=self._min_periods)
+
     def agg(self, func: str, values=None, mask=None) -> DataFrame:
         return self._call(func, values, mask)
 
@@ -2127,6 +2166,17 @@ class GroupByExpanding:
 
     def std(self, values=None, mask=None) -> DataFrame:
         return self._call("std", values, mask)
+
+    def median(self, values=None, mask=None) -> DataFrame:
+        return self._gb._rolling("quantile:0.5", values, None, mask,
+                                 self._min_periods, "expanding_median")
+
+    def quantile(self, q: float, values=None, mask=None) -> DataFrame:
+        if not 0.0 <= float(q) <= 1.0:
+            raise ValueError("q must be in [0, 1]")
+        return self._gb._rolling(f"quantile:{float(q)}", values, None,
+                                 mask, self._min_periods,
+                                 "expanding_quantile")
 
     def agg(self, func: str, values=None, mask=None) -> DataFrame:
         return self._call(func, values, mask)

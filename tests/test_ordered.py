@@ -199,3 +199,74 @@ class TestCumprod:
             "v", mask=F.col("v") < 50)
         got = {r.rid: r.v_cumprod for r in out.collect()}
         assert got[0] == 2.0 and got[1] == 2.0 and got[2] == 6.0
+
+
+class TestRollingQuantile:
+    """r13: trailing-window exact median/quantile (windowed percentile,
+    linear interpolation) must match pandas rolling().median()/
+    .quantile(interpolation='linear'), including NULL rows occupying
+    window slots while being skipped by the stat and min_periods."""
+
+    def _fixture(self, spark):
+        import numpy as np
+        rng = np.random.RandomState(7)
+        rows = [(int(rng.randint(0, 3)), i,
+                 None if rng.rand() < 0.15 else float(rng.rand() * 10))
+                for i in range(200)]
+        return rows, spark.createDataFrame(rows, "g int, o int, v double")
+
+    def test_matches_pandas(self, spark):
+        import math
+
+        import pandas as pd
+
+        from pandas_plus_spark.groupby import GroupBy
+        rows, df = self._fixture(spark)
+        gb = GroupBy(df, "g", order_by="o")
+        got_m = {r.o: r.v_rolling_median
+                 for r in gb.rolling_median("v", window=5,
+                                            min_periods=3).collect()}
+        got_q = {r.o: r.v_rolling_quantile
+                 for r in gb.rolling_quantile(0.7, "v", window=5,
+                                              min_periods=3).collect()}
+        pdf = pd.DataFrame(rows, columns=["g", "o", "v"])
+        want_m = pdf.groupby("g")["v"].rolling(5, min_periods=3).median() \
+            .reset_index(0, drop=True)
+        want_q = pdf.groupby("g")["v"].rolling(5, min_periods=3) \
+            .quantile(0.7, interpolation="linear").reset_index(0, drop=True)
+        for i in range(200):
+            for got, want in ((got_m[i], want_m[i]), (got_q[i], want_q[i])):
+                if isinstance(want, float) and math.isnan(want):
+                    assert got is None, i
+                else:
+                    assert got is not None and abs(got - want) < 1e-12, i
+
+    def test_facades_and_validation(self, spark):
+        import pytest as _pt
+
+        from pandas_plus_spark.groupby import GroupBy
+        _, df = self._fixture(spark)
+        gb = GroupBy(df, "g", order_by="o")
+        r = gb.rolling(5, min_periods=3)
+        a = {x.o: x.v_rolling_median for x in r.median("v").collect()}
+        b = {x.o: x.v_rolling_median
+             for x in gb.rolling_median("v", window=5,
+                                        min_periods=3).collect()}
+        assert a == b
+        q = {x.o: x.v_rolling_quantile for x in r.quantile(0.7, "v").collect()}
+        assert len(q) == 200
+        e = gb.expanding(min_periods=2)
+        em = {x.o: x.v_expanding_median for x in e.median("v").collect()}
+        # expanding median at min_periods=2 over the whole prefix
+        import pandas as pd
+        pdf = pd.DataFrame(self._fixture(spark)[0], columns=["g", "o", "v"])
+        want = pdf.groupby("g")["v"].expanding(min_periods=2).median() \
+            .reset_index(0, drop=True)
+        import math
+        for i in range(200):
+            if isinstance(want[i], float) and math.isnan(want[i]):
+                assert em[i] is None, i
+            else:
+                assert em[i] is not None and abs(em[i] - want[i]) < 1e-12, i
+        with _pt.raises(ValueError):
+            gb.rolling_quantile(1.5, "v", window=5)
