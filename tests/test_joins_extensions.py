@@ -488,3 +488,19 @@ class TestFuzzyJoin:
         # without blocking, all four cross-host pairs match
         assert fuzzy_join(ldf.drop("host"), rdf.drop("host"),
                           "name").count() == 6
+
+    def test_plan_has_no_cartesian_product(self, spark):
+        """The whole point of the deletion-neighborhood blocking: the
+        physical plan must contain no CartesianProduct /
+        BroadcastNestedLoopJoin and no single-partition funnel, at any
+        max_dist, with or without block_on."""
+        from pandas_plus_spark.operators.joins import fuzzy_join
+        from pandas_plus_spark.plans.lint import assert_scalable
+        ldf = spark.createDataFrame(
+            [(i, f"name{i}", f"h{i % 3}") for i in range(50)],
+            "id long, name string, host string")
+        rdf = spark.createDataFrame(
+            [(i, f"nam{i}", f"h{i % 3}") for i in range(50)],
+            "id long, name string, host string")
+        assert_scalable(fuzzy_join(ldf, rdf, "name", max_dist=2))
+        assert_scalable(fuzzy_join(ldf, rdf, "name", block_on="host"))
