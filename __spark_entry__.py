@@ -1604,6 +1604,34 @@ def _q_fuzzy_join(spark, sf):
     return fuzzy_join(left, right.unionByName(extra), "name", max_dist=1)
 
 
+def _q_fuzzy_dedup(spark, sf):
+    """Fuzzy key dedup keep-list (r13 — operators/dedup.py
+    fuzzy_dedup_keep_list): exact collapse → fuzzy_join(self) →
+    connected components → min-id keep. Fixture: 100 four-member
+    groups from doc_id arithmetic — members 0/1/2 share a base key
+    ('g' + triple-encoded group + 'm') with ''/'x'/'y' suffixes
+    (pairwise edit distance 1 — a transitive triangle collapsing to
+    member 0), member 3 is a triple-encoded singleton. Triple
+    encoding makes every INTER-cluster distance ≥ 2 (verified brute
+    force over all 79,800 pairs when the fixture was designed), so
+    keep is closed-form: doc_id % 4 ∈ {0, 3}."""
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 400).select("doc_id"))
+    did = F.col("doc_id")
+    g3 = F.regexp_replace(F.lpad((did / 4).cast("int").cast("string"),
+                                 2, "0"), "(.)", "$1$1$1")
+    d3 = F.regexp_replace(F.lpad(did.cast("string"), 3, "0"),
+                          "(.)", "$1$1$1")
+    m = did % 4
+    key = (F.when(m == 0, F.concat(F.lit("g"), g3, F.lit("m")))
+           .when(m == 1, F.concat(F.lit("g"), g3, F.lit("mx")))
+           .when(m == 2, F.concat(F.lit("g"), g3, F.lit("my")))
+           .otherwise(F.concat(F.lit("s"), d3)))
+    fixture = docs.select("doc_id", key.alias("k"))
+    return dedup.fuzzy_dedup_keep_list(fixture, "k", "doc_id",
+                                       max_dist=1)
+
+
 def _q_personalized_pagerank(spark, sf):
     """Personalized (TrustRank-style) PageRank (r13 —
     operators/graph.py pagerank(personalize=)): teleport and dangling
@@ -4668,11 +4696,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CADENCE INVARIANT (r8 restatement — the registry outgrew the old
     # three-round union): with N entries and a 50-entry window, every
     # entry gets a driver-side CORRECTNESS row at least every
-    # ceil(N / 50) rounds (N = 173 -> 4 rounds), the window head is
+    # ceil(N / 50) rounds (N = 174 -> 4 rounds), the window head is
     # always (new entries, then never-verified, then re-verifications of
     # code changed this round, then the least-recently-verified), and the
     # EVERY-round bridge is the full-registry local oracle gate
-    # (scripts/run_gate.py, 173/173 at sf0.01) + the pinned SUBSET in
+    # (scripts/run_gate.py, 174/174 at sf0.01) + the pinned SUBSET in
     # tests/test_oracle_gate.py. The invariant is MACHINE-CHECKED:
     # scripts/check_rotation.py reads CORRECTNESS_r*.json history plus
     # this dict's order and fails if any entry's staleness would exceed
@@ -4690,14 +4718,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r13 entries (never driver-verified — must sit in the
         # window):
         "ess_excision": _q_ess_excision,
+        "fuzzy_dedup": _q_fuzzy_dedup,
         "personalized_pagerank": _q_personalized_pagerank,
         "fuzzy_join": _q_fuzzy_join,
         "rolling_quantile": _q_rolling_quantile,
         # r13 rotation: the 34 r9-era entries at the 4-round cadence
         # bound plus the 16 stalest r10 entries (includes the staged
         # decoder-guard re-verification audio_pcm_features). No new
-        # consolidations this round; registry 169 -> 173 (ess_excision,
-        # personalized_pagerank, fuzzy_join, rolling_quantile),
+        # consolidations this round; registry 169 -> 174 (ess_excision,
+        # personalized_pagerank, fuzzy_join, fuzzy_dedup, rolling_quantile),
         # zero rows-only rows (the r12 consolidation took it 171 -> 169).
         # last driver-green r9:
         "expanding_stats": _q_expanding_stats,
@@ -6551,6 +6580,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_graph_rank": _sql_pagerank_unrolled(n_iters=3),
         "personalized_pagerank": _sql_ppr_unrolled(n_iters=3),
+        "fuzzy_dedup": """
+            -- closed-form: members 0/1/2 of each group collapse to the
+            -- min id (member 0), member 3 is a singleton; the triple
+            -- encoding keeps inter-cluster distance >= 2 (brute-force
+            -- verified at design time over all 79,800 pairs)
+            SELECT doc_id AS id,
+                   (doc_id % 4 = 0 OR doc_id % 4 = 3) AS keep
+            FROM documents WHERE doc_id < 400
+        """,
         "rolling_quantile": """
             -- dyadic values => linear interpolation exact in both
             -- engines (no rounding shipped); NULLs occupy window rows

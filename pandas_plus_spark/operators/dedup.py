@@ -1520,3 +1520,66 @@ def dedup_keep_list(
         .select("id", F.coalesce("__rk", F.lit(False)).alias("keep"))
     )
     return attach_cached(out, rep_docs, *getattr(pairs, "_pps_cached", ()))
+
+
+def fuzzy_dedup_keep_list(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    *,
+    max_dist: int = 1,
+    max_len: int = 128,
+    block_on=None,
+    cluster_iters: int = 16,
+) -> DataFrame:
+    """(id, keep) for every row: collapse rows whose ``key_col`` strings
+    are within Levenshtein distance ``max_dist`` of each other —
+    transitively, so a chain a~b~c keeps ONE representative — the
+    short-key (title / entity / host) analog of :func:`dedup_keep_list`.
+
+    Same pipeline shape as the MinHash keep-list, with the fuzzy join as
+    the pair stage:
+
+      1. exact collapse — identical keys keep their minimum id;
+      2. :func:`operators.joins.fuzzy_join` of the representatives
+         against themselves (deletion-neighborhood blocking + one
+         levenshtein verify — exact ed<=k pair semantics, no cross
+         join; ``block_on`` scopes matching to equality groups);
+      3. :func:`dup_clusters` connected components over the pairs;
+      4. keep = each cluster's minimum id (singletons keep themselves).
+         NULL keys collapse as one exact group (step 1 groups them, like
+         :func:`dedup_keep_list` does for text) and over-``max_len``
+         keys exact-collapse but never fuzzy-match, per the fuzzy_join
+         contract.
+    """
+    from .joins import fuzzy_join
+
+    blk = [block_on] if isinstance(block_on, str) else list(block_on or ())
+    # exact collapse at (key, block) grain — the block columns must ride
+    # on the representatives for fuzzy_join's equality blocking
+    reps = df.groupBy(key_col, *blk).agg(F.min(id_col).alias("rid"))
+    rep_docs = reps.select(F.col("rid").alias(id_col),
+                           F.col(key_col), *blk).persist()
+    fj = fuzzy_join(rep_docs, rep_docs, key_col, left_id=id_col,
+                    right_id=id_col, max_dist=max_dist, max_len=max_len,
+                    block_on=block_on)
+    pairs = (fj.where(F.col("left_id") < F.col("right_id"))
+             .select(F.col("left_id").alias("id_a"),
+                     F.col("right_id").alias("id_b")))
+    clusters = dup_clusters(pairs, n_iters=cluster_iters)
+    rep_keep = (
+        rep_docs.select(F.col(id_col).alias("id"))
+        .join(clusters, "id", "left")
+        .select("id", (F.col("cluster_id").isNull()
+                       | (F.col("cluster_id") == F.col("id"))).alias("keep"))
+    )
+    all_ids = df.select(F.col(id_col).alias("id"))
+    out = (
+        all_ids.join(rep_keep.withColumnRenamed("keep", "__rk"), "id", "left")
+        .select("id", F.coalesce("__rk", F.lit(False)).alias("keep"))
+    )
+    # every row maps to a representative via step 1, so the FALSE
+    # default of the coalesce applies exactly to non-representative
+    # exact copies (reps excluded from matching — NULL/over-max_len —
+    # carry cluster_id NULL and keep themselves)
+    return attach_cached(out, rep_docs, *getattr(pairs, "_pps_cached", ()))

@@ -2088,3 +2088,64 @@ class TestPcmWidths:
         assert rows[1].rms == float(np.sqrt(np.dot(sf, sf) / 128))
         assert rows[2].peak == 50000000.0
         assert rows[2].rms == 50000000.0         # square wave: rms == A
+
+
+class TestFuzzyDedupKeepList:
+    def test_transitive_chain_keeps_one(self, spark):
+        # abcd ~ abce ~ abcf form a chain (pairwise some are ed 1, the
+        # chain collapses transitively); zzzz is a singleton; exact
+        # copies keep only their min id; a NULL-key group keeps one
+        rows = [(1, "abcd"), (2, "abce"), (3, "abcf"), (4, "zzzz"),
+                (5, "abcd"), (6, None), (7, None)]
+        df = spark.createDataFrame(rows, "id long, k string")
+        out = {r.id: r.keep
+               for r in dedup.fuzzy_dedup_keep_list(df, "k", "id").collect()}
+        assert out == {1: True, 2: False, 3: False, 4: True,
+                       5: False, 6: True, 7: False}
+
+    def test_block_on_scopes_collapse(self, spark):
+        rows = [(1, "abc", "h1"), (2, "abd", "h1"), (3, "abd", "h2")]
+        df = spark.createDataFrame(rows, "id long, k string, host string")
+        out = {r.id: r.keep
+               for r in dedup.fuzzy_dedup_keep_list(
+                   df, "k", "id", block_on="host").collect()}
+        # 1~2 same host collapse; 3 is alone in h2
+        assert out == {1: True, 2: False, 3: True}
+
+    def test_matches_brute_force_components(self, spark):
+        import numpy as np
+        rng = np.random.RandomState(5)
+        alpha = "ab"
+        rows = [(i, "".join(alpha[rng.randint(2)]
+                            for _ in range(rng.randint(1, 5))))
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, k string")
+        out = {r.id: r.keep
+               for r in dedup.fuzzy_dedup_keep_list(df, "k", "id").collect()}
+
+        def ed(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                             prev + (ca != cb))
+            return dp[len(b)]
+
+        # union-find over brute-force ed<=1 pairs
+        parent = {i: i for i, _ in rows}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, a in rows:
+            for j, b in rows:
+                if i < j and ed(a, b) <= 1:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) == i for i, _ in rows}
+        assert out == want
