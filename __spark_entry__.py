@@ -493,6 +493,54 @@ def _sql_ppr_unrolled(n_iters: int = 3) -> str:
     """)
 
 
+def _sql_wpr_unrolled(n_iters: int = 3) -> str:
+    """DuckDB twin of _q_weighted_pagerank: the exact_mass WEIGHTED
+    recurrence unrolled over the link_graph_rank fixture graph with
+    edge weight 1 + (src + dst) % 4 — duplicate (src, dst) edges SUM
+    weights (the d=83 duplicate carries 2·w), the per-edge share is
+    ``m·w // W_out`` with the floor division INSIDE the sum, exactly
+    as the engine computes it."""
+    mass = 10 ** 12
+    base = mass - mass * 85 // 100
+    ctes = [f"""
+        raw AS (
+            SELECT doc_id AS src, (doc_id * 7 + 3) % 500 AS dst
+            FROM documents WHERE doc_id < 500 AND doc_id % 17 <> 0
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 5) % 500
+            FROM documents
+            WHERE doc_id < 500 AND doc_id % 17 <> 0 AND doc_id % 3 <> 0
+        ), e AS (
+            SELECT src, dst, SUM(1 + (src + dst) % 4) AS w
+            FROM raw GROUP BY src, dst
+        ), nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        ), prm AS (SELECT COUNT(*) AS n FROM nodes),
+        outd AS (SELECT src, SUM(w) AS od FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST({mass} // n AS BIGINT) AS m
+               FROM nodes, prm)"""]
+    for i in range(n_iters):
+        ctes.append(f"""
+        c{i} AS (
+            SELECT e.dst AS node, SUM(r.m * e.w // o.od) AS cm
+            FROM e JOIN r{i} r ON r.node = e.src
+                   JOIN outd o ON o.src = e.src
+            GROUP BY e.dst),
+        g{i} AS (
+            SELECT COALESCE(SUM(m), 0) AS dang FROM r{i}
+            WHERE node NOT IN (SELECT src FROM outd)),
+        r{i + 1} AS (
+            SELECT nodes.node,
+                   {base} // n
+                   + (COALESCE(c.cm, 0) + dang // n) * 85 // 100 AS m
+            FROM nodes CROSS JOIN prm CROSS JOIN g{i}
+            LEFT JOIN c{i} c ON c.node = nodes.node)""")
+    return ("WITH " + ",".join(ctes) + f"""
+        SELECT node, CAST(m AS BIGINT) AS mass FROM r{n_iters}
+    """)
+
+
 def _sql_simhash_poly(bits: int = 24) -> str:
     """DuckDB twin of simhash(hash_fn="poly", bits<=30)."""
     poly_t = tx.sql_poly_hash("t")
@@ -1630,6 +1678,29 @@ def _q_fuzzy_dedup(spark, sf):
     fixture = docs.select("doc_id", key.alias("k"))
     return dedup.fuzzy_dedup_keep_list(fixture, "k", "doc_id",
                                        max_dist=1)
+
+
+def _q_weighted_pagerank(spark, sf):
+    """Weighted-edge PageRank (r13 — pagerank(weight_col=)): a source's
+    rank divides over its out-edges in proportion to edge WEIGHT (link
+    multiplicity/quality as crawl signal). Same 500-node arithmetic
+    graph as link_graph_rank with weight 1 + (src + dst) % 4 — the
+    d=83 duplicate edge now SUMS to 2·w (weighted multi-edge semantics
+    vs the unweighted path's distinct). exact_mass integer twin, 3
+    iterations; the oracle unrolls the identical m·w // W_out shares
+    with the floor division inside the sum."""
+    from pandas_plus_spark.operators.graph import pagerank
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 500).select("doc_id"))
+    did = F.col("doc_id")
+    e1 = docs.where(did % 17 != 0).select(
+        did.alias("src"), ((did * 7 + 3) % 500).alias("dst"))
+    e2 = docs.where((did % 17 != 0) & (did % 3 != 0)).select(
+        did.alias("src"), ((did * 13 + 5) % 500).alias("dst"))
+    edges = (e1.unionByName(e2)
+             .withColumn("w", F.lit(1) + (F.col("src") + F.col("dst")) % 4))
+    return pagerank(edges, n_iters=3, exact_mass=True, weight_col="w")
 
 
 def _q_personalized_pagerank(spark, sf):
@@ -4696,11 +4767,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CADENCE INVARIANT (r8 restatement — the registry outgrew the old
     # three-round union): with N entries and a 50-entry window, every
     # entry gets a driver-side CORRECTNESS row at least every
-    # ceil(N / 50) rounds (N = 174 -> 4 rounds), the window head is
+    # ceil(N / 50) rounds (N = 175 -> 4 rounds), the window head is
     # always (new entries, then never-verified, then re-verifications of
     # code changed this round, then the least-recently-verified), and the
     # EVERY-round bridge is the full-registry local oracle gate
-    # (scripts/run_gate.py, 174/174 at sf0.01) + the pinned SUBSET in
+    # (scripts/run_gate.py, 175/175 at sf0.01) + the pinned SUBSET in
     # tests/test_oracle_gate.py. The invariant is MACHINE-CHECKED:
     # scripts/check_rotation.py reads CORRECTNESS_r*.json history plus
     # this dict's order and fails if any entry's staleness would exceed
@@ -4719,14 +4790,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window):
         "ess_excision": _q_ess_excision,
         "fuzzy_dedup": _q_fuzzy_dedup,
+        "weighted_pagerank": _q_weighted_pagerank,
         "personalized_pagerank": _q_personalized_pagerank,
         "fuzzy_join": _q_fuzzy_join,
         "rolling_quantile": _q_rolling_quantile,
         # r13 rotation: the 34 r9-era entries at the 4-round cadence
         # bound plus the 16 stalest r10 entries (includes the staged
         # decoder-guard re-verification audio_pcm_features). No new
-        # consolidations this round; registry 169 -> 174 (ess_excision,
-        # personalized_pagerank, fuzzy_join, fuzzy_dedup, rolling_quantile),
+        # consolidations this round; registry 169 -> 175 (ess_excision,
+        # personalized_pagerank, weighted_pagerank, fuzzy_join,
+        # fuzzy_dedup, rolling_quantile),
         # zero rows-only rows (the r12 consolidation took it 171 -> 169).
         # last driver-green r9:
         "expanding_stats": _q_expanding_stats,
@@ -6580,6 +6653,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_graph_rank": _sql_pagerank_unrolled(n_iters=3),
         "personalized_pagerank": _sql_ppr_unrolled(n_iters=3),
+        "weighted_pagerank": _sql_wpr_unrolled(n_iters=3),
         "fuzzy_dedup": """
             -- closed-form: members 0/1/2 of each group collapse to the
             -- min id (member 0), member 3 is a singleton; the triple

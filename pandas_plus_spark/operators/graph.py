@@ -46,6 +46,51 @@ from ..util import attach_cached, ensure_parallelism
 PAGERANK_MASS = 10 ** 12
 
 
+def _prep_edges(edges, src_col, dst_col, weight_col, exact_mass):
+    """Shared edge preparation for the pagerank family: the cleaned edge
+    frame, the per-source divisor frame (out-DEGREE unweighted /
+    total out-WEIGHT weighted), and the per-edge share expressions.
+
+    Unweighted (``weight_col=None``): EXACTLY the r12 oracle-pinned
+    arithmetic — duplicate edges collapse via distinct, the divisor is
+    the count, shares are ``m div outd`` / ``r / outd``.
+
+    Weighted: duplicate (src, dst) edges SUM their weights (multi-edge
+    semantics); the divisor is the source's total out-weight, shares
+    ``m·w div W`` / ``r·w / W``. ``exact_mass`` validates positive
+    integer weights with per-source totals ≤ 10**6 so ``m·w ≤ 10**18``
+    stays inside int64 under ANSI (one eager scalar aggregate, weighted
+    exact mode only)."""
+    base = (ensure_parallelism(edges)
+            .select(F.col(src_col).alias("src"),
+                    F.col(dst_col).alias("dst"),
+                    *([F.col(weight_col).alias("__w")]
+                      if weight_col is not None else []))
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull()))
+    if weight_col is None:
+        e = base.distinct()
+        out_d = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outd"))
+        return (e, out_d, lambda m: f"{m} div __outd",
+                lambda r: r / F.col("__outd"))
+    typ = "long" if exact_mass else "double"
+    e = (base.where(F.col("__w").isNotNull())
+         .groupBy("src", "dst")
+         .agg(F.sum(F.col("__w").cast(typ)).alias("__w")))
+    out_d = e.groupBy("src").agg(F.sum("__w").alias("__outd"))
+    if exact_mass:
+        chk = out_d.agg(F.max("__outd").alias("__mx")).first()
+        wmin = e.agg(F.min("__w")).first()[0]
+        if wmin is not None and (wmin <= 0 or chk["__mx"] > 10 ** 6):
+            raise ValueError(
+                "exact_mass weighted pagerank needs POSITIVE integer "
+                "edge weights with per-source totals <= 10**6 (keeps "
+                "mass * weight inside int64)")
+        return (e, out_d, lambda m: f"{m} * __w div __outd",
+                lambda r: r * F.col("__w") / F.col("__outd"))
+    return (e, out_d, lambda m: f"{m} * __w div __outd",
+            lambda r: r * F.col("__w") / F.col("__outd"))
+
+
 def degree_stats(edges: DataFrame, src_col: str = "src",
                  dst_col: str = "dst") -> DataFrame:
     """(node, out_degree, in_degree) over an edge list — nodes appearing
@@ -72,6 +117,7 @@ def pagerank(
     exact_mass: bool = False,
     tol: float | None = None,
     personalize: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over an edge list: ``(node, rank)`` after ``n_iters``
     damped power iterations from the uniform start, dangling mass
@@ -118,6 +164,15 @@ def pagerank(
     every intermediate product inside int64 — see
     :func:`_personalized_pagerank` for the split-division identity) and
     the recurrence is bit-reproducible like the uniform twin.
+
+    ``weight_col`` (optional) makes edges WEIGHTED: a source's rank
+    divides over its out-edges in proportion to edge weight
+    (``rank·w / W_out``) instead of uniformly — link multiplicity or
+    link quality as crawl signal. Duplicate (src, dst) edges SUM their
+    weights; composes with ``personalize`` and ``tol``. ``exact_mass``
+    requires positive integer weights with per-source totals ≤ 10**6
+    (``mass·w`` stays inside int64); the unweighted arithmetic is
+    byte-identical to before, so the existing oracles are unaffected.
     """
     if exact_mass and damping != 0.85:
         raise ValueError("exact_mass supports the damping=0.85 rational "
@@ -126,17 +181,15 @@ def pagerank(
         return _personalized_pagerank(
             edges, personalize, n_iters=n_iters, damping=damping,
             src_col=src_col, dst_col=dst_col, exact_mass=exact_mass,
-            tol=tol)
-    e = (ensure_parallelism(edges)
-         .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-         .distinct())
+            tol=tol, weight_col=weight_col)
+    e, out_d, share_int, share_f = _prep_edges(
+        edges, src_col, dst_col, weight_col, exact_mass)
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())
-    out_d = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outd"))
-    # edges carry their source's out-degree; ONE shuffle onto src, then
-    # persisted — every iteration's join reuses this layout
+    # edges carry their source's out-degree (or total out-WEIGHT); ONE
+    # shuffle onto src, then persisted — every iteration's join reuses
+    # this layout
     ej = e.join(out_d, "src").persist()
     base = nodes.persist()
     # the dangling node SET is iteration-invariant — materialize it once
@@ -162,7 +215,7 @@ def pagerank(
                 ej.join(ranks.withColumnRenamed("node", "src"), "src")
                 # `div`: true int64 floor division — bit-identical to the
                 # oracle's `//`, unlike double-divide-then-cast
-                .select("dst", F.expr("__m div __outd").alias("__c"))
+                .select("dst", F.expr(share_int("__m")).alias("__c"))
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum("__c").alias("__in")))
             dang = (ranks.join(dangling, "node", "left_semi")
@@ -191,7 +244,7 @@ def pagerank(
     for _ in range(n_iters):
         contrib = (
             ej.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select("dst", (F.col("__r") / F.col("__outd")).alias("__c"))
+            .select("dst", share_f(F.col("__r")).alias("__c"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("__c").alias("__in")))
         dang = (ranks.join(dangling, "node", "left_semi")
@@ -231,6 +284,7 @@ def _personalized_pagerank(
     dst_col: str,
     exact_mass: bool,
     tol: float | None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Personalized-teleport recurrence behind ``pagerank(personalize=)``
     (see its docstring for semantics). Scale shape matches the uniform
@@ -253,14 +307,11 @@ def _personalized_pagerank(
     if exact_mass and damping != 0.85:
         raise ValueError("exact_mass supports the damping=0.85 rational "
                          "(85/100) only")
-    e = (ensure_parallelism(edges)
-         .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-         .distinct())
+    e, out_d, share_int, share_f = _prep_edges(
+        edges, src_col, dst_col, weight_col, exact_mass)
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())
-    out_d = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outd"))
     ej = e.join(out_d, "src").persist()
     dangling = (nodes.join(out_d.withColumnRenamed("src", "node"),
                            "node", "left_anti").persist())
@@ -293,7 +344,7 @@ def _personalized_pagerank(
         for _ in range(n_iters):
             contrib = (
                 ej.join(ranks.withColumnRenamed("node", "src"), "src")
-                .select("dst", F.expr("__m div __outd").alias("__c"))
+                .select("dst", F.expr(share_int("__m")).alias("__c"))
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum("__c").alias("__in")))
             dang = (ranks.join(dangling, "node", "left_semi")
@@ -326,7 +377,7 @@ def _personalized_pagerank(
     for _ in range(n_iters):
         contrib = (
             ej.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select("dst", (F.col("__r") / F.col("__outd")).alias("__c"))
+            .select("dst", share_f(F.col("__r")).alias("__c"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("__c").alias("__in")))
         dang = (ranks.join(dangling, "node", "left_semi")

@@ -307,3 +307,118 @@ class TestPersonalizedPageRank:
             got2 = {r.node: r.mass for r in out2.collect()}
             release_cached(out2)
             assert got2 == py_ppr_int(edges, seeds, 3), case
+
+
+class TestWeightedPageRank:
+
+    def _py_w(self, wedges, n_iters, d=0.85):
+        agg = {}
+        for s, t, w in wedges:
+            agg[(s, t)] = agg.get((s, t), 0) + w
+        nodes = sorted({x for s, t in agg for x in (s, t)})
+        n = len(nodes)
+        out = {}
+        for (s, t), w in agg.items():
+            out.setdefault(s, {})[t] = w
+        W = {s: sum(ts.values()) for s, ts in out.items()}
+        r = dict.fromkeys(nodes, 1.0 / n)
+        for _ in range(n_iters):
+            dang = sum(r[v] for v in nodes if v not in out)
+            nr = dict.fromkeys(nodes, (1 - d) / n)
+            for s, ts in out.items():
+                for t, w in ts.items():
+                    nr[t] += d * r[s] * w / W[s]
+            for v in nodes:
+                nr[v] += d * dang / n
+            r = nr
+        return r
+
+    def _py_w_int(self, wedges, n_iters, S=G.PAGERANK_MASS):
+        agg = {}
+        for s, t, w in wedges:
+            agg[(s, t)] = agg.get((s, t), 0) + w
+        nodes = sorted({x for s, t in agg for x in (s, t)})
+        n = len(nodes)
+        out = {}
+        for (s, t), w in agg.items():
+            out.setdefault(s, {})[t] = w
+        W = {s: sum(ts.values()) for s, ts in out.items()}
+        m = dict.fromkeys(nodes, S // n)
+        base = (S - S * 85 // 100) // n
+        for _ in range(n_iters):
+            dang = sum(m[v] for v in nodes if v not in out)
+            nm = dict.fromkeys(nodes, 0)
+            for s, ts in out.items():
+                for t, w in ts.items():
+                    nm[t] += m[s] * w // W[s]
+            m = {v: base + (nm[v] + dang // n) * 85 // 100 for v in nodes}
+        return m
+
+    WEDGES = [(0, 1, 3), (0, 2, 1), (1, 2, 2), (2, 0, 5), (3, 2, 1),
+              (3, 4, 4), (0, 1, 2)]   # (0,1) duplicated: weights sum
+
+    def _df(self, spark, wedges=None):
+        import pandas as pd
+        return spark.createDataFrame(pd.DataFrame(
+            wedges or self.WEDGES, columns=["src", "dst", "w"]))
+
+    def test_float_matches_reference(self, spark):
+        out = G.pagerank(self._df(spark), n_iters=8, weight_col="w")
+        got = {r.node: r.rank for r in out.collect()}
+        release_cached(out)
+        ref = self._py_w(self.WEDGES, 8)
+        assert got.keys() == ref.keys()
+        assert max(abs(got[v] - ref[v]) for v in ref) < 1e-12
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_exact_mass_bit_identical_and_validation(self, spark):
+        out = G.pagerank(self._df(spark), n_iters=4, exact_mass=True,
+                         weight_col="w")
+        got = {r.node: r.mass for r in out.collect()}
+        release_cached(out)
+        assert got == self._py_w_int(self.WEDGES, 4)
+        import pytest as _pt
+        bad = self._df(spark, [(0, 1, 2 * 10 ** 6), (1, 0, 1)])
+        with _pt.raises(ValueError, match="10"):
+            G.pagerank(bad, n_iters=2, exact_mass=True, weight_col="w")
+
+    def test_composes_with_personalize(self, spark):
+        import pandas as pd
+        seeds = spark.createDataFrame(
+            pd.DataFrame([(0, 2.0), (3, 1.0)], columns=["node", "weight"]))
+        out = G.pagerank(self._df(spark), n_iters=6, weight_col="w",
+                         personalize=seeds)
+        got = {r.node: r.rank for r in out.collect()}
+        release_cached(out)
+        # reference: weighted contributions + personalized teleport
+        agg = {}
+        for s, t, w in self.WEDGES:
+            agg[(s, t)] = agg.get((s, t), 0) + w
+        nodes = sorted({x for s, t in agg for x in (s, t)})
+        out_m = {}
+        for (s, t), w in agg.items():
+            out_m.setdefault(s, {})[t] = w
+        W = {s: sum(ts.values()) for s, ts in out_m.items()}
+        tele = {v: {0: 2.0, 3: 1.0}.get(v, 0.0) / 3.0 for v in nodes}
+        r = dict(tele)
+        d = 0.85
+        for _ in range(6):
+            dang = sum(r[v] for v in nodes if v not in out_m)
+            nr = {v: (1 - d) * tele[v] + d * dang * tele[v] for v in nodes}
+            for s, ts in out_m.items():
+                for t, w in ts.items():
+                    nr[t] += d * r[s] * w / W[s]
+            r = nr
+        assert max(abs(got[v] - r[v]) for v in nodes) < 1e-12
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_uniform_weights_equal_unweighted(self, spark):
+        import pandas as pd
+        wedges = [(s, t, 1) for s, t in EDGES]
+        a = G.pagerank(self._df(spark, wedges), n_iters=5, weight_col="w")
+        b = G.pagerank(spark.createDataFrame(
+            pd.DataFrame(EDGES, columns=["src", "dst"])), n_iters=5)
+        ga = {r.node: r.rank for r in a.collect()}
+        gb = {r.node: r.rank for r in b.collect()}
+        release_cached(a); release_cached(b)
+        assert max(abs(ga[v] - gb[v]) for v in gb) < 1e-12
