@@ -4778,30 +4778,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the cadence or the window head is not least-recently-verified-
     # first; tests/test_oracle_gate.py runs it in pytest.
     #
-    # r13 WINDOW (first 50): the 34 entries at the 4-round cadence
-    # bound (last driver-green r9) plus the 16 stalest r10 entries —
-    # pure rotation, no consolidations needed (greedy sim slack >= 20
-    # slots per window through r17). New r13 entries are inserted at
-    # the head as they land, displacing the newest r10 fills into the
-    # r14 window.
+    # r14 WINDOW (first 50): the 34 entries at the 4-round cadence
+    # bound (last driver-green r10) plus the 16 stalest r11 entries —
+    # pure rotation, no consolidations needed. New r14 entries are
+    # inserted at the head as they land, displacing the newest r11
+    # fills into the r15 window.
     return {
-        # --- r13 window head (driver samples the FIRST 50) ---
-        # new r13 entries (never driver-verified — must sit in the
-        # window):
+        # --- r14 window head (driver samples the FIRST 50) ---
+        # r14 rotation: the 34 entries at the 4-round cadence bound
+        # (last driver-green r10) plus the 16 stalest r11 entries —
+        # pure rotation; registry 175, zero rows-only. New r14 entries
+        # are inserted at the head as they land, displacing the newest
+        # r11 fills into the r15 window (r11 entries are 3 rounds old
+        # at r14, due r15 — greedy sim stays feasible).
+        # last driver-green r10:
+        "nanops_rowwise": _q_nanops_rowwise,
+        "streaming_sessions": _q_streaming_sessions,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "masked_sum": _q_masked_sum,
+        "group_size": _q_size,
+        "group_minmax": _q_minmax,
+        "group_var_std": _q_var_std,
+        "agg_callable": _q_agg_callable,
+        "group_median": _q_median,
+        "group_mode": _q_group_mode,
+        "group_quantiles": _q_group_quantiles,
+        "group_corr_cov": _q_group_corr_cov,
+        "group_first_last": _q_first_last,
+        "ratio": _q_ratio,
+        "subset_ratio": _q_subset_ratio,
+        "density": _q_density,
+        "value_counts": _q_value_counts,
+        "group_nunique": _q_nunique,
+        "margins_sum": _q_margins_sum,
+        "crosstab_pivot": _q_crosstab,
+        "transform_sum": _q_transform_sum,
+        "head_per_group": _q_head,
+        "nth_last_per_group": _q_nth_last,
+        "q5_local_supplier": _q_q5_local_supplier,
+        "bloom_dedup": _q_bloom_dedup,
+        "dedup_exact_canonical": _q_dedup_exact_canonical,
+        "streaming_tumbling": _q_streaming_tumbling,
+        "streaming_sliding": _q_streaming_sliding,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_running": _q_streaming_running,
+        "rolling_time": _q_rolling_time,
+        "weighted_sample": _q_weighted_sample,
+        "group_rank": _q_group_rank,
+        "chunk_dedup": _q_chunk_dedup,
+        # last driver-green r11 (stalest fills):
+        "image_phash_dedup": _q_image_phash_dedup,
+        "semantic_gate": _q_semantic_gate,
+        "global_ordered": _q_global_ordered,
+        "bigram_ppl": _q_bigram_ppl,
+        "curation_pipeline": _q_curation_pipeline,
+        "video_frame_sample": _q_video_frame_sample,
+        "sitemap_urls": _q_sitemap_urls,
+        "unicode_nfc": _q_unicode_nfc,
+        "mojibake_repair": _q_mojibake_repair,
+        "bpe_roundtrip": _q_bpe_roundtrip,
+        "doc_chunks": _q_doc_chunks,
+        "embedding_quantize": _q_embedding_quantize,
+        "unigram_ppl": _q_unigram_ppl,
+        "frame_sample": _q_frame_sample,
+        "source_health": _q_source_health,
+        "cumsum": _q_cumsum,
+        # --- rotation tail (driver window ends above; full local
+        # oracle gate still runs every entry below each round) ---
         "ess_excision": _q_ess_excision,
         "fuzzy_dedup": _q_fuzzy_dedup,
         "weighted_pagerank": _q_weighted_pagerank,
         "personalized_pagerank": _q_personalized_pagerank,
         "fuzzy_join": _q_fuzzy_join,
         "rolling_quantile": _q_rolling_quantile,
-        # r13 rotation: the 34 r9-era entries at the 4-round cadence
-        # bound plus the 16 stalest r10 entries (includes the staged
-        # decoder-guard re-verification audio_pcm_features). No new
-        # consolidations this round; registry 169 -> 175 (ess_excision,
-        # personalized_pagerank, weighted_pagerank, fuzzy_join,
-        # fuzzy_dedup, rolling_quantile),
-        # zero rows-only rows (the r12 consolidation took it 171 -> 169).
-        # last driver-green r9:
         "expanding_stats": _q_expanding_stats,
         "group_expanding_scale": _q_group_expanding_scale,
         "asof_nearest": _q_asof_nearest,
@@ -4836,7 +4885,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_header_meta": _q_image_header_meta,
         "boilerplate_removal": _q_boilerplate_removal,
         "snapshot_diff": _q_snapshot_diff,
-        # last driver-green r10:
         "audio_pcm_features": _q_audio_pcm_features,
         "scatter_fit": _q_scatter_fit,
         "rolling_gate": _q_rolling_gate,
@@ -4847,14 +4895,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_curation_pipeline": _q_crawl_curation_pipeline,
         "oov_rate": _q_oov_rate,
         "label_cohesion": _q_label_cohesion,
-        "nanops_rowwise": _q_nanops_rowwise,
-        "streaming_sessions": _q_streaming_sessions,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "masked_sum": _q_masked_sum,
-        "group_size": _q_size,
-        "group_minmax": _q_minmax,
-        # --- rotation tail (driver window ends above; full local
-        # oracle gate still runs every entry below each round) ---
         "minhash_gate": _q_minhash_gate,
         "simhash_gate": _q_simhash_gate,
         "exact_substring_spans": _q_exact_substring_spans,
@@ -4905,50 +4945,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup": _q_streaming_neardup,
         "pca_gate": _q_pca_gate,
         "pack_gate": _q_pack_gate,
-        "image_phash_dedup": _q_image_phash_dedup,
-        "group_var_std": _q_var_std,
-        "agg_callable": _q_agg_callable,
-        "group_median": _q_median,
-        "group_mode": _q_group_mode,
-        "group_quantiles": _q_group_quantiles,
-        "group_corr_cov": _q_group_corr_cov,
-        "group_first_last": _q_first_last,
-        "ratio": _q_ratio,
-        "subset_ratio": _q_subset_ratio,
-        "density": _q_density,
-        "value_counts": _q_value_counts,
-        "group_nunique": _q_nunique,
-        "margins_sum": _q_margins_sum,
-        "crosstab_pivot": _q_crosstab,
-        "transform_sum": _q_transform_sum,
-        "head_per_group": _q_head,
-        "nth_last_per_group": _q_nth_last,
-        "q5_local_supplier": _q_q5_local_supplier,
-        "bloom_dedup": _q_bloom_dedup,
-        "dedup_exact_canonical": _q_dedup_exact_canonical,
-        "streaming_tumbling": _q_streaming_tumbling,
-        "streaming_sliding": _q_streaming_sliding,
-        "streaming_dedup": _q_streaming_dedup,
-        "streaming_running": _q_streaming_running,
-        "rolling_time": _q_rolling_time,
-        "weighted_sample": _q_weighted_sample,
-        "group_rank": _q_group_rank,
-        "chunk_dedup": _q_chunk_dedup,
-        "semantic_gate": _q_semantic_gate,
-        "global_ordered": _q_global_ordered,
-        "bigram_ppl": _q_bigram_ppl,
-        "curation_pipeline": _q_curation_pipeline,
-        "video_frame_sample": _q_video_frame_sample,
-        "sitemap_urls": _q_sitemap_urls,
-        "unicode_nfc": _q_unicode_nfc,
-        "mojibake_repair": _q_mojibake_repair,
-        "bpe_roundtrip": _q_bpe_roundtrip,
-        "doc_chunks": _q_doc_chunks,
-        "embedding_quantize": _q_embedding_quantize,
-        "unigram_ppl": _q_unigram_ppl,
-        "frame_sample": _q_frame_sample,
-        "source_health": _q_source_health,
-        "cumsum": _q_cumsum,
         "shift_masked": _q_shift_masked,
         "observed_only_false": _q_observed_only_false,
         "nation_revenue": _q_nation_revenue,
