@@ -945,11 +945,22 @@ def exact_substring_spans(
        window), yielding maximal spans for :func:`excise_spans`.
 
     Approximation vs a true suffix array: a capped hot anchor samples
-    its pair coverage, but every dropped entry keeps one hub edge, so
-    each document still reports every qualifying span (the r13
-    adversarial fixture pinned this; before hub edges the "span survives
-    via its other anchors" argument failed exactly when all the span's
-    anchors were the same hot gram). Extension costs O(match length +
+    its pair coverage, but every dropped entry keeps one verified hub
+    edge, so a document recovers every qualifying span whose hot-gram
+    occurrences share the hub occurrence's surrounding context — the
+    boilerplate regime that makes buckets hot in the first place (the
+    r13 adversarial fixture pinned this at 100% doc recall; before hub
+    edges the "span survives via its other anchors" argument failed
+    exactly when all the span's anchors were the same hot gram). The
+    residual tail is NOT absolute (r14 honesty note): hub edges exclude
+    same-document pairs, so when the hot gram recurs inside the HUB's
+    own document under a second, different span context, that second
+    span of the hub's document can still be missed if its cross-doc
+    partners were all hash-dropped — recall for that corner is
+    probabilistic in the cap hash, not guaranteed (no cheap fix exists:
+    pairing with the hub only recovers spans matching the hub's
+    context, so a per-entry guarantee would need context-aware pairing
+    — i.e. the uncapped join). Extension costs O(match length +
     anchor's doc-suffix scan) per pair rather than amortized O(1). Corpus cost
     is otherwise linear: tokenize+hash map pass, anchors/w explode, one
     hash-keyed shuffle for pairing, pair-bounded extension joins, one
@@ -1581,5 +1592,7 @@ def fuzzy_dedup_keep_list(
     # every row maps to a representative via step 1, so the FALSE
     # default of the coalesce applies exactly to non-representative
     # exact copies (reps excluded from matching — NULL/over-max_len —
-    # carry cluster_id NULL and keep themselves)
-    return attach_cached(out, rep_docs, *getattr(pairs, "_pps_cached", ()))
+    # carry cluster_id NULL and keep themselves). Caches must be
+    # captured from fj, the operator's RESULT object: .where/.select
+    # return new DataFrames that do not carry the attribute.
+    return attach_cached(out, rep_docs, *getattr(fj, "_pps_cached", ()))

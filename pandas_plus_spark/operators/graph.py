@@ -57,10 +57,16 @@ def _prep_edges(edges, src_col, dst_col, weight_col, exact_mass):
 
     Weighted: duplicate (src, dst) edges SUM their weights (multi-edge
     semantics); the divisor is the source's total out-weight, shares
-    ``m·w div W`` / ``r·w / W``. ``exact_mass`` validates positive
-    integer weights with per-source totals ≤ 10**6 so ``m·w ≤ 10**18``
-    stays inside int64 under ANSI (one eager scalar aggregate, weighted
-    exact mode only)."""
+    ``m·w div W`` / ``r·w / W``. Weights must be positive: NULL, NaN
+    and non-positive weights are DROPPED at cleaning time (a source
+    left with no usable out-edge becomes dangling, exactly like a node
+    with no out-links — this also rules out a zero/negative total
+    out-weight divisor). ``exact_mass`` additionally RAISES on
+    fractional weights or per-source totals > 10**6 (keeps
+    ``m·w ≤ 10**18`` inside int64 under ANSI) — validated on the RAW
+    weight column BEFORE the long cast, so a 1.5 weight raises instead
+    of silently truncating to 1; one eager scalar aggregate, weighted
+    exact mode only."""
     base = (ensure_parallelism(edges)
             .select(F.col(src_col).alias("src"),
                     F.col(dst_col).alias("dst"),
@@ -72,21 +78,35 @@ def _prep_edges(edges, src_col, dst_col, weight_col, exact_mass):
         out_d = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outd"))
         return (e, out_d, lambda m: f"{m} div __outd",
                 lambda r: r / F.col("__outd"))
-    typ = "long" if exact_mass else "double"
-    e = (base.where(F.col("__w").isNotNull())
-         .groupBy("src", "dst")
-         .agg(F.sum(F.col("__w").cast(typ)).alias("__w")))
-    out_d = e.groupBy("src").agg(F.sum("__w").alias("__outd"))
     if exact_mass:
-        chk = out_d.agg(F.max("__outd").alias("__mx")).first()
-        wmin = e.agg(F.min("__w")).first()[0]
-        if wmin is not None and (wmin <= 0 or chk["__mx"] > 10 ** 6):
+        # ONE eager pass over the raw (pre-cast) edges validates the
+        # whole contract inside a single map-side-combinable aggregate:
+        # integrality + positivity of every raw weight, and the
+        # per-source total cap (summing raw rows per source equals
+        # summing the collapsed (src, dst) frame — sums are
+        # associative, so no second pass over the collapsed edges).
+        chk = (base.where(F.col("__w").isNotNull())
+               .groupBy("src")
+               .agg(F.sum(F.col("__w").cast("double")).alias("__t"),
+                    F.min("__w").alias("__mn"),
+                    F.min((F.col("__w") == F.floor("__w")).cast("int"))
+                    .alias("__int"))
+               .agg(F.max("__t").alias("mx"), F.min("__mn").alias("mn"),
+                    F.min("__int").alias("ok"))
+               .first())
+        if chk["mn"] is not None and (
+                chk["ok"] == 0 or chk["mn"] <= 0 or chk["mx"] > 10 ** 6):
             raise ValueError(
                 "exact_mass weighted pagerank needs POSITIVE integer "
                 "edge weights with per-source totals <= 10**6 (keeps "
                 "mass * weight inside int64)")
-        return (e, out_d, lambda m: f"{m} * __w div __outd",
-                lambda r: r * F.col("__w") / F.col("__outd"))
+    typ = "long" if exact_mass else "double"
+    e = (base.where(F.col("__w").isNotNull()
+                    & ~F.isnan(F.col("__w").cast("double"))
+                    & (F.col("__w") > 0))
+         .groupBy("src", "dst")
+         .agg(F.sum(F.col("__w").cast(typ)).alias("__w")))
+    out_d = e.groupBy("src").agg(F.sum("__w").alias("__outd"))
     return (e, out_d, lambda m: f"{m} * __w div __outd",
             lambda r: r * F.col("__w") / F.col("__outd"))
 
@@ -169,9 +189,13 @@ def pagerank(
     divides over its out-edges in proportion to edge weight
     (``rank·w / W_out``) instead of uniformly — link multiplicity or
     link quality as crawl signal. Duplicate (src, dst) edges SUM their
-    weights; composes with ``personalize`` and ``tol``. ``exact_mass``
-    requires positive integer weights with per-source totals ≤ 10**6
-    (``mass·w`` stays inside int64); the unweighted arithmetic is
+    weights; composes with ``personalize`` and ``tol``. Weights must be
+    positive: NULL/NaN/non-positive weights are dropped like NULL
+    endpoints (a source with no remaining out-edge is dangling).
+    ``exact_mass`` additionally requires INTEGER weights with
+    per-source totals ≤ 10**6 (``mass·w`` stays inside int64) and
+    raises otherwise — checked on the raw values, so fractional
+    weights can never silently truncate; the unweighted arithmetic is
     byte-identical to before, so the existing oracles are unaffected.
     """
     if exact_mass and damping != 0.85:
