@@ -58,10 +58,11 @@ def _prep_edges(edges, src_col, dst_col, weight_col, exact_mass):
     Weighted: duplicate (src, dst) edges SUM their weights (multi-edge
     semantics); the divisor is the source's total out-weight, shares
     ``m·w div W`` / ``r·w / W``. Weights must be positive: NULL, NaN
-    and non-positive weights are DROPPED at cleaning time (a source
-    left with no usable out-edge becomes dangling, exactly like a node
-    with no out-links — this also rules out a zero/negative total
-    out-weight divisor). ``exact_mass`` additionally RAISES on
+    and non-positive weights are DROPPED at cleaning time, exactly
+    like NULL endpoints (a source left with no usable out-edge is
+    dangling if other edges still reference it, unranked otherwise —
+    this also rules out a zero/negative total out-weight divisor).
+    ``exact_mass`` additionally RAISES on
     fractional weights or per-source totals > 10**6 (keeps
     ``m·w ≤ 10**18`` inside int64 under ANSI) — validated on the RAW
     weight column BEFORE the long cast, so a 1.5 weight raises instead
@@ -191,7 +192,8 @@ def pagerank(
     link quality as crawl signal. Duplicate (src, dst) edges SUM their
     weights; composes with ``personalize`` and ``tol``. Weights must be
     positive: NULL/NaN/non-positive weights are dropped like NULL
-    endpoints (a source with no remaining out-edge is dangling).
+    endpoints (a source with no remaining out-edge is dangling when
+    other edges still reference it, unranked otherwise).
     ``exact_mass`` additionally requires INTEGER weights with
     per-source totals ≤ 10**6 (``mass·w`` stays inside int64) and
     raises otherwise — checked on the raw values, so fractional

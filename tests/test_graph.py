@@ -382,6 +382,42 @@ class TestWeightedPageRank:
         with _pt.raises(ValueError, match="10"):
             G.pagerank(bad, n_iters=2, exact_mass=True, weight_col="w")
 
+    def test_exact_mass_fractional_weight_raises(self, spark):
+        # r14 advisory: integrality is validated on the RAW column —
+        # a 1.5 weight must raise, never silently truncate to 1
+        import pandas as pd
+        import pytest as _pt
+        bad = spark.createDataFrame(pd.DataFrame(
+            [(0, 1, 1.5), (1, 0, 2.0)], columns=["src", "dst", "w"]))
+        with _pt.raises(ValueError, match="integer"):
+            G.pagerank(bad, n_iters=2, exact_mass=True, weight_col="w")
+
+    def test_float_nonpositive_weights_dropped(self, spark):
+        # r14 advisory: zero/negative/NaN weights are dropped at
+        # cleaning time, exactly like NULL endpoints — no
+        # divide-by-zero NaN can propagate, and a node appearing ONLY
+        # in dropped edges is not ranked (here node 0 and the dangling
+        # sink 3 hang off dropped edges; 3 survives via 3->1)
+        import math
+        import pandas as pd
+        wedges = [(0, 1, 0.0), (0, 2, -3.0), (0, 3, float("nan")),
+                  (1, 2, 2.0), (2, 1, 1.0), (3, 1, 4.0)]
+        out = G.pagerank(spark.createDataFrame(pd.DataFrame(
+            wedges, columns=["src", "dst", "w"])), n_iters=6,
+            weight_col="w")
+        got = {r.node: r.rank for r in out.collect()}
+        release_cached(out)
+        assert set(got) == {1, 2, 3}
+        assert all(math.isfinite(v) for v in got.values())
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        # identical ranks to the graph with the bad edges pre-removed
+        ref = G.pagerank(spark.createDataFrame(pd.DataFrame(
+            [(1, 2, 2.0), (2, 1, 1.0), (3, 1, 4.0)],
+            columns=["src", "dst", "w"])), n_iters=6, weight_col="w")
+        gref = {r.node: r.rank for r in ref.collect()}
+        release_cached(ref)
+        assert got == gref
+
     def test_composes_with_personalize(self, spark):
         import pandas as pd
         seeds = spark.createDataFrame(
