@@ -2901,6 +2901,33 @@ def _q_mojibake_repair(spark, sf):
 
 
 
+def _q_bpe_train_distributed(spark, sf):
+    """Corpus-scale BPE training (r14 — functions/bpe
+    train_bpe_distributed): the counting pass runs DISTRIBUTED (one
+    Arrow pretokenize map pass, one map-side-combined type-keyed
+    shuffle) and only the Zipf-bounded word-TYPE frequency table
+    reaches the driver's greedy merge loop — every byte of the corpus
+    is seen without collecting documents. The gate value-checks BOTH
+    contracts at once: n_merge_diff pins the distributed trainer's
+    merge table BIT-EQUAL to the sample trainer's on the same corpus
+    (shared _greedy_merges, deterministic lexicographic tie-break;
+    train_bpe's 100k-doc cap does not bind at gate SF), and roundtrip
+    pins losslessness of encode/decode under the distributed table."""
+    from pandas_plus_spark.functions.bpe import (bpe_decode, bpe_encode,
+                                                 train_bpe,
+                                                 train_bpe_distributed)
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    m_dist = train_bpe_distributed(docs, "text", vocab_size=384)
+    m_drv = train_bpe(docs, "text", vocab_size=384)
+    n_diff = (sum(1 for a, b in zip(m_dist, m_drv) if a != b)
+              + abs(len(m_dist) - len(m_drv)))
+    return docs.select(
+        "doc_id",
+        bpe_decode(bpe_encode("text", m_dist), m_dist).alias("roundtrip"),
+        F.lit(n_diff).alias("n_merge_diff"))
+
+
 def _q_bpe_roundtrip(spark, sf):
     """Real byte-level BPE tokenizer (r11 — functions/bpe, the trained
     replacement for the bpe_ish regex stand-in): merges are learned
@@ -4785,6 +4812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fills into the r15 window.
     return {
         # --- r14 window head (driver samples the FIRST 50) ---
+        # new r14 entries (never driver-verified — must sit in the
+        # window):
+        "bpe_train_distributed": _q_bpe_train_distributed,
         # r14 rotation: the 34 entries at the 4-round cadence bound
         # (last driver-green r10) plus the 16 stalest r11 entries —
         # pure rotation; registry 175, zero rows-only. New r14 entries
@@ -5836,6 +5866,13 @@ def oracle_sql() -> dict[str, str]:
             -- the losslessness contract: whatever merge table training
             -- produced at this SF, decode(encode(text)) == text
             SELECT doc_id, text AS roundtrip FROM documents
+        """,
+        "bpe_train_distributed": """
+            -- distributed-counting trainer: merge table bit-equal to
+            -- the sample trainer's (n_merge_diff 0) AND lossless
+            -- roundtrip under the distributed table
+            SELECT doc_id, text AS roundtrip, 0 AS n_merge_diff
+            FROM documents
         """,
         "mojibake_repair": """
             -- the clean closed form every repaired (or untouched) doc

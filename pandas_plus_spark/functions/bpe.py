@@ -4,12 +4,17 @@ at scale.
 The real version of the ``bpe_ish_token_count`` stand-in (reference
 parity: none — LLM-pipeline surface): a GPT-2-style byte-pair encoder
 whose base vocabulary is the 256 bytes, with merges learned greedily
-from pair frequencies. Training follows the shape real pipelines use —
-tokenizers are trained on a SAMPLE (here a deterministic hash-filtered,
-hard-capped collect, the one documented driver-side materialization in
-this module), then the merge table (a few thousand tiny entries)
-broadcasts to executors and encoding runs as an Arrow-batched
-``pandas_udf`` over the full corpus, map-side only.
+from pair frequencies. Two trainers share one merge loop:
+:func:`train_bpe` follows the sample shape real pipelines use (a
+deterministic hash-filtered, hard-capped document collect);
+:func:`train_bpe_distributed` (r14) counts word-type frequencies over
+the ENTIRE corpus distributedly — one Arrow map pass + one type-keyed
+map-side-combined shuffle — and collects only the Zipf-bounded TYPE
+table for the driver-side greedy loop, so training sees every byte of
+a 100 TB corpus while moving only vocabulary-sized data. Either way
+the merge table (a few thousand tiny entries) broadcasts to executors
+and encoding runs as an Arrow-batched ``pandas_udf`` over the full
+corpus, map-side only.
 
 Losslessness: the pre-tokenizer splits text into letter runs, digit
 runs, whitespace runs and single other-characters — a partition of the
@@ -70,6 +75,14 @@ def train_bpe(docs: DataFrame, text_col: str = "text", *,
     for r in rows:
         for seg in pretokenize(r[0]):
             word_freq[seg] += 1
+    return _greedy_merges(word_freq, vocab_size)
+
+
+def _greedy_merges(word_freq, vocab_size: int) -> list[tuple[bytes, bytes]]:
+    """The greedy merge loop over a word-TYPE frequency map — shared by
+    the sample-collect trainer and the distributed-counting trainer, so
+    the two produce BIT-EQUAL merge tables from equal frequency maps
+    (same tie-break, same stop conditions)."""
     # word type -> current symbol sequence (tuple of bytes objects)
     seqs = {w: tuple(bytes([b]) for b in w.encode("utf-8"))
             for w in word_freq}
@@ -103,6 +116,55 @@ def train_bpe(docs: DataFrame, text_col: str = "text", *,
             new_seqs[w] = tuple(out)
         seqs = new_seqs
     return merges
+
+
+def word_type_frequencies(docs: DataFrame, text_col: str = "text", *,
+                          sample_mod: int = 1) -> DataFrame:
+    """(word, freq) over the corpus — the distributed counting pass of
+    :func:`train_bpe_distributed`. Pretokenization runs as an
+    Arrow-batched ``pandas_udf`` (the same ``_PRETOK`` partition the
+    driver trainer uses) and the explode feeds a hash aggregation, so
+    the shuffle carries map-side-combined partial TYPE counts — corpus
+    bytes never move. The type frame is Zipf-bounded: it grows with
+    vocabulary, not corpus size, which is what makes corpus-scale
+    training cheap."""
+
+    @F.pandas_udf("array<string>")
+    def _pretok(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: _PRETOK.findall(t))
+
+    src = docs.select(F.col(text_col).alias("__t")).where(
+        F.col("__t").isNotNull())
+    if sample_mod > 1:
+        src = src.where(F.pmod(F.xxhash64("__t"),
+                               F.lit(sample_mod)) == 0)
+    return (src.select(F.explode(_pretok("__t")).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def train_bpe_distributed(
+        docs: DataFrame, text_col: str = "text", *,
+        vocab_size: int = 512, sample_mod: int = 1,
+        max_word_types: int = 2_000_000) -> list[tuple[bytes, bytes]]:
+    """Corpus-scale BPE training: the counting pass is DISTRIBUTED
+    (:func:`word_type_frequencies` — one corpus map pass + one
+    type-keyed shuffle), and only the word-TYPE frequency table comes
+    back to the driver for the greedy merge loop. On equal inputs the
+    merge table is BIT-EQUAL to :func:`train_bpe`'s (shared
+    :func:`_greedy_merges`, same lexicographic tie-break) — the
+    difference is what bounds the sample: ``train_bpe`` collects at
+    most ``max_sample_docs`` documents, this trainer counts EVERY
+    document and collects at most ``max_word_types`` word types
+    (deterministic top-by-(freq DESC, word) via TakeOrdered when the
+    cap binds — a capped run trains on the head of the Zipf curve,
+    which is what real tokenizer trainers prune to anyway)."""
+    if vocab_size < 257:
+        raise ValueError("vocab_size must exceed the 256 byte base")
+    wf = word_type_frequencies(docs, text_col, sample_mod=sample_mod)
+    rows = (wf.orderBy(F.col("freq").desc(), "word")
+            .limit(max_word_types).collect())
+    return _greedy_merges({r["word"]: r["freq"] for r in rows},
+                          vocab_size)
 
 
 def bpe_vocab(merges: list[tuple[bytes, bytes]]) -> list[bytes]:

@@ -266,6 +266,40 @@ class TestBpe:
         for r in out:
             assert r.rt == r.t, (r.t, r.rt)
 
+    def test_distributed_trainer_bit_equal(self, spark):
+        # r14: the distributed counting pass + shared greedy loop must
+        # reproduce the driver trainer's merge table BIT-EQUAL on the
+        # same input (train_bpe's doc cap not binding here)
+        import pandas as pd
+
+        from pandas_plus_spark.functions.bpe import (train_bpe,
+                                                     train_bpe_distributed)
+        corpus = (["the cat sat on the mat"] * 30 + ["the dog"] * 20
+                  + ["digits 123 and ümlauts", "", "tabs\tmix"])
+        df = spark.createDataFrame(pd.DataFrame({"text": corpus}))
+        assert (train_bpe_distributed(df, vocab_size=300)
+                == train_bpe(df, vocab_size=300))
+        import pytest
+        with pytest.raises(ValueError):
+            train_bpe_distributed(df, vocab_size=256)
+
+    def test_distributed_trainer_type_cap_deterministic(self, spark):
+        # a binding max_word_types cap keeps the top of the Zipf curve
+        # by (freq DESC, word) — deterministic, and still reproducible
+        import pandas as pd
+
+        from pandas_plus_spark.functions.bpe import train_bpe_distributed
+        corpus = ["alpha beta beta gamma gamma gamma"] * 10 + ["zeta"]
+        df = (spark.createDataFrame(pd.DataFrame({"text": corpus}))
+              .repartition(8))
+        m1 = train_bpe_distributed(df, vocab_size=280, max_word_types=3)
+        m2 = train_bpe_distributed(df, vocab_size=280, max_word_types=3)
+        assert m1 == m2 and len(m1) > 0
+        # 'gamma' (freq 30) must dominate the capped table's merges
+        from pandas_plus_spark.functions.bpe import bpe_vocab
+        toks = [t.decode() for t in bpe_vocab(m1)[256:]]
+        assert "gamma" in toks
+
     def test_token_count_and_compression(self, spark):
         import pandas as pd
 
