@@ -1652,6 +1652,33 @@ def _q_fuzzy_join(spark, sf):
     return fuzzy_join(left, right.unionByName(extra), "name", max_dist=1)
 
 
+def _q_fuzzy_join_k2(spark, sf):
+    """Edit-distance join at max_dist=2 (r14 — the expensive blocking
+    regime: a length-L key explodes to 1 + L + C(L,2) deletion
+    variants instead of 1 + L, so this gate value-checks the
+    two-level variant generation and the ed<=2 verify end-to-end).
+    Fixture: left keys 'k'||doc_id for doc_id < 300; right keys by
+    doc_id % 4 — exact / one substitution / substitution + trailing
+    insertion (ed 2) / 'zz'-wrapped far keys — plus all the
+    digit-sharing incidental matches within distance 2, which the
+    oracle's brute-force cross join prices identically."""
+    from pandas_plus_spark.operators.joins import fuzzy_join
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 300).select("doc_id"))
+    did = F.col("doc_id").cast("string")
+    left = docs.select(F.col("doc_id").alias("id"),
+                       F.concat(F.lit("k"), did).alias("name"))
+    right = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("k"), did))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("x"), did))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("x"), did, F.lit("z")))
+        .otherwise(F.concat(F.lit("zz"), did, F.lit("zz"))).alias("name"))
+    return fuzzy_join(left, right, "name", max_dist=2)
+
+
 def _q_fuzzy_dedup(spark, sf):
     """Fuzzy key dedup keep-list (r13 — operators/dedup.py
     fuzzy_dedup_keep_list): exact collapse → fuzzy_join(self) →
@@ -4815,6 +4842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r14 entries (never driver-verified — must sit in the
         # window):
         "bpe_train_distributed": _q_bpe_train_distributed,
+        "fuzzy_join_k2": _q_fuzzy_join_k2,
         # r14 rotation: the 34 entries at the 4-round cadence bound
         # (last driver-green r10) plus the 16 stalest r11 entries —
         # pure rotation; registry 175, zero rows-only. New r14 entries
@@ -6741,6 +6769,30 @@ def oracle_sql() -> dict[str, str]:
                      AS edit_distance
             FROM l CROSS JOIN r
             WHERE levenshtein(l.name, r.name) <= 1
+        """,
+        "fuzzy_join_k2": """
+            -- brute-force ed<=2 oracle over the 300x300 fixture: the
+            -- engine must reproduce EXACT semantics through two-level
+            -- deletion-neighborhood blocking
+            WITH l AS (
+                SELECT doc_id AS id, 'k' || CAST(doc_id AS VARCHAR) AS name
+                FROM documents WHERE doc_id < 300
+            ), r AS (
+                SELECT doc_id AS id,
+                       CASE doc_id % 4
+                         WHEN 0 THEN 'k' || CAST(doc_id AS VARCHAR)
+                         WHEN 1 THEN 'x' || CAST(doc_id AS VARCHAR)
+                         WHEN 2 THEN 'x' || CAST(doc_id AS VARCHAR) || 'z'
+                         ELSE 'zz' || CAST(doc_id AS VARCHAR) || 'zz'
+                       END AS name
+                FROM documents WHERE doc_id < 300
+            )
+            SELECT l.id AS left_id, r.id AS right_id,
+                   l.name AS left_key, r.name AS right_key,
+                   CAST(levenshtein(l.name, r.name) AS BIGINT)
+                     AS edit_distance
+            FROM l CROSS JOIN r
+            WHERE levenshtein(l.name, r.name) <= 2
         """,
         "anchor_text_graph": """
             -- link + anchor strings rebuilt from the same doc_id
