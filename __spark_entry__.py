@@ -1707,6 +1707,36 @@ def _q_fuzzy_dedup(spark, sf):
                                        max_dist=1)
 
 
+def _q_dedup_keep_best(spark, sf):
+    """Quality-aware dedup keep-list (r14 — quality_col= on the
+    keep-list operators): each near-dup cluster keeps its
+    HIGHEST-QUALITY member instead of the minimum id — what production
+    dedup wants (keep the cleanest crawl of a page). Zero extra corpus
+    shuffles: the per-key best folds into the exact-collapse aggregate
+    as max(struct(q, -id)) and the winner is one rep-grain
+    aggregation. Fixture: the fuzzy_dedup 100×4 closed-form cluster
+    structure (members 0/1/2 pairwise ed 1, member 3 singleton) with
+    quality q = (doc_id·7) % 13 — all within-cluster scores distinct
+    by modular arithmetic, so keep is closed-form: the argmax-q member
+    of each triple, every singleton."""
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 400).select("doc_id"))
+    did = F.col("doc_id")
+    g3 = F.regexp_replace(F.lpad((did / 4).cast("int").cast("string"),
+                                 2, "0"), "(.)", "$1$1$1")
+    d3 = F.regexp_replace(F.lpad(did.cast("string"), 3, "0"),
+                          "(.)", "$1$1$1")
+    m = did % 4
+    key = (F.when(m == 0, F.concat(F.lit("g"), g3, F.lit("m")))
+           .when(m == 1, F.concat(F.lit("g"), g3, F.lit("mx")))
+           .when(m == 2, F.concat(F.lit("g"), g3, F.lit("my")))
+           .otherwise(F.concat(F.lit("s"), d3)))
+    fixture = docs.select("doc_id", key.alias("k"),
+                          ((did * 7) % 13).cast("double").alias("q"))
+    return dedup.fuzzy_dedup_keep_list(fixture, "k", "doc_id",
+                                       max_dist=1, quality_col="q")
+
+
 def _q_weighted_pagerank(spark, sf):
     """Weighted-edge PageRank (r13 — pagerank(weight_col=)): a source's
     rank divides over its out-edges in proportion to edge WEIGHT (link
@@ -4843,6 +4873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window):
         "bpe_train_distributed": _q_bpe_train_distributed,
         "fuzzy_join_k2": _q_fuzzy_join_k2,
+        "dedup_keep_best": _q_dedup_keep_best,
         # r14 rotation: the 34 entries at the 4-round cadence bound
         # (last driver-green r10) plus the 16 stalest r11 entries —
         # pure rotation; registry 175, zero rows-only. New r14 entries
@@ -6723,6 +6754,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id,
                    (doc_id % 4 = 0 OR doc_id % 4 = 3) AS keep
             FROM documents WHERE doc_id < 400
+        """,
+        "dedup_keep_best": """
+            -- closed-form best-member selection over the fuzzy_dedup
+            -- cluster structure: within each triple (members 0/1/2 of
+            -- group g = doc_id//4) keep the argmax of q = (doc_id*7)%13
+            -- (all distinct by modular arithmetic — 7·Δ mod 13 != 0 for
+            -- Δ in {1,2}); singletons (member 3) keep themselves
+            WITH base AS (
+                SELECT doc_id, (doc_id * 7) % 13 AS q,
+                       CASE WHEN doc_id % 4 = 3 THEN doc_id
+                            ELSE doc_id // 4 * 4 END AS ck
+                FROM documents WHERE doc_id < 400
+            )
+            SELECT doc_id AS id,
+                   row_number() OVER (PARTITION BY ck
+                                      ORDER BY q DESC, doc_id ASC) = 1
+                     AS keep
+            FROM base
         """,
         "rolling_quantile": """
             -- dyadic values => linear interpolation exact in both

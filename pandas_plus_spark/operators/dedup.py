@@ -1494,6 +1494,7 @@ def dedup_keep_list(
     shingle_size: int = 3,
     cluster_iters: int = 16,
     hash_fn: str = "xxhash64",
+    quality_col: str | None = None,
 ) -> DataFrame:
     """End-to-end corpus dedup: (doc_id, keep) for EVERY input document.
 
@@ -1504,6 +1505,19 @@ def dedup_keep_list(
       4. keep = the minimum id of each cluster (singletons keep themselves);
          non-representative exact copies are dropped by step 1.
 
+    ``quality_col`` (r14, optional) switches step 4 to BEST-MEMBER
+    selection — the row each cluster keeps is its highest-quality
+    member over ALL original rows (exact copies included, since copies
+    can differ in quality metadata), tie-broken to the minimum id.
+    This is what production dedup actually wants: keep the cleanest
+    crawl of a page, not the lowest-id one. Cost: ZERO extra corpus
+    shuffles — per-text best rows fold into the step-1 collapse
+    aggregate (``max(struct(quality, -id))``, map-side combined) and
+    the cluster winner is one rep-grain aggregation; the keep list is
+    then an id-keyed join against one winner row per cluster. NULL
+    quality ranks below every real score (coalesced to -inf; an
+    all-NULL cluster degrades to min-id, the default semantics).
+
     Everything stays keyed on ids after the signature stage — the document
     bodies never shuffle past step 1/2's shingling. ``keep`` is boolean so
     the output joins back to the corpus as a filter column.
@@ -1512,25 +1526,57 @@ def dedup_keep_list(
     # and the keep-list join — three consumers of a full text-keyed shuffle.
     # Persist once (memory-and-disk, so a 100 TB corpus spills rather than
     # evicts); released with the other pipeline caches via attach_cached.
-    reps = df.groupBy(text_col).agg(F.min(id_col).alias("rid"))
-    rep_docs = reps.select(F.col("rid").alias(id_col), F.col(text_col)).persist()
-    pairs = minhash_dedup(rep_docs, text_col, id_col, threshold=threshold,
+    agg_cols = [F.min(id_col).alias("rid")]
+    if quality_col is not None:
+        agg_cols.append(F.max(F.struct(
+            F.coalesce(F.col(quality_col).cast("double"),
+                       F.lit(float("-inf"))).alias("q"),
+            (-F.col(id_col)).alias("nid"))).alias("__best"))
+    reps = df.groupBy(text_col).agg(*agg_cols)
+    rep_docs = reps.select(
+        F.col("rid").alias(id_col), F.col(text_col),
+        *(["__best"] if quality_col is not None else [])).persist()
+    pairs = minhash_dedup(rep_docs.select(id_col, text_col), text_col,
+                          id_col, threshold=threshold,
                           num_hashes=num_hashes, bands=bands,
                           shingle_size=shingle_size, pre_dedup_exact=False,
                           hash_fn=hash_fn)
     clusters = dup_clusters(pairs, n_iters=cluster_iters)
-    rep_keep = (
-        rep_docs.select(F.col(id_col).alias("id"))
-        .join(clusters, "id", "left")
-        .select("id", (F.col("cluster_id").isNull()
-                       | (F.col("cluster_id") == F.col("id"))).alias("keep"))
-    )
     all_ids = df.select(F.col(id_col).alias("id"))
-    out = (
-        all_ids.join(rep_keep.withColumnRenamed("keep", "__rk"), "id", "left")
-        .select("id", F.coalesce("__rk", F.lit(False)).alias("keep"))
-    )
+    if quality_col is not None:
+        out = _keep_by_quality(rep_docs, clusters, all_ids, id_col)
+    else:
+        rep_keep = (
+            rep_docs.select(F.col(id_col).alias("id"))
+            .join(clusters, "id", "left")
+            .select("id", (F.col("cluster_id").isNull()
+                           | (F.col("cluster_id") == F.col("id")))
+                    .alias("keep"))
+        )
+        out = (
+            all_ids.join(rep_keep.withColumnRenamed("keep", "__rk"),
+                         "id", "left")
+            .select("id", F.coalesce("__rk", F.lit(False)).alias("keep"))
+        )
     return attach_cached(out, rep_docs, *getattr(pairs, "_pps_cached", ()))
+
+
+def _keep_by_quality(rep_docs: DataFrame, clusters: DataFrame,
+                     all_ids: DataFrame, id_col: str) -> DataFrame:
+    """Shared best-member keep-list tail for ``quality_col=`` paths:
+    rep_docs carries ``__best`` = per-exact-group ``max(struct(q,
+    -id))`` from the collapse aggregate; the cluster winner is the max
+    of those over each connected component (singletons/unmatched reps
+    cluster as themselves via the coalesce), and the keep list marks
+    exactly the one original row ``-__best.nid`` per cluster."""
+    winners = (
+        rep_docs.select(F.col(id_col).alias("id"), "__best")
+        .join(clusters, "id", "left")
+        .groupBy(F.coalesce("cluster_id", "id").alias("__ck"))
+        .agg(F.max("__best").alias("__w"))
+        .select((-F.col("__w.nid")).alias("id"), F.lit(True).alias("__rk")))
+    return (all_ids.join(winners, "id", "left")
+            .select("id", F.coalesce("__rk", F.lit(False)).alias("keep")))
 
 
 def fuzzy_dedup_keep_list(
@@ -1542,6 +1588,7 @@ def fuzzy_dedup_keep_list(
     max_len: int = 128,
     block_on=None,
     cluster_iters: int = 16,
+    quality_col: str | None = None,
 ) -> DataFrame:
     """(id, keep) for every row: collapse rows whose ``key_col`` strings
     are within Levenshtein distance ``max_dist`` of each other —
@@ -1562,33 +1609,54 @@ def fuzzy_dedup_keep_list(
          :func:`dedup_keep_list` does for text) and over-``max_len``
          keys exact-collapse but never fuzzy-match, per the fuzzy_join
          contract.
+
+    ``quality_col`` (r14, optional) switches step 4 to BEST-MEMBER
+    selection exactly like :func:`dedup_keep_list`: each cluster keeps
+    its highest-quality original row (exact copies eligible), ties to
+    the minimum id, NULL quality below every real score. Same
+    zero-extra-shuffle shape — the per-key best folds into the step-1
+    collapse aggregate and :func:`_keep_by_quality` finishes at rep
+    grain.
     """
     from .joins import fuzzy_join
 
     blk = [block_on] if isinstance(block_on, str) else list(block_on or ())
     # exact collapse at (key, block) grain — the block columns must ride
     # on the representatives for fuzzy_join's equality blocking
-    reps = df.groupBy(key_col, *blk).agg(F.min(id_col).alias("rid"))
-    rep_docs = reps.select(F.col("rid").alias(id_col),
-                           F.col(key_col), *blk).persist()
-    fj = fuzzy_join(rep_docs, rep_docs, key_col, left_id=id_col,
+    agg_cols = [F.min(id_col).alias("rid")]
+    if quality_col is not None:
+        agg_cols.append(F.max(F.struct(
+            F.coalesce(F.col(quality_col).cast("double"),
+                       F.lit(float("-inf"))).alias("q"),
+            (-F.col(id_col)).alias("nid"))).alias("__best"))
+    reps = df.groupBy(key_col, *blk).agg(*agg_cols)
+    rep_docs = reps.select(
+        F.col("rid").alias(id_col), F.col(key_col), *blk,
+        *(["__best"] if quality_col is not None else [])).persist()
+    rep_keys = rep_docs.select(id_col, key_col, *blk)
+    fj = fuzzy_join(rep_keys, rep_keys, key_col, left_id=id_col,
                     right_id=id_col, max_dist=max_dist, max_len=max_len,
                     block_on=block_on)
     pairs = (fj.where(F.col("left_id") < F.col("right_id"))
              .select(F.col("left_id").alias("id_a"),
                      F.col("right_id").alias("id_b")))
     clusters = dup_clusters(pairs, n_iters=cluster_iters)
-    rep_keep = (
-        rep_docs.select(F.col(id_col).alias("id"))
-        .join(clusters, "id", "left")
-        .select("id", (F.col("cluster_id").isNull()
-                       | (F.col("cluster_id") == F.col("id"))).alias("keep"))
-    )
     all_ids = df.select(F.col(id_col).alias("id"))
-    out = (
-        all_ids.join(rep_keep.withColumnRenamed("keep", "__rk"), "id", "left")
-        .select("id", F.coalesce("__rk", F.lit(False)).alias("keep"))
-    )
+    if quality_col is not None:
+        out = _keep_by_quality(rep_docs, clusters, all_ids, id_col)
+    else:
+        rep_keep = (
+            rep_docs.select(F.col(id_col).alias("id"))
+            .join(clusters, "id", "left")
+            .select("id", (F.col("cluster_id").isNull()
+                           | (F.col("cluster_id") == F.col("id")))
+                    .alias("keep"))
+        )
+        out = (
+            all_ids.join(rep_keep.withColumnRenamed("keep", "__rk"),
+                         "id", "left")
+            .select("id", F.coalesce("__rk", F.lit(False)).alias("keep"))
+        )
     # every row maps to a representative via step 1, so the FALSE
     # default of the coalesce applies exactly to non-representative
     # exact copies (reps excluded from matching — NULL/over-max_len —

@@ -730,6 +730,33 @@ class TestClustersAndKeepList:
         # all input ids present exactly once
         assert len(out) == 4
 
+    def test_keep_list_quality_best_member(self, planted_docs):
+        # quality_col switches step 4 to best-member selection: docs
+        # 0,1 identical text + 2 near-dup form ONE cluster; give the
+        # NON-representative exact copy (id 1) the best quality — it,
+        # not min-id 0, must be kept
+        q = planted_docs.withColumn(
+            "q", F.when(F.col("doc_id") == 1, 9.0)
+                  .when(F.col("doc_id") == 2, 5.0).otherwise(1.0))
+        out = {r["id"]: r["keep"] for r in dedup.dedup_keep_list(
+            q, "text", "doc_id", threshold=0.5,
+            num_hashes=32, bands=16, quality_col="q").collect()}
+        assert out == {0: False, 1: True, 2: False, 3: True}
+
+    def test_keep_list_quality_null_and_ties(self, spark):
+        # NULL quality ranks below every score; an all-NULL cluster and
+        # a tied cluster both degrade to min-id
+        rows = [(10, "aaaa bbbb cccc dddd", None),
+                (11, "aaaa bbbb cccc dddd", None),   # all-NULL cluster
+                (20, "xxxx yyyy zzzz wwww", 3.0),
+                (21, "xxxx yyyy zzzz wwww", 3.0),    # tie -> min id
+                (30, "solo text here okay", None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+        out = {r["id"]: r["keep"] for r in dedup.dedup_keep_list(
+            df, "text", "doc_id", threshold=0.5,
+            num_hashes=32, bands=16, quality_col="q").collect()}
+        assert out == {10: True, 11: False, 20: True, 21: False, 30: True}
+
 
 class TestVectorUtils:
     def test_l2_normalize(self, spark):
@@ -2101,6 +2128,21 @@ class TestFuzzyDedupKeepList:
         out = {r.id: r.keep
                for r in dedup.fuzzy_dedup_keep_list(df, "k", "id").collect()}
         assert out == {1: True, 2: False, 3: False, 4: True,
+                       5: False, 6: True, 7: False}
+
+    def test_quality_best_member(self, spark):
+        # the fuzzy chain 1~2~3 is one cluster: keep the best-quality
+        # member (3), not min id; the exact copy with the top score (5,
+        # copy of key 'abcd') wins over its representative if scored
+        # higher — here rep 1 has q=2 < copy 5's q=4 < member 3's q=7
+        rows = [(1, "abcd", 2.0), (2, "abce", 1.0), (3, "abcf", 7.0),
+                (4, "zzzz", 0.0), (5, "abcd", 4.0), (6, None, 9.0),
+                (7, None, 1.0)]
+        df = spark.createDataFrame(rows, "id long, k string, q double")
+        out = {r.id: r.keep
+               for r in dedup.fuzzy_dedup_keep_list(
+                   df, "k", "id", quality_col="q").collect()}
+        assert out == {1: False, 2: False, 3: True, 4: True,
                        5: False, 6: True, 7: False}
 
     def test_block_on_scopes_collapse(self, spark):
