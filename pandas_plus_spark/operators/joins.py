@@ -184,6 +184,35 @@ def _deletion_variants(c: Column, max_dist: int) -> Column:
     return F.array_distinct(out)
 
 
+def _exploded_size_bound(d: DataFrame, max_len: int,
+                         max_dist: int) -> int | None:
+    """Conservative bound on a frame's size AFTER the deletion-variant
+    explode: Catalyst's analyzed sizeInBytes × the worst-case variant
+    count (1 + L at k=1, + C(L,2) at k=2, L = max_len). Catalyst's own
+    estimate for a Generate (explode) node passes the CHILD's size
+    through essentially unchanged — wildly LOW — which statically plans
+    a BroadcastHashJoin over frames that explode to tens of millions of
+    rows and OOMs the driver building the hashed relation (observed
+    r14: 100k keys × 56 variants killed an 8 GB driver). ``None`` = no
+    usable estimate (treat as big)."""
+    try:
+        size = int(d._jdf.queryExecution().analyzed().stats().sizeInBytes())
+    except Exception:
+        return None
+    if size <= 0 or size >= (1 << 50):
+        return None
+    factor = 1 + max_len
+    if max_dist >= 2:
+        factor += max_len * (max_len - 1) // 2
+    return size * factor
+
+
+#: a side may broadcast only when its worst-case EXPLODED size bound
+#: stays under this (comfortably inside the 10 MB default
+#: autoBroadcastJoinThreshold and trivial against driver heap)
+_FUZZY_BROADCAST_BOUND = 8 << 20
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -216,6 +245,15 @@ def fuzzy_join(
     BEFORE the variant explode (the minhash pre-collapse pattern:
     d copies of one hot string cost d join-back rows, not d·variants
     shuffle rows), and the candidate join runs at DISTINCT-string grain.
+
+    Join strategy is PINNED (r14): Catalyst's size estimate for an
+    explode is ~the pre-explode bytes, so left to itself the planner
+    statically broadcasts variant frames that are really tens of
+    millions of rows — a driver OOM. A side may broadcast only when its
+    worst-case exploded bound (analyzed size × (1 + L [+ C(L,2)]),
+    L = max_len) is provably small; otherwise the candidate join and
+    both join-backs are hinted to shuffle (merge) joins, and any
+    broadcast downgrade is AQE's, made from accurate runtime sizes.
 
     Cost: a string of length L explodes to 1 + L variants at
     ``max_dist=1`` and O(L²/2) at 2 (the supported range) — designed
@@ -255,14 +293,39 @@ def fuzzy_join(
         "right_key", *blk,
         F.explode(_deletion_variants(F.col("right_key"), max_dist))
         .alias("__v"))
+    # Join-strategy pin (r14): Catalyst sizes the exploded variant
+    # frames at roughly their PRE-explode bytes, so the planner happily
+    # broadcasts a side that is really tens of millions of rows — a
+    # driver OOM, not a slowdown. Broadcast is allowed only when a
+    # side's WORST-CASE exploded bound (_exploded_size_bound) is
+    # provably tiny (the small-entity-list-vs-corpus case, where it is
+    # exactly right); otherwise every join in the operator is pinned to
+    # a shuffle (merge) join — AQE may still convert to broadcast at
+    # runtime, but from ACCURATE shuffle sizes, which is the point. The
+    # verified/join-back frames inherit the same garbage estimates
+    # (their size is match-count-driven), so they get the same pin.
+    bl = _exploded_size_bound(ld, max_len, max_dist)
+    br = _exploded_size_bound(rd, max_len, max_dist)
+    small_l = bl is not None and bl < _FUZZY_BROADCAST_BOUND
+    small_r = br is not None and br < _FUZZY_BROADCAST_BOUND
+    if small_l:
+        lv = F.broadcast(lv)
+    elif small_r:
+        rv = F.broadcast(rv)
+    else:
+        lv = lv.hint("merge")
     verified = (
         lv.join(rv, ["__v", *blk])
         .select("left_key", "right_key", *blk).distinct()
         .withColumn("edit_distance",
                     F.levenshtein("left_key", "right_key"))
         .where(F.col("edit_distance") <= max_dist))
+    rs_j = rs
+    if not (small_l or small_r):
+        verified = verified.hint("merge")
+        rs_j = rs.hint("merge")
     return (ls.join(verified, ["left_key", *blk])
-            .join(rs, ["right_key", *blk])
+            .join(rs_j, ["right_key", *blk])
             .select("left_id", "right_id", *blk,
                     "left_key", "right_key",
                     F.col("edit_distance").cast("long")

@@ -489,6 +489,37 @@ class TestFuzzyJoin:
         assert fuzzy_join(ldf.drop("host"), rdf.drop("host"),
                           "name").count() == 6
 
+    def test_no_static_broadcast_of_exploded_side(self, spark):
+        """r14: Catalyst sizes the variant explode at ~pre-explode
+        bytes, so on any input it can't PROVE tiny the planner must
+        not broadcast (100k keys x 56 variants statically broadcast
+        and OOM'd an 8 GB driver). Parquet-backed input with a real
+        size estimate above the bound -> every join pinned shuffle;
+        a provably-tiny side -> broadcast allowed."""
+        import pyspark.sql.functions as F
+        from pandas_plus_spark.operators.joins import fuzzy_join
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        p = os.path.join(d, "keys.parquet")
+        spark.range(30_000).select(
+            F.col("id"),
+            F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"),
+                                        9, "0")).alias("name")
+        ).write.mode("overwrite").parquet(p)
+        big = spark.read.parquet(p)
+        fj = fuzzy_join(big, big, "name", max_dist=2)
+        plan = fj._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan[:2000]
+        # tiny side (bounded even after the worst-case explode at
+        # max_dist=1 and short max_len): broadcast IS chosen
+        tiny = spark.createDataFrame(
+            [(i, f"nm{i}") for i in range(10)], "id long, name string")
+        fj2 = fuzzy_join(tiny, big, "name", max_dist=1, max_len=16)
+        plan2 = fj2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan2
+        # and the pinned plan still computes the right answer
+        assert fj2.count() == 0  # 'nm*' never within ed 1 of 'k0000*'
+
     def test_plan_has_no_cartesian_product(self, spark):
         """The whole point of the deletion-neighborhood blocking: the
         physical plan must contain no CartesianProduct /
