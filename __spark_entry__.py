@@ -962,6 +962,35 @@ def _q_rolling_quantile(spark, sf):
         "event_id", "event_type", "v", "rmed", "rq25")
 
 
+def _q_rolling_corr_cov(spark, sf):
+    """Trailing-window pairwise covariance + Pearson correlation (r14 —
+    GroupBy.rolling_cov / rolling_corr, pandas rolling().cov()/.corr()
+    pairwise-complete semantics). The stat decomposes into windowed
+    sums (n, Σx, Σy, Σxy, Σx², Σy²) with the float arithmetic done
+    once on top; the fixture is DYADIC (k/64, k/128 rationals), so
+    every windowed sum is exact in both engines regardless of
+    accumulation order and the shipped doubles are bit-identical IEEE
+    results of the same closed expression the oracle spells out.
+    Deterministic NULLs in each column exercise pairwise exclusion;
+    min_periods counts complete pairs."""
+    ev = load_table(spark, sf, "events")
+    did = F.col("event_id")
+    x = F.when(F.pmod(did, F.lit(11)) != 3,
+               F.pmod(did, F.lit(97)).cast("double") / 64)
+    y = F.when(F.pmod(did, F.lit(13)) != 5,
+               F.pmod(did * 3, F.lit(101)).cast("double") / 64
+               - F.pmod(did, F.lit(89)).cast("double") / 128)
+    base = ev.select("event_id", "event_type", x.alias("x"), y.alias("y"))
+    g = GroupBy(base, "event_type", order_by="event_id")
+    cov = g.rolling_cov("x", "y", window=6, min_periods=3).select(
+        "event_id", "event_type", "x", "y",
+        F.col("x_y_rolling_cov").alias("rcov"))
+    corr = g.rolling_corr("x", "y", window=6, min_periods=3).select(
+        "event_id", F.col("x_y_rolling_corr").alias("rcorr"))
+    return cov.join(corr, "event_id").select(
+        "event_id", "event_type", "x", "y", "rcov", "rcorr")
+
+
 def _q_sessionize(spark, sf):
     # cast handles TIMESTAMP_NTZ sources (e.g. DuckDB-written parquet);
     # gap-based sessions are invariant under the constant tz shift.
@@ -1624,6 +1653,45 @@ def _q_ess_excision(spark, sf):
     spans = dedup.exact_substring_spans(fixture, "text", "doc_id",
                                         min_len=12, k=6, hash_fn="poly")
     return dedup.excise_spans(fixture, spans, "text", "doc_id")
+
+
+def _q_decontaminate(spark, sf):
+    """Cross-corpus benchmark decontamination (r14 —
+    dedup.contaminated_spans → excise_spans composed via
+    dedup.decontaminate): regions of the corpus whose every k-gram also
+    occurs in the benchmark ref are flagged and cut — the GPT-3-style
+    n-gram-overlap decontamination at span granularity. Fixture: 400
+    corpus docs = unique filler + a class block (class c = doc_id%10,
+    8 + c%5 'b'-tokens shared by ~40 docs) + unique trailer; the ref is
+    the 10 pure class blocks. Only the blocks' grams exist in ref
+    (filler/trailer tokens embed doc_id), so clean_text is closed-form:
+    filler + trailer verbatim, n_removed = 8 + (doc_id%10)%5 — a span
+    boundary off by one fails the hash. The within-corpus repetition of
+    each block across ~40 docs is deliberate: it must NOT matter
+    (contamination is vs ref, not corpus-internal df counts)."""
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 400).select("doc_id"))
+    did = F.col("doc_id")
+    cls = did % 10
+
+    def toks(prefix, idc, n):
+        return F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: F.concat(F.lit(prefix), idc.cast("string"),
+                               F.lit("x"), j.cast("string")))
+
+    text = F.concat_ws(" ", F.concat(
+        toks("f", did, F.lit(3) + did % 5),
+        toks("b", cls, F.lit(8) + cls % 5),
+        toks("g", did, F.lit(4) + did % 3)))
+    fixture = docs.select("doc_id", text.alias("text"))
+    ref = (load_table(spark, sf, "documents")
+           .where(F.col("doc_id") < 10).select("doc_id")
+           .select("doc_id", F.concat_ws(
+               " ", toks("b", F.col("doc_id"),
+                         F.lit(8) + F.col("doc_id") % 5)).alias("text")))
+    return dedup.decontaminate(fixture, ref, "text", "doc_id", k=6,
+                               hash_fn="poly")
 
 
 def _q_fuzzy_join(spark, sf):
@@ -4874,6 +4942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_distributed": _q_bpe_train_distributed,
         "fuzzy_join_k2": _q_fuzzy_join_k2,
         "dedup_keep_best": _q_dedup_keep_best,
+        "rolling_corr_cov": _q_rolling_corr_cov,
+        "decontaminate": _q_decontaminate,
         # r14 rotation: the 34 entries at the 4-round cadence bound
         # (last driver-green r10) plus the 16 stalest r11 entries —
         # pure rotation; registry 175, zero rows-only. New r14 entries
@@ -6755,6 +6825,51 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id % 4 = 0 OR doc_id % 4 = 3) AS keep
             FROM documents WHERE doc_id < 400
         """,
+        "rolling_corr_cov": """
+            -- the engine's exact windowed-sum decomposition spelled
+            -- out: dyadic inputs make every sum exact, so the final
+            -- doubles are the same IEEE ops on the same values
+            WITH base AS (
+                SELECT event_id, event_type,
+                       CASE WHEN event_id % 11 <> 3
+                            THEN CAST(event_id % 97 AS DOUBLE) / 64
+                       END AS x,
+                       CASE WHEN event_id % 13 <> 5
+                            THEN CAST((event_id * 3) % 101 AS DOUBLE) / 64
+                                 - CAST(event_id % 89 AS DOUBLE) / 128
+                       END AS y
+                FROM events
+            ), s AS (
+                SELECT event_id, event_type, x, y,
+                       count(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                                  THEN 1 END) OVER w AS n,
+                       sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                                THEN x END) OVER w AS sx,
+                       sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                                THEN y END) OVER w AS sy,
+                       sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                                THEN x * y END) OVER w AS sxy,
+                       sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                                THEN x * x END) OVER w AS sxx,
+                       sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                                THEN y * y END) OVER w AS syy
+                FROM base
+                WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, event_type, x, y,
+                   CASE WHEN n >= 3 THEN
+                        (sxy - sx * sy / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1.0) END AS rcov,
+                   CASE WHEN n >= 3
+                         AND (sxx - sx * sx / CAST(n AS DOUBLE)) > 0
+                         AND (syy - sy * sy / CAST(n AS DOUBLE)) > 0
+                        THEN (sxy - sx * sy / CAST(n AS DOUBLE))
+                          / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                                 * (syy - sy * sy / CAST(n AS DOUBLE)))
+                   END AS rcorr
+            FROM s
+        """,
         "dedup_keep_best": """
             -- closed-form best-member selection over the fuzzy_dedup
             -- cluster structure: within each triple (members 0/1/2 of
@@ -6877,6 +6992,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 + doc_id % 5 AS BIGINT) AS span_start,
                    CAST(3 + doc_id % 5 + 12 + (doc_id // 2) % 7
                         AS BIGINT) AS span_end
+            FROM documents WHERE doc_id < 400
+        """,
+        "decontaminate": """
+            -- composed contamination -> excision, closed-form: the
+            -- class block is each doc's ONLY ref-overlapping content,
+            -- so clean_text is filler + trailer verbatim and n_removed
+            -- the block length
+            SELECT doc_id,
+                   array_to_string(
+                     list_transform(range(0, CAST(3 + doc_id % 5 AS BIGINT)),
+                       j -> 'f' || doc_id || 'x' || j)
+                     || list_transform(range(0, CAST(4 + doc_id % 3 AS BIGINT)),
+                       j -> 'g' || doc_id || 'x' || j),
+                     ' ') AS clean_text,
+                   CAST(8 + (doc_id % 10) % 5 AS BIGINT) AS n_removed
             FROM documents WHERE doc_id < 400
         """,
         "ess_excision": """

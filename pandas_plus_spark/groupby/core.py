@@ -1461,6 +1461,89 @@ class GroupBy:
         return self._rolling(f"quantile:{float(q)}", values, window, mask,
                              min_periods, "rolling_quantile")
 
+    def _rolling_pair(self, stat: str, x: str, y: str, window: int | None,
+                      mask, min_periods: int | None,
+                      alias_suffix: str) -> DataFrame:
+        """Trailing-window PAIRWISE stat (cov/corr) over two columns —
+        pandas ``rolling().cov()/.corr()`` semantics: the window's
+        PAIRWISE-COMPLETE rows (both values non-null) define n and every
+        sum; ddof=1 for cov (and it cancels out of corr). All JVM window
+        aggregates — the stat decomposes into windowed sums (n, Σx, Σy,
+        Σxy[, Σx², Σy²]) with the float arithmetic done once on top, the
+        same closed shape the SQL oracle reproduces. ``min_periods``
+        counts pairwise-complete observations (default = window, floor 2
+        — one pair has no sample covariance); zero-variance windows give
+        NULL corr (pandas emits NaN there; this engine ships NULL for
+        undefined, its NaN/NULL convention). Mask follows the rolling
+        contract: masked rows are excluded observations, every row still
+        emits (same filtered-window + AQE-reused join-back as
+        :meth:`_rolling_masked`)."""
+        if not self._order_by:
+            raise ValueError("rolling operators require order_by")
+        if min_periods is None:
+            min_periods = 2 if window is None else window
+
+        def pair_expr(frame_w) -> Column:
+            xc, yc = F.col(x).cast("double"), F.col(y).cast("double")
+            both = xc.isNotNull() & yc.isNotNull()
+            px, py = F.when(both, xc), F.when(both, yc)
+            n = F.count(F.when(both, F.lit(1))).over(frame_w)
+            nn = n.cast("double")
+            sx = F.sum(px).over(frame_w)
+            sy = F.sum(py).over(frame_w)
+            sxy = F.sum(px * py).over(frame_w)
+            num = sxy - sx * sy / nn
+            guard = n >= F.greatest(F.lit(min_periods), F.lit(2))
+            if stat == "cov":
+                return F.when(guard, num / (nn - F.lit(1.0)))
+            vx = F.sum(px * px).over(frame_w) - sx * sx / nn
+            vy = F.sum(py * py).over(frame_w) - sy * sy / nn
+            return F.when(guard & (vx > 0) & (vy > 0),
+                          num / F.sqrt(vx * vy))
+
+        out_col = f"{x}_{y}_{alias_suffix}"
+        lo = (Window.unboundedPreceding if window is None
+              else -(window - 1))
+        if mask is None:
+            w = (Window.partitionBy(*self._keys)
+                 .orderBy(*self._order_by)
+                 .rowsBetween(lo, Window.currentRow))
+            return self._base().withColumn(out_col, pair_expr(w))
+        base = self._base()
+        mask_col = _col(mask)
+        cum = (Window.partitionBy(*self._keys)
+               .orderBy(*self._order_by)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        with_idx = base.withColumn(
+            "__obs_idx", F.count(F.when(mask_col, F.lit(1))).over(cum))
+        ow = (Window.partitionBy(*self._keys)
+              .orderBy(*self._order_by)
+              .rowsBetween(lo, Window.currentRow))
+        obs_aggs = (with_idx.filter(mask_col)
+                    .select(*self._keys, "__obs_idx",
+                            pair_expr(ow).alias("__roll_pair")))
+        return (with_idx.join(obs_aggs, on=[*self._keys, "__obs_idx"],
+                              how="left")
+                .withColumn(out_col, F.col("__roll_pair"))
+                .drop("__obs_idx", "__roll_pair"))
+
+    def rolling_cov(self, x: str, y: str, window: int = 2, mask=None,
+                    min_periods: int | None = None) -> DataFrame:
+        """Trailing-window sample covariance of two columns (ddof=1,
+        pairwise-complete — pandas ``rolling().cov`` analog; beyond the
+        reference's rolling kernels, same window/mask machinery).
+        Output ``{x}_{y}_rolling_cov``."""
+        return self._rolling_pair("cov", x, y, window, mask, min_periods,
+                                  "rolling_cov")
+
+    def rolling_corr(self, x: str, y: str, window: int = 2, mask=None,
+                     min_periods: int | None = None) -> DataFrame:
+        """Trailing-window Pearson correlation of two columns
+        (pairwise-complete — pandas ``rolling().corr`` analog; NULL
+        where either variance is 0). Output ``{x}_{y}_rolling_corr``."""
+        return self._rolling_pair("corr", x, y, window, mask, min_periods,
+                                  "rolling_corr")
+
     def rolling_max(self, values=None, window: int = 2, mask=None,
                     min_periods: int | None = None) -> DataFrame:
         return self._rolling("max", values, window, mask, min_periods, "rolling_max")
@@ -2125,6 +2208,14 @@ class GroupByRolling:
                                          mask=mask,
                                          min_periods=self._min_periods)
 
+    def cov(self, x: str, y: str, mask=None) -> DataFrame:
+        return self._gb.rolling_cov(x, y, window=self._window, mask=mask,
+                                    min_periods=self._min_periods)
+
+    def corr(self, x: str, y: str, mask=None) -> DataFrame:
+        return self._gb.rolling_corr(x, y, window=self._window, mask=mask,
+                                     min_periods=self._min_periods)
+
     def agg(self, func: str, values=None, mask=None) -> DataFrame:
         return self._call(func, values, mask)
 
@@ -2177,6 +2268,14 @@ class GroupByExpanding:
         return self._gb._rolling(f"quantile:{float(q)}", values, None,
                                  mask, self._min_periods,
                                  "expanding_quantile")
+
+    def cov(self, x: str, y: str, mask=None) -> DataFrame:
+        return self._gb._rolling_pair("cov", x, y, None, mask,
+                                      self._min_periods, "expanding_cov")
+
+    def corr(self, x: str, y: str, mask=None) -> DataFrame:
+        return self._gb._rolling_pair("corr", x, y, None, mask,
+                                      self._min_periods, "expanding_corr")
 
     def agg(self, func: str, values=None, mask=None) -> DataFrame:
         return self._call(func, values, mask)

@@ -784,6 +784,37 @@ def duplicated_spans(
     to the ANSI-reproducible family for the oracle gate."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    from pyspark import StorageLevel
+
+    # The gram pipeline (regex tokenize → per-token hash → k-gram fold) is
+    # the expensive pass, and TWO consumers explode it (the distinct-doc
+    # count and the position join-back). Pin the pre-explode array frame —
+    # one long per token plus the id, the narrowest form — DISK_ONLY
+    # (corpus-sized pins starve the execution pool if memory-resident at
+    # sf100, r7 finding); each consumer then pays only a posexplode over
+    # cached arrays. Handle released via release_cached like every other
+    # _pps_cached intermediate.
+    gram_arrays = _gram_hash_arrays(df, text_col, id_col, k, hash_fn) \
+        .persist(StorageLevel.DISK_ONLY)
+    grams = gram_arrays.select(
+        F.col(id_col), F.posexplode("__gs").alias("pos", "__g"))
+    repeated = (
+        grams.groupBy("__g")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__g")
+    )
+    hits = grams.join(repeated, "__g").select(id_col, "pos")
+    spans = _merge_gram_positions(hits, id_col, k)
+    return attach_cached(spans, gram_arrays)
+
+
+def _gram_hash_arrays(df: DataFrame, text_col: str, id_col: str,
+                      k: int, hash_fn: str) -> DataFrame:
+    """(id, __gs): per-document array of positional k-gram hashes — the
+    shared front of :func:`duplicated_spans` and
+    :func:`contaminated_spans` (regex tokenize → per-token hash →
+    k-gram fold; one JVM array pass per doc, no explosion)."""
     base = _base_hash(hash_fn)
     tk = simple_tokens(F.col(text_col))
 
@@ -801,36 +832,24 @@ def duplicated_spans(
             F.transform(F.sequence(F.lit(0), n - k), fold)
         ).otherwise(F.array().cast("array<long>"))
 
-    from pyspark import StorageLevel
-
     from ..functions.text import let
 
-    # The gram pipeline (regex tokenize → per-token hash → k-gram fold) is
-    # the expensive pass, and TWO consumers explode it (the distinct-doc
-    # count and the position join-back). Pin the pre-explode array frame —
-    # one long per token plus the id, the narrowest form — DISK_ONLY
-    # (corpus-sized pins starve the execution pool if memory-resident at
-    # sf100, r7 finding); each consumer then pays only a posexplode over
-    # cached arrays. Handle released via release_cached like every other
-    # _pps_cached intermediate.
-    gram_arrays = df.select(
+    return df.select(
         F.col(id_col),
         let(F.transform(tk, lambda t: base(t)), gram_hashes).alias("__gs"),
-    ).persist(StorageLevel.DISK_ONLY)
-    grams = gram_arrays.select(
-        F.col(id_col), F.posexplode("__gs").alias("pos", "__g"))
-    repeated = (
-        grams.groupBy("__g")
-        .agg(F.countDistinct(id_col).alias("__df"))
-        .filter(F.col("__df") >= min_df)
-        .select("__g")
     )
-    hits = grams.join(repeated, "__g").select(id_col, "pos")
+
+
+def _merge_gram_positions(hits: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge flagged gram positions (id, pos) into maximal spans —
+    positions with gap <= k chain into one ``[span_start, span_end)``
+    interval; one per-document window (the shared tail of
+    :func:`duplicated_spans` / :func:`contaminated_spans`)."""
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(
         F.coalesce(F.col("pos") - F.lag("pos").over(w), F.lit(k + 1)) > k,
         F.lit(1)).otherwise(F.lit(0))
-    spans = (
+    return (
         hits.withColumn("__brk", brk)
         .withColumn("__lbl", F.sum("__brk").over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -840,7 +859,73 @@ def duplicated_spans(
              F.count(F.lit(1)).alias("n_grams"))
         .select(id_col, "span_start", "span_end", "n_grams")
     )
-    return attach_cached(spans, gram_arrays)
+
+
+def contaminated_spans(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 6,
+    hash_fn: str = "xxhash64",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Cross-corpus contamination spans: regions of ``df`` whose EVERY
+    ``k``-gram also occurs somewhere in ``ref`` — ``(id_col,
+    span_start, span_end, n_grams)``, maximal per document. The
+    span-granular form of benchmark decontamination (the n-gram-overlap
+    procedure of the GPT-3 appendix / Lee et al. 2022 applied across
+    corpora: any test-set substring of ≥ k tokens quoted verbatim in a
+    training document is covered by flagged k-grams, so the merged span
+    contains it).
+
+    Scale shape — ``ref`` is the benchmark side and is typically tiny
+    vs the corpus: one map pass builds the corpus' positional gram
+    hashes (shared :func:`_gram_hash_arrays` front, NO pin — single
+    consumer), one pass builds ``ref``'s DISTINCT gram set (test-set
+    sized), and a semi-join on the gram hash flags positions — AQE
+    broadcasts the ref set when it fits, so the corpus commonly never
+    shuffles at all; the span merge is the standard per-doc window.
+    Same approximation contract as :func:`duplicated_spans`: a flagged
+    span's k-grams may match DIFFERENT ref locations (gram presence,
+    not a single verbatim partner), which over-flags — the safe
+    direction for decontamination — and xxhash64 collisions are
+    ~n²/2⁶⁴. ``hash_fn="poly"`` for the ANSI-reproducible oracle
+    family. ``ref_text_col`` names the benchmark's text column when it
+    differs from the corpus'."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    grams = _gram_hash_arrays(df, text_col, id_col, k, hash_fn).select(
+        F.col(id_col), F.posexplode("__gs").alias("pos", "__g"))
+    # ref contributes only its gram SET — no id requirement on that side
+    ref_norm = ref.select(
+        F.lit(0).alias("__rid"),
+        F.col(ref_text_col or text_col).alias("__rtext"))
+    ref_set = (_gram_hash_arrays(ref_norm, "__rtext", "__rid", k, hash_fn)
+               .select(F.explode("__gs").alias("__g")).distinct())
+    hits = grams.join(ref_set, "__g", "left_semi").select(id_col, "pos")
+    return _merge_gram_positions(hits, id_col, k)
+
+
+def decontaminate(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 6,
+    hash_fn: str = "xxhash64",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Excise benchmark-contaminated spans from a training corpus:
+    ``(id_col, clean_text, n_removed)`` — :func:`contaminated_spans`
+    composed with :func:`excise_spans`, the end-to-end decontamination
+    step a training pipeline runs against its eval suites. Documents
+    with no contaminated span pass through unchanged."""
+    spans = contaminated_spans(df, ref, text_col, id_col, k=k,
+                               hash_fn=hash_fn, ref_text_col=ref_text_col)
+    return excise_spans(df, spans, text_col, id_col)
 
 
 def excise_spans(

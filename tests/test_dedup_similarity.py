@@ -1142,6 +1142,56 @@ class TestDuplicatedSpans:
         with pytest.raises(ValueError):
             dedup.duplicated_spans(span_docs, "text", "doc_id", k=0)
 
+    def test_contaminated_spans_cross_corpus(self, spark, span_docs):
+        # benchmark = block_a verbatim (plus noise); only block_a spans
+        # of the corpus are flagged, at the right offsets, regardless of
+        # how often they repeat WITHIN the corpus
+        ref = spark.createDataFrame(
+            [(100, "all rights reserved contact us for more information"),
+             (101, "benchmark question unrelated to anything here")],
+            "doc_id long, text string")
+        out = {}
+        spans = dedup.contaminated_spans(span_docs, ref, "text", "doc_id",
+                                         k=6)
+        for r in spans.collect():
+            out.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"]))
+        assert out == {0: [(4, 12)], 1: [(0, 8)]}
+        # hash families agree
+        a = sorted(map(tuple, dedup.contaminated_spans(
+            span_docs, ref, "text", "doc_id", k=6,
+            hash_fn="poly").collect()))
+        b = sorted(map(tuple, spans.collect()))
+        assert a == b
+        with pytest.raises(ValueError):
+            dedup.contaminated_spans(span_docs, ref, "text", "doc_id", k=0)
+
+    def test_decontaminate_composed(self, spark, span_docs):
+        # end-to-end: block_b is the benchmark; docs 0 and 3 lose it,
+        # everything else passes through unchanged
+        ref = spark.createDataFrame(
+            [(7, "subscribe to our newsletter right now")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+               for r in dedup.decontaminate(
+                   span_docs, ref, "text", "doc_id", k=6).collect()}
+        assert out[0] == (
+            "unique opening words here all rights reserved contact us "
+            "for more information middle filler text", 6)
+        assert out[3] == ("some other prefix tokens trailing ending part", 6)
+        assert out[1][1] == 0 and out[2][1] == 0
+
+    def test_contaminated_ref_text_col(self, spark, span_docs):
+        # benchmark text under a different column name
+        ref = spark.createDataFrame(
+            [(7, "subscribe to our newsletter right now")],
+            "doc_id long, question string")
+        spans = dedup.contaminated_spans(span_docs, ref, "text", "doc_id",
+                                         k=6, ref_text_col="question")
+        got = {(r["doc_id"], r["span_start"], r["span_end"])
+               for r in spans.collect()}
+        assert got == {(0, 15, 21), (3, 4, 10)}
+
     def test_excise_spans(self, span_docs):
         spans = dedup.duplicated_spans(span_docs, "text", "doc_id", k=6)
         out = {r["doc_id"]: (r["clean_text"], r["n_removed"])

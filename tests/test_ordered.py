@@ -201,6 +201,112 @@ class TestCumprod:
         assert got[0] == 2.0 and got[1] == 2.0 and got[2] == 6.0
 
 
+class TestRollingCorrCov:
+    """r14: trailing-window pairwise cov/corr (windowed-sum
+    decomposition, pairwise-complete rows) must match pandas
+    rolling().cov()/.corr(), incl. NULLs excluded pairwise and NULL
+    (pandas NaN) at zero variance or under min_periods."""
+
+    def _fixture(self, spark):
+        import numpy as np
+        rng = np.random.RandomState(11)
+        rows = []
+        for i in range(200):
+            x = None if rng.rand() < 0.12 else float(rng.rand() * 10)
+            y = None if rng.rand() < 0.12 else float(x or 0) * 0.5 \
+                + float(rng.rand())
+            rows.append((int(rng.randint(0, 3)), i, x, y))
+        return rows, spark.createDataFrame(rows,
+                                           "g int, o int, x double, y double")
+
+    def test_matches_pandas(self, spark):
+        import math
+
+        import pandas as pd
+
+        from pandas_plus_spark.groupby import GroupBy
+        rows, df = self._fixture(spark)
+        gb = GroupBy(df, "g", order_by="o")
+        got_c = {r.o: r.x_y_rolling_cov
+                 for r in gb.rolling_cov("x", "y", window=6,
+                                         min_periods=3).collect()}
+        got_r = {r.o: r.x_y_rolling_corr
+                 for r in gb.rolling_corr("x", "y", window=6,
+                                          min_periods=3).collect()}
+        pdf = pd.DataFrame(rows, columns=["g", "o", "x", "y"])
+        want_c = pdf.groupby("g", group_keys=False).apply(
+            lambda d: d["x"].rolling(6, min_periods=3).cov(d["y"]))
+        want_r = pdf.groupby("g", group_keys=False).apply(
+            lambda d: d["x"].rolling(6, min_periods=3).corr(d["y"]))
+        for i in range(200):
+            for got, want in ((got_c[i], want_c[i]), (got_r[i], want_r[i])):
+                if isinstance(want, float) and math.isnan(want):
+                    assert got is None, i
+                else:
+                    assert got is not None and abs(got - want) < 1e-10, i
+
+    def test_zero_variance_and_min_pairs(self, spark):
+        from pandas_plus_spark.groupby import GroupBy
+        df = spark.createDataFrame(
+            [(0, 0, 1.0, 2.0), (0, 1, 1.0, 5.0), (0, 2, 1.0, 7.0),
+             (0, 3, 2.0, 1.0)],
+            "g int, o int, x double, y double")
+        gb = GroupBy(df, "g", order_by="o")
+        corr = {r.o: r.x_y_rolling_corr
+                for r in gb.rolling_corr("x", "y", window=3,
+                                         min_periods=2).collect()}
+        # rows 1-2: x constant in window -> zero variance -> NULL;
+        # row 0: only 1 pair (floor 2) -> NULL; row 3: x varies -> real
+        assert corr[0] is None and corr[1] is None and corr[2] is None
+        assert corr[3] is not None
+
+    def test_mask_and_facades(self, spark):
+        import pyspark.sql.functions as F
+
+        from pandas_plus_spark.groupby import GroupBy
+        rows, df = self._fixture(spark)
+        gb = GroupBy(df, "g", order_by="o")
+        # facade == direct
+        a = {r.o: r.x_y_rolling_cov
+             for r in gb.rolling(6, min_periods=3).cov("x", "y").collect()}
+        b = {r.o: r.x_y_rolling_cov
+             for r in gb.rolling_cov("x", "y", window=6,
+                                     min_periods=3).collect()}
+        assert a == b
+        # mask: window spans the last 6 UNMASKED rows; masked rows
+        # still emit (value as of the last observation before them)
+        out = {r.o: r.x_y_rolling_cov
+               for r in gb.rolling_cov("x", "y", window=6, mask=F.col("o") % 5 != 0,
+                                       min_periods=3).collect()}
+        assert len(out) == 200
+        # expanding pair stats exist and respect min_periods
+        e = {r.o: r.x_y_expanding_corr
+             for r in gb.expanding(min_periods=4).corr("x", "y").collect()}
+        assert len(e) == 200
+
+    def test_mask_matches_prefiltered(self, spark):
+        import pyspark.sql.functions as F
+
+        from pandas_plus_spark.groupby import GroupBy
+        rows, df = self._fixture(spark)
+        keep = F.col("o") % 4 != 1
+        gb = GroupBy(df, "g", order_by="o")
+        masked = {r.o: r.x_y_rolling_corr
+                  for r in gb.rolling_corr("x", "y", window=5, mask=keep,
+                                           min_periods=3).collect()}
+        pre = GroupBy(df.where(keep), "g", order_by="o")
+        plain = {r.o: r.x_y_rolling_corr
+                 for r in pre.rolling_corr("x", "y", window=5,
+                                           min_periods=3).collect()}
+        # on unmasked rows the masked path equals the prefiltered run
+        for o, v in plain.items():
+            m = masked[o]
+            if v is None:
+                assert m is None, o
+            else:
+                assert m is not None and abs(m - v) < 1e-12, o
+
+
 class TestRollingQuantile:
     """r13: trailing-window exact median/quantile (windowed percentile,
     linear interpolation) must match pandas rolling().median()/
