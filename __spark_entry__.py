@@ -991,6 +991,36 @@ def _q_rolling_corr_cov(spark, sf):
         "event_id", "event_type", "x", "y", "rcov", "rcorr")
 
 
+def _q_group_rolling_corr_scale(spark, sf):
+    """Pairwise rolling cov/corr at few-huge-groups scale (r14 —
+    functions.ordered.grouped_rolling_cov/corr: range-partition
+    pairwise prefix pass + offset-window self-join, no per-group window
+    sort). Same dyadic fixture and closed expression as
+    rolling_corr_cov, so the two paths share ONE oracle bit-exactly —
+    prefix DIFFERENCES of exact sums equal the window form's direct
+    frame sums."""
+    from pandas_plus_spark.functions.ordered import (grouped_rolling_corr,
+                                                     grouped_rolling_cov)
+
+    ev = load_table(spark, sf, "events")
+    did = F.col("event_id")
+    x = F.when(F.pmod(did, F.lit(11)) != 3,
+               F.pmod(did, F.lit(97)).cast("double") / 64)
+    y = F.when(F.pmod(did, F.lit(13)) != 5,
+               F.pmod(did * 3, F.lit(101)).cast("double") / 64
+               - F.pmod(did, F.lit(89)).cast("double") / 128)
+    base = ev.select("event_id", "event_type", x.alias("x"), y.alias("y"))
+    cov = grouped_rolling_cov(base, "event_type", "event_id", "x", "y",
+                              window=6, min_periods=3).select(
+        "event_id", "event_type", "x", "y",
+        F.col("x_y_rolling_cov").alias("rcov"))
+    corr = grouped_rolling_corr(base, "event_type", "event_id", "x", "y",
+                                window=6, min_periods=3).select(
+        "event_id", F.col("x_y_rolling_corr").alias("rcorr"))
+    return cov.join(corr, "event_id").select(
+        "event_id", "event_type", "x", "y", "rcov", "rcorr")
+
+
 def _q_sessionize(spark, sf):
     # cast handles TIMESTAMP_NTZ sources (e.g. DuckDB-written parquet);
     # gap-based sessions are invariant under the constant tz shift.
@@ -4944,6 +4974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "rolling_corr_cov": _q_rolling_corr_cov,
         "decontaminate": _q_decontaminate,
+        "group_rolling_corr_scale": _q_group_rolling_corr_scale,
         # r14 rotation: the 34 entries at the 4-round cadence bound
         # (last driver-green r10) plus the 16 stalest r11 entries —
         # pure rotation; registry 175, zero rows-only. New r14 entries
@@ -5130,6 +5161,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plan_lint_gate": _q_plan_lint_gate,
         "multimodal_image_meta": _q_multimodal_meta,
     }
+
+
+_SQL_ROLLING_CORR_COV = """
+            -- the engine's exact windowed-sum decomposition spelled
+            -- out: dyadic inputs make every sum exact, so the final
+            -- doubles are the same IEEE ops on the same values
+            WITH base AS (
+                SELECT event_id, event_type,
+                       CASE WHEN event_id % 11 <> 3
+                            THEN CAST(event_id % 97 AS DOUBLE) / 64
+                       END AS x,
+                       CASE WHEN event_id % 13 <> 5
+                            THEN CAST((event_id * 3) % 101 AS DOUBLE) / 64
+                                 - CAST(event_id % 89 AS DOUBLE) / 128
+                       END AS y
+                FROM events
+            ), s AS (
+                SELECT event_id, event_type, x, y,
+                       count(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                                  THEN 1 END) OVER w AS n,
+                       sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                                THEN x END) OVER w AS sx,
+                       sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                                THEN y END) OVER w AS sy,
+                       sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                                THEN x * y END) OVER w AS sxy,
+                       sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                                THEN x * x END) OVER w AS sxx,
+                       sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                                THEN y * y END) OVER w AS syy
+                FROM base
+                WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, event_type, x, y,
+                   CASE WHEN n >= 3 THEN
+                        (sxy - sx * sy / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1.0) END AS rcov,
+                   CASE WHEN n >= 3
+                         AND (sxx - sx * sx / CAST(n AS DOUBLE)) > 0
+                         AND (syy - sy * sy / CAST(n AS DOUBLE)) > 0
+                        THEN (sxy - sx * sy / CAST(n AS DOUBLE))
+                          / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                                 * (syy - sy * sy / CAST(n AS DOUBLE)))
+                   END AS rcorr
+            FROM s
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6825,51 +6903,10 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id % 4 = 0 OR doc_id % 4 = 3) AS keep
             FROM documents WHERE doc_id < 400
         """,
-        "rolling_corr_cov": """
-            -- the engine's exact windowed-sum decomposition spelled
-            -- out: dyadic inputs make every sum exact, so the final
-            -- doubles are the same IEEE ops on the same values
-            WITH base AS (
-                SELECT event_id, event_type,
-                       CASE WHEN event_id % 11 <> 3
-                            THEN CAST(event_id % 97 AS DOUBLE) / 64
-                       END AS x,
-                       CASE WHEN event_id % 13 <> 5
-                            THEN CAST((event_id * 3) % 101 AS DOUBLE) / 64
-                                 - CAST(event_id % 89 AS DOUBLE) / 128
-                       END AS y
-                FROM events
-            ), s AS (
-                SELECT event_id, event_type, x, y,
-                       count(CASE WHEN x IS NOT NULL AND y IS NOT NULL
-                                  THEN 1 END) OVER w AS n,
-                       sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
-                                THEN x END) OVER w AS sx,
-                       sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
-                                THEN y END) OVER w AS sy,
-                       sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
-                                THEN x * y END) OVER w AS sxy,
-                       sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
-                                THEN x * x END) OVER w AS sxx,
-                       sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
-                                THEN y * y END) OVER w AS syy
-                FROM base
-                WINDOW w AS (PARTITION BY event_type ORDER BY event_id
-                             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
-            )
-            SELECT event_id, event_type, x, y,
-                   CASE WHEN n >= 3 THEN
-                        (sxy - sx * sy / CAST(n AS DOUBLE))
-                          / (CAST(n AS DOUBLE) - 1.0) END AS rcov,
-                   CASE WHEN n >= 3
-                         AND (sxx - sx * sx / CAST(n AS DOUBLE)) > 0
-                         AND (syy - sy * sy / CAST(n AS DOUBLE)) > 0
-                        THEN (sxy - sx * sy / CAST(n AS DOUBLE))
-                          / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
-                                 * (syy - sy * sy / CAST(n AS DOUBLE)))
-                   END AS rcorr
-            FROM s
-        """,
+        "rolling_corr_cov": _SQL_ROLLING_CORR_COV,
+        # the scale twin shares the oracle bit-exactly (prefix
+        # differences of exact sums == direct frame sums):
+        "group_rolling_corr_scale": _SQL_ROLLING_CORR_COV,
         "dedup_keep_best": """
             -- closed-form best-member selection over the fuzzy_dedup
             -- cluster structure: within each triple (members 0/1/2 of

@@ -1350,6 +1350,155 @@ def grouped_rolling_mean(
                                min_periods, out, num_partitions, mean=True)
 
 
+_PAIR_SUMS = ("Sx", "Sy", "Sxy", "Sxx", "Syy")
+
+
+def _grouped_running_pair(df, gnames, order_by, x: str, y: str,
+                          num_partitions):
+    """One fused range-partition pass emitting, per group in order: the
+    1-based row number ``__rn``, the complete-PAIR count ``__N`` and
+    the five pairwise prefix sums ``__Sx/__Sy/__Sxy/__Sxx/__Syy`` over
+    PAIRWISE-COMPLETE rows — the pair analog of
+    :func:`_grouped_running` for difference-based rolling cov/corr.
+    Doubles throughout (cov/corr are float stats; the oracle gate's
+    dyadic fixture keeps every sum exact anyway), so the
+    partition-boundary offset merge is a plain coalesce-to-zero add —
+    every emitted sum rides under the caller's pair-count guard."""
+    gcols = [F.col(c) for c in gnames]
+    ocols = _order_cols(order_by)
+    n = _resolve_partitions(df, num_partitions)
+    rp = df.repartitionByRange(n, *gcols, *ocols).withColumn(
+        "__pid", F.spark_partition_id())
+    xc, yc = F.col(x).cast("double"), F.col(y).cast("double")
+    both = xc.isNotNull() & yc.isNotNull()
+    comps = {"Sx": F.when(both, xc), "Sy": F.when(both, yc),
+             "Sxy": F.when(both, xc * yc), "Sxx": F.when(both, xc * xc),
+             "Syy": F.when(both, yc * yc)}
+    w_run = (Window.partitionBy("__pid", *gcols).orderBy(*ocols)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_rn = Window.partitionBy("__pid", *gcols).orderBy(*ocols)
+    local = (rp.withColumn("__lrn", F.row_number().over(w_rn))
+             .withColumn("__lN",
+                         F.count(F.when(both, F.lit(1))).over(w_run)))
+    for k in _PAIR_SUMS:
+        local = local.withColumn(f"__l{k}", F.sum(comps[k]).over(w_run))
+    local = local.persist()
+    bounds = local.groupBy("__pid", *gcols).agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.count(F.when(both, F.lit(1))).alias("__nn"),
+        *[F.sum(comps[k]).alias(f"__t{k}") for k in _PAIR_SUMS])
+    w_off = (Window.partitionBy(*gcols).orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bounds.select(
+        F.col("__pid").alias("__opid"),
+        *[F.col(g).alias(f"__og_{i}") for i, g in enumerate(gnames)],
+        F.coalesce(F.sum("__rows").over(w_off), F.lit(0)).alias("__orows"),
+        F.coalesce(F.sum("__nn").over(w_off), F.lit(0)).alias("__onn"),
+        *[F.coalesce(F.sum(f"__t{k}").over(w_off), F.lit(0.0))
+          .alias(f"__o{k}") for k in _PAIR_SUMS])
+    cond = F.col("__pid") == F.col("__opid")
+    for i, g in enumerate(gnames):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og_{i}"))
+    out = (local.join(F.broadcast(offs), cond, "left")
+           .withColumn("__rn",
+                       (F.col("__lrn") + F.col("__orows")).cast("long"))
+           .withColumn("__N", (F.col("__lN") + F.col("__onn")).cast("long")))
+    for k in _PAIR_SUMS:
+        out = out.withColumn(
+            f"__{k}", F.coalesce(F.col(f"__l{k}"), F.lit(0.0))
+            + F.col(f"__o{k}"))
+    drop = (["__pid", "__lrn", "__lN", "__opid", "__orows", "__onn"]
+            + [f"__l{k}" for k in _PAIR_SUMS]
+            + [f"__o{k}" for k in _PAIR_SUMS]
+            + [f"__og_{i}" for i in range(len(gnames))])
+    return attach_cached(out.drop(*drop), local)
+
+
+def _grouped_rolling_pair(df, group_by, order_by, x, y, window,
+                          min_periods, stat, ddof, out, num_partitions):
+    """Shared prefix-difference tail for pairwise rolling cov/corr at
+    few-huge-groups scale: frame sums via ``C_t − C_{t−w}`` on the pair
+    prefix state, then EXACTLY the window form's closed expression
+    (:meth:`GroupBy._rolling_pair`) — with exact (dyadic) inputs the
+    two paths ship bit-identical doubles, which is what lets them
+    share one oracle."""
+    if window is None or window < 1:
+        raise ValueError("window must be a positive int")
+    mp = window if min_periods is None else min_periods
+    gnames = [group_by] if isinstance(group_by, str) else list(group_by)
+    out = out or f"{x}_{y}_rolling_{stat}"
+    run = _grouped_running_pair(df, gnames, order_by, x, y, num_partitions)
+    right = run.select(
+        *[F.col(g).alias(f"__jg_{i}") for i, g in enumerate(gnames)],
+        (F.col("__rn") + F.lit(window)).alias("__jrn"),
+        F.col("__N").alias("__Np"),
+        *[F.col(f"__{k}").alias(f"__{k}p") for k in _PAIR_SUMS])
+    cond = F.col("__rn") == F.col("__jrn")
+    for i, g in enumerate(gnames):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__jg_{i}"))
+    n_in = F.col("__N") - F.coalesce("__Np", F.lit(0))
+    d = {k: F.col(f"__{k}") - F.coalesce(F.col(f"__{k}p"), F.lit(0.0))
+         for k in _PAIR_SUMS}
+    nn = n_in.cast("double")
+    num = d["Sxy"] - d["Sx"] * d["Sy"] / nn
+    guard = n_in >= F.lit(max(mp, 2))
+    if stat == "cov":
+        val = F.when(guard & (n_in > F.lit(ddof)),
+                     num / (nn - F.lit(float(ddof))))
+    else:
+        vx = d["Sxx"] - d["Sx"] * d["Sx"] / nn
+        vy = d["Syy"] - d["Sy"] * d["Sy"] / nn
+        val = F.when(guard & (vx > 0) & (vy > 0), num / F.sqrt(vx * vy))
+    drop = (["__rn", "__N", "__jrn", "__Np"]
+            + [f"__{k}" for k in _PAIR_SUMS]
+            + [f"__{k}p" for k in _PAIR_SUMS]
+            + [f"__jg_{i}" for i in range(len(gnames))])
+    return run.join(right, cond, "left").withColumn(out, val).drop(*drop)
+
+
+def grouped_rolling_cov(
+    df: DataFrame,
+    group_by,
+    order_by,
+    x: str,
+    y: str,
+    window: int,
+    min_periods: int | None = None,
+    ddof: int = 1,
+    out: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Trailing rolling sample covariance of two columns per group at
+    few-huge-groups scale (pandas ``rolling().cov`` pairwise-complete
+    semantics — the scale twin of :meth:`GroupBy.rolling_cov`, whose
+    per-group window sort degrades to one task per group exactly when
+    groups are huge). One fused range-partition prefix pass + the
+    standard offset-``window`` self-join; ``min_periods`` counts
+    complete pairs (floor 2)."""
+    return _grouped_rolling_pair(df, group_by, order_by, x, y, window,
+                                 min_periods, "cov", ddof, out,
+                                 num_partitions)
+
+
+def grouped_rolling_corr(
+    df: DataFrame,
+    group_by,
+    order_by,
+    x: str,
+    y: str,
+    window: int,
+    min_periods: int | None = None,
+    out: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Trailing rolling Pearson correlation per group at
+    few-huge-groups scale — see :func:`grouped_rolling_cov`; NULL where
+    either frame variance is 0, like the window form."""
+    return _grouped_rolling_pair(df, group_by, order_by, x, y, window,
+                                 min_periods, "corr", 1, out,
+                                 num_partitions)
+
+
 def global_ffill(
     df: DataFrame,
     order_by,

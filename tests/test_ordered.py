@@ -284,6 +284,39 @@ class TestRollingCorrCov:
              for r in gb.expanding(min_periods=4).corr("x", "y").collect()}
         assert len(e) == 200
 
+    def test_scale_form_matches_window_form(self, spark):
+        # grouped_rolling_cov/corr (range-partition prefix differences)
+        # must equal the window form across partition counts, incl.
+        # partition-boundary frames and pairwise-incomplete rows
+        import math
+
+        from pandas_plus_spark.functions.ordered import (
+            grouped_rolling_corr, grouped_rolling_cov)
+        from pandas_plus_spark.groupby import GroupBy
+        rows, df = self._fixture(spark)
+        gb = GroupBy(df, "g", order_by="o")
+        want_c = {r.o: r.x_y_rolling_cov
+                  for r in gb.rolling_cov("x", "y", window=6,
+                                          min_periods=3).collect()}
+        want_r = {r.o: r.x_y_rolling_corr
+                  for r in gb.rolling_corr("x", "y", window=6,
+                                           min_periods=3).collect()}
+        for nparts in (1, 3, 16):
+            got_c = {r.o: r.x_y_rolling_cov for r in grouped_rolling_cov(
+                df, "g", "o", "x", "y", window=6, min_periods=3,
+                num_partitions=nparts).collect()}
+            got_r = {r.o: r.x_y_rolling_corr for r in grouped_rolling_corr(
+                df, "g", "o", "x", "y", window=6, min_periods=3,
+                num_partitions=nparts).collect()}
+            for i in range(200):
+                for got, want in ((got_c[i], want_c[i]),
+                                  (got_r[i], want_r[i])):
+                    if want is None:
+                        assert got is None, (nparts, i)
+                    else:
+                        assert got is not None and not math.isnan(got) \
+                            and abs(got - want) < 1e-10, (nparts, i)
+
     def test_mask_matches_prefiltered(self, spark):
         import pyspark.sql.functions as F
 
