@@ -4949,11 +4949,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CADENCE INVARIANT (r8 restatement — the registry outgrew the old
     # three-round union): with N entries and a 50-entry window, every
     # entry gets a driver-side CORRECTNESS row at least every
-    # ceil(N / 50) rounds (N = 175 -> 4 rounds), the window head is
+    # ceil(N / 50) rounds (N = 181 -> 4 rounds), the window head is
     # always (new entries, then never-verified, then re-verifications of
     # code changed this round, then the least-recently-verified), and the
     # EVERY-round bridge is the full-registry local oracle gate
-    # (scripts/run_gate.py, 175/175 at sf0.01) + the pinned SUBSET in
+    # (scripts/run_gate.py, 181/181 at sf0.01) + the pinned SUBSET in
     # tests/test_oracle_gate.py. The invariant is MACHINE-CHECKED:
     # scripts/check_rotation.py reads CORRECTNESS_r*.json history plus
     # this dict's order and fails if any entry's staleness would exceed
@@ -4977,7 +4977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_rolling_corr_scale": _q_group_rolling_corr_scale,
         # r14 rotation: the 34 entries at the 4-round cadence bound
         # (last driver-green r10) plus the 16 stalest r11 entries —
-        # pure rotation; registry 175, zero rows-only. New r14 entries
+        # pure rotation; registry 175 -> 181, zero rows-only. New r14 entries
         # are inserted at the head as they land, displacing the newest
         # r11 fills into the r15 window (r11 entries are 3 rounds old
         # at r14, due r15 — greedy sim stays feasible).
