@@ -1724,6 +1724,59 @@ def _q_decontaminate(spark, sf):
                                hash_fn="poly")
 
 
+def _q_streaming_decontaminate(spark, sf):
+    """Streaming benchmark decontamination (r14 —
+    streaming/dedup.decontaminated_stream, the continuous-ingestion
+    twin of the decontaminate gate): the same 400-doc class-block
+    fixture replayed as a parquet file stream; the benchmark gram set
+    is built ONCE (build_ref_grams, persisted for the query lifetime)
+    and every micro-batch excises its contaminated spans inside
+    foreachBatch before rows reach the sink. availableNow replay must
+    equal the batch closed form — clean_text is filler + trailer
+    verbatim, n_removed the class-block length."""
+    import tempfile
+
+    from pandas_plus_spark.streaming import decontaminated_stream
+
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 400).select("doc_id"))
+    did = F.col("doc_id")
+    cls = did % 10
+
+    def toks(prefix, idc, n):
+        return F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: F.concat(F.lit(prefix), idc.cast("string"),
+                               F.lit("x"), j.cast("string")))
+
+    text = F.concat_ws(" ", F.concat(
+        toks("f", did, F.lit(3) + did % 5),
+        toks("b", cls, F.lit(8) + cls % 5),
+        toks("g", did, F.lit(4) + did % 3)))
+    fixture = docs.select("doc_id", text.alias("text"))
+    ref = (load_table(spark, sf, "documents")
+           .where(F.col("doc_id") < 10).select("doc_id")
+           .select("doc_id", F.concat_ws(
+               " ", toks("b", F.col("doc_id"),
+                         F.lit(8) + F.col("doc_id") % 5)).alias("text")))
+    src = tempfile.mkdtemp(prefix="pps_decon_src_")
+    fixture.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(fixture.schema).parquet(src)
+    out_dir = tempfile.mkdtemp(prefix="pps_decon_out_")
+
+    def sink(clean, batch_id):
+        clean.write.mode("append").parquet(out_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="pps_decon_ckpt_")
+    q = (decontaminated_stream(stream, ref, "text", "doc_id", sink,
+                               k=6, hash_fn="poly")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "clean_text", "n_removed")
+
+
 def _q_fuzzy_join(spark, sf):
     """Edit-distance join (r13 — operators/joins.py fuzzy_join):
     SymSpell deletion-neighborhood blocking + JVM levenshtein verify,
@@ -4975,6 +5028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr_cov": _q_rolling_corr_cov,
         "decontaminate": _q_decontaminate,
         "group_rolling_corr_scale": _q_group_rolling_corr_scale,
+        "streaming_decontaminate": _q_streaming_decontaminate,
         # r14 rotation: the 34 entries at the 4-round cadence bound
         # (last driver-green r10) plus the 16 stalest r11 entries —
         # pure rotation; registry 175 -> 181, zero rows-only. New r14 entries
@@ -5161,6 +5215,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plan_lint_gate": _q_plan_lint_gate,
         "multimodal_image_meta": _q_multimodal_meta,
     }
+
+
+_SQL_DECONTAMINATE = """
+            -- composed contamination -> excision, closed-form: the
+            -- class block is each doc's ONLY ref-overlapping content,
+            -- so clean_text is filler + trailer verbatim and n_removed
+            -- the block length
+            SELECT doc_id,
+                   array_to_string(
+                     list_transform(range(0, CAST(3 + doc_id % 5 AS BIGINT)),
+                       j -> 'f' || doc_id || 'x' || j)
+                     || list_transform(range(0, CAST(4 + doc_id % 3 AS BIGINT)),
+                       j -> 'g' || doc_id || 'x' || j),
+                     ' ') AS clean_text,
+                   CAST(8 + (doc_id % 10) % 5 AS BIGINT) AS n_removed
+            FROM documents WHERE doc_id < 400
+        """
 
 
 _SQL_ROLLING_CORR_COV = """
@@ -7031,21 +7102,9 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS span_end
             FROM documents WHERE doc_id < 400
         """,
-        "decontaminate": """
-            -- composed contamination -> excision, closed-form: the
-            -- class block is each doc's ONLY ref-overlapping content,
-            -- so clean_text is filler + trailer verbatim and n_removed
-            -- the block length
-            SELECT doc_id,
-                   array_to_string(
-                     list_transform(range(0, CAST(3 + doc_id % 5 AS BIGINT)),
-                       j -> 'f' || doc_id || 'x' || j)
-                     || list_transform(range(0, CAST(4 + doc_id % 3 AS BIGINT)),
-                       j -> 'g' || doc_id || 'x' || j),
-                     ' ') AS clean_text,
-                   CAST(8 + (doc_id % 10) % 5 AS BIGINT) AS n_removed
-            FROM documents WHERE doc_id < 400
-        """,
+        # streaming replay must equal the same closed form:
+        "streaming_decontaminate": _SQL_DECONTAMINATE,
+        "decontaminate": _SQL_DECONTAMINATE,
         "ess_excision": """
             -- composed ESS -> excision, closed-form: the planted run is
             -- each doc's ONLY cross-doc content, so clean_text is the

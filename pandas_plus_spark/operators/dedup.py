@@ -861,15 +861,37 @@ def _merge_gram_positions(hits: DataFrame, id_col: str, k: int) -> DataFrame:
     )
 
 
+def build_ref_grams(
+    ref: DataFrame,
+    text_col: str,
+    *,
+    k: int = 6,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The benchmark side of :func:`contaminated_spans` as a standing
+    artifact: the DISTINCT ``k``-gram hash set of ``ref`` (one column
+    ``__g``). Build it once per eval suite — write to parquet or persist
+    — and pass as ``ref_grams=`` so repeated decontamination (or every
+    micro-batch of :func:`streaming.decontaminated_stream`) never
+    re-hashes the benchmark; ``k``/``hash_fn`` must match at use time."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    norm = ref.select(F.lit(0).alias("__rid"),
+                      F.col(text_col).alias("__rtext"))
+    return (_gram_hash_arrays(norm, "__rtext", "__rid", k, hash_fn)
+            .select(F.explode("__gs").alias("__g")).distinct())
+
+
 def contaminated_spans(
     df: DataFrame,
-    ref: DataFrame,
+    ref: DataFrame | None,
     text_col: str,
     id_col: str,
     *,
     k: int = 6,
     hash_fn: str = "xxhash64",
     ref_text_col: str | None = None,
+    ref_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus contamination spans: regions of ``df`` whose EVERY
     ``k``-gram also occurs somewhere in ``ref`` — ``(id_col,
@@ -893,38 +915,44 @@ def contaminated_spans(
     direction for decontamination — and xxhash64 collisions are
     ~n²/2⁶⁴. ``hash_fn="poly"`` for the ANSI-reproducible oracle
     family. ``ref_text_col`` names the benchmark's text column when it
-    differs from the corpus'."""
+    differs from the corpus'; ``ref_grams`` (a :func:`build_ref_grams`
+    frame, typically persisted or read back from parquet) skips the
+    benchmark pass entirely — ``ref`` is then ignored."""
     if k < 1:
         raise ValueError("k must be >= 1")
     grams = _gram_hash_arrays(df, text_col, id_col, k, hash_fn).select(
         F.col(id_col), F.posexplode("__gs").alias("pos", "__g"))
-    # ref contributes only its gram SET — no id requirement on that side
-    ref_norm = ref.select(
-        F.lit(0).alias("__rid"),
-        F.col(ref_text_col or text_col).alias("__rtext"))
-    ref_set = (_gram_hash_arrays(ref_norm, "__rtext", "__rid", k, hash_fn)
-               .select(F.explode("__gs").alias("__g")).distinct())
-    hits = grams.join(ref_set, "__g", "left_semi").select(id_col, "pos")
+    if ref_grams is None:
+        if ref is None:
+            raise ValueError("pass ref or ref_grams")
+        # ref contributes only its gram SET — no id requirement there
+        ref_grams = build_ref_grams(ref, ref_text_col or text_col,
+                                    k=k, hash_fn=hash_fn)
+    hits = (grams.join(ref_grams.select("__g"), "__g", "left_semi")
+            .select(id_col, "pos"))
     return _merge_gram_positions(hits, id_col, k)
 
 
 def decontaminate(
     df: DataFrame,
-    ref: DataFrame,
+    ref: DataFrame | None,
     text_col: str,
     id_col: str,
     *,
     k: int = 6,
     hash_fn: str = "xxhash64",
     ref_text_col: str | None = None,
+    ref_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Excise benchmark-contaminated spans from a training corpus:
     ``(id_col, clean_text, n_removed)`` — :func:`contaminated_spans`
     composed with :func:`excise_spans`, the end-to-end decontamination
     step a training pipeline runs against its eval suites. Documents
-    with no contaminated span pass through unchanged."""
+    with no contaminated span pass through unchanged. ``ref_grams``
+    as in :func:`contaminated_spans` (standing benchmark gram set)."""
     spans = contaminated_spans(df, ref, text_col, id_col, k=k,
-                               hash_fn=hash_fn, ref_text_col=ref_text_col)
+                               hash_fn=hash_fn, ref_text_col=ref_text_col,
+                               ref_grams=ref_grams)
     return excise_spans(df, spans, text_col, id_col)
 
 

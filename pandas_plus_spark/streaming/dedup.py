@@ -98,3 +98,46 @@ def neardup_filtered_stream(
             release_cached(accepted)
 
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def decontaminated_stream(
+    stream_df: DataFrame,
+    ref_df: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    sink: Callable[[DataFrame, int], None],
+    *,
+    k: int = 6,
+    hash_fn: str = "xxhash64",
+    ref_text_col: str | None = None,
+    ref_grams: DataFrame | None = None,
+):
+    """``DataStreamWriter`` excising benchmark-contaminated spans from a
+    document stream (r14 — the streaming twin of
+    ``operators/dedup.decontaminate``): each micro-batch's regions whose
+    every ``k``-gram occurs in the benchmark are cut, and ``sink``
+    receives ``(id_col, clean_text, n_removed)`` rows per batch. Same
+    ``foreachBatch`` rationale as :func:`neardup_filtered_stream` — the
+    span merge + excision is multi-step batch logic against a STATIC
+    reference.
+
+    The benchmark gram set is built ONCE per query lifetime
+    (``build_ref_grams``) and persisted, so a micro-batch pays one map
+    pass over its own documents plus a semi-join against the standing
+    (test-set-sized, AQE-broadcastable) gram frame — cost proportional
+    to the BATCH, never the eval suites. Pass ``ref_grams`` (e.g. read
+    back from parquet) to share one build across queries; restart the
+    query when the eval suites change."""
+    grams = (ref_grams if ref_grams is not None
+             else _dedup.build_ref_grams(ref_df, ref_text_col or text_col,
+                                         k=k, hash_fn=hash_fn)).persist()
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = _dedup.decontaminate(batch_df, None, text_col, id_col,
+                                   k=k, hash_fn=hash_fn, ref_grams=grams)
+        try:
+            sink(out, batch_id)
+        finally:
+            release_cached(out)
+
+    return stream_df.writeStream.foreachBatch(_process)

@@ -1192,6 +1192,25 @@ class TestDuplicatedSpans:
                for r in spans.collect()}
         assert got == {(0, 15, 21), (3, 4, 10)}
 
+    def test_ref_grams_precomputed_equivalent(self, spark, span_docs):
+        # a persisted build_ref_grams frame must give the same spans as
+        # passing the ref corpus directly (the standing-index form the
+        # streaming twin reuses per micro-batch); ref then being None is
+        # fine, and passing neither raises
+        ref = spark.createDataFrame(
+            [(7, "subscribe to our newsletter right now")],
+            "doc_id long, text string")
+        grams = dedup.build_ref_grams(ref, "text", k=6).persist()
+        a = sorted(map(tuple, dedup.contaminated_spans(
+            span_docs, None, "text", "doc_id", k=6,
+            ref_grams=grams).collect()))
+        b = sorted(map(tuple, dedup.contaminated_spans(
+            span_docs, ref, "text", "doc_id", k=6).collect()))
+        grams.unpersist()
+        assert a == b and len(a) == 2
+        with pytest.raises(ValueError, match="ref"):
+            dedup.contaminated_spans(span_docs, None, "text", "doc_id")
+
     def test_excise_spans(self, span_docs):
         spans = dedup.duplicated_spans(span_docs, "text", "doc_id", k=6)
         out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
