@@ -922,14 +922,41 @@ def contaminated_spans(
         raise ValueError("k must be >= 1")
     grams = _gram_hash_arrays(df, text_col, id_col, k, hash_fn).select(
         F.col(id_col), F.posexplode("__gs").alias("pos", "__g"))
+    built_from = None
     if ref_grams is None:
         if ref is None:
             raise ValueError("pass ref or ref_grams")
         # ref contributes only its gram SET — no id requirement there
+        built_from = ref.select(F.col(ref_text_col or text_col))
         ref_grams = build_ref_grams(ref, ref_text_col or text_col,
                                     k=k, hash_fn=hash_fn)
-    hits = (grams.join(ref_grams.select("__g"), "__g", "left_semi")
-            .select(id_col, "pos"))
+    # Join-strategy pin (r14 — the fuzzy_join explode lesson applied to
+    # this operator's own semi-join): the gram set comes from an
+    # explode, whose Catalyst size estimate is ~the PRE-explode bytes,
+    # so the planner statically broadcasts it no matter how big the
+    # benchmark really is (observed: a 50k-doc ref planned as a
+    # BroadcastHashJoin). Broadcast only when the ref is provably small
+    # (one 8-byte hash per token ≈ 2× the ref's text bytes bounds the
+    # gram set from the PRE-explode estimate); a huge eval corpus takes
+    # a shuffle semi-join instead — AQE may still downgrade from
+    # accurate runtime sizes. For a caller-supplied ref_grams frame the
+    # frame's own estimate decides (accurate for parquet-backed /
+    # materialized standing indexes — persist or write it, which is the
+    # documented usage). Factor 4 for the built-from-ref path: the gram
+    # set is one 8-byte hash per token (~1.3× the raw text bytes) and a
+    # parquet-backed ref's analyzed size is the COMPRESSED file size
+    # (~3× under raw text) — 4× bounds both from the estimate.
+    est_src, factor = ((built_from, 4) if built_from is not None
+                       else (ref_grams, 1))
+    try:
+        size = int(est_src._jdf.queryExecution().analyzed()
+                   .stats().sizeInBytes())
+    except Exception:
+        size = -1
+    small = 0 < size * factor < (8 << 20) and size < (1 << 50)
+    ref_side = (F.broadcast(ref_grams.select("__g")) if small
+                else ref_grams.select("__g").hint("merge"))
+    hits = grams.join(ref_side, "__g", "left_semi").select(id_col, "pos")
     return _merge_gram_positions(hits, id_col, k)
 
 

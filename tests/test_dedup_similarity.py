@@ -1211,6 +1211,40 @@ class TestDuplicatedSpans:
         with pytest.raises(ValueError, match="ref"):
             dedup.contaminated_spans(span_docs, None, "text", "doc_id")
 
+    def test_ref_gram_join_not_statically_broadcast(self, spark, span_docs):
+        # r14: the ref gram set comes from an explode, whose Catalyst
+        # size estimate is ~pre-explode bytes — a parquet-backed ref
+        # above the bound must take a shuffle semi-join (broadcasting a
+        # 100 TB eval corpus's grams is a driver OOM); a tiny inline
+        # ref keeps the broadcast
+        import os
+        import tempfile
+        d = tempfile.mkdtemp()
+        p = os.path.join(d, "bigref.parquet")
+        spark.range(150_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[
+                F.concat(F.lit(f"w{j}t"), F.col("id").cast("string"))
+                for j in range(12)]).alias("text")
+        ).write.mode("overwrite").parquet(p)
+        bigref = spark.read.parquet(p)
+        spans = dedup.contaminated_spans(span_docs, bigref, "text",
+                                         "doc_id", k=6)
+        plan = spans._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan[:1500]
+        # a tiny FILE-BACKED ref (accurate small estimate) keeps the
+        # broadcast; an inline createDataFrame ref reports the
+        # unknown-size sentinel and conservatively shuffles — both by
+        # design
+        p2 = os.path.join(d, "tinyref.parquet")
+        spark.createDataFrame(
+            [(7, "subscribe to our newsletter right now")],
+            "doc_id long, text string").write.mode("overwrite").parquet(p2)
+        spans2 = dedup.contaminated_spans(span_docs, spark.read.parquet(p2),
+                                          "text", "doc_id", k=6)
+        plan2 = spans2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan2
+
     def test_excise_spans(self, span_docs):
         spans = dedup.duplicated_spans(span_docs, "text", "doc_id", k=6)
         out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
