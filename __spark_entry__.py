@@ -5019,67 +5019,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inserted at the head as they land, displacing the newest r11
     # fills into the r15 window.
     return {
-        # --- r14 window head (driver samples the FIRST 50) ---
-        # new r14 entries (never driver-verified — must sit in the
-        # window):
-        "bpe_train_distributed": _q_bpe_train_distributed,
-        "fuzzy_join_k2": _q_fuzzy_join_k2,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "rolling_corr_cov": _q_rolling_corr_cov,
-        "decontaminate": _q_decontaminate,
-        "group_rolling_corr_scale": _q_group_rolling_corr_scale,
-        "streaming_decontaminate": _q_streaming_decontaminate,
-        # r14 rotation: the 34 entries at the 4-round cadence bound
-        # (last driver-green r10) plus the 16 stalest r11 entries —
-        # pure rotation; registry 175 -> 181, zero rows-only. New r14 entries
+        # --- r15 window head (driver samples the FIRST 50) ---
+        # r15 rotation: the 32 entries at the 4-round cadence bound
+        # (last driver-green r11) plus the 18 stalest r12 entries —
+        # pure rotation; registry 182, zero rows-only. New r15 entries
         # are inserted at the head as they land, displacing the newest
-        # r11 fills into the r15 window (r11 entries are 3 rounds old
-        # at r14, due r15 — greedy sim stays feasible).
-        # last driver-green r10:
-        "nanops_rowwise": _q_nanops_rowwise,
-        "streaming_sessions": _q_streaming_sessions,
-        "q1_pricing_summary": _q_q1_pricing_summary,
-        "masked_sum": _q_masked_sum,
-        "group_size": _q_size,
-        "group_minmax": _q_minmax,
-        "group_var_std": _q_var_std,
-        "agg_callable": _q_agg_callable,
-        "group_median": _q_median,
-        "group_mode": _q_group_mode,
-        "group_quantiles": _q_group_quantiles,
-        "group_corr_cov": _q_group_corr_cov,
-        "group_first_last": _q_first_last,
-        "ratio": _q_ratio,
-        "subset_ratio": _q_subset_ratio,
-        "density": _q_density,
-        "value_counts": _q_value_counts,
-        "group_nunique": _q_nunique,
-        "margins_sum": _q_margins_sum,
-        "crosstab_pivot": _q_crosstab,
-        "transform_sum": _q_transform_sum,
-        "head_per_group": _q_head,
-        "nth_last_per_group": _q_nth_last,
-        "q5_local_supplier": _q_q5_local_supplier,
-        "bloom_dedup": _q_bloom_dedup,
-        "dedup_exact_canonical": _q_dedup_exact_canonical,
-        "streaming_tumbling": _q_streaming_tumbling,
-        "streaming_sliding": _q_streaming_sliding,
-        "streaming_dedup": _q_streaming_dedup,
-        "streaming_running": _q_streaming_running,
-        "rolling_time": _q_rolling_time,
-        "weighted_sample": _q_weighted_sample,
-        "group_rank": _q_group_rank,
-        "chunk_dedup": _q_chunk_dedup,
-        # last driver-green r11 (stalest fills):
-        "image_phash_dedup": _q_image_phash_dedup,
-        "semantic_gate": _q_semantic_gate,
-        "global_ordered": _q_global_ordered,
-        "bigram_ppl": _q_bigram_ppl,
-        "curation_pipeline": _q_curation_pipeline,
-        "video_frame_sample": _q_video_frame_sample,
-        "sitemap_urls": _q_sitemap_urls,
-        "unicode_nfc": _q_unicode_nfc,
-        "mojibake_repair": _q_mojibake_repair,
+        # r12 fills into the r16 window (r12 entries are 3 rounds old
+        # at r15, due r16 — greedy sim stays feasible).
+        # last driver-green r11 (due now):
         "bpe_roundtrip": _q_bpe_roundtrip,
         "doc_chunks": _q_doc_chunks,
         "embedding_quantize": _q_embedding_quantize,
@@ -5087,8 +5034,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "source_health": _q_source_health,
         "cumsum": _q_cumsum,
-        # --- rotation tail (driver window ends above; full local
-        # oracle gate still runs every entry below each round) ---
+        "shift_masked": _q_shift_masked,
+        "observed_only_false": _q_observed_only_false,
+        "nation_revenue": _q_nation_revenue,
+        "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
+        "apply_zscore": _q_apply_zscore,
+        "winnow_fingerprints": _q_winnow,
+        "sessionize": _q_sessionize,
+        "nanops_global": _q_nanops_global,
+        "pretty_cut_bins": _q_pretty_cut,
+        "bools_to_categorical": _q_bools_labels,
+        "linear_combination": _q_lincomb,
+        "dedup_exact": _q_dedup_exact,
+        "doc_token_stats": _q_token_stats,
+        "lang_id_pred": _q_lang_pred,
+        "quality_score": _q_quality,
+        "trigram_jaccard_pairs": _q_trigram_jaccard,
+        "knn_cosine": _q_knn,
+        "hll_merge_gate": _q_hll_merge_gate,
+        "lsh_skew_uncapped": _q_lsh_skew_uncapped,
+        "lsh_skew_capped": _q_lsh_skew_capped,
+        "lsh_recall": _q_lsh_recall,
+        "q18_large_orders": _q_q18_large_orders,
+        "plan_lint_gate": _q_plan_lint_gate,
+        "multimodal_image_meta": _q_multimodal_meta,
+        # stalest r12 fills (due r16; the first 18 complete the window):
+        "minhash_gate": _q_minhash_gate,
+        "simhash_gate": _q_simhash_gate,
+        "exact_substring_spans": _q_exact_substring_spans,
+        "link_graph_rank": _q_link_graph_rank,
+        "anchor_text_graph": _q_anchor_text_graph,
+        "media_meta": _q_media_meta,
+        "pdf_text_extract": _q_pdf_text_extract,
+        "group_rolling_time_scale": _q_group_rolling_time_scale,
+        "group_rolling_scale": _q_group_rolling_scale,
+        "group_rank_scale": _q_group_rank_scale,
+        "robots_filter": _q_robots_filter,
+        "outlink_graph": _q_outlink_graph,
+        "warc_ingest": _q_warc_ingest,
+        "token_budget": _q_token_budget,
+        "quantile_calibration": _q_quantile_calibration,
+        "leakage_split": _q_leakage_split,
+        "leakage_split_lsh": _q_leakage_split_lsh,
+        "filter_groups": _q_filter_groups,
+        # --- below the window: remaining r12, then r13/r14 cohorts,
+        # least-recently-verified first ---
+        "group_idxminmax": _q_group_idxminmax,
+        "pct_change": _q_pct_change,
+        "cumprod": _q_cumprod,
+        "group_prod_any_all": _q_group_prod_any_all,
+        "group_sem": _q_group_sem,
+        "group_skew_kurt": _q_group_skew_kurt,
+        "ngroup": _q_ngroup,
+        "group_fill": _q_group_fill,
+        "resample_agg": _q_resample_agg,
+        "qcut_deciles": _q_qcut_deciles,
+        "pivot_table_mean": _q_pivot_table_mean,
+        "group_rank_methods": _q_group_rank_methods,
+        "group_take": _q_group_take,
+        "corrwith": _q_corrwith,
+        "duplicated_flags": _q_duplicated_flags,
+        "ewm_mean": _q_ewm_mean,
+        "group_ohlc": _q_group_ohlc,
+        "group_describe": _q_group_describe,
+        "group_nlargest": _q_group_nlargest,
+        "group_ffill_scale": _q_group_ffill_scale,
+        "group_take_scale": _q_group_take_scale,
+        "ewm_var_std": _q_ewm_var_std,
+        "group_bfill_scale": _q_group_bfill_scale,
+        "streaming_ewm": _q_streaming_ewm,
+        "group_shift_scale": _q_group_shift_scale,
+        "group_cumminmax_scale": _q_group_cumminmax_scale,
+        "cosine_neardup": _q_cosine_neardup,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_keep_list": _q_dedup_keep_list,
+        "streaming_neardup": _q_streaming_neardup,
+        "pca_gate": _q_pca_gate,
+        "pack_gate": _q_pack_gate,
         "ess_excision": _q_ess_excision,
         "fuzzy_dedup": _q_fuzzy_dedup,
         "weighted_pagerank": _q_weighted_pagerank,
@@ -5139,81 +5162,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_curation_pipeline": _q_crawl_curation_pipeline,
         "oov_rate": _q_oov_rate,
         "label_cohesion": _q_label_cohesion,
-        "minhash_gate": _q_minhash_gate,
-        "simhash_gate": _q_simhash_gate,
-        "exact_substring_spans": _q_exact_substring_spans,
-        "link_graph_rank": _q_link_graph_rank,
-        "anchor_text_graph": _q_anchor_text_graph,
-        "media_meta": _q_media_meta,
-        "pdf_text_extract": _q_pdf_text_extract,
-        "group_rolling_time_scale": _q_group_rolling_time_scale,
-        "group_rolling_scale": _q_group_rolling_scale,
-        "group_rank_scale": _q_group_rank_scale,
-        "robots_filter": _q_robots_filter,
-        "outlink_graph": _q_outlink_graph,
-        "warc_ingest": _q_warc_ingest,
-        "token_budget": _q_token_budget,
-        "quantile_calibration": _q_quantile_calibration,
-        "leakage_split": _q_leakage_split,
-        "leakage_split_lsh": _q_leakage_split_lsh,
-        "filter_groups": _q_filter_groups,
-        "group_idxminmax": _q_group_idxminmax,
-        "pct_change": _q_pct_change,
-        "cumprod": _q_cumprod,
-        "group_prod_any_all": _q_group_prod_any_all,
-        "group_sem": _q_group_sem,
-        "group_skew_kurt": _q_group_skew_kurt,
-        "ngroup": _q_ngroup,
-        "group_fill": _q_group_fill,
-        "resample_agg": _q_resample_agg,
-        "qcut_deciles": _q_qcut_deciles,
-        "pivot_table_mean": _q_pivot_table_mean,
-        "group_rank_methods": _q_group_rank_methods,
-        "group_take": _q_group_take,
-        "corrwith": _q_corrwith,
-        "duplicated_flags": _q_duplicated_flags,
-        "ewm_mean": _q_ewm_mean,
-        "group_ohlc": _q_group_ohlc,
-        "group_describe": _q_group_describe,
-        "group_nlargest": _q_group_nlargest,
-        "group_ffill_scale": _q_group_ffill_scale,
-        "group_take_scale": _q_group_take_scale,
-        "ewm_var_std": _q_ewm_var_std,
-        "group_bfill_scale": _q_group_bfill_scale,
-        "streaming_ewm": _q_streaming_ewm,
-        "group_shift_scale": _q_group_shift_scale,
-        "group_cumminmax_scale": _q_group_cumminmax_scale,
-        "cosine_neardup": _q_cosine_neardup,
-        "dup_clusters": _q_dup_clusters,
-        "dedup_keep_list": _q_dedup_keep_list,
-        "streaming_neardup": _q_streaming_neardup,
-        "pca_gate": _q_pca_gate,
-        "pack_gate": _q_pack_gate,
-        "shift_masked": _q_shift_masked,
-        "observed_only_false": _q_observed_only_false,
-        "nation_revenue": _q_nation_revenue,
-        "asof_join": _q_asof_join,
-        "interval_join": _q_interval_join,
-        "apply_zscore": _q_apply_zscore,
-        "winnow_fingerprints": _q_winnow,
-        "sessionize": _q_sessionize,
-        "nanops_global": _q_nanops_global,
-        "pretty_cut_bins": _q_pretty_cut,
-        "bools_to_categorical": _q_bools_labels,
-        "linear_combination": _q_lincomb,
-        "dedup_exact": _q_dedup_exact,
-        "doc_token_stats": _q_token_stats,
-        "lang_id_pred": _q_lang_pred,
-        "quality_score": _q_quality,
-        "trigram_jaccard_pairs": _q_trigram_jaccard,
-        "knn_cosine": _q_knn,
-        "hll_merge_gate": _q_hll_merge_gate,
-        "lsh_skew_uncapped": _q_lsh_skew_uncapped,
-        "lsh_skew_capped": _q_lsh_skew_capped,
-        "lsh_recall": _q_lsh_recall,
-        "q18_large_orders": _q_q18_large_orders,
-        "plan_lint_gate": _q_plan_lint_gate,
-        "multimodal_image_meta": _q_multimodal_meta,
+        "bpe_train_distributed": _q_bpe_train_distributed,
+        "fuzzy_join_k2": _q_fuzzy_join_k2,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "rolling_corr_cov": _q_rolling_corr_cov,
+        "decontaminate": _q_decontaminate,
+        "group_rolling_corr_scale": _q_group_rolling_corr_scale,
+        "streaming_decontaminate": _q_streaming_decontaminate,
+        "nanops_rowwise": _q_nanops_rowwise,
+        "streaming_sessions": _q_streaming_sessions,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "masked_sum": _q_masked_sum,
+        "group_size": _q_size,
+        "group_minmax": _q_minmax,
+        "group_var_std": _q_var_std,
+        "agg_callable": _q_agg_callable,
+        "group_median": _q_median,
+        "group_mode": _q_group_mode,
+        "group_quantiles": _q_group_quantiles,
+        "group_corr_cov": _q_group_corr_cov,
+        "group_first_last": _q_first_last,
+        "ratio": _q_ratio,
+        "subset_ratio": _q_subset_ratio,
+        "density": _q_density,
+        "value_counts": _q_value_counts,
+        "group_nunique": _q_nunique,
+        "margins_sum": _q_margins_sum,
+        "crosstab_pivot": _q_crosstab,
+        "transform_sum": _q_transform_sum,
+        "head_per_group": _q_head,
+        "nth_last_per_group": _q_nth_last,
+        "q5_local_supplier": _q_q5_local_supplier,
+        "bloom_dedup": _q_bloom_dedup,
+        "dedup_exact_canonical": _q_dedup_exact_canonical,
+        "streaming_tumbling": _q_streaming_tumbling,
+        "streaming_sliding": _q_streaming_sliding,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_running": _q_streaming_running,
+        "rolling_time": _q_rolling_time,
+        "weighted_sample": _q_weighted_sample,
+        "group_rank": _q_group_rank,
+        "chunk_dedup": _q_chunk_dedup,
+        "image_phash_dedup": _q_image_phash_dedup,
+        "semantic_gate": _q_semantic_gate,
+        "global_ordered": _q_global_ordered,
+        "bigram_ppl": _q_bigram_ppl,
+        "curation_pipeline": _q_curation_pipeline,
+        "video_frame_sample": _q_video_frame_sample,
+        "sitemap_urls": _q_sitemap_urls,
+        "unicode_nfc": _q_unicode_nfc,
+        "mojibake_repair": _q_mojibake_repair,
     }
 
 
