@@ -1453,7 +1453,11 @@ def _grouped_rolling_pair(df, group_by, order_by, x, y, window,
             + [f"__{k}" for k in _PAIR_SUMS]
             + [f"__{k}p" for k in _PAIR_SUMS]
             + [f"__jg_{i}" for i in range(len(gnames))])
-    return run.join(right, cond, "left").withColumn(out, val).drop(*drop)
+    # the _pps_cached handle on `run` does not survive .join(); re-attach
+    # so release_cached on the result can free the prefix-pass persist.
+    return attach_cached(
+        run.join(right, cond, "left").withColumn(out, val).drop(*drop),
+        *getattr(run, "_pps_cached", ()))
 
 
 def grouped_rolling_cov(

@@ -940,14 +940,28 @@ def contaminated_spans(
     # gram set from the PRE-explode estimate); a huge eval corpus takes
     # a shuffle semi-join instead — AQE may still downgrade from
     # accurate runtime sizes. For a caller-supplied ref_grams frame the
-    # frame's own estimate decides (accurate for parquet-backed /
-    # materialized standing indexes — persist or write it, which is the
-    # documented usage). Factor 4 for the built-from-ref path: the gram
-    # set is one 8-byte hash per token (~1.3× the raw text bytes) and a
-    # parquet-backed ref's analyzed size is the COMPRESSED file size
-    # (~3× under raw text) — 4× bounds both from the estimate.
-    est_src, factor = ((built_from, 4) if built_from is not None
-                       else (ref_grams, 1))
+    # frame's own estimate decides — but ONLY a materialized standing
+    # index (parquet scan / local relation of the gram column) reports
+    # real bytes. A build_ref_grams frame that was merely persist()ed
+    # (decontaminated_stream's default) keeps the explode+distinct
+    # lineage in its ANALYZED plan — cache substitution happens after
+    # analysis, so analyzed().stats() never sees the InMemoryRelation
+    # and still passes through the pre-explode text estimate. Detect
+    # that by the Generate node and apply the worst-case factor 12
+    # (gram hashes ≈ 1.3× raw text bytes, and a parquet-backed ref's
+    # estimate is the COMPRESSED file size, ~3× under raw — 4 × 3).
+    # Factor 4 for the built-from-ref path: there the estimate is the
+    # ref frame itself (text bytes, compressed when parquet-backed),
+    # and 4× bounds the gram set from it as above.
+    if built_from is not None:
+        est_src, factor = built_from, 4
+    else:
+        est_src = ref_grams
+        try:
+            plan = ref_grams._jdf.queryExecution().analyzed().toString()
+        except Exception:
+            plan = "Generate"  # unknown lineage: assume the worst
+        factor = 12 if "Generate" in plan else 1
     try:
         size = int(est_src._jdf.queryExecution().analyzed()
                    .stats().sizeInBytes())

@@ -64,10 +64,11 @@ def _prep_edges(edges, src_col, dst_col, weight_col, exact_mass):
     this also rules out a zero/negative total out-weight divisor).
     ``exact_mass`` additionally RAISES on
     fractional weights or per-source totals > 10**6 (keeps
-    ``m·w ≤ 10**18`` inside int64 under ANSI) — validated on the RAW
-    weight column BEFORE the long cast, so a 1.5 weight raises instead
-    of silently truncating to 1; one eager scalar aggregate, weighted
-    exact mode only."""
+    ``m·w ≤ 10**18`` inside int64 under ANSI) — validated on the
+    POST-CLEAN weights BEFORE the long cast, so a surviving 1.5 weight
+    raises instead of silently truncating to 1, while NULL/NaN/
+    non-positive rows are dropped in exact mode exactly as in float
+    mode; one eager scalar aggregate, weighted exact mode only."""
     base = (ensure_parallelism(edges)
             .select(F.col(src_col).alias("src"),
                     F.col(dst_col).alias("dst"),
@@ -80,13 +81,17 @@ def _prep_edges(edges, src_col, dst_col, weight_col, exact_mass):
         return (e, out_d, lambda m: f"{m} div __outd",
                 lambda r: r / F.col("__outd"))
     if exact_mass:
-        # ONE eager pass over the raw (pre-cast) edges validates the
-        # whole contract inside a single map-side-combinable aggregate:
-        # integrality + positivity of every raw weight, and the
-        # per-source total cap (summing raw rows per source equals
-        # summing the collapsed (src, dst) frame — sums are
-        # associative, so no second pass over the collapsed edges).
-        chk = (base.where(F.col("__w").isNotNull())
+        # ONE eager pass over the POST-CLEAN edges (NULL/NaN/non-positive
+        # weights dropped first, exactly as the documented contract
+        # cleans them in both modes) validates the exact-mode extras
+        # inside a single map-side-combinable aggregate: integrality of
+        # every surviving weight, and the per-source total cap (summing
+        # cleaned rows per source equals summing the collapsed
+        # (src, dst) frame — sums are associative, so no second pass
+        # over the collapsed edges).
+        chk = (base.where(F.col("__w").isNotNull()
+                          & ~F.isnan(F.col("__w").cast("double"))
+                          & (F.col("__w") > 0))
                .groupBy("src")
                .agg(F.sum(F.col("__w").cast("double")).alias("__t"),
                     F.min("__w").alias("__mn"),
@@ -96,7 +101,7 @@ def _prep_edges(edges, src_col, dst_col, weight_col, exact_mass):
                     F.min("__int").alias("ok"))
                .first())
         if chk["mn"] is not None and (
-                chk["ok"] == 0 or chk["mn"] <= 0 or chk["mx"] > 10 ** 6):
+                chk["ok"] == 0 or chk["mx"] > 10 ** 6):
             raise ValueError(
                 "exact_mass weighted pagerank needs POSITIVE integer "
                 "edge weights with per-source totals <= 10**6 (keeps "
@@ -196,8 +201,9 @@ def pagerank(
     other edges still reference it, unranked otherwise).
     ``exact_mass`` additionally requires INTEGER weights with
     per-source totals ≤ 10**6 (``mass·w`` stays inside int64) and
-    raises otherwise — checked on the raw values, so fractional
-    weights can never silently truncate; the unweighted arithmetic is
+    raises otherwise — checked on the pre-cast values that SURVIVE
+    cleaning, so fractional weights can never silently truncate and
+    drop-vs-raise matches float mode; the unweighted arithmetic is
     byte-identical to before, so the existing oracles are unaffected.
     """
     if exact_mass and damping != 0.85:

@@ -128,6 +128,8 @@ def decontaminated_stream(
     to the BATCH, never the eval suites. Pass ``ref_grams`` (e.g. read
     back from parquet) to share one build across queries; restart the
     query when the eval suites change."""
+    if ref_grams is None and ref_df is None:
+        raise ValueError("pass ref_df or ref_grams")
     grams = (ref_grams if ref_grams is not None
              else _dedup.build_ref_grams(ref_df, ref_text_col or text_col,
                                          k=k, hash_fn=hash_fn)).persist()

@@ -1245,6 +1245,51 @@ class TestDuplicatedSpans:
         plan2 = spans2._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastExchange" in plan2
 
+    def test_persisted_ref_grams_not_statically_broadcast(self, spark,
+                                                          span_docs):
+        # r15 advisory: a build_ref_grams frame that was merely
+        # persist()ed keeps the explode+distinct lineage in its ANALYZED
+        # plan (cache substitution happens after analysis), so its
+        # stats pass through the pre-explode estimate — the worst-case
+        # gram-bytes factor must gate the static broadcast, not the
+        # persist. A big parquet-backed ref's PERSISTED gram frame must
+        # therefore shuffle; the same grams MATERIALIZED to parquet
+        # (accurate small-file estimate when genuinely small) may
+        # broadcast.
+        import os
+        import tempfile
+        d = tempfile.mkdtemp()
+        p = os.path.join(d, "bigref2.parquet")
+        spark.range(150_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[
+                F.concat(F.lit(f"u{j}q"), F.col("id").cast("string"))
+                for j in range(12)]).alias("text")
+        ).write.mode("overwrite").parquet(p)
+        grams = dedup.build_ref_grams(spark.read.parquet(p), "text",
+                                      k=6).persist()
+        try:
+            spans = dedup.contaminated_spans(span_docs, None, "text",
+                                             "doc_id", k=6,
+                                             ref_grams=grams)
+            plan = spans._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastExchange" not in plan, plan[:1500]
+        finally:
+            grams.unpersist()
+        # materialized tiny standing index: accurate scan estimate,
+        # broadcast restored
+        p3 = os.path.join(d, "tinygrams.parquet")
+        dedup.build_ref_grams(
+            spark.createDataFrame(
+                [(7, "subscribe to our newsletter right now")],
+                "doc_id long, text string"),
+            "text", k=6).write.mode("overwrite").parquet(p3)
+        spans3 = dedup.contaminated_spans(
+            span_docs, None, "text", "doc_id", k=6,
+            ref_grams=spark.read.parquet(p3))
+        plan3 = spans3._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan3
+
     def test_excise_spans(self, span_docs):
         spans = dedup.duplicated_spans(span_docs, "text", "doc_id", k=6)
         out = {r["doc_id"]: (r["clean_text"], r["n_removed"])

@@ -418,6 +418,33 @@ class TestWeightedPageRank:
         release_cached(ref)
         assert got == gref
 
+    def test_exact_mass_nonpositive_dropped_not_raised(self, spark):
+        # r15 advisory: exact_mass validates integrality + cap on the
+        # POST-CLEAN weights — NULL/NaN/non-positive rows are DROPPED
+        # exactly as in float mode, never raised on, and the result
+        # matches the pre-cleaned graph bit-for-bit
+        import pandas as pd
+        wedges = [(0, 1, 0.0), (0, 2, -3.0), (0, 3, float("nan")),
+                  (1, 2, 2.0), (2, 1, 1.0), (3, 1, 4.0)]
+        out = G.pagerank(spark.createDataFrame(pd.DataFrame(
+            wedges, columns=["src", "dst", "w"])), n_iters=6,
+            weight_col="w", exact_mass=True)
+        got = {r.node: r.mass for r in out.collect()}
+        release_cached(out)
+        ref = G.pagerank(spark.createDataFrame(pd.DataFrame(
+            [(1, 2, 2.0), (2, 1, 1.0), (3, 1, 4.0)],
+            columns=["src", "dst", "w"])), n_iters=6, weight_col="w",
+            exact_mass=True)
+        gref = {r.node: r.mass for r in ref.collect()}
+        release_cached(ref)
+        assert got == gref
+        # a surviving fractional weight still raises
+        import pytest as _pt
+        bad = spark.createDataFrame(pd.DataFrame(
+            [(0, 1, -1.0), (1, 0, 1.5)], columns=["src", "dst", "w"]))
+        with _pt.raises(ValueError, match="integer"):
+            G.pagerank(bad, n_iters=2, exact_mass=True, weight_col="w")
+
     def test_composes_with_personalize(self, spark):
         import pandas as pd
         seeds = spark.createDataFrame(

@@ -339,6 +339,22 @@ class TestRollingCorrCov:
             else:
                 assert m is not None and abs(m - v) < 1e-12, o
 
+    def test_scale_form_carries_cache_handle(self, spark):
+        # r15 advisory: the prefix pass persists an intermediate; the
+        # final join must re-attach _pps_cached so release_cached on
+        # the RESULT frees it (the handle does not survive .join())
+        from pandas_plus_spark.functions.ordered import grouped_rolling_cov
+        from pandas_plus_spark.util import release_cached
+        _, df = self._fixture(spark)
+        out = grouped_rolling_cov(df, "g", "o", "x", "y", window=6,
+                                  min_periods=3, num_partitions=3)
+        handles = getattr(out, "_pps_cached", ())
+        assert handles, "result lost the persisted-prefix cache handle"
+        out.collect()
+        assert any(h.is_cached for h in handles)
+        release_cached(out)
+        assert not any(h.is_cached for h in handles)
+
 
 class TestRollingQuantile:
     """r13: trailing-window exact median/quantile (windowed percentile,

@@ -174,6 +174,20 @@ class TestNeardupFilteredStream:
         release_cached(want_df)
         assert got == want == {2, 3}
 
+    def test_decontaminated_stream_requires_a_reference(self, spark, corpus,
+                                                        tmp_path):
+        # r15 advisory: both ref_df and ref_grams None must raise the
+        # same clean ValueError the batch operator raises, not an
+        # AttributeError from build_ref_grams(None)
+        _, new = corpus
+        from pandas_plus_spark.streaming import decontaminated_stream
+        src = str(tmp_path / "src")
+        new.limit(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(new.schema).parquet(src)
+        with pytest.raises(ValueError, match="ref_df or ref_grams"):
+            decontaminated_stream(stream, None, "text", "doc_id",
+                                  lambda df, bid: None)
+
 
 class TestStatefulEwm:
     def test_replay_matches_batch_scan_over_micro_batches(self, spark, tmp_path):
