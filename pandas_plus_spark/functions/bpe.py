@@ -82,27 +82,54 @@ def _greedy_merges(word_freq, vocab_size: int) -> list[tuple[bytes, bytes]]:
     """The greedy merge loop over a word-TYPE frequency map — shared by
     the sample-collect trainer and the distributed-counting trainer, so
     the two produce BIT-EQUAL merge tables from equal frequency maps
-    (same tie-break, same stop conditions)."""
+    (same tie-break, same stop conditions).
+
+    Incremental (r15): pair counts are maintained across merges instead
+    of rescanned — applying a merge touches only the word types that
+    CONTAIN the merged pair (a pair→words index built once), and the
+    argmax is a lazy-invalidation heap, so one merge costs
+    O(affected-word bytes + log #pairs) rather than O(all types). At
+    the gate's vocab 512 both shapes are instant; at a production
+    vocab (50k merges × 2M types) the rescan loop is ~10¹¹ driver ops
+    while this is ~10⁸. Selection order is IDENTICAL to the rescan
+    loop: the heap key (-count, pair) is the same total order as
+    ``min(..., key=(-count, pair))`` — pairs are unique keys — and
+    stale heap entries are skipped by checking the live count, so the
+    merge table is bit-equal (pinned by the rescan-vs-incremental
+    test)."""
+    import heapq
+
     # word type -> current symbol sequence (tuple of bytes objects)
     seqs = {w: tuple(bytes([b]) for b in w.encode("utf-8"))
             for w in word_freq}
+    pair_counts: Counter = Counter()
+    pair_words: dict = {}          # pair -> set of word types containing it
+    for w, seq in seqs.items():
+        f = word_freq[w]
+        for p in zip(seq, seq[1:]):
+            pair_counts[p] += f
+            pair_words.setdefault(p, set()).add(w)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
     merges: list[tuple[bytes, bytes]] = []
     for _ in range(vocab_size - 256):
-        pair_counts: Counter = Counter()
-        for w, seq in seqs.items():
-            f = word_freq[w]
-            for a, b in zip(seq, seq[1:]):
-                pair_counts[(a, b)] += f
-        if not pair_counts:
+        # pop to the first LIVE entry (count matches, still positive)
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p) == -negc and -negc > 0:
+                best = (p, -negc)
+                break
+        if best is None:
             break
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
         if best[1] < 2:
             break                                # nothing worth merging
         pa, pb = best[0]
         merged = pa + pb
         merges.append((pa, pb))
-        new_seqs = {}
-        for w, seq in seqs.items():
+        for w in list(pair_words.get((pa, pb), ())):
+            seq = seqs[w]
+            f = word_freq[w]
             out = []
             i = 0
             while i < len(seq):
@@ -113,8 +140,30 @@ def _greedy_merges(word_freq, vocab_size: int) -> list[tuple[bytes, bytes]]:
                 else:
                     out.append(seq[i])
                     i += 1
-            new_seqs[w] = tuple(out)
-        seqs = new_seqs
+            new_seq = tuple(out)
+            seqs[w] = new_seq
+            old_pairs = Counter(zip(seq, seq[1:]))
+            new_pairs = Counter(zip(new_seq, new_seq[1:]))
+            for p in old_pairs.keys() | new_pairs.keys():
+                d = new_pairs.get(p, 0) - old_pairs.get(p, 0)
+                if d == 0:
+                    continue
+                c = pair_counts[p] + d * f
+                if c <= 0:
+                    pair_counts.pop(p, None)
+                else:
+                    pair_counts[p] = c
+                    heapq.heappush(heap, (-c, p))
+                if new_pairs.get(p, 0) == 0:
+                    ws = pair_words.get(p)
+                    if ws is not None:
+                        ws.discard(w)
+                        if not ws:
+                            pair_words.pop(p, None)
+                elif old_pairs.get(p, 0) == 0:
+                    pair_words.setdefault(p, set()).add(w)
+        pair_counts.pop((pa, pb), None)
+        pair_words.pop((pa, pb), None)
     return merges
 
 

@@ -300,6 +300,71 @@ class TestBpe:
         toks = [t.decode() for t in bpe_vocab(m1)[256:]]
         assert "gamma" in toks
 
+    def test_incremental_loop_bit_equal_to_rescan(self):
+        # r15: _greedy_merges maintains pair counts incrementally with a
+        # lazy heap; its merge table must be BIT-EQUAL to the O(merges ×
+        # types) full-rescan loop it replaced (same (-count, pair) total
+        # order, same <2 / empty stop), including overlap counting
+        # ((a,a,a) contributes 2 to (a,a)) and tie-breaks. Randomized
+        # word-type maps + crafted overlap/tie cases.
+        import random
+        from collections import Counter
+
+        from pandas_plus_spark.functions.bpe import _greedy_merges
+
+        def rescan(word_freq, vocab_size):
+            seqs = {w: tuple(bytes([b]) for b in w.encode("utf-8"))
+                    for w in word_freq}
+            merges = []
+            for _ in range(vocab_size - 256):
+                pair_counts = Counter()
+                for w, seq in seqs.items():
+                    f = word_freq[w]
+                    for a, b in zip(seq, seq[1:]):
+                        pair_counts[(a, b)] += f
+                if not pair_counts:
+                    break
+                best = min(pair_counts.items(),
+                           key=lambda kv: (-kv[1], kv[0]))
+                if best[1] < 2:
+                    break
+                pa, pb = best[0]
+                merged = pa + pb
+                merges.append((pa, pb))
+                for w, seq in list(seqs.items()):
+                    out, i = [], 0
+                    while i < len(seq):
+                        if (i + 1 < len(seq) and seq[i] == pa
+                                and seq[i + 1] == pb):
+                            out.append(merged)
+                            i += 2
+                        else:
+                            out.append(seq[i])
+                            i += 1
+                    seqs[w] = tuple(out)
+            return merges
+
+        cases = [
+            {"aaaa": 3, "aa": 5, "a": 9},            # overlap counting
+            {"abab": 4, "ab": 4, "ba": 4},           # exact ties
+            {"the": 30, "cat": 30, "hat": 30},       # 3-way tie chain
+            {"x": 1},                                # no pairs at all
+            {"xy": 1},                               # best count < 2
+        ]
+        rng = random.Random(99)
+        for _ in range(6):
+            n = rng.randint(5, 40)
+            words = {}
+            for _ in range(n):
+                w = "".join(rng.choice("abcdeé ß")
+                            for _ in range(rng.randint(1, 8)))
+                words[w] = rng.randint(1, 50)
+            cases.append(words)
+        for case in cases:
+            for vs in (258, 270, 320):
+                assert _greedy_merges(dict(case), vs) == rescan(
+                    dict(case), vs), (case, vs)
+
     def test_token_count_and_compression(self, spark):
         import pandas as pd
 
