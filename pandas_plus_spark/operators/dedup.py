@@ -873,13 +873,38 @@ def build_ref_grams(
     ``__g``). Build it once per eval suite — write to parquet or persist
     — and pass as ``ref_grams=`` so repeated decontamination (or every
     micro-batch of :func:`streaming.decontaminated_stream`) never
-    re-hashes the benchmark; ``k``/``hash_fn`` must match at use time."""
+    re-hashes the benchmark. The frame is STAMPED with its contract
+    (``k``/``hash_fn`` as ``__g`` column metadata — survives a parquet
+    write/read round-trip): consumers raise on a mismatched stamp
+    instead of silently mis-flagging; an unstamped gram frame (built by
+    hand) is accepted unchecked."""
     if k < 1:
         raise ValueError("k must be >= 1")
     norm = ref.select(F.lit(0).alias("__rid"),
                       F.col(text_col).alias("__rtext"))
     return (_gram_hash_arrays(norm, "__rtext", "__rid", k, hash_fn)
-            .select(F.explode("__gs").alias("__g")).distinct())
+            .select(F.explode("__gs").alias("__g")).distinct()
+            .select(F.col("__g").alias(
+                "__g", metadata={"pps_gram_k": k,
+                                 "pps_gram_hash": hash_fn})))
+
+
+def _check_gram_stamp(ref_grams: DataFrame, k: int, hash_fn: str) -> None:
+    """Raise when a :func:`build_ref_grams` frame's stamped contract
+    disagrees with the caller's ``k``/``hash_fn`` — a mismatch silently
+    mis-flags (wrong gram length or hash family never matches, so
+    contamination goes undetected). Unstamped frames pass unchecked."""
+    try:
+        meta = ref_grams.schema["__g"].metadata or {}
+    except Exception:
+        return
+    sk, sh = meta.get("pps_gram_k"), meta.get("pps_gram_hash")
+    if (sk is not None and int(sk) != k) or (
+            sh is not None and sh != hash_fn):
+        raise ValueError(
+            f"ref_grams was built with k={sk}, hash_fn={sh!r} but this "
+            f"call uses k={k}, hash_fn={hash_fn!r} — rebuild the gram "
+            "index or pass the matching parameters")
 
 
 def contaminated_spans(
@@ -923,6 +948,8 @@ def contaminated_spans(
     grams = _gram_hash_arrays(df, text_col, id_col, k, hash_fn).select(
         F.col(id_col), F.posexplode("__gs").alias("pos", "__g"))
     built_from = None
+    if ref_grams is not None:
+        _check_gram_stamp(ref_grams, k, hash_fn)
     if ref_grams is None:
         if ref is None:
             raise ValueError("pass ref or ref_grams")

@@ -130,6 +130,10 @@ def decontaminated_stream(
     query when the eval suites change."""
     if ref_grams is None and ref_df is None:
         raise ValueError("pass ref_df or ref_grams")
+    if ref_grams is not None:
+        # fail at query SETUP on a stamped-contract mismatch, not at
+        # the first micro-batch
+        _dedup._check_gram_stamp(ref_grams, k, hash_fn)
     grams = (ref_grams if ref_grams is not None
              else _dedup.build_ref_grams(ref_df, ref_text_col or text_col,
                                          k=k, hash_fn=hash_fn)).persist()

@@ -1290,6 +1290,48 @@ class TestDuplicatedSpans:
         plan3 = spans3._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastExchange" in plan3
 
+    def test_ref_grams_stamp_enforced(self, spark, span_docs, tmp_path):
+        # r15: build_ref_grams stamps k/hash_fn as __g column metadata
+        # (parquet round-trip preserved); consumers raise on mismatch
+        # instead of silently mis-flagging, and unstamped frames pass
+        import pytest as _pt
+        ref = spark.createDataFrame(
+            [(7, "subscribe to our newsletter right now")],
+            "doc_id long, text string")
+        grams = dedup.build_ref_grams(ref, "text", k=6)
+        # matching contract works end-to-end
+        ok = dedup.contaminated_spans(span_docs, None, "text", "doc_id",
+                                      k=6, ref_grams=grams)
+        ok.collect()
+        with _pt.raises(ValueError, match="k=6"):
+            dedup.contaminated_spans(span_docs, None, "text", "doc_id",
+                                     k=7, ref_grams=grams)
+        with _pt.raises(ValueError, match="hash_fn"):
+            dedup.contaminated_spans(span_docs, None, "text", "doc_id",
+                                     k=6, hash_fn="poly", ref_grams=grams)
+        # the stamp survives a parquet write/read round-trip
+        p = str(tmp_path / "grams.parquet")
+        grams.write.mode("overwrite").parquet(p)
+        back = spark.read.parquet(p)
+        with _pt.raises(ValueError, match="rebuild"):
+            dedup.contaminated_spans(span_docs, None, "text", "doc_id",
+                                     k=5, ref_grams=back)
+        dedup.contaminated_spans(span_docs, None, "text", "doc_id",
+                                 k=6, ref_grams=back).collect()
+        # hand-built (unstamped) gram frames are accepted unchecked
+        hand = grams.select(F.col("__g").cast("long").alias("__g"))
+        dedup.contaminated_spans(span_docs, None, "text", "doc_id",
+                                 k=7, ref_grams=hand).collect()
+        # the streaming twin validates at query SETUP
+        from pandas_plus_spark.streaming import decontaminated_stream
+        src = str(tmp_path / "src")
+        span_docs.limit(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(span_docs.schema).parquet(src)
+        with _pt.raises(ValueError, match="rebuild"):
+            decontaminated_stream(stream, None, "text", "doc_id",
+                                  lambda df, bid: None, k=7,
+                                  ref_grams=grams)
+
     def test_excise_spans(self, span_docs):
         spans = dedup.duplicated_spans(span_docs, "text", "doc_id", k=6)
         out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
