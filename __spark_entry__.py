@@ -5246,21 +5246,34 @@ _SQL_ROLLING_CORR_COV = """
                                  - CAST(event_id % 89 AS DOUBLE) / 128
                        END AS y
                 FROM events
+            ), anch AS (
+                -- r15: the engine subtracts a per-group pair-complete
+                -- min anchor before the windowed sums (shift-invariant
+                -- robustness); anchored dyadics are still dyadic so
+                -- the sums stay exact and bit-identical
+                SELECT *,
+                       min(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                                THEN x END)
+                           OVER (PARTITION BY event_type) AS ax,
+                       min(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                                THEN y END)
+                           OVER (PARTITION BY event_type) AS ay
+                FROM base
             ), s AS (
                 SELECT event_id, event_type, x, y,
                        count(CASE WHEN x IS NOT NULL AND y IS NOT NULL
                                   THEN 1 END) OVER w AS n,
                        sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
-                                THEN x END) OVER w AS sx,
+                                THEN x - ax END) OVER w AS sx,
                        sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
-                                THEN y END) OVER w AS sy,
+                                THEN y - ay END) OVER w AS sy,
                        sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
-                                THEN x * y END) OVER w AS sxy,
+                                THEN (x - ax) * (y - ay) END) OVER w AS sxy,
                        sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
-                                THEN x * x END) OVER w AS sxx,
+                                THEN (x - ax) * (x - ax) END) OVER w AS sxx,
                        sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
-                                THEN y * y END) OVER w AS syy
-                FROM base
+                                THEN (y - ay) * (y - ay) END) OVER w AS syy
+                FROM anch
                 WINDOW w AS (PARTITION BY event_type ORDER BY event_id
                              ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
             )

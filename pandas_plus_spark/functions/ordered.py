@@ -1360,6 +1360,10 @@ def _grouped_running_pair(df, gnames, order_by, x: str, y: str,
     the five pairwise prefix sums ``__Sx/__Sy/__Sxy/__Sxx/__Syy`` over
     PAIRWISE-COMPLETE rows — the pair analog of
     :func:`_grouped_running` for difference-based rolling cov/corr.
+    The sums are of per-group ANCHORED values (x − min, y − min over
+    the group's pair-complete rows — r15): cov/corr are shift-
+    invariant, and anchoring keeps the prefix sums spread-sized so
+    large common offsets cannot cancel catastrophically.
     Doubles throughout (cov/corr are float stats; the oracle gate's
     dyadic fixture keeps every sum exact anyway), so the
     partition-boundary offset merge is a plain coalesce-to-zero add —
@@ -1367,13 +1371,33 @@ def _grouped_running_pair(df, gnames, order_by, x: str, y: str,
     gcols = [F.col(c) for c in gnames]
     ocols = _order_cols(order_by)
     n = _resolve_partitions(df, num_partitions)
-    rp = df.repartitionByRange(n, *gcols, *ocols).withColumn(
-        "__pid", F.spark_partition_id())
     xc, yc = F.col(x).cast("double"), F.col(y).cast("double")
     both = xc.isNotNull() & yc.isNotNull()
-    comps = {"Sx": F.when(both, xc), "Sy": F.when(both, yc),
-             "Sxy": F.when(both, xc * yc), "Sxx": F.when(both, xc * xc),
-             "Syy": F.when(both, yc * yc)}
+    # r15 numerical robustness: per-group pair-complete min anchors,
+    # the SAME values the window form subtracts (cov/corr are shift-
+    # invariant; unanchored, the prefix sums' Σxy − ΣxΣy/n cancellation
+    # returns garbage at large offsets). One extra map-side-combinable
+    # aggregate over (g, x, y) only; its output is group-count-sized —
+    # the few-huge-groups premise of this module — and is BROADCAST so
+    # the corpus-side range partitioning is untouched (an unhinted
+    # equi-join would reshuffle the corpus by group and defeat the
+    # repartitionByRange below).
+    anchors = df.groupBy(*gcols).agg(
+        F.min(F.when(both, xc)).alias("__ax"),
+        F.min(F.when(both, yc)).alias("__ay")).select(
+        *[F.col(g).alias(f"__ag_{i}") for i, g in enumerate(gnames)],
+        "__ax", "__ay")
+    acond = F.lit(True)
+    for i, g in enumerate(gnames):
+        acond = acond & F.col(g).eqNullSafe(F.col(f"__ag_{i}"))
+    rp = (df.join(F.broadcast(anchors), acond, "left")
+          .drop(*[f"__ag_{i}" for i in range(len(gnames))])
+          .repartitionByRange(n, *gcols, *ocols)
+          .withColumn("__pid", F.spark_partition_id()))
+    qx, qy = xc - F.col("__ax"), yc - F.col("__ay")
+    comps = {"Sx": F.when(both, qx), "Sy": F.when(both, qy),
+             "Sxy": F.when(both, qx * qy), "Sxx": F.when(both, qx * qx),
+             "Syy": F.when(both, qy * qy)}
     w_run = (Window.partitionBy("__pid", *gcols).orderBy(*ocols)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     w_rn = Window.partitionBy("__pid", *gcols).orderBy(*ocols)
@@ -1407,7 +1431,8 @@ def _grouped_running_pair(df, gnames, order_by, x: str, y: str,
         out = out.withColumn(
             f"__{k}", F.coalesce(F.col(f"__l{k}"), F.lit(0.0))
             + F.col(f"__o{k}"))
-    drop = (["__pid", "__lrn", "__lN", "__opid", "__orows", "__onn"]
+    drop = (["__pid", "__lrn", "__lN", "__opid", "__orows", "__onn",
+             "__ax", "__ay"]
             + [f"__l{k}" for k in _PAIR_SUMS]
             + [f"__o{k}" for k in _PAIR_SUMS]
             + [f"__og_{i}" for i in range(len(gnames))])

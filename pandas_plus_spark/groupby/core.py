@@ -1483,10 +1483,22 @@ class GroupBy:
         if min_periods is None:
             min_periods = 2 if window is None else window
 
-        def pair_expr(frame_w) -> Column:
+        def pair_expr(frame_w, anchor_w) -> Column:
             xc, yc = F.col(x).cast("double"), F.col(y).cast("double")
             both = xc.isNotNull() & yc.isNotNull()
-            px, py = F.when(both, xc), F.when(both, yc)
+            # r15 numerical robustness: cov/corr are shift-invariant, so
+            # subtract a per-GROUP anchor (min over pair-complete rows —
+            # order-insensitive, same value the scale twin and the SQL
+            # oracle compute) before the windowed sums. Without it the
+            # Σxy − ΣxΣy/n cancellation loses ~2·log2(offset/spread)
+            # bits: values 1e12 + O(1) noise returned pure garbage
+            # (measured rel err ~1e38). Anchored, the sums are spread-
+            # sized and the error is ulp-scale again. Dyadic gate
+            # fixtures stay exact: anchored dyadics are still dyadic.
+            ax = F.min(F.when(both, xc)).over(anchor_w)
+            ay = F.min(F.when(both, yc)).over(anchor_w)
+            px = F.when(both, xc - ax)
+            py = F.when(both, yc - ay)
             n = F.count(F.when(both, F.lit(1))).over(frame_w)
             nn = n.cast("double")
             sx = F.sum(px).over(frame_w)
@@ -1504,11 +1516,12 @@ class GroupBy:
         out_col = f"{x}_{y}_{alias_suffix}"
         lo = (Window.unboundedPreceding if window is None
               else -(window - 1))
+        aw = Window.partitionBy(*self._keys)
         if mask is None:
             w = (Window.partitionBy(*self._keys)
                  .orderBy(*self._order_by)
                  .rowsBetween(lo, Window.currentRow))
-            return self._base().withColumn(out_col, pair_expr(w))
+            return self._base().withColumn(out_col, pair_expr(w, aw))
         base = self._base()
         mask_col = _col(mask)
         cum = (Window.partitionBy(*self._keys)
@@ -1521,7 +1534,7 @@ class GroupBy:
               .rowsBetween(lo, Window.currentRow))
         obs_aggs = (with_idx.filter(mask_col)
                     .select(*self._keys, "__obs_idx",
-                            pair_expr(ow).alias("__roll_pair")))
+                            pair_expr(ow, aw).alias("__roll_pair")))
         return (with_idx.join(obs_aggs, on=[*self._keys, "__obs_idx"],
                               how="left")
                 .withColumn(out_col, F.col("__roll_pair"))
@@ -1990,6 +2003,18 @@ class GroupBy:
         for c in cols:
             x = F.col(c).cast("double")
             nn = x.isNotNull()
+            if want_var:
+                # r15 numerical robustness: ewm var/std are shift-
+                # invariant — subtract a per-group min anchor before the
+                # weighted sums so sq/den − m² cannot cancel
+                # catastrophically at large common offsets (the mean
+                # path needs no anchor: a convex combination has no
+                # cancellation). The anchor rides as a column so the
+                # moments mean can add it back after the carry join.
+                df = df.withColumn(
+                    f"__a_{c}",
+                    F.min(x).over(Window.partitionBy(*self._keys)))
+                x = x - F.col(f"__a_{c}")
             if ignore_na:
                 # weight exponent counts the column's non-null steps
                 p = F.sum(nn.cast("long")).over(w_cum) - F.lit(1)
@@ -2077,7 +2102,9 @@ class GroupBy:
                 if stat == "std":
                     val = F.sqrt(val)
             if stat == "moments":
-                mean_val = F.when(den > F.lit(0.0), num / den)
+                # sums are of ANCHORED values — add the anchor back
+                mean_val = F.when(den > F.lit(0.0),
+                                  F.col(f"__a_{c}") + num / den)
                 out = (out.withColumn(
                     f"{c}_ewm", F.last(mean_val, ignorenulls=True).over(w_cum))
                     .withColumn(
@@ -2087,7 +2114,8 @@ class GroupBy:
                                *[f"__k_{i}" for i in range(len(self._keys))],
                                f"__c_{c}", f"__z_{c}", f"__zw_{c}",
                                f"__S_{c}", f"__W_{c}", f"__z2_{c}",
-                               f"__zw2_{c}", f"__S2_{c}", f"__W2_{c}")
+                               f"__zw2_{c}", f"__S2_{c}", f"__W2_{c}",
+                               f"__a_{c}")
                 continue
             out = out.withColumn(
                 c + suffix, F.last(val, ignorenulls=True).over(w_cum))
@@ -2097,7 +2125,7 @@ class GroupBy:
                     f"__S_{c}", f"__W_{c}"]
             if want_var:
                 drop += ["__pb", "__pw2", f"__z2_{c}", f"__zw2_{c}",
-                         f"__S2_{c}", f"__W2_{c}"]
+                         f"__S2_{c}", f"__W2_{c}", f"__a_{c}"]
             out = out.drop(*drop)
         return out
 

@@ -339,6 +339,87 @@ class TestRollingCorrCov:
             else:
                 assert m is not None and abs(m - v) < 1e-12, o
 
+    def test_large_offset_robustness(self, spark):
+        # r15 adversarial: values 1e12 + O(1) noise. The unanchored
+        # Σxy − ΣxΣy/n decomposition returned pure garbage here
+        # (measured rel err ~1e38; pandas' own rolling().cov() ships
+        # ~1e8 absolute error and even float64 np.cov is only good to
+        # ~5e-6 relative on this fixture), so the reference is a
+        # FLOAT128 mean-subtracted direct computation. Per-group min
+        # anchoring must hold both forms to ~1e-9 relative (measured
+        # ~1e-13).
+        import numpy as np
+        import pandas as pd
+
+        from pandas_plus_spark.functions.ordered import grouped_rolling_cov
+        from pandas_plus_spark.groupby import GroupBy
+        rng = np.random.RandomState(7)
+        n, w = 200, 20
+        pdf = pd.DataFrame({
+            "g": ["a"] * n, "o": np.arange(n),
+            "x": 1e12 + rng.randn(n),
+            "y": 1e12 + 0.5 * rng.randn(n) + 0.3 * rng.randn(n)})
+        xs = pdf["x"].values.astype(np.float128)
+        ys = pdf["y"].values.astype(np.float128)
+        ref_cov = np.full(n, np.nan)
+        ref_corr = np.full(n, np.nan)
+        for t in range(w - 1, n):
+            sx, sy = xs[t - w + 1:t + 1], ys[t - w + 1:t + 1]
+            dx, dy = sx - sx.mean(), sy - sy.mean()
+            cxy = np.sum(dx * dy) / (w - 1)
+            ref_cov[t] = float(cxy)
+            ref_corr[t] = float(cxy / np.sqrt(
+                (np.sum(dx * dx) / (w - 1)) * (np.sum(dy * dy) / (w - 1))))
+        df = spark.createDataFrame(pdf)
+        gb = GroupBy(df, "g", order_by="o")
+        got = gb.rolling_cov("x", "y", window=w, min_periods=w).orderBy(
+            "o").toPandas()["x_y_rolling_cov"].values
+        assert np.nanmax(np.abs(got - ref_cov)
+                         / np.abs(ref_cov)) < 1e-9
+        gotc = gb.rolling_corr("x", "y", window=w, min_periods=w).orderBy(
+            "o").toPandas()["x_y_rolling_corr"].values
+        assert np.nanmax(np.abs(gotc - ref_corr)) < 1e-9
+        gots = grouped_rolling_cov(
+            df, "g", "o", "x", "y", window=w, min_periods=w,
+            num_partitions=4).orderBy("o").toPandas()[
+            "x_y_rolling_cov"].values
+        assert np.nanmax(np.abs(gots - ref_cov)
+                         / np.abs(ref_cov)) < 1e-9
+
+    def test_ewm_var_large_offset(self, spark):
+        # ewm var/std share the cancellation class; anchored scan must
+        # hold ~1e-6 at 1e12 offsets where pandas' own ewm().var() is
+        # ~2e-4 off the stable direct computation. The moments mean
+        # (anchored sums + add-back) must stay exact-scale too.
+        import numpy as np
+        import pandas as pd
+
+        from pandas_plus_spark.groupby import GroupBy
+        rng = np.random.RandomState(11)
+        n, alpha = 250, 0.1
+        xs = 1e12 + rng.randn(n)
+        pdf = pd.DataFrame({"g": ["a"] * n, "o": np.arange(n), "x": xs})
+        r = 1 - alpha
+        ref = np.full(n, np.nan)
+        for t in range(1, n):
+            wts = r ** np.arange(t, -1, -1.0)
+            m = np.sum(wts * xs[:t + 1]) / np.sum(wts)
+            w1, w2 = np.sum(wts), np.sum(wts * wts)
+            if w1 * w1 > w2:
+                ref[t] = (w1 * w1 / (w1 * w1 - w2)
+                          * np.sum(wts * (xs[:t + 1] - m) ** 2) / w1)
+        gb = GroupBy(spark.createDataFrame(pdf), "g", order_by="o")
+        got = gb.ewm_var("x", alpha=alpha).orderBy("o").toPandas()[
+            "x_ewm_var"].values
+        assert np.nanmax(np.abs(got[1:] - ref[1:])
+                         / np.abs(ref[1:])) < 1e-6
+        mom = gb.ewm_moments("x", alpha=alpha).orderBy("o").toPandas()
+        ref_m = pdf["x"].ewm(alpha=alpha).mean().values
+        assert np.nanmax(np.abs(mom["x_ewm"].values - ref_m)
+                         / np.abs(ref_m)) < 1e-12
+        assert np.nanmax(np.abs(mom["x_ewm_var"].values[1:] - ref[1:])
+                         / np.abs(ref[1:])) < 1e-6
+
     def test_scale_form_carries_cache_handle(self, spark):
         # r15 advisory: the prefix pass persists an intermediate; the
         # final join must re-attach _pps_cached so release_cached on
