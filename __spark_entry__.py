@@ -1724,6 +1724,44 @@ def _q_decontaminate(spark, sf):
                                hash_fn="poly")
 
 
+def _q_decontaminate_drop(spark, sf):
+    """Whole-document contamination policy (r15 —
+    dedup.decontaminate_drop over dedup.contamination_stats): documents
+    whose contaminated-token fraction is >= 0.5 are DROPPED, the rest
+    pass through with per-doc accounting. Same class-block fixture as
+    the decontaminate gate, so everything is closed-form: contaminated
+    tokens = the block length 8 + (doc_id%10)%5, total tokens = block +
+    filler (3 + doc_id%5) + trailer (4 + doc_id%3), and the fraction
+    spans ~0.32..0.8 so threshold 0.5 splits the corpus nontrivially.
+    The shipped contamination is ONE IEEE division of identical longs
+    in both engines — bit-exact."""
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 400).select("doc_id"))
+    did = F.col("doc_id")
+    cls = did % 10
+
+    def toks(prefix, idc, n):
+        return F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: F.concat(F.lit(prefix), idc.cast("string"),
+                               F.lit("x"), j.cast("string")))
+
+    text = F.concat_ws(" ", F.concat(
+        toks("f", did, F.lit(3) + did % 5),
+        toks("b", cls, F.lit(8) + cls % 5),
+        toks("g", did, F.lit(4) + did % 3)))
+    fixture = docs.select("doc_id", text.alias("text"))
+    ref = (load_table(spark, sf, "documents")
+           .where(F.col("doc_id") < 10).select("doc_id")
+           .select("doc_id", F.concat_ws(
+               " ", toks("b", F.col("doc_id"),
+                         F.lit(8) + F.col("doc_id") % 5)).alias("text")))
+    out = dedup.decontaminate_drop(fixture, ref, "text", "doc_id",
+                                   threshold=0.5, k=6, hash_fn="poly")
+    return out.select("doc_id", "n_tokens", "contaminated_tokens",
+                      "contamination")
+
+
 def _q_streaming_decontaminate(spark, sf):
     """Streaming benchmark decontamination (r14 —
     streaming/dedup.decontaminated_stream, the continuous-ingestion
@@ -5026,6 +5064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # are inserted at the head as they land, displacing the newest
         # r12 fills into the r16 window (r12 entries are 3 rounds old
         # at r15, due r16 — greedy sim stays feasible).
+        # new r15 entries (never driver-verified — must sit in the
+        # window):
+        "decontaminate_drop": _q_decontaminate_drop,
         # last driver-green r11 (due now):
         "bpe_roundtrip": _q_bpe_roundtrip,
         "doc_chunks": _q_doc_chunks,
@@ -7116,6 +7157,26 @@ def oracle_sql() -> dict[str, str]:
         # streaming replay must equal the same closed form:
         "streaming_decontaminate": _SQL_DECONTAMINATE,
         "decontaminate": _SQL_DECONTAMINATE,
+        "decontaminate_drop": """
+            -- closed-form per-doc accounting on the class-block
+            -- fixture: contaminated tokens = the whole block, total =
+            -- filler + block + trailer; survivors have fraction < 0.5.
+            -- ONE IEEE division of identical longs in both engines.
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(3 + doc_id % 5 AS BIGINT)
+                         + CAST(8 + (doc_id % 10) % 5 AS BIGINT)
+                         + CAST(4 + doc_id % 3 AS BIGINT) AS n_tokens,
+                       CAST(8 + (doc_id % 10) % 5 AS BIGINT)
+                           AS contaminated_tokens
+                FROM documents WHERE doc_id < 400
+            )
+            SELECT doc_id, n_tokens, contaminated_tokens,
+                   CAST(contaminated_tokens AS DOUBLE) / n_tokens
+                       AS contamination
+            FROM t
+            WHERE CAST(contaminated_tokens AS DOUBLE) / n_tokens < 0.5
+        """,
         "ess_excision": """
             -- composed ESS -> excision, closed-form: the planted run is
             -- each doc's ONLY cross-doc content, so clean_text is the

@@ -1024,6 +1024,78 @@ def decontaminate(
     return excise_spans(df, spans, text_col, id_col)
 
 
+def contamination_stats(
+    df: DataFrame,
+    ref: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 6,
+    hash_fn: str = "xxhash64",
+    ref_text_col: str | None = None,
+    ref_grams: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document contamination accounting vs a benchmark: ``(id_col,
+    n_tokens, contaminated_tokens, contamination)`` for EVERY document
+    (0 / 0.0 when nothing is flagged). ``contaminated_tokens`` is the
+    token mass under :func:`contaminated_spans`' merged spans (spans
+    are non-overlapping by construction, so a plain sum is exact);
+    ``contamination`` the fraction of the document's tokens. The spans
+    frame is result-sized and the per-doc sum is a tiny aggregate, so
+    the cost over :func:`contaminated_spans` is one AQE-broadcastable
+    join back to the corpus."""
+    spans = contaminated_spans(df, ref, text_col, id_col, k=k,
+                               hash_fn=hash_fn, ref_text_col=ref_text_col,
+                               ref_grams=ref_grams)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start"))
+        .cast("long").alias("__ctk"))
+    tk = simple_tokens(F.col(text_col))
+    out = (df.join(per_doc, id_col, "left")
+           .select(*df.columns,
+                   F.size(tk).cast("long").alias("n_tokens"),
+                   F.coalesce(F.col("__ctk"), F.lit(0)).cast("long")
+                   .alias("contaminated_tokens"))
+           .withColumn(
+               "contamination",
+               F.when(F.col("n_tokens") > 0,
+                      F.col("contaminated_tokens").cast("double")
+                      / F.col("n_tokens")).otherwise(F.lit(0.0))))
+    return attach_cached(out, *getattr(spans, "_pps_cached", ()))
+
+
+def decontaminate_drop(
+    df: DataFrame,
+    ref: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    k: int = 6,
+    hash_fn: str = "xxhash64",
+    ref_text_col: str | None = None,
+    ref_grams: DataFrame | None = None,
+) -> DataFrame:
+    """Whole-document contamination policy (r15 — the blunter
+    production alternative to span excision): DROP every document whose
+    contaminated-token fraction is ``>= threshold``, pass the rest
+    through with the :func:`contamination_stats` columns attached. Span
+    excision (:func:`decontaminate`) preserves clean remainders;
+    dropping is what pipelines choose when a heavily-overlapping
+    document is more likely benchmark-derived than coincidentally
+    overlapping (GPT-3 appendix C drops whole documents). Same scale
+    shape as the stats pass — the filter is a JVM predicate.
+    ``threshold=0`` drops every document with ANY flagged gram."""
+    if not (0.0 <= threshold <= 1.0):
+        raise ValueError("threshold must be in [0, 1]")
+    stats = contamination_stats(df, ref, text_col, id_col, k=k,
+                                hash_fn=hash_fn, ref_text_col=ref_text_col,
+                                ref_grams=ref_grams)
+    return stats.where(F.col("contamination") < F.lit(float(threshold))
+                       if threshold > 0
+                       else F.col("contaminated_tokens") == 0)
+
+
 def excise_spans(
     df: DataFrame,
     spans: DataFrame,

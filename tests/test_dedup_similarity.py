@@ -1290,6 +1290,37 @@ class TestDuplicatedSpans:
         plan3 = spans3._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastExchange" in plan3
 
+    def test_contamination_stats_and_drop(self, spark):
+        # r15: per-doc accounting + the whole-document drop policy.
+        # doc 0: fully contaminated (ref quote only); doc 1: half; doc
+        # 2: clean. threshold picks survivors; threshold=0 drops ANY
+        # flagged doc but keeps clean ones.
+        ref = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+             (11, "alpha beta gamma delta epsilon zeta eta theta "
+                  "own words here that are not in the ref at all"),
+             (12, "completely clean document nothing shared anywhere")],
+            "doc_id long, text string")
+        stats = {r["doc_id"]: (r["n_tokens"], r["contaminated_tokens"])
+                 for r in dedup.contamination_stats(
+                     corpus, ref, "text", "doc_id", k=6).collect()}
+        assert stats[10] == (8, 8)
+        assert stats[11][0] == 19 and stats[11][1] == 8
+        assert stats[12] == (9, 0)
+        kept = {r["doc_id"] for r in dedup.decontaminate_drop(
+            corpus, ref, "text", "doc_id", threshold=0.5, k=6).collect()}
+        assert kept == {11, 12}
+        kept0 = {r["doc_id"] for r in dedup.decontaminate_drop(
+            corpus, ref, "text", "doc_id", threshold=0.0, k=6).collect()}
+        assert kept0 == {12}
+        import pytest as _pt
+        with _pt.raises(ValueError, match="threshold"):
+            dedup.decontaminate_drop(corpus, ref, "text", "doc_id",
+                                     threshold=1.5)
+
     def test_ref_grams_stamp_enforced(self, spark, span_docs, tmp_path):
         # r15: build_ref_grams stamps k/hash_fn as __g column metadata
         # (parquet round-trip preserved); consumers raise on mismatch
