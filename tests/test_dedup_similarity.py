@@ -1309,7 +1309,7 @@ class TestDuplicatedSpans:
                      corpus, ref, "text", "doc_id", k=6).collect()}
         assert stats[10] == (8, 8)
         assert stats[11][0] == 19 and stats[11][1] == 8
-        assert stats[12] == (9, 0)
+        assert stats[12] == (6, 0)
         kept = {r["doc_id"] for r in dedup.decontaminate_drop(
             corpus, ref, "text", "doc_id", threshold=0.5, k=6).collect()}
         assert kept == {11, 12}
