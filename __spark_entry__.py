@@ -4563,6 +4563,42 @@ def _q_temperature_mixture(spark, sf):
                  F.sum("doc_id").alias("id_checksum")))
 
 
+_EPOCH_RECIPE = {f"src{i}": 0.3 + 0.35 * i for i in range(20)}
+_EPOCH_TARGET = {"src0": 0.25, "src1": 0.25, "src2": 0.125, "src3": 0.375}
+
+
+def _q_epoch_mixture(spark, sf):
+    """Deterministic fractional-epoch materialization (r15 —
+    sampling.epoch_mixture, the upsampling complement to
+    temperature_mixture): source s with epoch factor e emits floor(e)
+    full copies of every row plus an affine-hash-selected e − floor(e)
+    partial copy — the LLaMA-style data-recipe layout. The recipe spans
+    0.3..6.95 epochs across the 20 sources, so the gate exercises
+    drop-fraction, pure-fractional, integer and multi-copy regimes;
+    shipping the materialized (doc_id, source, epoch) rows pins exactly
+    WHICH copies exist. Map-side only: broadcast recipe + explode, no
+    shuffle."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    out = sampling.epoch_mixture(docs, "source", "doc_id",
+                                 _EPOCH_RECIPE, seed=5)
+    return out.select("doc_id", "source", "epoch")
+
+
+def _q_epoch_plan(spark, sf):
+    """Per-source data-recipe plan (r15 — sampling.epochs_for_target):
+    token counts, natural vs target share, and the epoch factor
+    target·budget/n_tokens each source needs to hit a 10M-token mix —
+    one tiny aggregate + a broadcast target map; sources absent from
+    the target get 0 epochs. All shipped doubles are single-expression
+    divisions of identical operands in both engines."""
+    docs = load_table(spark, sf, "documents")
+    out = sampling.epochs_for_target(docs, "source", "n_chars",
+                                     _EPOCH_TARGET,
+                                     budget_tokens=10_000_000)
+    return out.select("source", "n_tokens", "natural_frac",
+                      "target_frac", "epochs")
+
+
 def _q_semantic_keep_list(spark, sf):
     """Embedding-space dedup keep-list (similarity.semantic_dedup_keep_list):
     cosine near-dup pairs at 0.30 → connected components → keep = cluster
@@ -5067,6 +5103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r15 entries (never driver-verified — must sit in the
         # window):
         "decontaminate_drop": _q_decontaminate_drop,
+        "epoch_mixture": _q_epoch_mixture,
+        "epoch_plan": _q_epoch_plan,
         # last driver-green r11 (due now):
         "bpe_roundtrip": _q_bpe_roundtrip,
         "doc_chunks": _q_doc_chunks,
@@ -7157,6 +7195,47 @@ def oracle_sql() -> dict[str, str]:
         # streaming replay must equal the same closed form:
         "streaming_decontaminate": _SQL_DECONTAMINATE,
         "decontaminate": _SQL_DECONTAMINATE,
+        "epoch_mixture": f"""
+            -- same recipe VALUES, same affine uniform, same
+            -- floor/fraction split: epoch < floor(e) keeps the full
+            -- copies, the last copy keeps iff u < e - floor(e). The
+            -- copy fan-out is a static series join bounded by the
+            -- recipe's max ceil(e) (no unnest — DuckDB 1.x hits an
+            -- internal binder error on unnest(range) inside this CTE
+            -- chain).
+            WITH e(src, e) AS (VALUES {", ".join(
+                f"('{k}', {v!r})" for k, v in _EPOCH_RECIPE.items())}),
+            s(epoch) AS (VALUES {", ".join(
+                f"({i})" for i in range(int(__import__('math').ceil(
+                    max(_EPOCH_RECIPE.values())))))}),
+            x AS (
+                SELECT d.doc_id, d.source, e.e,
+                       CAST(s.epoch AS BIGINT) AS epoch
+                FROM documents d
+                JOIN e ON d.source = e.src
+                JOIN s ON s.epoch < ceil(e.e)
+                WHERE e.e > 0
+            )
+            SELECT doc_id, source, epoch
+            FROM x
+            WHERE epoch < floor(e)
+               OR {sampling.sql_affine_uniform("doc_id", seed=5)}
+                  < e - floor(e)
+        """,
+        "epoch_plan": f"""
+            WITH t(source, target_frac) AS (VALUES {", ".join(
+                f"('{k}', {v!r})" for k, v in _EPOCH_TARGET.items())}),
+            c AS (
+                SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS T FROM c)
+            SELECT c.source, c.n_tokens,
+                   CAST(c.n_tokens AS DOUBLE) / tot.T AS natural_frac,
+                   coalesce(t.target_frac, 0.0) AS target_frac,
+                   coalesce(t.target_frac, 0.0) * 10000000.0 / c.n_tokens
+                       AS epochs
+            FROM c LEFT JOIN t USING (source) CROSS JOIN tot
+        """,
         "decontaminate_drop": """
             -- closed-form per-doc accounting on the class-block
             -- fixture: contaminated tokens = the whole block, total =

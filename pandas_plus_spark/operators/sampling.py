@@ -280,6 +280,91 @@ def sql_temperature_mixture_probs(source_col: str, table: str,
     """
 
 
+def epochs_for_target(
+    df: DataFrame,
+    source_col,
+    token_col,
+    target: dict,
+    budget_tokens: int,
+) -> DataFrame:
+    """The per-source data-recipe plan: ``(source, n_tokens,
+    natural_frac, target_frac, epochs)`` where ``epochs = target_frac ·
+    budget / n_tokens`` — how many times each source must be replayed
+    (fractionally) so the materialized mix hits ``target`` shares in a
+    ``budget_tokens`` training run. The LLaMA-style recipe table
+    (Wikipedia 2.45 epochs, CommonCrawl 0.64, ...) as one tiny
+    map-side-combinable aggregate; sources absent from ``target`` get
+    0. Feed the ``epochs`` column (collected — it is sources-sized)
+    to :func:`epoch_mixture` to materialize the plan."""
+    spark = df.sparkSession
+    counts = df.groupBy(_c(source_col).alias("source")).agg(
+        F.sum(_c(token_col).cast("long")).alias("n_tokens"))
+    tmap = spark.createDataFrame(
+        [(k, float(v)) for k, v in target.items()],
+        "source string, target_frac double")
+    tot = counts.agg(F.sum("n_tokens").alias("__T"))
+    return (counts.join(F.broadcast(tmap), "source", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "source", "n_tokens",
+                (F.col("n_tokens").cast("double") / F.col("__T"))
+                .alias("natural_frac"),
+                F.coalesce("target_frac", F.lit(0.0)).alias("target_frac"),
+                (F.coalesce("target_frac", F.lit(0.0))
+                 * F.lit(float(budget_tokens))
+                 / F.col("n_tokens")).alias("epochs")))
+
+
+def epoch_mixture(
+    df: DataFrame,
+    source_col,
+    key,
+    epochs: dict,
+    *,
+    default_epochs: float = 1.0,
+    seed: int = 0,
+    string_key: bool = False,
+) -> DataFrame:
+    """Deterministic fractional-EPOCH materialization — the upsampling
+    complement to :func:`temperature_mixture` (which only downsamples):
+    source ``s`` with epoch factor ``e`` emits ``floor(e)`` full copies
+    of every row plus a hash-selected ``e − floor(e)`` fraction as the
+    final partial copy, so the expected emitted share of each source is
+    exactly ``e`` epochs (the LLaMA/data-recipe layout: repeat
+    high-quality small sources, fractionally sample the big ones).
+    Output = the input columns plus ``epoch`` (0-based copy index);
+    ``e ≤ 0`` drops the source. Selection is
+    ``affine_uniform(key, seed)`` — a pure function of the data, so the
+    SAME rows replicate on any cluster/partition layout, and downstream
+    shuffles treat copies as ordinary rows.
+
+    Scale shape: the epochs table broadcasts (sources-sized), the copy
+    fan-out is a map-side ``explode`` over a ≤ ``ceil(e)``-element
+    sequence, and nothing shuffles — cost is proportional to the
+    EMITTED corpus, the unavoidable floor for a materialized mix.
+    (Pipelines that can consume weights instead of materialized copies
+    should prefer :func:`epochs_for_target`'s plan directly.)"""
+    spark = df.sparkSession
+    emap = spark.createDataFrame(
+        [(k, float(v)) for k, v in epochs.items()],
+        "__src string, __e double")
+    sc = _c(source_col)
+    d2 = (df.join(F.broadcast(emap), sc == F.col("__src"), "left")
+          .withColumn("__e", F.coalesce("__e",
+                                        F.lit(float(default_epochs)))))
+    arr = F.when(
+        F.col("__e") > 0,
+        F.sequence(F.lit(0).cast("long"),
+                   F.ceil("__e").cast("long") - F.lit(1)))
+    u = affine_uniform(key, seed, string_key=string_key)
+    out = (d2.select(*df.columns, "__e",
+                     F.explode(arr).alias("epoch"))
+           .where((F.col("epoch") < F.floor("__e"))
+                  | (u < F.col("__e") - F.floor("__e")))
+           .drop("__e"))
+    return out
+
+
 def global_sample_n(df: DataFrame, n: int, key, seed: int = 0, *,
                     string_key: bool = False) -> DataFrame:
     """Deterministic global sample of EXACTLY ``min(n, count)`` rows: the n

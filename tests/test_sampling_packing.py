@@ -409,6 +409,66 @@ class TestTemperatureMixture:
         assert again == by
 
 
+class TestEpochMixture:
+    def test_copies_and_fractions(self, spark):
+        # e=2.5 -> 2 full copies always + ~half the rows a third copy;
+        # e=0.4 -> ~40% of rows once; e=3.0 -> exactly 3 copies;
+        # e=0 -> dropped; unlisted source -> default_epochs
+        import pyspark.sql.functions as F
+
+        from pandas_plus_spark.operators.sampling import epoch_mixture
+        rows = [(i, ["rep", "frac", "full", "gone", "other"][i % 5])
+                for i in range(5000)]
+        df = spark.createDataFrame(rows, "id long, src string")
+        out = epoch_mixture(df, "src", "id",
+                            {"rep": 2.5, "frac": 0.4, "full": 3.0,
+                             "gone": 0.0}, seed=9)
+        by = {(r["src"], r["epoch"]): r["n"] for r in
+              out.groupBy("src", "epoch")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert by[("rep", 0)] == by[("rep", 1)] == 1000
+        assert 300 < by[("rep", 2)] < 700
+        assert 250 < by[("frac", 0)] < 550 and ("frac", 1) not in by
+        assert all(by[("full", e)] == 1000 for e in (0, 1, 2))
+        assert ("full", 3) not in by
+        assert not any(s == "gone" for s, _ in by)
+        assert by[("other", 0)] == 1000 and ("other", 1) not in by
+        # determinism: identical materialization on a re-run
+        again = {(r["src"], r["epoch"]): r["n"] for r in
+                 epoch_mixture(df, "src", "id",
+                               {"rep": 2.5, "frac": 0.4, "full": 3.0,
+                                "gone": 0.0}, seed=9)
+                 .groupBy("src", "epoch")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert again == by
+        # the fractional-copy row subset equals the u < frac selection
+        # (pure function of the data, not the partition layout)
+        re = epoch_mixture(df.repartition(17), "src", "id",
+                           {"rep": 2.5, "frac": 0.4, "full": 3.0,
+                            "gone": 0.0}, seed=9)
+        a = {(r["id"], r["epoch"]) for r in out.collect()}
+        b = {(r["id"], r["epoch"]) for r in re.collect()}
+        assert a == b
+
+    def test_epochs_for_target_plan(self, spark):
+        import pyspark.sql.functions as F
+
+        from pandas_plus_spark.operators.sampling import epochs_for_target
+        rows = [(i, "a" if i < 300 else "b", 10) for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, src string, tok long")
+        plan = {r["source"]: r for r in epochs_for_target(
+            df, "src", "tok", {"a": 0.5, "b": 0.5},
+            budget_tokens=4000).collect()}
+        assert plan["a"]["n_tokens"] == 3000
+        assert abs(plan["a"]["natural_frac"] - 0.75) < 1e-12
+        assert abs(plan["a"]["epochs"] - 2000 / 3000) < 1e-12
+        assert abs(plan["b"]["epochs"] - 2.0) < 1e-12
+        # a source missing from the target gets 0 epochs
+        plan2 = {r["source"]: r["epochs"] for r in epochs_for_target(
+            df, "src", "tok", {"a": 1.0}, budget_tokens=3000).collect()}
+        assert plan2["b"] == 0.0
+
+
 class TestPackFirstFit:
     @pytest.fixture(scope="class")
     def corpus(self, spark):
