@@ -130,38 +130,52 @@ def _greedy_merges(word_freq, vocab_size: int) -> list[tuple[bytes, bytes]]:
         for w in list(pair_words.get((pa, pb), ())):
             seq = seqs[w]
             f = word_freq[w]
+            delta = {}
+            n = len(seq)
+            for i in range(1, n):
+                p = (seq[i - 1], seq[i])
+                delta[p] = delta.get(p, 0) - 1
             out = []
             i = 0
-            while i < len(seq):
-                if (i + 1 < len(seq) and seq[i] == pa
+            while i < n:
+                if (i + 1 < n and seq[i] == pa
                         and seq[i + 1] == pb):
                     out.append(merged)
                     i += 2
                 else:
                     out.append(seq[i])
                     i += 1
-            new_seq = tuple(out)
-            seqs[w] = new_seq
-            old_pairs = Counter(zip(seq, seq[1:]))
-            new_pairs = Counter(zip(new_seq, new_seq[1:]))
-            for p in old_pairs.keys() | new_pairs.keys():
-                d = new_pairs.get(p, 0) - old_pairs.get(p, 0)
+            seqs[w] = tuple(out)
+            m = len(out)
+            for i in range(1, m):
+                p = (out[i - 1], out[i])
+                delta[p] = delta.get(p, 0) + 1
+            for p, d in delta.items():
                 if d == 0:
                     continue
-                c = pair_counts[p] + d * f
+                c = pair_counts.get(p, 0) + d * f
                 if c <= 0:
                     pair_counts.pop(p, None)
                 else:
                     pair_counts[p] = c
                     heapq.heappush(heap, (-c, p))
-                if new_pairs.get(p, 0) == 0:
-                    ws = pair_words.get(p)
-                    if ws is not None:
-                        ws.discard(w)
-                        if not ws:
-                            pair_words.pop(p, None)
-                elif old_pairs.get(p, 0) == 0:
-                    pair_words.setdefault(p, set()).add(w)
+            # membership transitions: a pair whose per-word count hit 0
+            # leaves the index; one that appeared joins. d < 0 can only
+            # reach 0 via the new-seq scan not re-adding it, so a full
+            # membership recheck is two set probes on the delta keys.
+            if delta:
+                new_pairs = set()
+                for i in range(1, m):
+                    new_pairs.add((out[i - 1], out[i]))
+                for p in delta:
+                    if p in new_pairs:
+                        pair_words.setdefault(p, set()).add(w)
+                    else:
+                        ws = pair_words.get(p)
+                        if ws is not None:
+                            ws.discard(w)
+                            if not ws:
+                                pair_words.pop(p, None)
         pair_counts.pop((pa, pb), None)
         pair_words.pop((pa, pb), None)
     return merges
