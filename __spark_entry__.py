@@ -1762,6 +1762,42 @@ def _q_decontaminate_drop(spark, sf):
                       "contamination")
 
 
+def _q_contamination_report(spark, sf):
+    """Per-benchmark-suite contamination report (r15 —
+    dedup.contamination_report): which eval suite each corpus document
+    overlaps, with span counts and token mass. Same class-block fixture
+    as the decontaminate gate, but the 10 benchmark blocks are labelled
+    into two suites (classes 0–4 → 'sa', 5–9 → 'sb'); every doc's only
+    ref-overlapping content is its own class block, so the closed form
+    is one row per doc: (doc_id, suite-of-its-class, n_spans=1,
+    contaminated_tokens = 8 + class%5)."""
+    docs = (load_table(spark, sf, "documents")
+            .where(F.col("doc_id") < 400).select("doc_id"))
+    did = F.col("doc_id")
+    cls = did % 10
+
+    def toks(prefix, idc, n):
+        return F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: F.concat(F.lit(prefix), idc.cast("string"),
+                               F.lit("x"), j.cast("string")))
+
+    text = F.concat_ws(" ", F.concat(
+        toks("f", did, F.lit(3) + did % 5),
+        toks("b", cls, F.lit(8) + cls % 5),
+        toks("g", did, F.lit(4) + did % 3)))
+    fixture = docs.select("doc_id", text.alias("text"))
+    ref = (load_table(spark, sf, "documents")
+           .where(F.col("doc_id") < 10).select("doc_id")
+           .select(F.when(F.col("doc_id") < 5, F.lit("sa"))
+                   .otherwise(F.lit("sb")).alias("suite"),
+                   F.concat_ws(" ", toks("b", F.col("doc_id"),
+                                         F.lit(8) + F.col("doc_id") % 5))
+                   .alias("text")))
+    return dedup.contamination_report(fixture, ref, "text", "doc_id",
+                                      k=6, hash_fn="poly")
+
+
 def _q_streaming_decontaminate(spark, sf):
     """Streaming benchmark decontamination (r14 —
     streaming/dedup.decontaminated_stream, the continuous-ingestion
@@ -5105,6 +5141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_drop": _q_decontaminate_drop,
         "epoch_mixture": _q_epoch_mixture,
         "epoch_plan": _q_epoch_plan,
+        "contamination_report": _q_contamination_report,
         # last driver-green r11 (due now):
         "bpe_roundtrip": _q_bpe_roundtrip,
         "doc_chunks": _q_doc_chunks,
@@ -7235,6 +7272,18 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(t.target_frac, 0.0) * 10000000.0 / c.n_tokens
                        AS epochs
             FROM c LEFT JOIN t USING (source) CROSS JOIN tot
+        """,
+        "contamination_report": """
+            -- closed form: each doc's only ref overlap is its class
+            -- block -> exactly one span, in the suite its class
+            -- belongs to, of the block's token length
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 < 5 THEN 'sa' ELSE 'sb' END
+                       AS suite,
+                   CAST(1 AS BIGINT) AS n_spans,
+                   CAST(8 + (doc_id % 10) % 5 AS BIGINT)
+                       AS contaminated_tokens
+            FROM documents WHERE doc_id < 400
         """,
         "decontaminate_drop": """
             -- closed-form per-doc accounting on the class-block

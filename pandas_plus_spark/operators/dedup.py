@@ -840,12 +840,16 @@ def _gram_hash_arrays(df: DataFrame, text_col: str, id_col: str,
     )
 
 
-def _merge_gram_positions(hits: DataFrame, id_col: str, k: int) -> DataFrame:
+def _merge_gram_positions(hits: DataFrame, id_col: str, k: int,
+                          extra_keys: list[str] = ()) -> DataFrame:
     """Merge flagged gram positions (id, pos) into maximal spans —
     positions with gap <= k chain into one ``[span_start, span_end)``
     interval; one per-document window (the shared tail of
-    :func:`duplicated_spans` / :func:`contaminated_spans`)."""
-    w = Window.partitionBy(id_col).orderBy("pos")
+    :func:`duplicated_spans` / :func:`contaminated_spans`).
+    ``extra_keys`` widens the merge grain (e.g. per benchmark suite in
+    :func:`contamination_report`)."""
+    keys = [id_col, *extra_keys]
+    w = Window.partitionBy(*keys).orderBy("pos")
     brk = F.when(
         F.coalesce(F.col("pos") - F.lag("pos").over(w), F.lit(k + 1)) > k,
         F.lit(1)).otherwise(F.lit(0))
@@ -853,11 +857,11 @@ def _merge_gram_positions(hits: DataFrame, id_col: str, k: int) -> DataFrame:
         hits.withColumn("__brk", brk)
         .withColumn("__lbl", F.sum("__brk").over(
             w.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy(id_col, "__lbl")
+        .groupBy(*keys, "__lbl")
         .agg(F.min("pos").cast("long").alias("span_start"),
              (F.max("pos") + k).cast("long").alias("span_end"),
              F.count(F.lit(1)).alias("n_grams"))
-        .select(id_col, "span_start", "span_end", "n_grams")
+        .select(*keys, "span_start", "span_end", "n_grams")
     )
 
 
@@ -1022,6 +1026,66 @@ def decontaminate(
                                hash_fn=hash_fn, ref_text_col=ref_text_col,
                                ref_grams=ref_grams)
     return excise_spans(df, spans, text_col, id_col)
+
+
+def contamination_report(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    suite_col: str = "suite",
+    k: int = 6,
+    hash_fn: str = "xxhash64",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Per-benchmark-suite contamination report (r15): production
+    decontamination runs against MANY eval suites at once and needs to
+    know WHICH benchmark each document overlaps — ``(id_col, suite,
+    n_spans, contaminated_tokens)``, one row per (document, suite) with
+    any flagged span. ``ref`` carries ``suite_col`` labelling each
+    benchmark row; a k-gram occurring in several suites flags the
+    document against each (span merge is per (doc, suite), so the same
+    contaminated region is reported under every suite it matches — the
+    report answers "is doc X unsafe for eval suite S", not "how many
+    distinct dirty tokens").
+
+    Scale shape mirrors :func:`contaminated_spans`: one corpus gram
+    pass, one test-set-sized per-suite DISTINCT gram frame, an equi-
+    join on the gram hash (the suite column rides along; same explode-
+    estimate broadcast bound as the single-suite semi-join), and the
+    per-(doc, suite) window merge. Cost over the single-suite operator
+    is the extra fan-out when grams match multiple suites — bounded by
+    suites-per-gram, not corpus size."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    grams = _gram_hash_arrays(df, text_col, id_col, k, hash_fn).select(
+        F.col(id_col), F.posexplode("__gs").alias("pos", "__g"))
+    # the suite label rides as the "id" of the gram pass (the helper
+    # projects to (id, __gs) — exactly the pair we need here)
+    norm = ref.select(F.col(suite_col).alias("__suite"),
+                      F.col(ref_text_col or text_col).alias("__rtext"))
+    ref_grams = (_gram_hash_arrays(norm, "__rtext", "__suite", k, hash_fn)
+                 .select("__suite", F.explode("__gs").alias("__g"))
+                 .distinct())
+    # same static-broadcast bound as contaminated_spans: the suite-gram
+    # frame comes from an explode whose Catalyst estimate is ~the
+    # pre-explode ref bytes — broadcast only when the ref is provably
+    # small, else pin a shuffle join and let AQE downgrade at runtime.
+    try:
+        size = int(ref._jdf.queryExecution().analyzed()
+                   .stats().sizeInBytes())
+    except Exception:
+        size = -1
+    small = 0 < size * 4 < (8 << 20) and size < (1 << 50)
+    ref_side = (F.broadcast(ref_grams) if small
+                else ref_grams.hint("merge"))
+    hits = grams.join(ref_side, "__g").select(id_col, "__suite", "pos")
+    spans = _merge_gram_positions(hits, id_col, k, extra_keys=["__suite"])
+    return (spans.groupBy(id_col, F.col("__suite").alias(suite_col))
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.col("span_end") - F.col("span_start"))
+                 .cast("long").alias("contaminated_tokens")))
 
 
 def contamination_stats(

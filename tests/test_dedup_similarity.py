@@ -1290,6 +1290,31 @@ class TestDuplicatedSpans:
         plan3 = spans3._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastExchange" in plan3
 
+    def test_contamination_report_multi_suite(self, spark):
+        # r15: a document overlapping grams from TWO suites is reported
+        # under both (the report answers per-suite safety, not distinct
+        # dirty tokens); clean docs emit no row
+        ref = spark.createDataFrame(
+            [("mmlu", "alpha beta gamma delta epsilon zeta"),
+             ("gsm", "one two three four five six seven"),
+             ("gsm", "alpha beta gamma delta epsilon zeta")],  # shared quote
+            "suite string, text string")
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta trailing words"),
+             (2, "intro one two three four five six seven"),
+             (3, "nothing from any benchmark suite in here at all")],
+            "doc_id long, text string")
+        rows = {(r["doc_id"], r["suite"]):
+                (r["n_spans"], r["contaminated_tokens"])
+                for r in dedup.contamination_report(
+                    corpus, ref, "text", "doc_id", k=6).collect()}
+        # doc 1's quote lives in BOTH suites -> two rows
+        assert rows[(1, "mmlu")] == (1, 6)
+        assert rows[(1, "gsm")] == (1, 6)
+        assert rows[(2, "gsm")] == (1, 7)
+        assert (2, "mmlu") not in rows
+        assert not any(d == 3 for d, _ in rows)
+
     def test_contamination_stats_and_drop(self, spark):
         # r15: per-doc accounting + the whole-document drop policy.
         # doc 0: fully contaminated (ref quote only); doc 1: half; doc
