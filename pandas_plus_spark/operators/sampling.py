@@ -346,9 +346,16 @@ def epoch_mixture(
     should prefer :func:`epochs_for_target`'s plan directly.)"""
     spark = df.sparkSession
     emap = spark.createDataFrame(
-        [(k, float(v)) for k, v in epochs.items()],
+        [(str(k), float(v)) for k, v in epochs.items()],
         "__src string, __e double")
     sc = _c(source_col)
+    if isinstance(source_col, str):
+        # a non-string source column (int domain ids, ...) must not be
+        # matched through Spark's implicit string cast — cast the
+        # recipe keys to the column's own type so 7 matches "7"
+        emap = emap.select(
+            F.col("__src").cast(df.schema[source_col].dataType)
+            .alias("__src"), "__e")
     d2 = (df.join(F.broadcast(emap), sc == F.col("__src"), "left")
           .withColumn("__e", F.coalesce("__e",
                                         F.lit(float(default_epochs)))))

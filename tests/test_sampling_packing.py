@@ -450,6 +450,19 @@ class TestEpochMixture:
         b = {(r["id"], r["epoch"]) for r in re.collect()}
         assert a == b
 
+    def test_integer_source_column(self, spark):
+        # r15: recipe keys are cast to the source column's own type, so
+        # an int domain id matches (no silent string-cast mismatch)
+        import pyspark.sql.functions as F
+
+        from pandas_plus_spark.operators.sampling import epoch_mixture
+        df = spark.createDataFrame([(i, i % 2) for i in range(100)],
+                                   "id long, dom int")
+        out = epoch_mixture(df, "dom", "id", {0: 2.0, 1: 0.0}, seed=1)
+        by = {r["dom"]: r["n"] for r in out.groupBy("dom")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert by == {0: 100}  # 50 rows x 2 epochs; domain 1 dropped
+
     def test_epochs_for_target_plan(self, spark):
         import pyspark.sql.functions as F
 
