@@ -4635,6 +4635,24 @@ def _q_epoch_plan(spark, sf):
                       "target_frac", "epochs")
 
 
+def _q_temperature_mixture_tokens(spark, sf):
+    """Token-mass temperature mixing (r15 — temperature_mixture
+    weight_col=): the per-source mass is the n_chars SUM, not the row
+    count, so the kept mix hits its temperature shares in token mass —
+    how production recipes are budgeted. Ships per-source kept counts,
+    kept token mass and an id checksum (which-rows determinism); the
+    keep probabilities differ from the row-count gate wherever sources'
+    mean doc lengths differ, so this exercises the weighted branch."""
+    docs = load_table(spark, sf, "documents")
+    kept = sampling.temperature_mixture(
+        docs, "source", "doc_id", alpha=0.3, budget_frac=0.4, seed=17,
+        weight_col="n_chars")
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").alias("kept_tokens"),
+                 F.sum("doc_id").alias("id_checksum")))
+
+
 def _q_semantic_keep_list(spark, sf):
     """Embedding-space dedup keep-list (similarity.semantic_dedup_keep_list):
     cosine near-dup pairs at 0.30 → connected components → keep = cluster
@@ -5142,6 +5160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_mixture": _q_epoch_mixture,
         "epoch_plan": _q_epoch_plan,
         "contamination_report": _q_contamination_report,
+        "temperature_mixture_tokens": _q_temperature_mixture_tokens,
         # last driver-green r11 (due now):
         "bpe_roundtrip": _q_bpe_roundtrip,
         "doc_chunks": _q_doc_chunks,
@@ -7272,6 +7291,21 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(t.target_frac, 0.0) * 10000000.0 / c.n_tokens
                        AS epochs
             FROM c LEFT JOIN t USING (source) CROSS JOIN tot
+        """,
+        "temperature_mixture_tokens": f"""
+            WITH {sampling.sql_temperature_mixture_probs(
+                "source", "documents", alpha=0.3, budget_frac=0.4,
+                weight_expr="n_chars")},
+            kept AS (
+                SELECT d.doc_id, d.source, d.n_chars
+                FROM documents d JOIN p USING (source)
+                WHERE {sampling.sql_affine_uniform("d.doc_id", seed=17)}
+                      < p.p
+            )
+            SELECT source, count(*) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS kept_tokens,
+                   CAST(sum(doc_id) AS BIGINT) AS id_checksum
+            FROM kept GROUP BY source
         """,
         "contamination_report": """
             -- closed form: each doc's only ref overlap is its class

@@ -230,6 +230,7 @@ def temperature_mixture(
     seed: int = 0,
     *,
     string_key: bool = False,
+    weight_col=None,
 ) -> DataFrame:
     """Temperature-based source re-mixing (the multilingual/multi-domain
     pretraining mix): source ``s`` with ``n_s`` rows gets mixture weight
@@ -238,14 +239,22 @@ def temperature_mixture(
     ``budget_frac · N`` total rows; each source keeps
     ``p_s = min(1, budget · w_s / n_s)`` of its rows (downsample-only — no
     row duplication), selected by ``affine_uniform(key, seed) < p_s`` so
-    the draw is deterministic and reproducible.
+    the draw is deterministic and reproducible. ``weight_col`` switches
+    the mass from ROW counts to a per-row weight (token counts, bytes):
+    ``n_s`` becomes the source's weight sum, so the mix hits its shares
+    in TOKEN mass — how production recipes are actually budgeted —
+    while the keep decision stays the same per-row uniform
+    (expected-mass budgeting; rows within a source keep uniformly).
+    For upsampling (epoch factors > 1) see :func:`epoch_mixture`.
 
     Plan shape: one tiny per-source count aggregate, a one-row total
     cross-joined in (broadcast), then a broadcast join of the
     sources-sized probability frame and a MAP-SIDE filter — the corpus
     itself is scanned once and never shuffled.
     """
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    mass = (F.count(F.lit(1)) if weight_col is None
+            else F.sum(_c(weight_col).cast("double")))
+    counts = df.groupBy(source_col).agg(mass.alias("__n"))
     # the totals frame derives FROM counts — alias both sides so the
     # cross join's column references resolve unambiguously
     tot = counts.agg(F.sum("__n").alias("__N"),
@@ -264,11 +273,15 @@ def temperature_mixture(
 
 
 def sql_temperature_mixture_probs(source_col: str, table: str,
-                                  alpha: float, budget_frac: float) -> str:
+                                  alpha: float, budget_frac: float,
+                                  weight_expr: str | None = None) -> str:
     """DuckDB CTE body computing the per-source keep probability ``p`` —
-    twin of the probability math in :func:`temperature_mixture`."""
+    twin of the probability math in :func:`temperature_mixture`.
+    ``weight_expr`` mirrors ``weight_col`` (token-mass budgeting)."""
+    n_expr = ("count(*)" if weight_expr is None
+              else f"sum(CAST({weight_expr} AS DOUBLE))")
     return f"""
-        c AS (SELECT {source_col}, count(*) AS n FROM {table} GROUP BY {source_col}),
+        c AS (SELECT {source_col}, {n_expr} AS n FROM {table} GROUP BY {source_col}),
         t AS (SELECT sum(n) AS tot_n,
                      sum(pow(CAST(n AS DOUBLE), {float(alpha)})) AS tot_z
               FROM c),

@@ -409,6 +409,40 @@ class TestTemperatureMixture:
         assert again == by
 
 
+class TestTemperatureMixtureTokens:
+    def test_weight_col_budgets_token_mass(self, spark):
+        # two sources, equal row counts, 10x different doc lengths:
+        # with alpha=1 + weight_col the keep PROBABILITY must equalize
+        # the TOKEN shares (long source keeps ~budget of its mass) —
+        # under row-count mass the same call keeps ~budget of ROWS per
+        # source instead, so kept-token shares differ materially
+        import pyspark.sql.functions as F
+
+        from pandas_plus_spark.operators.sampling import temperature_mixture
+        rows = [(i, "long" if i % 2 else "short",
+                 1000 if i % 2 else 100) for i in range(4000)]
+        df = spark.createDataFrame(rows, "id long, src string, tok long")
+        kept = temperature_mixture(df, "src", "id", alpha=1.0,
+                                   budget_frac=0.5, seed=7,
+                                   weight_col="tok")
+        by = {r["src"]: (r["n"], r["t"]) for r in
+              kept.groupBy("src").agg(
+                  F.count(F.lit(1)).alias("n"),
+                  F.sum("tok").alias("t")).collect()}
+        # alpha=1 + token mass: every source keeps ~50% of its tokens
+        assert 0.42 < by["long"][1] / 2_000_000 < 0.58
+        assert 0.42 < by["short"][1] / 200_000 < 0.58
+        # determinism across partition layouts
+        again = {r["src"]: (r["n"], r["t"]) for r in
+                 temperature_mixture(df.repartition(13), "src", "id",
+                                     alpha=1.0, budget_frac=0.5, seed=7,
+                                     weight_col="tok")
+                 .groupBy("src").agg(
+                     F.count(F.lit(1)).alias("n"),
+                     F.sum("tok").alias("t")).collect()}
+        assert again == by
+
+
 class TestEpochMixture:
     def test_copies_and_fractions(self, spark):
         # e=2.5 -> 2 full copies always + ~half the rows a third copy;
