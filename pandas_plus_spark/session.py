@@ -46,6 +46,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        # Let AQE re-size CACHED plan output too (default false): the
+        # engine's pipelines persist small-by-construction intermediates
+        # (LSH bucket entries, candidate pairs, vocabulary counts, prefix
+        # offsets) whose final exchange otherwise materializes at the full
+        # static shuffle-partition count — every downstream consumer then
+        # pays one micro-task per pinned partition. With AQE sizing the
+        # cache, partition count follows the DATA (advisory size at corpus
+        # scale, fewer tasks for small frames); CPU-heavy consumers keep
+        # their parallelism via util.ensure_parallelism. Measured r15
+        # (same-boot full-suite A/B at sf0.1, OPTIMIZATION_r15.md):
+        # headline 56.9 -> 50.6 s; minhash_neardup 6.7 -> 3.7 s,
+        # incremental_dedup_indexed 4.1 -> 2.8 s, token_budget 1.5 -> 0.7 s.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         # Arrow for pandas UDFs / toPandas — the only sanctioned Python path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Local fixtures are SINGLE small parquet files: at the default
@@ -62,6 +76,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # A/B experiment hook (r15 optimization protocol): extra confs as
+    # "k=v;k=v" — lets scripts/bench_pair.py boots differ by exactly one
+    # config without code edits. Production settings graduate into the
+    # explicit defaults above once a same-boot A/B justifies them.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     if rocksdb_state_store:
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass",
