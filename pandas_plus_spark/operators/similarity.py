@@ -190,8 +190,24 @@ def hyperplane_lsh_buckets(
     if hash_fn not in ("xxhash64", "poly"):
         raise ValueError(f"hash_fn must be 'xxhash64' or 'poly', got {hash_fn!r}")
     df = ensure_parallelism(df)
+    bucket = _hyperplane_bucket_expr(vec_col, n_planes, table, hash_fn)
+    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def _hyperplane_bucket_expr(vec_col: str, n_planes: int, table: int,
+                            hash_fn: str) -> Column:
+    """The n-bit sign-pattern bucket as a pure Column expression — shared
+    by :func:`hyperplane_lsh_buckets` (one table) and
+    :func:`lsh_candidate_pairs` (which fuses every table's bucket into ONE
+    pass over the vector corpus, r15). Each plane's projection is a single
+    left-fold ``acc + vec[d] * coeff(d)`` over the dimension index — the
+    same multiply-then-add per element, in the same order, as the previous
+    transform/zip_with/aggregate chain (bit-identical doubles, shared
+    oracle), but one interpreted HOF sweep per plane instead of three and
+    no per-row coefficient/product arrays."""
     vec = F.col(vec_col)
     dim = F.size(vec)
+    idx = F.sequence(F.lit(0), dim - 1)
 
     def proj(p: int) -> Column:
         if hash_fn == "poly":
@@ -203,24 +219,22 @@ def hyperplane_lsh_buckets(
                 v3 = F.pmod(F.pmod(v1 * 48271, F.lit(_POLY_M)) * 48271,
                             F.lit(_POLY_M))
                 return v3.cast("double") / F.lit(float(_POLY_M)) * 2.0 - 1.0
-
-            coeffs = F.transform(F.sequence(F.lit(0), dim - 1), coeff)
         else:
-            coeffs = F.transform(
-                F.sequence(F.lit(0), dim - 1),
-                lambda d: (F.pmod(F.xxhash64(F.lit(table), F.lit(p), d),
-                                  F.lit(2_000_001)).cast("double")
-                           / F.lit(1_000_000.0)) - F.lit(1.0),
-            )
-        return F.aggregate(F.zip_with(vec, coeffs, lambda x, c: x * c),
-                           F.lit(0.0), lambda acc, v: acc + v)
+            def coeff(d: Column) -> Column:
+                return (F.pmod(F.xxhash64(F.lit(table), F.lit(p), d),
+                               F.lit(2_000_001)).cast("double")
+                        / F.lit(1_000_000.0)) - F.lit(1.0)
+
+        return F.aggregate(
+            idx, F.lit(0.0),
+            lambda acc, d: acc + F.get(vec, d) * coeff(d))
 
     bucket = None
     for p in range(n_planes):
         bit = F.when(proj(p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = bit * F.lit(2 ** p).cast("long")
         bucket = term if bucket is None else bucket + term
-    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    return bucket
 
 
 def recommended_planes(n_rows: int, target_bucket_size: int = 1024) -> int:
@@ -270,12 +284,22 @@ def lsh_candidate_pairs(
     sampled out of one table's hot bucket usually co-buckets in another."""
     from .dedup import capped_pair_candidates
 
-    entries = None
-    for t in range(n_tables):
-        bt = (hyperplane_lsh_buckets(df, n_planes, id_col, vec_col, table=t,
-                                     hash_fn=hash_fn)
-              .withColumn("table", F.lit(t)))
-        entries = bt if entries is None else entries.unionByName(bt)
+    if hash_fn not in ("xxhash64", "poly"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'poly', got {hash_fn!r}")
+    # ONE pass over the vector corpus computes EVERY table's bucket and
+    # explodes to (id, bucket, table) — r15: the previous per-table
+    # hyperplane_lsh_buckets + unionByName chain scanned the corpus (and
+    # re-projected the vectors) n_tables times and produced a union whose
+    # partition count AQE cannot re-size. Same rows, same values (the
+    # bucket expression is shared), n_tables x fewer corpus passes.
+    df = ensure_parallelism(df)
+    tb = F.explode(F.array(*[
+        F.struct(_hyperplane_bucket_expr(vec_col, n_planes, t, hash_fn)
+                 .alias("bucket"),
+                 F.lit(t).alias("table"))
+        for t in range(n_tables)]))
+    entries = (df.select(F.col(id_col).alias("id"), tb.alias("tb"))
+               .select("id", "tb.bucket", "tb.table"))
     buckets = entries.persist()
     if max_bucket_size is not None:
         # cap + hub edges: quadratic cliques bounded, cluster
