@@ -2000,6 +2000,30 @@ class GroupBy:
         L = max(8, int(math.ceil(-17.0 * math.log(10.0) / math.log(r))))
         d1, d2 = float(r ** L), float(r ** (2 * L))
         df = base
+        # Materialize the weight exponent FIRST (r15 plan audit): emitted
+        # before the anchor-min windows, the row_number/count window is the
+        # plan's BOTTOM window, and its (keys, order) sort prefix-satisfies
+        # the anchor windows' keys-only clustering — anchor-first order
+        # forced an extra keys-only sort pass under the row_number sort
+        # (ewm_var_std plan: 3 sorts → 2). One shared column also replaces
+        # the six inlined copies of the same row_number expression the
+        # weight terms used to carry. Values are bit-identical — the same
+        # expressions, evaluated once.
+        if not ignore_na:
+            # every column shares the position exponent
+            p0 = F.row_number().over(w_pos).cast("long") - F.lit(1)
+            df = df.withColumn("__p", F.greatest(p0, F.lit(0)))
+            pcol = {c: "__p" for c in cols}
+        else:
+            pcol = {}
+            for c in cols:
+                # weight exponent counts the column's non-null steps;
+                # p < 0 only at leading-null rows (ffilled to null
+                # anyway) — clamp so pow/chunk math stays finite
+                nn = F.col(c).cast("double").isNotNull()
+                p0 = F.sum(nn.cast("long")).over(w_cum) - F.lit(1)
+                pcol[c] = f"__p_{c}"
+                df = df.withColumn(pcol[c], F.greatest(p0, F.lit(0)))
         for c in cols:
             x = F.col(c).cast("double")
             nn = x.isNotNull()
@@ -2015,14 +2039,7 @@ class GroupBy:
                     f"__a_{c}",
                     F.min(x).over(Window.partitionBy(*self._keys)))
                 x = x - F.col(f"__a_{c}")
-            if ignore_na:
-                # weight exponent counts the column's non-null steps
-                p = F.sum(nn.cast("long")).over(w_cum) - F.lit(1)
-            else:
-                p = F.row_number().over(w_pos).cast("long") - F.lit(1)
-            # p < 0 only at leading-null rows under ignore_na (ffilled
-            # to null anyway) — clamp so pow/chunk math stays finite
-            p = F.greatest(p, F.lit(0))
+            p = F.col(pcol[c])
             w1 = F.pow(F.lit(r), (F.lit(L - 1) - p % F.lit(L)).cast("double"))
             df = (df.withColumn(f"__c_{c}", F.floor(p / F.lit(L)))
                   .withColumn(f"__z_{c}", w1 * x)
@@ -2127,7 +2144,7 @@ class GroupBy:
                 drop += ["__pb", "__pw2", f"__z2_{c}", f"__zw2_{c}",
                          f"__S2_{c}", f"__W2_{c}", f"__a_{c}"]
             out = out.drop(*drop)
-        return out
+        return out.drop(*sorted(set(pcol.values())))
 
     def filter_groups(self, predicate: Column) -> DataFrame:
         """Rows of the groups whose AGGREGATE predicate holds — pandas
