@@ -2437,8 +2437,15 @@ def _q_interval_join(spark, sf):
 
 def _q_apply_zscore(spark, sf):
     """Per-group pandas UDF (applyInPandas) — z-score within group. The
-    escape hatch the reference exposes as GroupBy.apply (api.py:358-403)."""
-    li = load_table(spark, sf, "lineitem")
+    escape hatch the reference exposes as GroupBy.apply (api.py:358-403).
+    r15: project the four columns the UDF reads BEFORE grouping —
+    applyInPandas is a black box to Catalyst, so without the explicit
+    select the grouping exchange and the Arrow JVM→Python transfer carry
+    all 11 lineitem columns (l_comment dominating the bytes) for a
+    function that touches 4 (guide §4.2/§2.2; plan ReadSchema 11 → 4
+    columns). Output is identical."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
 
     def zscore(pdf):
         out = pdf[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
