@@ -220,6 +220,30 @@ class TestHyperplaneHotBucket:
             emb, n_planes=3, n_tables=4).collect()}
         assert guarded == base
 
+    def test_candidate_pairs_single_corpus_scan(self, spark, tmp_path):
+        """r15 fusion pin: lsh_candidate_pairs computes EVERY table's
+        bucket in ONE pass over the vector corpus (struct-array explode)
+        instead of n_tables hyperplane_lsh_buckets scans unioned. With a
+        parquet-backed corpus the unoptimized shape showed 2 x n_tables
+        source scans in the plan (both self-join sides x per-table union);
+        the fused shape shows at most 2 (the persisted single-scan entry
+        frame, printed once per join side)."""
+        path = str(tmp_path / "vecs.parquet")
+        spark.range(50).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(0.5), F.lit(-0.25), F.lit(0.125))
+            .alias("embedding")).write.parquet(path)
+        vecs = spark.read.parquet(path)
+        out = similarity.lsh_candidate_pairs(
+            vecs, n_planes=3, n_tables=self.TABLES, max_bucket_size=None)
+        try:
+            plan = out._jdf.queryExecution().optimizedPlan().toString()
+            n_scans = plan.count("Relation [")
+            assert 1 <= n_scans <= 2, f"expected <=2 corpus scans, plan:\n{plan}"
+        finally:
+            from pandas_plus_spark.util import release_cached
+            release_cached(out)
+
     def test_recommended_planes_contract(self):
         # planes = ceil(log2(n / target)), floored at 1
         assert similarity.recommended_planes(500, 1024) == 1
