@@ -5154,74 +5154,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inserted at the head as they land, displacing the newest r11
     # fills into the r15 window.
     return {
-        # --- r15 window head (driver samples the FIRST 50) ---
-        # r15 rotation: the 32 entries at the 4-round cadence bound
-        # (last driver-green r11) plus the 18 stalest r12 entries —
-        # pure rotation; registry 182, zero rows-only. New r15 entries
-        # are inserted at the head as they land, displacing the newest
-        # r12 fills into the r16 window (r12 entries are 3 rounds old
-        # at r15, due r16 — greedy sim stays feasible).
-        # new r15 entries (never driver-verified — must sit in the
-        # window):
-        "decontaminate_drop": _q_decontaminate_drop,
-        "epoch_mixture": _q_epoch_mixture,
-        "epoch_plan": _q_epoch_plan,
-        "contamination_report": _q_contamination_report,
-        "temperature_mixture_tokens": _q_temperature_mixture_tokens,
-        # last driver-green r11 (due now):
-        "bpe_roundtrip": _q_bpe_roundtrip,
-        "doc_chunks": _q_doc_chunks,
-        "embedding_quantize": _q_embedding_quantize,
-        "unigram_ppl": _q_unigram_ppl,
-        "frame_sample": _q_frame_sample,
-        "source_health": _q_source_health,
-        "cumsum": _q_cumsum,
-        "shift_masked": _q_shift_masked,
-        "observed_only_false": _q_observed_only_false,
-        "nation_revenue": _q_nation_revenue,
-        "asof_join": _q_asof_join,
-        "interval_join": _q_interval_join,
-        "apply_zscore": _q_apply_zscore,
-        "winnow_fingerprints": _q_winnow,
-        "sessionize": _q_sessionize,
-        "nanops_global": _q_nanops_global,
-        "pretty_cut_bins": _q_pretty_cut,
-        "bools_to_categorical": _q_bools_labels,
-        "linear_combination": _q_lincomb,
-        "dedup_exact": _q_dedup_exact,
-        "doc_token_stats": _q_token_stats,
-        "lang_id_pred": _q_lang_pred,
-        "quality_score": _q_quality,
-        "trigram_jaccard_pairs": _q_trigram_jaccard,
-        "knn_cosine": _q_knn,
-        "hll_merge_gate": _q_hll_merge_gate,
-        "lsh_skew_uncapped": _q_lsh_skew_uncapped,
-        "lsh_skew_capped": _q_lsh_skew_capped,
-        "lsh_recall": _q_lsh_recall,
-        "q18_large_orders": _q_q18_large_orders,
-        "plan_lint_gate": _q_plan_lint_gate,
-        "multimodal_image_meta": _q_multimodal_meta,
-        # stalest r12 fills (due r16; the first 18 complete the window):
-        "minhash_gate": _q_minhash_gate,
-        "simhash_gate": _q_simhash_gate,
-        "exact_substring_spans": _q_exact_substring_spans,
-        "link_graph_rank": _q_link_graph_rank,
-        "anchor_text_graph": _q_anchor_text_graph,
-        "media_meta": _q_media_meta,
-        "pdf_text_extract": _q_pdf_text_extract,
-        "group_rolling_time_scale": _q_group_rolling_time_scale,
-        "group_rolling_scale": _q_group_rolling_scale,
-        "group_rank_scale": _q_group_rank_scale,
-        "robots_filter": _q_robots_filter,
-        "outlink_graph": _q_outlink_graph,
-        "warc_ingest": _q_warc_ingest,
+        # --- r16 window head (driver samples the FIRST 50) ---
+        # r16 rotation: the 37 entries at the 4-round cadence bound
+        # (last driver-green r12) plus the 13 stalest r13 entries —
+        # pure rotation; registry 187, zero rows-only, zero new
+        # entries (r16 is an optimization round). Greedy sim stays
+        # feasible: r13 leftovers are due r17, r14 entries r18.
+        # last driver-green r12 (due now):
         "token_budget": _q_token_budget,
         "quantile_calibration": _q_quantile_calibration,
         "leakage_split": _q_leakage_split,
         "leakage_split_lsh": _q_leakage_split_lsh,
         "filter_groups": _q_filter_groups,
-        # --- below the window: remaining r12, then r13/r14 cohorts,
-        # least-recently-verified first ---
         "group_idxminmax": _q_group_idxminmax,
         "pct_change": _q_pct_change,
         "cumprod": _q_cumprod,
@@ -5267,6 +5211,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "ivf_index_gate": _q_ivf_index_gate,
         "quality_classifier": _q_quality_classifier,
+        # --- rotation tail (relative order preserved) ---
+        "decontaminate_drop": _q_decontaminate_drop,
+        "epoch_mixture": _q_epoch_mixture,
+        "epoch_plan": _q_epoch_plan,
+        "contamination_report": _q_contamination_report,
+        "temperature_mixture_tokens": _q_temperature_mixture_tokens,
+        "bpe_roundtrip": _q_bpe_roundtrip,
+        "doc_chunks": _q_doc_chunks,
+        "embedding_quantize": _q_embedding_quantize,
+        "unigram_ppl": _q_unigram_ppl,
+        "frame_sample": _q_frame_sample,
+        "source_health": _q_source_health,
+        "cumsum": _q_cumsum,
+        "shift_masked": _q_shift_masked,
+        "observed_only_false": _q_observed_only_false,
+        "nation_revenue": _q_nation_revenue,
+        "asof_join": _q_asof_join,
+        "interval_join": _q_interval_join,
+        "apply_zscore": _q_apply_zscore,
+        "winnow_fingerprints": _q_winnow,
+        "sessionize": _q_sessionize,
+        "nanops_global": _q_nanops_global,
+        "pretty_cut_bins": _q_pretty_cut,
+        "bools_to_categorical": _q_bools_labels,
+        "linear_combination": _q_lincomb,
+        "dedup_exact": _q_dedup_exact,
+        "doc_token_stats": _q_token_stats,
+        "lang_id_pred": _q_lang_pred,
+        "quality_score": _q_quality,
+        "trigram_jaccard_pairs": _q_trigram_jaccard,
+        "knn_cosine": _q_knn,
+        "hll_merge_gate": _q_hll_merge_gate,
+        "lsh_skew_uncapped": _q_lsh_skew_uncapped,
+        "lsh_skew_capped": _q_lsh_skew_capped,
+        "lsh_recall": _q_lsh_recall,
+        "q18_large_orders": _q_q18_large_orders,
+        "plan_lint_gate": _q_plan_lint_gate,
+        "multimodal_image_meta": _q_multimodal_meta,
+        "minhash_gate": _q_minhash_gate,
+        "simhash_gate": _q_simhash_gate,
+        "exact_substring_spans": _q_exact_substring_spans,
+        "link_graph_rank": _q_link_graph_rank,
+        "anchor_text_graph": _q_anchor_text_graph,
+        "media_meta": _q_media_meta,
+        "pdf_text_extract": _q_pdf_text_extract,
+        "group_rolling_time_scale": _q_group_rolling_time_scale,
+        "group_rolling_scale": _q_group_rolling_scale,
+        "group_rank_scale": _q_group_rank_scale,
+        "robots_filter": _q_robots_filter,
+        "outlink_graph": _q_outlink_graph,
+        "warc_ingest": _q_warc_ingest,
         "source_cap": _q_source_cap,
         "global_sample": _q_global_sample,
         "segment_revenue_bucketed": _q_segment_revenue_bucketed,
