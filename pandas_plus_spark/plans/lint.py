@@ -343,6 +343,25 @@ def lint(df: DataFrame) -> List[Finding]:
             "global-sort-of-scan", INFO,
             "global Sort over raw scan output with no aggregate/limit: "
             "full-corpus range shuffle"))
+    # Lineage-cut traversal (r16): util.lineage_cut truncates the visible
+    # plan at a LogicalRDD leaf, which would otherwise make everything
+    # BELOW the cut invisible to this linter. The engine stashes each
+    # pre-cut frame on the checkpointed handle (_pps_ckpt_src) and the
+    # handles ride the result (_pps_cached), so the sweep lints every
+    # segment of a cut pipeline — no blind spots.
+    seen = {id(df)}
+    stack = list(getattr(df, "_pps_cached", ()))
+    while stack:
+        f = stack.pop()
+        if id(f) in seen:
+            continue
+        seen.add(id(f))
+        stack.extend(getattr(f, "_pps_cached", ()))
+        src = getattr(f, "_pps_ckpt_src", None)
+        if src is not None and id(src) not in seen:
+            seen.add(id(src))
+            stack.extend(getattr(src, "_pps_cached", ()))
+            findings.extend(lint(src))
     order = {ERROR: 0, WARN: 1, INFO: 2}
     findings.sort(key=lambda f: order[f.severity])
     return findings

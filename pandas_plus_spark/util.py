@@ -45,6 +45,59 @@ def parallel_filter(df: DataFrame, cond, min_partitions: int | None = None) -> D
     return df.filter(cond)
 
 
+# Same-boot A/B toggle (r16 optimization protocol): False reverts every
+# lineage_cut site to the r15 persist() behavior in-process, so one boot
+# can time both variants back to back with no code edits.
+_LINEAGE_CUT_ENABLED = True
+
+
+def lineage_cut(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Materialize-once like ``persist()``, but ALSO truncate the logical
+    plan at this point (``localCheckpoint``, guide §3.3/§5).
+
+    ``persist()`` dedupes COMPUTATION but not PLANS: every downstream
+    reference re-embeds the frame's full logical subtree, so nested reused
+    intermediates (LSH: candidate pairs → band entries → collapsed corpus,
+    referenced 3×/8×/2×) grow the final plan MULTIPLICATIVELY —
+    minhash_neardup's formatted plan reached ~2000 lines / 250 Exchange
+    prints, and Catalyst re-analyzes and re-canonicalizes that tree for
+    every consumer (~1-1.5 s driver-side planning per fresh plan, r15
+    profile). A local checkpoint replaces the subtree with a LogicalRDD
+    leaf, so each consumer's plan is segment-sized and planning cost is
+    additive, not multiplicative.
+
+    Contracts kept:
+
+    - Storage follows the persist() discipline — the handle rides the
+      result via :func:`attach_cached`; :func:`release_cached` unpersists
+      the checkpointed RDD deterministically (``_pps_ckpt_rdd``).
+    - Plan lint keeps seeing the WHOLE pipeline: the pre-cut frame is
+      stashed as ``_pps_ckpt_src`` and ``plans.lint`` traverses it, so
+      the cut cannot create lint blind spots.
+    - ``eager=False`` (default): the final result stage is computed
+      lazily at first use (upstream AQE shuffle stages do run at
+      construction — inherent to any plan-truncating materialization).
+      ``eager=True`` fully materializes the blocks now — used where two
+      INDEPENDENT cuts are submitted from driver threads so their jobs
+      overlap (guide §2.6).
+
+    Scale trade (why not everywhere): a local checkpoint's blocks are not
+    fault-tolerant — a lost executor fails the job instead of recomputing
+    the segment. Right for the small-by-construction reused frames the
+    engine cuts (signatures, bucket entries, candidate pairs); wrong for
+    giant intermediates where persist()'s recompute-on-loss matters.
+    """
+    if not _LINEAGE_CUT_ENABLED:
+        return df.persist()
+    out = df.localCheckpoint(eager=eager)
+    out._pps_ckpt_src = df
+    try:
+        out._pps_ckpt_rdd = out._jdf.queryExecution().analyzed().rdd()
+    except Exception:  # plan shape changed across Spark versions — GC frees
+        out._pps_ckpt_rdd = None
+    return out
+
+
 def attach_cached(out: DataFrame, *cached: DataFrame) -> DataFrame:
     """Record the persisted intermediates an operator's result depends on.
 
@@ -61,10 +114,15 @@ def attach_cached(out: DataFrame, *cached: DataFrame) -> DataFrame:
 
 
 def release_cached(df: DataFrame) -> None:
-    """Unpersist every intermediate recorded by :func:`attach_cached`."""
+    """Unpersist every intermediate recorded by :func:`attach_cached` —
+    both persisted frames and :func:`lineage_cut` checkpoint blocks."""
     for f in getattr(df, "_pps_cached", ()):
+        rdd = getattr(f, "_pps_ckpt_rdd", None)
         try:
-            f.unpersist()
+            if rdd is not None:
+                rdd.unpersist(False)
+            else:
+                f.unpersist()
         except Exception:  # session already stopped — nothing to free
             pass
     df._pps_cached = []
