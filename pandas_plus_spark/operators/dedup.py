@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import simple_tokens, word_ngrams, _token_poly_hash
-from ..util import attach_cached, ensure_parallelism
+from ..util import attach_cached, ensure_parallelism, lineage_cut
 
 # Production hashing is xxhash64 (JVM, codegen, 64-bit). ``hash_fn="poly"``
 # switches every hash in the pipeline to the ANSI-reproducible polynomial
@@ -342,12 +342,16 @@ def minhash_lsh_candidates(
     :func:`lsh_bucket_stats`). Pass ``max_bucket_size=None`` to disable.
 
     Pass ``num_hashes`` to avoid an extra job just to read the signature
-    width. The bucket-entry frame is persisted: both sides of the self-join
-    read it, and it is tiny (id + band + 8-byte hash per row)."""
+    width. The bucket-entry frame is materialized ONCE with a lineage cut
+    (r16, ``util.lineage_cut``): it is tiny (id + band + 8-byte hash per
+    row) but referenced up to 8× by the capped self-join machinery, and a
+    plain persist() re-embedded the whole signature subtree in the plan at
+    every reference — the minhash pipeline's plan (and its Catalyst
+    planning time) grew multiplicatively."""
     if hash_fn not in _HASH_FNS:
         raise ValueError(f"hash_fn must be one of {_HASH_FNS}, got {hash_fn!r}")
     n = num_hashes if num_hashes is not None else sigs.select(F.size("sig")).first()[0]
-    bucket_entries = _band_entries(sigs, bands, n, hash_fn).persist()
+    bucket_entries = lineage_cut(_band_entries(sigs, bands, n, hash_fn))
     if max_bucket_size is not None:
         # cap + hub edges: quadratic cliques bounded, cluster
         # connectivity preserved (see capped_pair_candidates)
@@ -401,16 +405,21 @@ def ngram_jaccard_pairs(
         #
         # The candidate frame itself is read THREE times downstream (the
         # id-prune union here + both pair-join sides); without its own
-        # persist each read re-runs the LSH self-join + distinct. The frame
-        # is pair-count-sized (two longs per row), so pinning it is cheap.
-        candidates = candidates.persist()
+        # materialization each read re-runs the LSH self-join + distinct.
+        # The frame is pair-count-sized (two longs per row), so pinning it
+        # is cheap — and it is cut, not persisted (r16): each of the three
+        # references otherwise re-embeds the whole LSH subtree in the plan.
+        inner_cached = list(getattr(candidates, "_pps_cached", ()))
+        candidates = lineage_cut(candidates)
         cand_ids = (candidates.select(F.col("id_a").alias("id"))
                     .unionByName(candidates.select(F.col("id_b").alias("id")))
                     .distinct())
         # both join sides read the gram sets → compute the shingling once
-        grams = (df.select(F.col(id_col).alias("id"), F.col(text_col))
-                 .join(cand_ids, "id", "left_semi")
-                 .select("id", gram_expr).persist())
+        # (cut for the same reason: two references)
+        grams = lineage_cut(
+            df.select(F.col(id_col).alias("id"), F.col(text_col))
+            .join(cand_ids, "id", "left_semi")
+            .select("id", gram_expr))
         pairs = (
             candidates
             .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
@@ -436,8 +445,7 @@ def ngram_jaccard_pairs(
         .where(F.col(out_col) >= threshold)
     )
     if candidates is not None:
-        out = attach_cached(out, grams, candidates,
-                            *getattr(candidates, "_pps_cached", ()))
+        out = attach_cached(out, grams, candidates, *inner_cached)
     return out
 
 
@@ -642,21 +650,40 @@ def incremental_dedup(
                               shingle_size=shingle_size, hash_fn=hash_fn)
         ref_hashed, e_ref = idx.content_hashes, idx.band_entries
     # The exact frame is read twice (output union + candidate exclusion)
-    # — persisted so the Bloom probe's Arrow pass and the join run once
-    # per action tree (handle released via release_cached, like every
-    # other _pps_cached intermediate).
+    # — materialized once per action tree (handle released via
+    # release_cached, like every other _pps_cached intermediate).
     exact = hint(new_hashed).join(ref_hashed, "__h").select(
         F.col(id_col), F.lit("exact").alias("match_kind"),
-        F.col("ref_id"), F.lit(1.0).alias("jaccard")).persist()
-    extra_cached.append(exact)
+        F.col("ref_id"), F.lit(1.0).alias("jaccard"))
 
     sigs_new = minhash_signatures(new_df, text_col, id_col, num_hashes,
                                   shingle_size, hash_fn=hash_fn)
     e_new = _band_entries(sigs_new, bands, num_hashes, hash_fn)
-    cands = (
+    pair_raw = (
         hint(e_new).alias("a").join(e_ref.alias("b"), on=["band", "bhash"])
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+    # The exact content join and the LSH band join are INDEPENDENT until
+    # the candidate anti-join below, yet r15's stage timeline ran them
+    # strictly sequentially — pure micro-job latency on small increments.
+    # Materialize both lineage cuts from two driver threads so the second
+    # pipeline's tasks back-fill the first's stragglers (guide §2.6); job
+    # descriptions are thread-local so the UI stays labeled per pipeline.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..util import _LINEAGE_CUT_ENABLED, lineage_cut
+    if _LINEAGE_CUT_ENABLED:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_exact = pool.submit(lineage_cut, exact, True)
+            f_pairs = pool.submit(lineage_cut, pair_raw, True)
+            exact, pair_raw = f_exact.result(), f_pairs.result()
+        extra_cached += [exact, pair_raw]
+    else:  # A/B fallback: the r15 shape (persisted exact, lazy pairs)
+        exact = exact.persist()
+        extra_cached.append(exact)
+    cands = (
+        pair_raw
         # exact-matched docs report their exact row only (see docstring):
         # exclude them pair-level, where the frame is candidate-sized
         .join(F.broadcast(exact.select(F.col(id_col).alias("id_a"))),
@@ -1350,8 +1377,8 @@ def exact_substring_spans(
     # wall-clock at sf1, measured r13).
     oversized = (entries.groupBy("__g")
                  .agg(F.count(F.lit(1)).alias("__bsz"))
-                 .where(F.col("__bsz") > max_bucket_size)
-                 .persist())
+                 .where(F.col("__bsz") > max_bucket_size))
+    oversized = lineage_cut(oversized)
     kept = (F.pmod(F.xxhash64("id", "__g"), F.col("__bsz"))
             < max_bucket_size)
     capped = (entries.join(F.broadcast(oversized), "__g", "left")
@@ -1606,7 +1633,8 @@ def simhash_candidates(sig_df: DataFrame, quadrant_bits: int = 16,
             )
             for q in range(n_quadrants)
         ])).alias("b"),
-    ).select("id", "b.quadrant", "b.qval").persist()
+    ).select("id", "b.quadrant", "b.qval")
+    entries = lineage_cut(entries)
     capped = entries
     if max_bucket_size is not None:
         capped = _cap_bucket_entries(entries, ["quadrant", "qval"],
@@ -1663,7 +1691,8 @@ def hamming_pairs(hash_df: DataFrame, hash_col: str, id_col: str = "id",
                  .bitwiseAND(F.lit(mask)).alias("bval"))
             for q in range(n_bands)
         ])).alias("b"),
-    ).select("id", "__h64", "b.band", "b.bval").persist()
+    ).select("id", "__h64", "b.band", "b.bval")
+    entries = lineage_cut(entries)
     capped = entries
     if max_bucket_size is not None:
         capped = _cap_bucket_entries(entries, ["band", "bval"],
@@ -1852,7 +1881,8 @@ def dedup_keep_list(
     reps = df.groupBy(text_col).agg(*agg_cols)
     rep_docs = reps.select(
         F.col("rid").alias(id_col), F.col(text_col),
-        *(["__best"] if quality_col is not None else [])).persist()
+        *(["__best"] if quality_col is not None else []))
+    rep_docs = lineage_cut(rep_docs)
     pairs = minhash_dedup(rep_docs.select(id_col, text_col), text_col,
                           id_col, threshold=threshold,
                           num_hashes=num_hashes, bands=bands,
@@ -1949,7 +1979,8 @@ def fuzzy_dedup_keep_list(
     reps = df.groupBy(key_col, *blk).agg(*agg_cols)
     rep_docs = reps.select(
         F.col("rid").alias(id_col), F.col(key_col), *blk,
-        *(["__best"] if quality_col is not None else [])).persist()
+        *(["__best"] if quality_col is not None else []))
+    rep_docs = lineage_cut(rep_docs)
     rep_keys = rep_docs.select(id_col, key_col, *blk)
     fj = fuzzy_join(rep_keys, rep_keys, key_col, left_id=id_col,
                     right_id=id_col, max_dist=max_dist, max_len=max_len,

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..util import attach_cached, ensure_parallelism
+from ..util import attach_cached, ensure_parallelism, lineage_cut
 
 
 def _topk_per_query(sims: DataFrame, k: int,
@@ -300,7 +300,12 @@ def lsh_candidate_pairs(
         for t in range(n_tables)]))
     entries = (df.select(F.col(id_col).alias("id"), tb.alias("tb"))
                .select("id", "tb.bucket", "tb.table"))
-    buckets = entries.persist()
+    # lineage cut, not persist (r16): the capped self-join machinery
+    # references this frame up to 8x, and each reference re-embedded the
+    # whole bucket-computation subtree in the consumer's logical plan —
+    # the cut makes downstream plans (and Catalyst planning time)
+    # segment-sized. Entries are (id, bucket, table) rows: tiny.
+    buckets = lineage_cut(entries)
     if max_bucket_size is not None:
         # cap + hub edges: quadratic cliques bounded, cluster
         # connectivity preserved (dedup.capped_pair_candidates)

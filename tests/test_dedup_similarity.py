@@ -221,13 +221,16 @@ class TestHyperplaneHotBucket:
         assert guarded == base
 
     def test_candidate_pairs_single_corpus_scan(self, spark, tmp_path):
-        """r15 fusion pin: lsh_candidate_pairs computes EVERY table's
-        bucket in ONE pass over the vector corpus (struct-array explode)
-        instead of n_tables hyperplane_lsh_buckets scans unioned. With a
-        parquet-backed corpus the unoptimized shape showed 2 x n_tables
-        source scans in the plan (both self-join sides x per-table union);
-        the fused shape shows at most 2 (the persisted single-scan entry
-        frame, printed once per join side)."""
+        """r15 fusion + r16 lineage-cut pin: lsh_candidate_pairs computes
+        EVERY table's bucket in ONE pass over the vector corpus
+        (struct-array explode) instead of n_tables hyperplane_lsh_buckets
+        scans unioned — and since r16 the entry frame is a lineage cut,
+        so the pair plan reads the materialized entries (a LogicalRDD
+        leaf), never re-deriving the corpus scan at all. Pinned on the
+        PRE-CUT source plan (stashed as _pps_ckpt_src, what the linter
+        walks) with a version-tolerant scan count: the parquet relation
+        leaf is matched by the format name, not the exact node rendering
+        (r15 ADVICE)."""
         path = str(tmp_path / "vecs.parquet")
         spark.range(50).select(
             F.col("id").alias("vec_id"),
@@ -237,9 +240,17 @@ class TestHyperplaneHotBucket:
         out = similarity.lsh_candidate_pairs(
             vecs, n_planes=3, n_tables=self.TABLES, max_bucket_size=None)
         try:
-            plan = out._jdf.queryExecution().optimizedPlan().toString()
-            n_scans = plan.count("Relation [")
-            assert 1 <= n_scans <= 2, f"expected <=2 corpus scans, plan:\n{plan}"
+            entries = getattr(out, "_pps_cached", ())[0]
+            src = getattr(entries, "_pps_ckpt_src", entries)
+            src_plan = src._jdf.queryExecution().optimizedPlan().toString()
+            n_scans = src_plan.lower().count("parquet")
+            assert n_scans == 1, (
+                f"expected ONE corpus scan in the entry plan, plan:\n{src_plan}")
+            # the pair plan itself must NOT re-derive the corpus scan —
+            # both self-join sides read the cut entry frame
+            pair_plan = out._jdf.queryExecution().optimizedPlan().toString()
+            assert "parquet" not in pair_plan.lower(), (
+                f"pair plan re-derives the corpus scan:\n{pair_plan}")
         finally:
             from pandas_plus_spark.util import release_cached
             release_cached(out)
