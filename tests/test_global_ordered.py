@@ -135,14 +135,23 @@ class TestCacheHandlePropagation:
             lambda: global_row_number(frame, "k", num_partitions=6),
             lambda: global_cumsum(frame, "k", "v", num_partitions=7),
         ]
+        def pinned(h):
+            # r16: the pin is a lineage cut (checkpoint blocks on
+            # _pps_ckpt_rdd), not a CacheManager entry
+            rdd = getattr(h, "_pps_ckpt_rdd", None)
+            if rdd is not None:
+                lvl = rdd.getStorageLevel()
+                return lvl.useMemory() or lvl.useDisk()
+            return h.storageLevel.useMemory
+
         for make in makers:
             out = make()
             handles = getattr(out, "_pps_cached", ())
             assert len(handles) >= 1
             out.count()
-            assert any(h.storageLevel.useMemory for h in handles)
+            assert any(pinned(h) for h in handles)
             release_cached(out)
-            assert not any(h.storageLevel.useMemory for h in handles)
+            assert not any(pinned(h) for h in handles)
 
 
 class TestGlobalRankCumsum:

@@ -421,20 +421,30 @@ class TestRollingCorrCov:
                          / np.abs(ref[1:])) < 1e-6
 
     def test_scale_form_carries_cache_handle(self, spark):
-        # r15 advisory: the prefix pass persists an intermediate; the
+        # r15 advisory: the prefix pass pins an intermediate; the
         # final join must re-attach _pps_cached so release_cached on
-        # the RESULT frees it (the handle does not survive .join())
+        # the RESULT frees it (the handle does not survive .join()).
+        # r16: the pin is a lineage cut (localCheckpoint blocks on the
+        # handle's _pps_ckpt_rdd), not a CacheManager entry.
         from pandas_plus_spark.functions.ordered import grouped_rolling_cov
         from pandas_plus_spark.util import release_cached
         _, df = self._fixture(spark)
         out = grouped_rolling_cov(df, "g", "o", "x", "y", window=6,
                                   min_periods=3, num_partitions=3)
         handles = getattr(out, "_pps_cached", ())
-        assert handles, "result lost the persisted-prefix cache handle"
+        assert handles, "result lost the pinned-prefix cache handle"
         out.collect()
-        assert any(h.is_cached for h in handles)
+
+        def pinned(h):
+            rdd = getattr(h, "_pps_ckpt_rdd", None)
+            if rdd is not None:
+                lvl = rdd.getStorageLevel()
+                return lvl.useMemory() or lvl.useDisk()
+            return h.is_cached
+
+        assert any(pinned(h) for h in handles)
         release_cached(out)
-        assert not any(h.is_cached for h in handles)
+        assert not any(pinned(h) for h in handles)
 
 
 class TestRollingQuantile:
