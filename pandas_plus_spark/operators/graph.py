@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..util import attach_cached, ensure_parallelism
+from ..util import attach_cached, ensure_parallelism, lineage_cut
 
 #: Integer-mass scale: total rank mass when ``exact_mass=True``. 10^12
 #: keeps per-node mass well inside int64 while leaving ~6 decimal
@@ -222,15 +222,15 @@ def pagerank(
     # edges carry their source's out-degree (or total out-WEIGHT); ONE
     # shuffle onto src, then persisted — every iteration's join reuses
     # this layout
-    ej = e.join(out_d, "src").persist()
-    base = nodes.persist()
+    ej = lineage_cut(e.join(out_d, "src"))
+    base = lineage_cut(nodes)
     # the dangling node SET is iteration-invariant — materialize it once
     # (r12 advisor: the per-iteration anti-join against unpersisted out_d
     # re-executed the whole edge-dedup pipeline at every eager
     # localCheckpoint; a persisted node-sized set makes the per-iteration
     # cost genuinely one node-frame shuffle + one edge-sized aggregation)
-    dangling = base.join(out_d.withColumnRenamed("src", "node"),
-                         "node", "left_anti").persist()
+    dangling = lineage_cut(base.join(
+        out_d.withColumnRenamed("src", "node"), "node", "left_anti"))
     n = base.count()                             # node count (scalar)
     if n == 0:
         typ = "long" if exact_mass else "double"
@@ -344,9 +344,9 @@ def _personalized_pagerank(
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct())
-    ej = e.join(out_d, "src").persist()
-    dangling = (nodes.join(out_d.withColumnRenamed("src", "node"),
-                           "node", "left_anti").persist())
+    ej = lineage_cut(e.join(out_d, "src"))
+    dangling = lineage_cut(nodes.join(
+        out_d.withColumnRenamed("src", "node"), "node", "left_anti"))
 
     if exact_mass:
         pzw = personalize.select(
@@ -366,8 +366,8 @@ def _personalized_pagerank(
         tele = (nodes.join(pzw, "node", "left")
                 .select("node", F.expr(
                     f"{PAGERANK_MASS}L * coalesce(__w, 0L) div {wtot}L")
-                    .alias("__t"))
-                .persist())
+                    .alias("__t")))
+        tele = lineage_cut(tele)
         ranks = tele.select("node", F.col("__t").alias("__m"))
         # split identity for tele_m * dang // MASS (docstring above)
         share = (f"((__t div {H}L) * __dg) div {H}L"
@@ -403,8 +403,8 @@ def _personalized_pagerank(
                          "present in the graph")
     tele = (nodes.join(pzw, "node", "left")
             .select("node", (F.coalesce("__w", F.lit(0.0))
-                             / F.lit(float(wtot))).alias("__t"))
-            .persist())
+                             / F.lit(float(wtot))).alias("__t")))
+    tele = lineage_cut(tele)
     ranks = tele.select("node", F.col("__t").alias("__r"))
     for _ in range(n_iters):
         contrib = (

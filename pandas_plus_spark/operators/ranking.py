@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
-from ..util import attach_cached, ensure_parallelism
+from ..util import attach_cached, ensure_parallelism, lineage_cut
 
 
 def doc_term_freqs(docs: DataFrame, id_col: str = "doc_id",
@@ -55,7 +55,7 @@ def tfidf_scores(
     persisted — one explode+shuffle instead of two. Release with
     ``util.release_cached`` after materializing.
     """
-    postings = doc_term_freqs(docs, id_col, text_col).persist()
+    postings = lineage_cut(doc_term_freqs(docs, id_col, text_col))
     n_docs = docs.select(
         F.count(F.lit(1)).cast("double").alias("__n"))
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -118,8 +118,8 @@ def build_vocab(
     # persisted: the vocabulary-sized counts feed BOTH the total-token
     # scalar and the ranking — without the pin the corpus explode+agg runs
     # twice (same no-ReusedExchange behavior as the tfidf postings)
-    counts_all = (toks.groupBy("term")
-                  .agg(F.count(F.lit(1)).alias("count")).persist())
+    counts_all = lineage_cut(
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("count")))
     total = counts_all.select(
         F.sum("count").cast("double").alias("__total"))
     counts = counts_all
@@ -206,9 +206,9 @@ def unigram_lm_score(
         .persist(StorageLevel.DISK_ONLY)
     )
     exploded = toks_df.select(id_col, F.explode_outer("__toks").alias("term"))
-    counts = (
+    counts = lineage_cut(
         exploded.filter(F.col("term").isNotNull())
-        .groupBy("term").agg(F.count(F.lit(1)).alias("count")).persist()
+        .groupBy("term").agg(F.count(F.lit(1)).alias("count"))
     )
     total = counts.select(F.sum("count").cast("double").alias("__total"))
     per_doc = (
@@ -257,10 +257,9 @@ def bm25_scores(
         raise ValueError("query_terms must be non-empty")
     qset = sorted(set(query_terms))
 
-    doclens = (
+    doclens = lineage_cut(
         ensure_parallelism(docs)
         .select(F.col(id_col), tx.token_count(text_col).alias("n_terms"))
-        .persist()
     )
     stats = doclens.select(
         F.count(F.lit(1)).cast("double").alias("__n"),
@@ -273,8 +272,8 @@ def bm25_scores(
         .filter(F.col("term").isin(qset))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
+    q_postings = lineage_cut(q_postings)
     dfreq = q_postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (
@@ -411,8 +410,9 @@ def bigram_lm_score(
         counts = (
             toks_df.select(F.explode(pairs).alias("p"))
             .groupBy(F.col("p.gram").alias("gram"))
-            .agg(F.sum("p.cnt").alias("cnt")).persist()
+            .agg(F.sum("p.cnt").alias("cnt"))
         )
+        counts = lineage_cut(counts)
         uni = counts.filter(~F.col("gram").contains(" ")).select(
             F.col("gram").alias("term"), F.col("cnt").alias("ucnt"))
         bi_counts = counts.filter(F.col("gram").contains(" ")).select(
@@ -423,21 +423,21 @@ def bigram_lm_score(
             toks_df.select(F.explode(
                 F.concat(F.col("__toks"),
                          tx.word_ngrams(F.col("__toks"), 2))).alias("gram"))
-            .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).persist()
+            .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
         )
+        counts = lineage_cut(counts)
         uni = counts.filter(~F.col("gram").contains(" ")).select(
             F.col("gram").alias("term"), F.col("cnt").alias("ucnt"))
         bi_counts = counts.filter(F.col("gram").contains(" ")).select(
             "gram", F.col("cnt").alias("bcnt"))
         cached = (counts,)
     else:
-        uni = (toks_df.select(F.explode("__toks").alias("term"))
-               .groupBy("term").agg(F.count(F.lit(1)).alias("ucnt"))
-               .persist())
-        bi_counts = (toks_df.select(
+        uni = lineage_cut(
+            toks_df.select(F.explode("__toks").alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("ucnt")))
+        bi_counts = lineage_cut(toks_df.select(
             F.explode(tx.word_ngrams(F.col("__toks"), 2)).alias("gram"))
-            .groupBy("gram").agg(F.count(F.lit(1)).alias("bcnt"))
-            .persist())
+            .groupBy("gram").agg(F.count(F.lit(1)).alias("bcnt")))
         cached = (uni, bi_counts)
     total = uni.select(F.sum("ucnt").cast("double").alias("__total"))
 
