@@ -3792,12 +3792,17 @@ def _q_group_fill(spark, sf):
         "event_id", "event_type",
         F.when(F.pmod(F.col("event_id"), F.lit(7)) >= 2,
                F.col("value")).alias("v"))
+    # the three fills are independent columns over the same base — emit
+    # the two ASC-ordered windows (ffill, limit-ffill) adjacently so they
+    # share one keyed sort, then the DESC bfill: 3 full-data Sorts -> 2
+    # (r16, guide §2.4). bfill stays DESC + running frame: Spark's
+    # unbounded-FOLLOWING frame re-aggregates per row (O(n^2) per group).
     g = GroupBy(base, "event_type", order_by="event_id")
     f1 = g.ffill("v").withColumnRenamed("v_ffill", "v_f")
     f2 = (GroupBy(f1, "event_type", order_by="event_id")
-          .bfill("v").withColumnRenamed("v_bfill", "v_b"))
-    f3 = (GroupBy(f2, "event_type", order_by="event_id")
           .ffill("v", limit=2).withColumnRenamed("v_ffill", "v_f2"))
+    f3 = (GroupBy(f2, "event_type", order_by="event_id")
+          .bfill("v").withColumnRenamed("v_bfill", "v_b"))
     return f3.select("event_id", "event_type",
                      F.round("v", 6).alias("v"),
                      F.round("v_f", 6).alias("v_f"),

@@ -326,6 +326,67 @@ class TestByResolutionAndStatics:
         got = {r["id"]: r["_key_0"] for r in zipped.collect()}
         assert got == {i: i // 100 for i in range(1000)}
 
+    def test_array_key_on_persisted_upstream(self, spark):
+        # r15 ADVICE regression pin: the session enables
+        # canChangeCachedPlanOutputPartitioning (AQE may re-size a cached
+        # plan's output partitions), and the zip path's positional
+        # reconstruction (spark_partition_id + monotonically_increasing_id)
+        # assumes a cached frame's physical layout is FIXED once
+        # materialized. Exercise the zip on a persisted, shuffled upstream
+        # and check the key assignment matches the frame's own physical
+        # (pid, mid) order observed by an independent job — a Spark upgrade
+        # that re-plans cached output per-consumer would break this.
+        import numpy as np
+        from pandas_plus_spark.groupby.core import _zip_array_key
+        assert spark.conf.get(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning") \
+            == "true"
+        up = (spark.range(0, 400, 1, 8)
+              .withColumn("v", (F.col("id") % 5).cast("double"))
+              .repartition(16, "id").persist())
+        up.count()  # materialize the cache
+        try:
+            rows = up.select(
+                "id", F.spark_partition_id().alias("p"),
+                F.monotonically_increasing_id().alias("m")).collect()
+            order = [r["id"]
+                     for r in sorted(rows, key=lambda r: (r["p"], r["m"]))]
+            arr = np.arange(400) % 4
+            zipped = _zip_array_key(up, arr, "_key_0")
+            got = {r["id"]: r["_key_0"] for r in zipped.collect()}
+            assert got == {order[i]: arr[i] for i in range(400)}
+        finally:
+            up.unpersist()
+
+    def test_topk_exact_on_persisted_upstream(self, spark):
+        # second pid-dependent op (r15 ADVICE): the two-stage top-k keys
+        # stage 1 on spark_partition_id. Its RESULT is layout-independent
+        # (the global top-k is contained in every union of per-partition
+        # top-ks), so on a persisted shuffled upstream it must equal the
+        # brute-force answer whatever AQE did to the cached partitioning.
+        from pandas_plus_spark.operators.similarity import _topk_per_query
+        sims = (spark.range(0, 900, 1, 8)
+                .select((F.col("id") % 9).alias("query_id"),
+                        F.col("id").alias("neighbor_id"),
+                        ((F.col("id") * 37 % 101) / 101.0).alias("cos_sim"))
+                .repartition(16).persist())
+        sims.count()
+        try:
+            got = sorted(
+                (r["query_id"], r["rank"], r["neighbor_id"])
+                for r in _topk_per_query(sims, 3).collect())
+            import pandas as pd
+            pdf = sims.toPandas()
+            want = []
+            for q, g in pdf.groupby("query_id"):
+                g = g.sort_values(["cos_sim", "neighbor_id"],
+                                  ascending=[False, True]).head(3)
+                want += [(q, i + 1, n)
+                         for i, n in enumerate(g.neighbor_id)]
+            assert got == sorted(want)
+        finally:
+            sims.unpersist()
+
     def test_array_key_length_mismatch_raises(self, spark):
         import numpy as np
         df = spark.createDataFrame([(0, 1.0), (1, 2.0)], "rid long, v double")
