@@ -170,7 +170,8 @@ def _band_entries(sigs: DataFrame, bands: int, num_hashes: int,
 
 
 def _cap_bucket_entries(entries: DataFrame, key_cols: list[str],
-                        cap: int) -> DataFrame:
+                        cap: int,
+                        oversized: DataFrame | None = None) -> DataFrame:
     """Bound every LSH bucket to ≤ ~cap entries before a bucket self-join.
 
     Exact-dup collapse kills the COMMON candidate blowup (d copies → d²/2
@@ -198,11 +199,16 @@ def _cap_bucket_entries(entries: DataFrame, key_cols: list[str],
     defeats (identical members co-bucket everywhere). Entry-filtering is
     therefore NOT the whole capped path: :func:`capped_pair_candidates`
     adds linear-cost hub edges so dropped entries stay CONNECTED to their
-    cluster — the property dedup keep-lists actually need."""
-    oversized = (
-        entries.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bsz"))
-        .where(F.col("__bsz") > cap)
-    )
+    cluster — the property dedup keep-lists actually need.
+
+    ``oversized`` lets a caller that ALSO needs the oversized-bucket frame
+    (``capped_pair_candidates``: cap filter + hub edges) pass one shared
+    materialization instead of planning the aggregate twice."""
+    if oversized is None:
+        oversized = (
+            entries.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+            .where(F.col("__bsz") > cap)
+        )
     keep = F.col("__bsz").isNull() | (
         F.pmod(F.xxhash64("id", *key_cols), F.col("__bsz")) < cap)
     return (entries.join(F.broadcast(oversized), list(key_cols), "left")
@@ -228,17 +234,28 @@ def capped_pair_candidates(entries: DataFrame,
     connectivity through the hub, and the verify stage still decides
     whether each hub edge is a true near-dup. Healthy buckets are
     untouched (same lazy broadcast split as the cap — a no-op plan when
-    nothing exceeds ``cap``)."""
-    capped = _cap_bucket_entries(entries, key_cols, cap)
+    nothing exceeds ``cap``).
+
+    The oversized-bucket aggregate feeds BOTH halves (the cap filter and
+    the hub-edge machinery). It is computed ONCE as a lineage cut (r16,
+    guide §2.4/§5): the frame is bounded by n_entries/cap rows by
+    construction, and planning it twice re-embedded the aggregate subtree
+    in four places (cap join, tagged join, hubs, hub_edges) — AQE's
+    ReusedExchange already deduped the RUNTIME work (r15 audit), so the
+    fold is a planning-size win, not a wall-clock claim. The handle rides
+    the result via attach_cached; callers release it with release_cached."""
+    from ..util import attach_cached, lineage_cut
+
+    oversized = lineage_cut(
+        entries.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+        .where(F.col("__bsz") > cap)
+    )
+    capped = _cap_bucket_entries(entries, key_cols, cap, oversized=oversized)
     a, b = capped.alias("a"), capped.alias("b")
     pairs = (
         a.join(b, on=list(key_cols))
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
-    oversized = (
-        entries.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__bsz"))
-        .where(F.col("__bsz") > cap)
     )
     tagged = entries.join(F.broadcast(oversized), list(key_cols), "inner")
     kept = F.pmod(F.xxhash64("id", *key_cols), F.col("__bsz")) < cap
@@ -259,7 +276,7 @@ def capped_pair_candidates(entries: DataFrame,
         .select(F.least("id", "__hub").alias("id_a"),
                 F.greatest("id", "__hub").alias("id_b"))
     )
-    return pairs.unionByName(hub_edges)
+    return attach_cached(pairs.unionByName(hub_edges), oversized)
 
 
 def lsh_bucket_stats(entries: DataFrame, cap: int,
@@ -355,8 +372,10 @@ def minhash_lsh_candidates(
     if max_bucket_size is not None:
         # cap + hub edges: quadratic cliques bounded, cluster
         # connectivity preserved (see capped_pair_candidates)
-        out = _pair_distinct(capped_pair_candidates(
-            bucket_entries, ["band", "bhash"], max_bucket_size))
+        cand_raw = capped_pair_candidates(
+            bucket_entries, ["band", "bhash"], max_bucket_size)
+        out = attach_cached(_pair_distinct(cand_raw),
+                            *getattr(cand_raw, "_pps_cached", ()))
     else:
         a = bucket_entries.alias("a")
         b = bucket_entries.alias("b")

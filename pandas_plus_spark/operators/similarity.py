@@ -309,8 +309,10 @@ def lsh_candidate_pairs(
     if max_bucket_size is not None:
         # cap + hub edges: quadratic cliques bounded, cluster
         # connectivity preserved (dedup.capped_pair_candidates)
-        cands = capped_pair_candidates(buckets, ["table", "bucket"],
-                                       max_bucket_size).distinct()
+        cand_raw = capped_pair_candidates(buckets, ["table", "bucket"],
+                                          max_bucket_size)
+        cands = attach_cached(cand_raw.distinct(),
+                              *getattr(cand_raw, "_pps_cached", ()))
     else:
         id_type = buckets.schema["id"].dataType.simpleString()
         a, b = buckets.alias("a"), buckets.alias("b")
