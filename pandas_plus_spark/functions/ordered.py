@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..util import attach_cached, lineage_cut
+from ..util import attach_cached
 
 
 # persist placement for _grouped_multi_cumsum (r10 A/B knob): True pins
@@ -148,16 +148,22 @@ def global_row_number(
     # this frame feeds TWO plan branches (the rows and the per-partition
     # counts). Unpinned, each branch can re-execute the exchange with
     # different sampled boundaries — __pid then disagrees between branches
-    # and the offsets corrupt the numbering. The lineage cut makes both
-    # branches read one materialization (the same hazard class as dedup's
-    # bucket self-joins; released via util.release_cached) AND truncates
-    # the plan, so consumers embedding this frame several levels deep
-    # (rank's tie machinery, the rolling self-joins) stay segment-sized
-    # (r16 — persist() kept re-embedding the subtree per reference; the
-    # same flip applies to every `local` pin in this module).
-    local = lineage_cut(rp.withColumn(
+    # and the offsets corrupt the numbering. persist() makes both branches
+    # read one materialization (the same hazard class as dedup's bucket
+    # self-joins; released via util.release_cached).
+    #
+    # persist(), NOT util.lineage_cut (r16 measured decision, applies to
+    # every data-sized `local` pin in this module): these frames are the
+    # FULL input plus a running column, and a localCheckpoint replaces
+    # the columnar InMemoryRelation scan with a row-format LogicalRDD —
+    # a per-row cost that scales with the data (same-boot order-reversed
+    # A/B: group_rank_scale 1.64 -> 1.95 s, token_budget 0.79 -> 0.88 s
+    # with the cut, both halves consistent) for a planning-only win.
+    # Cuts stay on the small-by-construction frames (LSH entries, vocab
+    # counts) where the trade runs the other way.
+    local = rp.withColumn(
         "__lrn", F.row_number().over(Window.partitionBy("__pid").orderBy(*cols))
-    ))
+    ).persist()
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = counts.select(
@@ -187,8 +193,9 @@ def global_cumsum(
     w_local = (Window.partitionBy("__pid").orderBy(*cols)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     # pinned for the same two-branch boundary-divergence hazard as
-    # global_row_number (totals must see the SAME __pid as the rows)
-    local = lineage_cut(rp.withColumn("__lcum", F.sum(v).over(w_local)))
+    # global_row_number (totals must see the SAME __pid as the rows);
+    # persist, not lineage_cut: data-sized (see global_row_number)
+    local = rp.withColumn("__lcum", F.sum(v).over(w_local)).persist()
     totals = local.groupBy("__pid").agg(F.sum(v).alias("__tot"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = totals.select(
@@ -240,7 +247,7 @@ def grouped_cumsum(
     # sampled range boundaries (the global_row_number two-branch hazard)
     w_local = (Window.partitionBy("__pid", *gcols).orderBy(*ocols)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = lineage_cut(rp.withColumn("__lcum", F.sum(v).over(w_local)))
+    local = rp.withColumn("__lcum", F.sum(v).over(w_local)).persist()
     totals = local.groupBy("__pid", *gcols).agg(F.sum(v).alias("__tot"))
     w_off = (Window.partitionBy(*gcols).orderBy("__pid")
              .rowsBetween(Window.unboundedPreceding, -1))
@@ -294,10 +301,10 @@ def grouped_row_number(
         "__pid", F.spark_partition_id())
     # pinned: the rows and the per-(pid, group) counts must see the SAME
     # sampled range boundaries (the global_row_number two-branch hazard)
-    local = lineage_cut(rp.withColumn(
+    local = rp.withColumn(
         "__lrn",
         F.row_number().over(Window.partitionBy("__pid", *gcols).orderBy(*ocols))
-    ))
+    ).persist()
     counts = local.groupBy("__pid", *gcols).agg(F.count(F.lit(1)).alias("__cnt"))
     w_off = (Window.partitionBy(*gcols).orderBy("__pid")
              .rowsBetween(Window.unboundedPreceding, -1))
@@ -398,8 +405,8 @@ def grouped_ffill(
     # hazard) — hence the persist
     w_local = (Window.partitionBy("__pid", *gcols).orderBy(*local_order)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = lineage_cut(rp.withColumn(
-        "__lff", F.last(v, ignorenulls=True).over(w_local)))
+    local = rp.withColumn(
+        "__lff", F.last(v, ignorenulls=True).over(w_local)).persist()
     # the partition's boundary fill = the local fill at its max-order row
     # (min-order row for backward)
     boundary_pick = F.min_by if backward else F.max_by
@@ -446,7 +453,7 @@ def _grouped_running(df, gnames, order_by, value, num_partitions,
              .withColumn("__lN", F.count(v).over(w_run)))
     if want_sq:
         local = local.withColumn("__lC2", F.sum(v * v).over(w_run))
-    local = lineage_cut(local)
+    local = local.persist()
     baggs = [F.count(F.lit(1)).alias("__rows"),
              F.sum(v).alias("__tot"),
              F.count(v).alias("__nn")]
@@ -1179,7 +1186,7 @@ def grouped_cumminmax(
     w_run = (Window.partitionBy("__pid", *gcols).orderBy(*ocols)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     # pinned: same two-branch boundary hazard as grouped_cumsum
-    local = lineage_cut(rp.withColumn("__lm", agg(v).over(w_run)))
+    local = rp.withColumn("__lm", agg(v).over(w_run)).persist()
     bounds = local.groupBy("__pid", *gcols).agg(agg(v).alias("__bm"))
     w_off = (Window.partitionBy(*gcols).orderBy("__pid")
              .rowsBetween(Window.unboundedPreceding, -1))
@@ -1410,7 +1417,7 @@ def _grouped_running_pair(df, gnames, order_by, x: str, y: str,
                          F.count(F.when(both, F.lit(1))).over(w_run)))
     for k in _PAIR_SUMS:
         local = local.withColumn(f"__l{k}", F.sum(comps[k]).over(w_run))
-    local = lineage_cut(local)
+    local = local.persist()
     bounds = local.groupBy("__pid", *gcols).agg(
         F.count(F.lit(1)).alias("__rows"),
         F.count(F.when(both, F.lit(1))).alias("__nn"),
@@ -1588,9 +1595,8 @@ def global_rank_cumsum(
     w_row = Window.partitionBy("__pid").orderBy(*cols)
     w_cum = w_row.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # pinned: same two-branch boundary-divergence hazard as global_row_number
-    local = lineage_cut(
-        rp.withColumn("__lrn", F.row_number().over(w_row))
-        .withColumn("__lcum", F.sum(v).over(w_cum)))
+    local = (rp.withColumn("__lrn", F.row_number().over(w_row))
+             .withColumn("__lcum", F.sum(v).over(w_cum)).persist())
     per_pid = local.groupBy("__pid").agg(
         F.count(F.lit(1)).alias("__cnt"), F.sum(v).alias("__tot"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -55,7 +55,10 @@ def tfidf_scores(
     persisted — one explode+shuffle instead of two. Release with
     ``util.release_cached`` after materializing.
     """
-    postings = lineage_cut(doc_term_freqs(docs, id_col, text_col))
+    # persist, not lineage_cut: postings are corpus-sized (one row per
+    # doc-term) — the columnar cache scan beats a row-format LogicalRDD
+    # at scale (r16 measured decision, see functions/ordered.py)
+    postings = doc_term_freqs(docs, id_col, text_col).persist()
     n_docs = docs.select(
         F.count(F.lit(1)).cast("double").alias("__n"))
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -257,9 +260,12 @@ def bm25_scores(
         raise ValueError("query_terms must be non-empty")
     qset = sorted(set(query_terms))
 
-    doclens = lineage_cut(
+    # persist, not lineage_cut: one row per doc — corpus-length (see
+    # the postings note in tfidf above)
+    doclens = (
         ensure_parallelism(docs)
         .select(F.col(id_col), tx.token_count(text_col).alias("n_terms"))
+        .persist()
     )
     stats = doclens.select(
         F.count(F.lit(1)).cast("double").alias("__n"),
